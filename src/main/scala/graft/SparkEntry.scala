@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.asl._
+import graft.core.EvalContext
+import graft.planner.Planner
+import graft.sources.Datapoints
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract: `queries` exposes one entry per implemented operator
+ * (SURVEY.md §2), `oracleSql` the equivalent DuckDB SQL over the same
+ * parquet tables. ASL expressions are evaluated through the planner against
+ * the events table mapped to datapoints (graft.sources.Datapoints.events)
+ * on the fixed testdata grid (720 hourly slots over 2024-01).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  import DataExpr.{All, Count, GroupBy, Max, Min, Sum}
+  import MathExpr._
+
+  private val ctx = EvalContext.testdata
+
+  // --- expression helpers -------------------------------------------------
+
+  private def eq(k: String, v: String) = Query.Equal(k, v)
+  private val click = eq("name", "click")
+  private val view = eq("name", "view")
+  private val purchase = eq("name", "purchase")
+
+  private def run(expr: TimeSeriesExpr, tagCols: Seq[String], roundTo: Int)(
+      spark: SparkSession, dir: String): DataFrame =
+    Planner.output(Planner.eval(expr, Datapoints.events(spark, dir), ctx), tagCols, roundTo)
+
+  // Round to 4 decimals on both sides: inputs have 2 decimals, so sums and
+  // 2-term products have <= 4 true decimals and round exactly in both
+  // engines; coarser rounding hits .005 ties where Spark (BigDecimal
+  // HALF_UP) and DuckDB (std::round(v*100)/100) disagree.
+  private def q(expr: TimeSeriesExpr, tagCols: String*): (SparkSession, String) => DataFrame =
+    run(expr, tagCols, 4)
+
+  private def q4(expr: TimeSeriesExpr, tagCols: String*): (SparkSession, String) => DataFrame =
+    run(expr, tagCols, 4)
+
+  // --- oracle SQL building blocks (DuckDB dialect) ------------------------
+
+  private val DP =
+    """dp AS (
+      |  SELECT event_type AS name,
+      |         'u' || lpad(CAST(user_id AS VARCHAR), 3, '0') AS usr,
+      |         'g' || CAST(user_id % 5 AS VARCHAR) AS grp,
+      |         (value > 300) AS hi,
+      |         (epoch_ms(ts) // 3600000) * 3600000 AS t,
+      |         value AS v
+      |  FROM events)""".stripMargin
+
+  private val NORM =
+    """norm AS (
+      |  SELECT name, usr, grp, hi, t, sum(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
+  private val GRID =
+    "grid AS (SELECT t FROM generate_series(1704067200000, 1706655600000, 3600000) AS g(t))"
+
+  private def sumSeries(name: String, alias: String) =
+    s"$alias AS (SELECT t, sum(v) AS v FROM norm WHERE name = '$name' GROUP BY t)"
+
+  private def dense(src: String, alias: String) =
+    s"$alias AS (SELECT grid.t AS t, $src.v AS v FROM grid LEFT JOIN $src USING (t))"
+
+  private def byUsr(name: String, alias: String) =
+    s"$alias AS (SELECT usr, t, sum(v) AS v FROM norm WHERE name = '$name' GROUP BY 1, 2)"
+
+  private def sql(ctes: Seq[String], body: String): String =
+    s"WITH ${ctes.mkString(",\n")}\n$body"
+
+  private def base(body: String, extra: String*): String =
+    sql(Seq(DP, NORM, GRID) ++ extra, body)
+
+  // ------------------------------------------------------------------------
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run(GroupBy(Sum(click), List("usr")), Seq("usr"), 2)(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- data layer (§2.3) --
+    "data_sum" -> q(Sum(click)),
+    "data_count" -> q(Count(purchase)),
+    "data_min" -> q(Min(eq("name", "error"))),
+    "data_max" -> q(Max(view)),
+    "data_by_sum" -> q(GroupBy(Sum(click), List("usr")), "usr"),
+    "data_by2_max" -> q(GroupBy(Max(view), List("usr", "grp")), "usr", "grp"),
+    "data_all" -> q(All(Query.And(eq("name", "signup"), Query.LessThan("usr", "u003"))), "usr", "grp"),
+    "data_offset" -> q(Sum(click, offset = 86400000L)),
+    // -- query layer (§2.2) --
+    "query_in" -> q(Sum(Query.In("name", List("click", "view")))),
+    "query_re" -> q(Sum(Query.Regex("name", "p.*"))),
+    "query_reic" -> q(Sum(Query.RegexIgnoreCase("name", "CLI"))),
+    "query_contains" -> q(Sum(Query.contains("name", "ick"))),
+    "query_starts_or_ends" -> q(Sum(Query.Or(Query.starts("name", "cl"), Query.ends("name", "up")))),
+    "query_has" -> q(Sum(Query.HasKey("hi"))),
+    "query_not_and_lt" -> q(Sum(Query.And(Query.Not(click), Query.LessThan("usr", "u010")))),
+    "query_ge_le" -> q(Sum(Query.And(Query.GreaterThanEqual("name", "purchase"), Query.LessThanEqual("usr", "u100")))),
+    // -- math layer (§2.4) --
+    "math_add" -> q(Binary(BinOp.Add, Sum(click), Sum(view))),
+    "math_sub" -> q(Binary(BinOp.Sub, Sum(click), Sum(view))),
+    "math_mul" -> q(Binary(BinOp.Mul, Sum(purchase), Sum(click))),
+    "math_div" -> q4(Binary(BinOp.Div, Sum(purchase), Sum(click))),
+    "math_pow" -> q4(Binary(BinOp.Pow, Sum(click), Constant(0.5))),
+    "math_abs_sub" -> q(Unary(UnaryOp.Abs, Binary(BinOp.Sub, Sum(purchase), Sum(click)))),
+    "math_neg" -> q(Unary(UnaryOp.Negate, Sum(click))),
+    "math_sqrt" -> q4(Unary(UnaryOp.Sqrt, Sum(click))),
+    "math_sin_time" -> q4(Unary(UnaryOp.Sine, Time("hourOfDay"))),
+    "math_clamp" -> q(ClampMax(ClampMin(Sum(click), 100.0), 300.0)),
+    "math_per_step" -> q(PerStep(Sum(click))),
+    "math_const" -> q(Constant(42.0)),
+    "math_time_dow" -> q(Time("dayOfWeek")),
+    "math_time_span" -> q(TimeSpan(1704844800000L, 1705276800000L)),
+    "math_gt_signal" -> q(Binary(BinOp.Gt, Sum(click), Constant(200.0))),
+    "math_and_signal" -> q(Binary(BinOp.And,
+      Binary(BinOp.Gt, Sum(click), Constant(200.0)),
+      Binary(BinOp.Gt, Sum(view), Constant(200.0)))),
+    "math_fadd" -> q(Binary(BinOp.FAdd, Sum(click), Sum(view))),
+    "math_aggr_max" -> q(Aggr(AggrOp.Max, GroupBy(Sum(click), List("usr")))),
+    "math_aggr_count" -> q(Aggr(AggrOp.Count, GroupBy(Sum(click), List("usr")))),
+    "math_regroup" -> q(MathExpr.GroupBy(
+      Aggr(AggrOp.Sum, GroupBy(Sum(click), List("usr", "grp"))), List("grp")), "grp"),
+    "math_div_grouped_scalar" -> q4(Binary(BinOp.Div,
+      GroupBy(Sum(click), List("usr")), Sum(click)), "usr"),
+    "math_div_subset" -> q4(Binary(BinOp.Div,
+      GroupBy(Sum(purchase), List("usr", "grp")),
+      GroupBy(Sum(click), List("usr"))), "usr", "grp"),
+    // -- stateful layer (§2.5) --
+    "stateful_delay" -> q(StatefulExpr.Delay(Sum(click), 3)),
+    "stateful_rolling_sum" -> q(StatefulExpr.RollingSum(Sum(click), 6)),
+    "stateful_rolling_min" -> q(StatefulExpr.RollingMin(Sum(click), 12)),
+    "stateful_rolling_max" -> q(StatefulExpr.RollingMax(Sum(click), 12)),
+    "stateful_rolling_mean" -> q(StatefulExpr.RollingMean(Sum(click), 6, 2)),
+    "stateful_rolling_count" -> q(StatefulExpr.RollingCount(
+      Binary(BinOp.Gt, Sum(click), Constant(200.0)), 24)),
+    "stateful_integral" -> q(StatefulExpr.Integral(Sum(click))),
+    "stateful_cumulative_max" -> q(StatefulExpr.CumulativeMax(Sum(click))),
+    "stateful_derivative" -> q(StatefulExpr.Derivative(Sum(click))),
+    "stateful_trend" -> q(StatefulExpr.Trend(Sum(click), 21600000L)),
+    "stateful_des" -> q4(StatefulExpr.Des(Sum(click), 10, 0.1, 0.02)),
+    "stateful_sdes" -> q4(StatefulExpr.SlidingDes(Sum(click), 48, 0.1, 0.02)),
+    // -- filter layer (§2.6) --
+    "filter_stat_avg" -> q4(FilterExpr.Stat(Sum(click), "avg")),
+    "filter_having" -> q(FilterExpr.Filter(
+      GroupBy(Sum(click), List("usr")),
+      Binary(BinOp.Gt, FilterExpr.StatExpr("avg"), Constant(40.0))), "usr"),
+    "filter_topk" -> q(FilterExpr.PriorityFilter(
+      GroupBy(Sum(click), List("usr")), "avg", 5), "usr"),
+    "filter_bottomk" -> q(FilterExpr.PriorityFilter(
+      GroupBy(Sum(click), List("usr")), "max", 5, bottom = true), "usr"),
+    "filter_topk_others" -> q(FilterExpr.PriorityFilter(
+      GroupBy(Sum(click), List("usr")), "avg", 5, bottom = false,
+      others = Some(AggrOp.Sum)), "usr"),
+    "filter_consolidate" -> q(FilterExpr.Consolidate(Sum(click), 6, "max")),
+    // -- style layer (§2.7, data-affecting part) --
+    "style_limit" -> q(StyleExpr(
+      GroupBy(Sum(click), List("usr")),
+      Map("sort" -> "max", "order" -> "asc", "limit" -> "3")), "usr")
+  )
+
+  // ------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "data_sum" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
+    "data_count" -> base(
+      "SELECT t, round(CAST(count(*) AS DOUBLE), 4) AS value FROM norm WHERE name = 'purchase' GROUP BY t"),
+    "data_min" -> base(
+      "SELECT t, round(CAST(min(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'error' GROUP BY t"),
+    "data_max" -> base(
+      "SELECT t, round(CAST(max(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'view' GROUP BY t"),
+    "data_by_sum" -> base(
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+    "data_by2_max" -> base(
+      "SELECT usr, grp, t, round(CAST(max(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'view' GROUP BY 1, 2, 3"),
+    "data_all" -> base(
+      "SELECT usr, grp, t, round(CAST(v AS DOUBLE), 4) AS value FROM norm WHERE name = 'signup' AND usr < 'u003'"),
+    "data_offset" -> base(
+      "SELECT t + 86400000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm " +
+        "WHERE name = 'click' AND t >= 1704067200000 - 86400000 AND t < 1706659200000 - 86400000 GROUP BY 1"),
+    "query_in" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name IN ('click', 'view') GROUP BY t"),
+    "query_re" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE regexp_matches(name, '^p.*') GROUP BY t"),
+    "query_reic" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE regexp_matches(name, '(?i)^CLI') GROUP BY t"),
+    "query_contains" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name LIKE '%ick%' GROUP BY t"),
+    "query_starts_or_ends" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name LIKE 'cl%' OR name LIKE '%up' GROUP BY t"),
+    "query_has" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE hi GROUP BY t"),
+    "query_not_and_lt" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE NOT name = 'click' AND usr < 'u010' GROUP BY t"),
+    "query_ge_le" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name >= 'purchase' AND usr <= 'u100' GROUP BY t"),
+    "math_add" -> base(
+      """SELECT t, round(coalesce(a.v, 0) + coalesce(b.v, 0), 4) AS value
+        |FROM grid LEFT JOIN a USING (t) LEFT JOIN b USING (t)
+        |WHERE a.v IS NOT NULL OR b.v IS NOT NULL""".stripMargin,
+      sumSeries("click", "a"), sumSeries("view", "b")),
+    "math_sub" -> base(
+      """SELECT t, round(coalesce(a.v, 0) - coalesce(b.v, 0), 4) AS value
+        |FROM grid LEFT JOIN a USING (t) LEFT JOIN b USING (t)
+        |WHERE a.v IS NOT NULL OR b.v IS NOT NULL""".stripMargin,
+      sumSeries("click", "a"), sumSeries("view", "b")),
+    "math_mul" -> base(
+      "SELECT t, round(a.v * b.v, 4) AS value FROM a JOIN b USING (t)",
+      sumSeries("purchase", "a"), sumSeries("click", "b")),
+    "math_div" -> base(
+      """SELECT t, round(CASE WHEN b.v = 0 AND a.v = 0 THEN 0 WHEN b.v = 0 THEN NULL ELSE a.v / b.v END, 4) AS value
+        |FROM a JOIN b USING (t)
+        |WHERE CASE WHEN b.v = 0 AND a.v = 0 THEN 0 WHEN b.v = 0 THEN NULL ELSE a.v / b.v END IS NOT NULL""".stripMargin,
+      sumSeries("purchase", "a"), sumSeries("click", "b")),
+    "math_pow" -> base(
+      "SELECT t, round(pow(v, 0.5), 4) AS value FROM a",
+      sumSeries("click", "a")),
+    "math_abs_sub" -> base(
+      """SELECT t, round(abs(coalesce(a.v, 0) - coalesce(b.v, 0)), 4) AS value
+        |FROM grid LEFT JOIN a USING (t) LEFT JOIN b USING (t)
+        |WHERE a.v IS NOT NULL OR b.v IS NOT NULL""".stripMargin,
+      sumSeries("purchase", "a"), sumSeries("click", "b")),
+    "math_neg" -> base(
+      "SELECT t, round(-v, 4) AS value FROM a", sumSeries("click", "a")),
+    "math_sqrt" -> base(
+      "SELECT t, round(sqrt(v), 4) AS value FROM a", sumSeries("click", "a")),
+    "math_sin_time" -> base(
+      "SELECT t, round(sin(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
+    "math_clamp" -> base(
+      "SELECT t, round(least(greatest(v, 100.0), 300.0), 4) AS value FROM a",
+      sumSeries("click", "a")),
+    "math_per_step" -> base(
+      "SELECT t, round(v * 3600.0, 4) AS value FROM a", sumSeries("click", "a")),
+    "math_const" -> base("SELECT t, 42.0 AS value FROM grid"),
+    "math_time_dow" -> base(
+      "SELECT t, CAST(EXTRACT(isodow FROM make_timestamp(t * 1000)) AS DOUBLE) AS value FROM grid"),
+    "math_time_span" -> base(
+      "SELECT t, CASE WHEN t >= 1704844800000 AND t <= 1705276800000 THEN 1.0 ELSE 0.0 END AS value FROM grid"),
+    "math_gt_signal" -> base(
+      "SELECT t, CASE WHEN ad.v > 200.0 THEN 1.0 ELSE 0.0 END AS value FROM ad",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "math_and_signal" -> base(
+      """SELECT grid.t AS t, CASE WHEN coalesce(a.v > 200.0, FALSE) AND coalesce(b.v > 200.0, FALSE) THEN 1.0 ELSE 0.0 END AS value
+        |FROM grid LEFT JOIN a USING (t) LEFT JOIN b USING (t)""".stripMargin,
+      sumSeries("click", "a"), sumSeries("view", "b")),
+    "math_fadd" -> base(
+      "SELECT t, round(a.v + b.v, 4) AS value FROM a JOIN b USING (t)",
+      sumSeries("click", "a"), sumSeries("view", "b")),
+    "math_aggr_max" -> base(
+      "SELECT t, round(max(v), 4) AS value FROM bu GROUP BY t",
+      byUsr("click", "bu")),
+    "math_aggr_count" -> base(
+      "SELECT t, CAST(count(*) AS DOUBLE) AS value FROM bu GROUP BY t",
+      byUsr("click", "bu")),
+    "math_regroup" -> base(
+      "SELECT grp, t, round(sum(v), 4) AS value FROM " +
+        "(SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'click' GROUP BY 1, 2, 3) GROUP BY 1, 2"),
+    "math_div_grouped_scalar" -> base(
+      """SELECT bud.usr, bud.t, round(CASE WHEN tot.v = 0 AND bud.v = 0 THEN 0 WHEN tot.v = 0 THEN NULL ELSE bud.v / tot.v END, 4) AS value
+        |FROM bud JOIN tot ON bud.t = tot.t
+        |WHERE bud.v IS NOT NULL AND tot.v IS NOT NULL""".stripMargin,
+      byUsr("click", "bu"),
+      "uk AS (SELECT DISTINCT usr FROM bu)",
+      "bud AS (SELECT uk.usr, grid.t, bu.v FROM uk CROSS JOIN grid LEFT JOIN bu ON bu.usr = uk.usr AND bu.t = grid.t)",
+      sumSeries("click", "tot")),
+    "math_div_subset" -> base(
+      """SELECT pud.usr, pud.grp, pud.t, round(CASE WHEN cud.v = 0 AND pud.v = 0 THEN 0 WHEN cud.v = 0 THEN NULL ELSE pud.v / cud.v END, 4) AS value
+        |FROM pud JOIN cud ON pud.usr = cud.usr AND pud.t = cud.t
+        |WHERE pud.v IS NOT NULL AND cud.v IS NOT NULL""".stripMargin,
+      "pu AS (SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'purchase' GROUP BY 1, 2, 3)",
+      "puk AS (SELECT DISTINCT usr, grp FROM pu)",
+      "pud AS (SELECT puk.usr, puk.grp, grid.t, pu.v FROM puk CROSS JOIN grid LEFT JOIN pu ON pu.usr = puk.usr AND pu.grp = puk.grp AND pu.t = grid.t)",
+      byUsr("click", "cu"),
+      "cuk AS (SELECT DISTINCT usr FROM cu)",
+      "cud AS (SELECT cuk.usr, grid.t, cu.v FROM cuk CROSS JOIN grid LEFT JOIN cu ON cu.usr = cuk.usr AND cu.t = grid.t)"),
+    "stateful_delay" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, lag(v, 3) OVER (ORDER BY t) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_rolling_sum" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, sum(v) OVER (ORDER BY t ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_rolling_min" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, min(v) OVER (ORDER BY t ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_rolling_max" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, max(v) OVER (ORDER BY t ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_rolling_mean" -> base(
+      """SELECT t, round(value, 4) AS value FROM (
+        |  SELECT t, CASE WHEN count(v) OVER w >= 2 THEN sum(v) OVER w / count(v) OVER w END AS value
+        |  FROM ad WINDOW w AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |) WHERE value IS NOT NULL""".stripMargin,
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_rolling_count" -> base(
+      """SELECT t, round(sum(s) OVER (ORDER BY t ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 4) AS value
+        |FROM (SELECT t, CASE WHEN v > 200.0 THEN 1.0 ELSE 0.0 END AS s FROM ad)""".stripMargin,
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_integral" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, sum(v) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_cumulative_max" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, max(v) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_derivative" -> base(
+      "SELECT t, round(value, 4) AS value FROM (SELECT t, v - lag(v, 1) OVER (ORDER BY t) AS value FROM ad) WHERE value IS NOT NULL",
+      sumSeries("click", "a"), dense("a", "ad")),
+    "stateful_trend" -> base(
+      """SELECT t, round(value, 4) AS value FROM (
+        |  SELECT t, CASE WHEN t >= 1704085200000 AND count(v) OVER w > 0 THEN coalesce(sum(v) OVER w, 0) / 6.0 END AS value
+        |  FROM ad WINDOW w AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |) WHERE value IS NOT NULL""".stripMargin,
+      sumSeries("click", "a"), dense("a", "ad")),
+    "filter_stat_avg" -> base(
+      "SELECT grid.t AS t, round((SELECT avg(v) FROM a), 4) AS value FROM grid",
+      sumSeries("click", "a")),
+    "filter_having" -> base(
+      """SELECT bu.usr, bu.t, round(bu.v, 4) AS value FROM bu
+        |WHERE bu.usr IN (SELECT usr FROM bu GROUP BY usr HAVING avg(v) > 40.0)""".stripMargin,
+      byUsr("click", "bu")),
+    "filter_topk" -> base(
+      """SELECT bu.usr, bu.t, round(bu.v, 4) AS value FROM bu
+        |WHERE bu.usr IN (SELECT usr FROM bu GROUP BY usr ORDER BY avg(v) DESC, usr ASC LIMIT 5)""".stripMargin,
+      byUsr("click", "bu")),
+    "filter_bottomk" -> base(
+      """SELECT bu.usr, bu.t, round(bu.v, 4) AS value FROM bu
+        |WHERE bu.usr IN (SELECT usr FROM bu GROUP BY usr ORDER BY max(v) ASC, usr ASC LIMIT 5)""".stripMargin,
+      byUsr("click", "bu")),
+    "filter_topk_others" -> base(
+      """SELECT usr, t, round(v, 4) AS value FROM (
+        |  SELECT bu.usr, bu.t, bu.v FROM bu WHERE bu.usr IN (SELECT usr FROM top)
+        |  UNION ALL
+        |  SELECT '--others--' AS usr, t, sum(v) AS v FROM bu WHERE usr NOT IN (SELECT usr FROM top) GROUP BY t
+        |)""".stripMargin,
+      byUsr("click", "bu"),
+      "top AS (SELECT usr FROM bu GROUP BY usr ORDER BY avg(v) DESC, usr ASC LIMIT 5)"),
+    "filter_consolidate" -> base(
+      "SELECT 1704067200000 + (t - 1704067200000) // 21600000 * 21600000 AS t, round(max(v), 4) AS value FROM a GROUP BY 1",
+      sumSeries("click", "a")),
+    "style_limit" -> base(
+      """SELECT bu.usr, bu.t, round(bu.v, 4) AS value FROM bu
+        |WHERE bu.usr IN (SELECT usr FROM bu GROUP BY usr ORDER BY max(v) ASC, usr ASC LIMIT 3)""".stripMargin,
+      byUsr("click", "bu"))
+  )
 }

@@ -1,0 +1,184 @@
+package graft.asl
+
+import java.util.regex.Pattern
+
+/**
+ * Tag predicate AST. Semantics follow the reference query model
+ * (atlas-core model/Query.scala:22-509): all predicates are
+ * `tag-key op value` over string tags; `:lt`/`:gt`/... compare
+ * lexicographically; `:re` regexes are anchored at the start.
+ */
+sealed trait Query extends Product with Serializable {
+
+  /** In-memory evaluation, used for tests and small-side matching. */
+  def matches(tags: Map[String, String]): Boolean
+
+  def and(q: Query): Query = Query.And(this, q).simplified
+  def or(q: Query): Query = Query.Or(this, q).simplified
+  def not: Query = this match {
+    case Query.True      => Query.False
+    case Query.False     => Query.True
+    case Query.Not(q)    => q
+    case q               => Query.Not(q)
+  }
+
+  /** Smart-constructor simplification against True/False (Query.scala:42-54, 218-240). */
+  def simplified: Query = this match {
+    case Query.And(q1, q2) =>
+      (q1.simplified, q2.simplified) match {
+        case (Query.True, q)  => q
+        case (q, Query.True)  => q
+        case (Query.False, _) => Query.False
+        case (_, Query.False) => Query.False
+        case (a, b)           => Query.And(a, b)
+      }
+    case Query.Or(q1, q2) =>
+      (q1.simplified, q2.simplified) match {
+        case (Query.True, _)  => Query.True
+        case (_, Query.True)  => Query.True
+        case (Query.False, q) => q
+        case (q, Query.False) => q
+        case (a, b)           => Query.Or(a, b)
+      }
+    case Query.Not(q) =>
+      q.simplified match {
+        case Query.True  => Query.False
+        case Query.False => Query.True
+        case s           => Query.Not(s)
+      }
+    case q => q
+  }
+
+  /** Keys that must have an exact value for the query to match (Query.exactKeys). */
+  def exactKeys: Set[String] = this match {
+    case Query.Equal(k, _) => Set(k)
+    case Query.And(a, b)   => a.exactKeys ++ b.exactKeys
+    case Query.Or(_, _)    => Set.empty
+    case _                 => Set.empty
+  }
+
+  /** Exact (key -> value) pairs implied by the query, used for result tags. */
+  def exactTags: Map[String, String] = this match {
+    case Query.Equal(k, v) => Map(k -> v)
+    case Query.And(a, b)   => a.exactTags ++ b.exactTags
+    case _                 => Map.empty
+  }
+
+  /** All tag keys referenced anywhere in the query. */
+  def allKeys: Set[String] = this match {
+    case kq: Query.KeyQuery => Set(kq.k)
+    case Query.And(a, b)    => a.allKeys ++ b.allKeys
+    case Query.Or(a, b)     => a.allKeys ++ b.allKeys
+    case Query.Not(q)       => q.allKeys
+    case _                  => Set.empty
+  }
+
+  /** Conjunctive normal form as a list of clauses (Query.cnfList). */
+  def cnfList: List[Query] = this match {
+    case Query.And(a, b) => a.cnfList ::: b.cnfList
+    case Query.Not(Query.Or(a, b))  => (a.not).cnfList ::: (b.not).cnfList
+    case Query.Not(Query.And(a, b)) => List(Query.Or(a.not, b.not).simplified)
+    case q => List(q)
+  }
+
+  /** Disjunctive normal form as a list of clauses (Query.dnfList). */
+  def dnfList: List[Query] = this match {
+    case Query.Or(a, b) => a.dnfList ::: b.dnfList
+    case Query.And(a, b) =>
+      for (x <- a.dnfList; y <- b.dnfList) yield Query.And(x, y).simplified
+    case Query.Not(Query.And(a, b)) => (a.not).dnfList ::: (b.not).dnfList
+    case Query.Not(Query.Or(a, b))  => List(Query.And(a.not, b.not).simplified)
+    case q => List(q)
+  }
+
+  /** ASL display form, comma-joined postfix (round-trips through the interpreter). */
+  def asl: String
+}
+
+object Query {
+
+  sealed trait KeyQuery extends Query { def k: String }
+  sealed trait KeyValueQuery extends KeyQuery
+
+  case object True extends Query {
+    def matches(tags: Map[String, String]): Boolean = true
+    def asl = ":true"
+  }
+
+  case object False extends Query {
+    def matches(tags: Map[String, String]): Boolean = false
+    def asl = ":false"
+  }
+
+  final case class HasKey(k: String) extends KeyQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.contains(k)
+    def asl = s"$k,:has"
+  }
+
+  final case class Equal(k: String, v: String) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).contains(v)
+    def asl = s"$k,$v,:eq"
+  }
+
+  final case class LessThan(k: String, v: String) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).exists(_ < v)
+    def asl = s"$k,$v,:lt"
+  }
+
+  final case class LessThanEqual(k: String, v: String) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).exists(_ <= v)
+    def asl = s"$k,$v,:le"
+  }
+
+  final case class GreaterThan(k: String, v: String) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).exists(_ > v)
+    def asl = s"$k,$v,:gt"
+  }
+
+  final case class GreaterThanEqual(k: String, v: String) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).exists(_ >= v)
+    def asl = s"$k,$v,:ge"
+  }
+
+  /** Regex anchored at the start (Query.scala:410-421). */
+  final case class Regex(k: String, v: String) extends KeyValueQuery {
+    private lazy val p = Pattern.compile("^" + v)
+    def matches(tags: Map[String, String]): Boolean =
+      tags.get(k).exists(s => p.matcher(s).find())
+    def asl = s"$k,$v,:re"
+  }
+
+  final case class RegexIgnoreCase(k: String, v: String) extends KeyValueQuery {
+    private lazy val p = Pattern.compile("^" + v, Pattern.CASE_INSENSITIVE)
+    def matches(tags: Map[String, String]): Boolean =
+      tags.get(k).exists(s => p.matcher(s).find())
+    def asl = s"$k,$v,:reic"
+  }
+
+  final case class In(k: String, vs: List[String]) extends KeyValueQuery {
+    def matches(tags: Map[String, String]): Boolean = tags.get(k).exists(vs.contains)
+    def toOrQuery: Query = vs.map(v => Equal(k, v): Query)
+      .reduceOption((a, b) => Or(a, b)).getOrElse(False)
+    def asl = s"$k,(,${vs.mkString(",")},),:in"
+  }
+
+  final case class And(q1: Query, q2: Query) extends Query {
+    def matches(tags: Map[String, String]): Boolean = q1.matches(tags) && q2.matches(tags)
+    def asl = s"${q1.asl},${q2.asl},:and"
+  }
+
+  final case class Or(q1: Query, q2: Query) extends Query {
+    def matches(tags: Map[String, String]): Boolean = q1.matches(tags) || q2.matches(tags)
+    def asl = s"${q1.asl},${q2.asl},:or"
+  }
+
+  final case class Not(q: Query) extends Query {
+    def matches(tags: Map[String, String]): Boolean = !q.matches(tags)
+    def asl = s"${q.asl},:not"
+  }
+
+  // Sugar words (QueryVocabulary.scala :contains/:starts/:ends) desugar to Regex.
+  def contains(k: String, v: String): Query = Regex(k, ".*" + Pattern.quote(v))
+  def starts(k: String, v: String): Query = Regex(k, Pattern.quote(v))
+  def ends(k: String, v: String): Query = Regex(k, ".*" + Pattern.quote(v) + "$")
+}

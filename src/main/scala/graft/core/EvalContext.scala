@@ -1,0 +1,33 @@
+package graft.core
+
+/**
+ * Evaluation window on a fixed step grid, half-open `[start, end)`, all in
+ * epoch milliseconds. Mirrors the reference's evaluation context semantics
+ * (atlas-core model/EvalContext.scala:24-39) but uses interval-start
+ * timestamps for buckets: slot i covers `[start + i*step, start + (i+1)*step)`.
+ */
+final case class EvalContext(start: Long, end: Long, step: Long) {
+  require(step > 0, "step must be > 0")
+  require(start < end, "start must be < end")
+  require(start % step == 0, "start must be step-aligned")
+
+  /** Number of grid slots in the window. */
+  def bufferSize: Int = ((end - start) / step).toInt
+
+  /** Shift the fetch window back by `offset` ms (for `:offset`). */
+  def withOffset(offset: Long): EvalContext =
+    if (offset == 0L) this else EvalContext(start - offset, end - offset, step)
+
+  /** Re-step to a coarser grid (consolidation). */
+  def withStep(newStep: Long): EvalContext = {
+    require(newStep % step == 0, s"new step $newStep must be a multiple of $step")
+    EvalContext(start - math.floorMod(start, newStep), end, newStep)
+  }
+}
+
+object EvalContext {
+
+  /** The driver testdata window: 2024-01-01T00:00Z to 2024-01-31T00:00Z, 1h step (720 slots). */
+  val testdata: EvalContext =
+    EvalContext(1704067200000L, 1706659200000L, 3600000L)
+}

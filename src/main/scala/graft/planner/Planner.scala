@@ -1,0 +1,557 @@
+package graft.planner
+
+import graft.asl._
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Evaluated series lines in long format. One row per (line, grid slot with
+ * data). Columns:
+ *   - key:   string  — group key, "" for a single aggregate line, the full
+ *                      series id for `:all` lines
+ *   - tags:  map<string,string> — result tags of the line
+ *   - t:     long    — interval start, epoch ms, aligned to `step`
+ *   - value: double  — NaN only in dense frames (dense = every slot present)
+ */
+final case class SeriesFrame(
+    df: DataFrame,
+    grouping: List[String],
+    step: Long,
+    dense: Boolean
+)
+
+/** Compile a [[graft.asl.Query]] to a predicate on a `tags` map column. */
+object QueryCompiler {
+
+  def compile(q: Query, tags: Column): Column = q match {
+    case Query.True                 => lit(true)
+    case Query.False                => lit(false)
+    case Query.HasKey(k)            => tags.getItem(k).isNotNull
+    case Query.Equal(k, v)          => tags.getItem(k) === v
+    case Query.LessThan(k, v)       => tags.getItem(k) < v
+    case Query.LessThanEqual(k, v)  => tags.getItem(k) <= v
+    case Query.GreaterThan(k, v)    => tags.getItem(k) > v
+    case Query.GreaterThanEqual(k, v) => tags.getItem(k) >= v
+    case Query.Regex(k, v)          => tags.getItem(k).rlike("^" + v)
+    case Query.RegexIgnoreCase(k, v) => tags.getItem(k).rlike("(?i)^" + v)
+    case Query.In(k, vs)            => tags.getItem(k).isin(vs: _*)
+    case Query.And(a, b)            => compile(a, tags) && compile(b, tags)
+    case Query.Or(a, b)             => compile(a, tags) || compile(b, tags)
+    case Query.Not(sub)             =>
+      // tags[k] missing -> predicate null -> NOT null stays null -> filtered
+      // out, which matches the reference: a series without the key matches
+      // :not of a key query (Query.scala Not.matches) only if the inner
+      // predicate is false, so coalesce the inner to false first.
+      !coalesce(compile(sub, tags), lit(false))
+  }
+}
+
+/**
+ * Compiles [[graft.asl.TimeSeriesExpr]] trees to Spark DataFrame plans over a
+ * canonical datapoint frame with columns `tags: map<string,string>`,
+ * `ts: long (epoch ms)`, `value: double`.
+ *
+ * Scale notes: the heavy lifting (filter + first-level aggregate) is a single
+ * groupBy over the raw scan — predicate and column pruning reach the parquet
+ * scan because `tags` is constructed per source in graft.sources from plain
+ * columns, so Catalyst sees the underlying column filters. Everything after
+ * the first aggregate operates on series lines (cardinality = number of
+ * series, not datapoints), so the joins/windows downstream are cheap and the
+ * evaluated frames per DataExpr are reused across the expression tree (CSE
+ * like the reference's GraphApi.DataRequest).
+ */
+object Planner {
+
+  import NanMath._
+
+  private val KEY = "key"
+  private val TAGS = "tags"
+  private val T = "t"
+  private val V = "value"
+
+  /** Canonical series id: sorted `k=v` pairs joined by commas. */
+  def seriesId(tags: Column): Column =
+    array_join(
+      transform(
+        array_sort(map_entries(tags)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))
+      ),
+      ","
+    )
+
+  /** Group key from tag values for `keys`, canonicalized by sorting keys. */
+  private def mkKey(keys: Seq[String], tags: Column): Column =
+    concat_ws(",", keys.sorted.map(k => concat(lit(k + "="), tags.getItem(k))): _*)
+
+  private def tagsLit(m: Map[String, String]): Column =
+    if (m.isEmpty) map()
+    else map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  def eval(expr: TimeSeriesExpr, dp: DataFrame, ctx: EvalContext): SeriesFrame = {
+    val spark = dp.sparkSession
+    new Evaluator(spark, dp, ctx).eval(expr)
+  }
+
+  /** Sparse output table for the driver/oracle: tag columns + t + value. */
+  def output(f: SeriesFrame, tagCols: Seq[String], roundTo: Int = 4): DataFrame = {
+    val cols = tagCols.map(k => col(TAGS).getItem(k).as(k)) ++
+      Seq(col(T), round(col(V), roundTo).as(V))
+    f.df.filter(!isnan(col(V)) && col(V).isNotNull).select(cols: _*)
+  }
+
+  // -------------------------------------------------------------------------
+
+  private final class Evaluator(spark: SparkSession, dp: DataFrame, ctx: EvalContext) {
+
+    // Common-subexpression elimination: each distinct DataExpr is planned
+    // once and the DataFrame object reused (Spark then reuses the exchange).
+    private val dataCache = scala.collection.mutable.Map.empty[DataExpr, SeriesFrame]
+
+    // Environment for resolving :stat-* placeholders inside :filter.
+    private var statEnv: Option[SeriesFrame] = None
+
+    def eval(expr: TimeSeriesExpr): SeriesFrame = expr match {
+      case d: DataExpr          => dataCache.getOrElseUpdate(d, evalData(d))
+      case m: MathExpr.Constant => constant(lit(m.v), Map("name" -> m.v.toString))
+      case m: MathExpr.SeededRandom =>
+        val h = abs(xxhash64(col(T), lit(m.seed)))
+        constant(h.cast("double") / lit(Long.MaxValue.toDouble), Map("name" -> "random"))
+      case m: MathExpr.Time     => evalTime(m)
+      case m: MathExpr.TimeSpan =>
+        constant(
+          when(col(T) >= m.s && col(T) <= m.e, 1.0).otherwise(0.0),
+          Map("name" -> "time-span")
+        )
+      case MathExpr.ClampMin(e, v) =>
+        mapValue(eval(e), c => when(isnan(c), c).otherwise(greatest(c, lit(v))))
+      case MathExpr.ClampMax(e, v) =>
+        mapValue(eval(e), c => when(isnan(c), c).otherwise(least(c, lit(v))))
+      case MathExpr.Unary(op, e) =>
+        val f: Column => Column = op match {
+          case MathExpr.UnaryOp.Abs    => abs(_)
+          case MathExpr.UnaryOp.Negate => c => -c
+          case MathExpr.UnaryOp.Sine   => sin(_)
+          case MathExpr.UnaryOp.Sqrt   => sqrt(_)
+        }
+        mapValue(eval(e), f)
+      case MathExpr.PerStep(e) =>
+        mapValue(eval(e), c => c * lit(ctx.step / 1000.0))
+      case b: MathExpr.Binary   => evalBinary(b)
+      case a: MathExpr.Aggr     => evalAggr(a)
+      case g: MathExpr.GroupBy  => evalMathGroupBy(g)
+      case s: StatefulExpr      => evalStateful(s)
+      case f: FilterExpr.Stat   => evalStat(f)
+      case FilterExpr.StatExpr(stat) =>
+        statEnv match {
+          case Some(env) => statLines(env, stat)
+          case None => throw new IllegalStateException(":stat-" + stat + " outside :filter")
+        }
+      case f: FilterExpr.Filter => evalFilter(f)
+      case p: FilterExpr.PriorityFilter => evalPriority(p)
+      case c: FilterExpr.Consolidate   => evalConsolidate(c)
+      case s: StyleExpr         => evalStyle(s)
+    }
+
+    // ---- grid / dense helpers ----
+
+    private def gridDF: DataFrame =
+      spark.range(ctx.bufferSize)
+        .select((lit(ctx.start) + col("id") * lit(ctx.step)).as(T))
+
+    private def constant(valueCol: Column, tags: Map[String, String]): SeriesFrame = {
+      val df = gridDF.select(
+        lit("").as(KEY),
+        tagsLit(tags).as(TAGS),
+        col(T),
+        valueCol.cast("double").as(V)
+      )
+      SeriesFrame(df, Nil, ctx.step, dense = true)
+    }
+
+    private def densify(f: SeriesFrame): SeriesFrame =
+      if (f.dense) f
+      else {
+        val series = f.df.select(col(KEY), col(TAGS)).dropDuplicates(KEY)
+        val slots = (f.step, ctx.start, ctx.end)
+        val grid = series.select(
+          col(KEY),
+          col(TAGS),
+          explode(sequence(lit(slots._2), lit(slots._3 - slots._1), lit(slots._1))).as(T)
+        )
+        val joined = grid
+          .join(f.df.select(col(KEY).as("k2"), col(T).as("t2"), col(V)),
+            col(KEY) === col("k2") && col(T) === col("t2"), "left")
+          .select(col(KEY), col(TAGS), col(T), nullToNan(col(V)).as(V))
+        SeriesFrame(joined, f.grouping, f.step, dense = true)
+      }
+
+    private def mapValue(f: SeriesFrame, fn: Column => Column): SeriesFrame =
+      f.copy(df = f.df.withColumn(V, fn(col(V)).cast("double")))
+
+    // ---- data layer ----
+
+    private def evalData(d: DataExpr): SeriesFrame = {
+      val fetch = ctx.withOffset(d.offset)
+      val pred = QueryCompiler.compile(d.query, col(TAGS))
+      val base = dp
+        .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
+        .filter(coalesce(pred, lit(false)))
+        .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(d.offset))
+
+      // Ingest normalization: one value per (series, slot); datapoints within
+      // a slot sum (reference norm/SumValueFunction).
+      val norm = base
+        .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+        .agg(sum(col(V)).as(V), first(col(TAGS)).as(TAGS))
+
+      d match {
+        case DataExpr.All(_, _) =>
+          SeriesFrame(norm.select(col(KEY), col(TAGS), col(T), col(V)), Nil, ctx.step, dense = false)
+
+        case af: DataExpr.AggregateFunction =>
+          val agg = aggColFor(af)
+          val out = norm
+            .groupBy(col(T))
+            .agg(agg.as(V))
+            .filter(col(V).isNotNull)
+            .select(lit("").as(KEY), tagsLit(d.query.exactTags).as(TAGS), col(T), col(V))
+          SeriesFrame(out, Nil, ctx.step, dense = false)
+
+        case DataExpr.GroupBy(af, keys) =>
+          // Series missing any group key are dropped (DataExpr.scala:108-122).
+          val present = keys.map(k => col(TAGS).getItem(k).isNotNull).reduce(_ && _)
+          val kcols = keys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
+          val agg = aggColFor(af)
+          val grouped = norm
+            .filter(present)
+            .groupBy(kcols :+ col(T): _*)
+            .agg(agg.as(V))
+            .filter(col(V).isNotNull)
+          val tagEntries = d.query.exactTags -- keys
+          val tagsCol = map_concat(
+            tagsLit(tagEntries),
+            map(keys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*)
+          )
+          val keyCol = concat_ws(",",
+            keys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+          val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
+          SeriesFrame(out, keys, ctx.step, dense = false)
+      }
+    }
+
+    private def aggColFor(af: DataExpr.AggregateFunction): Column = af match {
+      case _: DataExpr.Sum   => sumNaN(col(V))
+      case _: DataExpr.Count => countNaN(col(V))
+      case _: DataExpr.Min   => minNaNAgg(col(V))
+      case _: DataExpr.Max   => maxNaNAgg(col(V))
+    }
+
+    // ---- math layer ----
+
+    private def evalTime(m: MathExpr.Time): SeriesFrame = {
+      val ts = timestamp_seconds(col(T) / 1000L)
+      val v: Column = m.mode match {
+        case "secondOfMinute"    => second(ts)
+        case "minuteOfHour"      => minute(ts)
+        case "hourOfDay"         => hour(ts)
+        // ISO day-of-week 1=Mon..7=Sun; Spark dayofweek is 1=Sun..7=Sat.
+        case "dayOfWeek"         => pmod(dayofweek(ts) + lit(5), lit(7)) + lit(1)
+        case "dayOfMonth"        => dayofmonth(ts)
+        case "dayOfYear"         => dayofyear(ts)
+        case "monthOfYear"       => month(ts)
+        case "yearOfEra"         => year(ts)
+        case "secondsSinceEpoch" => col(T) / 1000L
+      }
+      constant(v.cast("double"), Map("name" -> m.mode))
+    }
+
+    private def binOpCol(op: MathExpr.BinOp): (Column, Column) => Column = op match {
+      case MathExpr.BinOp.Add  => addCol
+      case MathExpr.BinOp.Sub  => subCol
+      case MathExpr.BinOp.Mul  => mulCol
+      case MathExpr.BinOp.Div  => divCol
+      case MathExpr.BinOp.Pow  => powCol
+      case MathExpr.BinOp.FAdd => faddCol
+      case MathExpr.BinOp.FSub => fsubCol
+      case MathExpr.BinOp.FMul => fmulCol
+      case MathExpr.BinOp.FDiv => fdivCol
+      case MathExpr.BinOp.Gt   => gtCol
+      case MathExpr.BinOp.Ge   => geCol
+      case MathExpr.BinOp.Lt   => ltCol
+      case MathExpr.BinOp.Le   => leCol
+      case MathExpr.BinOp.And  => andCol
+      case MathExpr.BinOp.Or   => orCol
+    }
+
+    /**
+     * Binary op: dense-align both sides on the grid, then match lines — by
+     * subset group key when both sides are grouped (hash-join semantics of
+     * MathExpr.scala:456-576), by slot only when one side is a single line.
+     */
+    private def evalBinary(b: MathExpr.Binary): SeriesFrame = {
+      val f1 = densify(eval(b.expr1))
+      val f2 = densify(eval(b.expr2))
+      val g1 = f1.grouping
+      val g2 = f2.grouping
+      val op = binOpCol(b.op)
+
+      val lhs = f1.df.select(
+        col(KEY).as("k1"), col(TAGS).as("tags1"), col(T), col(V).as("v1"))
+      val rhs = f2.df.select(
+        col(KEY).as("k2"), col(TAGS).as("tags2"), col(T).as("t2"), col(V).as("v2"))
+
+      def finish(df: DataFrame, keyC: Column, tagsC: Column, grouping: List[String]) =
+        SeriesFrame(
+          df.select(keyC.as(KEY), tagsC.as(TAGS), col(T),
+            op(nullToNan(col("v1")), nullToNan(col("v2"))).cast("double").as(V)),
+          grouping, ctx.step, dense = true)
+
+      if (g1.nonEmpty && g2.nonEmpty) {
+        if (g2.forall(g1.contains) && g1.size >= g2.size) {
+          // rhs keys subset of lhs: probe rhs lines by subset key from lhs tags
+          val j = lhs.join(rhs,
+            mkKey(g2, col("tags1")) === col("k2") && col(T) === col("t2"))
+          finish(j, col("k1"), col("tags1"), g1)
+        } else {
+          // lhs subset of rhs: keep tags from the grouped rhs (MathExpr.scala:556-560)
+          val j = lhs.join(rhs,
+            col("k1") === mkKey(g1, col("tags2")) && col(T) === col("t2"))
+          finish(j, col("k2"), col("tags2"), g2)
+        }
+      } else if (g1.nonEmpty) {
+        val j = lhs.join(rhs, col(T) === col("t2"))
+        finish(j, col("k1"), col("tags1"), g1)
+      } else if (g2.nonEmpty) {
+        val j = lhs.join(rhs, col(T) === col("t2"))
+        finish(j, col("k2"), col("tags2"), g2)
+      } else {
+        val j = lhs.join(rhs, col(T) === col("t2"))
+        finish(j, col("k1"), col("tags1"), Nil)
+      }
+    }
+
+    private def evalAggr(a: MathExpr.Aggr): SeriesFrame = {
+      val f = eval(a.expr)
+      val agg = a.op match {
+        case MathExpr.AggrOp.Sum   => sumNaN(col(V))
+        case MathExpr.AggrOp.Count => countNaN(col(V))
+        case MathExpr.AggrOp.Min   => minNaNAgg(col(V))
+        case MathExpr.AggrOp.Max   => maxNaNAgg(col(V))
+      }
+      val out = f.df
+        .groupBy(col(T))
+        .agg(agg.as(V))
+        .filter(col(V).isNotNull)
+        .select(lit("").as(KEY), tagsLit(a.expr.exactTags).as(TAGS), col(T), col(V))
+      SeriesFrame(out, Nil, ctx.step, dense = false)
+    }
+
+    private def evalMathGroupBy(g: MathExpr.GroupBy): SeriesFrame = {
+      val f = eval(g.aggr.expr)
+      val keys = g.keys
+      val agg = g.aggr.op match {
+        case MathExpr.AggrOp.Sum   => sumNaN(col(V))
+        case MathExpr.AggrOp.Count => countNaN(col(V))
+        case MathExpr.AggrOp.Min   => minNaNAgg(col(V))
+        case MathExpr.AggrOp.Max   => maxNaNAgg(col(V))
+      }
+      val kcols = keys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
+      val grouped = f.df
+        .groupBy(kcols :+ col(T): _*)
+        .agg(agg.as(V))
+        .filter(col(V).isNotNull)
+      val tagsCol = map(keys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*)
+      val keyCol = concat_ws(",",
+        keys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+      val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
+      SeriesFrame(out, keys, ctx.step, dense = false)
+    }
+
+    // ---- stateful layer ----
+
+    private def evalStateful(s: StatefulExpr): SeriesFrame = {
+      val f = densify(eval(s.expr))
+      val w = Window.partitionBy(col(KEY)).orderBy(col(T))
+      def rows(n: Int) = w.rowsBetween(-(n - 1), 0)
+      val unbounded = w.rowsBetween(Window.unboundedPreceding, 0)
+
+      def withV(c: Column): SeriesFrame =
+        f.copy(df = f.df.withColumn(V, c.cast("double")))
+
+      s match {
+        case StatefulExpr.Delay(_, n) =>
+          withV(nullToNan(lag(col(V), n).over(w)))
+        case StatefulExpr.RollingCount(_, n) =>
+          withV(sum(when(boolCol(col(V)), 1.0).otherwise(0.0)).over(rows(n)))
+        case StatefulExpr.RollingMin(_, n) =>
+          withV(nullToNan(min(nanToNull(col(V))).over(rows(n))))
+        case StatefulExpr.RollingMax(_, n) =>
+          withV(nullToNan(max(nanToNull(col(V))).over(rows(n))))
+        case StatefulExpr.RollingMean(_, n, minNum) =>
+          val cnt = count(nanToNull(col(V))).over(rows(n))
+          val sm = sum(nanToNull(col(V))).over(rows(n))
+          withV(when(cnt >= minNum, sm / cnt).otherwise(nan))
+        case StatefulExpr.RollingSum(_, n) =>
+          withV(nullToNan(sum(nanToNull(col(V))).over(rows(n))))
+        case StatefulExpr.Trend(_, window) =>
+          val n = math.max(1L, window / f.step).toInt
+          val rn = row_number().over(w)
+          val cnt = count(nanToNull(col(V))).over(rows(n))
+          val sm = sum(nanToNull(col(V))).over(rows(n))
+          withV(when(rn >= n && cnt > 0, coalesce(sm, lit(0.0)) / n).otherwise(nan))
+        case StatefulExpr.Integral(_) =>
+          withV(nullToNan(sum(nanToNull(col(V))).over(unbounded)))
+        case StatefulExpr.CumulativeMax(_) =>
+          withV(nullToNan(max(nanToNull(col(V))).over(unbounded)))
+        case StatefulExpr.Derivative(_) =>
+          withV(col(V) - nullToNan(lag(col(V), 1).over(w)))
+        case StatefulExpr.Des(_, training, alpha, beta) =>
+          sequentialScan(f, () => new OnlineDes(training, alpha, beta))
+        case StatefulExpr.SlidingDes(_, training, alpha, beta) =>
+          // Align the training window to absolute time (StatefulExpr.scala:242-258)
+          val trainingStep = ctx.step * training
+          val alignedStart =
+            if (ctx.start % trainingStep == 0) ctx.start
+            else ctx.start / trainingStep * trainingStep + trainingStep
+          val skip = ((alignedStart - ctx.start) / ctx.step).toInt
+          sequentialScan(f, () =>
+            if (skip > 0)
+              new OnlinePipeline(new OnlineIgnoreN(skip), new OnlineSlidingDes(training, alpha, beta))
+            else new OnlineSlidingDes(training, alpha, beta))
+      }
+    }
+
+    /** Per-series sequential evaluation for algorithms that aren't window frames. */
+    private def sequentialScan(f: SeriesFrame, mkAlgo: () => OnlineAlgorithm): SeriesFrame = {
+      import spark.implicits._
+      val rowsDs = f.df
+        .select(col(KEY), col(TAGS), col(T), col(V))
+        .as[(String, Map[String, String], Long, Double)]
+      val out = rowsDs
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val arr = it.toArray.sortBy(_._3)
+          val algo = mkAlgo()
+          arr.iterator.map(p => (p._1, p._2, p._3, algo.next(p._4)))
+        }
+        .toDF(KEY, TAGS, T, V)
+      SeriesFrame(out, f.grouping, f.step, dense = true)
+    }
+
+    // ---- filter layer ----
+
+    /** Per-line summary stats over the window (model/SummaryStats.scala). */
+    private def perKeyStats(f: SeriesFrame): DataFrame =
+      f.df.groupBy(col(KEY)).agg(
+        first(col(TAGS)).as(TAGS),
+        count(nanToNull(col(V))).cast("double").as("stat_count"),
+        nullToNan(min(nanToNull(col(V)))).as("stat_min"),
+        nullToNan(max(nanToNull(col(V)))).as("stat_max"),
+        nullToNan(sum(nanToNull(col(V)))).as("stat_total"),
+        nullToNan(avg(nanToNull(col(V)))).as("stat_avg"),
+        nullToNan(max_by(nanToNull(col(V)), when(isnan(col(V)), lit(null)).otherwise(col(T)))).as("stat_last")
+      )
+
+    private def statLines(f: SeriesFrame, stat: String): SeriesFrame = {
+      val stats = perKeyStats(f).select(col(KEY), col(TAGS), col(s"stat_$stat").as(V))
+      val out = stats.crossJoin(gridDF).select(col(KEY), col(TAGS), col(T), col(V))
+      SeriesFrame(out, f.grouping, f.step, dense = true)
+    }
+
+    private def evalStat(fe: FilterExpr.Stat): SeriesFrame =
+      statLines(eval(fe.expr), fe.stat)
+
+    private def evalFilter(fe: FilterExpr.Filter): SeriesFrame = {
+      val f = eval(fe.expr)
+      val saved = statEnv
+      statEnv = Some(f)
+      val signal = try eval(fe.pred) finally { statEnv = saved }
+      // Keep lines whose predicate signal is true anywhere in the window
+      // (FilterExpr.scala:144-166); grouped signals match by group key.
+      val anyTrue = signal.df
+        .groupBy(col(KEY))
+        .agg(max(when(boolCol(col(V)), 1).otherwise(0)).as("any"))
+        .filter(col("any") === 1)
+        .select(col(KEY).as("keep_key"))
+      if (signal.grouping.nonEmpty) {
+        SeriesFrame(
+          f.df.join(anyTrue, col(KEY) === col("keep_key"), "left_semi"),
+          f.grouping, f.step, f.dense)
+      } else {
+        // Unkeyed signal: keep all lines iff the single signal fires.
+        SeriesFrame(
+          f.df.join(anyTrue.limit(1)).drop("keep_key"),
+          f.grouping, f.step, f.dense)
+      }
+    }
+
+    private def evalPriority(p: FilterExpr.PriorityFilter): SeriesFrame = {
+      val f = eval(p.expr)
+      val stats = perKeyStats(f).select(col(KEY), col(s"stat_${p.stat}").as("s"))
+      val order =
+        if (p.bottom) Seq(col("s").asc_nulls_last, col(KEY).asc)
+        else Seq(col("s").desc_nulls_last, col(KEY).asc)
+      val ranked = stats.withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      val topKeys = ranked.filter(col("rank") <= p.k).select(col(KEY).as("keep_key"))
+      val kept = f.df.join(topKeys, col(KEY) === col("keep_key"), "left_semi")
+      p.others match {
+        case None =>
+          SeriesFrame(kept, f.grouping, f.step, f.dense)
+        case Some(aggOp) =>
+          val rest = f.df.join(topKeys, col(KEY) === col("keep_key"), "left_anti")
+          val agg = aggOp match {
+            case MathExpr.AggrOp.Sum   => sumNaN(col(V))
+            case MathExpr.AggrOp.Count => countNaN(col(V))
+            case MathExpr.AggrOp.Min   => minNaNAgg(col(V))
+            case MathExpr.AggrOp.Max   => maxNaNAgg(col(V))
+          }
+          // Remainder collapses to one "--others--" line (FilterExpr.scala:219-227)
+          val fill = "--others--"
+          val othersTags = map(
+            f.grouping.flatMap(k => Seq(lit(k), lit(fill))): _*)
+          val othersLine = rest
+            .groupBy(col(T))
+            .agg(agg.as(V))
+            .filter(col(V).isNotNull)
+            .select(lit(fill).as(KEY), othersTags.as(TAGS), col(T), col(V))
+          SeriesFrame(kept.unionByName(othersLine), f.grouping, f.step, dense = false)
+      }
+    }
+
+    private def evalConsolidate(c: FilterExpr.Consolidate): SeriesFrame = {
+      val f = eval(c.expr)
+      val newStep = f.step * c.multiple
+      val tc = (col(T) - lit(ctx.start)) - pmod(col(T) - lit(ctx.start), lit(newStep)) + lit(ctx.start)
+      val agg = c.cf match {
+        case "sum" => sumNaN(col(V))
+        case "avg" => avgNaN(col(V))
+        case "min" => minNaNAgg(col(V))
+        case "max" => maxNaNAgg(col(V))
+      }
+      val out = f.df
+        .groupBy(col(KEY), tc.as(T))
+        .agg(agg.as(V), first(col(TAGS)).as(TAGS))
+        .filter(col(V).isNotNull)
+        .select(col(KEY), col(TAGS), col(T), col(V))
+      SeriesFrame(out, f.grouping, newStep, dense = false)
+    }
+
+    // ---- style layer (data-affecting parts: :sort/:order/:limit) ----
+
+    private def evalStyle(s: StyleExpr): SeriesFrame = {
+      val f = eval(s.expr)
+      s.settings.get("limit") match {
+        case Some(k) =>
+          val stat = s.settings.getOrElse("sort", "legend") match {
+            case st if FilterExpr.stats.contains(st) => st
+            case _                                   => "max"
+          }
+          val bottom = s.settings.get("order").contains("asc")
+          evalPriority(FilterExpr.PriorityFilter(s.expr, stat, k.toInt, bottom))
+        case None => f
+      }
+    }
+  }
+}
