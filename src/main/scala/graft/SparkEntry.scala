@@ -83,7 +83,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    engineQueries ++ opsQueries
+
+  def oracleSql: Map[String, String] = engineOracles ++ opsOracles
+
+  private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- data layer (§2.3) --
     "data_sum" -> q(Sum(click)),
     "data_count" -> q(Count(purchase)),
@@ -164,9 +169,161 @@ object SparkEntry {
       Map("sort" -> "max", "order" -> "asc", "limit" -> "3")), "usr")
   )
 
+  // --- LLM-pipeline / event / relational operators -------------------------
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import graft.ops._
+    Map(
+      // -- dedup family --
+      "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+      "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d), threshold = 0.5)),
+      "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), maxHamming = 3)),
+      "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), n = 3, threshold = 0.3)),
+      "dedup_embedding" -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.9)),
+      // -- similarity search --
+      "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
+      "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
+      // -- text analysis --
+      "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+      "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+      "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+      // -- multimodal plumbing --
+      "mm_features" -> ((s, d) =>
+        Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
+          .select(col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"))),
+      "mm_frames" -> ((s, d) =>
+        Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))),
+      // -- event operators (§2.9) --
+      "events_table" -> ((s, d) => EventOps.table(
+        EventOps.events(s, d),
+        Query.And(Query.Equal("name", "error"), Query.GreaterThanEqual("usr", "u100")),
+        Seq("event_id", "tms", "user_id", "value"))),
+      "events_sample" -> ((s, d) => EventOps.sample(
+        EventOps.events(s, d), Query.True,
+        sampleBy = Seq("event_type"), projections = Seq("props"), stepMs = 86400000L)),
+      // -- tag metadata (§3.4 TagsApi) --
+      "tags_keys" -> ((s, d) =>
+        Datapoints.events(s, d).select(explode(map_keys(col("tags"))).as("key")).distinct()),
+      "tags_values" -> ((s, d) =>
+        Datapoints.events(s, d).select(col("tags").getItem("name").as("value")).distinct()),
+      // -- relational / analytical over the star schema --
+      "rel_q1_pricing" -> ((s, d) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).cast("double").as("n"))),
+      "rel_revenue_by_nation" -> ((s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val nat = s.read.parquet(s"$d/nation.parquet")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      }),
+      "rel_pct_price" -> ((s, d) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))),
+      "rel_distinct_users_daily" -> ((s, d) => {
+        val ev = EventOps.events(s, d)
+        ev.groupBy((col("tms") - pmod(col("tms"), lit(86400000L))).as("t"))
+          .agg(countDistinct(col("user_id")).cast("double").as("n_users"))
+      }),
+      "rel_approx_distinct_users" -> ((s, d) => {
+        val ev = EventOps.events(s, d)
+        ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).cast("double").as("n_users_approx"))
+      })
+    )
+  }
+
+  private def opsOracles: Map[String, String] = {
+    val cosSql =
+      """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        | sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS n_dups
+          |FROM documents GROUP BY 1""".stripMargin,
+      "dedup_embedding" ->
+        s"""SELECT id_a, id_b, score FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS score
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |) WHERE score >= 0.9""".stripMargin,
+      "sim_topk" ->
+        s"""SELECT query_id, nbr_id, round(score, 4) AS score, CAST(rank AS DOUBLE) AS rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosSql AS score,
+           |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 10
+           |) WHERE rank <= 5""".stripMargin,
+      "text_quality" ->
+        """SELECT doc_id,
+          |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+          |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) AS n_distinct,
+          |       round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
+          |       round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+          |       round(list_sum(list_transform(string_split(text, ' '), x -> length(x))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len
+          |FROM documents""".stripMargin,
+      "text_fingerprint" ->
+        """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+          |FROM documents""".stripMargin,
+      "events_table" ->
+        """SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
+          |WHERE event_type = 'error' AND 'u' || lpad(CAST(user_id AS VARCHAR), 3, '0') >= 'u100'""".stripMargin,
+      "events_sample" ->
+        """SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS t,
+          |       CAST(count(*) AS DOUBLE) AS n_events, min(props) AS sample_props
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "tags_keys" ->
+        """SELECT DISTINCT key FROM (
+          |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key
+          |  FROM events)""".stripMargin,
+      "tags_values" -> "SELECT DISTINCT event_type AS value FROM events",
+      "rel_q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |       round(avg(l_discount), 4) AS avg_disc,
+          |       CAST(count(*) AS DOUBLE) AS n
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      "rel_revenue_by_nation" ->
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY 1""".stripMargin,
+      "rel_pct_price" ->
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+          |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+          |FROM lineitem GROUP BY 1""".stripMargin,
+      "rel_distinct_users_daily" ->
+        """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS t, CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+          |FROM events GROUP BY 1""".stripMargin
+    )
+  }
+
   // ------------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def engineOracles: Map[String, String] = Map(
     "data_sum" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
     "data_count" -> base(

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for document corpora, each designed around one
+ * shuffle on a compact key so they hold at 100 TB:
+ *
+ *  - exact:        hash-groupBy on md5(text) — shuffle key is 16 bytes/doc.
+ *  - minhashLsh:   shingle -> minhash signature -> banded LSH buckets ->
+ *                  candidate pairs verified with exact Jaccard. The only
+ *                  shuffle is the (band, bucket) join; no cross join ever
+ *                  materializes.
+ *  - simhash:      64-bit bit-vote fingerprint + segment blocking (pairs
+ *                  within hamming distance r must share one of r+1 segments).
+ *  - ngramJaccard: exact n-gram Jaccard on LSH-candidate pairs.
+ *
+ * All hashes are computed with codegen'd higher-order functions over
+ * xxhash64 — deterministic, no UDFs, no driver-side randomness.
+ */
+object Dedup {
+
+  /** Exact duplicates: one row per distinct text with the kept (min) id and
+    * the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("double").as("n_dups"))
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")
+      )
+    )
+  }
+
+  /** MinHash signature: array of `h` minima of per-shingle hashes, where
+    * hash family member i is xxhash64 seeded by position (xxhash64(i, s)). */
+  def minhashSignature(shinglesCol: Column, h: Int): Column =
+    transform(
+      sequence(lit(0), lit(h - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(i, s)))
+    )
+
+  /**
+   * MinHash + banded LSH near-duplicate pairs.
+   *
+   * @param bands     number of LSH bands; signature length = bands * rowsPerBand
+   * @param threshold exact Jaccard cutoff applied to candidate pairs
+   * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4
+   */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val h = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), h))
+
+    // Explode to (band, bucket) — the shuffle key. Docs agreeing on all
+    // rows of any band land in the same bucket.
+    val buckets = withSig.select(
+      col("doc_id"),
+      col("sh"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            array_join(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), "_").as("bucket")
+          )
+        )
+      ).as("bb")
+    ).select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = a
+      .join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs, using minhash LSH only to produce
+   * the candidate set (so the exact measure never needs a cross join).
+   */
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.3
+  ): DataFrame =
+    minhashLsh(docs, textCol, shingleSize = n, bands = 32, rowsPerBand = 2, threshold = threshold)
+
+  /** 64-bit SimHash signature as an array of 64 bits (bit-vote over token
+    * hashes; two's-complement binary strings via bin()). */
+  def simhashSignature(text: Column): Column = {
+    val toks = array_distinct(split(lower(text), " "))
+    val bins = transform(toks, t => lpad(bin(xxhash64(t)), 64, "0"))
+    transform(
+      sequence(lit(0), lit(63)),
+      i => when(
+        size(filter(bins, s => s.substr(i + 1, lit(1)) === "1")) * 2 > size(bins),
+        1
+      ).otherwise(0)
+    )
+  }
+
+  /** Hamming distance between two equal-length bit-array columns. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, d) => acc + d)
+
+  /**
+   * SimHash near-duplicate pairs within `maxHamming`. Blocking: split the
+   * 64-bit signature into `maxHamming + 1` segments — by pigeonhole, any
+   * pair within the distance agrees exactly on at least one segment, so the
+   * join key is (segment index, segment bits), never a cross join.
+   */
+  def simhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val nSeg = maxHamming + 1
+    val segLen = 64 / nSeg
+    val withSig = docs.select(col("doc_id"), simhashSignature(col(textCol)).as("sig"))
+    val seg = withSig.select(
+      col("doc_id"),
+      col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(nSeg - 1)),
+          s => struct(
+            s.as("seg"),
+            array_join(transform(slice(col("sig"), s * segLen + 1, lit(segLen)),
+              x => x.cast("string")), "").as("segbits")
+          )
+        )
+      ).as("sb")
+    ).select(col("doc_id"), col("sig"), col("sb.seg").as("seg"), col("sb.segbits").as("segbits"))
+
+    val a = seg.select(col("seg"), col("segbits"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = seg.select(col("seg"), col("segbits"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("seg", "segbits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("double").as("hamming"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.asl.Query
+import graft.planner.QueryCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Raw-event operators (reference EventExpr / atlas-lwc-events, SURVEY §2.9):
+ * events are arbitrary rows matched by tag queries; `:table` projects named
+ * columns, `:sample` counts per group per step and carries a deterministic
+ * sample of the projected columns (we use min() as the sample so results are
+ * stable under parallel execution — the reference's "first" is
+ * arrival-order-dependent, which has no stable meaning in a distributed
+ * scan).
+ */
+object EventOps {
+
+  /** The driver's events table with a tags view for query matching, native
+    * columns preserved, timestamps in epoch ms. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("tms", expr("ts div 1000000"))
+      .withColumn(
+        "tags",
+        map(
+          lit("name"), col("event_type"),
+          lit("usr"), concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0"))
+        )
+      )
+  }
+
+  /** `:table` — pass events matching the query, projecting `cols`. */
+  def table(events: DataFrame, q: Query, cols: Seq[String]): DataFrame =
+    events
+      .filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .select(cols.map(col): _*)
+
+  /**
+   * `:sample` — per (group keys, step interval): event count plus a stable
+   * sample of each projection column.
+   */
+  def sample(
+      events: DataFrame,
+      q: Query,
+      sampleBy: Seq[String],
+      projections: Seq[String],
+      stepMs: Long
+  ): DataFrame = {
+    val bucket = (col("tms") - pmod(col("tms"), lit(stepMs))).as("t")
+    val aggs = count(lit(1)).cast("double").as("n_events") +:
+      projections.map(p => min(col(p)).as(s"sample_$p"))
+    events
+      .filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .groupBy(sampleBy.map(col) :+ bucket: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: media (image/audio/video) travels as an opaque
+ * `binary` column with typed metadata, and decode / feature-extraction runs
+ * as a per-partition batch transform (the Scala analog of a Pandas-UDF
+ * `mapInPandas` stage: one iterator pass per partition, no per-row
+ * serialization churn, trivially parallel across executors).
+ *
+ * The actual codec step is STUBBED — this container has no image/audio
+ * libraries — with a deterministic fake decoder, so the Spark-side contract
+ * (schema, partitioning, batch iteration shape) is real and tested while the
+ * codec call is a single clearly-marked function to swap out.
+ */
+object Multimodal {
+
+  /** Decoded media metadata + a small feature vector. */
+  final case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      features: Array[Float]
+  )
+
+  /**
+   * STUB decoder: derives deterministic fake metadata and features from the
+   * payload bytes. Replace the body with a real codec (e.g. javax.imageio /
+   * ffmpeg bindings) — the signature is the real contract: one media row in,
+   * one decoded row out, called from inside a partition iterator.
+   */
+  def decodeStub(mediaId: Long, format: String, payload: Array[Byte]): MediaFeatures = {
+    var h = 1125899906842597L // fake content hash in lieu of real decode
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val w = 64 + math.floorMod(h, 1024).toInt
+    val ht = 64 + math.floorMod(h >>> 10, 1024).toInt
+    val feat = Array.tabulate(8) { d =>
+      (math.floorMod(h >>> (d * 7), 1000) / 500.0f) - 1.0f
+    }
+    MediaFeatures(mediaId, format, w, ht, payload.length.toLong, feat)
+  }
+
+  /**
+   * Wrap a corpus as media rows: id + format tag + binary payload.
+   * (Testdata has no real media, so documents' text bytes stand in for the
+   * payload; with real data this is the parquet binary column as-is.)
+   */
+  def asMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      concat(lit("fake/"), substring(md5(col(textCol)), 1, 4)).as("format"),
+      encode(col(textCol), "UTF-8").as("payload")
+    )
+
+  /**
+   * Per-partition batch decode: the real pipeline shape. Each partition's
+   * rows stream through the decoder once; output is a typed Dataset with a
+   * columnar-friendly schema (scalars + array<float>).
+   */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // One decoder instance per partition (real codecs are expensive to init).
+        it.map { case (id, fmt, bytes) => decodeStub(id, fmt, bytes) }
+      }
+  }
+
+  /** Frame-sampling shape for video-like payloads: one row per sampled
+    * offset, produced without exploding the payload per frame. */
+  def sampleFrames(media: DataFrame, everyNBytes: Int = 64): DataFrame =
+    media.select(
+      col("media_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), greatest(floor((length(col("payload")) - 1) / everyNBytes).cast("int"), lit(0))),
+          i => crc32(col("payload").substr(i * everyNBytes + 1, lit(everyNBytes)).cast("binary"))
+        )
+      ).as(Seq("frame_idx", "frame_sig"))
+    )
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * stats, quality scoring, language identification, and document
+ * fingerprinting. Everything is built from codegen'd higher-order functions
+ * (no UDFs), so the operators stay inside whole-stage codegen and scale
+ * linearly with a plain parquet scan — no shuffle at all except where a
+ * groupBy is the semantic (none here: all are per-row projections).
+ */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct lowercase tokens (the "vocabulary" of the document). */
+  def vocab(text: Column): Column = array_distinct(split(lower(text), " "))
+
+  /**
+   * Token count + basic quality signals:
+   *   n_tokens        whitespace token count
+   *   n_distinct      distinct lowercase tokens
+   *   ttr             type-token ratio (lexical diversity)
+   *   stop_ratio      fraction of tokens that are stopwords
+   *   mean_token_len  average token length in chars
+   */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+    val nTok = size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(vocab(col(textCol))).cast("double").as("n_distinct"),
+      round(size(array_distinct(toks)) / nTok, 4).as("ttr"),
+      round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok, 4).as("stop_ratio"),
+      round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok,
+        4
+      ).as("mean_token_len")
+    )
+  }
+
+  /**
+   * Heuristic language identification: score each candidate language by its
+   * stopword-profile hits (plus a CJK codepoint count for zh) and pick the
+   * argmax; ties break to the lexicographically larger language code so the
+   * result is deterministic. Profiles are the usual top function words.
+   */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
+    )
+    val toks = split(lower(col(textCol)), " ")
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    val zh = struct(
+      length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")).as("score"),
+      lit("zh").as("lang")
+    )
+    // array_max on struct orders by (score, lang): deterministic argmax.
+    docs.select(
+      col("doc_id"),
+      array_max(array(scored :+ zh: _*)).getField("lang").as("lang_pred")
+    )
+  }
+
+  /**
+   * Canonical content fingerprint: md5 of the sorted distinct lowercase
+   * token set. Word-order- and duplication-insensitive, so reordered or
+   * re-wrapped copies of a document collide (a cheap near-dup prefilter).
+   */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(array_join(array_sort(vocab(col(textCol))), " ")).as("fingerprint")
+    )
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.asl._
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NanMathSpec extends AnyFunSuite {
+  val nan = Double.NaN
+
+  test("addNaN treats NaN as absent") {
+    assert(NanMath.addNaN(1.0, 2.0) == 3.0)
+    assert(NanMath.addNaN(nan, 2.0) == 2.0)
+    assert(NanMath.addNaN(1.0, nan) == 1.0)
+    assert(NanMath.addNaN(nan, nan).isNaN)
+  }
+
+  test("minNaN/maxNaN prefer the number") {
+    assert(NanMath.maxNaN(nan, 2.0) == 2.0)
+    assert(NanMath.minNaN(nan, 2.0) == 2.0)
+    assert(NanMath.maxNaN(3.0, 2.0) == 3.0)
+    assert(NanMath.minNaN(3.0, 2.0) == 2.0)
+  }
+
+  test("toBoolean: NaN and near-zero are false") {
+    assert(!NanMath.toBoolean(nan))
+    assert(!NanMath.toBoolean(0.0))
+    assert(!NanMath.toBoolean(1e-13))
+    assert(NanMath.toBoolean(1e-3))
+    assert(NanMath.toBoolean(-5.0))
+  }
+
+  test("div semantics: 0/0 = 0, x/0 = NaN") {
+    val div = MathExpr.BinOp.Div.f
+    assert(div(0.0, 0.0) == 0.0)
+    assert(div(5.0, 0.0).isNaN)
+    assert(div(6.0, 2.0) == 3.0)
+    assert(div(nan, 2.0).isNaN)
+    assert(div(2.0, nan).isNaN)
+  }
+}
+
+class OnlineAlgorithmSpec extends AnyFunSuite {
+
+  test("des emits NaN during training then smoothed prediction") {
+    val des = new OnlineDes(2, 0.5, 0.5)
+    val out = Array(1.0, 2.0, 3.0, 4.0).map(des.next)
+    assert(out(0).isNaN && out(1).isNaN)
+    // sample 0: sp=1, bp=0; sample 1: sp=.5*2+.5*1=1.5, bp=.5*.5=.25
+    assert(out(2) == 1.5)
+    // sample 2: sp=.5*3+.5*1.75=2.375 emitted at sample 3
+    assert(out(3) == 2.375)
+  }
+
+  test("des skips NaN inputs without counting them") {
+    val des = new OnlineDes(2, 0.5, 0.5)
+    assert(des.next(1.0).isNaN)
+    assert(des.next(Double.NaN).isNaN) // not counted
+    assert(des.next(2.0).isNaN)        // second real sample
+    assert(des.next(5.0) == 1.5)       // training complete
+  }
+
+  test("sliding des alternates and resets deterministically") {
+    val s = new OnlineSlidingDes(2, 1.0, 0.0) // alpha=1: sp = last value
+    val vals = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val out = vals.map(s.next)
+    assert(out(0).isNaN && out(1).isNaN)
+    assert(out(2) == 2.0 && out(3) == 3.0 && out(4) == 4.0 && out(5) == 5.0)
+  }
+
+  test("ignoreN suppresses the first n values") {
+    val p = new OnlinePipeline(new OnlineIgnoreN(2))
+    assert(p.next(1.0).isNaN)
+    assert(p.next(2.0).isNaN)
+    assert(p.next(3.0) == 3.0)
+  }
+}
+
+class QuerySpec extends AnyFunSuite {
+  import Query._
+
+  val ts: Map[String, String] = Map("name" -> "sps", "cluster" -> "www-main", "zone" -> "b")
+
+  test("predicate matching semantics") {
+    assert(Equal("name", "sps").matches(ts))
+    assert(!Equal("name", "other").matches(ts))
+    assert(HasKey("zone").matches(ts))
+    assert(!HasKey("nope").matches(ts))
+    assert(LessThan("zone", "c").matches(ts))
+    assert(!LessThan("zone", "b").matches(ts))
+    assert(GreaterThanEqual("zone", "b").matches(ts))
+    assert(Regex("cluster", "www").matches(ts))
+    assert(!Regex("cluster", "main").matches(ts)) // anchored at start
+    assert(RegexIgnoreCase("cluster", "WWW").matches(ts))
+    assert(In("name", List("a", "sps")).matches(ts))
+    assert(Query.contains("cluster", "w-m").matches(ts))
+    assert(Query.starts("cluster", "www").matches(ts))
+    assert(Query.ends("cluster", "main").matches(ts))
+    assert(Not(Equal("name", "x")).matches(ts))
+    assert(And(Equal("name", "sps"), HasKey("zone")).matches(ts))
+    assert(Or(Equal("name", "x"), HasKey("zone")).matches(ts))
+  }
+
+  test("missing key: :not matches, value predicates don't") {
+    val t = Map("name" -> "sps")
+    assert(!LessThan("zone", "z").matches(t))
+    assert(Not(Equal("zone", "b")).matches(t))
+  }
+
+  test("simplification folds True/False") {
+    assert(And(True, Equal("a", "b")).simplified == Equal("a", "b"))
+    assert(And(False, Equal("a", "b")).simplified == False)
+    assert(Or(True, Equal("a", "b")).simplified == True)
+    assert(Or(False, Equal("a", "b")).simplified == Equal("a", "b"))
+    assert(Not(Not(Equal("a", "b"))) == Not(Not(Equal("a", "b")))) // raw ctor keeps
+    assert(Equal("a", "b").not.not == Equal("a", "b"))
+  }
+
+  test("cnf/dnf lists") {
+    val q = And(Or(Equal("a", "1"), Equal("b", "2")), Equal("c", "3"))
+    assert(q.cnfList.size == 2)
+    assert(q.dnfList.size == 2)
+    assert(q.dnfList.forall(_.isInstanceOf[And]))
+  }
+
+  test("exact keys and tags") {
+    val q = And(Equal("name", "sps"), And(Equal("app", "www"), HasKey("zone")))
+    assert(q.exactKeys == Set("name", "app"))
+    assert(q.exactTags == Map("name" -> "sps", "app" -> "www"))
+  }
+
+  test("asl round-trip strings") {
+    assert(Equal("name", "sps").asl == "name,sps,:eq")
+    assert(In("name", List("a", "b")).asl == "name,(,a,b,),:in")
+    assert(And(Equal("a", "1"), Not(HasKey("b"))).asl == "a,1,:eq,b,:has,:not,:and")
+  }
+}
+
+class StringsSpec extends AnyFunSuite {
+  test("duration parse/format") {
+    assert(Strings.parseDuration("5m") == 300000L)
+    assert(Strings.parseDuration("3h") == 10800000L)
+    assert(Strings.parseDuration("1w") == 604800000L)
+    assert(Strings.parseDuration("300") == 300000L)
+    assert(Strings.parseDuration("PT5M") == 300000L)
+    assert(Strings.durationAsl(300000L) == "5m")
+    assert(Strings.durationAsl(86400000L) == "1d")
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 exact dups, 2 near-dup of 0 (one word changed),
+  // 3 reordered version of 0, 4 unrelated.
+  val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, base.split(" ").reverse.mkString(" ")),
+    (4L, "completely different content about spark query engines and shuffles everywhere")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) == 2.0) // docs 0 and 1 collapse, keep_id = 0
+    assert(got.values.sum == 5.0)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
+  test("exact jaccard value on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("simhash: identical texts hash identically, near-dups land close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+    val pairs = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 3L)) == 0) // word order doesn't matter (token-set hash)
+    assert(pairs((0L, 2L)) < pairs((0L, 4L))) // near-dup closer than unrelated
+  }
+
+  test("simhash blocking returns pairs within the hamming bound") {
+    val got = Dedup.simhash(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val got = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toList
+    assert(got.map(_._1) == List(1L, 2L)) // 1 closest, then 2 (cos 0) over 3 (cos -1)
+  }
+
+  test("cosinePairs finds the near-duplicate pair only") {
+    val got = Similarity.cosinePairs(vecs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("LSH ANN returns a subset of true neighbors with exact scores") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = Similarity.lshTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(approx.nonEmpty)
+    // every LSH (query, nbr, score) that is a true top-5 member must carry
+    // the identical exact score (re-rank is exact)
+    val truthScores = truth.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (qid, nid, s) =>
+      truthScores.get((qid, nid)).foreach(ts => assert(ts == s))
+    }
+    val recall = approx.count(a => truth.contains(a)).toDouble / truth.size
+    info(f"LSH recall@5 on random embeddings: $recall%.2f")
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality stats are exact on a known sentence") {
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextOps.quality(docs).head
+    assert(r.getAs[Double]("n_tokens") == 6.0)
+    assert(r.getAs[Double]("n_distinct") == 5.0) // 'the' twice
+    assert(r.getAs[Double]("stop_ratio") == math.round(2.0 / 6.0 * 10000) / 10000.0)
+    assert(r.getAs[Double]("mean_token_len") == math.round(17.0 / 6.0 * 10000) / 10000.0)
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta alpha"),
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val docs = Seq(
+      (1L, "the cat is in the house and of course"),
+      (2L, "el gato que vive en la casa y un perro"),
+      (3L, "le chat et les maisons des villes une fois"),
+      (4L, "der hund und die katze ist von dem haus mit den"),
+      (5L, "我爱北京天安门")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "zh"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary payload plumbing: schema and deterministic stub decode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    val r1 = feats.filter(col("media_id") === 0L).head()
+    val r2 = feats.filter(col("media_id") === 0L).head()
+    assert(r1.features.toList == r2.features.toList) // deterministic
+    assert(r1.features.length == 8)
+    assert(r1.width >= 64 && r1.width < 1088)
+    assert(feats.count() == docs.count())
+  }
+
+  test("frame sampling yields one row per chunk") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyNBytes = 64)
+    val n = frames.groupBy("media_id").count().collect().map(_.getLong(1))
+    assert(n.forall(_ >= 1))
+  }
+}
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
