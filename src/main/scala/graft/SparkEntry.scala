@@ -41,6 +41,10 @@ object SparkEntry {
   private def q4(expr: TimeSeriesExpr, tagCols: String*): (SparkSession, String) => DataFrame =
     run(expr, tagCols, 4)
 
+  /** Evaluate an ASL program through the full front-end -> planner path. */
+  private def asl(program: String, tagCols: String*): (SparkSession, String) => DataFrame =
+    run(Asl.parse(program), tagCols, 4)
+
   // --- oracle SQL building blocks (DuckDB dialect) ------------------------
 
   private val DP =
@@ -90,16 +94,16 @@ object SparkEntry {
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- data layer (§2.3) --
-    "data_sum" -> q(Sum(click)),
+    "data_sum" -> asl("name,click,:eq,:sum"),
     "data_count" -> q(Count(purchase)),
     "data_min" -> q(Min(eq("name", "error"))),
     "data_max" -> q(Max(view)),
-    "data_by_sum" -> q(GroupBy(Sum(click), List("usr")), "usr"),
+    "data_by_sum" -> asl("name,click,:eq,:sum,(,usr,),:by", "usr"),
     "data_by2_max" -> q(GroupBy(Max(view), List("usr", "grp")), "usr", "grp"),
     "data_all" -> q(All(Query.And(eq("name", "signup"), Query.LessThan("usr", "u003"))), "usr", "grp"),
-    "data_offset" -> q(Sum(click, offset = 86400000L)),
+    "data_offset" -> asl("name,click,:eq,:sum,1d,:offset"),
     // -- query layer (§2.2) --
-    "query_in" -> q(Sum(Query.In("name", List("click", "view")))),
+    "query_in" -> asl("name,(,click,view,),:in,:sum"),
     "query_re" -> q(Sum(Query.Regex("name", "p.*"))),
     "query_reic" -> q(Sum(Query.RegexIgnoreCase("name", "CLI"))),
     "query_contains" -> q(Sum(Query.contains("name", "ick"))),
@@ -108,10 +112,10 @@ object SparkEntry {
     "query_not_and_lt" -> q(Sum(Query.And(Query.Not(click), Query.LessThan("usr", "u010")))),
     "query_ge_le" -> q(Sum(Query.And(Query.GreaterThanEqual("name", "purchase"), Query.LessThanEqual("usr", "u100")))),
     // -- math layer (§2.4) --
-    "math_add" -> q(Binary(BinOp.Add, Sum(click), Sum(view))),
+    "math_add" -> asl("name,click,:eq,:sum,name,view,:eq,:sum,:add"),
     "math_sub" -> q(Binary(BinOp.Sub, Sum(click), Sum(view))),
     "math_mul" -> q(Binary(BinOp.Mul, Sum(purchase), Sum(click))),
-    "math_div" -> q4(Binary(BinOp.Div, Sum(purchase), Sum(click))),
+    "math_div" -> asl("name,purchase,:eq,:sum,name,click,:eq,:sum,:div"),
     "math_pow" -> q4(Binary(BinOp.Pow, Sum(click), Constant(0.5))),
     "math_abs_sub" -> q(Unary(UnaryOp.Abs, Binary(BinOp.Sub, Sum(purchase), Sum(click)))),
     "math_neg" -> q(Unary(UnaryOp.Negate, Sum(click))),
@@ -122,15 +126,14 @@ object SparkEntry {
     "math_const" -> q(Constant(42.0)),
     "math_time_dow" -> q(Time("dayOfWeek")),
     "math_time_span" -> q(TimeSpan(1704844800000L, 1705276800000L)),
-    "math_gt_signal" -> q(Binary(BinOp.Gt, Sum(click), Constant(200.0))),
+    "math_gt_signal" -> asl("name,click,:eq,:sum,200,:gt"),
     "math_and_signal" -> q(Binary(BinOp.And,
       Binary(BinOp.Gt, Sum(click), Constant(200.0)),
       Binary(BinOp.Gt, Sum(view), Constant(200.0)))),
     "math_fadd" -> q(Binary(BinOp.FAdd, Sum(click), Sum(view))),
     "math_aggr_max" -> q(Aggr(AggrOp.Max, GroupBy(Sum(click), List("usr")))),
     "math_aggr_count" -> q(Aggr(AggrOp.Count, GroupBy(Sum(click), List("usr")))),
-    "math_regroup" -> q(MathExpr.GroupBy(
-      Aggr(AggrOp.Sum, GroupBy(Sum(click), List("usr", "grp"))), List("grp")), "grp"),
+    "math_regroup" -> asl("name,click,:eq,:sum,(,usr,grp,),:by,:sum,(,grp,),:by", "grp"),
     "math_div_grouped_scalar" -> q4(Binary(BinOp.Div,
       GroupBy(Sum(click), List("usr")), Sum(click)), "usr"),
     "math_div_subset" -> q4(Binary(BinOp.Div,
@@ -141,13 +144,13 @@ object SparkEntry {
     "stateful_rolling_sum" -> q(StatefulExpr.RollingSum(Sum(click), 6)),
     "stateful_rolling_min" -> q(StatefulExpr.RollingMin(Sum(click), 12)),
     "stateful_rolling_max" -> q(StatefulExpr.RollingMax(Sum(click), 12)),
-    "stateful_rolling_mean" -> q(StatefulExpr.RollingMean(Sum(click), 6, 2)),
+    "stateful_rolling_mean" -> asl("name,click,:eq,:sum,6,2,:rolling-mean"),
     "stateful_rolling_count" -> q(StatefulExpr.RollingCount(
       Binary(BinOp.Gt, Sum(click), Constant(200.0)), 24)),
     "stateful_integral" -> q(StatefulExpr.Integral(Sum(click))),
     "stateful_cumulative_max" -> q(StatefulExpr.CumulativeMax(Sum(click))),
     "stateful_derivative" -> q(StatefulExpr.Derivative(Sum(click))),
-    "stateful_trend" -> q(StatefulExpr.Trend(Sum(click), 21600000L)),
+    "stateful_trend" -> asl("name,click,:eq,:sum,6h,:trend"),
     "stateful_des" -> q4(StatefulExpr.Des(Sum(click), 10, 0.1, 0.02)),
     "stateful_sdes" -> q4(StatefulExpr.SlidingDes(Sum(click), 48, 0.1, 0.02)),
     // -- filter layer (§2.6) --
@@ -155,8 +158,7 @@ object SparkEntry {
     "filter_having" -> q(FilterExpr.Filter(
       GroupBy(Sum(click), List("usr")),
       Binary(BinOp.Gt, FilterExpr.StatExpr("avg"), Constant(40.0))), "usr"),
-    "filter_topk" -> q(FilterExpr.PriorityFilter(
-      GroupBy(Sum(click), List("usr")), "avg", 5), "usr"),
+    "filter_topk" -> asl("name,click,:eq,:sum,(,usr,),:by,avg,5,:topk", "usr"),
     "filter_bottomk" -> q(FilterExpr.PriorityFilter(
       GroupBy(Sum(click), List("usr")), "max", 5, bottom = true), "usr"),
     "filter_topk_others" -> q(FilterExpr.PriorityFilter(
@@ -164,9 +166,14 @@ object SparkEntry {
       others = Some(AggrOp.Sum)), "usr"),
     "filter_consolidate" -> q(FilterExpr.Consolidate(Sum(click), 6, "max")),
     // -- style layer (§2.7, data-affecting part) --
-    "style_limit" -> q(StyleExpr(
-      GroupBy(Sum(click), List("usr")),
-      Map("sort" -> "max", "order" -> "asc", "limit" -> "3")), "usr")
+    "style_limit" -> asl("name,click,:eq,:sum,(,usr,),:by,max,:sort,asc,:order,3,:limit", "usr"),
+    // -- ASL-only words (macros / rewrites, §2.4) --
+    "asl_avg" -> asl("name,click,:eq,:avg"),
+    "asl_pct" -> asl("name,click,:eq,:sum,(,usr,),:by,:pct", "usr"),
+    "asl_cq" -> asl("name,click,:eq,:sum,usr,u010,:lt,:cq"),
+    "asl_cg" -> asl("name,click,:eq,:sum,(,grp,),:cg", "grp"),
+    "asl_as" -> asl("name,click,:eq,:sum,(,usr,),:by,usr,u,:as", "u"),
+    "asl_cos" -> asl("hourOfDay,:time,:cos")
   )
 
   // --- LLM-pipeline / event / relational operators -------------------------
@@ -473,6 +480,24 @@ object SparkEntry {
         |  FROM ad WINDOW w AS (ORDER BY t ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |) WHERE value IS NOT NULL""".stripMargin,
       sumSeries("click", "a"), dense("a", "ad")),
+    "asl_avg" -> base(
+      "SELECT t, round(sum(v) / count(*), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
+    "asl_pct" -> base(
+      """SELECT bud.usr, bud.t, round(bud.v / tot.v * 100.0, 4) AS value
+        |FROM bud JOIN tot ON bud.t = tot.t
+        |WHERE bud.v IS NOT NULL AND tot.v IS NOT NULL""".stripMargin,
+      byUsr("click", "bu"),
+      "uk AS (SELECT DISTINCT usr FROM bu)",
+      "bud AS (SELECT uk.usr, grid.t, bu.v FROM uk CROSS JOIN grid LEFT JOIN bu ON bu.usr = uk.usr AND bu.t = grid.t)",
+      sumSeries("click", "tot")),
+    "asl_cq" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr < 'u010' GROUP BY t"),
+    "asl_cg" -> base(
+      "SELECT grp, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+    "asl_as" -> base(
+      "SELECT usr AS u, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY usr, t"),
+    "asl_cos" -> base(
+      "SELECT t, round(cos(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
     "filter_stat_avg" -> base(
       "SELECT grid.t AS t, round((SELECT avg(v) FROM a), 4) AS value FROM grid",
       sumSeries("click", "a")),

@@ -79,8 +79,9 @@ object DataExpr {
     def offset: Long = af.offset
     def withOffset(o: Long): DataExpr = copy(af = af.withOffset(o).asInstanceOf[AggregateFunction])
     def finalGrouping: List[String] = keys
-    def asl = s"${query.asl},(,${keys.mkString(",")},),:by,:${af.name}" +
-      (if (offset == 0L) "" else s",${Strings.durationAsl(offset)},:offset")
+    // af.asl carries the query and any :offset suffix; keys-last round-trips
+    // through the data :by word.
+    def asl = s"${af.asl},(,${keys.mkString(",")},),:by"
   }
 }
 
@@ -226,6 +227,27 @@ object MathExpr {
     def dataExprs: List[DataExpr] = expr.dataExprs
     def finalGrouping: List[String] = Nil
     def asl = s"${expr.asl},:${op.name}"
+  }
+
+  /** Rename a group-by result key (`:as`, MathExpr.As). */
+  final case class As(expr: TimeSeriesExpr, orig: String, repl: String) extends TimeSeriesExpr {
+    def dataExprs: List[DataExpr] = expr.dataExprs
+    def finalGrouping: List[String] =
+      expr.finalGrouping.map(k => if (k == orig) repl else k)
+    def asl = s"${expr.asl},$orig,$repl,:as"
+  }
+
+  /**
+   * Macro result keeping the display form distinct from the evaluated form
+   * (`:avg`, `:pct`, trig macros — reference NamedRewrite,
+   * MathExpr.scala:1202). `displayAsl` is what round-trips; `evalExpr` is
+   * what executes.
+   */
+  final case class NamedRewrite(displayAsl: String, evalExpr: TimeSeriesExpr)
+      extends TimeSeriesExpr {
+    def dataExprs: List[DataExpr] = evalExpr.dataExprs
+    def finalGrouping: List[String] = evalExpr.finalGrouping
+    def asl: String = displayAsl
   }
 
   /** Regroup grouped results by a subset of the inner keys (MathExpr.GroupBy). */

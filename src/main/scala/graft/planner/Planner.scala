@@ -141,6 +141,19 @@ object Planner {
       case b: MathExpr.Binary   => evalBinary(b)
       case a: MathExpr.Aggr     => evalAggr(a)
       case g: MathExpr.GroupBy  => evalMathGroupBy(g)
+      case MathExpr.NamedRewrite(_, inner) => eval(inner)
+      case MathExpr.As(e, orig, repl) =>
+        val f = eval(e)
+        val grouping = f.grouping.map(k => if (k == orig) repl else k)
+        val renamed = f.df
+          .withColumn(TAGS,
+            map_from_entries(transform(map_entries(col(TAGS)),
+              kv => struct(
+                when(kv.getField("key") === orig, repl)
+                  .otherwise(kv.getField("key")).as("key"),
+                kv.getField("value").as("value")))))
+          .withColumn(KEY, mkKey(grouping, col(TAGS)))
+        SeriesFrame(renamed, grouping, f.step, f.dense)
       case s: StatefulExpr      => evalStateful(s)
       case f: FilterExpr.Stat   => evalStat(f)
       case FilterExpr.StatExpr(stat) =>

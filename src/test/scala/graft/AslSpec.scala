@@ -1,0 +1,125 @@
+package graft
+
+import graft.asl._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ASL front-end: tokenizer, stack words, parse results, and the reference's
+  * example-driven round-trip idea (BaseExamplesSuite): every word example
+  * executes without error, and every produced expression's display form
+  * re-parses to a structurally equal expression. */
+class AslSpec extends AnyFunSuite {
+
+  test("tokenize splits on commas, trims, drops empties") {
+    assert(Interpreter.tokenize("a, b ,,c") == List("a", "b", "c"))
+    assert(Interpreter.tokenize("name,sps,:eq") == List("name", "sps", ":eq"))
+  }
+
+  test("parse a simple aggregate") {
+    assert(Asl.parse("name,sps,:eq,:sum") == DataExpr.Sum(Query.Equal("name", "sps")))
+  }
+
+  test("implicit coercion: bare query becomes :sum, number becomes :const") {
+    assert(Asl.parseAll("name,sps,:eq").head.expr ==
+      DataExpr.Sum(Query.Equal("name", "sps")))
+    assert(Asl.parse("42,:const,4,:add") ==
+      MathExpr.Binary(MathExpr.BinOp.Add, MathExpr.Constant(42.0), MathExpr.Constant(4.0)))
+  }
+
+  test("group by with inner aggregate and regroup") {
+    val e = Asl.parse("name,sps,:eq,(,cluster,zone,),:by,:sum,(,cluster,),:by")
+    assert(e == MathExpr.GroupBy(
+      MathExpr.Aggr(MathExpr.AggrOp.Sum,
+        DataExpr.GroupBy(DataExpr.Sum(Query.Equal("name", "sps")), List("cluster", "zone"))),
+      List("cluster")))
+  }
+
+  test("query vs math word dispatch for shared names") {
+    // two plain strings -> query :gt
+    assert(Asl.parse("name,sps,:gt") == DataExpr.Sum(Query.GreaterThan("name", "sps")))
+    // expr + number -> math :gt
+    assert(Asl.parse("name,sps,:eq,:sum,100,:gt") ==
+      MathExpr.Binary(MathExpr.BinOp.Gt,
+        DataExpr.Sum(Query.Equal("name", "sps")), MathExpr.Constant(100.0)))
+  }
+
+  test(":cq ANDs the common query into every fetch") {
+    val e = Asl.parse("name,a,:eq,:sum,name,b,:eq,:max,:add,env,prod,:eq,:cq")
+    val expected = MathExpr.Binary(
+      MathExpr.BinOp.Add,
+      DataExpr.Sum(Query.And(Query.Equal("name", "a"), Query.Equal("env", "prod"))),
+      DataExpr.Max(Query.And(Query.Equal("name", "b"), Query.Equal("env", "prod"))))
+    assert(e == expected)
+  }
+
+  test(":cg appends to groupings") {
+    val e = Asl.parse("name,a,:eq,:sum,(,cluster,),:cg")
+    assert(e == DataExpr.GroupBy(DataExpr.Sum(Query.Equal("name", "a")), List("cluster")))
+  }
+
+  test(":offset rewrites all data exprs") {
+    val e = Asl.parse("name,a,:eq,:sum,1w,:offset")
+    assert(e == DataExpr.Sum(Query.Equal("name", "a"), offset = 604800000L))
+  }
+
+  test("style settings accumulate") {
+    val e = Asl.parse("name,a,:eq,:sum,f00,:color,2,:lw")
+    assert(e == StyleExpr(DataExpr.Sum(Query.Equal("name", "a")),
+      Map("color" -> "f00", "lw" -> "2")))
+  }
+
+  test("standard words: dup/swap/over/rot manipulate the stack") {
+    val in = Asl.interpreter
+    assert(in.execute("a,:dup").stack == List("a", "a"))
+    assert(in.execute("a,b,:swap").stack == List("a", "b"))
+    assert(in.execute("a,b,:over").stack == List("a", "b", "a"))
+    assert(in.execute("a,b,c,:rot").stack == List("a", "c", "b"))
+    assert(in.execute("a,b,c,:-rot").stack == List("b", "a", "c"))
+    assert(in.execute("a,b,:nip").stack == List("b"))
+    assert(in.execute("a,b,:tuck").stack == List("b", "a", "b"))
+    assert(in.execute("a,b,2,:nlist").stack == List(List("a", "b")))
+    assert(in.execute("(,a,b,),(,:dup,),:map").stack ==
+      List(List(List("a", "a"), List("b", "b"))))
+  }
+
+  test(":call executes a quoted program with depth guard") {
+    val in = Asl.interpreter
+    assert(in.execute("(,name,sps,:eq,),:call").stack == List(Query.Equal("name", "sps")))
+    val bomb = "(,:dup,:call,),:dup,:call"
+    assertThrows[IllegalStateException](in.execute(bomb))
+  }
+
+  test("interpreter guards: unknown word, unmatched parens, no match") {
+    val in = Asl.interpreter
+    assertThrows[IllegalStateException](in.execute("a,:nope"))
+    assertThrows[IllegalStateException](in.execute("(,a"))
+    assertThrows[IllegalStateException](in.execute("a,),b"))
+    assertThrows[IllegalStateException](in.execute(":eq")) // stack underflow -> no match
+  }
+
+  test("every word example executes and round-trips its display form") {
+    val failures = Vocabulary.allWords.flatMap { w =>
+      w.examples.flatMap { ex =>
+        try {
+          val ctx = Asl.interpreter.execute(ex)
+          // round-trip any expressions produced
+          (ctx.stack ::: ctx.frozen).flatMap(Coerce.style).flatMap { se =>
+            val display = se.asl
+            val reparsed = Asl.parseAll(display)
+            if (reparsed.map(s => s: Any) == List(se) ||
+                reparsed.map(_.expr) == List(se.expr) && se.settings == reparsed.head.settings)
+              None
+            else Some(s":${w.name} example '$ex': '$display' reparsed to '${reparsed.map(_.asl)}'")
+          }
+        } catch {
+          case e: Exception => Some(s":${w.name} example '$ex' failed: ${e.getMessage}")
+        }
+      }
+    }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
+
+  test("interpreter guard: stack size limit") {
+    val in = Interpreter(Vocabulary.allWords, maxStackSize = 4)
+    assertThrows[IllegalStateException](in.execute("a,b,c,d,e"))
+  }
+}
