@@ -1,0 +1,115 @@
+package graft
+
+import graft.asl._
+import graft.core.EvalContext
+import graft.planner.Planner
+import graft.streaming.StreamRunner
+import graft.streaming.StreamRunner.SlotValue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-vs-batch equivalence in the spirit of the reference's
+  * StreamSuite: the same datapoints replayed through the streaming runner
+  * must produce the batch planner's results. */
+class StreamSpec extends SparkSpec {
+
+  val ctx = EvalContext(0L, 360000L, 60000L)
+  def slot(i: Int): Long = i * 60000L
+
+  // Same corpus as PlannerSpec series A/B.
+  val points: Seq[(Map[String, String], Long, Double)] = Seq(
+    (Map("name" -> "a", "node" -> "1"), slot(0) + 1000L, 1.0),
+    (Map("name" -> "a", "node" -> "1"), slot(1) + 1000L, 2.0),
+    (Map("name" -> "a", "node" -> "1"), slot(2) + 1000L, 3.0),
+    (Map("name" -> "a", "node" -> "1"), slot(4) + 1000L, 5.0),
+    (Map("name" -> "a", "node" -> "1"), slot(5) + 1000L, 6.0),
+    (Map("name" -> "a", "node" -> "2"), slot(0) + 2000L, 10.0),
+    (Map("name" -> "a", "node" -> "2"), slot(1) + 2000L, 20.0),
+    (Map("name" -> "a", "node" -> "2"), slot(1) + 30000L, 5.0)
+  )
+
+  // Far-future sentinels push the watermark past every real window. They must
+  // MATCH the query (the predicate is pushed below the watermark node, so
+  // non-matching rows never advance it); the comparison filters them out by t.
+  val sentinel: (Map[String, String], Long, Double) =
+    (Map("name" -> "a"), slot(1000), 0.0)
+
+  test("streaming normalize + sum matches the batch :sum") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val norm = StreamRunner.normalize(dp, Query.Equal("name", "a"), ctx.step, "1 minute")
+    val out = StreamRunner.sumAll(norm)
+    val query = out.writeStream.format("memory").queryName("stream_sum")
+      .outputMode("append").start()
+    try {
+      // replay in two event-time-ordered chunks like live ingest, then the
+      // sentinel (out-of-order past the watermark would rightly be dropped)
+      val ordered = points.sortBy(_._2)
+      input.addData(ordered.take(4))
+      query.processAllAvailable()
+      input.addData(ordered.drop(4))
+      query.processAllAvailable()
+      // two sentinels: with chained stateful aggregations, stage-2 late-record
+      // filtering uses the previous batch's watermark, so the flush needs a
+      // second watermark advance to propagate through both stages
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1001), 0.0)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_sum")
+        .filter(col("t") < slot(100))
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      val batch = Planner.output(
+        Planner.eval(DataExpr.Sum(Query.Equal("name", "a")),
+          points.toDF("tags", "ts", "value"), ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming :des with carried state matches batch :des") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[SlotValue]
+    // feed normalized slots for ONE series in three chunks with a gap
+    val slots = Seq(
+      SlotValue("s1", slot(0), 11.0), SlotValue("s1", slot(1), 27.0),
+      SlotValue("s1", slot(2), 3.0), // slot 3 missing -> NaN advance
+      SlotValue("s1", slot(4), 5.0), SlotValue("s1", slot(5), 6.0)
+    )
+    val out = StreamRunner.streamingDes(input.toDS(), ctx, 2, 0.5, 0.5)
+    val query = out.writeStream.format("memory").queryName("stream_des")
+      .outputMode("append").start()
+    try {
+      input.addData(slots.take(2))
+      query.processAllAvailable()
+      input.addData(slots.slice(2, 4))
+      query.processAllAvailable()
+      input.addData(slots.drop(4))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_des")
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+
+      // batch: same series through the planner's :des
+      val dp = points.filter(_._1 == Map("name" -> "a", "node" -> "1"))
+        .map { case (m, t, v) => (Map("name" -> "a"), t, v) } // irrelevant tags
+      val batchDp = Seq(
+        (Map("name" -> "a"), slot(0) + 1L, 11.0), (Map("name" -> "a"), slot(1) + 1L, 27.0),
+        (Map("name" -> "a"), slot(2) + 1L, 3.0),
+        (Map("name" -> "a"), slot(4) + 1L, 5.0), (Map("name" -> "a"), slot(5) + 1L, 6.0)
+      ).toDF("tags", "ts", "value")
+      val batch = Planner.output(
+        Planner.eval(StatefulExpr.Des(DataExpr.Sum(Query.Equal("name", "a")), 2, 0.5, 0.5),
+          batchDp, ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      val streamedRounded = streamed.map { case (k, v) => k -> (math.rint(v * 1e6) / 1e6) }
+      assert(streamedRounded == batch)
+    } finally query.stop()
+  }
+}
