@@ -173,7 +173,42 @@ object SparkEntry {
     "asl_cq" -> asl("name,click,:eq,:sum,usr,u010,:lt,:cq"),
     "asl_cg" -> asl("name,click,:eq,:sum,(,grp,),:cg", "grp"),
     "asl_as" -> asl("name,click,:eq,:sum,(,usr,),:by,usr,u,:as", "u"),
-    "asl_cos" -> asl("hourOfDay,:time,:cos")
+    "asl_cos" -> asl("hourOfDay,:time,:cos"),
+    "asl_tan" -> asl("hourOfDay,:time,:tan"),
+    "asl_stddev" -> asl("name,click,:eq,(,usr,),:by,:stddev"),
+    // -- sketch layer (§2.4 :percentiles / :approx-distinct / :sample-count) --
+    "sketch_percentiles" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,(,25,50,90,),:percentiles"),
+        Datapoints.eventsBucketed(s, d), ctx), Seq("percentile"), 4)),
+    "sketch_percentiles_by" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,(,grp,),:by,(,50,),:percentiles"),
+        Datapoints.eventsBucketed(s, d), ctx), Seq("grp", "percentile"), 4)),
+    "sketch_median" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,view,:eq,:median"),
+        Datapoints.eventsBucketed(s, d), ctx), Seq("percentile"), 4)),
+    "sketch_sample_count" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,10,100,:sample-count"),
+        Datapoints.eventsBucketed(s, d), ctx), Nil, 4)),
+    "sketch_approx_distinct" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,:approx-distinct"),
+        Datapoints.eventsRegisters(s, d), ctx), Nil, 4)),
+    "asl_dist_avg" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:dist-avg"),
+        Datapoints.eventsDistStats(s, d), ctx), Nil, 4)),
+    "asl_dist_max" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:dist-max"),
+        Datapoints.eventsDistStats(s, d), ctx), Nil, 4)),
+    "asl_dist_stddev" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:dist-stddev"),
+        Datapoints.eventsDistStats(s, d), ctx), Nil, 4))
   )
 
   // --- LLM-pipeline / event / relational operators -------------------------
@@ -329,6 +364,47 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------------
+
+  /**
+   * DuckDB replica of the :percentiles estimation (same bucket table and
+   * interpolation as graft.functions.PercentileBuckets / the planner): per
+   * (group, slot), cumulative bucket counts, first bucket reaching the
+   * requested share, linear interpolation between its boundaries.
+   */
+  private def percentileOracle(name: String, pcts: List[Double], grouped: Boolean): String = {
+    import graft.functions.PercentileBuckets
+    def pad(p: Double): String = {
+      val s = p.toString
+      if (p < 10.0) s"  $s" else if (p < 100.0) s" $s" else s
+    }
+    val pctValues = pcts.sorted.map(p => s"(${p}, '${pad(p)}')").mkString(", ")
+    val bounds = PercentileBuckets.boundariesSqlList
+    val g = if (grouped) "grp, " else ""
+    val gSel = if (grouped) "'g' || CAST(user_id % 5 AS VARCHAR) AS grp, " else ""
+    s"""WITH bucketed AS (
+       |  SELECT $gSel(epoch_ms(ts) // 3600000) * 3600000 AS t,
+       |         ${PercentileBuckets.indexOfSql("CAST(floor(value) AS BIGINT)")} AS i
+       |  FROM events WHERE event_type = '$name'),
+       |counts AS (SELECT ${g}t, i, CAST(count(*) AS DOUBLE) AS c FROM bucketed GROUP BY ALL),
+       |cum AS (
+       |  SELECT ${g}t, i, c,
+       |         sum(c) OVER (PARTITION BY ${g}t ORDER BY i) AS cm,
+       |         sum(c) OVER (PARTITION BY ${g}t) AS tot
+       |  FROM counts),
+       |pct(p, label) AS (VALUES $pctValues),
+       |sel AS (
+       |  SELECT ${g}t, p, label, i,
+       |         100 * cm / tot AS np, 100 * (cm - c) / tot AS pp,
+       |         row_number() OVER (PARTITION BY ${g}t, p ORDER BY i) AS rn
+       |  FROM cum CROSS JOIN pct WHERE 100 * cm / tot >= p)
+       |SELECT ${g}label AS percentile, t,
+       |       round((CASE WHEN i = 0 THEN 0.0 ELSE CAST(list_extract($bounds, i) AS DOUBLE) END)
+       |         + (CASE WHEN np > pp THEN (p - pp) / (np - pp) ELSE 0.0 END)
+       |           * (CAST(list_extract($bounds, i + 1) AS DOUBLE)
+       |              - (CASE WHEN i = 0 THEN 0.0 ELSE CAST(list_extract($bounds, i) AS DOUBLE) END)),
+       |         4) AS value
+       |FROM sel WHERE rn = 1""".stripMargin
+  }
 
   private def engineOracles: Map[String, String] = Map(
     "data_sum" -> base(
@@ -498,6 +574,53 @@ object SparkEntry {
       "SELECT usr AS u, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY usr, t"),
     "asl_cos" -> base(
       "SELECT t, round(cos(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
+    "asl_tan" -> base(
+      "SELECT t, round(tan(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
+    "asl_stddev" -> base(
+      """SELECT t, round(sqrt((n * sq - sx * sx) / (n * n)), 4) AS value FROM (
+        |  SELECT t, CAST(count(*) AS DOUBLE) AS n, sum(v * v) AS sq, sum(v) AS sx
+        |  FROM bu GROUP BY t)""".stripMargin,
+      byUsr("click", "bu")),
+    "sketch_percentiles" -> percentileOracle("click", List(25.0, 50.0, 90.0), grouped = false),
+    "sketch_percentiles_by" -> percentileOracle("click", List(50.0), grouped = true),
+    "sketch_median" -> percentileOracle("view", List(50.0), grouped = false),
+    "sketch_sample_count" -> {
+      import graft.functions.PercentileBuckets
+      val lo = PercentileBuckets.indexOf(10L)
+      val hi = PercentileBuckets.indexOf(100L)
+      s"""WITH bucketed AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t,
+         |         ${PercentileBuckets.indexOfSql("CAST(floor(value) AS BIGINT)")} AS i
+         |  FROM events WHERE event_type = 'click')
+         |SELECT t, CAST(count(*) AS DOUBLE) AS value
+         |FROM bucketed WHERE i BETWEEN $lo AND $hi GROUP BY t""".stripMargin
+    },
+    "sketch_approx_distinct" -> {
+      import graft.functions.Hll
+      s"""WITH hashed AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t,
+         |         md5('u' || lpad(CAST(user_id AS VARCHAR), 3, '0')) AS h
+         |  FROM events WHERE event_type = 'click'),
+         |regs AS (
+         |  SELECT t, ${Hll.registerSql("h")} AS reg, max(${Hll.rhoSql("h")}) AS rho
+         |  FROM hashed GROUP BY 1, 2),
+         |est AS (
+         |  SELECT t, sum(power(2.0, -rho)) AS sumPow, CAST(count(*) AS BIGINT) AS nSet
+         |  FROM regs WHERE rho > 0 GROUP BY t)
+         |SELECT t, round(${Hll.estimateSql("sumPow", "nSet")}, 4) AS value FROM est""".stripMargin
+    },
+    "asl_dist_avg" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t,
+        |       round(sum(value) / CAST(count(*) AS DOUBLE), 4) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "asl_dist_max" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t, round(max(value), 4) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "asl_dist_stddev" ->
+      """SELECT t, round(sqrt((n * sq - sx * sx) / (n * n)), 4) AS value FROM (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t,
+        |         CAST(count(*) AS DOUBLE) AS n, sum(value * value) AS sq, sum(value) AS sx
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)""".stripMargin,
     "filter_stat_avg" -> base(
       "SELECT grid.t AS t, round((SELECT avg(v) FROM a), 4) AS value FROM grid",
       sumSeries("click", "a")),

@@ -250,6 +250,47 @@ object MathExpr {
     def asl: String = displayAsl
   }
 
+  /**
+   * Estimate percentiles from bucket-counter series (`:percentiles`,
+   * MathExpr.scala:859-1027). The inner group-by must include the
+   * `percentile` key whose values are D%04X / T%04X bucket ids; output is
+   * one line per group per requested percentile, tagged with the padded
+   * percentile label. Timers (T prefix) are scaled 1e-9 to seconds.
+   */
+  final case class Percentiles(expr: DataExpr.GroupBy, pcts: List[Double])
+      extends TimeSeriesExpr {
+    require(expr.keys.contains("percentile"), ":percentiles requires grouping by 'percentile'")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 100.0),
+      "percentiles must be in [0, 100]")
+    def dataExprs: List[DataExpr] = List(expr)
+    /** Output carries the percentile tag in place of the bucket id. */
+    def finalGrouping: List[String] = expr.keys.filterNot(_ == "percentile") :+ "percentile"
+    def sortedPcts: List[Double] = pcts.distinct.sorted
+    def asl: String = {
+      val keys = expr.keys.filterNot(_ == "percentile")
+      val base = if (keys.isEmpty) expr.af.asl else s"${expr.af.asl},(,${keys.mkString(",")},),:by"
+      s"$base,(,${sortedPcts.mkString(",")},),:percentiles"
+    }
+  }
+
+  /**
+   * HyperLogLog cardinality estimate from per-register max-rho series
+   * (`:approx-distinct`, MathExpr.scala:1029-1182). The expression is
+   * reshaped so registers (the `distinct` tag, R%02X) merge with max; the
+   * estimate collapses the register dimension.
+   */
+  final case class ApproxDistinct(expr: DataExpr) extends TimeSeriesExpr {
+    /** Reshaped fetch: max per register (and any user grouping). */
+    val registerExpr: DataExpr.GroupBy = expr match {
+      case DataExpr.GroupBy(af, keys) =>
+        DataExpr.GroupBy(DataExpr.Max(af.query, af.offset), "distinct" :: keys.filterNot(_ == "distinct"))
+      case d => DataExpr.GroupBy(DataExpr.Max(d.query, d.offset), List("distinct"))
+    }
+    def dataExprs: List[DataExpr] = List(registerExpr)
+    def finalGrouping: List[String] = registerExpr.keys.filterNot(_ == "distinct")
+    def asl = s"${expr.asl},:approx-distinct"
+  }
+
   /** Regroup grouped results by a subset of the inner keys (MathExpr.GroupBy). */
   final case class GroupBy(aggr: Aggr, keys: List[String]) extends TimeSeriesExpr {
     require(keys.nonEmpty, ":by requires at least one key")

@@ -423,11 +423,140 @@ object Vocabulary {
       s.headOption.exists(isTS)
     } { (c, _) =>
       val e = ts(c.stack.head)
-      val cosE = MathExpr.Unary(MathExpr.UnaryOp.Sine,
-        MathExpr.Binary(MathExpr.BinOp.Add, e, MathExpr.Constant(math.Pi / 2)))
-      c.copy(stack = MathExpr.NamedRewrite(s"${e.asl},:cos", cosE) :: c.stack.tail)
+      c.copy(stack = MathExpr.NamedRewrite(s"${e.asl},:cos", cosOf(e)) :: c.stack.tail)
+    },
+    trigMacro("tan", e => div(sinOf(e), cosOf(e))),
+    trigMacro("cot", e => div(cosOf(e), sinOf(e))),
+    trigMacro("sec", e => div(MathExpr.Constant(1.0), cosOf(e))),
+    trigMacro("csc", e => div(MathExpr.Constant(1.0), sinOf(e))),
+    // stddev = sqrt((N*sum(x^2) - sum(x)^2) / N^2) across group members
+    // (MathVocabulary.scala:109-154)
+    word("stddev", "TimeSeriesExpr -- TimeSeriesExpr",
+      List("name,sps,:eq,(,cluster,),:by,:stddev")) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      val e = ts(c.stack.head)
+      val n = MathExpr.Aggr(MathExpr.AggrOp.Count, e)
+      val sumSq = MathExpr.Aggr(MathExpr.AggrOp.Sum, mul(e, e))
+      val sumX = MathExpr.Aggr(MathExpr.AggrOp.Sum, e)
+      val v = div(
+        MathExpr.Binary(MathExpr.BinOp.Sub, mul(n, sumSq), mul(sumX, sumX)),
+        mul(n, n))
+      val sd = MathExpr.Unary(MathExpr.UnaryOp.Sqrt, v)
+      c.copy(stack = MathExpr.NamedRewrite(s"${e.asl},:stddev", sd) :: c.stack.tail)
+    },
+    // dist-avg / dist-max / dist-stddev: statistics published by distribution
+    // summaries/timers (MathVocabulary.scala:175-275)
+    word("dist-avg", "Query -- TimeSeriesExpr", List("name,latency,:eq,:dist-avg")) { s =>
+      s.headOption.exists(isQ)
+    } { (c, _) =>
+      val q = c.stack.head.asInstanceOf[Query]
+      val total = DataExpr.Sum(Query.And(q, Query.In("statistic", List("totalTime", "totalAmount"))))
+      val count = DataExpr.Sum(Query.And(q, Query.Equal("statistic", "count")))
+      val e = div(total, count)
+      c.copy(stack = MathExpr.NamedRewrite(s"${q.asl},:dist-avg", e) :: c.stack.tail)
+    },
+    word("dist-max", "Query -- TimeSeriesExpr", List("name,latency,:eq,:dist-max")) { s =>
+      s.headOption.exists(isQ)
+    } { (c, _) =>
+      val q = c.stack.head.asInstanceOf[Query]
+      val e = DataExpr.Max(Query.And(q, Query.Equal("statistic", "max")))
+      c.copy(stack = MathExpr.NamedRewrite(s"${q.asl},:dist-max", e) :: c.stack.tail)
+    },
+    word("dist-stddev", "Query -- TimeSeriesExpr", List("name,latency,:eq,:dist-stddev")) { s =>
+      s.headOption.exists(isQ)
+    } { (c, _) =>
+      val q = c.stack.head.asInstanceOf[Query]
+      val n = DataExpr.Sum(Query.And(q, Query.Equal("statistic", "count")))
+      val sumSq = DataExpr.Sum(Query.And(q, Query.Equal("statistic", "totalOfSquares")))
+      val sumX = DataExpr.Sum(Query.And(q, Query.In("statistic", List("totalAmount", "totalTime"))))
+      val v = div(
+        MathExpr.Binary(MathExpr.BinOp.Sub, mul(n, sumSq), mul(sumX, sumX)),
+        mul(n, n))
+      val sd = MathExpr.Unary(MathExpr.UnaryOp.Sqrt, v)
+      c.copy(stack = MathExpr.NamedRewrite(s"${q.asl},:dist-stddev", sd) :: c.stack.tail)
+    },
+    // :percentiles — reshape the input to sum grouped by the percentile
+    // bucket key, then estimate (MathVocabulary.scala:1267-1357)
+    word("percentiles", "TimeSeriesExpr (pcts) -- TimeSeriesExpr",
+      List("name,latency,:eq,(,25,50,90,),:percentiles")) { s =>
+      s.size >= 2 && isList(s.head) && (isQ(s(1)) || isTS(s(1)))
+    } { (c, _) =>
+      pop2(c) { (lst, e, rest) =>
+        val pcts = Coerce.stringList(lst).get.map(_.toDouble)
+        c.copy(stack = MathExpr.Percentiles(toPercentileGroupBy(e), pcts) :: rest)
+      }
+    },
+    word("median", "TimeSeriesExpr -- TimeSeriesExpr", List("name,latency,:eq,:median")) { s =>
+      s.headOption.exists(v => isQ(v) || isTS(v))
+    } { (c, _) =>
+      val inner = MathExpr.Percentiles(toPercentileGroupBy(c.stack.head), List(50.0))
+      val display = c.stack.head match {
+        case q: Query            => s"${q.asl},:median"
+        case t: TimeSeriesExpr   => s"${t.asl},:median"
+        case other               => throw new IllegalStateException(other.toString)
+      }
+      c.copy(stack = MathExpr.NamedRewrite(display, inner) :: c.stack.tail)
+    },
+    // :sample-count — rewrite to a sum over the bucket range covering
+    // [min, max] for both distribution and timer encodings
+    // (MathVocabulary.scala:1359-1412)
+    word("sample-count", "Query min max -- TimeSeriesExpr",
+      List("name,latency,:eq,0,100,:sample-count")) { s =>
+      s.size >= 3 && isNum(s.head) && isNum(s(1)) && isQ(s(2))
+    } { (c, _) =>
+      val maxS :: minS :: qv :: rest = c.stack: @unchecked
+      val (min, max) = (minS.asInstanceOf[String].toDouble, maxS.asInstanceOf[String].toDouble)
+      require(min < max && min >= 0.0, s"invalid range [$min, $max]")
+      val q = qv.asInstanceOf[Query]
+      def rangeQ(prefix: String, lo: Double, hi: Double): Query =
+        Query.And(
+          Query.GreaterThanEqual("percentile", graft.functions.PercentileBuckets.label(prefix, lo.toLong)),
+          Query.LessThanEqual("percentile", graft.functions.PercentileBuckets.label(prefix, hi.toLong)))
+      val range = Query.Or(rangeQ("D", min, max), rangeQ("T", min * 1e9, max * 1e9))
+      val e = DataExpr.Sum(Query.And(q, range))
+      c.copy(stack =
+        MathExpr.NamedRewrite(s"${q.asl},$min,$max,:sample-count", e) :: rest)
+    },
+    word("approx-distinct", "TimeSeriesExpr -- TimeSeriesExpr",
+      List("name,requests,:eq,:sum,:approx-distinct")) { s =>
+      s.headOption.exists(v => isQ(v) || v.isInstanceOf[DataExpr])
+    } { (c, _) =>
+      val d = c.stack.head match {
+        case q: Query    => DataExpr.Sum(q)
+        case d: DataExpr => d
+        case other       => throw new IllegalStateException(other.toString)
+      }
+      c.copy(stack = MathExpr.ApproxDistinct(d) :: c.stack.tail)
     }
   )
+
+  private def div(a: TimeSeriesExpr, b: TimeSeriesExpr) = MathExpr.Binary(MathExpr.BinOp.Div, a, b)
+  private def mul(a: TimeSeriesExpr, b: TimeSeriesExpr) = MathExpr.Binary(MathExpr.BinOp.Mul, a, b)
+
+  private def sinOf(e: TimeSeriesExpr) = MathExpr.Unary(MathExpr.UnaryOp.Sine, e)
+
+  private def cosOf(e: TimeSeriesExpr) = MathExpr.Unary(MathExpr.UnaryOp.Sine,
+    MathExpr.Binary(MathExpr.BinOp.Add, e, MathExpr.Constant(math.Pi / 2)))
+
+  private def trigMacro(n: String, mk: TimeSeriesExpr => TimeSeriesExpr): Word =
+    word(n, "TimeSeriesExpr -- TimeSeriesExpr", List(s"hourOfDay,:time,:$n")) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      val e = ts(c.stack.head)
+      c.copy(stack = MathExpr.NamedRewrite(s"${e.asl},:$n", mk(e)) :: c.stack.tail)
+    }
+
+  /** Reshape for :percentiles/:median: sum grouped by the percentile key. */
+  private def toPercentileGroupBy(v: Any): DataExpr.GroupBy = v match {
+    case q: Query => DataExpr.GroupBy(DataExpr.Sum(q), List("percentile"))
+    case DataExpr.GroupBy(af, keys) =>
+      DataExpr.GroupBy(DataExpr.Sum(af.query, af.offset),
+        if (keys.contains("percentile")) keys else "percentile" :: keys)
+    case af: DataExpr.AggregateFunction =>
+      DataExpr.GroupBy(DataExpr.Sum(af.query, af.offset), List("percentile"))
+    case other => throw new IllegalStateException(s"cannot apply :percentiles to $other")
+  }
 
   // --- stateful words (StatefulVocabulary.scala) -----------------------------
 

@@ -39,13 +39,17 @@ object Dedup {
     )
   }
 
-  /** MinHash signature: array of `h` minima of per-shingle hashes, where
-    * hash family member i is xxhash64 seeded by position (xxhash64(i, s)). */
-  def minhashSignature(shinglesCol: Column, h: Int): Column =
+  /** MinHash signature: array of `h` minima over the shingle set, where
+    * family member i is xxhash64 over (base shingle hash, i) — each shingle
+    * string is hashed ONCE, the family fans out over cheap long hashing
+    * (wrapping-multiply mixers would trip ANSI overflow checks). */
+  def minhashSignature(shinglesCol: Column, h: Int): Column = {
+    val bases = transform(shinglesCol, s => xxhash64(s))
     transform(
       sequence(lit(0), lit(h - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(i, s)))
+      i => array_min(transform(bases, b => xxhash64(b, i)))
     )
+  }
 
   /**
    * MinHash + banded LSH near-duplicate pairs.
@@ -115,29 +119,34 @@ object Dedup {
   ): DataFrame =
     minhashLsh(docs, textCol, shingleSize = n, bands = 32, rowsPerBand = 2, threshold = threshold)
 
-  /** 64-bit SimHash signature as an array of 64 bits (bit-vote over token
-    * hashes; two's-complement binary strings via bin()). */
-  def simhashSignature(text: Column): Column = {
-    val toks = array_distinct(split(lower(text), " "))
-    val bins = transform(toks, t => lpad(bin(xxhash64(t)), 64, "0"))
-    transform(
-      sequence(lit(0), lit(63)),
-      i => when(
-        size(filter(bins, s => s.substr(i + 1, lit(1)) === "1")) * 2 > size(bins),
-        1
-      ).otherwise(0)
-    )
+  /**
+   * 64-bit SimHash signatures packed into a single long, one row per doc.
+   * Bit votes run as 64 plain SUM aggregates over exploded (doc, token-hash)
+   * rows — everything stays in whole-stage codegen and the only shuffle is
+   * the per-doc partial-aggregated groupBy (the earlier per-bit string-array
+   * form cost ~40x on binary-string HOFs).
+   */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      explode(array_distinct(split(lower(col(textCol)), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftrightunsigned(col("h"), i).bitwiseAND(1)).as(s"b$i"))
+    val aggs = count(lit(1)).as("n") +: bitSums
+    val grouped = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    grouped.select(col("doc_id"), sig.as("sig"))
   }
-
-  /** Hamming distance between two equal-length bit-array columns. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), (acc, d) => acc + d)
 
   /**
    * SimHash near-duplicate pairs within `maxHamming`. Blocking: split the
    * 64-bit signature into `maxHamming + 1` segments — by pigeonhole, any
    * pair within the distance agrees exactly on at least one segment, so the
-   * join key is (segment index, segment bits), never a cross join.
+   * join key is (segment index, segment bits), never a cross join. Hamming
+   * distance is one `bit_count(a XOR b)` on the packed longs.
    */
   def simhash(
       docs: DataFrame,
@@ -146,20 +155,16 @@ object Dedup {
   ): DataFrame = {
     val nSeg = maxHamming + 1
     val segLen = 64 / nSeg
-    val withSig = docs.select(col("doc_id"), simhashSignature(col(textCol)).as("sig"))
+    val withSig = simhashSignatures(docs, textCol)
     val seg = withSig.select(
       col("doc_id"),
       col("sig"),
-      explode(
-        transform(
-          sequence(lit(0), lit(nSeg - 1)),
-          s => struct(
-            s.as("seg"),
-            array_join(transform(slice(col("sig"), s * segLen + 1, lit(segLen)),
-              x => x.cast("string")), "").as("segbits")
-          )
-        )
-      ).as("sb")
+      explode(array((0 until nSeg).map { s =>
+        struct(
+          lit(s).as("seg"),
+          shiftrightunsigned(col("sig"), s * segLen)
+            .bitwiseAND((1L << segLen) - 1).as("segbits"))
+      }: _*)).as("sb")
     ).select(col("doc_id"), col("sig"), col("sb.seg").as("seg"), col("sb.segbits").as("segbits"))
 
     val a = seg.select(col("seg"), col("segbits"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -167,7 +172,7 @@ object Dedup {
     a.join(b, Seq("seg", "segbits"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("double").as("hamming"))
   }

@@ -15,19 +15,34 @@ import org.apache.spark.sql.expressions.Window
  *    come from a (bucket) equi-join instead of a cross join, then are
  *    re-ranked exactly.
  *
- * Dot products run in double precision via codegen'd zip_with/aggregate —
- * no UDFs.
+ * Dot products are unrolled to fixed-width element_at chains: higher-order
+ * functions (aggregate/zip_with) fall out of whole-stage codegen and cost
+ * ~30x on the all-pairs path, while the unrolled form stays codegen'd.
+ * Vectors are L2-normalized once per row before any join, so each candidate
+ * pair costs exactly one dot product.
  */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (assumes non-zero). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Unrolled dot product of two fixed-length array columns (codegen'd). */
+  def dot(a: Column, b: Column, dims: Int): Column =
+    (0 until dims).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+
+  /** L2-normalized double copy of a vector column (one pass per row). */
+  def normalized(vec: Column, dims: Int): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val n = sqrt(dot(d, d, dims))
+    transform(d, x => x / n)
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cosine via HOFs, kept for callers without a static dim (small inputs). */
+  def cosine(a: Column, b: Column): Column = {
+    def dotH(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dotH(a, b) / (sqrt(dotH(a, a)) * sqrt(dotH(b, b)))
+  }
+
+  private def dimsOf(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
 
   /**
    * Exact top-k neighbors for each query vector (excluding self).
@@ -40,12 +55,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val corpus = emb.select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("nbr_vec"))
+    val dims = dimsOf(emb, vecCol)
+    val corpus = emb.select(col(idCol).as("nbr_id"), normalized(col(vecCol), dims).as("nbr_vec"))
     val queries = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .select(col(idCol).as("query_id"), normalized(col(vecCol), dims).as("q_vec"))
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("nbr_id"))
-      .withColumn("score", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("score", dot(col("q_vec"), col("nbr_vec"), dims))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id").asc)
     scored
@@ -62,10 +78,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("vec_a"))
-    val b = emb.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vec_b"))
+    val dims = dimsOf(emb, vecCol)
+    val a = emb.select(col(idCol).as("id_a"), normalized(col(vecCol), dims).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), normalized(col(vecCol), dims).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .withColumn("score", round(dot(col("vec_a"), col("vec_b"), dims), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
@@ -97,29 +114,29 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       planes: Int = 5,
-      dims: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val dims = dimsOf(emb, vecCol)
     def buckets(vec: Column): Column = array((0 until tables).map { tbl =>
       struct(
         lit(tbl).as("tbl"),
         concat_ws("", (0 until planes).map { p =>
-          val plane = array((0 until dims).map(d =>
-            lit(planeComponent(tbl * planes + p, d))): _*)
-          when(aggregate(zip_with(vec, plane, (x, w) => x * w), lit(0.0), (a, v) => a + v) >= 0, "1")
-            .otherwise("0")
+          val planeDot = (0 until dims).map { d =>
+            element_at(vec, d + 1) * lit(planeComponent(tbl * planes + p, d))
+          }.reduce(_ + _)
+          when(planeDot >= 0, "1").otherwise("0")
         }: _*).as("bucket")
       )
     }: _*)
 
     val corpus = emb.select(
       col(idCol).as("nbr_id"),
-      asDouble(col(vecCol)).as("nbr_vec")
+      normalized(col(vecCol), dims).as("nbr_vec")
     ).select(col("nbr_id"), col("nbr_vec"), explode(buckets(col("nbr_vec"))).as("tb"))
     val queries = emb.filter(queryPred).select(
       col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("q_vec")
+      normalized(col(vecCol), dims).as("q_vec")
     ).select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("tb"))
 
     val w = Window.partitionBy(col("query_id"))
@@ -128,7 +145,7 @@ object Similarity {
       .join(broadcast(queries), Seq("tb"))
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("score", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("score", dot(col("q_vec"), col("nbr_vec"), dims))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), round(col("score"), 4).as("score"))

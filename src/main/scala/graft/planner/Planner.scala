@@ -154,6 +154,8 @@ object Planner {
                 kv.getField("value").as("value")))))
           .withColumn(KEY, mkKey(grouping, col(TAGS)))
         SeriesFrame(renamed, grouping, f.step, f.dense)
+      case p: MathExpr.Percentiles    => evalPercentiles(p)
+      case a: MathExpr.ApproxDistinct => evalApproxDistinct(a)
       case s: StatefulExpr      => evalStateful(s)
       case f: FilterExpr.Stat   => evalStat(f)
       case FilterExpr.StatExpr(stat) =>
@@ -380,6 +382,107 @@ object Planner {
         keys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
       val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
       SeriesFrame(out, keys, ctx.step, dense = false)
+    }
+
+    // ---- sketch layer (:percentiles / :approx-distinct) ----
+
+    /**
+     * Percentile estimation from bucket-counter series (reference
+     * MathExpr.scala:933-1026): per (group, slot), walk the cumulative
+     * bucket counts and linearly interpolate within the bucket where the
+     * requested percentile falls. All column arithmetic over the evaluated
+     * series frame (cardinality = buckets x slots, not datapoints), with
+     * one window over (group, slot) and no extra shuffle beyond it.
+     */
+    private def evalPercentiles(p: MathExpr.Percentiles): SeriesFrame = {
+      import graft.functions.PercentileBuckets
+      val inner = eval(p.expr)
+      val groupKeys = p.expr.keys.filterNot(_ == "percentile")
+      val gk = groupKeys.map(k => col(TAGS).getItem(k))
+
+      val bucketTag = col(TAGS).getItem("percentile")
+      val idx = conv(substring(bucketTag, 2, 4), 16, 10).cast("long")
+      val isTimer = substring(bucketTag, 1, 1) === "T"
+
+      val wOrd = Window.partitionBy(gk :+ col(T): _*).orderBy(idx)
+      val wAll = Window.partitionBy(gk :+ col(T): _*)
+
+      // non-finite counts are treated as 0 (MathExpr.scala:998)
+      val cnt = when(isnan(col(V)) || col(V).isNull, 0.0).otherwise(col(V))
+      val cum = inner.df
+        .withColumn("_idx", idx)
+        .withColumn("_timer", isTimer)
+        .withColumn("_c", cnt)
+        .withColumn("_cum", sum(col("_c")).over(wOrd))
+        .withColumn("_tot", sum(col("_c")).over(wAll))
+      // one row per (bucket, pct); first bucket whose cumulative share
+      // reaches the pct wins (row_number over idx)
+      val withPct = cum
+        .withColumn("_p", explode(lit(p.sortedPcts.toArray)))
+        .withColumn("_np", lit(100.0) * col("_cum") / col("_tot"))
+        .withColumn("_pp", lit(100.0) * (col("_cum") - col("_c")) / col("_tot"))
+        .filter(col("_np") >= col("_p"))
+        .withColumn("_rn",
+          row_number().over(Window.partitionBy(gk :+ col(T) :+ col("_p"): _*).orderBy(col("_idx"))))
+        .filter(col("_rn") === 1)
+
+      val b = PercentileBuckets.boundaryCol(col("_idx"))
+      val prevB = when(col("_idx") === 0, 0.0)
+        .otherwise(PercentileBuckets.boundaryCol(col("_idx") - 1))
+      val f = when(col("_np") > col("_pp"),
+        (col("_p") - col("_pp")) / (col("_np") - col("_pp"))).otherwise(0.0)
+      val est = (prevB + f * (b - prevB)) *
+        when(col("_timer"), 1e-9).otherwise(1.0)
+
+      // percentile label padded like the reference (" 50.0" / "  9.0")
+      val pStr = col("_p").cast("string")
+      val label = when(col("_p") < 10.0, concat(lit("  "), pStr))
+        .when(col("_p") < 100.0, concat(lit(" "), pStr))
+        .otherwise(pStr)
+
+      val outTags = map_concat(
+        map_filter(col(TAGS), (k, _) => k =!= "percentile"),
+        map(lit("percentile"), label))
+      val outKeys = groupKeys :+ "percentile"
+      val out = withPct.select(
+        col(T),
+        est.cast("double").as(V),
+        outTags.as(TAGS))
+      val keyed = out
+        .withColumn(KEY, mkKey(outKeys, col(TAGS)))
+        .select(col(KEY), col(TAGS), col(T), col(V))
+      SeriesFrame(keyed, outKeys, ctx.step, dense = false)
+    }
+
+    /**
+     * HLL estimate from register series (reference MathExpr.scala:1093-1181):
+     * registers merged by max via the reshaped fetch, then the cardinality
+     * formula collapses the register dimension with a plain aggregate — no
+     * UDAF, everything stays in codegen.
+     */
+    private def evalApproxDistinct(a: MathExpr.ApproxDistinct): SeriesFrame = {
+      import graft.functions.Hll
+      val inner = eval(a.registerExpr)
+      val groupKeys = a.finalGrouping
+      val gk = groupKeys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
+
+      val rho = when(isnan(col(V)) || col(V) <= 0.0, lit(null)).otherwise(col(V))
+      val pow2 = pow(lit(2.0), -rho)
+
+      val grouped = inner.df
+        .withColumn("_pow", pow2)
+        .groupBy(gk :+ col(T): _*)
+        .agg(
+          sum(col("_pow")).as("_sumPow"),
+          count(col("_pow")).as("_nSet"),
+          first(map_filter(col(TAGS), (k, _) => k =!= "distinct")).as(TAGS))
+        .withColumn(V, Hll.estimateCol(col("_sumPow"), col("_nSet")).cast("double"))
+        .filter(col(V).isNotNull && !isnan(col(V)))
+      val keyCol =
+        if (groupKeys.isEmpty) lit("")
+        else concat_ws(",", groupKeys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+      val out = grouped.select(keyCol.as(KEY), col(TAGS), col(T), col(V))
+      SeriesFrame(out, groupKeys, ctx.step, dense = false)
     }
 
     // ---- stateful layer ----

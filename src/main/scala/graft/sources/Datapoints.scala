@@ -45,6 +45,92 @@ object Datapoints {
   }
 
   /**
+   * events as percentile-bucket counter datapoints, the shape published by a
+   * spectator PercentileDistributionSummary: one datapoint per event with a
+   * `percentile` tag holding the D%04X bucket id of the (truncated) value
+   * and value = 1 (a count). Bucketing is plain column arithmetic
+   * (PercentileBuckets.indexOfCol) so it stays in whole-stage codegen.
+   */
+  def eventsBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    import graft.functions.PercentileBuckets
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val idx = PercentileBuckets.indexOfCol(floor(col("value")).cast("long"))
+    ev.select(
+      map(
+        lit("name"), col("event_type"),
+        lit("grp"), concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")),
+        lit("percentile"), concat(lit("D"), lpad(hex(idx), 4, "0"))
+      ).as("tags"),
+      expr("ts div 1000000").as("ts"),
+      lit(1.0).as("value")
+    )
+  }
+
+  /**
+   * events as HLL register datapoints, the shape published by a distinct-
+   * count sketch client: per event, the user id hashes (md5, reproducible
+   * in the DuckDB oracle) to a register in [0,64) with value = rho; the
+   * `:approx-distinct` fetch merges registers with max.
+   */
+  def eventsRegisters(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    import graft.functions.Hll
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val usr = concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0"))
+    val h = md5(usr)
+    // pre-aggregated per hourly slot (max rho), the shape a sketch client
+    // publishes — sum-on-ingest normalization must see one point per slot
+    ev.select(
+        col("event_type"),
+        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        Hll.registerCol(h).as("reg"),
+        Hll.rhoCol(h).as("rho"))
+      .groupBy(col("event_type"), col("t"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
+      .select(
+        map(
+          lit("name"), col("event_type"),
+          lit("distinct"), format_string("R%02X", col("reg"))
+        ).as("tags"),
+        col("t").as("ts"),
+        col("rho").as("value")
+      )
+  }
+
+  /**
+   * events as distribution-summary statistic datapoints (statistic =
+   * count / totalAmount / totalOfSquares / max), pre-aggregated per hourly
+   * slot like a client publishing at step granularity — this keeps the
+   * sum-on-ingest normalization correct for the max series too.
+   */
+  def eventsDistStats(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_type"),
+        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        col("value"))
+    val agg = ev.groupBy(col("event_type"), col("t")).agg(
+      count(lit(1)).cast("double").as("count"),
+      sum(col("value")).as("totalAmount"),
+      sum(col("value") * col("value")).as("totalOfSquares"),
+      max(col("value")).as("max"))
+    val stats = Seq("count", "totalAmount", "totalOfSquares", "max")
+    val stacked = agg.select(
+      col("event_type"), col("t"),
+      explode(map(stats.flatMap(s => Seq(lit(s), col(s))): _*)).as(Seq("statistic", "value")))
+    stacked.select(
+      map(
+        lit("name"), col("event_type"),
+        lit("statistic"), col("statistic")
+      ).as("tags"),
+      col("t").as("ts"),
+      col("value")
+    )
+  }
+
+  /**
    * lineitem table as datapoints: one series per (returnflag, linestatus),
    * value = extendedprice, timestamp = shipdate.
    */

@@ -38,10 +38,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts hash identically, near-dups land close") {
-    val sigs = docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+    val sigs = Dedup.simhashSignatures(docs)
     val pairs = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
-        Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("d"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((0L, 1L)) == 0)
     assert(pairs((0L, 3L)) == 0) // word order doesn't matter (token-set hash)
