@@ -1,7 +1,7 @@
 package graft
 
 import graft.asl._
-import graft.core.EvalContext
+import graft.core.{EvalContext, NanMath}
 import graft.planner.Planner
 import graft.sources.Datapoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -90,7 +90,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     engineQueries ++ opsQueries
 
-  def oracleSql: Map[String, String] = engineOracles ++ opsOracles
+  /**
+   * Every oracle shifts rounded values by NanMath.RoundEps exactly like the
+   * Spark side (Planner.output and the ops queries): parallel summation is
+   * order-nondeterministic in both engines, so exact x.xxxx5 round ties
+   * would otherwise flip the 4th decimal between runs.
+   */
+  def oracleSql: Map[String, String] =
+    (engineOracles ++ opsOracles).map { case (k, sql) =>
+      k -> sql.replace("round(", s"round(${graft.core.NanMath.RoundEps} + ")
+    }
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- data layer (§2.3) --
@@ -163,7 +172,9 @@ object SparkEntry {
       GroupBy(Sum(click), List("usr")), "max", 5, bottom = true), "usr"),
     "filter_topk_others" -> q(FilterExpr.PriorityFilter(
       GroupBy(Sum(click), List("usr")), "avg", 5, bottom = false,
-      others = Some(AggrOp.Sum)), "usr"),
+      others = Some("sum")), "usr"),
+    "filter_bottomk_others_avg" -> asl(
+      "name,click,:eq,:sum,(,usr,),:by,max,5,:bottomk-others-avg", "usr"),
     "filter_consolidate" -> q(FilterExpr.Consolidate(Sum(click), 6, "max")),
     // -- style layer (§2.7, data-affecting part) --
     "style_limit" -> asl("name,click,:eq,:sum,(,usr,),:by,max,:sort,asc,:order,3,:limit", "usr"),
@@ -175,6 +186,8 @@ object SparkEntry {
     "asl_as" -> asl("name,click,:eq,:sum,(,usr,),:by,usr,u,:as", "u"),
     "asl_cos" -> asl("hourOfDay,:time,:cos"),
     "asl_tan" -> asl("hourOfDay,:time,:tan"),
+    // deterministic hash-of-timestamp noise; no DuckDB xxhash64, rows-only
+    "asl_srandom" -> asl("42,:srandom"),
     "asl_stddev" -> asl("name,click,:eq,(,usr,),:by,:stddev"),
     // -- sketch layer (§2.4 :percentiles / :approx-distinct / :sample-count) --
     "sketch_percentiles" -> ((s, d) =>
@@ -260,9 +273,9 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 4).as("sum_qty"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            round(sum(col("l_quantity")) + NanMath.RoundEps, 4).as("sum_qty"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + NanMath.RoundEps, 4).as("revenue"),
+            round(avg(col("l_discount")) + NanMath.RoundEps, 4).as("avg_disc"),
             count(lit(1)).cast("double").as("n"))),
       "rel_revenue_by_nation" -> ((s, d) => {
         val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -273,14 +286,14 @@ object SparkEntry {
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + NanMath.RoundEps, 4).as("revenue"))
       }),
       "rel_pct_price" -> ((s, d) =>
         s.read.parquet(s"$d/lineitem.parquet")
           .groupBy(col("l_returnflag"))
           .agg(
-            round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-            round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))),
+            round(percentile(col("l_extendedprice"), lit(0.5)) + NanMath.RoundEps, 4).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.9)) + NanMath.RoundEps, 4).as("p90"))),
       "rel_distinct_users_daily" -> ((s, d) => {
         val ev = EventOps.events(s, d)
         ev.groupBy((col("tms") - pmod(col("tms"), lit(86400000L))).as("t"))
@@ -644,6 +657,14 @@ object SparkEntry {
         |)""".stripMargin,
       byUsr("click", "bu"),
       "top AS (SELECT usr FROM bu GROUP BY usr ORDER BY avg(v) DESC, usr ASC LIMIT 5)"),
+    "filter_bottomk_others_avg" -> base(
+      """SELECT usr, t, round(v, 4) AS value FROM (
+        |  SELECT bu.usr, bu.t, bu.v FROM bu WHERE bu.usr IN (SELECT usr FROM bot)
+        |  UNION ALL
+        |  SELECT '--others--' AS usr, t, avg(v) AS v FROM bu WHERE usr NOT IN (SELECT usr FROM bot) GROUP BY t
+        |)""".stripMargin,
+      byUsr("click", "bu"),
+      "bot AS (SELECT usr FROM bu GROUP BY usr ORDER BY max(v) ASC, usr ASC LIMIT 5)"),
     "filter_consolidate" -> base(
       "SELECT 1704067200000 + (t - 1704067200000) // 21600000 * 21600000 AS t, round(max(v), 4) AS value FROM a GROUP BY 1",
       sumSeries("click", "a")),

@@ -1,0 +1,117 @@
+package graft.api
+
+import graft.asl._
+import graft.core.EvalContext
+import graft.planner.{Planner, QueryCompiler, SeriesFrame}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The JSON API surface (reference atlas-webapi GraphApi / FetchRequestSource
+ * / TagsApi; message shape from atlas-eval model/TimeSeriesMessage.scala:
+ * 64-110): evaluation results rendered as one `timeseries` JSON document per
+ * line, fully distributed — the JSON is built with to_json inside the plan,
+ * nothing is collected to the driver.
+ */
+object Api {
+
+  /**
+   * Evaluate an ASL program and render each result line as a
+   * TimeSeriesMessage-shaped JSON string:
+   * {"type":"timeseries","id",...,"query","label","tags","start","end",
+   * "step","data":{"type":"array","values":[...]}}.
+   *
+   * The dense per-line values array is assembled by sorting the collected
+   * (slot, value) structs per line — one shuffle at line cardinality.
+   */
+  def graph(program: String, dp: DataFrame, ctx: EvalContext): DataFrame = {
+    val styled = Asl.parseAll(program)
+    styled.map { s =>
+      val frame = Planner.eval(if (s.settings.isEmpty) s.expr else s, dp, ctx)
+      message(frame, s.expr, ctx, s.settings)
+    }.reduce(_ unionByName _)
+  }
+
+  /** One fetch chunk per context partition (EvalContext.partition analog,
+    * reference model/EvalContext.scala:41-57): the same messages, windowed
+    * to chunked time ranges for streaming delivery. */
+  def fetch(program: String, dp: DataFrame, ctx: EvalContext, chunkSlots: Int): Seq[DataFrame] =
+    ctx.partition(chunkSlots).map(chunk => graph(program, dp, chunk))
+
+  private def message(
+      frame: SeriesFrame,
+      expr: TimeSeriesExpr,
+      ctx: EvalContext,
+      settings: Map[String, String]
+  ): DataFrame = {
+    val grid = (0L until ctx.bufferSize).map(i => ctx.start + i * ctx.step)
+
+    // collect (t, v) per line, then fill the dense grid in slot order
+    val collected = frame.df
+      .groupBy(col("key"))
+      .agg(
+        first(col("tags")).as("tags"),
+        map_from_entries(collect_list(struct(col("t"), col("value")))).as("tv"))
+
+    val values = array(grid.map(t =>
+      coalesce(element_at(col("tv"), lit(t)), lit(Double.NaN))): _*)
+
+    // legend: $k substitution from tags (StyleExpr.legend, StyleExpr.scala:47-62)
+    val label = settings.get("legend") match {
+      case Some(fmt) =>
+        val parts = "\\$([a-zA-Z0-9_.]+)".r.split(fmt)
+        val keys = "\\$([a-zA-Z0-9_.]+)".r.findAllMatchIn(fmt).map(_.group(1)).toList
+        val cols = parts.toList.map(lit(_): Column)
+          .zipAll(keys.map(k => coalesce(col("tags").getItem(k), lit(s"$$$k"))), lit(""), lit(""))
+          .flatMap { case (a, b) => Seq(a, b) }
+        concat(cols: _*)
+      case None =>
+        when(col("key") === "", lit(expr.asl)).otherwise(col("key"))
+    }
+
+    collected.select(
+      to_json(struct(
+        lit("timeseries").as("type"),
+        sha1(col("key")).as("id"),
+        lit(expr.asl).as("query"),
+        (if (frame.grouping.nonEmpty) lit(frame.grouping.toArray) else lit(Array.empty[String]))
+          .as("groupByKeys"),
+        label.as("label"),
+        col("tags"),
+        lit(ctx.start).as("start"),
+        lit(ctx.end).as("end"),
+        lit(frame.step).as("step"),
+        struct(lit("array").as("type"), values.as("values")).as("data")
+      )).as("json"))
+  }
+
+  // --- tags API (reference TagsApi.scala:44-100, TagIndex.findKeys/findValues) ---
+
+  /** Distinct tag keys of series matching `q`, paged by `offset` cursor. */
+  def tagKeys(dp: DataFrame, q: Query, limit: Int = 1000, offset: String = ""): DataFrame =
+    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .select(explode(map_keys(col("tags"))).as("key"))
+      .filter(col("key") > offset)
+      .distinct()
+      .orderBy(col("key"))
+      .limit(limit)
+
+  /** Distinct values of tag `k` on series matching `q`, paged. */
+  def tagValues(dp: DataFrame, k: String, q: Query, limit: Int = 1000, offset: String = ""): DataFrame =
+    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .select(col("tags").getItem(k).as("value"))
+      .filter(col("value").isNotNull && col("value") > offset)
+      .distinct()
+      .orderBy(col("value"))
+      .limit(limit)
+
+  /** Distinct (key, value) pairs of matching series, paged by key,value cursor. */
+  def tags(dp: DataFrame, q: Query, limit: Int = 1000, offsetKey: String = "", offsetValue: String = ""): DataFrame =
+    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .select(explode(map_entries(col("tags"))).as("kv"))
+      .select(col("kv.key").as("key"), col("kv.value").as("value"))
+      .filter(col("key") > offsetKey || (col("key") === offsetKey && col("value") > offsetValue))
+      .distinct()
+      .orderBy(col("key"), col("value"))
+      .limit(limit)
+}

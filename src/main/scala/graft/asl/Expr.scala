@@ -422,14 +422,16 @@ object FilterExpr {
       stat: String,
       k: Int,
       bottom: Boolean = false,
-      others: Option[MathExpr.AggrOp] = None
+      others: Option[String] = None
   ) extends TimeSeriesExpr {
     require(stats.contains(stat), s"unknown stat $stat")
     require(k >= 1, "k must be >= 1")
+    require(others.forall(Set("sum", "min", "max", "avg").contains),
+      s"unknown others aggregate $others")
     def dataExprs: List[DataExpr] = expr.dataExprs
     def finalGrouping: List[String] = expr.finalGrouping
     def word: String = (if (bottom) "bottomk" else "topk") +
-      others.map(o => s"-others-${o.name}").getOrElse("")
+      others.map(o => s"-others-$o").getOrElse("")
     def asl = s"${expr.asl},$stat,$k,:$word"
   }
 

@@ -289,7 +289,13 @@ object Vocabulary {
     word(n, "TimeSeriesExpr -- TimeSeriesExpr", List(ex)) { s =>
       s.headOption.exists(v => isTS(v) && !isQ(v))
     } { (c, _) =>
-      c.copy(stack = MathExpr.Aggr(op, ts(c.stack.head)) :: c.stack.tail)
+      // On a base aggregate the result is already a single line, so the math
+      // aggregate is a no-op unless it is a count (MathVocabulary.scala:1185-1196).
+      val result = c.stack.head match {
+        case a: DataExpr.AggregateFunction if op != MathExpr.AggrOp.Count => a
+        case v                                                            => MathExpr.Aggr(op, ts(v))
+      }
+      c.copy(stack = result :: c.stack.tail)
     }
 
   private val mathWords: List[Word] = List(
@@ -622,7 +628,7 @@ object Vocabulary {
 
   // --- filter words (FilterVocabulary.scala) ---------------------------------
 
-  private def priorityWord(w: String, bottom: Boolean, others: Option[MathExpr.AggrOp]): Word =
+  private def priorityWord(w: String, bottom: Boolean, others: Option[String]): Word =
     word(w, "TimeSeriesExpr stat k -- TimeSeriesExpr",
       List(s"name,sps,:eq,(,cluster,),:by,avg,3,:$w")) { s =>
       s.size >= 3 && isIntStr(s.head) &&
@@ -652,12 +658,30 @@ object Vocabulary {
     },
     priorityWord("topk", bottom = false, None),
     priorityWord("bottomk", bottom = true, None),
-    priorityWord("topk-others-sum", bottom = false, Some(MathExpr.AggrOp.Sum)),
-    priorityWord("topk-others-min", bottom = false, Some(MathExpr.AggrOp.Min)),
-    priorityWord("topk-others-max", bottom = false, Some(MathExpr.AggrOp.Max)),
-    priorityWord("bottomk-others-sum", bottom = true, Some(MathExpr.AggrOp.Sum)),
-    priorityWord("bottomk-others-min", bottom = true, Some(MathExpr.AggrOp.Min)),
-    priorityWord("bottomk-others-max", bottom = true, Some(MathExpr.AggrOp.Max)),
+    priorityWord("topk-others-sum", bottom = false, Some("sum")),
+    priorityWord("topk-others-min", bottom = false, Some("min")),
+    priorityWord("topk-others-max", bottom = false, Some("max")),
+    priorityWord("topk-others-avg", bottom = false, Some("avg")),
+    priorityWord("bottomk-others-sum", bottom = true, Some("sum")),
+    priorityWord("bottomk-others-min", bottom = true, Some("min")),
+    priorityWord("bottomk-others-max", bottom = true, Some("max")),
+    priorityWord("bottomk-others-avg", bottom = true, Some("avg")),
+    // stat shorthand macros (FilterVocabulary.scala:49-72)
+    word("stat-min-mf", "TimeSeriesExpr -- TimeSeriesExpr", Nil) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      c.copy(stack = FilterExpr.Stat(ts(c.stack.head), "min") :: c.stack.tail)
+    },
+    word("stat-max-mf", "TimeSeriesExpr -- TimeSeriesExpr", Nil) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      c.copy(stack = FilterExpr.Stat(ts(c.stack.head), "max") :: c.stack.tail)
+    },
+    word("stat-avg-mf", "TimeSeriesExpr -- TimeSeriesExpr", Nil) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      c.copy(stack = FilterExpr.Stat(ts(c.stack.head), "avg") :: c.stack.tail)
+    },
     word("consolidate", "TimeSeriesExpr multiple cf -- TimeSeriesExpr",
       List("name,sps,:eq,:sum,6,cf-max,:consolidate")) { s =>
       s.size >= 3 && s.head.isInstanceOf[String] &&
@@ -704,6 +728,15 @@ object Vocabulary {
     styleWord("sort", "name,sps,:eq,(,cluster,),:by,max,:sort"),
     styleWord("order", "name,sps,:eq,(,cluster,),:by,asc,:order"),
     styleWord("limit", "name,sps,:eq,(,cluster,),:by,3,:limit"),
+    // :head is the legacy alias for :limit (StyleVocabulary.scala:58)
+    word("head", "TimeSeriesExpr n -- StyleExpr", List("name,sps,:eq,(,cluster,),:by,3,:head")) { s =>
+      s.size >= 2 && isIntStr(s.head) && (isTS(s(1)) || s(1).isInstanceOf[StyleExpr])
+    } { (c, _) =>
+      pop2(c) { (v, e, rest) =>
+        val se = Coerce.style(e).get
+        c.copy(stack = se.copy(settings = se.settings + ("limit" -> v.asInstanceOf[String])) :: rest)
+      }
+    },
     lsMacro("line"),
     lsMacro("area"),
     lsMacro("stack"),

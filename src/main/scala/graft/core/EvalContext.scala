@@ -23,6 +23,16 @@ final case class EvalContext(start: Long, end: Long, step: Long) {
     require(newStep % step == 0, s"new step $newStep must be a multiple of $step")
     EvalContext(start - math.floorMod(start, newStep), end, newStep)
   }
+
+  /**
+   * Split the window into chunks of at most `chunkSlots` slots for streamed
+   * fetch delivery (reference model/EvalContext.scala:41-57).
+   */
+  def partition(chunkSlots: Int): Seq[EvalContext] = {
+    require(chunkSlots >= 1)
+    val span = chunkSlots.toLong * step
+    (start until end by span).map(s => EvalContext(s, math.min(s + span, end), step))
+  }
 }
 
 object EvalContext {

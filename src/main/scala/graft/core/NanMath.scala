@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
  */
 object NanMath {
 
+  /**
+   * Tie-breaker added before rounding comparison outputs to 4 decimals.
+   * Parallel float summation is order-nondeterministic (both in Spark and
+   * in the DuckDB oracle), so a quotient whose exact value sits on a
+   * x.xxxx5 boundary flips its 4th decimal between runs. Shifting both
+   * engines by the same epsilon (larger than any accumulated summation
+   * error, far smaller than the 1e-4 resolution) moves every such value
+   * off the boundary, making round-then-hash comparisons deterministic.
+   */
+  val RoundEps = 1.3e-7
+
   // ---- scalar ----
 
   def isNearlyZero(v: Double): Boolean = v.isNaN || math.abs(v) < 1e-12

@@ -97,7 +97,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + graft.core.NanMath.RoundEps, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

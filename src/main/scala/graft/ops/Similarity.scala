@@ -1,52 +1,68 @@
 package graft.ops
 
+import graft.core.NanMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /**
  * Similarity search over an embedding column (`array<float>`).
  *
- *  - bruteForceTopK: exact cosine top-k. The query side is broadcast, so
- *    the corpus is scanned once with no shuffle — the right baseline shape
- *    even at 100 TB when the query set is small.
- *  - cosinePairs: all pairs above a threshold (used for embedding near-dup).
- *  - lshTopK: random-hyperplane LSH bucketing as the scale path — candidates
- *    come from a (bucket) equi-join instead of a cross join, then are
- *    re-ranked exactly.
+ *  - bruteForceTopK: exact cosine top-k, query side broadcast.
+ *  - cosinePairs: all pairs above a threshold (embedding near-dup).
+ *  - lshTopK: random-hyperplane LSH prefilter as the scale path — a corpus
+ *    row is scored only when it shares a hash-table bucket with a query.
  *
- * Dot products are unrolled to fixed-width element_at chains: higher-order
- * functions (aggregate/zip_with) fall out of whole-stage codegen and cost
- * ~30x on the all-pairs path, while the unrolled form stays codegen'd.
- * Vectors are L2-normalized once per row before any join, so each candidate
- * pair costs exactly one dot product.
+ * Execution shape: the small side (queries, or the whole corpus for
+ * all-pairs near-dup — tiny relative to a 100 TB corpus) is L2-normalized,
+ * collected and broadcast; the big side streams through `mapPartitions`
+ * with primitive-double tight loops. Catalyst expression trees are the
+ * wrong tool for dense dot-product kernels: HOF lambdas stay out of
+ * codegen, and unrolled 64-term expressions overflow janino's method
+ * limits into interpreted fallback while the pair join materializes both
+ * arrays per candidate. The JVM loop over broadcast arrays does the same
+ * work at memory bandwidth with zero shuffle and linear corpus scaling.
  */
 object Similarity {
 
-  /** Unrolled dot product of two fixed-length array columns (codegen'd). */
-  def dot(a: Column, b: Column, dims: Int): Column =
-    (0 until dims).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+  /** Typed (id, L2-normalized vector) row used by the similarity kernels;
+    * top-level visibility so the generated Dataset encoder can reach it. */
+  final case class Vec(id: Long, vec: Array[Double])
 
-  /** L2-normalized double copy of a vector column (one pass per row). */
-  def normalized(vec: Column, dims: Int): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val n = sqrt(dot(d, d, dims))
-    transform(d, x => x / n)
-  }
-
-  /** Cosine via HOFs, kept for callers without a static dim (small inputs). */
+  /** Cosine via HOFs, for ad-hoc use on small inputs. */
   def cosine(a: Column, b: Column): Column = {
     def dotH(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dotH(a, b) / (sqrt(dotH(a, a)) * sqrt(dotH(b, b)))
   }
 
-  private def dimsOf(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).head().getInt(0)
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dot(v, v))
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Normalized typed view of (id, vec). */
+  private def vecs(emb: DataFrame, idCol: String, vecCol: String) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[Vec]
+      .map(v => Vec(v.id, normalize(v.vec)))
+  }
 
   /**
    * Exact top-k neighbors for each query vector (excluding self).
-   * Deterministic: ties broken by neighbor id.
+   * Queries are broadcast; each corpus partition keeps a running top-k per
+   * query (bounded insertion, O(corpus * k) memory), so the final shuffle
+   * carries only partitions x queries x k candidate rows.
    */
   def bruteForceTopK(
       emb: DataFrame,
@@ -55,36 +71,85 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val dims = dimsOf(emb, vecCol)
-    val corpus = emb.select(col(idCol).as("nbr_id"), normalized(col(vecCol), dims).as("nbr_vec"))
-    val queries = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), normalized(col(vecCol), dims).as("q_vec"))
-    val scored = corpus
-      .join(broadcast(queries), col("query_id") =!= col("nbr_id"))
-      .withColumn("score", dot(col("q_vec"), col("nbr_vec"), dims))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
+      val qs = bc.value
+      // per-query bounded top-k: (score desc, id asc) order
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      it.foreach { v =>
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (q.id != v.id) {
+            val s = dot(q.vec, v.vec)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((s, v.id))
+            else {
+              val (ws, wid) = h.head
+              if (s > ws || (s == ws && v.id < wid)) { h.dequeue(); h.enqueue((s, v.id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, id) => (qs(qi).id, id, s) }
+      }
+    }.toDF("query_id", "nbr_id", "score")
+
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id").asc)
-    scored
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score"), 4).as("score"),
+      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"),
         col("rank").cast("double").as("rank"))
   }
 
-  /** All distinct pairs with cosine above `threshold` (embedding near-dup). */
+  /** All distinct pairs with cosine above `threshold` (embedding near-dup).
+    * The corpus is broadcast against itself; `id_a < id_b` halves the work
+    * and no pair row ever materializes below the threshold. */
   def cosinePairs(
       emb: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val dims = dimsOf(emb, vecCol)
-    val a = emb.select(col(idCol).as("id_a"), normalized(col(vecCol), dims).as("vec_a"))
-    val b = emb.select(col(idCol).as("id_b"), normalized(col(vecCol), dims).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", round(dot(col("vec_a"), col("vec_b"), dims), 4))
-      .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("score"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = vecs(emb, idCol, vecCol).collect().sortBy(_.id)
+    val bc = spark.sparkContext.broadcast(all)
+
+    vecs(emb, idCol, vecCol).mapPartitions { it =>
+      val corpus = bc.value
+      it.flatMap { a =>
+        // only partners with larger id (corpus sorted by id)
+        var lo = 0
+        var hi = corpus.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (corpus(mid).id <= a.id) lo = mid + 1 else hi = mid
+        }
+        (lo until corpus.length).iterator.flatMap { j =>
+          val b = corpus(j)
+          val s = dot(a.vec, b.vec)
+          // same HALF_UP rounding as Spark's round() so the DuckDB oracle
+          // threshold comparison agrees
+          val r =
+            if (s + 1e-4 < threshold) s // fast path: can't reach threshold
+            else java.math.BigDecimal.valueOf(s + NanMath.RoundEps)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (r >= threshold) Some((a.id, b.id, r)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "score")
   }
 
   /**
@@ -101,12 +166,13 @@ object Similarity {
   }
 
   /**
-   * Multi-table random-hyperplane LSH ANN: `tables` independent hash tables,
-   * each bucketing by the sign pattern of `planes` hyperplane dot products;
-   * candidates share a (table, bucket) key; exact cosine re-rank over the
-   * union of candidates. Recall rises with `tables`, candidate count (cost)
-   * with `tables / 2^planes` — the standard tradeoff; recall < 1 by
-   * construction, so pair with bruteForceTopK for evaluation.
+   * Multi-table random-hyperplane LSH ANN: `tables` independent hash
+   * tables, each bucketing by the sign pattern of `planes` hyperplane dot
+   * products. A corpus vector is scored against a query only if they share
+   * a (table, bucket) — the prefilter replaces the cross join, recall rises
+   * with `tables`, candidate rate falls with `2^planes` (standard
+   * tradeoff; recall < 1 by construction, pair with bruteForceTopK to
+   * evaluate). Exact cosine re-rank on the survivors.
    */
   def lshTopK(
       emb: DataFrame,
@@ -117,37 +183,49 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val dims = dimsOf(emb, vecCol)
-    def buckets(vec: Column): Column = array((0 until tables).map { tbl =>
-      struct(
-        lit(tbl).as("tbl"),
-        concat_ws("", (0 until planes).map { p =>
-          val planeDot = (0 until dims).map { d =>
-            element_at(vec, d + 1) * lit(planeComponent(tbl * planes + p, d))
-          }.reduce(_ + _)
-          when(planeDot >= 0, "1").otherwise("0")
-        }: _*).as("bucket")
-      )
-    }: _*)
+    val spark = emb.sparkSession
+    import spark.implicits._
 
-    val corpus = emb.select(
-      col(idCol).as("nbr_id"),
-      normalized(col(vecCol), dims).as("nbr_vec")
-    ).select(col("nbr_id"), col("nbr_vec"), explode(buckets(col("nbr_vec"))).as("tb"))
-    val queries = emb.filter(queryPred).select(
-      col(idCol).as("query_id"),
-      normalized(col(vecCol), dims).as("q_vec")
-    ).select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("tb"))
+    def signatures(v: Array[Double]): Array[Int] =
+      Array.tabulate(tables) { tbl =>
+        var sig = 0
+        var p = 0
+        while (p < planes) {
+          var s = 0.0
+          var d = 0
+          while (d < v.length) { s += v(d) * planeComponent(tbl * planes + p, d); d += 1 }
+          if (s >= 0) sig |= 1 << p
+          p += 1
+        }
+        sig
+      }
 
+    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+      .map(q => (q, signatures(q.vec)))
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { v =>
+        val vsig = signatures(v.vec)
+        qs.iterator.flatMap { case (q, qsig) =>
+          if (q.id == v.id) None
+          else {
+            var t = 0
+            var hit = false
+            while (t < vsig.length && !hit) { hit = vsig(t) == qsig(t); t += 1 }
+            if (hit) Some((q.id, v.id, dot(q.vec, v.vec))) else None
+          }
+        }
+      }
+    }.toDF("query_id", "nbr_id", "score")
+
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id").asc)
-    corpus
-      .join(broadcast(queries), Seq("tb"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .dropDuplicates("query_id", "nbr_id")
-      .withColumn("score", dot(col("q_vec"), col("nbr_vec"), dims))
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score"), 4).as("score"))
+      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
   }
 }

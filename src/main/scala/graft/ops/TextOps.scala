@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.NanMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,8 +36,8 @@ object TextOps {
       col("doc_id"),
       nTok.as("n_tokens"),
       size(vocab(col(textCol))).cast("double").as("n_distinct"),
-      round(size(array_distinct(toks)) / nTok, 4).as("ttr"),
-      round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok, 4).as("stop_ratio"),
+      round(size(array_distinct(toks)) / nTok + NanMath.RoundEps, 4).as("ttr"),
+      round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok + NanMath.RoundEps, 4).as("stop_ratio"),
       round(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok,
         4

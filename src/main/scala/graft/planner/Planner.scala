@@ -94,10 +94,11 @@ object Planner {
     new Evaluator(spark, dp, ctx).eval(expr)
   }
 
-  /** Sparse output table for the driver/oracle: tag columns + t + value. */
+  /** Sparse output table for the driver/oracle: tag columns + t + value.
+    * The RoundEps shift keeps round-half ties deterministic across engines. */
   def output(f: SeriesFrame, tagCols: Seq[String], roundTo: Int = 4): DataFrame = {
     val cols = tagCols.map(k => col(TAGS).getItem(k).as(k)) ++
-      Seq(col(T), round(col(V), roundTo).as(V))
+      Seq(col(T), round(col(V) + NanMath.RoundEps, roundTo).as(V))
     f.df.filter(!isnan(col(V)) && col(V).isNotNull).select(cols: _*)
   }
 
@@ -618,10 +619,10 @@ object Planner {
         case Some(aggOp) =>
           val rest = f.df.join(topKeys, col(KEY) === col("keep_key"), "left_anti")
           val agg = aggOp match {
-            case MathExpr.AggrOp.Sum   => sumNaN(col(V))
-            case MathExpr.AggrOp.Count => countNaN(col(V))
-            case MathExpr.AggrOp.Min   => minNaNAgg(col(V))
-            case MathExpr.AggrOp.Max   => maxNaNAgg(col(V))
+            case "sum" => sumNaN(col(V))
+            case "min" => minNaNAgg(col(V))
+            case "max" => maxNaNAgg(col(V))
+            case "avg" => avgNaN(col(V))
           }
           // Remainder collapses to one "--others--" line (FilterExpr.scala:219-227)
           val fill = "--others--"

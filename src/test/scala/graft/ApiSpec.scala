@@ -1,0 +1,61 @@
+package graft
+
+import graft.api.Api
+import graft.asl.Query
+import graft.core.EvalContext
+import org.apache.spark.sql.functions._
+
+class ApiSpec extends SparkSpec {
+
+  val ctx = EvalContext(0L, 240000L, 60000L)
+  def slot(i: Int): Long = i * 60000L
+
+  lazy val dp = {
+    import spark.implicits._
+    Seq(
+      (Map("name" -> "a", "node" -> "n1"), slot(0) + 1L, 1.0),
+      (Map("name" -> "a", "node" -> "n1"), slot(1) + 1L, 2.0),
+      (Map("name" -> "a", "node" -> "n2"), slot(0) + 1L, 10.0),
+      (Map("name" -> "b", "node" -> "n1"), slot(2) + 1L, 5.0)
+    ).toDF("tags", "ts", "value")
+  }
+
+  test("graph renders TimeSeriesMessage JSON with a dense values array") {
+    val out = Api.graph("name,a,:eq,:sum,(,node,),:by", dp, ctx)
+      .collect().map(_.getString(0)).sorted
+    assert(out.length == 2)
+    val n1 = out.find(_.contains("\"node\":\"n1\"")).get
+    assert(n1.contains("\"type\":\"timeseries\""))
+    assert(n1.contains("\"groupByKeys\":[\"node\"]"))
+    assert(n1.contains("\"step\":60000"))
+    // slots: 1.0, 2.0, gap, gap -> NaN serialized by to_json as "NaN"
+    assert(n1.contains("\"values\":[1.0,2.0,\"NaN\",\"NaN\"]") ||
+      n1.contains("\"values\":[1.0,2.0,null,null]"), n1)
+  }
+
+  test("legend formatting substitutes $tags") {
+    val out = Api.graph("name,a,:eq,:sum,(,node,),:by,node $node,:legend", dp, ctx)
+      .collect().map(_.getString(0))
+    assert(out.exists(_.contains("\"label\":\"node n1\"")), out.mkString("\n"))
+  }
+
+  test("fetch partitions the window into chunks") {
+    val chunks = Api.fetch("name,a,:eq,:sum", dp, ctx, chunkSlots = 2)
+    assert(chunks.length == 2)
+    val first = chunks.head.collect().map(_.getString(0)).head
+    assert(first.contains("\"end\":120000"))
+  }
+
+  test("tags API lists keys, values and pairs with paging") {
+    val keys = Api.tagKeys(dp, Query.True).collect().map(_.getString(0)).toList
+    assert(keys == List("name", "node"))
+    val vals = Api.tagValues(dp, "name", Query.True).collect().map(_.getString(0)).toList
+    assert(vals == List("a", "b"))
+    val paged = Api.tagValues(dp, "node", Query.True, limit = 10, offset = "n1")
+      .collect().map(_.getString(0)).toList
+    assert(paged == List("n2"))
+    val pairs = Api.tags(dp, Query.Equal("name", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(pairs == List(("name", "b"), ("node", "n1")))
+  }
+}

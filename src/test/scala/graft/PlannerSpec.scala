@@ -169,7 +169,7 @@ class PlannerSpec extends SparkSpec {
     val byNode = GroupBy(Sum(a), List("node"))
     val top = values(FilterExpr.PriorityFilter(byNode, "total", 1))
     assert(top.keys.map(_._1).toSet == Set("2")) // totals: node1=17, node2=35
-    val others = values(FilterExpr.PriorityFilter(byNode, "total", 1, others = Some(AggrOp.Sum)))
+    val others = values(FilterExpr.PriorityFilter(byNode, "total", 1, others = Some("sum")))
     assert(others.keys.map(_._1).toSet == Set("2", "--others--"))
     assert(others(("--others--", slot(4))) == 5.0)
   }
