@@ -265,7 +265,7 @@ object SparkEntry {
         sampleBy = Seq("event_type"), projections = Seq("props"), stepMs = 86400000L)),
       // -- tag metadata (§3.4 TagsApi) --
       "tags_keys" -> ((s, d) =>
-        Datapoints.events(s, d).select(explode(map_keys(col("tags"))).as("key")).distinct()),
+        graft.api.Api.tagKeys(Datapoints.events(s, d), Query.True)),
       "tags_values" -> ((s, d) =>
         Datapoints.events(s, d).select(col("tags").getItem("name").as("value")).distinct()),
       // -- relational / analytical over the star schema --

@@ -89,8 +89,10 @@ object Api {
 
   /** Distinct tag keys of series matching `q`, paged by `offset` cursor. */
   def tagKeys(dp: DataFrame, q: Query, limit: Int = 1000, offset: String = ""): DataFrame =
-    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
-      .select(explode(map_keys(col("tags"))).as("key"))
+    dp.filter(QueryCompiler.compile(q, col("tags")))
+      .select(explode(map_entries(col("tags"))).as("kv"))
+      .filter(col("kv.value").isNotNull) // null-valued entries mean "tag absent"
+      .select(col("kv.key").as("key"))
       .filter(col("key") > offset)
       .distinct()
       .orderBy(col("key"))
@@ -98,7 +100,7 @@ object Api {
 
   /** Distinct values of tag `k` on series matching `q`, paged. */
   def tagValues(dp: DataFrame, k: String, q: Query, limit: Int = 1000, offset: String = ""): DataFrame =
-    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+    dp.filter(QueryCompiler.compile(q, col("tags")))
       .select(col("tags").getItem(k).as("value"))
       .filter(col("value").isNotNull && col("value") > offset)
       .distinct()
@@ -107,9 +109,10 @@ object Api {
 
   /** Distinct (key, value) pairs of matching series, paged by key,value cursor. */
   def tags(dp: DataFrame, q: Query, limit: Int = 1000, offsetKey: String = "", offsetValue: String = ""): DataFrame =
-    dp.filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+    dp.filter(QueryCompiler.compile(q, col("tags")))
       .select(explode(map_entries(col("tags"))).as("kv"))
       .select(col("kv.key").as("key"), col("kv.value").as("value"))
+      .filter(col("value").isNotNull) // null-valued entries mean "tag absent"
       .filter(col("key") > offsetKey || (col("key") === offsetKey && col("value") > offsetValue))
       .distinct()
       .orderBy(col("key"), col("value"))

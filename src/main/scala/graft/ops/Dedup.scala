@@ -67,36 +67,39 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val h = bands * rowsPerBand
-    val withSig = docs
-      .select(col("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+    val withSh = docs.select(col("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+
+    // Explode to (doc_id, band, bucket) WITHOUT the shingle arrays — the
+    // bands explode multiplies every row by `bands`, so carrying the ~50
+    // string shingles through it (and the join shuffle) costs bands x the
+    // document payload. Shingles are re-joined only for surviving pairs.
+    val buckets = withSh
       .withColumn("sig", minhashSignature(col("sh"), h))
-
-    // Explode to (band, bucket) — the shuffle key. Docs agreeing on all
-    // rows of any band land in the same bucket.
-    val buckets = withSig.select(
-      col("doc_id"),
-      col("sh"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            array_join(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), "_").as("bucket")
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              array_join(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), "_").as("bucket")
+            )
           )
-        )
-      ).as("bb")
-    ).select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        ).as("bb")
+      ).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val candidates = a
       .join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + graft.core.NanMath.RoundEps, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -34,7 +34,7 @@ object EventOps {
   /** `:table` — pass events matching the query, projecting `cols`. */
   def table(events: DataFrame, q: Query, cols: Seq[String]): DataFrame =
     events
-      .filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .filter(QueryCompiler.compile(q, col("tags")))
       .select(cols.map(col): _*)
 
   /**
@@ -52,7 +52,7 @@ object EventOps {
     val aggs = count(lit(1)).cast("double").as("n_events") +:
       projections.map(p => min(col(p)).as(s"sample_$p"))
     events
-      .filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .filter(QueryCompiler.compile(q, col("tags")))
       .groupBy(sampleBy.map(col) :+ bucket: _*)
       .agg(aggs.head, aggs.tail: _*)
   }

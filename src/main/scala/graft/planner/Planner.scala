@@ -213,7 +213,7 @@ object Planner {
       val pred = QueryCompiler.compile(d.query, col(TAGS))
       val base = dp
         .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
-        .filter(coalesce(pred, lit(false)))
+        .filter(pred)
         .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(d.offset))
 
       // Ingest normalization: one value per (series, slot); datapoints within

@@ -29,15 +29,18 @@ object Datapoints {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // The optional `hi` tag is a null VALUE in a plain CreateMap, not a
+    // map_filter-pruned entry: QueryCompiler treats null-valued keys as
+    // absent (getItem(k).isNotNull), and a bare CreateMap lets Catalyst's
+    // SimplifyExtractValueOps collapse tags[k] to the source column so tag
+    // predicates push down to the parquet scan — with map_filter in the way
+    // the scan had PushedFilters: [] and every query was a full scan.
     ev.select(
-      map_filter(
-        map(
-          lit("name"), col("event_type"),
-          lit("usr"), concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0")),
-          lit("grp"), concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")),
-          lit("hi"), when(col("value") > 300, lit("y")).otherwise(lit(null: String))
-        ),
-        (_, v) => v.isNotNull
+      map(
+        lit("name"), col("event_type"),
+        lit("usr"), concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0")),
+        lit("grp"), concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")),
+        lit("hi"), when(col("value") > 300, lit("y")).otherwise(lit(null: String))
       ).as("tags"),
       expr("ts div 1000000").as("ts"),
       col("value").as("value")

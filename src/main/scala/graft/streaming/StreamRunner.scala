@@ -48,7 +48,7 @@ object StreamRunner {
     datapoints
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", watermark)
-      .filter(coalesce(QueryCompiler.compile(q, col("tags")), lit(false)))
+      .filter(QueryCompiler.compile(q, col("tags")))
       .groupBy(
         window(col("event_time"), s"$step milliseconds"),
         Planner.seriesId(col("tags")).as("key")
