@@ -58,6 +58,31 @@ object Dedup {
    * @param threshold exact Jaccard cutoff applied to candidate pairs
    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4
    */
+  /**
+   * Distinct shingle HASHES per (doc, shingle position): tokens are hashed
+   * once, an n-token shingle hashes as the xxhash of its n consecutive
+   * token hashes via window `lead` — no shingle string is ever built
+   * (building ~50 joined strings per doc through HOFs dominated the whole
+   * operator). Equal to string shingles up to 64-bit collisions.
+   */
+  private def shingleHashes(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("h", xxhash64(col("tok")))
+    val leads = (1 until n).foldLeft(toks.withColumn("sh0", col("h"))) { (df, i) =>
+      df.withColumn(s"sh$i", lead(col("h"), i).over(w))
+    }
+    val shash = xxhash64((0 until n).map(i => coalesce(col(s"sh$i"), lit(-i.toLong))): _*)
+    val cnt = count(lit(1)).over(Window.partitionBy(col("doc_id")))
+    leads
+      .withColumn("cnt", cnt)
+      .filter(col("pos") <= greatest(col("cnt") - n, lit(0))) // shingle starts
+      .select(col("doc_id"), shash.as("shash"))
+      .dropDuplicates("doc_id", "shash")
+  }
+
   def minhashLsh(
       docs: DataFrame,
       textCol: String = "text",
@@ -67,27 +92,28 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val h = bands * rowsPerBand
-    val withSh = docs.select(col("doc_id"), shingles(col(textCol), shingleSize).as("sh"))
+    val sh = shingleHashes(docs, textCol, shingleSize)
 
-    // Explode to (doc_id, band, bucket) WITHOUT the shingle arrays — the
-    // bands explode multiplies every row by `bands`, so carrying the ~50
-    // string shingles through it (and the join shuffle) costs bands x the
-    // document payload. Shingles are re-joined only for surviving pairs.
-    val buckets = withSh
-      .withColumn("sig", minhashSignature(col("sh"), h))
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(
-              b.as("band"),
-              array_join(transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-                x => x.cast("string")), "_").as("bucket")
-            )
-          )
-        ).as("bb")
-      ).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Signatures as 64 MIN aggregates over the shingle hashes: family
+    // members fan out over cheap long hashing, everything stays in codegen,
+    // one doc_id shuffle. (A nested-HOF column form gets its shared shingle
+    // subexpression inlined by CollapseProject into every family member —
+    // 64x the work — once column pruning drops the standalone column.)
+    val minCols = (0 until h).map(i => min(xxhash64(col("shash"), lit(i))).as(s"m$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+
+    // Explode to (doc_id, band, bucket) only — the bands explode multiplies
+    // every row by `bands`, so it must carry no document payload. Shingle
+    // hash sets are re-joined for surviving candidate pairs only.
+    val buckets = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"m${b * rowsPerBand + r}").cast("string")): _*).as("bucket"))
+      }: _*)).as("bb")
+    ).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -97,9 +123,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    val shSets = sh.groupBy(col("doc_id")).agg(collect_set(col("shash")).as("sh"))
     candidates
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + graft.core.NanMath.RoundEps, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.{EvalContext, OnlineAlgorithm}
+import graft.core.{EvalContext, OnlineAlgorithm, OnlineDes}
 import graft.asl.Query
 import graft.planner.{Planner, QueryCompiler}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -70,74 +70,74 @@ object StreamRunner {
       .agg(sum(col("value")).as("value"))
       .select(unix_millis(col("window.start")).as("t"), col("value"))
 
-  /** Serializable online-algorithm state carried in GroupState. */
-  final case class AlgoState(
-      lastT: Long,
-      currentSample: Int,
-      missing: Int,
-      sp: Double,
-      bp: Double
-  )
+  /**
+   * Serialized online-algorithm state carried in GroupState (the AlgoState
+   * analog, reference algorithm/AlgoState.scala): the algorithm object
+   * itself plus the last slot it consumed.
+   */
+  final case class CarriedState(lastT: Long, blob: Array[Byte])
+
+  private def serialize(a: OnlineAlgorithm): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(a); oos.close()
+    bos.toByteArray
+  }
+
+  private def deserialize(b: Array[Byte]): OnlineAlgorithm = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    ois.readObject().asInstanceOf[OnlineAlgorithm]
+  }
 
   /**
-   * Streaming `:des`: per-series double exponential smoothing with state
-   * carried across triggers. Slots missing between a series' datapoints are
-   * fed as NaN so the result matches the batch dense-grid evaluation.
+   * Streaming evaluation of ANY stateful operator: per-series online
+   * algorithm with state carried across triggers. Slots missing between a
+   * series' datapoints are fed as NaN so the result matches the batch
+   * dense-grid evaluation (advance-with-NaN, StatefulExpr.scala:310-321).
    *
    * Input must be the append-mode output of [[normalize]] (slots arrive in
    * event-time order per key once finalized by the watermark).
    */
-  def streamingDes(
+  def streamingStateful(
       normalized: Dataset[SlotValue],
       ctx: EvalContext,
-      training: Int,
-      alpha: Double,
-      beta: Double
+      mkAlgo: () => OnlineAlgorithm
   ): Dataset[SlotValue] = {
     val spark = normalized.sparkSession
     import spark.implicits._
     val step = ctx.step
     val start = ctx.start
 
-    def advance(state: AlgoState, v: Double): (AlgoState, Double) = {
-      // OnlineDes.next (reference OnlineDes.scala:29-55) on explicit state.
-      val retval = if (state.currentSample >= training) state.sp else Double.NaN
-      val next =
-        if (!v.isNaN) {
-          if (state.currentSample == 0)
-            state.copy(currentSample = 1, sp = v, bp = 0.0)
-          else {
-            val sn = alpha * v + (1 - alpha) * (state.sp + state.bp)
-            val bn = beta * (sn - state.sp) + (1 - beta) * state.bp
-            state.copy(currentSample = state.currentSample + 1, sp = sn, bp = bn)
-          }
-        } else state.copy(missing = state.missing + 1)
-      (next, retval)
-    }
-
     normalized
       .groupByKey(_.key)
-      .flatMapGroupsWithState[AlgoState, SlotValue](
+      .flatMapGroupsWithState[CarriedState, SlotValue](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[SlotValue], gstate: GroupState[AlgoState]) =>
-          var st = gstate.getOption.getOrElse(
-            AlgoState(start - step, 0, 0, Double.NaN, Double.NaN))
+        (key: String, rows: Iterator[SlotValue], gstate: GroupState[CarriedState]) =>
+          var (lastT, algo) = gstate.getOption match {
+            case Some(s) => (s.lastT, deserialize(s.blob))
+            case None    => (start - step, mkAlgo())
+          }
           val out = List.newBuilder[SlotValue]
+          def emit(t: Long, v: Double): Unit = if (!v.isNaN) out += SlotValue(key, t, v)
           rows.toSeq.sortBy(_.t).foreach { row =>
             // advance-with-NaN over slots with no data for this series
-            var t = st.lastT + step
-            while (t < row.t) {
-              val (s2, v) = advance(st, Double.NaN)
-              st = s2.copy(lastT = t)
-              if (!v.isNaN) out += SlotValue(key, t, v)
-              t += step
-            }
-            val (s3, v) = advance(st, row.value)
-            st = s3.copy(lastT = row.t)
-            if (!v.isNaN) out += SlotValue(key, row.t, v)
+            var t = lastT + step
+            while (t < row.t) { emit(t, algo.next(Double.NaN)); t += step }
+            emit(row.t, algo.next(row.value))
+            lastT = row.t
           }
-          gstate.update(st)
+          gstate.update(CarriedState(lastT, serialize(algo)))
           out.result().iterator
       }
   }
+
+  /** Streaming `:des` (kept as the named entry point for the common case). */
+  def streamingDes(
+      normalized: Dataset[SlotValue],
+      ctx: EvalContext,
+      training: Int,
+      alpha: Double,
+      beta: Double
+  ): Dataset[SlotValue] =
+    streamingStateful(normalized, ctx, () => new OnlineDes(training, alpha, beta))
 }

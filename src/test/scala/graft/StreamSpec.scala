@@ -71,6 +71,42 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming :rolling-sum via the generic runner matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.core.OnlineAlgorithm
+
+    val input = MemoryStream[SlotValue]
+    val slots = Seq(
+      SlotValue("s1", slot(0), 11.0), SlotValue("s1", slot(1), 27.0),
+      SlotValue("s1", slot(2), 3.0), // slot 3 missing -> NaN advance
+      SlotValue("s1", slot(4), 5.0), SlotValue("s1", slot(5), 6.0)
+    )
+    val expr = StatefulExpr.RollingSum(DataExpr.Sum(Query.Equal("name", "a")), 3)
+    val out = StreamRunner.streamingStateful(
+      input.toDS(), ctx, OnlineAlgorithm.forExpr(expr, ctx))
+    val query = out.writeStream.format("memory").queryName("stream_rsum")
+      .outputMode("append").start()
+    try {
+      input.addData(slots.take(3))
+      query.processAllAvailable()
+      input.addData(slots.drop(3))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_rsum")
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+
+      val batchDp = Seq(
+        (Map("name" -> "a"), slot(0) + 1L, 11.0), (Map("name" -> "a"), slot(1) + 1L, 27.0),
+        (Map("name" -> "a"), slot(2) + 1L, 3.0),
+        (Map("name" -> "a"), slot(4) + 1L, 5.0), (Map("name" -> "a"), slot(5) + 1L, 6.0)
+      ).toDF("tags", "ts", "value")
+      val batch = Planner.output(Planner.eval(expr, batchDp, ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming :des with carried state matches batch :des") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
