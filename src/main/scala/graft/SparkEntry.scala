@@ -255,14 +255,13 @@ object SparkEntry {
           .select(col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"))),
       "mm_frames" -> ((s, d) =>
         Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))),
-      // -- event operators (§2.9) --
-      "events_table" -> ((s, d) => EventOps.table(
-        EventOps.events(s, d),
-        Query.And(Query.Equal("name", "error"), Query.GreaterThanEqual("usr", "u100")),
-        Seq("event_id", "tms", "user_id", "value"))),
-      "events_sample" -> ((s, d) => EventOps.sample(
-        EventOps.events(s, d), Query.True,
-        sampleBy = Seq("event_type"), projections = Seq("props"), stepMs = 86400000L)),
+      // -- event operators (§2.9), through the ASL front-end --
+      "events_table" -> ((s, d) => EventOps.eval(
+        Asl.parseEvent("name,error,:eq,usr,u100,:ge,:and,(,event_id,tms,user_id,value,),:table"),
+        EventOps.events(s, d), stepMs = 86400000L)),
+      "events_sample" -> ((s, d) => EventOps.eval(
+        Asl.parseEvent(":true,(,event_type,),(,props,),:sample"),
+        EventOps.events(s, d), stepMs = 86400000L)),
       // -- tag metadata (§3.4 TagsApi) --
       "tags_keys" -> ((s, d) =>
         graft.api.Api.tagKeys(Datapoints.events(s, d), Query.True)),

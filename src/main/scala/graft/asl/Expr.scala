@@ -447,6 +447,42 @@ object FilterExpr {
 }
 
 // ---------------------------------------------------------------------------
+// Event layer (model/EventExpr.scala / EventVocabulary, §2.9): raw rows
+// matched by tag queries, evaluated by graft.ops.EventOps (not part of the
+// TimeSeriesExpr tree — events are rows, not series).
+// ---------------------------------------------------------------------------
+
+sealed trait EventExpr extends Product with Serializable {
+  def query: Query
+  def asl: String
+}
+
+object EventExpr {
+
+  /** Pass through matching events unchanged (EventExpr.Raw). */
+  final case class Raw(query: Query) extends EventExpr {
+    def asl: String = query.asl
+  }
+
+  /** Project named columns from matching events (`:table`). */
+  final case class Table(query: Query, columns: List[String]) extends EventExpr {
+    require(columns.nonEmpty, ":table requires at least one column")
+    def asl = s"${query.asl},(,${columns.mkString(",")},),:table"
+  }
+
+  /** Count per sampleBy group per step plus sampled projections (`:sample`). */
+  final case class Sample(
+      query: Query,
+      sampleBy: List[String],
+      projections: List[String]
+  ) extends EventExpr {
+    require(sampleBy.nonEmpty, ":sample requires group keys")
+    def asl =
+      s"${query.asl},(,${sampleBy.mkString(",")},),(,${projections.mkString(",")},),:sample"
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Presentation layer (model/StyleExpr.scala) — metadata plus the
 // data-affecting :sort/:order/:limit.
 // ---------------------------------------------------------------------------

@@ -178,4 +178,15 @@ object Asl {
     val s = all.head
     if (s.settings.isEmpty) s.expr else s
   }
+
+  /** Execute a program expected to yield one event expression (§2.9). */
+  def parseEvent(program: String): EventExpr = {
+    val ctx = interpreter.execute(program)
+    ctx.stack match {
+      case (e: EventExpr) :: Nil => e
+      case (q: Query) :: Nil     => EventExpr.Raw(q)
+      case other => throw new IllegalArgumentException(
+        s"expected one event expression, got $other: $program")
+    }
+  }
 }

@@ -749,7 +749,30 @@ object Vocabulary {
     }
   )
 
+  // --- event words (EventVocabulary.scala, §2.9) -----------------------------
+
+  private val events: List[Word] = List(
+    word("table", "Query (columns) -- EventExpr",
+      List("name,error,:eq,(,event_id,value,),:table")) { s =>
+      s.size >= 2 && isList(s.head) && isQ(s(1))
+    } { (c, _) =>
+      pop2(c)((cols, q, rest) =>
+        c.copy(stack = EventExpr.Table(
+          q.asInstanceOf[Query], Coerce.stringList(cols).get) :: rest))
+    },
+    word("sample", "Query (by) (projections) -- EventExpr",
+      List("name,error,:eq,(,event_type,),(,props,),:sample")) { s =>
+      s.size >= 3 && isList(s.head) && isList(s(1)) && isQ(s(2))
+    } { (c, _) =>
+      val proj :: by :: q :: rest = c.stack: @unchecked
+      c.copy(stack = EventExpr.Sample(
+        q.asInstanceOf[Query],
+        Coerce.stringList(by).get,
+        Coerce.stringList(proj).get) :: rest)
+    }
+  )
+
   /** Full vocabulary, dispatch order: query words before math for shared names. */
   val allWords: List[Word] =
-    standard ::: query ::: data ::: mathWords ::: stateful ::: filter ::: style
+    standard ::: query ::: data ::: mathWords ::: stateful ::: filter ::: style ::: events
 }

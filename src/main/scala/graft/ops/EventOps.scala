@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.asl.Query
+import graft.asl.{EventExpr, Query}
 import graft.planner.QueryCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,6 +29,13 @@ object EventOps {
           lit("usr"), concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0"))
         )
       )
+  }
+
+  /** Evaluate a parsed [[graft.asl.EventExpr]] against an event frame. */
+  def eval(expr: EventExpr, events: DataFrame, stepMs: Long): DataFrame = expr match {
+    case EventExpr.Raw(q)           => events.filter(QueryCompiler.compile(q, col("tags")))
+    case EventExpr.Table(q, cols)   => table(events, q, cols)
+    case EventExpr.Sample(q, by, p) => sample(events, q, by, p, stepMs)
   }
 
   /** `:table` — pass events matching the query, projecting `cols`. */
