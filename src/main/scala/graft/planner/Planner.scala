@@ -106,15 +106,29 @@ object Planner {
 
   private final class Evaluator(spark: SparkSession, dp: DataFrame, ctx: EvalContext) {
 
-    // Common-subexpression elimination: each distinct DataExpr is planned
-    // once and the DataFrame object reused (Spark then reuses the exchange).
-    private val dataCache = scala.collection.mutable.Map.empty[DataExpr, SeriesFrame]
+    // Common-subexpression elimination over the WHOLE tree: structural
+    // equality of expression nodes -> the same SeriesFrame (and Spark plan
+    // subtree, so exchanges are reused). Macros like :stddev reference their
+    // input four times; without this each reference replans the fetch.
+    private val evalCache = scala.collection.mutable.Map.empty[TimeSeriesExpr, SeriesFrame]
 
     // Environment for resolving :stat-* placeholders inside :filter.
     private var statEnv: Option[SeriesFrame] = None
 
-    def eval(expr: TimeSeriesExpr): SeriesFrame = expr match {
-      case d: DataExpr          => dataCache.getOrElseUpdate(d, evalData(d))
+    // :stat-* resolution depends on the enclosing :filter's environment, so
+    // subtrees containing a StatExpr must not be memoized across filters.
+    private def containsStat(e: Any): Boolean = e match {
+      case _: FilterExpr.StatExpr => true
+      case p: Product             => p.productIterator.exists(containsStat)
+      case _                      => false
+    }
+
+    def eval(expr: TimeSeriesExpr): SeriesFrame =
+      if (containsStat(expr)) evalImpl(expr)
+      else evalCache.getOrElseUpdate(expr, evalImpl(expr))
+
+    private def evalImpl(expr: TimeSeriesExpr): SeriesFrame = expr match {
+      case d: DataExpr          => evalData(d)
       case m: MathExpr.Constant => constant(lit(m.v), Map("name" -> m.v.toString))
       case m: MathExpr.SeededRandom =>
         val h = abs(xxhash64(col(T), lit(m.seed)))
@@ -266,9 +280,13 @@ object Planner {
 
     // ---- math layer ----
 
-    private def evalTime(m: MathExpr.Time): SeriesFrame = {
-      val ts = timestamp_seconds(col(T) / 1000L)
-      val v: Column = m.mode match {
+    private def evalTime(m: MathExpr.Time): SeriesFrame =
+      constant(timeValue(m.mode, col(T)), Map("name" -> m.mode))
+
+    /** Calendar field of a slot timestamp column (UTC). */
+    private def timeValue(mode: String, t: Column): Column = {
+      val ts = timestamp_seconds(t / 1000L)
+      val v: Column = mode match {
         case "secondOfMinute"    => second(ts)
         case "minuteOfHour"      => minute(ts)
         case "hourOfDay"         => hour(ts)
@@ -278,9 +296,9 @@ object Planner {
         case "dayOfYear"         => dayofyear(ts)
         case "monthOfYear"       => month(ts)
         case "yearOfEra"         => year(ts)
-        case "secondsSinceEpoch" => col(T) / 1000L
+        case "secondsSinceEpoch" => t / 1000L
       }
-      constant(v.cast("double"), Map("name" -> m.mode))
+      v.cast("double")
     }
 
     private def binOpCol(op: MathExpr.BinOp): (Column, Column) => Column = op match {
@@ -302,11 +320,47 @@ object Planner {
     }
 
     /**
+     * Grid-defined expressions (value is a pure function of the slot time):
+     * applied as column expressions instead of joining a generated grid
+     * frame — a `:gt 200` signal or `:pow 0.5` costs a projection, not a
+     * join. Returns (value-of-t function, display tags).
+     */
+    private def gridFn(e: TimeSeriesExpr): Option[(Column => Column, Map[String, String])] =
+      e match {
+        case MathExpr.Constant(v) => Some((_ => lit(v), Map("name" -> v.toString)))
+        case MathExpr.SeededRandom(seed) =>
+          Some((t => abs(xxhash64(t, lit(seed))).cast("double") / lit(Long.MaxValue.toDouble),
+            Map("name" -> "random")))
+        case MathExpr.Time(mode) => Some((t => timeValue(mode, t), Map("name" -> mode)))
+        case MathExpr.TimeSpan(s, en) =>
+          Some((t => when(t >= s && t <= en, 1.0).otherwise(0.0), Map("name" -> "time-span")))
+        case MathExpr.NamedRewrite(_, inner) => gridFn(inner)
+        case _ => None
+      }
+
+    /**
      * Binary op: dense-align both sides on the grid, then match lines — by
      * subset group key when both sides are grouped (hash-join semantics of
      * MathExpr.scala:456-576), by slot only when one side is a single line.
+     * Grid-defined and identical sides shortcut to projections (no join).
      */
     private def evalBinary(b: MathExpr.Binary): SeriesFrame = {
+      val opC = binOpCol(b.op)
+      (gridFn(b.expr1), gridFn(b.expr2)) match {
+        case (Some((g1f, tags1)), Some((g2f, _))) =>
+          return constant(opC(g1f(col(T)), g2f(col(T))), tags1)
+        case (None, Some((g2f, _))) =>
+          val f = densify(eval(b.expr1))
+          return f.copy(df = f.df.withColumn(V, opC(col(V), g2f(col(T))).cast("double")))
+        case (Some((g1f, _)), None) =>
+          val f = densify(eval(b.expr2))
+          return f.copy(df = f.df.withColumn(V, opC(g1f(col(T)), col(V)).cast("double")))
+        case _ if b.expr1 == b.expr2 =>
+          // self-op (e.g. the x*x inside :stddev): pointwise, no join
+          val f = densify(eval(b.expr1))
+          return f.copy(df = f.df.withColumn(V, opC(col(V), col(V)).cast("double")))
+        case _ => ()
+      }
       val f1 = densify(eval(b.expr1))
       val f2 = densify(eval(b.expr2))
       val g1 = f1.grouping
