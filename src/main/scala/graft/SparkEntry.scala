@@ -111,6 +111,7 @@ object SparkEntry {
     "data_by2_max" -> q(GroupBy(Max(view), List("usr", "grp")), "usr", "grp"),
     "data_all" -> q(All(Query.And(eq("name", "signup"), Query.LessThan("usr", "u003"))), "usr", "grp"),
     "data_offset" -> asl("name,click,:eq,:sum,1d,:offset"),
+    "data_cf_max" -> asl("name,click,:eq,:sum,:cf-max"),
     // -- query layer (§2.2) --
     "query_in" -> asl("name,(,click,view,),:in,:sum"),
     "query_re" -> q(Sum(Query.Regex("name", "p.*"))),
@@ -436,6 +437,9 @@ object SparkEntry {
     "data_offset" -> base(
       "SELECT t + 86400000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm " +
         "WHERE name = 'click' AND t >= 1704067200000 - 86400000 AND t < 1706659200000 - 86400000 GROUP BY 1"),
+    "data_cf_max" -> sql(
+      Seq(DP, "normx AS (SELECT name, usr, grp, hi, t, max(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM normx WHERE name = 'click' GROUP BY t"),
     "query_in" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name IN ('click', 'view') GROUP BY t"),
     "query_re" -> base(

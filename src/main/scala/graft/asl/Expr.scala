@@ -70,6 +70,24 @@ object DataExpr {
   }
 
   /**
+   * Explicit consolidation function (`:cf-sum/avg/min/max`,
+   * DataExpr.Consolidation, DataExpr.scala:257): how a series' datapoints
+   * merge into a step slot when the evaluation step is coarser than the
+   * publish cadence. Wraps an aggregate; the planner applies `cf` at ingest
+   * normalization instead of the default sum.
+   */
+  final case class Consolidation(af: AggregateFunction, cf: String)
+      extends AggregateFunction {
+    require(Set("sum", "avg", "min", "max").contains(cf), s"unknown cf $cf")
+    def name: String = af.name
+    def query: Query = af.query
+    def offset: Long = af.offset
+    def withOffset(o: Long): DataExpr =
+      copy(af = af.withOffset(o).asInstanceOf[AggregateFunction])
+    override def asl = s"${af.asl},:cf-$cf"
+  }
+
+  /**
    * Group matching series by tag keys and aggregate within each group.
    * Series missing any of the keys are dropped (DataExpr.scala:108-122).
    */

@@ -253,6 +253,30 @@ object Vocabulary {
         c.copy(stack = DataExpr.GroupBy(af, Coerce.stringList(keys).get) :: rest)
       }
     },
+    word("cf-sum", "AggregateFunction -- DataExpr", List("name,sps,:eq,:sum,:cf-sum")) { s =>
+      s.headOption.exists(_.isInstanceOf[DataExpr.AggregateFunction])
+    } { (c, _) =>
+      c.copy(stack = DataExpr.Consolidation(
+        c.stack.head.asInstanceOf[DataExpr.AggregateFunction], "sum") :: c.stack.tail)
+    },
+    word("cf-avg", "AggregateFunction -- DataExpr", List("name,sps,:eq,:sum,:cf-avg")) { s =>
+      s.headOption.exists(_.isInstanceOf[DataExpr.AggregateFunction])
+    } { (c, _) =>
+      c.copy(stack = DataExpr.Consolidation(
+        c.stack.head.asInstanceOf[DataExpr.AggregateFunction], "avg") :: c.stack.tail)
+    },
+    word("cf-min", "AggregateFunction -- DataExpr", List("name,sps,:eq,:min,:cf-min")) { s =>
+      s.headOption.exists(_.isInstanceOf[DataExpr.AggregateFunction])
+    } { (c, _) =>
+      c.copy(stack = DataExpr.Consolidation(
+        c.stack.head.asInstanceOf[DataExpr.AggregateFunction], "min") :: c.stack.tail)
+    },
+    word("cf-max", "AggregateFunction -- DataExpr", List("name,sps,:eq,:max,:cf-max")) { s =>
+      s.headOption.exists(_.isInstanceOf[DataExpr.AggregateFunction])
+    } { (c, _) =>
+      c.copy(stack = DataExpr.Consolidation(
+        c.stack.head.asInstanceOf[DataExpr.AggregateFunction], "max") :: c.stack.tail)
+    },
     word("offset", "TimeSeriesExpr duration -- TimeSeriesExpr",
       List("name,sps,:eq,:sum,1w,:offset")) { s =>
       s.size >= 2 && isStr(s.head) && (isTS(s(1)) || s(1).isInstanceOf[StyleExpr])
@@ -742,6 +766,17 @@ object Vocabulary {
     lsMacro("stack"),
     lsMacro("vspan"),
     lsMacro("heatmap"),
+    // macro -> (,percentile,),:cg,heatmap,:ls (StyleVocabulary.scala:107-114)
+    word("percentiles-heatmap", "TimeSeriesExpr -- StyleExpr",
+      List("name,latency,:eq,:sum,:percentiles-heatmap")) { s =>
+      s.headOption.exists(v => isTS(v) || v.isInstanceOf[StyleExpr])
+    } { (c, _) =>
+      val se = Coerce.style(c.stack.head).get
+      val regrouped = Coerce.style(
+        Rewrite.mapData(se, d => Rewrite.withCommonGroup(d, List("percentile")))).get
+      c.copy(stack =
+        regrouped.copy(settings = regrouped.settings + ("ls" -> "heatmap")) :: c.stack.tail)
+    },
     word("strip-style", "StyleExpr -- TimeSeriesExpr", Nil) { s =>
       s.headOption.exists(_.isInstanceOf[StyleExpr])
     } { (c, _) =>

@@ -231,10 +231,22 @@ object Planner {
         .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(d.offset))
 
       // Ingest normalization: one value per (series, slot); datapoints within
-      // a slot sum (reference norm/SumValueFunction).
+      // a slot merge with the consolidation function — sum by default
+      // (norm/SumValueFunction), or an explicit :cf-* (DataExpr.Consolidation).
+      def cfOf(a: DataExpr): String = a match {
+        case DataExpr.Consolidation(_, cf) => cf
+        case DataExpr.GroupBy(af, _)       => cfOf(af)
+        case _                             => "sum"
+      }
+      val normAgg = cfOf(d) match {
+        case "avg" => avg(col(V))
+        case "min" => min(col(V))
+        case "max" => max(col(V))
+        case _     => sum(col(V))
+      }
       val norm = base
         .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
-        .agg(sum(col(V)).as(V), first(col(TAGS)).as(TAGS))
+        .agg(normAgg.as(V), first(col(TAGS)).as(TAGS))
 
       d match {
         case DataExpr.All(_, _) =>
@@ -272,10 +284,11 @@ object Planner {
     }
 
     private def aggColFor(af: DataExpr.AggregateFunction): Column = af match {
-      case _: DataExpr.Sum   => sumNaN(col(V))
-      case _: DataExpr.Count => countNaN(col(V))
-      case _: DataExpr.Min   => minNaNAgg(col(V))
-      case _: DataExpr.Max   => maxNaNAgg(col(V))
+      case _: DataExpr.Sum                => sumNaN(col(V))
+      case _: DataExpr.Count              => countNaN(col(V))
+      case _: DataExpr.Min                => minNaNAgg(col(V))
+      case _: DataExpr.Max                => maxNaNAgg(col(V))
+      case DataExpr.Consolidation(af2, _) => aggColFor(af2)
     }
 
     // ---- math layer ----

@@ -101,7 +101,9 @@ class SketchSpec extends SparkSpec {
       "name,lat,:eq,:median",
       "name,lat,:eq,0.0,100.0,:sample-count",
       "hourOfDay,:time,:tan",
-      "hourOfDay,:time,:sec"
+      "hourOfDay,:time,:sec",
+      "name,lat,:eq,:sum,:cf-max",
+      "name,lat,:eq,:max,:cf-avg"
     )
     programs.foreach { p =>
       val e1 = Asl.parse(p)
