@@ -24,10 +24,24 @@ object Api {
    * The dense per-line values array is assembled by sorting the collected
    * (slot, value) structs per line — one shuffle at line cardinality.
    */
-  def graph(program: String, dp: DataFrame, ctx: EvalContext): DataFrame = {
+  def graph(
+      program: String,
+      dp: DataFrame,
+      ctx: EvalContext,
+      maxDatapoints: Int = 0
+  ): DataFrame = {
     val styled = Asl.parseAll(program)
+    // Step auto-coarsening (GraphConfig.stepSize, graph/GraphConfig.scala:
+    // 78-82): cap datapoints per line by consolidating to a coarser step.
+    val step =
+      if (maxDatapoints > 0) graft.core.Step.compute(ctx.step, maxDatapoints, ctx.start, ctx.end)
+      else ctx.step
+    val multiple = (step / ctx.step).toInt
     styled.map { s =>
-      val frame = Planner.eval(if (s.settings.isEmpty) s.expr else s, dp, ctx)
+      val expr0 = if (s.settings.isEmpty) s.expr else s
+      val expr =
+        if (multiple > 1) FilterExpr.Consolidate(expr0, multiple, "avg") else expr0
+      val frame = Planner.eval(expr, dp, ctx)
       message(frame, s.expr, ctx, s.settings)
     }.reduce(_ unionByName _)
   }
@@ -44,7 +58,7 @@ object Api {
       ctx: EvalContext,
       settings: Map[String, String]
   ): DataFrame = {
-    val grid = (0L until ctx.bufferSize).map(i => ctx.start + i * ctx.step)
+    val grid = (ctx.start until ctx.end by frame.step)
 
     // collect (t, v) per line, then fill the dense grid in slot order
     val collected = frame.df

@@ -22,6 +22,9 @@ object Rewrite {
       MathExpr.GroupBy(mapData(aggr, f).asInstanceOf[MathExpr.Aggr], keys)
     case MathExpr.As(x, o, r)         => MathExpr.As(mapData(x, f), o, r)
     case MathExpr.NamedRewrite(d, x)  => MathExpr.NamedRewrite(d, mapData(x, f))
+    case p: MathExpr.Percentiles      =>
+      p.copy(expr = f(p.expr).asInstanceOf[DataExpr.GroupBy])
+    case a: MathExpr.ApproxDistinct   => a.copy(expr = f(a.expr))
     case s: StatefulExpr              => mapStateful(s, f)
     case FilterExpr.Stat(x, st)       => FilterExpr.Stat(mapData(x, f), st)
     case s: FilterExpr.StatExpr       => s
@@ -47,14 +50,20 @@ object Rewrite {
   }
 
   /** AND a common query into a data expr (`:cq`). */
-  def withCommonQuery(d: DataExpr, common: Query): DataExpr = d match {
-    case DataExpr.All(q, o)          => DataExpr.All(q.and(common), o)
-    case DataExpr.Sum(q, o)          => DataExpr.Sum(q.and(common), o)
-    case DataExpr.Count(q, o)        => DataExpr.Count(q.and(common), o)
-    case DataExpr.Min(q, o)          => DataExpr.Min(q.and(common), o)
-    case DataExpr.Max(q, o)          => DataExpr.Max(q.and(common), o)
-    case DataExpr.GroupBy(af, keys)  =>
-      DataExpr.GroupBy(withCommonQuery(af, common).asInstanceOf[DataExpr.AggregateFunction], keys)
+  def withCommonQuery(d: DataExpr, common: Query): DataExpr =
+    mapQuery(d, _.and(common))
+
+  /** Apply f to the query of a data expr. */
+  def mapQuery(d: DataExpr, f: Query => Query): DataExpr = d match {
+    case DataExpr.All(q, o)            => DataExpr.All(f(q), o)
+    case DataExpr.Sum(q, o)            => DataExpr.Sum(f(q), o)
+    case DataExpr.Count(q, o)          => DataExpr.Count(f(q), o)
+    case DataExpr.Min(q, o)            => DataExpr.Min(f(q), o)
+    case DataExpr.Max(q, o)            => DataExpr.Max(f(q), o)
+    case DataExpr.Consolidation(af, cf) =>
+      DataExpr.Consolidation(mapQuery(af, f).asInstanceOf[DataExpr.AggregateFunction], cf)
+    case DataExpr.GroupBy(af, keys)    =>
+      DataExpr.GroupBy(mapQuery(af, f).asInstanceOf[DataExpr.AggregateFunction], keys)
   }
 
   /** Append common group-by keys to a data expr (`:cg`). */

@@ -46,6 +46,17 @@ class ApiSpec extends SparkSpec {
     assert(first.contains("\"end\":120000"))
   }
 
+  test("maxDatapoints auto-coarsens the step (GraphConfig.stepSize port)") {
+    import graft.core.Step
+    assert(Step.compute(60000L, 2, 0L, 240000L) == 120000L)
+    assert(Step.compute(60000L, 1000, 0L, 240000L) == 60000L)
+    // 4 slots capped at 2 points -> 2-minute consolidated slots (avg cf)
+    val out = Api.graph("name,a,:eq,:sum", dp, ctx, maxDatapoints = 2)
+      .collect().map(_.getString(0))
+    assert(out.length == 1)
+    assert(out.head.contains("\"step\":120000"), out.head)
+  }
+
   test("tags API lists keys, values and pairs with paging") {
     val keys = Api.tagKeys(dp, Query.True).collect().map(_.getString(0)).toList
     assert(keys == List("name", "node"))
