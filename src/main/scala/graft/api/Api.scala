@@ -71,7 +71,7 @@ object Api {
       coalesce(element_at(col("tv"), lit(t)), lit(Double.NaN))): _*)
 
     // legend: $k substitution from tags (StyleExpr.legend, StyleExpr.scala:47-62)
-    val label = settings.get("legend") match {
+    val base = settings.get("legend") match {
       case Some(fmt) =>
         val parts = "\\$([a-zA-Z0-9_.]+)".r.split(fmt)
         val keys = "\\$([a-zA-Z0-9_.]+)".r.findAllMatchIn(fmt).map(_.group(1)).toList
@@ -82,6 +82,12 @@ object Api {
       case None =>
         when(col("key") === "", lit(expr.asl)).otherwise(col("key"))
     }
+    // :s search-replace chain applied to the legend text (StyleExpr.scala:223-259)
+    val label = settings.get("sed").map(_.split(" ").toList).getOrElse(Nil)
+      .grouped(2).foldLeft(base) {
+        case (c, List(search, repl)) => regexp_replace(c, search, repl)
+        case (c, _)                  => c
+      }
 
     collected.select(
       to_json(struct(

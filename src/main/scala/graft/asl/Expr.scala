@@ -510,6 +510,9 @@ final case class StyleExpr(expr: TimeSeriesExpr, settings: Map[String, String])
   def dataExprs: List[DataExpr] = expr.dataExprs
   def finalGrouping: List[String] = expr.finalGrouping
   def asl: String = expr.asl + settings.toList.sorted.map {
+    // sed stores chained :s search/replace pairs space-separated
+    case ("sed", v) =>
+      v.split(" ").grouped(2).map { case Array(s, r) => s",$s,$r,:s" }.mkString
     case (k, v) => s",$v,:$k"
   }.mkString
 }

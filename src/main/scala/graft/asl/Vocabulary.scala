@@ -781,6 +781,20 @@ object Vocabulary {
       s.headOption.exists(_.isInstanceOf[StyleExpr])
     } { (c, _) =>
       c.copy(stack = c.stack.head.asInstanceOf[StyleExpr].expr :: c.stack.tail)
+    },
+    // legend hex-decode mode (StyleVocabulary.scala:424)
+    styleWord("decode", "name,sps,:eq,:sum,hex,:decode"),
+    // legend regex search-replace; applications chain (StyleVocabulary.scala:470)
+    word("s", "TimeSeriesExpr search replace -- StyleExpr",
+      List("name,sps,:eq,(,nf.cluster,),:by,^nf-,_,:s")) { s =>
+      s.size >= 3 && isStr(s.head) && isStr(s(1)) &&
+        (isTS(s(2)) || s(2).isInstanceOf[StyleExpr])
+    } { (c, _) =>
+      val repl :: search :: e :: rest = c.stack: @unchecked
+      val se = Coerce.style(e).get
+      val existing = se.settings.get("sed").map(_ + " ").getOrElse("")
+      val sed = existing + search.asInstanceOf[String] + " " + repl.asInstanceOf[String]
+      c.copy(stack = se.copy(settings = se.settings + ("sed" -> sed)) :: rest)
     }
   )
 

@@ -53,8 +53,8 @@ object StreamRunner {
         window(col("event_time"), s"$step milliseconds"),
         Planner.seriesId(col("tags")).as("key")
       )
-      .agg(sum(col("value")).as("value"))
-      .select(col("window"), col("key"),
+      .agg(sum(col("value")).as("value"), first(col("tags")).as("tags"))
+      .select(col("window"), col("key"), col("tags"),
         unix_millis(col("window.start")).as("t"), col("value"))
   }
 
@@ -69,6 +69,24 @@ object StreamRunner {
       .groupBy(col("window"))
       .agg(sum(col("value")).as("value"))
       .select(unix_millis(col("window.start")).as("t"), col("value"))
+
+  /**
+   * Streaming `:by`: per-step aggregation grouped by tag values (series
+   * missing a key were already dropped by the query or drop here via the
+   * null group). Same chained-stateful form as [[sumAll]]; the shuffle key
+   * is (window, group values) — identical partitioning to the batch plan.
+   */
+  def sumBy(normalized: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(k => col("tags").getItem(k).as(s"gk_$k"))
+    val present = keys.map(k => col("tags").getItem(k).isNotNull).reduce(_ && _)
+    normalized
+      .filter(present)
+      .groupBy(col("window") +: kcols: _*)
+      .agg(sum(col("value")).as("value"))
+      .select(
+        keys.map(k => col(s"gk_$k").as(k)) ++
+          Seq(unix_millis(col("window.start")).as("t"), col("value")): _*)
+  }
 
   /**
    * Serialized online-algorithm state carried in GroupState (the AlgoState

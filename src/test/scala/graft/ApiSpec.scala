@@ -39,6 +39,12 @@ class ApiSpec extends SparkSpec {
     assert(out.exists(_.contains("\"label\":\"node n1\"")), out.mkString("\n"))
   }
 
+  test(":s rewrites the legend with regex search-replace") {
+    val out = Api.graph("name,a,:eq,:sum,(,node,),:by,$node,:legend,^n,host-,:s", dp, ctx)
+      .collect().map(_.getString(0))
+    assert(out.exists(_.contains("\"label\":\"host-1\"")), out.mkString("\n"))
+  }
+
   test("fetch partitions the window into chunks") {
     val chunks = Api.fetch("name,a,:eq,:sum", dp, ctx, chunkSlots = 2)
     assert(chunks.length == 2)

@@ -71,6 +71,40 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming grouped :by matches the batch group-by") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val norm = StreamRunner.normalize(dp, Query.Equal("name", "a"), ctx.step, "1 minute")
+    val out = StreamRunner.sumBy(norm, Seq("node"))
+    val query = out.writeStream.format("memory").queryName("stream_by")
+      .outputMode("append").start()
+    try {
+      val ordered = points.sortBy(_._2)
+      input.addData(ordered)
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1001), 0.0)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_by")
+        .filter(col("t") < slot(100))
+        .collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[Long]("t")) -> r.getAs[Double]("value"))
+        .toMap
+      val batch = Planner.output(
+        Planner.eval(DataExpr.GroupBy(DataExpr.Sum(Query.Equal("name", "a")), List("node")),
+          points.toDF("tags", "ts", "value"), ctx), Seq("node"), 6)
+        .collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[Long]("t")) -> r.getAs[Double]("value"))
+        .toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming :rolling-sum via the generic runner matches batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
