@@ -248,6 +248,7 @@ object SparkEntry {
       "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+      "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
       "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
       // -- multimodal plumbing --
@@ -339,6 +340,13 @@ object SparkEntry {
       "text_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
           |FROM documents""".stripMargin,
+      "text_tokens" -> {
+        val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) AS n_bpe_tokens
+           |FROM documents""".stripMargin
+      },
       "events_table" ->
         """SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
           |WHERE event_type = 'error' AND 'u' || lpad(CAST(user_id AS VARCHAR), 3, '0') >= 'u100'""".stripMargin,

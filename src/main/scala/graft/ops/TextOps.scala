@@ -74,6 +74,22 @@ object TextOps {
   }
 
   /**
+   * GPT-2-style pretokenizer pattern, simplified to the RE2-compatible
+   * subset (no lookahead) so the DuckDB oracle counts identically:
+   * contractions, letter runs, digit runs, punctuation runs — each with an
+   * optional leading space.
+   */
+  val bpePattern: String = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+  /** Token counts per doc: whitespace tokens and BPE-ish subword pieces. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).cast("double").as("n_ws_tokens"),
+      regexp_count(col(textCol), lit(bpePattern)).cast("double").as("n_bpe_tokens")
+    )
+
+  /**
    * Canonical content fingerprint: md5 of the sorted distinct lowercase
    * token set. Word-order- and duplication-insensitive, so reordered or
    * re-wrapped copies of a document collide (a cheap near-dup prefilter).
