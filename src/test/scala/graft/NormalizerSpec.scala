@@ -30,6 +30,20 @@ class NormalizerSpec extends AnyFunSuite {
     assert(norm.normalizeToString(q) == "name,a,:eq,:sum")
   }
 
+  test("custom vocabulary macros behave like built-in words") {
+    import CustomVocabulary.Macro
+    val vocab = CustomVocabulary(List(
+      Macro("des-fast", List("10", "0.1", "0.02", ":des")),
+      Macro("clamp-pos", List("0", ":clamp-min"))
+    ))
+    val e = vocab.parse("name,sps,:eq,:sum,:des-fast")
+    assert(e == StatefulExpr.Des(DataExpr.Sum(Query.Equal("name", "sps")), 10, 0.1, 0.02))
+    val c = vocab.parse("name,sps,:eq,:sum,:clamp-pos")
+    assert(c == MathExpr.ClampMin(DataExpr.Sum(Query.Equal("name", "sps")), 0.0))
+    // built-ins still resolve through the custom interpreter
+    assert(vocab.parse("name,a,:eq,:sum").isInstanceOf[DataExpr.Sum])
+  }
+
   test("scalar validation flags rule violations") {
     assert(Validation.validate(Map("name" -> "sps", "cluster" -> "web")).isEmpty)
     val issues = Validation.validate(Map(
