@@ -149,6 +149,48 @@ object StreamRunner {
       }
   }
 
+  /**
+   * Publish/ingest sink (reference PublishApi -> MemoryDatabase.update,
+   * SURVEY §2.1): validated datapoints -> step normalization -> parquet
+   * series store appended per micro-batch, partitioned by slot date so
+   * batch queries prune partitions by time range. Invalid rows are dropped
+   * by the codegen validation predicate (route them to a dead-letter sink
+   * in foreachBatch if they must be kept).
+   */
+  def ingest(
+      datapoints: DataFrame,
+      storePath: String,
+      checkpointPath: String,
+      step: Long,
+      watermark: String = "10 minutes"
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val valid = datapoints.filter(graft.sources.Validation.validTags(col("tags")))
+    val normalized = valid
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        window(col("event_time"), s"$step milliseconds"),
+        col("tags")
+      )
+      .agg(sum(col("value")).as("value"))
+      .select(
+        col("tags"),
+        unix_millis(col("window.start")).as("t"),
+        col("value"),
+        to_date(col("window.start")).as("date"))
+    normalized.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("date").parquet(storePath)
+      }
+      .start()
+  }
+
+  /** Read the ingested series store back as a canonical datapoint frame. */
+  def readStore(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath).select(col("tags"), col("t").as("ts"), col("value"))
+
   /** Streaming `:des` (kept as the named entry point for the common case). */
   def streamingDes(
       normalized: Dataset[SlotValue],

@@ -141,6 +141,35 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest sink writes a partitioned series store batch queries can read") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val query = StreamRunner.ingest(dp, s"$dir/store", s"$dir/ckpt", ctx.step, "1 minute")
+    try {
+      // valid rows plus one invalid (bad key charset) that must be dropped
+      input.addData(points.sortBy(_._2) :+ ((Map("name" -> "bad key!") , slot(0), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1001), 0.0)))
+      query.processAllAvailable()
+
+      val stored = StreamRunner.readStore(spark, s"$dir/store")
+      val got = Planner.output(
+        Planner.eval(DataExpr.Sum(Query.Equal("name", "a")), stored, ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      val batch = Planner.output(
+        Planner.eval(DataExpr.Sum(Query.Equal("name", "a")),
+          points.toDF("tags", "ts", "value"), ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("streaming :des with carried state matches batch :des") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
