@@ -37,7 +37,20 @@ object Api {
       if (maxDatapoints > 0) graft.core.Step.compute(ctx.step, maxDatapoints, ctx.start, ctx.end)
       else ctx.step
     val multiple = (step / ctx.step).toInt
-    styled.map { s =>
+    // legacy list-form :offset expands to one expression per offset
+    // (StyleExpr.perOffset, StyleExpr.scala:195-200)
+    val expanded = styled.flatMap { s =>
+      s.settings.get("offsets") match {
+        case Some(offsets) =>
+          offsets.split(",").toList.map { o =>
+            val ms = Strings.parseDuration(o)
+            val shifted = Rewrite.mapData(s.expr, _.withOffset(ms))
+            s.copy(expr = shifted, settings = s.settings - "offsets")
+          }
+        case None => List(s)
+      }
+    }
+    expanded.map { s =>
       val expr0 = if (s.settings.isEmpty) s.expr else s
       val expr =
         if (multiple > 1) FilterExpr.Consolidate(expr0, multiple, "avg") else expr0

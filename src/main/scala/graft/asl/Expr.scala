@@ -513,7 +513,9 @@ final case class StyleExpr(expr: TimeSeriesExpr, settings: Map[String, String])
     // sed stores chained :s search/replace pairs space-separated
     case ("sed", v) =>
       v.split(" ").grouped(2).map { case Array(s, r) => s",$s,$r,:s" }.mkString
-    case (k, v) => s",$v,:$k"
+    // offsets stores the legacy list-form :offset durations
+    case ("offsets", v) => s",(,$v,),:offset"
+    case (k, v)         => s",$v,:$k"
   }.mkString
 }
 

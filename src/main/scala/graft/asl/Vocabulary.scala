@@ -752,6 +752,19 @@ object Vocabulary {
     styleWord("sort", "name,sps,:eq,(,cluster,),:by,max,:sort"),
     styleWord("order", "name,sps,:eq,(,cluster,),:by,asc,:order"),
     styleWord("limit", "name,sps,:eq,(,cluster,),:by,3,:limit"),
+    // legacy multi-offset list form (StyleVocabulary.scala:330): stores the
+    // offsets; the graph API expands to one expression per offset
+    // (StyleExpr.perOffset, StyleExpr.scala:195-200)
+    word("offset", "TimeSeriesExpr (durations) -- StyleExpr",
+      List("name,sps,:eq,:sum,(,0h,1d,1w,),:offset")) { s =>
+      s.size >= 2 && isList(s.head) && (isTS(s(1)) || s(1).isInstanceOf[StyleExpr])
+    } { (c, _) =>
+      pop2(c) { (lst, e, rest) =>
+        val se = Coerce.style(e).get
+        val offsets = Coerce.stringList(lst).get.mkString(",")
+        c.copy(stack = se.copy(settings = se.settings + ("offsets" -> offsets)) :: rest)
+      }
+    },
     // :head is the legacy alias for :limit (StyleVocabulary.scala:58)
     word("head", "TimeSeriesExpr n -- StyleExpr", List("name,sps,:eq,(,cluster,),:by,3,:head")) { s =>
       s.size >= 2 && isIntStr(s.head) && (isTS(s(1)) || s(1).isInstanceOf[StyleExpr])

@@ -31,6 +31,27 @@ object StreamRunner {
   final case class SlotValue(key: String, t: Long, value: Double)
 
   /**
+   * Late-data accounting (the reference TimeGrouped droppedOld counter,
+   * stream/TimeGrouped.scala:77-78): rows behind the watermark are dropped
+   * by Spark's stateful operators; this listener accumulates the per-query
+   * drop counts from progress events so operators can alert on silent loss.
+   */
+  final class DropMetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val counts = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+
+    def droppedRows(queryId: java.util.UUID): Long = counts.getOrDefault(queryId, 0L)
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val dropped = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (dropped > 0) counts.merge(e.progress.id, dropped, (a, b) => a + b)
+    }
+  }
+
+  /**
    * Step-aligned ingest normalization: datapoints within (series, slot) sum,
    * like the batch planner. Emits append-mode rows once the watermark passes
    * the slot end.

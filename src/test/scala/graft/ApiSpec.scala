@@ -63,6 +63,15 @@ class ApiSpec extends SparkSpec {
     assert(out.head.contains("\"step\":120000"), out.head)
   }
 
+  test("list-form :offset expands to one message per offset") {
+    val out = Api.graph("name,a,:eq,:sum,(,0m,1m,),:offset", dp, ctx)
+      .collect().map(_.getString(0))
+    assert(out.length == 2, out.mkString("\n"))
+    // 1m-shifted expr sees slot0 data at slot1
+    assert(out.exists(_.contains("\"query\":\"name,a,:eq,:sum\"")), out.mkString("\n"))
+    assert(out.exists(_.contains("\"query\":\"name,a,:eq,:sum,1m,:offset\"")), out.mkString("\n"))
+  }
+
   test("tags API lists keys, values and pairs with paging") {
     val keys = Api.tagKeys(dp, Query.True).collect().map(_.getString(0)).toList
     assert(keys == List("name", "node"))
