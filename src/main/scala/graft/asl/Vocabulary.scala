@@ -155,8 +155,14 @@ object Vocabulary {
     },
     word("freeze", "* --", Nil) { _ => true } { (c, _) =>
       c.copy(stack = Nil, frozen = c.stack ::: c.frozen)
-    }
+    },
+    macroWord("sset", List(":swap", ":set"), Nil),
+    macroWord("fcall", List(":get", ":call"), Nil)
   )
+
+  /** A word defined as a token program (StandardVocabulary.Macro). */
+  private def macroWord(n: String, program: List[String], ex: List[String]): Word =
+    word(n, "macro", ex) { _ => true } { (c, in) => in.execute(program, c) }
 
   // --- query words (QueryVocabulary.scala) ----------------------------------
 
@@ -598,6 +604,17 @@ object Vocabulary {
         c.copy(stack = mk(ts(e), num.asInstanceOf[String].toInt) :: rest))
     }
 
+  private def desPreset(n: String, sliding: Boolean, alpha: Double, beta: Double): Word =
+    word(n, "TimeSeriesExpr -- TimeSeriesExpr", List(s"name,sps,:eq,:sum,:$n")) { s =>
+      s.headOption.exists(isTS)
+    } { (c, _) =>
+      val e = ts(c.stack.head)
+      val inner: TimeSeriesExpr =
+        if (sliding) StatefulExpr.SlidingDes(e, 10, alpha, beta)
+        else StatefulExpr.Des(e, 10, alpha, beta)
+      c.copy(stack = MathExpr.NamedRewrite(s"${e.asl},:$n", inner) :: c.stack.tail)
+    }
+
   private val stateful: List[Word] = List(
     statefulN("delay", StatefulExpr.Delay.apply, "name,sps,:eq,:sum,3,:delay"),
     statefulN("rolling-count", StatefulExpr.RollingCount.apply, "name,sps,:eq,:sum,100,:gt,5,:rolling-count"),
@@ -628,6 +645,39 @@ object Vocabulary {
       c.copy(stack = StatefulExpr.SlidingDes(ts(e), training.asInstanceOf[String].toInt,
         alpha.asInstanceOf[String].toDouble, beta.asInstanceOf[String].toDouble) :: rest)
     },
+    // DES-based alerting signal (StatefulVocabulary desEpicSignal macro):
+    // 1 when the line deviates from both noise and percent bounds around a
+    // DES prediction, else 0. Same token program as the reference macro.
+    macroWord("des-epic-signal", List(
+      "noise", ":sset", "minPercent", ":sset", "maxPercent", ":sset",
+      "beta", ":sset", "alpha", ":sset", "trainingSize", ":sset", "line", ":sset",
+      "pred",
+      "line", ":get", "trainingSize", ":get", "alpha", ":get", "beta", ":get", ":des",
+      ":set",
+      "minPredNoiseBound", "pred", ":get", "noise", ":get", ":sub", ":set",
+      "minPredPercentBound",
+      "pred", ":get", "1.0", ":const", "minPercent", ":get", ":const", ":fsub", ":fmul",
+      ":set",
+      "maxPredNoiseBound", "pred", ":get", "noise", ":get", ":add", ":set",
+      "maxPredPercentBound",
+      "pred", ":get", "2.0", ":const", "1.0", ":const", "maxPercent", ":get", ":const",
+      ":fsub", ":fsub", ":fmul",
+      ":set",
+      "line", ":get", "minPredNoiseBound", ":get", ":lt",
+      "line", ":get", "minPredPercentBound", ":get", ":lt", ":and",
+      "line", ":get", "maxPredNoiseBound", ":get", ":gt",
+      "line", ":get", "maxPredPercentBound", ":get", ":gt", ":and",
+      ":or"
+    ), List("name,sps,:eq,:sum,10,0.1,0.5,0.2,0.2,4,:des-epic-signal")),
+    // DES preset macros (StatefulVocabulary.scala:53-60)
+    desPreset("des-simple", sliding = false, 0.1, 0.5),
+    desPreset("des-fast", sliding = false, 0.1, 0.02),
+    desPreset("des-slower", sliding = false, 0.05, 0.03),
+    desPreset("des-slow", sliding = false, 0.03, 0.04),
+    desPreset("sdes-simple", sliding = true, 0.1, 0.5),
+    desPreset("sdes-fast", sliding = true, 0.1, 0.02),
+    desPreset("sdes-slower", sliding = true, 0.05, 0.03),
+    desPreset("sdes-slow", sliding = true, 0.03, 0.04),
     word("trend", "TimeSeriesExpr duration -- TimeSeriesExpr",
       List("name,sps,:eq,:sum,5m,:trend")) { s =>
       s.size >= 2 && isStr(s.head) && isTS(s(1))

@@ -33,10 +33,10 @@ class NormalizerSpec extends AnyFunSuite {
   test("custom vocabulary macros behave like built-in words") {
     import CustomVocabulary.Macro
     val vocab = CustomVocabulary(List(
-      Macro("des-fast", List("10", "0.1", "0.02", ":des")),
+      Macro("my-des", List("10", "0.1", "0.02", ":des")),
       Macro("clamp-pos", List("0", ":clamp-min"))
     ))
-    val e = vocab.parse("name,sps,:eq,:sum,:des-fast")
+    val e = vocab.parse("name,sps,:eq,:sum,:my-des")
     assert(e == StatefulExpr.Des(DataExpr.Sum(Query.Equal("name", "sps")), 10, 0.1, 0.02))
     val c = vocab.parse("name,sps,:eq,:sum,:clamp-pos")
     assert(c == MathExpr.ClampMin(DataExpr.Sum(Query.Equal("name", "sps")), 0.0))
