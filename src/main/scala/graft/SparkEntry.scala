@@ -211,6 +211,10 @@ object SparkEntry {
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:sum,:approx-distinct"),
         Datapoints.eventsRegisters(s, d), ctx), Nil, 4)),
+    "sketch_approx_distinct_cum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,:approx-distinct-cumulative"),
+        Datapoints.eventsRegisters(s, d), ctx), Nil, 4)),
     "asl_dist_avg" -> ((s, d) =>
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:dist-avg"),
@@ -631,6 +635,27 @@ object SparkEntry {
          |est AS (
          |  SELECT t, sum(power(2.0, -rho)) AS sumPow, CAST(count(*) AS BIGINT) AS nSet
          |  FROM regs WHERE rho > 0 GROUP BY t)
+         |SELECT t, round(${Hll.estimateSql("sumPow", "nSet")}, 4) AS value FROM est""".stripMargin
+    },
+    "sketch_approx_distinct_cum" -> {
+      import graft.functions.Hll
+      s"""WITH hashed AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t,
+         |         md5('u' || lpad(CAST(user_id AS VARCHAR), 3, '0')) AS h
+         |  FROM events WHERE event_type = 'click'),
+         |regs AS (
+         |  SELECT t, ${Hll.registerSql("h")} AS reg, max(${Hll.rhoSql("h")}) AS rho
+         |  FROM hashed GROUP BY 1, 2),
+         |grid AS (SELECT t FROM generate_series(1704067200000, 1706655600000, 3600000) AS g(t)),
+         |present AS (SELECT DISTINCT reg FROM regs),
+         |dense AS (
+         |  SELECT grid.t, present.reg,
+         |         max(regs.rho) OVER (PARTITION BY present.reg ORDER BY grid.t) AS rho
+         |  FROM grid CROSS JOIN present
+         |  LEFT JOIN regs ON regs.t = grid.t AND regs.reg = present.reg),
+         |est AS (
+         |  SELECT t, sum(power(2.0, -rho)) AS sumPow, CAST(count(*) AS BIGINT) AS nSet
+         |  FROM dense WHERE rho > 0 GROUP BY t)
          |SELECT t, round(${Hll.estimateSql("sumPow", "nSet")}, 4) AS value FROM est""".stripMargin
     },
     "asl_dist_avg" ->

@@ -297,7 +297,8 @@ object MathExpr {
    * reshaped so registers (the `distinct` tag, R%02X) merge with max; the
    * estimate collapses the register dimension.
    */
-  final case class ApproxDistinct(expr: DataExpr) extends TimeSeriesExpr {
+  final case class ApproxDistinct(expr: DataExpr, cumulative: Boolean = false)
+      extends TimeSeriesExpr {
     /** Reshaped fetch: max per register (and any user grouping). */
     val registerExpr: DataExpr.GroupBy = expr match {
       case DataExpr.GroupBy(af, keys) =>
@@ -306,7 +307,9 @@ object MathExpr {
     }
     def dataExprs: List[DataExpr] = List(registerExpr)
     def finalGrouping: List[String] = registerExpr.keys.filterNot(_ == "distinct")
-    def asl = s"${expr.asl},:approx-distinct"
+    def asl =
+      if (cumulative) s"${expr.asl},:approx-distinct-cumulative"
+      else s"${expr.asl},:approx-distinct"
   }
 
   /** Regroup grouped results by a subset of the inner keys (MathExpr.GroupBy). */

@@ -558,14 +558,22 @@ object Vocabulary {
       List("name,requests,:eq,:sum,:approx-distinct")) { s =>
       s.headOption.exists(v => isQ(v) || v.isInstanceOf[DataExpr])
     } { (c, _) =>
-      val d = c.stack.head match {
-        case q: Query    => DataExpr.Sum(q)
-        case d: DataExpr => d
-        case other       => throw new IllegalStateException(other.toString)
-      }
-      c.copy(stack = MathExpr.ApproxDistinct(d) :: c.stack.tail)
+      c.copy(stack = MathExpr.ApproxDistinct(toDataExpr(c.stack.head)) :: c.stack.tail)
+    },
+    word("approx-distinct-cumulative", "TimeSeriesExpr -- TimeSeriesExpr",
+      List("name,requests,:eq,:sum,:approx-distinct-cumulative")) { s =>
+      s.headOption.exists(v => isQ(v) || v.isInstanceOf[DataExpr])
+    } { (c, _) =>
+      c.copy(stack =
+        MathExpr.ApproxDistinct(toDataExpr(c.stack.head), cumulative = true) :: c.stack.tail)
     }
   )
+
+  private def toDataExpr(v: Any): DataExpr = v match {
+    case q: Query    => DataExpr.Sum(q)
+    case d: DataExpr => d
+    case other       => throw new IllegalStateException(other.toString)
+  }
 
   private def div(a: TimeSeriesExpr, b: TimeSeriesExpr) = MathExpr.Binary(MathExpr.BinOp.Div, a, b)
   private def mul(a: TimeSeriesExpr, b: TimeSeriesExpr) = MathExpr.Binary(MathExpr.BinOp.Mul, a, b)

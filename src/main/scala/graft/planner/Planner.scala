@@ -530,7 +530,13 @@ object Planner {
      */
     private def evalApproxDistinct(a: MathExpr.ApproxDistinct): SeriesFrame = {
       import graft.functions.Hll
-      val inner = eval(a.registerExpr)
+      // cumulative variant maxes each register across time BEFORE the
+      // estimate (reference approx-distinct-cumulative macro,
+      // StatefulVocabulary.scala:64-76) — maxing per-interval estimates
+      // would be wrong
+      val inner =
+        if (a.cumulative) eval(StatefulExpr.CumulativeMax(a.registerExpr))
+        else eval(a.registerExpr)
       val groupKeys = a.finalGrouping
       val gk = groupKeys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
 
