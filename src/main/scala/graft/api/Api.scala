@@ -59,6 +59,28 @@ object Api {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Full graph request: resolve the time range (relative forms like
+   * `s=e-3h&e=now`), round to step boundaries, auto-coarsen, evaluate
+   * (reference Grapher.toGraphConfig, atlas-eval graph/GraphConfig.scala).
+   */
+  def graphRequest(
+      program: String,
+      dp: DataFrame,
+      s: String = "e-3h",
+      e: String = "now",
+      stepMs: Long = 60000L,
+      maxDatapoints: Int = 0,
+      nowMs: () => Long = () => System.currentTimeMillis()
+  ): DataFrame = {
+    val (start0, end0) = Strings.timeRange(s, e, nowMs)
+    val step = graft.core.Step.round(stepMs, stepMs)
+    val rs = math.floorDiv(start0, step) * step
+    val re = math.floorDiv(end0, step) * step
+    val fstart = if (rs == re) rs - step else rs
+    graph(program, dp, EvalContext(fstart, re + step, step), maxDatapoints)
+  }
+
   /** One fetch chunk per context partition (EvalContext.partition analog,
     * reference model/EvalContext.scala:41-57): the same messages, windowed
     * to chunked time ranges for streaming delivery. */

@@ -551,4 +551,57 @@ object Strings {
       case None              => s"${ms / 1000L}s"
     }
   }
+
+  private val RelativeDate = "^(now|epoch|s|e)([-+])(.+)$".r
+  private val NamedDate = "^(now|epoch|s|e)$".r
+  private val UnixDate = "^([0-9]+)$".r
+
+  /**
+   * Parse a graph-API date: epoch (unit auto-detected by magnitude like the
+   * reference Strings.ofEpoch), ISO-8601, or a named reference (now, epoch,
+   * s, e) with an optional +/- duration (Strings.parseDate,
+   * atlas-core util/Strings.scala:488-548). Returns epoch ms.
+   */
+  def parseDate(str: String, refs: Map[String, Long] = Map.empty, nowMs: () => Long): Long = {
+    def ref(r: String): Long = refs.getOrElse(r, if (r == "epoch") 0L else nowMs())
+    str match {
+      case RelativeDate(r, op, p) =>
+        val d = parseDuration(p)
+        if (op == "-") ref(r) - d else ref(r) + d
+      case NamedDate(r) => ref(r)
+      case UnixDate(d) =>
+        val v = d.toLong
+        // unit by magnitude: seconds < 2^31ish, then millis, micros, nanos
+        if (v <= Int.MaxValue.toLong) v * 1000L
+        else if (v <= (1L << 44)) v
+        else if (v <= (1L << 54)) v / 1000L
+        else v / 1000000L
+      case s => java.time.Instant.parse(s).toEpochMilli
+    }
+  }
+
+  /**
+   * Resolve a (start, end) pair where either side may reference the other
+   * (Strings.timeRange, util/Strings.scala:605-624): a relative start
+   * resolves against the end, otherwise the end may reference the start.
+   */
+  def timeRange(s: String, e: String, nowMs: () => Long = () => System.currentTimeMillis()): (Long, Long) = {
+    // relative to a CUSTOM reference (s/e), not to now/epoch
+    // (Strings.isRelativeDate(str, customRef = true), util/Strings.scala:468-471)
+    def isRelative(v: String): Boolean = v match {
+      case RelativeDate(r, _, _) => r != "now" && r != "epoch"
+      case _                     => false
+    }
+    val range =
+      if (isRelative(s) || s == "e") {
+        require(!(isRelative(e) || e == "s"), "start and end are both relative")
+        val end = parseDate(e, Map.empty, nowMs)
+        (parseDate(s, Map("e" -> end), nowMs), end)
+      } else {
+        val start = parseDate(s, Map.empty, nowMs)
+        (start, parseDate(e, Map("s" -> start), nowMs))
+      }
+    require(range._1 <= range._2, "end time is before start time")
+    range
+  }
 }

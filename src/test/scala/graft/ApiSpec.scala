@@ -72,6 +72,28 @@ class ApiSpec extends SparkSpec {
     assert(out.exists(_.contains("\"query\":\"name,a,:eq,:sum,1m,:offset\"")), out.mkString("\n"))
   }
 
+  test("time-range parsing resolves relative and epoch forms") {
+    import graft.asl.Strings
+    val now = () => 1704844800000L // 2024-01-10T00:00Z
+    assert(Strings.timeRange("e-1h", "now", now) == (1704841200000L, 1704844800000L))
+    assert(Strings.timeRange("2024-01-01T00:00:00Z", "s+1d", now) ==
+      (1704067200000L, 1704153600000L))
+    // epoch seconds vs millis auto-detected by magnitude
+    assert(Strings.parseDate("1704067200", Map.empty, now) == 1704067200000L)
+    assert(Strings.parseDate("1704067200000", Map.empty, now) == 1704067200000L)
+    intercept[IllegalArgumentException](Strings.timeRange("e-1h", "s+1h", now))
+  }
+
+  test("graphRequest evaluates a relative window") {
+    val out = Api.graphRequest("name,a,:eq,:sum", dp,
+      s = "e-3m", e = "1970-01-01T00:04:00Z", stepMs = 60000L)
+      .collect().map(_.getString(0))
+    assert(out.length == 1)
+    assert(out.head.contains("\"start\":60000"), out.head)
+    assert(out.head.contains("\"values\":[2.0,\"NaN\",\"NaN\",\"NaN\"]") ||
+      out.head.contains("\"values\":[2.0,null,null,null]"), out.head)
+  }
+
   test("tags API lists keys, values and pairs with paging") {
     val keys = Api.tagKeys(dp, Query.True).collect().map(_.getString(0)).toList
     assert(keys == List("name", "node"))
