@@ -355,13 +355,11 @@ object Vocabulary {
     word("time-span", "s e -- TimeSeriesExpr", List("1704844800000,1705276800000,:time-span")) { s =>
       s.size >= 2 && isStr(s.head) && isStr(s(1))
     } { (c, _) =>
-      def parse(v: Any): Long = {
-        val str = v.asInstanceOf[String]
-        if (str.forall(_.isDigit)) str.toLong
-        else java.time.Instant.parse(str).toEpochMilli
-      }
-      pop2(c)((e, s0, rest) =>
-        c.copy(stack = MathExpr.TimeSpan(parse(s0), parse(e)) :: rest))
+      // full graph-API date grammar: epoch (magnitude-detected), ISO, or
+      // now/epoch-relative forms, resolved at parse time like the reference
+      val (s0, e0) = (c.stack(1).asInstanceOf[String], c.stack.head.asInstanceOf[String])
+      val range = Strings.timeRange(s0, e0)
+      c.copy(stack = MathExpr.TimeSpan(range._1, range._2) :: c.stack.drop(2))
     },
     unary("abs", MathExpr.UnaryOp.Abs, "name,sps,:eq,:sum,:abs"),
     unary("neg", MathExpr.UnaryOp.Negate, "name,sps,:eq,:sum,:neg"),
