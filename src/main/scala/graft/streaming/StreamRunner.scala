@@ -212,6 +212,65 @@ object StreamRunner {
   def readStore(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(storePath).select(col("tags"), col("t").as("ts"), col("value"))
 
+  /**
+   * Streaming `:percentiles`: per-slot bucket counts finalize under the
+   * watermark (all buckets of a window evict in the same trigger, so each
+   * micro-batch sees complete windows); the estimation itself needs window
+   * functions, which streaming plans exclude, so it runs per batch inside
+   * foreachBatch — the FinalExprEval analog for sketch operators.
+   */
+  def streamingPercentiles(
+      datapoints: DataFrame,
+      q: Query,
+      pcts: List[Double],
+      step: Long,
+      watermark: String = "10 minutes"
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val norm = normalize(datapoints, q, step, watermark)
+    val byBucket = norm
+      .groupBy(col("window"), col("tags").getItem("percentile").as("bucket"))
+      .agg(sum(col("value")).as("c"))
+      .select(unix_millis(col("window.start")).as("t"), col("bucket"), col("c"))
+    byBucket.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(estimatePercentiles(batch, pcts))
+      }
+      .start()
+  }
+
+  /** Batch percentile estimation over (t, bucket, c) rows — same cumulative
+    * interpolation as the planner (Planner.evalPercentiles). */
+  private[streaming] def estimatePercentiles(counts: DataFrame, pcts: List[Double]): DataFrame = {
+    import graft.functions.PercentileBuckets
+    import org.apache.spark.sql.expressions.Window
+    val sorted = pcts.distinct.sorted
+    val idx = conv(substring(col("bucket"), 2, 4), 16, 10).cast("long")
+    val isTimer = substring(col("bucket"), 1, 1) === "T"
+    val wOrd = Window.partitionBy(col("t")).orderBy(col("_idx"))
+    val wAll = Window.partitionBy(col("t"))
+    val cum = counts
+      .withColumn("_idx", idx)
+      .withColumn("_timer", isTimer)
+      .withColumn("_cum", sum(col("c")).over(wOrd))
+      .withColumn("_tot", sum(col("c")).over(wAll))
+    val withPct = cum
+      .withColumn("_p", explode(lit(sorted.toArray)))
+      .withColumn("_np", lit(100.0) * col("_cum") / col("_tot"))
+      .withColumn("_pp", lit(100.0) * (col("_cum") - col("c")) / col("_tot"))
+      .filter(col("_np") >= col("_p"))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("t"), col("_p")).orderBy(col("_idx"))))
+      .filter(col("_rn") === 1)
+    val b = PercentileBuckets.boundaryCol(col("_idx"))
+    val prevB = when(col("_idx") === 0, 0.0)
+      .otherwise(PercentileBuckets.boundaryCol(col("_idx") - 1))
+    val f = when(col("_np") > col("_pp"),
+      (col("_p") - col("_pp")) / (col("_np") - col("_pp"))).otherwise(0.0)
+    val est = (prevB + f * (b - prevB)) * when(col("_timer"), 1e-9).otherwise(1.0)
+    withPct.select(col("t"), col("_p").as("percentile"), est.cast("double").as("value"))
+  }
+
   /** Streaming `:des` (kept as the named entry point for the common case). */
   def streamingDes(
       normalized: Dataset[SlotValue],

@@ -141,6 +141,49 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming :percentiles matches the batch estimation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.PercentileBuckets
+
+    // bucketed count datapoints: values 0..199 in slot0, 100..299 in slot1
+    val bucketed = (0 until 200).map { v =>
+      (Map("name" -> "lat", "percentile" -> PercentileBuckets.label("D", v.toLong)),
+        slot(0) + 1L, 1.0)
+    } ++ (0 until 200).map { v =>
+      (Map("name" -> "lat", "percentile" -> PercentileBuckets.label("D", (v + 100).toLong)),
+        slot(1) + 1L, 1.0)
+    }
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val query = StreamRunner.streamingPercentiles(
+      input.toDF.toDF("tags", "ts", "value"),
+      Query.Equal("name", "lat"), List(50.0, 90.0), ctx.step, "1 minute") { out =>
+      results ++= out.collect().map(r =>
+        (r.getAs[Long]("t"), r.getAs[Double]("percentile"), r.getAs[Double]("value")))
+    }
+    try {
+      input.addData(bucketed)
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "lat", "percentile" -> "D0000"), slot(1000), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "lat", "percentile" -> "D0000"), slot(1001), 1.0)))
+      query.processAllAvailable()
+
+      val streamed = results.filter(_._1 < slot(100))
+        .map { case (t, p, v) => (t, p) -> math.rint(v * 1e4) / 1e4 }.toMap
+      val batchDp = bucketed.toDF("tags", "ts", "value")
+      val batch = Planner.output(
+        Planner.eval(Asl.parse("name,lat,:eq,(,50,90,),:percentiles"), batchDp, ctx),
+        Seq("percentile"), 6)
+        .collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[String]("percentile").trim.toDouble) ->
+          (math.rint(r.getAs[Double]("value") * 1e4) / 1e4))
+        .toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("ingest sink writes a partitioned series store batch queries can read") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
