@@ -61,6 +61,16 @@ object StreamRunner {
       q: Query,
       step: Long,
       watermark: String = "10 minutes"
+  ): DataFrame = normalizeWith(datapoints, q, step, watermark, "sum")
+
+  /** [[normalize]] with an explicit slot consolidation function — register
+    * sketches merge with max, not sum (the :cf-* analog for streaming). */
+  def normalizeWith(
+      datapoints: DataFrame,
+      q: Query,
+      step: Long,
+      watermark: String,
+      cf: String
   ): DataFrame = {
     // Note: Catalyst pushes the tag predicate below the EventTimeWatermark
     // node, so the watermark advances on MATCHING rows only — windows close
@@ -74,9 +84,40 @@ object StreamRunner {
         window(col("event_time"), s"$step milliseconds"),
         Planner.seriesId(col("tags")).as("key")
       )
-      .agg(sum(col("value")).as("value"), first(col("tags")).as("tags"))
+      .agg(cfAgg(cf).as("value"), first(col("tags")).as("tags"))
       .select(col("window"), col("key"), col("tags"),
         unix_millis(col("window.start")).as("t"), col("value"))
+  }
+
+  private def cfAgg(cf: String) = cf match {
+    case "avg" => avg(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    case _     => sum(col("value"))
+  }
+
+  /**
+   * Streaming `:approx-distinct`: registers merge with max under the
+   * watermark, then the HLL estimate is a plain per-window aggregation —
+   * the whole thing chains as two stateful aggregations, no custom state.
+   */
+  def streamingApproxDistinct(
+      datapoints: DataFrame,
+      q: Query,
+      step: Long,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    import graft.functions.Hll
+    val norm = normalizeWith(datapoints, q, step, watermark, "max")
+    val rho = when(isnan(col("value")) || col("value") <= 0.0, lit(null)).otherwise(col("value"))
+    norm
+      .withColumn("_pow", pow(lit(2.0), -rho))
+      .groupBy(col("window"))
+      .agg(sum(col("_pow")).as("_sumPow"), count(col("_pow")).as("_nSet"))
+      .select(
+        unix_millis(col("window.start")).as("t"),
+        Hll.estimateCol(col("_sumPow"), col("_nSet")).cast("double").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
   }
 
   /**

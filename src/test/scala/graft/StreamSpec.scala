@@ -184,6 +184,60 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming :approx-distinct matches the batch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.Hll
+
+    // register datapoints for 300 users in slot0, same + 100 more in slot1
+    def regRows(n: Int, t: Long) = (0 until n).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"user-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val reg = Integer.parseInt(h.substring(0, 2), 16) % Hll.m
+      val hex15 = h.substring(2, 17)
+      val stripped = hex15.dropWhile(_ == '0')
+      val rho =
+        if (stripped.isEmpty) 61
+        else {
+          val clz4 = stripped.head match {
+            case c if "89abcdef".contains(c) => 0
+            case c if "4567".contains(c)     => 1
+            case c if "23".contains(c)       => 2
+            case _                           => 3
+          }
+          (15 - stripped.length) * 4 + clz4 + 1
+        }
+      (Map("name" -> "req", "distinct" -> f"R$reg%02X"), t + 1L, rho.toDouble)
+    }
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val out = StreamRunner.streamingApproxDistinct(
+      input.toDF.toDF("tags", "ts", "value"), Query.Equal("name", "req"), ctx.step, "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_adist")
+      .outputMode("append").start()
+    try {
+      input.addData(regRows(300, slot(0)) ++ regRows(400, slot(1)))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "req", "distinct" -> "R00"), slot(1000), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "req", "distinct" -> "R00"), slot(1001), 1.0)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_adist")
+        .filter(col("t") < slot(100))
+        .collect().map(r => r.getAs[Long]("t") -> (math.rint(r.getAs[Double]("value") * 1e4) / 1e4))
+        .toMap
+      val batchDp = (regRows(300, slot(0)) ++ regRows(400, slot(1)))
+        .groupBy(r => (r._1, r._2 - r._2 % 60000L))
+        .map { case ((tags, t), rows) => (tags, t + 1L, rows.map(_._3).max) }
+        .toSeq.toDF("tags", "ts", "value")
+      val batch = Planner.output(
+        Planner.eval(Asl.parse("name,req,:eq,:sum,:approx-distinct"), batchDp, ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> (math.rint(r.getAs[Double]("value") * 1e4) / 1e4))
+        .toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("ingest sink writes a partitioned series store batch queries can read") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
