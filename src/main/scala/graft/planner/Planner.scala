@@ -356,26 +356,39 @@ object Planner {
      * subset group key when both sides are grouped (hash-join semantics of
      * MathExpr.scala:456-576), by slot only when one side is a single line.
      * Grid-defined and identical sides shortcut to projections (no join).
+     *
+     * Fast path for NaN-strict ops (:mul/:div — a slot missing on either
+     * side yields NaN): skip densification entirely and inner-join the
+     * sparse frames; the slots a dense plan would turn into NaN are exactly
+     * the slots the sparse join omits, and densify() downstream restores
+     * them as NaN on demand. This is the hot path — :avg/:pct/:stddev all
+     * expand to :div chains — and saves two grid joins (4 shuffles) per op.
+     * :pow stays dense (pow(NaN, 0) = 1), as do forgiving/compare/boolean
+     * ops (missing slots produce non-NaN values).
      */
     private def evalBinary(b: MathExpr.Binary): SeriesFrame = {
+      val strictNaN =
+        b.op == MathExpr.BinOp.Mul || b.op == MathExpr.BinOp.Div
+      def aligned(e: TimeSeriesExpr): SeriesFrame =
+        if (strictNaN) eval(e) else densify(eval(e))
       val opC = binOpCol(b.op)
       (gridFn(b.expr1), gridFn(b.expr2)) match {
         case (Some((g1f, tags1)), Some((g2f, _))) =>
           return constant(opC(g1f(col(T)), g2f(col(T))), tags1)
         case (None, Some((g2f, _))) =>
-          val f = densify(eval(b.expr1))
+          val f = aligned(b.expr1)
           return f.copy(df = f.df.withColumn(V, opC(col(V), g2f(col(T))).cast("double")))
         case (Some((g1f, _)), None) =>
-          val f = densify(eval(b.expr2))
+          val f = aligned(b.expr2)
           return f.copy(df = f.df.withColumn(V, opC(g1f(col(T)), col(V)).cast("double")))
         case _ if b.expr1 == b.expr2 =>
           // self-op (e.g. the x*x inside :stddev): pointwise, no join
-          val f = densify(eval(b.expr1))
+          val f = aligned(b.expr1)
           return f.copy(df = f.df.withColumn(V, opC(col(V), col(V)).cast("double")))
         case _ => ()
       }
-      val f1 = densify(eval(b.expr1))
-      val f2 = densify(eval(b.expr2))
+      val f1 = aligned(b.expr1)
+      val f2 = aligned(b.expr2)
       val g1 = f1.grouping
       val g2 = f2.grouping
       val op = binOpCol(b.op)
@@ -389,7 +402,7 @@ object Planner {
         SeriesFrame(
           df.select(keyC.as(KEY), tagsC.as(TAGS), col(T),
             op(nullToNan(col("v1")), nullToNan(col("v2"))).cast("double").as(V)),
-          grouping, ctx.step, dense = true)
+          grouping, ctx.step, dense = !strictNaN)
 
       if (g1.nonEmpty && g2.nonEmpty) {
         if (g2.forall(g1.contains) && g1.size >= g2.size) {
