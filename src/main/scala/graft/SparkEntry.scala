@@ -79,6 +79,87 @@ object SparkEntry {
   private def base(body: String, extra: String*): String =
     sql(Seq(DP, NORM, GRID) ++ extra, body)
 
+  /** Like base(), but WITH RECURSIVE (for the DES state-recurrence oracles). */
+  private def baseRec(body: String, extra: String*): String =
+    "WITH RECURSIVE " + sql(Seq(DP, NORM, GRID) ++ extra, body).drop("WITH ".length)
+
+  private val DES_SLOTS =
+    """slots AS (SELECT row_number() OVER (ORDER BY grid.t) - 1 AS i, grid.t AS t, a.v AS v
+      |          FROM grid LEFT JOIN a USING (t))""".stripMargin
+
+  /**
+   * Single-DES state recurrence (OnlineDes.next): emit the smoothed estimate
+   * once `training` non-NaN samples are seen, update (sp, bp) per non-null
+   * slot. The double arithmetic is written exactly like the Scala
+   * implementation (same operations, same order), so IEEE-754 evaluation is
+   * bit-identical between DuckDB and the JVM.
+   */
+  private def desOracle(training: Int, alpha: Double, beta: Double): String =
+    baseRec(
+      s"""SELECT t, round(out, 4) AS value FROM r WHERE out IS NOT NULL""",
+      sumSeries("click", "a"),
+      DES_SLOTS,
+      s"""r AS (
+         |  SELECT -1 AS i, CAST(NULL AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS out,
+         |         0 AS sample, CAST(NULL AS DOUBLE) AS sp, CAST(NULL AS DOUBLE) AS bp
+         |  UNION ALL
+         |  SELECT s.i, s.t,
+         |         CASE WHEN r.sample >= $training THEN r.sp END AS out,
+         |         r.sample + CASE WHEN s.v IS NOT NULL THEN 1 ELSE 0 END AS sample,
+         |         CASE WHEN s.v IS NULL THEN r.sp
+         |              WHEN r.sample = 0 THEN s.v
+         |              ELSE $alpha * s.v + (1 - $alpha) * (r.sp + r.bp) END AS sp,
+         |         CASE WHEN s.v IS NULL THEN r.bp
+         |              WHEN r.sample = 0 THEN 0.0
+         |              ELSE $beta * (($alpha * s.v + (1 - $alpha) * (r.sp + r.bp)) - r.sp) + (1 - $beta) * r.bp END AS bp
+         |  FROM r JOIN slots s ON s.i = r.i + 1)""".stripMargin)
+
+  /**
+   * Sliding DES (OnlineSlidingDes): two DES instances advance together, the
+   * active one resets after each training window, `skip` leading slots are
+   * blanked by the training-window alignment (OnlineIgnoreN). Intermediate
+   * per-step values use DuckDB lateral column aliases in a derived table.
+   */
+  private def sdesOracle(training: Int, alpha: Double, beta: Double, skip: Int): String =
+    baseRec(
+      s"""SELECT t, round(out, 4) AS value FROM r WHERE out IS NOT NULL""",
+      sumSeries("click", "a"),
+      DES_SLOTS,
+      s"""r AS (
+         |  SELECT -1 AS i, CAST(NULL AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS out,
+         |         0 AS s1, CAST(NULL AS DOUBLE) AS sp1, CAST(NULL AS DOUBLE) AS bp1,
+         |         0 AS s2, CAST(NULL AS DOUBLE) AS sp2, CAST(NULL AS DOUBLE) AS bp2,
+         |         TRUE AS useOne, 0 AS cs
+         |  UNION ALL
+         |  SELECT i, t,
+         |         CASE WHEN useOne0 THEN out1 ELSE out2 END AS out,
+         |         CASE WHEN flip AND useOne0 THEN 0 ELSE ns1 END AS s1,
+         |         CASE WHEN flip AND useOne0 THEN NULL ELSE nsp1 END AS sp1,
+         |         CASE WHEN flip AND useOne0 THEN NULL ELSE nbp1 END AS bp1,
+         |         CASE WHEN flip AND NOT useOne0 THEN 0 ELSE ns2 END AS s2,
+         |         CASE WHEN flip AND NOT useOne0 THEN NULL ELSE nsp2 END AS sp2,
+         |         CASE WHEN flip AND NOT useOne0 THEN NULL ELSE nbp2 END AS bp2,
+         |         CASE WHEN flip THEN NOT useOne0 ELSE useOne0 END AS useOne,
+         |         ncs AS cs
+         |  FROM (
+         |    SELECT s.i AS i, s.t AS t, r.useOne AS useOne0,
+         |           CASE WHEN s.i < $skip THEN NULL ELSE s.v END AS vv,
+         |           r.cs + 1 AS ncs,
+         |           (r.cs + 1) % $training = 0 AS flip,
+         |           CASE WHEN r.s1 >= $training THEN r.sp1 END AS out1,
+         |           CASE WHEN r.s2 >= $training THEN r.sp2 END AS out2,
+         |           r.s1 + CASE WHEN vv IS NOT NULL THEN 1 ELSE 0 END AS ns1,
+         |           CASE WHEN vv IS NULL THEN r.sp1 WHEN r.s1 = 0 THEN vv
+         |                ELSE $alpha * vv + (1 - $alpha) * (r.sp1 + r.bp1) END AS nsp1,
+         |           CASE WHEN vv IS NULL THEN r.bp1 WHEN r.s1 = 0 THEN 0.0
+         |                ELSE $beta * (nsp1 - r.sp1) + (1 - $beta) * r.bp1 END AS nbp1,
+         |           r.s2 + CASE WHEN vv IS NOT NULL THEN 1 ELSE 0 END AS ns2,
+         |           CASE WHEN vv IS NULL THEN r.sp2 WHEN r.s2 = 0 THEN vv
+         |                ELSE $alpha * vv + (1 - $alpha) * (r.sp2 + r.bp2) END AS nsp2,
+         |           CASE WHEN vv IS NULL THEN r.bp2 WHEN r.s2 = 0 THEN 0.0
+         |                ELSE $beta * (nsp2 - r.sp2) + (1 - $beta) * r.bp2 END AS nbp2
+         |    FROM r JOIN slots s ON s.i = r.i + 1))""".stripMargin)
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows > 0. */
@@ -187,7 +268,6 @@ object SparkEntry {
     "asl_as" -> asl("name,click,:eq,:sum,(,usr,),:by,usr,u,:as", "u"),
     "asl_cos" -> asl("hourOfDay,:time,:cos"),
     "asl_tan" -> asl("hourOfDay,:time,:tan"),
-    // deterministic hash-of-timestamp noise; no DuckDB xxhash64, rows-only
     "asl_srandom" -> asl("42,:srandom"),
     "asl_stddev" -> asl("name,click,:eq,(,usr,),:by,:stddev"),
     // -- sketch layer (§2.4 :percentiles / :approx-distinct / :sample-count) --
@@ -344,6 +424,21 @@ object SparkEntry {
       "text_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
           |FROM documents""".stripMargin,
+      "text_langid" ->
+        """WITH scored AS (
+          |  SELECT doc_id, unnest([
+          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT), lang := 'en'),
+          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','que','y','en','un','los'))) AS BIGINT), lang := 'es'),
+          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','de','et','les','des','un','une'))) AS BIGINT), lang := 'fr'),
+          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS BIGINT), lang := 'de'),
+          |    struct_pack(score := CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT), lang := 'zh')
+          |  ]) AS sl
+          |  FROM documents)
+          |SELECT doc_id, lang AS lang_pred FROM (
+          |  SELECT doc_id, sl.lang AS lang,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
+          |  FROM scored)
+          |WHERE rn = 1""".stripMargin,
       "text_tokens" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""SELECT doc_id,
@@ -604,6 +699,11 @@ object SparkEntry {
       "SELECT t, round(cos(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
     "asl_tan" -> base(
       "SELECT t, round(tan(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
+    // mirrors Planner.noiseCol with seed 42: (42 * 40503) % 2147483647 = 1701126
+    "asl_srandom" -> base(
+      "SELECT t, round(CAST((((t % 1000003) * 2654435761 + 1701126) % 2147483647) * 48271 % 1000000007 AS DOUBLE) / 1000000007.0, 4) AS value FROM grid"),
+    "stateful_des" -> desOracle(10, 0.1, 0.02),
+    "stateful_sdes" -> sdesOracle(48, 0.1, 0.02, skip = 24),
     "asl_stddev" -> base(
       """SELECT t, round(sqrt((n * sq - sx * sx) / (n * n)), 4) AS value FROM (
         |  SELECT t, CAST(count(*) AS DOUBLE) AS n, sum(v * v) AS sq, sum(v) AS sx

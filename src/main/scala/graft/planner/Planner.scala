@@ -71,6 +71,20 @@ object Planner {
   private val T = "t"
   private val V = "value"
 
+  /**
+   * Deterministic hash-of-timestamp noise in [0, 1) (reference
+   * MathExpr.scala Random/SeededRandom: a pure function of slot time and
+   * seed, NOT `rand()`). Two rounds of universal hashing with every
+   * intermediate bounded well inside int64, so the DuckDB oracle reproduces
+   * it exactly with plain modular arithmetic (no xxhash64 there) and ANSI
+   * overflow checks can never trip.
+   */
+  def noiseCol(t: Column, seed: Long): Column = {
+    val h1 = (t % lit(1000003L)) * lit(2654435761L) + lit((seed * 40503L) % 2147483647L)
+    val h2 = (h1 % lit(2147483647L)) * lit(48271L)
+    (h2 % lit(1000000007L)).cast("double") / lit(1000000007.0)
+  }
+
   /** Canonical series id: sorted `k=v` pairs joined by commas. */
   def seriesId(tags: Column): Column =
     array_join(
@@ -131,8 +145,7 @@ object Planner {
       case d: DataExpr          => evalData(d)
       case m: MathExpr.Constant => constant(lit(m.v), Map("name" -> m.v.toString))
       case m: MathExpr.SeededRandom =>
-        val h = abs(xxhash64(col(T), lit(m.seed)))
-        constant(h.cast("double") / lit(Long.MaxValue.toDouble), Map("name" -> "random"))
+        constant(noiseCol(col(T), m.seed), Map("name" -> "random"))
       case m: MathExpr.Time     => evalTime(m)
       case m: MathExpr.TimeSpan =>
         constant(
@@ -342,8 +355,7 @@ object Planner {
       e match {
         case MathExpr.Constant(v) => Some((_ => lit(v), Map("name" -> v.toString)))
         case MathExpr.SeededRandom(seed) =>
-          Some((t => abs(xxhash64(t, lit(seed))).cast("double") / lit(Long.MaxValue.toDouble),
-            Map("name" -> "random")))
+          Some((t => noiseCol(t, seed), Map("name" -> "random")))
         case MathExpr.Time(mode) => Some((t => timeValue(mode, t), Map("name" -> mode)))
         case MathExpr.TimeSpan(s, en) =>
           Some((t => when(t >= s && t <= en, 1.0).otherwise(0.0), Map("name" -> "time-span")))
