@@ -401,6 +401,9 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS n_dups
           |FROM documents GROUP BY 1""".stripMargin,
+      "dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(3, 16, 4, 0.5),
+      "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
+      "dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
       "dedup_embedding" ->
         s"""SELECT id_a, id_b, score FROM (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS score

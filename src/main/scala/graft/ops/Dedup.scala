@@ -39,48 +39,40 @@ object Dedup {
     )
   }
 
-  /** MinHash signature: array of `h` minima over the shingle set, where
-    * family member i is xxhash64 over (base shingle hash, i) — each shingle
-    * string is hashed ONCE, the family fans out over cheap long hashing
-    * (wrapping-multiply mixers would trip ANSI overflow checks). */
-  def minhashSignature(shinglesCol: Column, h: Int): Column = {
-    val bases = transform(shinglesCol, s => xxhash64(s))
-    transform(
-      sequence(lit(0), lit(h - 1)),
-      i => array_min(transform(bases, b => xxhash64(b, i)))
-    )
-  }
+  /**
+   * 2-universal hash family over a 60-bit md5-derived base: member i is
+   * ((base % P) * A_i + B_i) % P. Every intermediate stays below 2^62, so
+   * the arithmetic is ANSI-overflow-safe in Spark AND exactly reproducible
+   * in DuckDB BIGINT math (xxhash64 has no DuckDB equivalent — this family
+   * is what makes the minhash/simhash oracles possible).
+   */
+  private[ops] val FamP = 2147483647L
+  private[ops] def famA(i: Int): Long = (2654435761L * (i + 1)) % FamP
+  private[ops] def famB(i: Int): Long = (40503L * (i + 1) + 17) % FamP
+  private def member(base: Column, i: Int): Column =
+    ((base % FamP) * famA(i) + famB(i)) % FamP
+
+  /** 60-bit cross-engine base hash of a string column: the first 15 hex
+    * digits of its md5 (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
+  private[ops] def md5Base(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /**
-   * MinHash + banded LSH near-duplicate pairs.
-   *
-   * @param bands     number of LSH bands; signature length = bands * rowsPerBand
-   * @param threshold exact Jaccard cutoff applied to candidate pairs
-   * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4
-   */
-  /**
-   * Distinct shingle HASHES per (doc, shingle position): tokens are hashed
-   * once, an n-token shingle hashes as the xxhash of its n consecutive
-   * token hashes via window `lead` — no shingle string is ever built
-   * (building ~50 joined strings per doc through HOFs dominated the whole
-   * operator). Equal to string shingles up to 64-bit collisions.
+   * Shingle hashes per (doc, shingle position): the n-token shingle strings
+   * are built ONCE via a single array transform and exploded (a window-lead
+   * formulation needs a per-doc shuffle+sort; the single-lambda transform
+   * stays in one projection — the CollapseProject blowup only bites when a
+   * shared column feeds MANY lambdas). Duplicate shingles are NOT dropped
+   * here: every consumer (min aggregates, collect_set) is idempotent under
+   * duplicates, so the extra distinct shuffle would be pure overhead.
    */
   private def shingleHashes(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
-      .withColumn("h", xxhash64(col("tok")))
-    val leads = (1 until n).foldLeft(toks.withColumn("sh0", col("h"))) { (df, i) =>
-      df.withColumn(s"sh$i", lead(col("h"), i).over(w))
-    }
-    val shash = xxhash64((0 until n).map(i => coalesce(col(s"sh$i"), lit(-i.toLong))): _*)
-    val cnt = count(lit(1)).over(Window.partitionBy(col("doc_id")))
-    leads
-      .withColumn("cnt", cnt)
-      .filter(col("pos") <= greatest(col("cnt") - n, lit(0))) // shingle starts
-      .select(col("doc_id"), shash.as("shash"))
-      .dropDuplicates("doc_id", "shash")
+    val toks = split(lower(col(textCol)), " ")
+    val nSh = greatest(size(toks) - (n - 1), lit(1))
+    val strs = transform(sequence(lit(0), nSh - 1), i => array_join(slice(toks, i + 1, lit(n)), " "))
+    docs
+      .select(col("doc_id"), explode(strs).as("s"))
+      .select(col("doc_id"), md5Base(col("s")).as("shash"))
   }
 
   def minhashLsh(
@@ -95,11 +87,12 @@ object Dedup {
     val sh = shingleHashes(docs, textCol, shingleSize)
 
     // Signatures as 64 MIN aggregates over the shingle hashes: family
-    // members fan out over cheap long hashing, everything stays in codegen,
-    // one doc_id shuffle. (A nested-HOF column form gets its shared shingle
-    // subexpression inlined by CollapseProject into every family member —
-    // 64x the work — once column pruning drops the standalone column.)
-    val minCols = (0 until h).map(i => min(xxhash64(col("shash"), lit(i))).as(s"m$i"))
+    // members fan out over cheap modular arithmetic, everything stays in
+    // codegen, one doc_id shuffle. (A nested-HOF column form gets its shared
+    // shingle subexpression inlined by CollapseProject into every family
+    // member — 64x the work — once column pruning drops the standalone
+    // column.)
+    val minCols = (0 until h).map(i => min(member(col("shash"), i)).as(s"m$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
 
     // Explode to (doc_id, band, bucket) only — the bands explode multiplies
@@ -149,9 +142,13 @@ object Dedup {
   ): DataFrame =
     minhashLsh(docs, textCol, shingleSize = n, bands = 32, rowsPerBand = 2, threshold = threshold)
 
+  /** SimHash signature width: 60 bits (the md5-derived base hash width),
+    * packed into one long. */
+  private[ops] val SimhashBits = 60
+
   /**
-   * 64-bit SimHash signatures packed into a single long, one row per doc.
-   * Bit votes run as 64 plain SUM aggregates over exploded (doc, token-hash)
+   * SimHash signatures packed into a single long, one row per doc.
+   * Bit votes run as 60 plain SUM aggregates over exploded (doc, token-hash)
    * rows — everything stays in whole-stage codegen and the only shuffle is
    * the per-doc partial-aggregated groupBy (the earlier per-bit string-array
    * form cost ~40x on binary-string HOFs).
@@ -160,12 +157,12 @@ object Dedup {
     val toks = docs.select(
       col("doc_id"),
       explode(array_distinct(split(lower(col(textCol)), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
+      .withColumn("h", md5Base(col("tok")))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(shiftrightunsigned(col("h"), i).bitwiseAND(1)).as(s"b$i"))
     val aggs = count(lit(1)).as("n") +: bitSums
     val grouped = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimhashBits).map { i =>
       when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     grouped.select(col("doc_id"), sig.as("sig"))
@@ -173,7 +170,7 @@ object Dedup {
 
   /**
    * SimHash near-duplicate pairs within `maxHamming`. Blocking: split the
-   * 64-bit signature into `maxHamming + 1` segments — by pigeonhole, any
+   * 60-bit signature into `maxHamming + 1` segments — by pigeonhole, any
    * pair within the distance agrees exactly on at least one segment, so the
    * join key is (segment index, segment bits), never a cross join. Hamming
    * distance is one `bit_count(a XOR b)` on the packed longs.
@@ -184,7 +181,7 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame = {
     val nSeg = maxHamming + 1
-    val segLen = 64 / nSeg
+    val segLen = SimhashBits / nSeg
     val withSig = simhashSignatures(docs, textCol)
     val seg = withSig.select(
       col("doc_id"),
@@ -205,5 +202,62 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("double").as("hamming"))
+  }
+
+  // --- DuckDB oracle SQL (same hash family constants, so values match) ----
+
+  /** DuckDB replica of [[minhashLsh]] over the `documents` table. */
+  def minhashOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val h = bands * rowsPerBand
+    val minExprs = (0 until h).map(i =>
+      s"min(((shash % $FamP) * ${famA(i)} + ${famB(i)}) % $FamP) AS m$i").mkString(", ")
+    val bucketStructs = (0 until bands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"struct_pack(band := $b, bucket := $cat)"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS shash FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - ${shingleSize - 1}, 1)),
+       |    i -> array_to_string(list_slice(tk, i + 1, i + $shingleSize), ' '))) AS s
+       |  FROM toks)),
+       |sigs AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, bb.band AS band, bb.bucket AS bucket FROM (
+       |  SELECT doc_id, unnest([$bucketStructs]) AS bb FROM sigs)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |shs AS (SELECT doc_id, list_distinct(list(shash)) AS s FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN shs sa ON cand.doc_a = sa.doc_id JOIN shs sb ON cand.doc_b = sb.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replica of [[simhash]] over the `documents` table. */
+  def simhashOracleSql(maxHamming: Int): String = {
+    val nSeg = maxHamming + 1
+    val segLen = SimhashBits / nSeg
+    val bitSums = (0 until SimhashBits).map(i => s"sum((h >> $i) & 1) AS b$i").mkString(", ")
+    val sigExpr = (0 until SimhashBits)
+      .map(i => s"CASE WHEN b$i * 2 > n THEN (1::BIGINT << $i) ELSE 0 END")
+      .mkString(" + ")
+    val segStructs = (0 until nSeg).map(s =>
+      s"struct_pack(seg := $s, segbits := (sig >> ${s * segLen}) & ${(1L << segLen) - 1})")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents)),
+       |votes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $bitSums FROM toks GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+       |segs AS (SELECT doc_id, sig, sb.seg AS seg, sb.segbits AS segbits FROM (
+       |  SELECT doc_id, sig, unnest([$segStructs]) AS sb FROM sigs)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM segs a JOIN segs b ON a.seg = b.seg AND a.segbits = b.segbits AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS DOUBLE) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming""".stripMargin
   }
 }
