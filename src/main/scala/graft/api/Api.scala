@@ -87,7 +87,7 @@ object Api {
   def fetch(program: String, dp: DataFrame, ctx: EvalContext, chunkSlots: Int): Seq[DataFrame] =
     ctx.partition(chunkSlots).map(chunk => graph(program, dp, chunk))
 
-  private def message(
+  private[graft] def message(
       frame: SeriesFrame,
       expr: TimeSeriesExpr,
       ctx: EvalContext,

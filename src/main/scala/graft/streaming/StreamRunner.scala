@@ -30,6 +30,10 @@ object StreamRunner {
   /** One normalized slot of one series. */
   final case class SlotValue(key: String, t: Long, value: Double)
 
+  /** [[SlotValue]] carrying its watermarked slot-end event time (the ticking
+    * runner's input row — public so the Dataset encoder can reach it). */
+  final case class SlotTick(key: String, t: Long, value: Double, event_time: java.sql.Timestamp)
+
   /**
    * Late-data accounting (the reference TimeGrouped droppedOld counter,
    * stream/TimeGrouped.scala:77-78): rows behind the watermark are dropped
@@ -207,6 +211,72 @@ object StreamRunner {
             lastT = row.t
           }
           gstate.update(CarriedState(lastT, serialize(algo)))
+          out.result().iterator
+      }
+  }
+
+  /**
+   * [[streamingStateful]] with wall-clock heartbeat ticking (the reference
+   * advances EVERY subscribed series once per interval, feeding NaN for
+   * series with no data — StatefulExpr.scala:310-321 via the eval loop's
+   * per-interval tick). The plain runner only catches a series up when its
+   * NEXT datapoint arrives, so a series that goes silent freezes — e.g. a
+   * :rolling-count alert signal never decays back to zero. Here an
+   * event-time timeout fires once the watermark passes the next slot
+   * boundary and feeds NaN for every slot the watermark has finalized,
+   * exactly like the batch dense grid. Ticking stops at ctx.end.
+   *
+   * Input is the append-finalized slot stream of [[normalize]]; the
+   * event-time column is the slot END, so a slot ticks exactly when the
+   * upstream watermark would have finalized it.
+   */
+  def streamingStatefulTicking(
+      normalized: Dataset[SlotValue],
+      ctx: EvalContext,
+      mkAlgo: () => OnlineAlgorithm,
+      watermark: String = "0 seconds"
+  ): Dataset[SlotValue] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val step = ctx.step
+    val start = ctx.start
+    val endT = ctx.end
+
+    normalized
+      .withColumn("event_time", timestamp_millis(col("t") + step))
+      .withWatermark("event_time", watermark)
+      .select(col("key"), col("t"), col("value"), col("event_time"))
+      .as[SlotTick] // the watermarked event-time column must reach the
+                    // stateful operator for EventTimeTimeout to resolve
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CarriedState, SlotValue](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[SlotTick], gstate: GroupState[CarriedState]) =>
+          var (lastT, algo) = gstate.getOption match {
+            case Some(s) => (s.lastT, deserialize(s.blob))
+            case None    => (start - step, mkAlgo())
+          }
+          val out = List.newBuilder[SlotValue]
+          def emit(t: Long, v: Double): Unit = if (!v.isNaN) out += SlotValue(key, t, v)
+          if (!gstate.hasTimedOut) {
+            rows.toSeq.sortBy(_.t).foreach { row =>
+              var t = lastT + step
+              while (t < row.t) { emit(t, algo.next(Double.NaN)); t += step }
+              emit(row.t, algo.next(row.value))
+              lastT = row.t
+            }
+          }
+          // heartbeat: tick every further slot the watermark has finalized
+          val wm = gstate.getCurrentWatermarkMs()
+          var t = lastT + step
+          while (t + step <= math.min(wm, endT)) {
+            emit(t, algo.next(Double.NaN))
+            lastT = t
+            t += step
+          }
+          gstate.update(CarriedState(lastT, serialize(algo)))
+          if (lastT + step < endT)
+            gstate.setTimeoutTimestamp(math.max(lastT + 2 * step, wm + step))
           out.result().iterator
       }
   }

@@ -267,6 +267,114 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heartbeat ticking advances silent series to the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.core.OnlineAlgorithm
+
+    val input = MemoryStream[SlotValue]
+    // s1 goes silent after slot 1; s2 keeps the watermark advancing
+    val expr = StatefulExpr.RollingCount(DataExpr.Sum(Query.Equal("name", "a")), 3)
+    val out = StreamRunner.streamingStatefulTicking(
+      input.toDS(), ctx, OnlineAlgorithm.forExpr(expr, ctx))
+    val query = out.writeStream.format("memory").queryName("stream_tick")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(SlotValue("s1", slot(0), 11.0), SlotValue("s1", slot(1), 27.0),
+        SlotValue("s2", slot(0), 1.0)))
+      query.processAllAvailable()
+      // only s2 sends again — its slots push the watermark over the grid end
+      input.addData(Seq(SlotValue("s2", slot(5), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(SlotValue("s2", slot(1000), 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(SlotValue("s2", slot(1001), 1.0)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_tick")
+        .filter(col("key") === "s1")
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+
+      // batch equivalent: s1's datapoints over the full dense grid
+      val batchDp = Seq(
+        (Map("name" -> "a"), slot(0) + 1L, 11.0),
+        (Map("name" -> "a"), slot(1) + 1L, 27.0)
+      ).toDF("tags", "ts", "value")
+      val batch = Planner.output(Planner.eval(expr, batchDp, ctx), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      // without ticking s1 would stop at slot 1; with it the rolling count
+      // decays to 0 across slots 2..5 exactly like the batch dense grid
+      assert(streamed == batch)
+      assert(streamed.keySet.max == slot(5))
+    } finally query.stop()
+  }
+
+  test("evaluator fans out subscriptions over one shared normalize pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{Evaluator, Subscription}
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val subs = Seq(
+      Subscription("sub-sum", "name,a,:eq,:sum"),
+      Subscription("sub-by", "name,a,:eq,:sum,(,node,),:by,2,:mul"))
+    val received = scala.collection.mutable.ArrayBuffer.empty[Array[(String, String)]]
+    val query = Evaluator.attach(
+      input.toDF.toDF("tags", "ts", "value"), subs, ctx.step, "1 minute") { out =>
+      received += out.collect().map(r =>
+        (r.getAs[String]("subscription"), r.getAs[String]("json")))
+    }
+    // Each sink call covers the slot range its batch finalized, so stitch
+    // the (sub, label, t) -> value datapoints across calls for comparison.
+    def explodeJson(rows: Seq[(String, String)]): Map[(String, String, Long), Double] = {
+      val schema = "label STRING, start LONG, step LONG, data STRUCT<`type`: STRING, `values`: ARRAY<STRING>>"
+      rows.flatMap { case (sub, json) =>
+        val parsed = Seq(json).toDF("json")
+          .select(from_json(col("json"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
+          .select(col("m.label"), col("m.start"), col("m.step"), col("m.data.values"))
+          .collect()(0)
+        val (label, start, step) = (parsed.getString(0), parsed.getLong(1), parsed.getLong(2))
+        parsed.getSeq[String](3).zipWithIndex.collect {
+          case (v, i) if v != "NaN" => (sub, label, start + i * step) -> v.toDouble
+        }
+      }.toMap
+    }
+
+    try {
+      input.addData(points.sortBy(_._2))
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1001), 0.0)))
+      query.processAllAvailable()
+
+      val streamedRows = received.flatten.toSeq
+      assert(streamedRows.map(_._1).toSet == Set("sub-sum", "sub-by"))
+      val streamed = explodeJson(streamedRows).filter(_._1._3 < slot(100))
+
+      val batchDp = points.toDF("tags", "ts", "value")
+      val expected = explodeJson(subs.flatMap { s =>
+        graft.api.Api.graph(s.program, batchDp, ctx)
+          .collect().map(r => (s.id, r.getAs[String]("json")))
+      })
+      assert(streamed == expected)
+    } finally query.stop()
+  }
+
+  test("evaluator rejects stateful words") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{Evaluator, Subscription}
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val ex = intercept[IllegalArgumentException] {
+      Evaluator.attach(
+        input.toDF.toDF("tags", "ts", "value"),
+        Seq(Subscription("bad", "name,a,:eq,:sum,10,0.1,0.02,:des")),
+        ctx.step)(_ => ())
+    }
+    assert(ex.getMessage.contains("stateful"))
+  }
+
   test("streaming :des with carried state matches batch :des") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
