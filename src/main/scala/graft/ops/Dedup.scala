@@ -49,30 +49,66 @@ object Dedup {
   private[ops] val FamP = 2147483647L
   private[ops] def famA(i: Int): Long = (2654435761L * (i + 1)) % FamP
   private[ops] def famB(i: Int): Long = (40503L * (i + 1) + 17) % FamP
-  private def member(base: Column, i: Int): Column =
-    ((base % FamP) * famA(i) + famB(i)) % FamP
 
-  /** 60-bit cross-engine base hash of a string column: the first 15 hex
-    * digits of its md5 (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
-  private[ops] def md5Base(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** 60-bit cross-engine base hash: the numeric value of the first 15 hex
+    * digits of an md5 (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
+  private def md5Base60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Per-doc minhash state: distinct shingle hashes + h-member signature. */
+  final case class MinhashDoc(doc_id: Long, sh: Array[Long], sig: Array[Long])
 
   /**
-   * Shingle hashes per (doc, shingle position): the n-token shingle strings
-   * are built ONCE via a single array transform and exploded (a window-lead
-   * formulation needs a per-doc shuffle+sort; the single-lambda transform
-   * stays in one projection — the CollapseProject blowup only bites when a
-   * shared column feeds MANY lambdas). Duplicate shingles are NOT dropped
-   * here: every consumer (min aggregates, collect_set) is idempotent under
-   * duplicates, so the extra distinct shuffle would be pure overhead.
+   * One partition-local pass computing, per document, the distinct
+   * shingle-hash set AND the full minhash signature — no shuffle at all
+   * until the LSH bucket join. Column-expression formulations of this
+   * kernel lose 4-10x: shingle construction through higher-order functions
+   * runs outside whole-stage codegen, a window-lead form adds a per-doc
+   * shuffle+sort, and md5 via string expressions (md5 -> substring -> conv)
+   * costs 3x a JVM MessageDigest call. Per-doc work is embarrassingly
+   * parallel and memory is bounded by document size, so this scales
+   * linearly with corpus bytes.
    */
-  private def shingleHashes(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
-    val nSh = greatest(size(toks) - (n - 1), lit(1))
-    val strs = transform(sequence(lit(0), nSh - 1), i => array_join(slice(toks, i + 1, lit(n)), " "))
-    docs
-      .select(col("doc_id"), explode(strs).as("s"))
-      .select(col("doc_id"), md5Base(col("s")).as("shash"))
+  private def minhashDocs(docs: DataFrame, textCol: String, n: Int, h: Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val as = Array.tabulate(h)(famA)
+    val bs = Array.tabulate(h)(famB)
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          val nSh = math.max(toks.length - (n - 1), 1)
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val sig = Array.fill(h)(Long.MaxValue)
+          var i = 0
+          while (i < nSh) {
+            val base = md5Base60(md, toks.slice(i, i + n).mkString(" "))
+            if (seen.add(base)) {
+              val r = base % FamP
+              var j = 0
+              while (j < h) {
+                val m = (r * as(j) + bs(j)) % FamP
+                if (m < sig(j)) sig(j) = m
+                j += 1
+              }
+            }
+            i += 1
+          }
+          val sh = new Array[Long](seen.size())
+          val iter = seen.iterator()
+          var k = 0
+          while (iter.hasNext) { sh(k) = iter.next(); k += 1 }
+          MinhashDoc(id, sh, sig)
+        }
+      }
   }
 
   def minhashLsh(
@@ -84,27 +120,18 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val h = bands * rowsPerBand
-    val sh = shingleHashes(docs, textCol, shingleSize)
-
-    // Signatures as 64 MIN aggregates over the shingle hashes: family
-    // members fan out over cheap modular arithmetic, everything stays in
-    // codegen, one doc_id shuffle. (A nested-HOF column form gets its shared
-    // shingle subexpression inlined by CollapseProject into every family
-    // member — 64x the work — once column pruning drops the standalone
-    // column.)
-    val minCols = (0 until h).map(i => min(member(col("shash"), i)).as(s"m$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val mh = minhashDocs(docs, textCol, shingleSize, h).toDF()
 
     // Explode to (doc_id, band, bucket) only — the bands explode multiplies
     // every row by `bands`, so it must carry no document payload. Shingle
     // hash sets are re-joined for surviving candidate pairs only.
-    val buckets = sigs.select(
+    val buckets = mh.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
-            col(s"m${b * rowsPerBand + r}").cast("string")): _*).as("bucket"))
+            element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bucket"))
       }: _*)).as("bb")
     ).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
@@ -116,7 +143,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val shSets = sh.groupBy(col("doc_id")).agg(collect_set(col("shash")).as("sh"))
+    val shSets = mh.select(col("doc_id"), col("sh"))
     candidates
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -147,25 +174,45 @@ object Dedup {
   private[ops] val SimhashBits = 60
 
   /**
-   * SimHash signatures packed into a single long, one row per doc.
-   * Bit votes run as 60 plain SUM aggregates over exploded (doc, token-hash)
-   * rows — everything stays in whole-stage codegen and the only shuffle is
-   * the per-doc partial-aggregated groupBy (the earlier per-bit string-array
-   * form cost ~40x on binary-string HOFs).
+   * SimHash signatures packed into a single long, one row per doc, computed
+   * in one partition-local pass (distinct tokens, per-bit majority votes) —
+   * no shuffle, no explode: the signature is a pure per-document function,
+   * so nothing leaves the partition but one (doc_id, sig) row per doc.
    */
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      explode(array_distinct(split(lower(col(textCol)), " "))).as("tok"))
-      .withColumn("h", md5Base(col("tok")))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(shiftrightunsigned(col("h"), i).bitwiseAND(1)).as(s"b$i"))
-    val aggs = count(lit(1)).as("n") +: bitSums
-    val grouped = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    grouped.select(col("doc_id"), sig.as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          val seen = new java.util.HashSet[String]()
+          val votes = new Array[Int](SimhashBits)
+          var n = 0
+          var i = 0
+          while (i < toks.length) {
+            if (seen.add(toks(i))) {
+              val hv = md5Base60(md, toks(i))
+              var b = 0
+              while (b < SimhashBits) {
+                votes(b) += ((hv >>> b) & 1L).toInt
+                b += 1
+              }
+              n += 1
+            }
+            i += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < SimhashBits) {
+            if (votes(b) * 2 > n) sig |= (1L << b)
+            b += 1
+          }
+          (id, sig)
+        }
+      }
+      .toDF("doc_id", "sig")
   }
 
   /**

@@ -166,7 +166,7 @@ object Planner {
         mapValue(eval(e), f)
       case MathExpr.PerStep(e) =>
         mapValue(eval(e), c => c * lit(ctx.step / 1000.0))
-      case b: MathExpr.Binary   => evalBinary(b)
+      case b: MathExpr.Binary   => tryFuseArith(b).getOrElse(evalBinary(b))
       case a: MathExpr.Aggr     => evalAggr(a)
       case g: MathExpr.GroupBy  => evalMathGroupBy(g)
       case MathExpr.NamedRewrite(_, inner) => eval(inner)
@@ -235,6 +235,14 @@ object Planner {
 
     // ---- data layer ----
 
+    // Slot consolidation function of a data expr: sum by default
+    // (norm/SumValueFunction), or an explicit :cf-* (DataExpr.Consolidation).
+    private def cfOf(a: DataExpr): String = a match {
+      case DataExpr.Consolidation(_, cf) => cf
+      case DataExpr.GroupBy(af, _)       => cfOf(af)
+      case _                             => "sum"
+    }
+
     private def evalData(d: DataExpr): SeriesFrame = {
       val fetch = ctx.withOffset(d.offset)
       val pred = QueryCompiler.compile(d.query, col(TAGS))
@@ -244,13 +252,7 @@ object Planner {
         .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(d.offset))
 
       // Ingest normalization: one value per (series, slot); datapoints within
-      // a slot merge with the consolidation function — sum by default
-      // (norm/SumValueFunction), or an explicit :cf-* (DataExpr.Consolidation).
-      def cfOf(a: DataExpr): String = a match {
-        case DataExpr.Consolidation(_, cf) => cf
-        case DataExpr.GroupBy(af, _)       => cfOf(af)
-        case _                             => "sum"
-      }
+      // a slot merge with the consolidation function.
       val normAgg = cfOf(d) match {
         case "avg" => avg(col(V))
         case "min" => min(col(V))
@@ -362,6 +364,142 @@ object Planner {
         case MathExpr.NamedRewrite(_, inner) => gridFn(inner)
         case _ => None
       }
+
+    /**
+     * Multi-aggregate fusion for arithmetic trees whose leaves are all
+     * single-line aggregates (the :avg/:stddev/:dist-* macro shapes, and
+     * plain binary math over ungrouped fetches): instead of evaluating each
+     * aggregate leaf as its own groupBy and joining the resulting lines, run
+     * ONE aggregation producing one column per leaf and apply the arithmetic
+     * as a projection. Two homogeneous forms:
+     *
+     *  - DataExpr leaves (e.g. `:avg` = Sum(q)/Count(q), `:dist-stddev` over
+     *    statistic=... filters): one scan over the OR of the leaf queries,
+     *    one series-normalization, one groupBy(t) with per-leaf
+     *    conditionally-filtered aggregates — N fetch+aggregate pipelines and
+     *    their joins collapse into a single pass over the data. At 100 TB
+     *    this is the difference between N scans and 1.
+     *  - math Aggr leaves over one shared grouped frame (`:stddev` =
+     *    sqrt((N·Σx² − (Σx)²)/N²)): the shared frame evaluates once (CSE)
+     *    and all leaf aggregates (including the Σx² self-product) come out
+     *    of one groupBy(t).
+     *
+     * Only NaN-strict/forgiving ARITHMETIC ops participate: for them a slot
+     * with no data on some leaf produces exactly what the dense-grid join
+     * path produces (the NaN-aware column ops treat null-as-NaN leaves
+     * identically), while comparison/boolean ops need the dense grid (they
+     * turn empty slots into 0/1 signals) and :pow has the pow(NaN,0)=1 edge.
+     */
+    private def tryFuseArith(root: MathExpr.Binary): Option[SeriesFrame] = {
+      import MathExpr._
+      val okOps: Set[BinOp] = Set(
+        BinOp.Add, BinOp.Sub, BinOp.Mul, BinOp.Div,
+        BinOp.FAdd, BinOp.FSub, BinOp.FMul, BinOp.FDiv)
+
+      sealed trait N
+      final case class Leaf(idx: Int) extends N
+      final case class Const(v: Double) extends N
+      final case class Node(op: BinOp, l: N, r: N) extends N
+
+      val dataLeaves = scala.collection.mutable.ArrayBuffer.empty[DataExpr.AggregateFunction]
+      val aggrLeaves = scala.collection.mutable.ArrayBuffer.empty[(AggrOp, Boolean)]
+      var aggrBase: Option[TimeSeriesExpr] = None
+      var mode = 0 // 0 unknown, 1 data leaves, 2 aggr leaves
+      var firstTags: Option[Map[String, String]] = None
+
+      def walk(e: TimeSeriesExpr): Option[N] = e match {
+        case Constant(v)            => Some(Const(v))
+        case NamedRewrite(_, inner) => walk(inner)
+        case Binary(op, l, r) if okOps(op) =>
+          for { ln <- walk(l); rn <- walk(r) } yield Node(op, ln, rn)
+        case d @ (_: DataExpr.Sum | _: DataExpr.Count | _: DataExpr.Min | _: DataExpr.Max)
+            if mode != 2 =>
+          val af = d.asInstanceOf[DataExpr.AggregateFunction]
+          mode = 1
+          if (firstTags.isEmpty) firstTags = Some(af.query.exactTags)
+          val i = dataLeaves.indexOf(af)
+          if (i >= 0) Some(Leaf(i))
+          else { dataLeaves += af; Some(Leaf(dataLeaves.size - 1)) }
+        case a: Aggr if mode != 1 =>
+          val (base, squared) = a.expr match {
+            case Binary(BinOp.Mul, x, y) if x == y => (x, true)
+            case x                                 => (x, false)
+          }
+          if (aggrBase.exists(_ != base)) None
+          else {
+            mode = 2
+            aggrBase = Some(base)
+            if (firstTags.isEmpty) firstTags = Some(a.expr.exactTags)
+            val leaf = (a.op, squared)
+            val i = aggrLeaves.indexOf(leaf)
+            if (i >= 0) Some(Leaf(i))
+            else { aggrLeaves += leaf; Some(Leaf(aggrLeaves.size - 1)) }
+          }
+        case _ => None
+      }
+
+      def render(n: N): Column = n match {
+        case Leaf(i)        => nullToNan(col(s"_f$i"))
+        case Const(v)       => lit(v)
+        case Node(op, l, r) => binOpCol(op)(render(l), render(r))
+      }
+
+      walk(root).flatMap { tree =>
+        if (mode == 1 && dataLeaves.size >= 2) {
+          val ds = dataLeaves.toList
+          val offset = ds.head.offset
+          if (!ds.forall(d => d.offset == offset && cfOf(d) == "sum")) None
+          else {
+            val fetch = ctx.withOffset(offset)
+            val combined = ds.map(_.query).distinct.reduce((a, b) => Query.Or(a, b): Query)
+            val base = dp
+              .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
+              .filter(QueryCompiler.compile(combined, col(TAGS)))
+              .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(offset))
+            val norm = base
+              .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+              .agg(sum(col(V)).as(V), first(col(TAGS)).as(TAGS))
+            val aggCols = ds.zipWithIndex.map { case (d, i) =>
+              val v = when(QueryCompiler.compile(d.query, col(TAGS)), col(V))
+              val agg = d match {
+                case _: DataExpr.Sum   => sumNaN(v)
+                case _: DataExpr.Count => countNaN(v)
+                case _: DataExpr.Min   => minNaNAgg(v)
+                case _: DataExpr.Max   => maxNaNAgg(v)
+                case other             => throw new IllegalStateException(other.toString)
+              }
+              agg.as(s"_f$i")
+            }
+            val grouped = norm.groupBy(col(T)).agg(aggCols.head, aggCols.tail: _*)
+            val out = grouped.select(
+              lit("").as(KEY),
+              tagsLit(firstTags.getOrElse(Map.empty)).as(TAGS),
+              col(T),
+              render(tree).cast("double").as(V))
+            Some(SeriesFrame(out, Nil, ctx.step, dense = false))
+          }
+        } else if (mode == 2 && aggrLeaves.size >= 2) {
+          val f = eval(aggrBase.get)
+          val aggCols = aggrLeaves.toList.zipWithIndex.map { case ((op, squared), i) =>
+            val v = if (squared) col(V) * col(V) else col(V) // NaN propagates
+            val agg = op match {
+              case AggrOp.Sum   => sumNaN(v)
+              case AggrOp.Count => countNaN(v)
+              case AggrOp.Min   => minNaNAgg(v)
+              case AggrOp.Max   => maxNaNAgg(v)
+            }
+            agg.as(s"_f$i")
+          }
+          val grouped = f.df.groupBy(col(T)).agg(aggCols.head, aggCols.tail: _*)
+          val out = grouped.select(
+            lit("").as(KEY),
+            tagsLit(firstTags.getOrElse(Map.empty)).as(TAGS),
+            col(T),
+            render(tree).cast("double").as(V))
+          Some(SeriesFrame(out, Nil, ctx.step, dense = false))
+        } else None
+      }
+    }
 
     /**
      * Binary op: dense-align both sides on the grid, then match lines — by
