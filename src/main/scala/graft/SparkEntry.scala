@@ -353,6 +353,17 @@ object SparkEntry {
         graft.api.Api.tagKeys(Datapoints.events(s, d), Query.True)),
       "tags_values" -> ((s, d) =>
         Datapoints.events(s, d).select(col("tags").getItem("name").as("value")).distinct()),
+      // same API entry points served from the series-catalog index (§1.3):
+      // metadata queries run on series cardinality, not datapoint cardinality
+      "tags_keys_idx" -> ((s, d) =>
+        graft.api.Api.tagKeys(
+          graft.sources.TagIndex.seriesCatalog(Datapoints.events(s, d)), Query.True)),
+      "tags_values_idx" -> ((s, d) =>
+        graft.api.Api.tagValues(
+          graft.sources.TagIndex.seriesCatalog(Datapoints.events(s, d)), "name", Query.True)),
+      "tags_index_counts" -> ((s, d) =>
+        graft.sources.TagIndex.inverted(
+          graft.sources.TagIndex.seriesCatalog(Datapoints.events(s, d)))),
       // -- relational / analytical over the star schema --
       "rel_q1_pricing" -> ((s, d) =>
         s.read.parquet(s"$d/lineitem.parquet")
@@ -483,6 +494,17 @@ object SparkEntry {
           |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key
           |  FROM events)""".stripMargin,
       "tags_values" -> "SELECT DISTINCT event_type AS value FROM events",
+      "tags_keys_idx" ->
+        """SELECT DISTINCT key FROM (
+          |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key
+          |  FROM events)""".stripMargin,
+      "tags_values_idx" -> "SELECT DISTINCT event_type AS value FROM events",
+      "tags_index_counts" -> base(
+        """SELECT 'name' AS key, name AS value, CAST(count(*) AS DOUBLE) AS n_series FROM series GROUP BY 2
+          |UNION ALL SELECT 'usr', usr, CAST(count(*) AS DOUBLE) FROM series GROUP BY 2
+          |UNION ALL SELECT 'grp', grp, CAST(count(*) AS DOUBLE) FROM series GROUP BY 2
+          |UNION ALL SELECT 'hi', 'y', CAST(count(*) AS DOUBLE) FROM series WHERE hi""".stripMargin,
+        "series AS (SELECT DISTINCT name, usr, grp, hi FROM dp)"),
       "rel_q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
           |       round(sum(l_quantity), 4) AS sum_qty,

@@ -50,13 +50,16 @@ object Api {
         case None => List(s)
       }
     }
-    expanded.map { s =>
-      val expr0 = if (s.settings.isEmpty) s.expr else s
-      val expr =
-        if (multiple > 1) FilterExpr.Consolidate(expr0, multiple, "avg") else expr0
-      val frame = Planner.eval(expr, dp, ctx)
-      message(frame, s.expr, ctx, s.settings)
-    }.reduce(_ unionByName _)
+    val exprs = expanded.map { s =>
+      val expr0: TimeSeriesExpr = if (s.settings.isEmpty) s.expr else s
+      if (multiple > 1) FilterExpr.Consolidate(expr0, multiple, "avg") else expr0
+    }
+    // one shared CSE cache across the whole request: expressions sharing a
+    // fetch (or any subtree) share one Spark plan subtree and its exchanges
+    Planner.evalAll(exprs, dp, ctx)
+      .zip(expanded)
+      .map { case (frame, s) => message(frame, s.expr, ctx, s.settings) }
+      .reduce(_ unionByName _)
   }
 
   /**

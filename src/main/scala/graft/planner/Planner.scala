@@ -108,6 +108,19 @@ object Planner {
     new Evaluator(spark, dp, ctx).eval(expr)
   }
 
+  /**
+   * Evaluate several expressions against one datapoint frame with a SHARED
+   * common-subexpression cache (the reference dedups DataExprs across a
+   * whole graph request — GraphApi DataRequest — so two plotted expressions
+   * over the same fetch share one scan+aggregate; a per-expression cache
+   * would replan the fetch for every line on the graph).
+   */
+  def evalAll(exprs: Seq[TimeSeriesExpr], dp: DataFrame, ctx: EvalContext): Seq[SeriesFrame] = {
+    val spark = dp.sparkSession
+    val shared = new Evaluator(spark, dp, ctx)
+    exprs.map(shared.eval)
+  }
+
   /** Sparse output table for the driver/oracle: tag columns + t + value.
     * The RoundEps shift keeps round-half ties deterministic across engines. */
   def output(f: SeriesFrame, tagCols: Seq[String], roundTo: Int = 4): DataFrame = {

@@ -294,7 +294,8 @@ object StreamRunner {
       storePath: String,
       checkpointPath: String,
       step: Long,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      catalogPath: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val valid = datapoints.filter(graft.sources.Validation.validTags(col("tags")))
     val normalized = valid
@@ -315,6 +316,9 @@ object StreamRunner {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("date").parquet(storePath)
+        // series-catalog maintenance (§1.3 index rebuild analog): append the
+        // batch's distinct series; readers dedup, compaction is a rewrite
+        catalogPath.foreach(p => graft.sources.TagIndex.append(batch, p))
       }
       .start()
   }

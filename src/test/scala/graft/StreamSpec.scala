@@ -245,7 +245,8 @@ class StreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val input = MemoryStream[(Map[String, String], Long, Double)]
     val dp = input.toDF.toDF("tags", "ts", "value")
-    val query = StreamRunner.ingest(dp, s"$dir/store", s"$dir/ckpt", ctx.step, "1 minute")
+    val query = StreamRunner.ingest(dp, s"$dir/store", s"$dir/ckpt", ctx.step, "1 minute",
+      catalogPath = Some(s"$dir/catalog"))
     try {
       // valid rows plus one invalid (bad key charset) that must be dropped
       input.addData(points.sortBy(_._2) :+ ((Map("name" -> "bad key!") , slot(0), 1.0)))
@@ -264,6 +265,12 @@ class StreamSpec extends SparkSpec {
           points.toDF("tags", "ts", "value"), ctx), Nil, 6)
         .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
       assert(got == batch)
+
+      // the ingest-maintained series catalog holds exactly the series whose
+      // windows finalized (the sentinels' own windows never do)
+      val catalog = graft.sources.TagIndex.load(spark, s"$dir/catalog")
+      val series = catalog.collect().map(_.getAs[String]("series")).toSet
+      assert(series == Set("name=a,node=1", "name=a,node=2"))
     } finally query.stop()
   }
 
