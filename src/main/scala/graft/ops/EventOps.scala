@@ -45,6 +45,35 @@ object EventOps {
       .select(cols.map(col): _*)
 
   /**
+   * Streaming `:sample` (the lwc-events delivery shape): watermarked
+   * per-step windows over an event stream; append mode emits each
+   * (group, window) row once the watermark finalizes it. `:table` and raw
+   * queries need no streaming variant — they are stateless filters and
+   * projections, so [[eval]] applies to a streaming frame unchanged.
+   */
+  def streamingSample(
+      events: DataFrame,
+      q: Query,
+      sampleBy: Seq[String],
+      projections: Seq[String],
+      stepMs: Long,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val aggs = count(lit(1)).cast("double").as("n_events") +:
+      projections.map(p => min(col(p)).as(s"sample_$p"))
+    events
+      .withColumn("event_time", timestamp_millis(col("tms")))
+      .withWatermark("event_time", watermark)
+      .filter(QueryCompiler.compile(q, col("tags")))
+      .groupBy(sampleBy.map(col) :+ window(col("event_time"), s"$stepMs milliseconds"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        sampleBy.map(col) ++
+          (unix_millis(col("window.start")).as("t") +:
+            (col("n_events") +: projections.map(p => col(s"sample_$p")))): _*)
+  }
+
+  /**
    * `:sample` — per (group keys, step interval): event count plus a stable
    * sample of each projection column.
    */
