@@ -272,15 +272,17 @@ object Planner {
         case "max" => max(col(V))
         case _     => sum(col(V))
       }
-      val norm = base
-        .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
-        .agg(normAgg.as(V), first(col(TAGS)).as(TAGS))
-
       d match {
         case DataExpr.All(_, _) =>
+          val norm = base
+            .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+            .agg(normAgg.as(V), first(col(TAGS)).as(TAGS))
           SeriesFrame(norm.select(col(KEY), col(TAGS), col(T), col(V)), Nil, ctx.step, dense = false)
 
         case af: DataExpr.AggregateFunction =>
+          val norm = base
+            .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+            .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val out = norm
             .groupBy(col(T))
@@ -291,12 +293,21 @@ object Planner {
 
         case DataExpr.GroupBy(af, keys) =>
           // Series missing any group key are dropped (DataExpr.scala:108-122).
+          // Group-key columns are extracted BEFORE the normalization
+          // aggregate and ride along as grouping keys (they are constant
+          // within a series, so the groups are unchanged): carrying the tags
+          // map itself through `first(map)` would force the whole
+          // normalization into SortAggregate + two sorts — map-typed
+          // aggregation buffers are not hash-aggregatable.
           val present = keys.map(k => col(TAGS).getItem(k).isNotNull).reduce(_ && _)
           val kcols = keys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
+          val norm = base
+            .filter(present)
+            .groupBy(seriesId(col(TAGS)).as(KEY) +: kcols :+ col(T): _*)
+            .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val grouped = norm
-            .filter(present)
-            .groupBy(kcols :+ col(T): _*)
+            .groupBy(keys.map(k => col(s"gk_$k")) :+ col(T): _*)
             .agg(agg.as(V))
             .filter(col(V).isNotNull)
           val tagEntries = d.query.exactTags -- keys
@@ -465,15 +476,26 @@ object Planner {
           else {
             val fetch = ctx.withOffset(offset)
             val combined = ds.map(_.query).distinct.reduce((a, b) => Query.Or(a, b): Query)
+            // Per-leaf conditional values are projected at the SCAN, before
+            // normalization: the leaf predicates are per-series, so
+            // when(pred, v) commutes with the per-series slot sum, and no
+            // tags map has to survive an aggregate (first(map) would force
+            // SortAggregate for the whole normalization).
             val base = dp
               .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
               .filter(QueryCompiler.compile(combined, col(TAGS)))
               .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(offset))
+            val leafVals = ds.zipWithIndex.map { case (d, i) =>
+              when(QueryCompiler.compile(d.query, col(TAGS)), col(V)).as(s"_v$i")
+            }
             val norm = base
-              .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
-              .agg(sum(col(V)).as(V), first(col(TAGS)).as(TAGS))
+              .select(seriesId(col(TAGS)).as(KEY) +: col(T) +: leafVals: _*)
+              .groupBy(col(KEY), col(T))
+              .agg(
+                sum(col("_v0")).as("_v0"),
+                ds.indices.tail.map(i => sum(col(s"_v$i")).as(s"_v$i")): _*)
             val aggCols = ds.zipWithIndex.map { case (d, i) =>
-              val v = when(QueryCompiler.compile(d.query, col(TAGS)), col(V))
+              val v = col(s"_v$i")
               val agg = d match {
                 case _: DataExpr.Sum   => sumNaN(v)
                 case _: DataExpr.Count => countNaN(v)
