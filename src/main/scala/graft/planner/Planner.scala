@@ -741,19 +741,25 @@ object Planner {
       val rho = when(isnan(col(V)) || col(V) <= 0.0, lit(null)).otherwise(col(V))
       val pow2 = pow(lit(2.0), -rho)
 
+      // tags rebuilt from the group keys + the query's exact tags rather than
+      // carried through the aggregate — first(map) would force SortAggregate
       val grouped = inner.df
         .withColumn("_pow", pow2)
         .groupBy(gk :+ col(T): _*)
         .agg(
           sum(col("_pow")).as("_sumPow"),
-          count(col("_pow")).as("_nSet"),
-          first(map_filter(col(TAGS), (k, _) => k =!= "distinct")).as(TAGS))
+          count(col("_pow")).as("_nSet"))
         .withColumn(V, Hll.estimateCol(col("_sumPow"), col("_nSet")).cast("double"))
         .filter(col(V).isNotNull && !isnan(col(V)))
+      val staticTags = (a.exactTags - "distinct") -- groupKeys
+      val tagsCol =
+        if (groupKeys.isEmpty) tagsLit(staticTags)
+        else map_concat(tagsLit(staticTags),
+          map(groupKeys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*))
       val keyCol =
         if (groupKeys.isEmpty) lit("")
         else concat_ws(",", groupKeys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
-      val out = grouped.select(keyCol.as(KEY), col(TAGS), col(T), col(V))
+      val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
       SeriesFrame(out, groupKeys, ctx.step, dense = false)
     }
 
@@ -881,8 +887,12 @@ object Planner {
       val order =
         if (p.bottom) Seq(col("s").asc_nulls_last, col(KEY).asc)
         else Seq(col("s").desc_nulls_last, col(KEY).asc)
-      val ranked = stats.withColumn("rank", row_number().over(Window.orderBy(order: _*)))
-      val topKeys = ranked.filter(col("rank") <= p.k).select(col(KEY).as("keep_key"))
+      // top-k of the line stats via global sort+limit: Spark plans this as
+      // TakeOrderedAndProject (per-partition bounded heaps + driver merge of
+      // k rows), where a row_number window with no partition key would pull
+      // EVERY line's stat row into one task (the reference's
+      // BoundedPriorityBuffer is exactly the per-partition heap here)
+      val topKeys = stats.orderBy(order: _*).limit(p.k).select(col(KEY).as("keep_key"))
       val kept = f.df.join(topKeys, col(KEY) === col("keep_key"), "left_semi")
       p.others match {
         case None =>
