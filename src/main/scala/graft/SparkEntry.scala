@@ -526,7 +526,21 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1""".stripMargin,
       "rel_distinct_users_daily" ->
         """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS t, CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
-          |FROM events GROUP BY 1""".stripMargin
+          |FROM events GROUP BY 1""".stripMargin,
+      // mirrors Multimodal.decodeStub: h = 60-bit md5 prefix of the payload
+      "mm_features" ->
+        """SELECT doc_id AS media_id,
+          |       'fake/' || substr(md5(text), 1, 4) AS format,
+          |       CAST(64 + (h % 1024) AS INT) AS width,
+          |       CAST(64 + ((h >> 10) % 1024) AS INT) AS height,
+          |       octet_length(encode(text)) AS n_bytes
+          |FROM (SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+          |      FROM documents)""".stripMargin,
+      "mm_frames" ->
+        """SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_idx,
+          |       CAST(('0x' || substr(md5(substr(text, CAST(u.i AS INT) * 64 + 1, 64)), 1, 15)) AS BIGINT) AS frame_sig
+          |FROM (SELECT doc_id, text, greatest((length(text) - 1) // 64, 0) AS n FROM documents) t,
+          |     unnest(range(0, n + 1)) AS u(i)""".stripMargin
     )
   }
 

@@ -32,15 +32,22 @@ object Multimodal {
    * payload bytes. Replace the body with a real codec (e.g. javax.imageio /
    * ffmpeg bindings) — the signature is the real contract: one media row in,
    * one decoded row out, called from inside a partition iterator.
+   *
+   * The fake content hash is the 60-bit md5 prefix so the DuckDB oracle can
+   * reproduce the derived metadata exactly (a rolling wrapping-multiply
+   * hash has no SQL equivalent).
    */
   def decodeStub(mediaId: Long, format: String, payload: Array[Byte]): MediaFeatures = {
-    var h = 1125899906842597L // fake content hash in lieu of real decode
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(payload)
+    var h = 0L
     var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >>> 10, 1024).toInt
-    val feat = Array.tabulate(8) { d =>
-      (math.floorMod(h >>> (d * 7), 1000) / 500.0f) - 1.0f
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+    val w = 64 + (h % 1024).toInt
+    val ht = 64 + ((h >>> 10) % 1024).toInt
+    val feat = Array.tabulate(8) { dim =>
+      (((h >>> (dim * 7)) % 1000) / 500.0f) - 1.0f
     }
     MediaFeatures(mediaId, format, w, ht, payload.length.toLong, feat)
   }
@@ -75,15 +82,19 @@ object Multimodal {
   }
 
   /** Frame-sampling shape for video-like payloads: one row per sampled
-    * offset, produced without exploding the payload per frame. */
-  def sampleFrames(media: DataFrame, everyNBytes: Int = 64): DataFrame =
+    * offset, produced without exploding the payload per frame. Chunking is
+    * by decoded characters and the signature is the 60-bit md5 prefix —
+    * both reproducible in the DuckDB oracle (char-based substr + md5). */
+  def sampleFrames(media: DataFrame, everyNChars: Int = 64): DataFrame = {
+    val txt = decode(col("payload"), "UTF-8")
     media.select(
       col("media_id"),
       posexplode(
         transform(
-          sequence(lit(0), greatest(floor((length(col("payload")) - 1) / everyNBytes).cast("int"), lit(0))),
-          i => crc32(col("payload").substr(i * everyNBytes + 1, lit(everyNBytes)).cast("binary"))
+          sequence(lit(0), greatest(floor((length(txt) - 1) / everyNChars).cast("int"), lit(0))),
+          i => conv(substring(md5(txt.substr(i * everyNChars + 1, lit(everyNChars))), 1, 15), 16, 10).cast("long")
         )
       ).as(Seq("frame_idx", "frame_sig"))
     )
+  }
 }

@@ -149,7 +149,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("frame sampling yields one row per chunk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
-    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyNBytes = 64)
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyNChars = 64)
     val n = frames.groupBy("media_id").count().collect().map(_.getLong(1))
     assert(n.forall(_ >= 1))
   }
