@@ -330,6 +330,7 @@ object SparkEntry {
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
       "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
+      "sim_ann_ivf" -> ((s, d) => Similarity.ivfTopK(emb(s, d), col("vec_id") < 10, 5)),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),

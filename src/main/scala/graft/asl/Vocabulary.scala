@@ -851,6 +851,17 @@ object Vocabulary {
     } { (c, _) =>
       c.copy(stack = c.stack.head.asInstanceOf[StyleExpr].expr :: c.stack.tail)
     },
+    // Legacy macro for visualizing epic DES expressions (StyleVocabulary.
+    // scala:124, desEpicViz :605-636): the alert signal as a vspan plus the
+    // prediction-bound lines the signal macro stored with :set
+    macroWord("des-epic-viz", List(
+      ":des-epic-signal", ":vspan", "40", ":alpha", "triggered", ":legend",
+      "line", ":get", "line", ":legend",
+      "minPredNoiseBound", ":get", "minPredNoiseBound", ":legend",
+      "minPredPercentBound", ":get", "minPredPercentBound", ":legend",
+      "maxPredNoiseBound", ":get", "maxPredNoiseBound", ":legend",
+      "maxPredPercentBound", ":get", "maxPredPercentBound", ":legend"
+    ), List("name,sps,:eq,:sum,10,0.1,0.5,0.2,0.2,4,:des-epic-viz")),
     // legend hex-decode mode (StyleVocabulary.scala:424)
     styleWord("decode", "name,sps,:eq,:sum,hex,:decode"),
     // legend regex search-replace; applications chain (StyleVocabulary.scala:470)

@@ -153,6 +153,126 @@ object Similarity {
   }
 
   /**
+   * Deterministic Lloyd's k-means over a small driver-side sample (IVF
+   * coarse-quantizer training). Init = first k distinct sample vectors,
+   * fixed iteration count, empty cells keep their previous centroid — fully
+   * deterministic, no RNG.
+   */
+  private[ops] def kmeans(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = xs.head.length
+    val centroids = xs.distinctBy(_.toSeq).take(k).map(_.clone)
+    val kk = centroids.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0
+          var i = 0
+          while (i < dim) { val d = x(i) - centroids(c)(i); dist += d * d; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+   * corpus into cells; each query probes only its `nProbe` nearest cells.
+   * Training runs driver-side on a small deterministic sample (smallest
+   * ids), centroids broadcast; the corpus streams through one
+   * mapPartitions computing its cell and scoring against only the queries
+   * probing that cell — zero shuffle over the corpus, candidate volume
+   * scales with nProbe/nCells. `nProbe = nCells` degrades gracefully to
+   * exact brute force (the recall/throughput knob the reference pattern
+   * documents for IVF indexes).
+   */
+  def ivfTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 256,
+      iters: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
+    val centroids = kmeans(sample.map(_.vec), nCells, iters)
+
+    def probeCells(v: Array[Double]): Array[Int] =
+      centroids.indices
+        .map { c =>
+          var dist = 0.0
+          var i = 0
+          while (i < v.length) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
+          (dist, c)
+        }
+        .sorted.take(nProbe).map(_._2).toArray
+
+    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+      .map(q => (q, probeCells(q.vec).toSet))
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcC = spark.sparkContext.broadcast(centroids)
+
+    val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
+      val qs = bcQ.value
+      val cs = bcC.value
+      it.flatMap { v =>
+        val cell = nearestCell(v.vec, cs)
+        qs.iterator.collect {
+          case (q, probes) if q.id != v.id && probes.contains(cell) =>
+            (q.id, v.id, dot(q.vec, v.vec))
+        }
+      }
+    }.toDF("query_id", "nbr_id", "score")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplane component for (plane p, dim d):
    * a value in [-1, 1) derived from a 64-bit mix of (p, d) — the same
    * splitmix64-style finalizer everywhere, no RNG state.

@@ -94,6 +94,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = approx.count(a => truth.contains(a)).toDouble / truth.size
     info(f"LSH recall@5 on random embeddings: $recall%.2f")
   }
+
+  test("IVF ANN with nProbe = nCells is exactly brute force; fewer probes keep exact scores") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probing every cell degrades IVF to an exhaustive scan: identical result
+    val full = Similarity.ivfTopK(emb, q, 5, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full == truth)
+    // partial probing: a subset of the truth with identical exact scores
+    val approx = Similarity.ivfTopK(emb, q, 5, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(approx.nonEmpty)
+    val truthScores = truth.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (qid, nid, s) =>
+      truthScores.get((qid, nid)).foreach(ts => assert(ts == s))
+    }
+    val recall = approx.count(a => truth.contains(a)).toDouble / truth.size
+    info(f"IVF recall@5 at nProbe=2/8: $recall%.2f")
+    assert(recall > 0.3) // deterministic quantizer, stable bound
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
