@@ -664,33 +664,38 @@ object Planner {
       import graft.functions.PercentileBuckets
       val inner = eval(p.expr)
       val groupKeys = p.expr.keys.filterNot(_ == "percentile")
-      val gk = groupKeys.map(k => col(TAGS).getItem(k))
+      val gkCols = groupKeys.map(k => col(s"gk_$k"))
 
       val bucketTag = col(TAGS).getItem("percentile")
       val idx = conv(substring(bucketTag, 2, 4), 16, 10).cast("long")
       val isTimer = substring(bucketTag, 1, 1) === "T"
-
-      val wOrd = Window.partitionBy(gk :+ col(T): _*).orderBy(idx)
-      val wAll = Window.partitionBy(gk :+ col(T): _*)
-
       // non-finite counts are treated as 0 (MathExpr.scala:998)
       val cnt = when(isnan(col(V)) || col(V).isNull, 0.0).otherwise(col(V))
-      val cum = inner.df
-        .withColumn("_idx", idx)
-        .withColumn("_timer", isTimer)
-        .withColumn("_c", cnt)
+
+      val base = inner.df.select(
+        groupKeys.map(k => col(TAGS).getItem(k).as(s"gk_$k")) ++
+          Seq(col(T), idx.as("_idx"), isTimer.as("_timer"), cnt.as("_c")): _*)
+
+      val wOrd = Window.partitionBy(gkCols :+ col(T): _*).orderBy(col("_idx"))
+      val wAll = Window.partitionBy(gkCols :+ col(T): _*)
+      val cum = base
         .withColumn("_cum", sum(col("_c")).over(wOrd))
         .withColumn("_tot", sum(col("_c")).over(wAll))
-      // one row per (bucket, pct); first bucket whose cumulative share
-      // reaches the pct wins (row_number over idx)
+      // one row per (bucket, pct); the first bucket whose cumulative share
+      // reaches the pct wins — min_by over the bucket index, which stays a
+      // hash aggregate (a row_number window here would add a third
+      // shuffle+sort over the bucket rows)
       val withPct = cum
         .withColumn("_p", explode(lit(p.sortedPcts.toArray)))
         .withColumn("_np", lit(100.0) * col("_cum") / col("_tot"))
         .withColumn("_pp", lit(100.0) * (col("_cum") - col("_c")) / col("_tot"))
         .filter(col("_np") >= col("_p"))
-        .withColumn("_rn",
-          row_number().over(Window.partitionBy(gk :+ col(T) :+ col("_p"): _*).orderBy(col("_idx"))))
-        .filter(col("_rn") === 1)
+        .groupBy(gkCols :+ col(T) :+ col("_p"): _*)
+        .agg(min_by(
+          struct(col("_idx"), col("_np"), col("_pp"), col("_timer")), col("_idx")).as("_s"))
+        .select(gkCols ++ Seq(col(T), col("_p"),
+          col("_s._idx").as("_idx"), col("_s._np").as("_np"),
+          col("_s._pp").as("_pp"), col("_s._timer").as("_timer")): _*)
 
       val b = PercentileBuckets.boundaryCol(col("_idx"))
       val prevB = when(col("_idx") === 0, 0.0)
@@ -706,8 +711,13 @@ object Planner {
         .when(col("_p") < 100.0, concat(lit(" "), pStr))
         .otherwise(pStr)
 
+      // tags rebuilt from group keys + the query's exact tags (carrying the
+      // map through the aggregate would fall out of hash aggregation)
+      val staticTags = (p.expr.query.exactTags -- groupKeys) - "percentile"
       val outTags = map_concat(
-        map_filter(col(TAGS), (k, _) => k =!= "percentile"),
+        (if (groupKeys.isEmpty) tagsLit(staticTags)
+         else map_concat(tagsLit(staticTags),
+           map(groupKeys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*))),
         map(lit("percentile"), label))
       val outKeys = groupKeys :+ "percentile"
       val out = withPct.select(
