@@ -434,6 +434,27 @@ object Vocabulary {
       c.copy(stack = MathExpr.As(
         ts(e), orig.asInstanceOf[String], repl.asInstanceOf[String]) :: rest)
     },
+    // user-facing form of the macro mechanism (MathVocabulary.scala:630-682):
+    // evaluate `rewritten`, display as `original,:name`; presentation
+    // settings of a styled original carry forward
+    word("named-rewrite", "original rewritten name -- TimeSeriesExpr",
+      List("name,sps,:eq,name,sps,:eq,:sum,name,sps,:eq,:count,:div,avg,:named-rewrite")) { s =>
+      s.size >= 3 && isStr(s.head) && isTS(s(1)) &&
+        (isTS(s(2)) || isQ(s(2)) || s(2).isInstanceOf[StyleExpr])
+    } { (c, _) =>
+      val (n: String) :: rwAny :: origAny :: rest = c.stack: @unchecked
+      val display = origAny match {
+        case q: Query      => q.asl
+        case se: StyleExpr => se.expr.asl
+        case e             => ts(e).asl
+      }
+      val nrw = MathExpr.NamedRewrite(s"$display,:$n", ts(rwAny))
+      val out: Any = origAny match {
+        case se: StyleExpr => se.copy(expr = nrw)
+        case _             => nrw
+      }
+      c.copy(stack = out :: rest)
+    },
     // macros kept as NamedRewrite so the display form round-trips
     word("avg", "Query -- TimeSeriesExpr", List("name,sps,:eq,:avg")) { s =>
       s.headOption.exists(isQ)
