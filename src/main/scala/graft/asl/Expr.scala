@@ -125,22 +125,44 @@ object MathExpr {
 
   /**
    * Value = calendar field of the interval timestamp (`:time`), UTC.
-   * Supported modes mirror the common ChronoField names plus
-   * secondsSinceEpoch (MathExpr.Time, MathExpr.scala:179-218).
+   * The full reference mode grammar (MathExpr.scala:179-213): camelCase
+   * calendar aliases, fractional since-epoch units (seconds..weeks), and
+   * raw ChronoField enum names (e.g. HOUR_OF_DAY). Modes canonicalize at
+   * construction so display forms still round-trip verbatim.
    */
   final case class Time(mode: String) extends TimeSeriesExpr {
-    require(Time.modes.contains(mode), s"unsupported :time mode $mode")
+    require(Time.canonical.contains(Time.normalize(mode)), s"unsupported :time mode $mode")
     def dataExprs: List[DataExpr] = Nil
     def finalGrouping: List[String] = Nil
     def asl = s"$mode,:time"
   }
 
   object Time {
-    val modes: Set[String] = Set(
-      "secondOfMinute", "minuteOfHour", "hourOfDay", "dayOfWeek",
-      "dayOfMonth", "dayOfYear", "monthOfYear", "yearOfEra",
+    /** Canonical camelCase/unit modes the planner evaluates. */
+    val canonical: Set[String] = Set(
+      "secondOfMinute", "secondOfDay", "minuteOfHour", "minuteOfDay",
+      "hourOfDay", "dayOfWeek", "dayOfMonth", "dayOfYear", "monthOfYear",
+      "yearOfCentury", "yearOfEra",
+      "seconds", "minutes", "hours", "days", "weeks",
       "secondsSinceEpoch"
     )
+
+    /** Raw ChronoField enum name -> canonical alias (reference `:time`
+      * falls back to ChronoField.valueOf for unrecognized modes). */
+    def normalize(mode: String): String = mode match {
+      case "SECOND_OF_MINUTE" => "secondOfMinute"
+      case "SECOND_OF_DAY"    => "secondOfDay"
+      case "MINUTE_OF_HOUR"   => "minuteOfHour"
+      case "MINUTE_OF_DAY"    => "minuteOfDay"
+      case "HOUR_OF_DAY"      => "hourOfDay"
+      case "DAY_OF_WEEK"      => "dayOfWeek"
+      case "DAY_OF_MONTH"     => "dayOfMonth"
+      case "DAY_OF_YEAR"      => "dayOfYear"
+      case "MONTH_OF_YEAR"    => "monthOfYear"
+      case "YEAR"             => "yearOfCentury"
+      case "YEAR_OF_ERA"      => "yearOfEra"
+      case m                  => m
+    }
   }
 
   /** 1.0 inside [s, e], else 0.0 (`:time-span`), bounds in epoch ms. */

@@ -348,7 +348,8 @@ object Vocabulary {
         MathExpr.SeededRandom(c.stack.head.asInstanceOf[String].toInt) :: c.stack.tail)
     },
     word("time", "mode -- TimeSeriesExpr", List("hourOfDay,:time")) { s =>
-      s.headOption.exists(v => isStr(v) && MathExpr.Time.modes.contains(v.asInstanceOf[String]))
+      s.headOption.exists(v => isStr(v) &&
+        MathExpr.Time.canonical.contains(MathExpr.Time.normalize(v.asInstanceOf[String])))
     } { (c, _) =>
       c.copy(stack = MathExpr.Time(c.stack.head.asInstanceOf[String]) :: c.stack.tail)
     },

@@ -335,19 +335,29 @@ object Planner {
     private def evalTime(m: MathExpr.Time): SeriesFrame =
       constant(timeValue(m.mode, col(T)), Map("name" -> m.mode))
 
-    /** Calendar field of a slot timestamp column (UTC). */
-    private def timeValue(mode: String, t: Column): Column = {
+    /** Calendar field of a slot timestamp column (UTC), full reference mode
+      * grammar (MathExpr.scala:179-213). Unit modes are FRACTIONAL
+      * divisions of epoch millis, like the reference's sinceEpoch. */
+    private def timeValue(mode0: String, t: Column): Column = {
       val ts = timestamp_seconds(t / 1000L)
-      val v: Column = mode match {
+      val v: Column = MathExpr.Time.normalize(mode0) match {
         case "secondOfMinute"    => second(ts)
+        case "secondOfDay"       => hour(ts) * 3600 + minute(ts) * 60 + second(ts)
         case "minuteOfHour"      => minute(ts)
+        case "minuteOfDay"       => hour(ts) * 60 + minute(ts)
         case "hourOfDay"         => hour(ts)
         // ISO day-of-week 1=Mon..7=Sun; Spark dayofweek is 1=Sun..7=Sat.
         case "dayOfWeek"         => pmod(dayofweek(ts) + lit(5), lit(7)) + lit(1)
         case "dayOfMonth"        => dayofmonth(ts)
         case "dayOfYear"         => dayofyear(ts)
         case "monthOfYear"       => month(ts)
+        case "yearOfCentury"     => year(ts)
         case "yearOfEra"         => year(ts)
+        case "seconds"           => t.cast("double") / lit(1000.0)
+        case "minutes"           => t.cast("double") / lit(60000.0)
+        case "hours"             => t.cast("double") / lit(3600000.0)
+        case "days"              => t.cast("double") / lit(86400000.0)
+        case "weeks"             => t.cast("double") / lit(604800000.0)
         case "secondsSinceEpoch" => t / 1000L
       }
       v.cast("double")
