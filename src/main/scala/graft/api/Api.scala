@@ -42,10 +42,15 @@ object Api {
     val expanded = styled.flatMap { s =>
       s.settings.get("offsets") match {
         case Some(offsets) =>
-          offsets.split(",").toList.map { o =>
-            val ms = Strings.parseDuration(o)
-            val shifted = Rewrite.mapData(s.expr, _.withOffset(ms))
-            s.copy(expr = shifted, settings = s.settings - "offsets")
+          offsets.split(",").toList.filter(_.nonEmpty) match {
+            // empty offset list -> the line itself (StyleExpr.perOffset)
+            case Nil => List(s.copy(settings = s.settings - "offsets"))
+            case os =>
+              os.map { o =>
+                val ms = Strings.parseDuration(o)
+                val shifted = Rewrite.mapData(s.expr, _.withOffset(ms))
+                s.copy(expr = shifted, settings = s.settings - "offsets")
+              }
           }
         case None => List(s)
       }

@@ -14,9 +14,15 @@ final case class EvalContext(start: Long, end: Long, step: Long) {
   /** Number of grid slots in the window. */
   def bufferSize: Int = ((end - start) / step).toInt
 
+  /** `offset` floored to a whole number of slots — a shift below the step
+    * resolution cannot be represented on the grid. */
+  def alignedOffset(offset: Long): Long = offset - math.floorMod(offset, step)
+
   /** Shift the fetch window back by `offset` ms (for `:offset`). */
-  def withOffset(offset: Long): EvalContext =
-    if (offset == 0L) this else EvalContext(start - offset, end - offset, step)
+  def withOffset(offset: Long): EvalContext = {
+    val aligned = alignedOffset(offset)
+    if (aligned == 0L) this else EvalContext(start - aligned, end - aligned, step)
+  }
 
   /** Re-step to a coarser grid (consolidation). */
   def withStep(newStep: Long): EvalContext = {

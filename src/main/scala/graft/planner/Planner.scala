@@ -95,6 +95,11 @@ object Planner {
       ","
     )
 
+  /** Reference to an extracted group-key column; quoted because tag keys
+    * routinely contain dots (nf.cluster) that a bare col() would parse as
+    * a nested-field path. */
+  private def gkCol(k: String): Column = col("`gk_" + k + "`")
+
   /** Group key from tag values for `keys`, canonicalized by sorting keys. */
   private def mkKey(keys: Seq[String], tags: Column): Column =
     concat_ws(",", keys.sorted.map(k => concat(lit(k + "="), tags.getItem(k))): _*)
@@ -202,7 +207,11 @@ object Planner {
       case FilterExpr.StatExpr(stat) =>
         statEnv match {
           case Some(env) => statLines(env, stat)
-          case None => throw new IllegalStateException(":stat-" + stat + " outside :filter")
+          case None =>
+            // a bare :stat-* outside :filter evaluates to no lines
+            // (reference FilterExpr.scala:85-87: empty ResultSet)
+            val empty = constant(lit(0.0), Map.empty)
+            SeriesFrame(empty.df.limit(0), Nil, ctx.step, dense = false)
         }
       case f: FilterExpr.Filter => evalFilter(f)
       case p: FilterExpr.PriorityFilter => evalPriority(p)
@@ -257,12 +266,13 @@ object Planner {
     }
 
     private def evalData(d: DataExpr): SeriesFrame = {
-      val fetch = ctx.withOffset(d.offset)
+      val off = ctx.alignedOffset(d.offset)
+      val fetch = ctx.withOffset(off)
       val pred = QueryCompiler.compile(d.query, col(TAGS))
       val base = dp
         .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
         .filter(pred)
-        .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(d.offset))
+        .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(off))
 
       // Ingest normalization: one value per (series, slot); datapoints within
       // a slot merge with the consolidation function.
@@ -307,16 +317,16 @@ object Planner {
             .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val grouped = norm
-            .groupBy(keys.map(k => col(s"gk_$k")) :+ col(T): _*)
+            .groupBy(keys.map(k => gkCol(k)) :+ col(T): _*)
             .agg(agg.as(V))
             .filter(col(V).isNotNull)
           val tagEntries = d.query.exactTags -- keys
           val tagsCol = map_concat(
             tagsLit(tagEntries),
-            map(keys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*)
+            map(keys.flatMap(k => Seq(lit(k), gkCol(k))): _*)
           )
           val keyCol = concat_ws(",",
-            keys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+            keys.sorted.map(k => concat(lit(k + "="), gkCol(k))): _*)
           val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
           SeriesFrame(out, keys, ctx.step, dense = false)
       }
@@ -481,8 +491,8 @@ object Planner {
       walk(root).flatMap { tree =>
         if (mode == 1 && dataLeaves.size >= 2) {
           val ds = dataLeaves.toList
-          val offset = ds.head.offset
-          if (!ds.forall(d => d.offset == offset && cfOf(d) == "sum")) None
+          val offset = ctx.alignedOffset(ds.head.offset)
+          if (!ds.forall(d => ctx.alignedOffset(d.offset) == offset && cfOf(d) == "sum")) None
           else {
             val fetch = ctx.withOffset(offset)
             val combined = ds.map(_.query).distinct.reduce((a, b) => Query.Or(a, b): Query)
@@ -653,9 +663,9 @@ object Planner {
         .groupBy(kcols :+ col(T): _*)
         .agg(agg.as(V))
         .filter(col(V).isNotNull)
-      val tagsCol = map(keys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*)
+      val tagsCol = map(keys.flatMap(k => Seq(lit(k), gkCol(k))): _*)
       val keyCol = concat_ws(",",
-        keys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+        keys.sorted.map(k => concat(lit(k + "="), gkCol(k))): _*)
       val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
       SeriesFrame(out, keys, ctx.step, dense = false)
     }
@@ -674,7 +684,7 @@ object Planner {
       import graft.functions.PercentileBuckets
       val inner = eval(p.expr)
       val groupKeys = p.expr.keys.filterNot(_ == "percentile")
-      val gkCols = groupKeys.map(k => col(s"gk_$k"))
+      val gkCols = groupKeys.map(k => gkCol(k))
 
       val bucketTag = col(TAGS).getItem("percentile")
       val idx = conv(substring(bucketTag, 2, 4), 16, 10).cast("long")
@@ -727,7 +737,7 @@ object Planner {
       val outTags = map_concat(
         (if (groupKeys.isEmpty) tagsLit(staticTags)
          else map_concat(tagsLit(staticTags),
-           map(groupKeys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*))),
+           map(groupKeys.flatMap(k => Seq(lit(k), gkCol(k))): _*))),
         map(lit("percentile"), label))
       val outKeys = groupKeys :+ "percentile"
       val out = withPct.select(
@@ -775,10 +785,10 @@ object Planner {
       val tagsCol =
         if (groupKeys.isEmpty) tagsLit(staticTags)
         else map_concat(tagsLit(staticTags),
-          map(groupKeys.flatMap(k => Seq(lit(k), col(s"gk_$k"))): _*))
+          map(groupKeys.flatMap(k => Seq(lit(k), gkCol(k))): _*))
       val keyCol =
         if (groupKeys.isEmpty) lit("")
-        else concat_ws(",", groupKeys.sorted.map(k => concat(lit(k + "="), col(s"gk_$k"))): _*)
+        else concat_ws(",", groupKeys.sorted.map(k => concat(lit(k + "="), gkCol(k))): _*)
       val out = grouped.select(keyCol.as(KEY), tagsCol.as(TAGS), col(T), col(V))
       SeriesFrame(out, groupKeys, ctx.step, dense = false)
     }

@@ -11,16 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class ReferenceQueriesSpec extends AnyFunSuite {
 
-  private val path = "/root/reference/atlas-core/src/test/resources/queries.txt"
-
   test("every ASL program in the reference corpus parses") {
-    assume(new java.io.File(path).exists())
-    val programs = scala.io.Source.fromFile(path).getLines().toList.flatMap { line =>
-      line.split("[?&]").toList
-        .find(_.startsWith("q="))
-        .map(v => java.net.URLDecoder.decode(v.drop(2), "UTF-8"))
-    }
-    assert(programs.size > 300)
+    assume(new java.io.File(ReferenceQueries.path).exists())
+    val programs = ReferenceQueries.programs
+    assert(programs.size > 250) // 372 corpus lines, ~276 distinct programs
     val failures = programs.flatMap { p =>
       try { Asl.parseAll(p); None }
       catch { case e: Exception => Some(s"'$p' -> ${e.getMessage}") }
@@ -28,5 +22,42 @@ class ReferenceQueriesSpec extends AnyFunSuite {
     assert(
       failures.isEmpty,
       s"${failures.size}/${programs.size} failed:\n" + failures.take(25).mkString("\n"))
+  }
+}
+
+object ReferenceQueries {
+  val path = "/root/reference/atlas-core/src/test/resources/queries.txt"
+  def programs: List[String] =
+    scala.io.Source.fromFile(path).getLines().toList.flatMap { line =>
+      line.split("[?&]").toList
+        .find(_.startsWith("q="))
+        .map(v => java.net.URLDecoder.decode(v.drop(2), "UTF-8"))
+    }.distinct
+}
+
+/** Every 7th corpus program evaluated end-to-end through Api.graph against
+  * the sf0.001 events datapoints: exercises the planner over the operator
+  * combinations real dashboards use (multi-expr stacks, :each loops, list
+  * offsets, axes/palettes, legends). Queries reference tags our testdata
+  * lacks — empty results are fine; what must not happen is a planning or
+  * execution failure. */
+class ReferenceQueriesEvalSpec extends SparkSpec {
+
+  test("sampled corpus programs evaluate through the graph API") {
+    assume(new java.io.File(ReferenceQueries.path).exists())
+    val sample = ReferenceQueries.programs.zipWithIndex.collect {
+      case (p, i) if i % 7 == 0 => p
+    }
+    val dp = graft.sources.Datapoints.events(spark, "/root/testdata/sf0.001")
+    val ctx = graft.core.EvalContext.testdata
+    val failures = sample.flatMap { p =>
+      try {
+        graft.api.Api.graph(p, dp, ctx).collect()
+        None
+      } catch { case e: Exception => Some(s"'$p' -> ${e.getMessage}") }
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size}/${sample.size} failed:\n" + failures.take(15).mkString("\n"))
   }
 }
