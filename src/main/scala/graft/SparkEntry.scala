@@ -342,6 +342,8 @@ object SparkEntry {
           .select(col("media_id"), col("format"), col("width"), col("height"), col("n_bytes"))),
       "mm_frames" -> ((s, d) =>
         Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))),
+      "mm_resize" -> ((s, d) =>
+        Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
       // -- event operators (§2.9), through the ASL front-end --
       "events_table" -> ((s, d) => EventOps.eval(
         Asl.parseEvent("name,error,:eq,usr,u100,:ge,:and,(,event_id,tms,user_id,value,),:table"),
@@ -541,7 +543,16 @@ object SparkEntry {
         """SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_idx,
           |       CAST(('0x' || substr(md5(substr(text, CAST(u.i AS INT) * 64 + 1, 64)), 1, 15)) AS BIGINT) AS frame_sig
           |FROM (SELECT doc_id, text, greatest((length(text) - 1) // 64, 0) AS n FROM documents) t,
-          |     unnest(range(0, n + 1)) AS u(i)""".stripMargin
+          |     unnest(range(0, n + 1)) AS u(i)""".stripMargin,
+      "mm_resize" ->
+        """WITH m AS (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents),
+          |d AS (SELECT doc_id, CAST(64 + (h % 1024) AS INT) AS sw, CAST(64 + ((h >> 10) % 1024) AS INT) AS sh FROM m),
+          |s AS (SELECT doc_id, sw, sh, least(1.0, least(256.0 / sw, 256.0 / sh)) AS scale FROM d)
+          |SELECT doc_id AS media_id, sw AS src_width, sh AS src_height,
+          |       CAST(greatest(1, floor(sw * scale)) AS INT) AS width,
+          |       CAST(greatest(1, floor(sh * scale)) AS INT) AS height,
+          |       floor(scale * 10000 + 0.5) / 10000 AS scale
+          |FROM s""".stripMargin
     )
   }
 

@@ -28,6 +28,26 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("double").as("n_dups"))
 
+  /**
+   * Streaming exact dedup: pass through the first document per content
+   * hash, dropping re-arrivals within the watermark horizon. Uses Spark's
+   * dropDuplicatesWithinWatermark so the per-hash state is evicted once the
+   * watermark passes it — bounded state at unbounded stream length, which
+   * is the only form that survives an ingest firehose (a plain
+   * dropDuplicates on a stream retains every hash forever).
+   */
+  def streamingExact(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", watermark)
+      .withColumn("text_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(text), " ")

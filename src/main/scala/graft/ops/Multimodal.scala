@@ -81,6 +81,34 @@ object Multimodal {
       }
   }
 
+  /**
+   * Resize shape: per media row, the stub-decoded dimensions scaled to fit
+   * inside a target box (aspect preserved, never upscaled — the standard
+   * training-data normalization). The scale metadata is real contract; the
+   * pixel work would live in the decode kernel. Everything derives from the
+   * md5-based stub hash, so the DuckDB oracle reproduces it exactly.
+   */
+  def resize(media: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, bytes) =>
+          val m = decodeStub(id, fmt, bytes)
+          val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+          val w = math.max(1, math.floor(m.width * scale).toInt)
+          val h = math.max(1, math.floor(m.height * scale).toInt)
+          // half-up at 4 decimals via floor(x*1e4 + 0.5): the same double
+          // operations exist in DuckDB (rint would be half-even, and SQL
+          // round() half-away — neither matches across engines)
+          (id, m.width, m.height, w, h, math.floor(scale * 1e4 + 0.5) / 1e4)
+        }
+      }
+      .toDF("media_id", "src_width", "src_height", "width", "height", "scale")
+  }
+
   /** Frame-sampling shape for video-like payloads: one row per sampled
     * offset, produced without exploding the payload per frame. Chunking is
     * by decoded characters and the signature is the 60-bit md5 prefix —

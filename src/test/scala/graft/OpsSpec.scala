@@ -169,6 +169,18 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == docs.count())
   }
 
+  test("resize fits inside the target box, preserves aspect, never upscales") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Multimodal.resize(Multimodal.asMedia(docs), 256, 256).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sw, sh, w, h, s) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))
+      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
+      assert(s <= 1.0) // never upscale
+      if (sw <= 256 && sh <= 256) assert(w == sw && h == sh)
+    }
+  }
+
   test("frame sampling yields one row per chunk") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyNChars = 64)

@@ -54,6 +54,26 @@ class PublishSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup passes first arrival per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val out = graft.ops.Dedup.streamingExact(
+      input.toDF.toDF("doc_id", "text", "ts"), watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "alpha beta", 1000L), (2L, "alpha beta", 2000L), // dup of 1
+        (3L, "gamma", 3000L)))
+      query.processAllAvailable()
+      input.addData(Seq((4L, "gamma", 5000L))) // dup of 3, still in horizon
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming :sample matches the batch sample per finalized window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
