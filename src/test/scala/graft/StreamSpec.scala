@@ -271,6 +271,14 @@ class StreamSpec extends SparkSpec {
       val catalog = graft.sources.TagIndex.load(spark, s"$dir/catalog")
       val series = catalog.collect().map(_.getAs[String]("series")).toSet
       assert(series == Set("name=a,node=1", "name=a,node=2"))
+
+      // a time-bounded query over the store prunes date partitions at plan
+      // time (the layout exists exactly so historical scans skip days)
+      val pruned = spark.read.parquet(s"$dir/store")
+        .filter(col("date") === "1970-01-01") // test slots sit at epoch 0
+      val planStr = pruned.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters") &&
+        planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"))
     } finally query.stop()
   }
 
