@@ -113,11 +113,14 @@ object Api {
     val values = array(grid.map(t =>
       coalesce(element_at(col("tv"), lit(t)), lit(Double.NaN))): _*)
 
-    // legend: $k substitution from tags (StyleExpr.legend, StyleExpr.scala:47-62)
+    // legend: $k and $(k) substitution from tags (StyleExpr.legend,
+    // StyleExpr.scala:47-62; Strings.substitute supports both forms)
     val base = settings.get("legend") match {
       case Some(fmt) =>
-        val parts = "\\$([a-zA-Z0-9_.]+)".r.split(fmt)
-        val keys = "\\$([a-zA-Z0-9_.]+)".r.findAllMatchIn(fmt).map(_.group(1)).toList
+        val pat = "\\$\\(([^)]+)\\)|\\$([a-zA-Z0-9_.]+)".r
+        val parts = pat.split(fmt)
+        val keys = pat.findAllMatchIn(fmt)
+          .map(m => Option(m.group(1)).getOrElse(m.group(2))).toList
         val cols = parts.toList.map(lit(_): Column)
           .zipAll(keys.map(k => coalesce(col("tags").getItem(k), lit(s"$$$k"))), lit(""), lit(""))
           .flatMap { case (a, b) => Seq(a, b) }

@@ -39,6 +39,12 @@ class ApiSpec extends SparkSpec {
     assert(out.exists(_.contains("\"label\":\"node n1\"")), out.mkString("\n"))
   }
 
+  test("legend formatting substitutes parenthesized $(tags)") {
+    val out = Api.graph("name,a,:eq,:sum,(,node,),:by,on $(node) now,:legend", dp, ctx)
+      .collect().map(_.getString(0))
+    assert(out.exists(_.contains("\"label\":\"on n1 now\"")), out.mkString("\n"))
+  }
+
   test(":s rewrites the legend with regex search-replace") {
     val out = Api.graph("name,a,:eq,:sum,(,node,),:by,$node,:legend,^n,host-,:s", dp, ctx)
       .collect().map(_.getString(0))
