@@ -51,18 +51,7 @@ object Evaluator {
     case _               => false
   }
 
-  /**
-   * Attach subscriptions to a datapoint stream. `sink` receives, per
-   * micro-batch with finalized slots, a DataFrame of
-   * (subscription: string, json: string) TimeSeriesMessage rows.
-   */
-  def attach(
-      datapoints: DataFrame,
-      subs: Seq[Subscription],
-      step: Long,
-      watermark: String = "10 minutes"
-  )(sink: DataFrame => Unit): StreamingQuery = {
-    require(subs.nonEmpty, "no subscriptions")
+  private def parseAndCheck(subs: Seq[Subscription]): Seq[(String, List[StyleExpr])] = {
     val parsed = subs.map(s => s.id -> Asl.parseAll(s.program))
     parsed.foreach { case (id, styled) =>
       styled.foreach { se =>
@@ -72,22 +61,66 @@ object Evaluator {
             "StreamRunner.streamingStateful/streamingStatefulTicking instead")
       }
     }
+    parsed
+  }
 
+  /**
+   * Attach a FIXED set of subscriptions to a datapoint stream. The shared
+   * normalize pass is scoped to the OR of their data queries. `sink`
+   * receives, per micro-batch with finalized slots, a DataFrame of
+   * (subscription: string, json: string) TimeSeriesMessage rows.
+   */
+  def attach(
+      datapoints: DataFrame,
+      subs: Seq[Subscription],
+      step: Long,
+      watermark: String = "10 minutes"
+  )(sink: DataFrame => Unit): StreamingQuery = {
+    require(subs.nonEmpty, "no subscriptions")
+    val parsed = parseAndCheck(subs)
     val queries = parsed.flatMap(_._2).flatMap(se => dataExprs(se.expr)).map(_.query).distinct
     val combined = queries
       .reduceOption((a, b) => Query.Or(a, b): Query)
       .getOrElse(Query.True: Query)
-    val norm = StreamRunner.normalize(datapoints, combined, step, watermark)
+    attachImpl(datapoints, combined, () => parsed, step, watermark)(sink)
+  }
 
+  /**
+   * Attach a DYNAMIC subscription set (the LWC subscribe/unsubscribe
+   * lifecycle): `current` is re-read at every micro-batch, so
+   * subscriptions added or dropped between triggers take effect on the
+   * next interval without restarting the stream. The shared scan is scoped
+   * by `scope` — the superset query the stream is provisioned for (the
+   * analog of an LWC cluster's configured expression universe); a
+   * subscription outside the scope sees only the series the scope admits.
+   */
+  def attachDynamic(
+      datapoints: DataFrame,
+      scope: Query,
+      current: () => Seq[Subscription],
+      step: Long,
+      watermark: String = "10 minutes"
+  )(sink: DataFrame => Unit): StreamingQuery =
+    attachImpl(datapoints, scope, () => parseAndCheck(current()), step, watermark)(sink)
+
+  private def attachImpl(
+      datapoints: DataFrame,
+      scope: Query,
+      parsed: () => Seq[(String, List[StyleExpr])],
+      step: Long,
+      watermark: String
+  )(sink: DataFrame => Unit): StreamingQuery = {
+    val norm = StreamRunner.normalize(datapoints, scope, step, watermark)
     norm.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val subs = parsed()
         val slots = batch.select(col("tags"), col("t").as("ts"), col("value"))
         val range = slots.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
-        if (!range.isNullAt(0)) {
+        if (!range.isNullAt(0) && subs.nonEmpty) {
           // the interval group of this batch: every window in it is complete
           val ctx = EvalContext(range.getLong(0), range.getLong(1) + step, step)
-          val out = parsed.map { case (id, styled) =>
+          val out = subs.map { case (id, styled) =>
             styled.map { se =>
               val expr: TimeSeriesExpr = if (se.settings.isEmpty) se.expr else se
               val frame = Planner.eval(expr, slots, ctx)

@@ -376,6 +376,43 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("evaluator picks up dynamically added subscriptions on the next interval") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{Evaluator, Subscription}
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    @volatile var subs = Seq(Subscription("first", "name,a,:eq,:sum"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val query = Evaluator.attachDynamic(
+      input.toDF.toDF("tags", "ts", "value"),
+      Query.Equal("name", "a"), () => subs, ctx.step, "1 minute") { out =>
+      // record which subscriptions produced output per sink call
+      out.collect().foreach(r => seen += ((r.getAs[String]("subscription"), seen.size.toLong)))
+    }
+    try {
+      input.addData(points.sortBy(_._2).take(4))
+      query.processAllAvailable()
+      input.addData(Seq(sentinel)) // flush the early windows: "first" only
+      query.processAllAvailable()
+      assert(!seen.exists(_._1 == "second"))
+
+      subs = subs :+ Subscription("second", "name,a,:eq,:sum,(,node,),:by")
+      // fresh (node-tagged) data past the watermark, then two advances to
+      // flush it through
+      input.addData(Seq((Map("name" -> "a", "node" -> "9"), slot(1005), 7.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1100), 0.0)))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1101), 0.0)))
+      query.processAllAvailable()
+
+      val bySub = seen.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(bySub.contains("first"))
+      assert(bySub.contains("second")) // joined mid-stream, served next interval
+    } finally query.stop()
+  }
+
   test("evaluator rejects stateful words") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
