@@ -97,6 +97,25 @@ sealed trait Query extends Product with Serializable {
 
 object Query {
 
+  /**
+   * Split `:in` clauses of a conjunction into a list of `:eq` queries
+   * (reference Query.expandInClauses, Query.scala:160-183): index lookups
+   * work per exact tag value, so `k,(,a,b,),:in` fans out to two queries.
+   * Clauses larger than `limit` stay unexpanded to avoid combinatorial
+   * explosion. Input should be a normalized string of conjunctions (see
+   * dnfList).
+   */
+  def expandInClauses(query: Query, limit: Int = 5): List[Query] = query match {
+    case Query.And(q1, q2) =>
+      for {
+        a <- expandInClauses(q1, limit)
+        b <- expandInClauses(q2, limit)
+      } yield Query.And(a, b)
+    case Query.In(k, vs) if vs.lengthCompare(limit) <= 0 =>
+      vs.map(v => Query.Equal(k, v))
+    case _ => List(query)
+  }
+
   sealed trait KeyQuery extends Query { def k: String }
   sealed trait KeyValueQuery extends KeyQuery
 

@@ -128,6 +128,19 @@ class QuerySpec extends AnyFunSuite {
     assert(q.exactTags == Map("name" -> "sps", "app" -> "www"))
   }
 
+  test("expandInClauses fans :in out to :eq within the limit") {
+    val q = And(Equal("name", "sps"), In("app", List("a", "b")))
+    assert(Query.expandInClauses(q) == List(
+      And(Equal("name", "sps"), Equal("app", "a")),
+      And(Equal("name", "sps"), Equal("app", "b"))))
+    // above the limit the clause stays unexpanded
+    val big = In("app", List("a", "b", "c"))
+    assert(Query.expandInClauses(big, limit = 2) == List(big))
+    // cross product over multiple :in clauses
+    val two = And(In("a", List("1", "2")), In("b", List("3", "4")))
+    assert(Query.expandInClauses(two).size == 4)
+  }
+
   test("asl round-trip strings") {
     assert(Equal("name", "sps").asl == "name,sps,:eq")
     assert(In("name", List("a", "b")).asl == "name,(,a,b,),:in")
