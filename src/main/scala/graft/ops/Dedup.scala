@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
  *                  candidate pairs verified with exact Jaccard. The only
  *                  shuffle is the (band, bucket) join; no cross join ever
  *                  materializes.
- *  - simhash:      64-bit bit-vote fingerprint + segment blocking (pairs
+ *  - simhash:      60-bit bit-vote fingerprint + segment blocking (pairs
  *                  within hamming distance r must share one of r+1 segments).
  *  - ngramJaccard: exact n-gram Jaccard on LSH-candidate pairs.
  *
- * All hashes are computed with codegen'd higher-order functions over
- * xxhash64 — deterministic, no UDFs, no driver-side randomness.
+ * All hashes derive from md5 (JVM MessageDigest in partition-local kernels,
+ * fanned out through a 2-universal modular family) — deterministic, no
+ * driver-side randomness, and exactly reproducible by the DuckDB oracles.
  */
 object Dedup {
 
