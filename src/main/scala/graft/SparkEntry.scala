@@ -335,6 +335,7 @@ object SparkEntry {
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
       "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+      "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
       // -- multimodal plumbing --
       "mm_features" -> ((s, d) =>
@@ -462,6 +463,13 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "text_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+          |FROM documents""".stripMargin,
+      // mirrors TextOps.rollingFingerprint: same fold, same modular family
+      "text_rolling_fp" ->
+        """SELECT doc_id, list_reduce(
+          |  list_prepend(CAST(7 AS BIGINT), list_transform(string_split(lower(text), ' '),
+          |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
+          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
           |FROM documents""".stripMargin,
       "text_langid" ->
         """WITH scored AS (

@@ -99,4 +99,23 @@ object TextOps {
       col("doc_id"),
       md5(array_join(array_sort(vocab(col(textCol))), " ")).as("fingerprint")
     )
+
+  /**
+   * Order-SENSITIVE polynomial rolling hash of the token stream (the
+   * Rabin-Karp form): fp = fold over tokens of (acc * B + h(token)) mod P,
+   * so exact byte-reorderings no longer collide — the complement of
+   * [[fingerprint]]. All intermediates stay below 2^62 (ANSI-safe) and the
+   * same fold runs in DuckDB via list_reduce, so the oracle matches
+   * exactly.
+   */
+  def rollingFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val B = 1000003L
+    val P = 2147483647L
+    val h = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P
+    docs.select(
+      col("doc_id"),
+      aggregate(split(lower(col(textCol)), " "), lit(7L), (acc, t) => (acc * B + h(t)) % P)
+        .as("rolling_fp")
+    )
+  }
 }
