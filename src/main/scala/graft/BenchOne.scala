@@ -13,11 +13,24 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s
+        println(f"  STAGE ${si.stageId}%3d ${si.numTasks}%4d tasks ${ms.getOrElse(-1L)}%6d ms  ${si.name.takeWhile(_ != '(')}")
+      }
+    })
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.length > 2) df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
-    println(f"TIMING $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.contains("explain")) df.explain("formatted")
+    val reps = if (args.length > 2 && args(2).forall(_.isDigit)) args(2).toInt else 1
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"TIMING $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

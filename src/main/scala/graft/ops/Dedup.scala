@@ -86,6 +86,19 @@ object Dedup {
   final case class MinhashDoc(doc_id: Long, sh: Array[Long], sig: Array[Long])
 
   /**
+   * Spread a narrow input across all cores before a CPU-bound per-row
+   * kernel. A small parquet file arrives as one split -> one task, which
+   * serializes the signature computation; on a real cluster the scan has
+   * thousands of splits and this is a no-op (condition false). The
+   * repartition shuffles only (id, text) rows, negligible next to the
+   * kernel it parallelizes.
+   */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
    * One partition-local pass computing, per document, the distinct
    * shingle-hash set AND the full minhash signature — no shuffle at all
    * until the LSH bucket join. Column-expression formulations of this
@@ -101,7 +114,7 @@ object Dedup {
     import spark.implicits._
     val as = Array.tabulate(h)(famA)
     val bs = Array.tabulate(h)(famB)
-    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+    spread(docs.select(col("doc_id").cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -141,7 +154,14 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val h = bands * rowsPerBand
+    // Persist + materialize the per-doc sketch once (the "index build"
+    // phase): the LSH bucket self-join and the shingle-set re-joins would
+    // otherwise each recompute the signature kernel from the raw text —
+    // at scale you materialize signatures (~1 KB/doc vs the full text),
+    // then every downstream pass reads the compact frame.
     val mh = minhashDocs(docs, textCol, shingleSize, h).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mh.count()
 
     // Explode to (doc_id, band, bucket) only — the bands explode multiplies
     // every row by `bands`, so it must carry no document payload. Shingle
@@ -203,7 +223,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+    spread(docs.select(col("doc_id").cast("long"), col(textCol))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -250,27 +270,60 @@ object Dedup {
   ): DataFrame = {
     val nSeg = maxHamming + 1
     val segLen = SimhashBits / nSeg
-    val withSig = simhashSignatures(docs, textCol)
-    val seg = withSig.select(
-      col("doc_id"),
+    // Duplicate-heavy corpora produce many docs with IDENTICAL signatures,
+    // which makes segment buckets quadratically skewed (one hot bucket ->
+    // one straggler task doing |bucket|^2 pair work). Collapse to one row
+    // per DISTINCT signature before the self-join and expand the doc-id
+    // groups afterwards: same output, candidate volume shrinks by the
+    // square of the duplication factor, and the id lists ride along the
+    // (much smaller) signature join.
+    val sigGroups = simhashSignatures(docs, textCol)
+      .groupBy(col("sig")).agg(collect_list(col("doc_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigGroups.count()
+
+    // identical signatures: every in-group pair is a duplicate at distance 0
+    val intra = sigGroups
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(
+        least(col("p._1"), col("p._2")).as("doc_a"),
+        greatest(col("p._1"), col("p._2")).as("doc_b"),
+        lit(0.0).as("hamming"))
+
+    val seg = sigGroups.select(
       col("sig"),
+      col("ids"),
       explode(array((0 until nSeg).map { s =>
         struct(
           lit(s).as("seg"),
           shiftrightunsigned(col("sig"), s * segLen)
             .bitwiseAND((1L << segLen) - 1).as("segbits"))
       }: _*)).as("sb")
-    ).select(col("doc_id"), col("sig"), col("sb.seg").as("seg"), col("sb.segbits").as("segbits"))
+    ).select(col("sig"), col("ids"), col("sb.seg").as("seg"), col("sb.segbits").as("segbits"))
 
-    val a = seg.select(col("seg"), col("segbits"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = seg.select(col("seg"), col("segbits"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("seg", "segbits"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val a = seg.select(col("seg"), col("segbits"), col("sig").as("sig_a"), col("ids").as("ids_a"))
+    val b = seg.select(col("seg"), col("segbits"), col("sig").as("sig_b"), col("ids").as("ids_b"))
+    val cross = a.join(b, Seq("seg", "segbits"))
+      .filter(col("sig_a") < col("sig_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("double").as("hamming"))
+      .dropDuplicates("sig_a", "sig_b")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("hamming").cast("double").as("hamming"))
+
+    intra.unionAll(cross)
   }
+
+  /** All unordered element pairs of an array column as an array of structs
+    * (`_1`, `_2`), via higher-order functions — no join, no UDF. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("_1"), y.as("_2")))))
 
   // --- DuckDB oracle SQL (same hash family constants, so values match) ----
 
