@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~110 catalog queries generate thousands of codegen classes in one JVM;
+  // the JDK default 240 MB code cache fills and the JIT stops compiling,
+  // which shows up as late queries running interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -28,9 +28,13 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // warmup: one engine query + one ops query, untimed
-    force(SparkEntry.queries("data_sum")(spark, sfDir))
-    force(SparkEntry.queries("text_quality")(spark, sfDir))
+    // Warmup, untimed: exercise each major planner path (plain agg, grid
+    // fill + binary join, window frames, sketch estimation, text kernel)
+    // so JIT/codegen warmup of the shared machinery isn't billed to
+    // whichever catalog queries happen to run first alphabetically.
+    Seq("data_sum", "math_div_grouped_scalar", "stateful_rolling_mean",
+        "sketch_percentiles", "asl_dist_avg", "text_quality")
+      .foreach(q => force(SparkEntry.queries(q)(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
