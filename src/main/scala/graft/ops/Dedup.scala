@@ -140,6 +140,9 @@ object Dedup {
           val iter = seen.iterator()
           var k = 0
           while (iter.hasNext) { sh(k) = iter.next(); k += 1 }
+          // Sorted so that identical shingle SETS yield identical arrays —
+          // the array is used directly as a grouping key downstream.
+          java.util.Arrays.sort(sh)
           MinhashDoc(id, sh, sig)
         }
       }
@@ -154,43 +157,67 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val h = bands * rowsPerBand
-    // Persist + materialize the per-doc sketch once (the "index build"
-    // phase): the LSH bucket self-join and the shingle-set re-joins would
-    // otherwise each recompute the signature kernel from the raw text —
-    // at scale you materialize signatures (~1 KB/doc vs the full text),
-    // then every downstream pass reads the compact frame.
-    val mh = minhashDocs(docs, textCol, shingleSize, h).toDF()
+    // Duplicate-heavy corpora put many docs with IDENTICAL shingle sets
+    // (hence identical signatures) into the same LSH buckets, making the
+    // bucket self-join quadratically skewed on exactly the hottest keys.
+    // Collapse to one row per DISTINCT shingle set first: candidate
+    // generation and the exact-jaccard measure run at distinct-set
+    // cardinality, and doc-id groups expand afterwards. Output-identical:
+    // identical sets share every bucket (so all in-group pairs are LSH
+    // candidates by construction) and have jaccard exactly 1.0. The
+    // persisted group frame (~1 KB/set vs full text) is the "index build";
+    // every downstream pass reads the compact frame, never the raw corpus.
+    val groups = minhashDocs(docs, textCol, shingleSize, h).toDF()
+      .groupBy(col("sh"))
+      .agg(collect_list(col("doc_id")).as("ids"), first(col("sig")).as("sig"))
+      .withColumn("gid", array_min(col("ids")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    mh.count()
+    groups.count()
 
-    // Explode to (doc_id, band, bucket) only — the bands explode multiplies
-    // every row by `bands`, so it must carry no document payload. Shingle
-    // hash sets are re-joined for surviving candidate pairs only.
-    val buckets = mh.select(
-      col("doc_id"),
+    // identical shingle sets: every in-group pair is a duplicate at 1.0
+    val intra = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(
+        least(col("p._1"), col("p._2")).as("doc_a"),
+        greatest(col("p._1"), col("p._2")).as("doc_b"),
+        lit(1.0).as("jaccard"))
+
+    // Explode to (gid, band, bucket) only — the bands explode multiplies
+    // every row by `bands`, so it must carry no set payload. Shingle sets
+    // are re-joined for surviving candidate group pairs only.
+    val buckets = groups.select(
+      col("gid"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           concat_ws("_", (0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bucket"))
       }: _*)).as("bb")
-    ).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    ).select(col("gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = a
+    val a = buckets.select(col("band"), col("bucket"), col("gid").as("gid_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("gid").as("gid_b"))
+    val candGroups = a
       .join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("gid_a") < col("gid_b"))
+      .select(col("gid_a"), col("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
 
-    val shSets = mh.select(col("doc_id"), col("sh"))
-    candidates
-      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val sets = groups.select(col("gid"), col("sh"), col("ids"))
+    val cross = candGroups
+      .join(sets.select(col("gid").as("gid_a"), col("sh").as("sh_a"), col("ids").as("ids_a")), "gid_a")
+      .join(sets.select(col("gid").as("gid_b"), col("sh").as("sh_b"), col("ids").as("ids_b")), "gid_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + graft.core.NanMath.RoundEps, 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("jaccard"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("jaccard"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("jaccard"))
+
+    intra.unionAll(cross)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
