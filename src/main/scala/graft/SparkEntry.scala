@@ -326,6 +326,13 @@ object SparkEntry {
       "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d), threshold = 0.5)),
       "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), maxHamming = 3)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), n = 3, threshold = 0.3)),
+      "dedup_clusters" -> ((s, d) => {
+        val dd = docs(s, d)
+        val cc = Dedup.connectedComponents(Dedup.minhashLsh(dd, threshold = 0.5))
+        dd.select(col("doc_id").cast("long").as("doc_id"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      }),
       "dedup_embedding" -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.9)),
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
@@ -337,6 +344,11 @@ object SparkEntry {
       "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
       "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+      "text_decontaminate" -> ((s, d) => {
+        val dd = docs(s, d)
+        TextOps.decontaminate(
+          dd.filter(col("doc_id") % 20 =!= 0), dd.filter(col("doc_id") % 20 === 0), n = 5)
+      }),
       // -- multimodal plumbing --
       "mm_features" -> ((s, d) =>
         Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
@@ -440,6 +452,7 @@ object SparkEntry {
           |FROM documents GROUP BY 1""".stripMargin,
       "dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(3, 16, 4, 0.5),
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
+      "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
       "dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
       "dedup_embedding" ->
         s"""SELECT id_a, id_b, score FROM (
@@ -486,6 +499,24 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
           |  FROM scored)
           |WHERE rn = 1""".stripMargin,
+      "text_decontaminate" ->
+        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+          |dg AS (SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+          |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
+          |  FROM toks)),
+          |ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0),
+          |hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN ev USING (g)
+          |         WHERE dg.doc_id % 20 <> 0 GROUP BY 1),
+          |ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(COALESCE(ng.n_grams, 0) AS DOUBLE) AS n_grams,
+          |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) AS n_hits,
+          |       CASE WHEN COALESCE(ng.n_grams, 0) > 0
+          |            THEN round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ng.n_grams, 4)
+          |            ELSE 0.0 END AS frac
+          |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)
+          |WHERE d.doc_id % 20 <> 0""".stripMargin,
       "text_tokens" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""SELECT doc_id,

@@ -346,6 +346,79 @@ object Dedup {
     intra.unionAll(cross)
   }
 
+  /**
+   * Connected components over an undirected near-duplicate pair list —
+   * the step that turns pairwise LSH output into dedup decisions (one
+   * cluster id per document; keep the min id, drop the rest).
+   *
+   * Alternating large-star/small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14): each round is two
+   * groupBy-explode passes over the edge list, and the edge set provably
+   * converges to per-component stars in O(log^2 n) rounds regardless of
+   * component diameter — unlike naive min-label propagation, whose round
+   * count is the graph diameter (a 100 TB corpus chained through shared
+   * boilerplate can have long dup paths). Each pass shuffles only (long,
+   * long) edges; no adjacency ever has to fit in one task except a
+   * component's direct star, which is the output itself.
+   *
+   * Returns (node, cluster_id) for every node that appears in `pairs`,
+   * where cluster_id is the component's minimum node id.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "doc_a",
+      dstCol: String = "doc_b"
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+
+    // (u, v) with u > v, deduped — canonical directed form
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // per-node neighborhood with its min: one groupBy over the edge list
+    def withMin(nbrs: DataFrame): DataFrame = nbrs
+      .groupBy(col("u"))
+      .agg(collect_set(col("v")).as("nb"))
+      .withColumn("m", least(col("u"), array_min(col("nb"))))
+
+    // large-star: link every strictly-larger neighbor to the local min
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      canon(withMin(nbrs)
+        .select(explode(filter(col("nb"), _ > col("u"))).as("u"), col("m").as("v")))
+    }
+
+    // small-star: link every smaller-or-equal neighbor (and self) to the min
+    def smallStar(edges: DataFrame): DataFrame = {
+      val st = withMin(edges)
+      canon(st.select(explode(array_append(col("nb"), col("u"))).as("u"), col("m").as("v")))
+    }
+
+    var edges = canon(pairs.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val next = smallStar(largeStar(edges))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fixpoint test: star edge sets are canonical, so set equality is
+      // (same count) && (empty difference) — two cheap actions per round
+      val same = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      converged = same
+      iter += 1
+    }
+    // at fixpoint every edge points directly at its component min
+    edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v"), col("v")).distinct())
+  }
+
   /** All unordered element pairs of an array column as an array of structs
     * (`_1`, `_2`), via higher-order functions — no join, no UDF. */
   private def pairsOf(ids: Column): Column =
@@ -383,6 +456,27 @@ object Dedup {
        |               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4) AS jaccard
        |  FROM cand JOIN shs sa ON cand.doc_a = sa.doc_id JOIN shs sb ON cand.doc_b = sb.doc_id)
        |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /**
+   * DuckDB replica of [[connectedComponents]] over [[minhashLsh]] pairs on
+   * the `documents` table: transitive closure by recursive CTE, cluster id
+   * = min reachable node, singletons mapped to themselves.
+   */
+  def clustersOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val pairSql = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold)
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, r) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u),
+       |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
+       |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
   }
 
   /** DuckDB replica of [[simhash]] over the `documents` table. */

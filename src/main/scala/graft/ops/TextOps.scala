@@ -118,4 +118,52 @@ object TextOps {
         .as("rolling_fp")
     )
   }
+
+  /** Distinct lowercase token n-grams of a text column; empty array when the
+    * document has fewer than n tokens. */
+  def ngramSet(text: Column, n: Int): Column = {
+    val tk = split(lower(text), " ")
+    array_distinct(
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n), i => array_join(slice(tk, i + 1, lit(n)), " ")))
+        .otherwise(array()))
+  }
+
+  /**
+   * Benchmark decontamination: for each candidate document, how many of its
+   * distinct token n-grams also appear anywhere in an evaluation set — the
+   * standard "n-gram overlap" test a training pipeline runs before a corpus
+   * ships. Returns one row per candidate doc: total distinct n-grams,
+   * overlap count, and overlap fraction (0 when the doc is too short to
+   * have any n-gram).
+   *
+   * Scale shape: the eval side is benchmark-sized (thousands of docs, not
+   * the corpus), so its distinct-gram set is broadcast and the corpus scan
+   * never shuffles — per-doc gram stats fold map-side into the gram join.
+   */
+  def decontaminate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text"
+  ): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngramSet(col(textCol), n)).as("gram"))
+      .distinct()
+    val docGrams = docs.select(col("doc_id"), explode(ngramSet(col(textCol), n)).as("gram"))
+    val hits = docGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams already distinct per doc
+    docs
+      .select(col("doc_id"), size(ngramSet(col(textCol), n)).cast("double").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).cast("double").as("n_hits"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_hits"), lit(0L)) / col("n_grams") + NanMath.RoundEps, 4))
+          .otherwise(0.0).as("frac"))
+  }
 }

@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
   }
+
+  test("connected components: chain, separate component, high-diameter path") {
+    // component {1,2,3,4} as a path (worst case for label propagation),
+    // component {10,11}, node 20 absent from pairs (not emitted)
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -151,6 +161,23 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("decontaminate counts distinct n-gram overlap with the eval set") {
+    // eval doc = "a b c d e"; candidate 1 copies a 3-gram window ("b c d"
+    // yields 3-grams {b c d}), candidate 2 shares nothing, candidate 3 is
+    // too short for any 3-gram.
+    val ev = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "x b c d y"), // grams: "x b c", "b c d", "c d y" -> 1 hit
+      (2L, "p q r s t"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(cand, ev, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3.0, 1.0, math.round(1.0 / 3.0 * 10000) / 10000.0)))
+    assert(got(2L) == ((3.0, 0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 }
 
