@@ -25,7 +25,7 @@ object BenchOne {
     })
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
-    val reps = if (args.length > 2 && args(2).forall(_.isDigit)) args(2).toInt else 1
+    val reps = if (args.length > 2 && args(2).nonEmpty && args(2).forall(_.isDigit)) args(2).toInt else 1
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
