@@ -12,15 +12,16 @@ import org.apache.spark.sql.functions._
  *  - lshTopK: random-hyperplane LSH prefilter as the scale path — a corpus
  *    row is scored only when it shares a hash-table bucket with a query.
  *
- * Execution shape: the small side (queries, or the whole corpus for
- * all-pairs near-dup — tiny relative to a 100 TB corpus) is L2-normalized,
- * collected and broadcast; the big side streams through `mapPartitions`
- * with primitive-double tight loops. Catalyst expression trees are the
- * wrong tool for dense dot-product kernels: HOF lambdas stay out of
- * codegen, and unrolled 64-term expressions overflow janino's method
- * limits into interpreted fallback while the pair join materializes both
- * arrays per candidate. The JVM loop over broadcast arrays does the same
- * work at memory bandwidth with zero shuffle and linear corpus scaling.
+ * Execution shape: the QUERY side (a bounded set selected by a predicate)
+ * is L2-normalized, collected and broadcast; the corpus streams through
+ * `mapPartitions` with primitive-double tight loops. Catalyst expression
+ * trees are the wrong tool for dense dot-product kernels: HOF lambdas stay
+ * out of codegen, and unrolled 64-term expressions overflow janino's
+ * method limits into interpreted fallback while the pair join materializes
+ * both arrays per candidate. The JVM loop over broadcast arrays does the
+ * same work at memory bandwidth with zero shuffle and linear corpus
+ * scaling. The corpus itself is NEVER collected: the corpus-vs-corpus path
+ * (`cosinePairs`) is a fully distributed LSH-bucketed self-join.
  */
 object Similarity {
 
@@ -113,49 +114,97 @@ object Similarity {
         col("rank").cast("double").as("rank"))
   }
 
-  /** All distinct pairs with cosine above `threshold` (embedding near-dup).
-    * The corpus is broadcast against itself; `id_a < id_b` halves the work
-    * and no pair row ever materializes below the threshold. */
+  /**
+   * All distinct pairs with cosine above `threshold` (embedding near-dup;
+   * corpus-vs-corpus — the 100 TB use case, so nothing is ever collected to
+   * the driver). Fully distributed, sub-quadratic:
+   *
+   *  1. Byte-identical vectors collapse to one representative (window min
+   *     over the vector value) — kills the duplicate-heavy-corpus skew the
+   *     same way `Dedup.minhashLsh` collapses distinct shingle sets, and
+   *     makes exact-duplicate pairs (cos = 1.0) certain rather than
+   *     probabilistic.
+   *  2. Representatives get `tables` random-hyperplane signatures of
+   *     `planes` bits and self-join on (table, bucket) — the
+   *     `Dedup.minhashLsh` band/bucket pattern. Defaults 16x8: a pair at
+   *     exactly cos 0.9 collides in >= 1 table with p ~ 0.996, rising
+   *     steeply above the threshold (cos 0.99 -> miss ~ 6e-9), while an
+   *     orthogonal pair survives with p ~ 0.06 — the candidate set is a
+   *     small fraction of the n^2 cross join.
+   *  3. Candidate group pairs expand back to member pairs and are exactly
+   *     re-ranked (same HALF_UP rounding as the oracle) — no false
+   *     positives ever survive.
+   */
   def cosinePairs(
       emb: DataFrame,
       threshold: Double,
+      tables: Int = 16,
+      planes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val all = vecs(emb, idCol, vecCol).collect().sortBy(_.id)
-    val bc = spark.sparkContext.broadcast(all)
+    import org.apache.spark.sql.expressions.Window
 
-    vecs(emb, idCol, vecCol).mapPartitions { it =>
-      val corpus = bc.value
-      it.flatMap { a =>
-        // only partners with larger id (corpus sorted by id)
-        var lo = 0
-        var hi = corpus.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (corpus(mid).id <= a.id) lo = mid + 1 else hi = mid
-        }
-        (lo until corpus.length).iterator.flatMap { j =>
-          val b = corpus(j)
-          val s = dot(a.vec, b.vec)
-          // same HALF_UP rounding as Spark's round() so the DuckDB oracle
-          // threshold comparison agrees
-          val r =
-            if (s + 1e-4 < threshold) s // fast path: can't reach threshold
-            else java.math.BigDecimal.valueOf(s + NanMath.RoundEps)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (r >= threshold) Some((a.id, b.id, r)) else None
-        }
+    val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
+    // gid = min id among byte-identical normalized vectors (one shuffle;
+    // the identical window Exchange below is planned once via ReuseExchange,
+    // so no persist/unpersist lifecycle is needed)
+    val members = v
+      .withColumn("gid", min(col("id")).over(Window.partitionBy(col("vec"))))
+    val reps = members.filter(col("id") === col("gid"))
+      .select(col("gid").as("id"), col("vec")).as[Vec]
+
+    // (table, bucket, gid) signature frame for distinct vectors only
+    val nt = tables
+    val np = planes
+    val sigs = reps.mapPartitions { it =>
+      it.flatMap { r =>
+        val sg = signatures(r.vec, nt, np)
+        sg.iterator.zipWithIndex.map { case (sig, tbl) => (tbl, sig, r.id) }
       }
-    }.toDF("id_a", "id_b", "score")
+    }.toDF("tbl", "sig", "gid")
+
+    // candidate group pairs: same (table, bucket), distinct
+    val candGroups = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+      .distinct()
+
+    val ids = members.select(col("gid"), col("id"))
+    // cross-group member pairs (ga < gb but member ids interleave -> reorder)
+    val crossPairs = candGroups
+      .join(ids.as("ma"), col("ga") === col("ma.gid"))
+      .join(ids.as("mb"), col("gb") === col("mb.gid"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"))
+    // intra-group pairs: identical vectors, certain hits
+    val intraPairs = ids.as("ma").join(ids.as("mb"),
+        col("ma.gid") === col("mb.gid") && col("ma.id") < col("mb.id"))
+      .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"))
+
+    // exact re-rank: fetch both vectors, sequential-fold dot (same FP order
+    // as the JVM loop), same HALF_UP rounding as the DuckDB oracle
+    val pairs = crossPairs.union(intraPairs).distinct()
+    val scored = pairs
+      .join(v.as("va"), col("id_a") === col("va.id"))
+      .join(v.as("vb"), col("id_b") === col("vb.id"))
+      .withColumn("score",
+        round(aggregate(zip_with(col("va.vec"), col("vb.vec"), (p, q) => p * q),
+          lit(0.0), (acc, x) => acc + x) + NanMath.RoundEps, 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+    scored
   }
 
   /**
-   * Deterministic Lloyd's k-means over a small driver-side sample (IVF
+   * Deterministic spherical k-means over a small driver-side sample (IVF
    * coarse-quantizer training). Init = first k distinct sample vectors,
-   * fixed iteration count, empty cells keep their previous centroid — fully
+   * fixed iteration count, centroids renormalized to the unit sphere each
+   * sweep (nearest-by-Euclidean on unit vectors = max-cosine, the geometry
+   * the index serves), empty cells keep their previous centroid — fully
    * deterministic, no RNG.
    */
   private[ops] def kmeans(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
@@ -186,6 +235,8 @@ object Similarity {
         if (counts(c) > 0) {
           var i = 0
           while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          val n = math.sqrt(dot(centroids(c), centroids(c)))
+          if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
         }
         c += 1
       }
@@ -225,8 +276,8 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      sampleSize: Int = 256,
-      iters: Int = 10,
+      sampleSize: Int = 1024,
+      iters: Int = 20,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
@@ -285,14 +336,33 @@ object Similarity {
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
+  /** Sign-pattern signatures for a (normalized) vector: one `planes`-bit
+    * bucket id per hash table, planes derived from `planeComponent`. */
+  private def signatures(v: Array[Double], tables: Int, planes: Int): Array[Int] =
+    Array.tabulate(tables) { tbl =>
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var d = 0
+        while (d < v.length) { s += v(d) * planeComponent(tbl * planes + p, d); d += 1 }
+        if (s >= 0) sig |= 1 << p
+        p += 1
+      }
+      sig
+    }
+
   /**
    * Multi-table random-hyperplane LSH ANN: `tables` independent hash
    * tables, each bucketing by the sign pattern of `planes` hyperplane dot
-   * products. A corpus vector is scored against a query only if they share
-   * a (table, bucket) — the prefilter replaces the cross join, recall rises
-   * with `tables`, candidate rate falls with `2^planes` (standard
-   * tradeoff; recall < 1 by construction, pair with bruteForceTopK to
-   * evaluate). Exact cosine re-rank on the survivors.
+   * products. A corpus vector is scored against a query only if some table
+   * puts them within `probeHamming` bits of the same bucket (multi-probe:
+   * probing the 1-bit-off buckets sharply raises recall at fixed table
+   * count, the standard LSH knob when neighbors sit at moderate cosine).
+   * The prefilter replaces the cross join; recall rises with `tables` and
+   * `probeHamming`, candidate rate falls with `2^planes` (recall < 1 by
+   * construction, pair with bruteForceTopK to evaluate). Exact cosine
+   * re-rank on the survivors.
    */
   def lshTopK(
       emb: DataFrame,
@@ -300,40 +370,33 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       planes: Int = 5,
+      probeHamming: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    def signatures(v: Array[Double]): Array[Int] =
-      Array.tabulate(tables) { tbl =>
-        var sig = 0
-        var p = 0
-        while (p < planes) {
-          var s = 0.0
-          var d = 0
-          while (d < v.length) { s += v(d) * planeComponent(tbl * planes + p, d); d += 1 }
-          if (s >= 0) sig |= 1 << p
-          p += 1
-        }
-        sig
-      }
-
+    val nt = tables
+    val np = planes
     val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
-      .map(q => (q, signatures(q.vec)))
+      .map(q => (q, signatures(q.vec, nt, np)))
     val bc = spark.sparkContext.broadcast(queries)
 
+    val maxHam = probeHamming
     val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
       val qs = bc.value
       it.flatMap { v =>
-        val vsig = signatures(v.vec)
+        val vsig = signatures(v.vec, nt, np)
         qs.iterator.flatMap { case (q, qsig) =>
           if (q.id == v.id) None
           else {
             var t = 0
             var hit = false
-            while (t < vsig.length && !hit) { hit = vsig(t) == qsig(t); t += 1 }
+            while (t < vsig.length && !hit) {
+              hit = Integer.bitCount(vsig(t) ^ qsig(t)) <= maxHam
+              t += 1
+            }
             if (hit) Some((q.id, v.id, dot(q.vec, v.vec))) else None
           }
         }

@@ -87,6 +87,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("cosinePairs: exact-duplicate groups collapse and expand to all pairs") {
+    // ids 0,1,2 byte-identical (collapse to one LSH representative),
+    // 3 near 0 (cross-group LSH pair), 4 orthogonal (no pair)
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairs(dup, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L)))
+    assert(got((0L, 1L)) == 1.0 && got((1L, 2L)) == 1.0)
+    assert(got((0L, 3L)) == got((2L, 3L))) // expanded pairs share the exact score
+  }
+
+  test("cosinePairs plan never collects the corpus (distributed self-join)") {
+    // would OOM as a driver-side broadcast at 100 TB; here just assert the
+    // plan is join-shaped: a physical plan exists and contains a join node
+    val plan = Similarity.cosinePairs(vecs, 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("Join"))
+  }
+
   test("LSH ANN returns a subset of true neighbors with exact scores") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = col("vec_id") < 10
@@ -103,6 +127,30 @@ class SimilaritySpec extends SparkSpec {
     }
     val recall = approx.count(a => truth.contains(a)).toDouble / truth.size
     info(f"LSH recall@5 on random embeddings: $recall%.2f")
+  }
+
+  test("LSH ANN recall@5 >= 0.9 at default knobs (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.count(truth.contains).toDouble / truth.size
+    info(f"LSH recall@5 at 8x5 multiprobe-1 on sf0.01: $recall%.2f")
+    assert(recall >= 0.9)
+  }
+
+  test("IVF ANN recall@5 >= 0.8 at 4/16 probes (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, q, 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.count(truth.contains).toDouble / truth.size
+    info(f"IVF recall@5 at nProbe=4/16 on sf0.01: $recall%.2f")
+    assert(recall >= 0.8)
   }
 
   test("IVF ANN with nProbe = nCells is exactly brute force; fewer probes keep exact scores") {
