@@ -165,23 +165,19 @@ object Dedup {
     // cardinality, and doc-id groups expand afterwards. Output-identical:
     // identical sets share every bucket (so all in-group pairs are LSH
     // candidates by construction) and have jaccard exactly 1.0. The
-    // persisted group frame (~1 KB/set vs full text) is the "index build";
-    // every downstream pass reads the compact frame, never the raw corpus.
+    // materialized group frame (~1 KB/set vs full text) is the "index
+    // build"; every downstream pass reads the compact frame, never the raw
+    // corpus. localCheckpoint (not persist) so the blocks are freed by the
+    // ContextCleaner once the frame is unreachable — a catalog run executes
+    // ~100 queries in one JVM and leaked cache blocks evict each other.
     val groups = minhashDocs(docs, textCol, shingleSize, h).toDF()
       .groupBy(col("sh"))
       .agg(collect_list(col("doc_id")).as("ids"), first(col("sig")).as("sig"))
       .withColumn("gid", array_min(col("ids")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    groups.count()
+      .localCheckpoint()
 
     // identical shingle sets: every in-group pair is a duplicate at 1.0
-    val intra = groups
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(
-        least(col("p._1"), col("p._2")).as("doc_a"),
-        greatest(col("p._1"), col("p._2")).as("doc_b"),
-        lit(1.0).as("jaccard"))
+    val intra = intraPairs(groups, "gid").withColumn("jaccard", lit(1.0))
 
     // Explode to (gid, band, bucket) only — the bands explode multiplies
     // every row by `bands`, so it must carry no set payload. Shingle sets
@@ -306,17 +302,10 @@ object Dedup {
     // (much smaller) signature join.
     val sigGroups = simhashSignatures(docs, textCol)
       .groupBy(col("sig")).agg(collect_list(col("doc_id")).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigGroups.count()
+      .localCheckpoint() // freed by ContextCleaner, unlike a leaked persist
 
     // identical signatures: every in-group pair is a duplicate at distance 0
-    val intra = sigGroups
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(
-        least(col("p._1"), col("p._2")).as("doc_a"),
-        greatest(col("p._1"), col("p._2")).as("doc_b"),
-        lit(0.0).as("hamming"))
+    val intra = intraPairs(sigGroups, "sig").withColumn("hamming", lit(0.0))
 
     val seg = sigGroups.select(
       col("sig"),
@@ -397,33 +386,63 @@ object Dedup {
       canon(st.select(explode(array_append(col("nb"), col("u"))).as("u"), col("m").as("v")))
     }
 
+    // localCheckpoint per round: materializes the frame (the loop needs an
+    // action anyway), truncates the iterative lineage so plans stay flat,
+    // and — unlike persist — the blocks are freed by the ContextCleaner
+    // when the previous round's frame goes unreachable.
     var edges = canon(pairs.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+
+    // Fixpoint test on (count, order-independent xor of row hashes): both
+    // come out of ONE aggregation over the already-materialized frame — no
+    // per-round exceptAll shuffle. Edge sets are canonical and distinct, so
+    // equal signatures mean equal sets up to a 2^-64 xxhash64 collision.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
-      val next = smallStar(largeStar(edges))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // fixpoint test: star edge sets are canonical, so set equality is
-      // (same count) && (empty difference) — two cheap actions per round
-      val same = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
-      edges.unpersist()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val ns = signature(next)
+      converged = ns == cur
       edges = next
-      converged = same
+      cur = ns
       iter += 1
     }
+    // Alternating star converges in O(log^2 n) rounds, so the cap should
+    // never trigger; returning non-star edges silently would emit WRONG
+    // cluster ids, so fail loudly instead.
+    require(converged, s"connectedComponents did not converge within $iter rounds")
     // at fixpoint every edge points directly at its component min
     edges.select(col("u").as("node"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v"), col("v")).distinct())
   }
 
-  /** All unordered element pairs of an array column as an array of structs
-    * (`_1`, `_2`), via higher-order functions — no join, no UDF. */
-  private def pairsOf(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("_1"), y.as("_2")))))
+  /**
+   * All unordered member pairs (doc_a < doc_b) of each duplicate group,
+   * generated distributively: explode the id lists to (key, id) rows and
+   * self-join on the group key. An in-row flattened pair array would put
+   * all k^2 pairs of a group into ONE record — a ~100k-member group of
+   * identical docs (routine in duplicate-heavy corpora) means ~5e9 array
+   * elements, past the 2 GB record limit. The join form streams pairs, and
+   * AQE's skew-join split parallelizes a single hot group across tasks.
+   */
+  private def intraPairs(groups: DataFrame, key: String): DataFrame = {
+    val m = groups
+      .filter(size(col("ids")) > 1)
+      .select(col(key).as("k"), explode(col("ids")).as("id"))
+    m.select(col("k"), col("id").as("doc_a"))
+      .join(m.select(col("k"), col("id").as("doc_b")), Seq("k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   // --- DuckDB oracle SQL (same hash family constants, so values match) ----
 

@@ -145,14 +145,22 @@ object TextOps {
       docs: DataFrame,
       evalDocs: DataFrame,
       n: Int = 5,
-      textCol: String = "text"
+      textCol: String = "text",
+      maxBroadcastGrams: Long = 20000000L
   ): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(ngramSet(col(textCol), n)).as("gram"))
       .distinct()
+    // The eval side is benchmark-sized by contract, but forcing the
+    // broadcast unconditionally turns an oversized eval split into a driver
+    // OOM / 8 GB broadcast failure. Counting it first costs one pass over
+    // the (small) eval side only; past the threshold, fall back to a
+    // shuffle join and let AQE pick the strategy.
+    val evalSide =
+      if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalGrams) else evalGrams
     val docGrams = docs.select(col("doc_id"), explode(ngramSet(col(textCol), n)).as("gram"))
     val hits = docGrams
-      .join(broadcast(evalGrams), "gram")
+      .join(evalSide, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams already distinct per doc
     docs
