@@ -400,34 +400,15 @@ object SparkEntry {
           .groupBy(col("n_name"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + NanMath.RoundEps, 4).as("revenue"))
       }),
-      // Exact interpolated quantiles via order statistics: one sort shuffle
-      // by group key + conditional aggregation of the two marker rows per
-      // quantile. 3x faster than the `percentile` aggregate, which builds a
-      // value->count OpenHashMap per partition (~distinct-values entries)
-      // and merges them; the sort form's limit is group-count parallelism,
-      // fine when groups >= cores or rows-per-group fit one task.
-      "rel_pct_price" -> ((s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        val wAll = Window.partitionBy(col("l_returnflag"))
-        val df = s.read.parquet(s"$d/lineitem.parquet")
-          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .withColumn("rn", row_number().over(w).cast("double") - 1)
-          .withColumn("n", count(lit(1)).over(wAll).cast("double"))
-        def r(q: Double) = lit(q) * (col("n") - 1)
-        def lo(q: Double) = min(when(col("rn") === floor(r(q)), col("v")))
-        def hi(q: Double) = min(when(col("rn") === ceil(r(q)), col("v")))
-        def interp(q: Double, l: Column, h: Column) = {
-          val rr = lit(q) * (col("n") - 1)
-          round(l + (rr - floor(rr)) * (h - l) + NanMath.RoundEps, 4)
-        }
-        df.groupBy(col("l_returnflag"))
-          .agg(lo(0.5).as("lo50"), hi(0.5).as("hi50"),
-            lo(0.9).as("lo90"), hi(0.9).as("hi90"), first(col("n")).as("n"))
-          .select(col("l_returnflag"),
-            interp(0.5, col("lo50"), col("hi50")).as("p50"),
-            interp(0.9, col("lo90"), col("hi90")).as("p90"))
-      }),
+      // Exact interpolated quantiles WITHOUT a per-group global sort: the
+      // group key has ~3 distinct values, so a row_number window would
+      // funnel the whole table into 3 straggler sort tasks at scale. See
+      // graft.ops.Quantiles for the domain-bounded order-statistics plan.
+      "rel_pct_price" -> ((s, d) =>
+        Quantiles.groupedExact(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.9), Seq("p50", "p90"))),
       "rel_distinct_users_daily" -> ((s, d) => {
         val ev = EventOps.events(s, d)
         ev.groupBy((col("tms") - pmod(col("tms"), lit(86400000L))).as("t"))

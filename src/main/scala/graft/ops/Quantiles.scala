@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.core.NanMath
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact grouped quantiles without a per-group global sort.
+ *
+ * The naive plan — `Window.partitionBy(group).orderBy(value)` + row_number —
+ * funnels every row of a group into ONE sort task, so a low-cardinality group
+ * key (e.g. 3 return flags over a 100 TB lineitem) creates 3 straggler tasks
+ * sorting the whole table. This implementation selects the same interpolated
+ * order statistics (the `quantile_cont` definition) with nothing but hash
+ * aggregations and windows over DOMAIN-bounded frames:
+ *
+ *  1. one hash aggregation to per-(group, value) counts — cardinality is the
+ *     number of DISTINCT values per group, not rows;
+ *  2. a coarse histogram per (group, unit bucket) — cardinality bounded by
+ *     the value domain (e.g. integer dollars), independent of row count; the
+ *     cumulative walk that locates each quantile's marker bucket runs on
+ *     this tiny frame;
+ *  3. the marker frame (a few rows) broadcast-joins back to the value counts
+ *     and in-bucket ranking touches only the ONE bucket per marker — a
+ *     1/#buckets slice of the group, never the group itself.
+ *
+ * Contract: exact for discrete / domain-bounded value columns (prices,
+ * counts, durations in fixed units). For continuous unbounded domains the
+ * histogram frame grows with the data — use the PercentileBuckets sketch
+ * (`:percentiles`) instead, which is the approximate path the reference
+ * itself takes for high-cardinality distributions.
+ */
+object Quantiles {
+
+  /**
+   * Interpolated quantiles of `valueCol` per `groupCol`, `quantile_cont`
+   * semantics: rank r = q*(n-1), result = v[floor(r)] + (r - floor(r)) *
+   * (v[ceil(r)] - v[floor(r)]) on the 0-indexed sorted values. Output: one
+   * row per group with one column per requested quantile, named by
+   * `names(i)`, rounded HALF_UP to 4 decimals (+RoundEps, matching the
+   * engine-wide oracle convention).
+   */
+  def groupedExact(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      names: Seq[String]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.size == names.size)
+    val g = col(groupCol)
+
+    // 1. distinct-value counts: the only row-cardinality shuffle
+    val vc = df
+      .select(g, col(valueCol).cast("double").as("v"))
+      .groupBy(g, col("v"))
+      .agg(count(lit(1)).as("c"))
+
+    // 2. unit-bucket histogram (floor is monotonic, so bucket order = value
+    //    order); frame size = groups x distinct buckets, domain-bounded
+    val bc = vc
+      .groupBy(g, floor(col("v")).cast("long").as("b"))
+      .agg(sum(col("c")).as("bc"))
+    val wOrd = Window.partitionBy(g).orderBy(col("b"))
+    val bcum = bc
+      .withColumn("cumBefore",
+        coalesce(sum(col("bc")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(g)))
+
+    // one marker row per (group, quantile, needed rank); the containment
+    // filter picks exactly the bucket holding rank k, so (g, q, k) is unique
+    // after it (floor(r) == ceil(r) duplicates collapse)
+    val markers = bcum
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .withColumn("r", col("q") * (col("n") - lit(1)).cast("double"))
+      .withColumn("k", explode(array(floor(col("r")).cast("long"), ceil(col("r")).cast("long"))))
+      .filter(col("k") >= col("cumBefore") && col("k") < col("cumBefore") + col("bc"))
+      .dropDuplicates(groupCol, "q", "k")
+      // renamed join keys: markers derives from vc, so joining on the
+      // original names trips Spark's ambiguous-self-join detection
+      .select(g.as("mg"), col("b").as("mb"), col("q"), col("r"), col("k"),
+        (col("k") - col("cumBefore")).as("kin"))
+
+    // 3. rank within the marker bucket only: the window partitions by
+    //    (group, q, k) over a 1/#buckets slice — bounded work per marker
+    val mv = vc.join(
+      broadcast(markers),
+      g === col("mg") && floor(col("v")).cast("long") === col("mb"))
+      .select(g, col("q"), col("r"), col("k"), col("kin"), col("v"), col("c"))
+    val wIn = Window.partitionBy(g, col("q"), col("k")).orderBy(col("v"))
+    val sel = mv
+      .withColumn("cum", sum(col("c")).over(wIn))
+      .filter(col("kin") >= col("cum") - col("c") && col("kin") < col("cum"))
+
+    // marker values -> interpolation, then pivot quantiles to columns
+    val interp = sel
+      .groupBy(g, col("q"))
+      .agg(
+        min(when(col("k") === floor(col("r")).cast("long"), col("v"))).as("lo"),
+        min(when(col("k") === ceil(col("r")).cast("long"), col("v"))).as("hi"),
+        first(col("r")).as("rr"))
+      .withColumn("pct",
+        round(col("lo") + (col("rr") - floor(col("rr"))) * (col("hi") - col("lo"))
+          + NanMath.RoundEps, 4))
+    val pivotCols = qs.zip(names).map { case (q, name) =>
+      min(when(col("q") === q, col("pct"))).as(name)
+    }
+    interp.groupBy(g).agg(pivotCols.head, pivotCols.tail: _*)
+  }
+}
