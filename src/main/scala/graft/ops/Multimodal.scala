@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
  * `mapInPandas` stage: one iterator pass per partition, no per-row
  * serialization churn, trivially parallel across executors).
  *
- * The actual codec step is STUBBED — this container has no image/audio
- * libraries — with a deterministic fake decoder, so the Spark-side contract
- * (schema, partitioning, batch iteration shape) is real and tested while the
- * codec call is a single clearly-marked function to swap out.
+ * The codec: real image payloads (PNG/JPEG/GIF/BMP, detected by magic
+ * bytes) decode through the JDK's javax.imageio — real width/height/format
+ * and an 8-bin luminance histogram as the feature vector. Anything else
+ * (audio/video containers, and the text stand-ins in the testdata) falls
+ * back to a deterministic STUB decoder so the Spark-side contract stays
+ * testable without media libraries.
  */
 object Multimodal {
 
@@ -27,11 +29,63 @@ object Multimodal {
       features: Array[Float]
   )
 
+  /** Magic-byte sniff: the container format when the payload starts like a
+    * real image, None otherwise. Cheap (no reader lookup), so attempting it
+    * per row costs a few byte compares. */
+  private def sniff(payload: Array[Byte]): Option[String] = {
+    def b(i: Int): Int = payload(i) & 0xff
+    if (payload.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("image/png")
+    else if (payload.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)
+      Some("image/jpeg")
+    else if (payload.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some("image/gif")
+    else if (payload.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      Some("image/bmp")
+    else None
+  }
+
   /**
-   * STUB decoder: derives deterministic fake metadata and features from the
-   * payload bytes. Replace the body with a real codec (e.g. javax.imageio /
-   * ffmpeg bindings) — the signature is the real contract: one media row in,
-   * one decoded row out, called from inside a partition iterator.
+   * Codec entry point, called from inside the partition iterators: real
+   * image payloads decode via javax.imageio (in-JDK, executor-local, no
+   * native deps); everything else — audio/video containers and non-media
+   * payloads — takes the deterministic stub path. Features for real images
+   * are the normalized 8-bin luminance histogram (Rec.601 integer weights,
+   * deterministic across JVMs).
+   */
+  def decodeMedia(mediaId: Long, format: String, payload: Array[Byte]): MediaFeatures =
+    sniff(payload) match {
+      case Some(fmt) =>
+        javax.imageio.ImageIO.setUseCache(false) // no executor temp-dir churn
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) decodeStub(mediaId, format, payload) // sniffed but unreadable
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum >> 5) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h.toLong).toFloat
+          MediaFeatures(mediaId, fmt, w, h, payload.length.toLong, hist.map(_ / n))
+        }
+      case None => decodeStub(mediaId, format, payload)
+    }
+
+  /**
+   * STUB decoder for payloads with no in-JDK codec: derives deterministic
+   * fake metadata and features from the payload bytes. Swapping in a real
+   * audio/video codec means replacing this body — the signature is the
+   * contract: one media row in, one decoded row out, called from inside a
+   * partition iterator.
    *
    * The fake content hash is the 60-bit md5 prefix so the DuckDB oracle can
    * reproduce the derived metadata exactly (a rolling wrapping-multiply
@@ -76,8 +130,8 @@ object Multimodal {
       .select(col("media_id"), col("format"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // One decoder instance per partition (real codecs are expensive to init).
-        it.map { case (id, fmt, bytes) => decodeStub(id, fmt, bytes) }
+        // One iterator pass per partition (real codecs are expensive to init).
+        it.map { case (id, fmt, bytes) => decodeMedia(id, fmt, bytes) }
       }
   }
 
@@ -96,7 +150,7 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, fmt, bytes) =>
-          val m = decodeStub(id, fmt, bytes)
+          val m = decodeMedia(id, fmt, bytes)
           val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
           val w = math.max(1, math.floor(m.width * scale).toInt)
           val h = math.max(1, math.floor(m.height * scale).toInt)

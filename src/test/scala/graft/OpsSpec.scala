@@ -244,6 +244,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == docs.count())
   }
 
+  test("real PNG/JPEG payloads decode via javax.imageio; text falls back to the stub") {
+    import spark.implicits._
+    // generate real image fixtures in memory (deterministic pixel fill)
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "img", imageBytes(320, 200, "png")),
+      (2L, "img", imageBytes(100, 50, "jpg")),
+      (3L, "txt", "just some text bytes".getBytes("UTF-8"))
+    ).toDF("media_id", "format", "payload")
+
+    val got = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).format == "image/png" && got(1L).width == 320 && got(1L).height == 200)
+    assert(got(2L).format == "image/jpeg" && got(2L).width == 100 && got(2L).height == 50)
+    assert(got(3L).format == "txt") // stub path keeps the caller's format tag
+    // histogram features: non-negative, sum to ~1 over the 8 bins
+    assert(math.abs(got(1L).features.sum - 1.0f) < 1e-3)
+    assert(got(1L).features.forall(_ >= 0f))
+    // real dims drive resize too
+    val rs = Multimodal.resize(media, 256, 256).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(rs(1L) == ((320, 200, 256, 160)))
+    assert(rs(2L) == ((100, 50, 100, 50))) // already inside the box
+  }
+
   test("resize fits inside the target box, preserves aspect, never upscales") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = Multimodal.resize(Multimodal.asMedia(docs), 256, 256).collect()
@@ -261,6 +292,47 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), everyNChars = 64)
     val n = frames.groupBy("media_id").count().collect().map(_.getLong(1))
     assert(n.forall(_ >= 1))
+  }
+}
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedExact matches the quantile_cont definition (single-task reference)") {
+    // deterministic synthetic data: 2-decimal values, two groups, with ties
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      val g = if (i % 3 == 0) "A" else "B"
+      (g, math.floor(rnd.nextDouble() * 10000.0) / 100.0)
+    }
+    val df = rows.toDF("g", "v")
+    val got = ops.Quantiles
+      .groupedExact(df, "g", "v", Seq(0.5, 0.9), Seq("p50", "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    def ref(q: Double, vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val r = q * (s.length - 1)
+      val lo = s(math.floor(r).toInt)
+      val hi = s(math.ceil(r).toInt)
+      val x = lo + (r - math.floor(r)) * (hi - lo) + graft.core.NanMath.RoundEps
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2).toArray
+      assert(got(g)._1 == ref(0.5, vs), s"p50 group $g")
+      assert(got(g)._2 == ref(0.9, vs), s"p90 group $g")
+    }
+  }
+
+  test("groupedExact plan has no row-cardinality sort partitioned by the group key") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = ops.Quantiles
+      .groupedExact(df, "l_returnflag", "l_extendedprice", Seq(0.5), Seq("p50"))
+      .queryExecution.executedPlan.toString
+    // the only windows may run AFTER the distinct-value/bucket aggregations;
+    // a window directly over the scan would mean the old 3-straggler plan
+    assert(!plan.contains("row_number"), "row_number window over raw rows is back")
   }
 }
 
