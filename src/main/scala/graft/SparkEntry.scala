@@ -83,6 +83,55 @@ object SparkEntry {
   private def baseRec(body: String, extra: String*): String =
     "WITH RECURSIVE " + sql(Seq(DP, NORM, GRID) ++ extra, body).drop("WITH ".length)
 
+  /**
+   * DuckDB replica of the counter->rate ingest pipeline
+   * (Datapoints.eventsCounters -> Normalize.rateConvert ->
+   * Normalize.weightedNormalize at step 1h, heartbeat 2h): cumulative
+   * counters at raw event times, lag-differenced to per-second rates, then
+   * the same cover/carry weighted alignment as the columnar plan. `rnorm`
+   * holds one row per (name, grp, slot-start) like the Spark side.
+   */
+  private def rateSql(body: String): String = {
+    val step = 3600000L
+    val hb = 7200000L
+    s"""WITH cnt AS (
+       |  SELECT event_type AS name, 'g' || CAST(user_id % 5 AS VARCHAR) AS grp,
+       |         epoch_ms(ts) AS tm, sum(value) AS dv
+       |  FROM events GROUP BY 1, 2, 3),
+       |ctr AS (
+       |  SELECT name, grp, tm, sum(dv) OVER (PARTITION BY name, grp ORDER BY tm) AS cum
+       |  FROM cnt),
+       |rt AS (
+       |  SELECT name, grp, tm,
+       |         CASE WHEN (tm - pt) / 1000.0 <= 0 OR cum - pv <= 0 THEN 0.0
+       |              ELSE (cum - pv) / ((tm - pt) / 1000.0) END AS v
+       |  FROM (SELECT name, grp, tm, cum, lag(tm) OVER w AS pt, lag(cum) OVER w AS pv
+       |        FROM ctr WINDOW w AS (PARTITION BY name, grp ORDER BY tm))
+       |  WHERE pt IS NOT NULL),
+       |mk AS (
+       |  SELECT name, grp, tm, v, nt,
+       |         CASE WHEN pt IS NULL OR tm - pt > $hb THEN tm - $step ELSE pt END AS cov,
+       |         ((tm - 1) - (tm - 1) % $step) + $step AS ceilb
+       |  FROM (SELECT name, grp, tm, v, lag(tm) OVER w AS pt, lead(tm) OVER w AS nt
+       |        FROM rt WINDOW w AS (PARTITION BY name, grp ORDER BY tm))),
+       |sok AS (
+       |  SELECT name, grp, ceilb,
+       |         max(CASE WHEN rn = 1 AND nt IS NOT NULL AND nt - tm <= $hb THEN 1 ELSE 0 END) AS ok
+       |  FROM (SELECT name, grp, ceilb, tm, nt,
+       |               row_number() OVER (PARTITION BY name, grp, ceilb ORDER BY tm DESC) AS rn
+       |        FROM mk)
+       |  GROUP BY 1, 2, 3),
+       |pieces AS (
+       |  SELECT mk.name, mk.grp, u.b AS b,
+       |         mk.v * (least(mk.tm, u.b) - greatest(mk.cov, u.b - $step)) / $step.0 AS piece
+       |  FROM mk JOIN sok USING (name, grp, ceilb),
+       |       unnest(generate_series(mk.cov - mk.cov % $step + $step, mk.ceilb, $step)) AS u(b)
+       |  WHERE u.b <= mk.tm OR sok.ok = 1),
+       |rnorm AS (
+       |  SELECT name, grp, b - $step AS t, sum(piece) AS v FROM pieces GROUP BY 1, 2, 3)
+       |$body""".stripMargin
+  }
+
   private val DES_SLOTS =
     """slots AS (SELECT row_number() OVER (ORDER BY grid.t) - 1 AS i, grid.t AS t, a.v AS v
       |          FROM grid LEFT JOIN a USING (t))""".stripMargin
@@ -193,6 +242,24 @@ object SparkEntry {
     "data_all" -> q(All(Query.And(eq("name", "signup"), Query.LessThan("usr", "u003"))), "usr", "grp"),
     "data_offset" -> asl("name,click,:eq,:sum,1d,:offset"),
     "data_cf_max" -> asl("name,click,:eq,:sum,:cf-max"),
+    // -- ingest normalization: counter->rate + weighted alignment (§1.2/§2.1) --
+    "data_rate_sum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum"),
+        graft.sources.Normalize.counters(Datapoints.eventsCounters(s, d), 3600000L),
+        ctx), Nil, 4)),
+    "data_rate_by" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,(,grp,),:by"),
+        graft.sources.Normalize.counters(Datapoints.eventsCounters(s, d), 3600000L),
+        ctx), Seq("grp"), 4)),
+    // -- DsType-aware consolidation (rate vs gauge Avg denominator) --
+    "consolidate_rate_avg" -> q(FilterExpr.Consolidate(Sum(click), 6, "avg")),
+    "consolidate_gauge_avg" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        FilterExpr.Consolidate(
+          Sum(Query.And(click, eq("atlas.dstype", "gauge"))), 6, "avg"),
+        Datapoints.eventsGauge(s, d), ctx), Nil, 4)),
     // -- query layer (§2.2) --
     "query_in" -> asl("name,(,click,view,),:in,:sum"),
     "query_re" -> q(Sum(Query.Regex("name", "p.*"))),
@@ -640,6 +707,27 @@ object SparkEntry {
     "data_cf_max" -> sql(
       Seq(DP, "normx AS (SELECT name, usr, grp, hi, t, max(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM normx WHERE name = 'click' GROUP BY t"),
+    // DuckDB replica of Normalize.rateConvert + weightedNormalize over the
+    // eventsCounters source (same lag/lead/cover/carry formulation)
+    "data_rate_sum" -> rateSql(
+      "SELECT t, round(sum(v), 4) AS value FROM rnorm " +
+        "WHERE name = 'click' AND t >= 1704067200000 AND t < 1706659200000 GROUP BY t"),
+    "data_rate_by" -> rateSql(
+      "SELECT grp, t, round(sum(v), 4) AS value FROM rnorm " +
+        "WHERE name = 'click' AND t >= 1704067200000 AND t < 1706659200000 GROUP BY 1, 2"),
+    // rate consolidation: per-second average over the FULL 6h interval
+    "consolidate_rate_avg" -> base(
+      "SELECT 1704067200000 + (t - 1704067200000) // 21600000 * 21600000 AS t, " +
+        "round(sum(v) / 6.0, 4) AS value FROM a GROUP BY 1",
+      sumSeries("click", "a")),
+    // gauge consolidation: average over slots WITH data only
+    "consolidate_gauge_avg" ->
+      """WITH g AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS t, max(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT 1704067200000 + (t - 1704067200000) // 21600000 * 21600000 AS t,
+        |       round(avg(v), 4) AS value
+        |FROM g GROUP BY 1""".stripMargin,
     "query_in" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name IN ('click', 'view') GROUP BY t"),
     "query_re" -> base(

@@ -1,0 +1,116 @@
+package graft.core
+
+/**
+ * Online (per-series, resumable) ingest-normalization functions, the
+ * sequential forms used by Structured Streaming state. Semantics follow the
+ * reference's atlas-core norm package:
+ *
+ *  - [[OnlineRate]]: monotonic counter -> per-second rate
+ *    (norm/RateValueFunction.scala:22-40);
+ *  - [[OnlineWeightedNorm]]: RRDtool-style weighted alignment of irregular
+ *    samples to step boundaries, with heartbeat expiry — a series that stops
+ *    publishing for longer than `heartbeat` drops its partial state instead
+ *    of smearing a stale value forward
+ *    (norm/NormalizeValueFunction.scala:36-120);
+ *  - wired per DsType like the reference's NormalizationCache
+ *    (norm/NormalizationCache.scala:57-105): counter = rate conversion then
+ *    weighted normalize with heartbeat 2*step; rate = weighted normalize
+ *    with heartbeat = step; gauge = last-value per slot.
+ *
+ * The batch planner uses the columnar equivalent
+ * (graft.sources.Normalize) — IngestNormSpec asserts the two forms produce
+ * identical slots on randomized irregular input.
+ */
+object IngestNorm {
+
+  /** Counter -> per-second rate. Returns NaN for the first sample of a
+    * series (nothing to difference against); callers drop NaN samples. A
+    * non-positive delta or duration yields rate 0 (counter reset / clock
+    * skew), matching the reference. */
+  final class OnlineRate extends Serializable {
+
+    private var lastT = -1L
+    private var lastV = 0.0
+
+    def next(t: Long, v: Double): Double = {
+      val out =
+        if (lastT > 0L) {
+          val durationSec = (t - lastT) / 1000.0
+          val delta = v - lastV
+          if (durationSec <= 0.0 || delta <= 0.0) 0.0 else delta / durationSec
+        } else Double.NaN
+      lastT = t
+      lastV = v
+      out
+    }
+  }
+
+  /**
+   * Weighted step alignment: a sample (t, v) covers the span since the
+   * previous update (or one full step when there is none / the heartbeat
+   * expired), and each step interval it overlaps receives v scaled by the
+   * covered fraction. Finalized slots are returned as (slotEnd, value)
+   * pairs — slotEnd is the boundary timestamp in the reference's
+   * end-of-interval convention; graft's interval-start frames subtract one
+   * step. The partial value of the still-open slot stays in state until a
+   * later sample finalizes it (or dies with the heartbeat, like the
+   * reference's expiry counter).
+   */
+  final class OnlineWeightedNorm(step: Long, heartbeat: Long) extends Serializable {
+    require(step >= 1 && heartbeat >= 1)
+
+    private var lastUpdate = -1L
+    private var partial = 0.0
+
+    private def weighted(span: Long, v: Double): Double = v * (span.toDouble / step)
+
+    def next(timestamp: Long, value: Double): List[(Long, Double)] = {
+      if (timestamp <= lastUpdate) return Nil // stale/duplicate arrival
+      if (lastUpdate > 0 && timestamp - lastUpdate > heartbeat) {
+        // heartbeat expiry: forget the open slot's partial value
+        lastUpdate = -1L
+        partial = 0.0
+      }
+      val out = List.newBuilder[(Long, Double)]
+      val offset = timestamp % step
+      val boundaryBelow = timestamp - offset
+      if (lastUpdate < boundaryBelow) {
+        // crossed >= 1 boundary: finalize the slot the previous update left
+        // open, full-value slots in between, then start the new partial
+        if (lastUpdate > 0) {
+          var b = lastUpdate - lastUpdate % step + step
+          partial += weighted(step - lastUpdate % step, value)
+          out += ((b, partial))
+          while (b < boundaryBelow) {
+            b += step
+            out += ((b, value))
+          }
+        } else if (offset == 0) {
+          out += ((timestamp, value))
+        } else {
+          // first sample: assume it covered the preceding step
+          out += ((boundaryBelow, weighted(step - offset, value)))
+        }
+        lastUpdate = timestamp
+        partial = weighted(offset, value)
+      } else {
+        // within the open slot: accumulate the covered fraction
+        partial += weighted(timestamp - lastUpdate, value)
+        lastUpdate = timestamp
+      }
+      out.result()
+    }
+  }
+
+  /** Counter pipeline: rate conversion feeding weighted normalization
+    * (NormalizationCache.updateCounter). */
+  final class OnlineCounter(step: Long) extends Serializable {
+    private val rate = new OnlineRate
+    private val norm = new OnlineWeightedNorm(step, 2 * step)
+
+    def next(t: Long, v: Double): List[(Long, Double)] = {
+      val r = rate.next(t, v)
+      if (r.isNaN) Nil else norm.next(t, r)
+    }
+  }
+}

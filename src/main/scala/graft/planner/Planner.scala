@@ -952,17 +952,36 @@ object Planner {
       val f = eval(c.expr)
       val newStep = f.step * c.multiple
       val tc = (col(T) - lit(ctx.start)) - pmod(col(T) - lit(ctx.start), lit(newStep)) + lit(ctx.start)
-      val agg = c.cf match {
-        case "sum" => sumNaN(col(V))
-        case "avg" => avgNaN(col(V))
-        case "min" => minNaNAgg(col(V))
-        case "max" => maxNaNAgg(col(V))
+      val out = c.cf match {
+        case "avg" =>
+          // ConsolidationFunction.Avg denominator depends on DsType
+          // (model/TimeSeq.scala:189-214): a RATE averages over the FULL
+          // consolidated interval — a per-second rate's average must count
+          // empty slots — while a GAUGE averages only slots with data (a
+          // temperature that starts reporting mid-interval must not read
+          // half). DsType comes from the line's `atlas.dstype` tag and
+          // defaults to rate (model/DsType.scala:17-36).
+          val isGauge =
+            coalesce(col(TAGS).getItem("atlas.dstype"), lit("rate")) === "gauge"
+          f.df
+            .groupBy(col(KEY), tc.as(T))
+            .agg(sumNaN(col(V)).as("_s"), avgNaN(col(V)).as("_a"), first(col(TAGS)).as(TAGS))
+            .withColumn(V,
+              when(isGauge, col("_a")).otherwise(col("_s") / lit(c.multiple.toDouble)))
+            .filter(col(V).isNotNull)
+            .select(col(KEY), col(TAGS), col(T), col(V))
+        case cf =>
+          val agg = cf match {
+            case "sum" => sumNaN(col(V))
+            case "min" => minNaNAgg(col(V))
+            case _     => maxNaNAgg(col(V))
+          }
+          f.df
+            .groupBy(col(KEY), tc.as(T))
+            .agg(agg.as(V), first(col(TAGS)).as(TAGS))
+            .filter(col(V).isNotNull)
+            .select(col(KEY), col(TAGS), col(T), col(V))
       }
-      val out = f.df
-        .groupBy(col(KEY), tc.as(T))
-        .agg(agg.as(V), first(col(TAGS)).as(TAGS))
-        .filter(col(V).isNotNull)
-        .select(col(KEY), col(TAGS), col(T), col(V))
       SeriesFrame(out, f.grouping, newStep, dense = false)
     }
 

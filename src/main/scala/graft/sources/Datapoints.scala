@@ -134,6 +134,64 @@ object Datapoints {
   }
 
   /**
+   * events as MONOTONIC COUNTER datapoints (the shape a spectator Counter
+   * publishes): one series per (event_type, user-group), sampled at the raw
+   * event times, value = running total of `value`, tagged
+   * `atlas.dstype=counter` so the ingest pipeline (Normalize.rateConvert ->
+   * weightedNormalize) converts to per-second rates. The cumulative-sum
+   * window shuffles once by series — an ingest-shaping cost, not a query
+   * cost.
+   */
+  def eventsCounters(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val base = ev.select(
+      col("event_type"),
+      concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")).as("grp"),
+      expr("ts div 1000000").as("tms"),
+      col("value"))
+    // collapse same-ms samples first: a counter has ONE value per instant
+    val perInstant = base
+      .groupBy(col("event_type"), col("grp"), col("tms"))
+      .agg(sum(col("value")).as("dv"))
+    val cum = perInstant.withColumn("cum",
+      sum(col("dv")).over(Window.partitionBy(col("event_type"), col("grp")).orderBy(col("tms"))))
+    cum.select(
+      map(
+        lit("name"), col("event_type"),
+        lit("grp"), col("grp"),
+        lit("atlas.dstype"), lit("counter")
+      ).as("tags"),
+      col("tms").as("ts"),
+      col("cum").cast("double").as("value"))
+  }
+
+  /**
+   * events as gauge datapoints: like [[events]] but pre-aggregated per
+   * hourly slot with max (a sampled gauge publishes one value per step) and
+   * tagged `atlas.dstype=gauge`, for the gauge-vs-rate consolidation
+   * semantics.
+   */
+  def eventsGauge(spark: SparkSession, sfDir: String): DataFrame = {
+    configure(spark)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.select(
+        col("event_type"),
+        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        col("value"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(max(col("value")).as("v"))
+      .select(
+        map(
+          lit("name"), col("event_type"),
+          lit("atlas.dstype"), lit("gauge")
+        ).as("tags"),
+        col("t").as("ts"),
+        col("v").as("value"))
+  }
+
+  /**
    * lineitem table as datapoints: one series per (returnflag, linestatus),
    * value = extendedprice, timestamp = shipdate.
    */

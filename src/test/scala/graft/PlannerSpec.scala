@@ -187,11 +187,26 @@ class PlannerSpec extends SparkSpec {
     assert(got(slot(0)) == 600.0 && got(slot(5)) == 600.0)
   }
 
-  test(":consolidate re-steps with the chosen cf over present values") {
+  test(":consolidate avg: rate lines average over the FULL interval (default dstype)") {
     val got = series(FilterExpr.Consolidate(Sum(a), 2, "avg"))
     assert(got(0L) == 19.0)      // (11+27)/2
-    assert(got(slot(2)) == 3.0)  // slot 3 missing: avg over present = 3
+    assert(got(slot(2)) == 1.5)  // slot 3 missing: rate avg = 3/2, NOT 3
     assert(got(slot(4)) == 5.5)
+  }
+
+  test(":consolidate avg: gauge lines average over slots WITH data only") {
+    import spark.implicits._
+    // same shape as series A slot 2/3 (gap), but tagged as a gauge
+    val gdp = Seq(
+      (Map("name" -> "t", "atlas.dstype" -> "gauge"), slot(2) + 1000L, 90.0)
+    ).toDF("tags", "ts", "value")
+    val expr = FilterExpr.Consolidate(
+      Sum(Query.And(Query.Equal("name", "t"), Query.Equal("atlas.dstype", "gauge"))), 2, "avg")
+    val got = Planner.output(Planner.eval(expr, gdp, ctx), Nil, 6)
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+    // reference TimeSeq.scala:189-214 comment: a gauge reporting 90 in one
+    // of two consolidated slots reads 90, not 45
+    assert(got == Map(slot(2) -> 90.0))
   }
 
   test(":offset shifts the fetch window") {
