@@ -23,6 +23,13 @@ package graft.core
  */
 object IngestNorm {
 
+  /** A per-series ingest normalizer: consumes raw (timestamp, value)
+    * samples, returns the slots each sample finalizes as (slotEnd, value)
+    * pairs. Serializable so streaming can carry it in GroupState. */
+  trait OnlineIngest extends Serializable {
+    def next(t: Long, v: Double): List[(Long, Double)]
+  }
+
   /** Counter -> per-second rate. Returns NaN for the first sample of a
     * series (nothing to difference against); callers drop NaN samples. A
     * non-positive delta or duration yields rate 0 (counter reset / clock
@@ -56,7 +63,7 @@ object IngestNorm {
    * later sample finalizes it (or dies with the heartbeat, like the
    * reference's expiry counter).
    */
-  final class OnlineWeightedNorm(step: Long, heartbeat: Long) extends Serializable {
+  final class OnlineWeightedNorm(step: Long, heartbeat: Long) extends OnlineIngest {
     require(step >= 1 && heartbeat >= 1)
 
     private var lastUpdate = -1L
@@ -104,7 +111,7 @@ object IngestNorm {
 
   /** Counter pipeline: rate conversion feeding weighted normalization
     * (NormalizationCache.updateCounter). */
-  final class OnlineCounter(step: Long) extends Serializable {
+  final class OnlineCounter(step: Long) extends OnlineIngest {
     private val rate = new OnlineRate
     private val norm = new OnlineWeightedNorm(step, 2 * step)
 

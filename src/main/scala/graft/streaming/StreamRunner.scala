@@ -161,16 +161,84 @@ object StreamRunner {
    */
   final case class CarriedState(lastT: Long, blob: Array[Byte])
 
-  private def serialize(a: OnlineAlgorithm): Array[Byte] = {
+  private def serialize(a: AnyRef): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
     oos.writeObject(a); oos.close()
     bos.toByteArray
   }
 
-  private def deserialize(b: Array[Byte]): OnlineAlgorithm = {
+  private def deserialize[T](b: Array[Byte]): T = {
     val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-    ois.readObject().asInstanceOf[OnlineAlgorithm]
+    ois.readObject().asInstanceOf[T]
+  }
+
+  /** Raw ingest row for the counter/rate normalizer (public for the
+    * Dataset encoder). */
+  final case class IngestRow(key: String, dstype: String, ts: Long, value: Double)
+
+  /**
+   * Streaming counter/rate ingest normalization (the reference
+   * NormalizationCache wiring, norm/NormalizationCache.scala:57-85):
+   * per-series online state in flatMapGroupsWithState — `atlas.dstype=
+   * counter` series difference to per-second rates then weighted-align to
+   * step boundaries with heartbeat 2*step; anything else is treated as a
+   * client-computed rate and weighted-aligns with heartbeat = step (the
+   * over-counting guard the reference documents). Sum/gauge publishing
+   * keeps using [[normalize]]/[[normalizeWith]] (slot sum/max, the
+   * RollingValueFunction analogs).
+   *
+   * Heartbeat expiry is the streaming-visible behavior: a series that goes
+   * silent past its heartbeat DROPS the open slot's partial value — no
+   * stale smear into the silent span — and its next sample restarts as a
+   * fresh series. Semantics are the per-series online forms in
+   * core.IngestNorm; the batch pipeline (sources.Normalize) is the columnar
+   * equivalent and IngestNormSpec ties the two together.
+   *
+   * Emits SlotValue(series key, slot START, value) as slots finalize.
+   */
+  def streamingIngestNormalize(
+      datapoints: DataFrame,
+      q: Query,
+      step: Long,
+      watermark: String = "10 minutes"
+  ): Dataset[SlotValue] = {
+    val spark = datapoints.sparkSession
+    import spark.implicits._
+    val rows = datapoints
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .filter(QueryCompiler.compile(q, col("tags")))
+      .select(
+        Planner.seriesId(col("tags")).as("key"),
+        coalesce(col("tags").getItem(graft.sources.Normalize.DsTypeTag), lit("rate"))
+          .as("dstype"),
+        col("ts"), col("value"))
+      .as[IngestRow]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CarriedState, SlotValue](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[IngestRow], gstate: GroupState[CarriedState]) =>
+          val batch = it.toArray.sortBy(_.ts)
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val algo = gstate.getOption
+              .map(s => deserialize[graft.core.IngestNorm.OnlineIngest](s.blob))
+              .getOrElse {
+                if (batch.head.dstype == "counter")
+                  new graft.core.IngestNorm.OnlineCounter(step)
+                else
+                  new graft.core.IngestNorm.OnlineWeightedNorm(step, step)
+              }
+            val out = batch.iterator
+              .flatMap(r => algo.next(r.ts, r.value))
+              .map { case (b, v) => SlotValue(key, b - step, v) }
+              .toList
+            gstate.update(CarriedState(batch.last.ts, serialize(algo)))
+            out.iterator
+          }
+      }
   }
 
   /**
@@ -198,7 +266,7 @@ object StreamRunner {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[SlotValue], gstate: GroupState[CarriedState]) =>
           var (lastT, algo) = gstate.getOption match {
-            case Some(s) => (s.lastT, deserialize(s.blob))
+            case Some(s) => (s.lastT, deserialize[OnlineAlgorithm](s.blob))
             case None    => (start - step, mkAlgo())
           }
           val out = List.newBuilder[SlotValue]
@@ -253,7 +321,7 @@ object StreamRunner {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rows: Iterator[SlotTick], gstate: GroupState[CarriedState]) =>
           var (lastT, algo) = gstate.getOption match {
-            case Some(s) => (s.lastT, deserialize(s.blob))
+            case Some(s) => (s.lastT, deserialize[OnlineAlgorithm](s.blob))
             case None    => (start - step, mkAlgo())
           }
           val out = List.newBuilder[SlotValue]

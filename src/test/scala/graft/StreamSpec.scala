@@ -324,6 +324,44 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming counter ingest: rates per slot, heartbeat expires silent series") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val out = StreamRunner.streamingIngestNormalize(
+      dp, Query.Equal("name", "c"), 60000L, "1 minute")
+    val query = out.writeStream.format("memory").queryName("stream_counter")
+      .outputMode("append").start()
+    val ctags = Map("name" -> "c", "atlas.dstype" -> "counter")
+    // counter at 1/sec, then 4 minutes of silence (heartbeat = 2 * step),
+    // then the counter reappears
+    val samples = Seq(
+      (ctags, 60000L, 0.0),
+      (ctags, 120000L, 60.0),
+      (ctags, 180000L, 120.0),
+      (ctags, 420000L, 360.0))
+    try {
+      input.addData(samples.take(2))
+      query.processAllAvailable()
+      input.addData(samples.drop(2))
+      query.processAllAvailable()
+      val got = spark.table("stream_counter")
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      // slots 1,2 are 1.0/s; slots 3,4 (the silent span) must be ABSENT —
+      // the open partial died with the heartbeat instead of smearing — and
+      // the post-gap sample restarts fresh (covers one step)
+      assert(got == Map(slot(1) -> 1.0, slot(2) -> 1.0, slot(6) -> 1.0))
+
+      // batch ingest pipeline produces the identical slots
+      val batch = graft.sources.Normalize
+        .counters(samples.toDF("tags", "ts", "value"), 60000L)
+        .collect().map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+      assert(batch == got)
+    } finally query.stop()
+  }
+
   test("evaluator fans out subscriptions over one shared normalize pass") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
