@@ -20,6 +20,9 @@ object SparkEntry {
 
   private val ctx = EvalContext.testdata
 
+  /** Same window with the request zone set (the graph API `tz` param). */
+  private val ctxNy = ctx.copy(tz = "America/New_York")
+
   // --- expression helpers -------------------------------------------------
 
   private def eq(k: String, v: String) = Query.Equal(k, v)
@@ -284,6 +287,15 @@ object SparkEntry {
     "math_const" -> q(Constant(42.0)),
     "math_time_dow" -> q(Time("dayOfWeek")),
     "math_time_span" -> q(TimeSpan(1704844800000L, 1705276800000L)),
+    // -- timezone support: calendar fields + date parsing in the request tz --
+    "math_time_tz" -> ((s, d) =>
+      Planner.output(
+        Planner.eval(Time("hourOfDay"), Datapoints.events(s, d), ctxNy), Nil, 4)),
+    "math_time_span_tz" -> ((s, d) =>
+      Planner.output(
+        Planner.eval(
+          Asl.parse("2024-01-15,2024-01-20,:time-span", tz = "America/New_York"),
+          Datapoints.events(s, d), ctxNy), Nil, 4)),
     "math_gt_signal" -> asl("name,click,:eq,:sum,200,:gt"),
     "math_and_signal" -> q(Binary(BinOp.And,
       Binary(BinOp.Gt, Sum(click), Constant(200.0)),
@@ -786,6 +798,12 @@ object SparkEntry {
       "SELECT t, CAST(EXTRACT(isodow FROM make_timestamp(t * 1000)) AS DOUBLE) AS value FROM grid"),
     "math_time_span" -> base(
       "SELECT t, CASE WHEN t >= 1704844800000 AND t <= 1705276800000 THEN 1.0 ELSE 0.0 END AS value FROM grid"),
+    "math_time_tz" -> base(
+      "SELECT t, CAST(EXTRACT(hour FROM (to_timestamp(t / 1000) AT TIME ZONE 'America/New_York')) AS DOUBLE) AS value FROM grid"),
+    "math_time_span_tz" -> base(
+      """SELECT t, CASE WHEN t >= epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-15 00:00:00'))
+        |            AND t <= epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-20 00:00:00'))
+        |            THEN 1.0 ELSE 0.0 END AS value FROM grid""".stripMargin),
     "math_gt_signal" -> base(
       "SELECT t, CASE WHEN ad.v > 200.0 THEN 1.0 ELSE 0.0 END AS value FROM ad",
       sumSeries("click", "a"), dense("a", "ad")),

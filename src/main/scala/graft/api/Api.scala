@@ -30,7 +30,8 @@ object Api {
       ctx: EvalContext,
       maxDatapoints: Int = 0
   ): DataFrame = {
-    val styled = Asl.parseAll(program)
+    // the context zone reaches both date parsing (:time-span) and :time
+    val styled = Asl.parseAll(program, ctx.tz)
     // Step auto-coarsening (GraphConfig.stepSize, graph/GraphConfig.scala:
     // 78-82): cap datapoints per line by consolidating to a coarser step.
     val step =
@@ -79,14 +80,15 @@ object Api {
       e: String = "now",
       stepMs: Long = 60000L,
       maxDatapoints: Int = 0,
-      nowMs: () => Long = () => System.currentTimeMillis()
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      tz: String = "UTC"
   ): DataFrame = {
-    val (start0, end0) = Strings.timeRange(s, e, nowMs)
+    val (start0, end0) = Strings.timeRange(s, e, nowMs, java.time.ZoneId.of(tz))
     val step = graft.core.Step.round(stepMs, stepMs)
     val rs = math.floorDiv(start0, step) * step
     val re = math.floorDiv(end0, step) * step
     val fstart = if (rs == re) rs - step else rs
-    graph(program, dp, EvalContext(fstart, re + step, step), maxDatapoints)
+    graph(program, dp, EvalContext(fstart, re + step, step, tz), maxDatapoints)
   }
 
   /** One fetch chunk per context partition (EvalContext.partition analog,

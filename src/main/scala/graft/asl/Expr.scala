@@ -582,9 +582,16 @@ object Strings {
    * Parse a graph-API date: epoch (unit auto-detected by magnitude like the
    * reference Strings.ofEpoch), ISO-8601, or a named reference (now, epoch,
    * s, e) with an optional +/- duration (Strings.parseDate,
-   * atlas-core util/Strings.scala:488-548). Returns epoch ms.
+   * atlas-core util/Strings.scala:488-548). ISO dates without an explicit
+   * offset are interpreted in `tz` (the reference threads the request's
+   * `tz` param into IsoDateTimeParser). Returns epoch ms.
    */
-  def parseDate(str: String, refs: Map[String, Long] = Map.empty, nowMs: () => Long): Long = {
+  def parseDate(
+      str: String,
+      refs: Map[String, Long] = Map.empty,
+      nowMs: () => Long,
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC
+  ): Long = {
     def ref(r: String): Long = refs.getOrElse(r, if (r == "epoch") 0L else nowMs())
     str match {
       case RelativeDate(r, op, p) =>
@@ -598,8 +605,22 @@ object Strings {
         else if (v <= (1L << 44)) v
         else if (v <= (1L << 54)) v / 1000L
         else v / 1000000L
-      case s => java.time.Instant.parse(s).toEpochMilli
+      case s => parseIso(s, tz)
     }
+  }
+
+  /** ISO-8601 instant: an explicit offset/Z wins; otherwise local date or
+    * date-time interpreted in `tz`. */
+  private def parseIso(s: String, tz: java.time.ZoneId): Long = {
+    val zoned =
+      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay(tz)
+      else
+        try java.time.OffsetDateTime.parse(s).toZonedDateTime
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(s).atZone(tz)
+        }
+    zoned.toInstant.toEpochMilli
   }
 
   /**
@@ -607,7 +628,12 @@ object Strings {
    * (Strings.timeRange, util/Strings.scala:605-624): a relative start
    * resolves against the end, otherwise the end may reference the start.
    */
-  def timeRange(s: String, e: String, nowMs: () => Long = () => System.currentTimeMillis()): (Long, Long) = {
+  def timeRange(
+      s: String,
+      e: String,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC
+  ): (Long, Long) = {
     // relative to a CUSTOM reference (s/e), not to now/epoch
     // (Strings.isRelativeDate(str, customRef = true), util/Strings.scala:468-471)
     def isRelative(v: String): Boolean = v match {
@@ -617,11 +643,11 @@ object Strings {
     val range =
       if (isRelative(s) || s == "e") {
         require(!(isRelative(e) || e == "s"), "start and end are both relative")
-        val end = parseDate(e, Map.empty, nowMs)
-        (parseDate(s, Map("e" -> end), nowMs), end)
+        val end = parseDate(e, Map.empty, nowMs, tz)
+        (parseDate(s, Map("e" -> end), nowMs, tz), end)
       } else {
-        val start = parseDate(s, Map.empty, nowMs)
-        (start, parseDate(e, Map("s" -> start), nowMs))
+        val start = parseDate(s, Map.empty, nowMs, tz)
+        (start, parseDate(e, Map("s" -> start), nowMs, tz))
       }
     require(range._1 <= range._2, "end time is before start time")
     range

@@ -165,15 +165,20 @@ object Asl {
   lazy val interpreter: Interpreter = Interpreter(Vocabulary.allWords)
 
   /** Execute a program and return all expressions on the final stack
-    * (bottom first), coercing queries/constants to styled expressions. */
-  def parseAll(program: String): List[StyleExpr] = {
-    val ctx = interpreter.execute(program)
+    * (bottom first), coercing queries/constants to styled expressions.
+    * `tz` seeds the interpreter's zone variable for zone-less date parsing
+    * (the reference seeds vars("tz") from the request,
+    * eval/graph/Grapher.scala:169-171). */
+  def parseAll(program: String, tz: String = "UTC"): List[StyleExpr] = {
+    val vars: Map[String, Any] = if (tz == "UTC") Map.empty else Map("tz" -> tz)
+    val ctx = interpreter.execute(
+      Interpreter.tokenize(program), Context(Nil, variables = vars))
     (ctx.stack.reverse ::: ctx.frozen.reverse).flatMap(Coerce.style)
   }
 
   /** Execute a program expected to yield exactly one expression. */
-  def parse(program: String): TimeSeriesExpr = {
-    val all = parseAll(program)
+  def parse(program: String, tz: String = "UTC"): TimeSeriesExpr = {
+    val all = parseAll(program, tz)
     require(all.size == 1, s"expected one expression, got ${all.size}: $program")
     val s = all.head
     if (s.settings.isEmpty) s.expr else s

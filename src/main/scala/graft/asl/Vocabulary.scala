@@ -357,9 +357,14 @@ object Vocabulary {
       s.size >= 2 && isStr(s.head) && isStr(s(1))
     } { (c, _) =>
       // full graph-API date grammar: epoch (magnitude-detected), ISO, or
-      // now/epoch-relative forms, resolved at parse time like the reference
+      // now/epoch-relative forms, resolved at parse time like the reference;
+      // zone-less ISO dates resolve in the interpreter's `tz` variable (the
+      // reference seeds it from the request, Grapher.scala:169-171)
       val (s0, e0) = (c.stack(1).asInstanceOf[String], c.stack.head.asInstanceOf[String])
-      val range = Strings.timeRange(s0, e0)
+      val tz = c.variables.get("tz")
+        .map(v => java.time.ZoneId.of(v.toString))
+        .getOrElse(java.time.ZoneOffset.UTC)
+      val range = Strings.timeRange(s0, e0, tz = tz)
       c.copy(stack = MathExpr.TimeSpan(range._1, range._2) :: c.stack.drop(2))
     },
     unary("abs", MathExpr.UnaryOp.Abs, "name,sps,:eq,:sum,:abs"),

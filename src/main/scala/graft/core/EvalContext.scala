@@ -5,11 +5,16 @@ package graft.core
  * epoch milliseconds. Mirrors the reference's evaluation context semantics
  * (atlas-core model/EvalContext.scala:24-39) but uses interval-start
  * timestamps for buckets: slot i covers `[start + i*step, start + (i+1)*step)`.
+ *
+ * `tz` is the request's display/calendar zone (the `tz` graph param,
+ * reference eval/graph/GraphConfig.scala:55-61): `:time` calendar fields and
+ * zone-less date parsing resolve in it; the grid itself stays in epoch ms.
  */
-final case class EvalContext(start: Long, end: Long, step: Long) {
+final case class EvalContext(start: Long, end: Long, step: Long, tz: String = "UTC") {
   require(step > 0, "step must be > 0")
   require(start < end, "start must be < end")
   require(start % step == 0, "start must be step-aligned")
+  require(java.time.ZoneId.of(tz) != null)
 
   /** Number of grid slots in the window. */
   def bufferSize: Int = ((end - start) / step).toInt
@@ -21,13 +26,13 @@ final case class EvalContext(start: Long, end: Long, step: Long) {
   /** Shift the fetch window back by `offset` ms (for `:offset`). */
   def withOffset(offset: Long): EvalContext = {
     val aligned = alignedOffset(offset)
-    if (aligned == 0L) this else EvalContext(start - aligned, end - aligned, step)
+    if (aligned == 0L) this else copy(start = start - aligned, end = end - aligned)
   }
 
   /** Re-step to a coarser grid (consolidation). */
   def withStep(newStep: Long): EvalContext = {
     require(newStep % step == 0, s"new step $newStep must be a multiple of $step")
-    EvalContext(start - math.floorMod(start, newStep), end, newStep)
+    copy(start = start - math.floorMod(start, newStep), step = newStep)
   }
 
   /**
@@ -37,7 +42,7 @@ final case class EvalContext(start: Long, end: Long, step: Long) {
   def partition(chunkSlots: Int): Seq[EvalContext] = {
     require(chunkSlots >= 1)
     val span = chunkSlots.toLong * step
-    (start until end by span).map(s => EvalContext(s, math.min(s + span, end), step))
+    (start until end by span).map(s => copy(start = s, end = math.min(s + span, end)))
   }
 }
 

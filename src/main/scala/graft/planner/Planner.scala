@@ -345,11 +345,13 @@ object Planner {
     private def evalTime(m: MathExpr.Time): SeriesFrame =
       constant(timeValue(m.mode, col(T)), Map("name" -> m.mode))
 
-    /** Calendar field of a slot timestamp column (UTC), full reference mode
-      * grammar (MathExpr.scala:179-213). Unit modes are FRACTIONAL
-      * divisions of epoch millis, like the reference's sinceEpoch. */
+    /** Calendar field of a slot timestamp column in the context's zone
+      * (ctx.tz, the request's `tz` param), full reference mode grammar
+      * (MathExpr.scala:179-213). Unit modes are FRACTIONAL divisions of
+      * epoch millis, like the reference's sinceEpoch — zone-independent. */
     private def timeValue(mode0: String, t: Column): Column = {
-      val ts = timestamp_seconds(t / 1000L)
+      val utc = timestamp_seconds(t / 1000L)
+      val ts = if (ctx.tz == "UTC") utc else from_utc_timestamp(utc, ctx.tz)
       val v: Column = MathExpr.Time.normalize(mode0) match {
         case "secondOfMinute"    => second(ts)
         case "secondOfDay"       => hour(ts) * 3600 + minute(ts) * 60 + second(ts)

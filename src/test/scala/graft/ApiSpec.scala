@@ -33,6 +33,22 @@ class ApiSpec extends SparkSpec {
       n1.contains("\"values\":[1.0,2.0,null,null]"), n1)
   }
 
+  test("tz threads through the context: :time calendar fields in the request zone") {
+    // 2024-01-01 00:00 UTC = 19:00 America/New_York the previous day
+    val ny = EvalContext(1704067200000L, 1704067200000L + 120000L, 60000L, "America/New_York")
+    val out = Api.graph("hourOfDay,:time", dp, ny).collect().map(_.getString(0))
+    assert(out.length == 1)
+    assert(out.head.contains("\"values\":[19.0,19.0]"), out.head)
+  }
+
+  test("tz threads into zone-less :time-span date parsing") {
+    // window around 2024-01-15 00:00 New York (05:00 UTC)
+    val ny = EvalContext(1705291200000L, 1705291200000L + 4 * 3600000L, 3600000L, "America/New_York")
+    val out = Api.graph("2024-01-15,2024-01-16,:time-span", dp, ny).collect().map(_.getString(0))
+    // 04:00/05:00/06:00/07:00 UTC -> span starts at 05:00 UTC (midnight NY)
+    assert(out.head.contains("\"values\":[0.0,1.0,1.0,1.0]"), out.head)
+  }
+
   test("legend formatting substitutes $tags") {
     val out = Api.graph("name,a,:eq,:sum,(,node,),:by,node $node,:legend", dp, ctx)
       .collect().map(_.getString(0))
