@@ -148,14 +148,17 @@ object TextOps {
       textCol: String = "text",
       maxBroadcastGrams: Long = 20000000L
   ): DataFrame = {
+    // localCheckpoint: the gram set is read twice (size guard + join) but
+    // computed once; blocks are freed by the ContextCleaner afterwards
     val evalGrams = evalDocs
       .select(explode(ngramSet(col(textCol), n)).as("gram"))
       .distinct()
+      .localCheckpoint()
     // The eval side is benchmark-sized by contract, but forcing the
     // broadcast unconditionally turns an oversized eval split into a driver
-    // OOM / 8 GB broadcast failure. Counting it first costs one pass over
-    // the (small) eval side only; past the threshold, fall back to a
-    // shuffle join and let AQE pick the strategy.
+    // OOM / 8 GB broadcast failure. Counting it first costs one action over
+    // the (small, already-materialized) eval side; past the threshold, fall
+    // back to a shuffle join and let AQE pick the strategy.
     val evalSide =
       if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalGrams) else evalGrams
     val docGrams = docs.select(col("doc_id"), explode(ngramSet(col(textCol), n)).as("gram"))
