@@ -428,6 +428,19 @@ object SparkEntry {
         TextOps.decontaminate(
           dd.filter(col("doc_id") % 20 =!= 0), dd.filter(col("doc_id") % 20 === 0), n = 5)
       }),
+      // -- corpus curation (composed pipeline decisions) --
+      "pipeline_curate" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.qualityFilter(
+          Curate.dedupKeep(dd, Dedup.minhashLsh(dd, threshold = 0.5)),
+          lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02)
+          .select(col("doc_id"))
+      }),
+      "pipeline_sample" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.stratifiedSample(dd, TextOps.langPredCol(col("text")), Map("en" -> 0.3))
+          .select(col("doc_id"), TextOps.langPredCol(col("text")).as("stratum"))
+      }),
       // -- multimodal plumbing --
       "mm_features" -> ((s, d) =>
         Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
@@ -502,6 +515,22 @@ object SparkEntry {
   }
 
   private def opsOracles: Map[String, String] = {
+    // shared by text_langid and the curation-pipeline oracles
+    val langSql =
+      """WITH scored AS (
+        |  SELECT doc_id, unnest([
+        |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT), lang := 'en'),
+        |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','que','y','en','un','los'))) AS BIGINT), lang := 'es'),
+        |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','de','et','les','des','un','une'))) AS BIGINT), lang := 'fr'),
+        |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS BIGINT), lang := 'de'),
+        |    struct_pack(score := CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT), lang := 'zh')
+        |  ]) AS sl
+        |  FROM documents)
+        |SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, sl.lang AS lang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1""".stripMargin
     val cosSql =
       """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
         |(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
@@ -544,21 +573,30 @@ object SparkEntry {
           |    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647)),
           |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
           |FROM documents""".stripMargin,
-      "text_langid" ->
-        """WITH scored AS (
-          |  SELECT doc_id, unnest([
-          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT), lang := 'en'),
-          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','que','y','en','un','los'))) AS BIGINT), lang := 'es'),
-          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','de','et','les','des','un','une'))) AS BIGINT), lang := 'fr'),
-          |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS BIGINT), lang := 'de'),
-          |    struct_pack(score := CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT), lang := 'zh')
-          |  ]) AS sl
-          |  FROM documents)
-          |SELECT doc_id, lang AS lang_pred FROM (
-          |  SELECT doc_id, sl.lang AS lang,
-          |         row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
-          |  FROM scored)
-          |WHERE rn = 1""".stripMargin,
+      "text_langid" -> langSql,
+      "pipeline_curate" ->
+        s"""WITH keep AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS m
+           |    FROM (${graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5)}))
+           |  WHERE doc_id = m),
+           |lp AS ($langSql),
+           |q AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+           |         round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
+           |         round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+           |  FROM documents)
+           |SELECT k.doc_id FROM keep k
+           |JOIN lp ON k.doc_id = lp.doc_id
+           |JOIN q ON k.doc_id = q.doc_id
+           |WHERE lp.lang_pred = 'en' AND q.n_tokens >= 20 AND q.ttr >= 0.3 AND q.stop_ratio >= 0.02""".stripMargin,
+      "pipeline_sample" ->
+        s"""WITH lp AS ($langSql)
+           |SELECT d.doc_id, lp.lang_pred AS stratum
+           |FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+           |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+           |      < (CASE WHEN lp.lang_pred = 'en' THEN 0.3 ELSE 1.0 END) * 10000""".stripMargin,
       "text_decontaminate" ->
         """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
           |dg AS (SELECT DISTINCT doc_id, g FROM (

@@ -28,16 +28,30 @@ object TextOps {
    *   stop_ratio      fraction of tokens that are stopwords
    *   mean_token_len  average token length in chars
    */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Whitespace token count as a double column. */
+  def nTokensCol(text: Column): Column = size(tokens(text)).cast("double")
+
+  /** Type-token ratio (lexical diversity), rounded to 4 decimals. */
+  def ttrCol(text: Column): Column =
+    round(size(array_distinct(tokens(text))) / nTokensCol(text) + NanMath.RoundEps, 4)
+
+  /** Stopword fraction of the token stream, rounded to 4 decimals. */
+  def stopRatioCol(text: Column): Column =
+    round(
+      size(filter(tokens(text), t => t.isin(stopwords: _*))) / nTokensCol(text)
+        + NanMath.RoundEps, 4)
+
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
-    val nTok = size(toks).cast("double")
+    val nTok = nTokensCol(col(textCol))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       size(vocab(col(textCol))).cast("double").as("n_distinct"),
-      round(size(array_distinct(toks)) / nTok + NanMath.RoundEps, 4).as("ttr"),
-      round(size(filter(toks, t => t.isin(stopwords: _*))) / nTok + NanMath.RoundEps, 4).as("stop_ratio"),
+      ttrCol(col(textCol)).as("ttr"),
+      stopRatioCol(col(textCol)).as("stop_ratio"),
       round(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok,
         4
@@ -51,27 +65,28 @@ object TextOps {
    * argmax; ties break to the lexicographically larger language code so the
    * result is deterministic. Profiles are the usual top function words.
    */
-  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Predicted language code of a text column (pure projection). */
+  def langPredCol(text: Column): Column = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
       "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
       "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
     )
-    val toks = split(lower(col(textCol)), " ")
+    val toks = split(lower(text), " ")
     val scored = profiles.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
     }
     val zh = struct(
-      length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", "")).as("score"),
+      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).as("score"),
       lit("zh").as("lang")
     )
     // array_max on struct orders by (score, lang): deterministic argmax.
-    docs.select(
-      col("doc_id"),
-      array_max(array(scored :+ zh: _*)).getField("lang").as("lang_pred")
-    )
+    array_max(array(scored :+ zh: _*)).getField("lang")
   }
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), langPredCol(col(textCol)).as("lang_pred"))
 
   /**
    * GPT-2-style pretokenizer pattern, simplified to the RE2-compatible

@@ -295,6 +295,47 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, base.split(" ").reverse.mkString(" ")),
+    (4L, "completely different content about spark query engines and shuffles everywhere")
+  ).toDF("doc_id", "text")
+
+  test("dedupKeep keeps one representative per near-dup cluster") {
+    val kept = Curate.dedupKeep(docs, Dedup.minhashLsh(docs, threshold = 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0/1/2 cluster (exact + one-word near-dup); 3 (reversed word order)
+    // has disjoint 3-gram shingles and 4 is unrelated -> both survive
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("qualityFilter gates on language and lexical thresholds") {
+    val kept = Curate.qualityFilter(docs, lang = "en", minTokens = 10.0, minTtr = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    // a Chinese doc never passes the en gate
+    val zh = Seq((9L, "中文文档 内容")).toDF("doc_id", "text")
+    assert(Curate.qualityFilter(zh, lang = "en", minTokens = 0.0, minTtr = 0.0).count() == 0)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val many = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "s")
+    val kept = Curate.stratifiedSample(many, col("s"), Map("a" -> 0.25), defaultRate = 1.0)
+    val counts = kept.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("b") == 1000L) // default rate 1.0 keeps everything
+    assert(math.abs(counts("a") - 250L) < 60, counts.toString) // ~25% of 1000
+    // deterministic: same rows on re-run
+    val again = Curate.stratifiedSample(many, col("s"), Map("a" -> 0.25), defaultRate = 1.0)
+    assert(kept.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+  }
+}
+
 class QuantilesSpec extends SparkSpec {
   import spark.implicits._
 
