@@ -51,11 +51,16 @@ object Quantiles {
     require(qs.nonEmpty && qs.size == names.size)
     val g = col(groupCol)
 
-    // 1. distinct-value counts: the only row-cardinality shuffle
+    // 1. distinct-value counts: the only row-cardinality shuffle. Both the
+    //    histogram and the marker-bucket ranking read this frame;
+    //    localCheckpoint materializes it once (the exchange is not reused
+    //    across the broadcast branch) and the blocks are freed by the
+    //    ContextCleaner.
     val vc = df
       .select(g, col(valueCol).cast("double").as("v"))
       .groupBy(g, col("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 
     // 2. unit-bucket histogram (floor is monotonic, so bucket order = value
     //    order); frame size = groups x distinct buckets, domain-bounded
