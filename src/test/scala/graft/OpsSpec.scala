@@ -31,6 +31,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("duplicate-heavy group: intra pairs stream from the self-join (no k^2 row)") {
+    import spark.implicits._
+    val n = 2000
+    val heavy = (0L until n.toLong).map(i => (i, "the same text for every single document here"))
+      .toDF("doc_id", "text")
+    // one distinct shingle set -> one group of n ids -> n*(n-1)/2 pairs at 1.0;
+    // the old in-row flattened pair array would hold all ~2M pairs in ONE record
+    val got = Dedup.minhashLsh(heavy, threshold = 0.5)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    assert(got.filter(col("jaccard") =!= 1.0).isEmpty)
+  }
+
   test("exact jaccard value on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
