@@ -27,12 +27,20 @@ class ReferenceQueriesSpec extends AnyFunSuite {
 
 object ReferenceQueries {
   val path = "/root/reference/atlas-core/src/test/resources/queries.txt"
-  def programs: List[String] =
+
+  private def decode(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** (ASL program, request tz) pairs — 61 corpus URIs carry a tz param
+    * (US/Eastern, US/Pacific, UTC), evaluated in their own zone. */
+  def requests: List[(String, String)] =
     scala.io.Source.fromFile(path).getLines().toList.flatMap { line =>
-      line.split("[?&]").toList
-        .find(_.startsWith("q="))
-        .map(v => java.net.URLDecoder.decode(v.drop(2), "UTF-8"))
+      val parts = line.split("[?&]").toList
+      val tz = parts.find(_.startsWith("tz="))
+        .map(v => decode(v.drop(3))).getOrElse("UTC")
+      parts.find(_.startsWith("q=")).map(v => (decode(v.drop(2)), tz))
     }.distinct
+
+  def programs: List[String] = requests.map(_._1).distinct
 }
 
 /** Every 7th corpus program evaluated end-to-end through Api.graph against
@@ -45,16 +53,16 @@ class ReferenceQueriesEvalSpec extends SparkSpec {
 
   test("sampled corpus programs evaluate through the graph API") {
     assume(new java.io.File(ReferenceQueries.path).exists())
-    val sample = ReferenceQueries.programs.zipWithIndex.collect {
-      case (p, i) if i % 7 == 0 => p
+    val sample = ReferenceQueries.requests.zipWithIndex.collect {
+      case (r, i) if i % 7 == 0 => r
     }
     val dp = graft.sources.Datapoints.events(spark, "/root/testdata/sf0.001")
     val ctx = graft.core.EvalContext.testdata
-    val failures = sample.flatMap { p =>
+    val failures = sample.flatMap { case (p, tz) =>
       try {
-        graft.api.Api.graph(p, dp, ctx).collect()
+        graft.api.Api.graph(p, dp, ctx.copy(tz = tz)).collect()
         None
-      } catch { case e: Exception => Some(s"'$p' -> ${e.getMessage}") }
+      } catch { case e: Exception => Some(s"'$p' (tz=$tz) -> ${e.getMessage}") }
     }
     assert(
       failures.isEmpty,
