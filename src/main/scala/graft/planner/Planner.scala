@@ -138,6 +138,14 @@ object Planner {
 
   private final class Evaluator(spark: SparkSession, dp: DataFrame, ctx: EvalContext) {
 
+    // Pre-keyed frames (graft.sources.Store bucketed tables) carry the
+    // series id as a materialized `key` column; grouping on the ATTRIBUTE
+    // lets the scan's bucket partitioning satisfy the normalization
+    // aggregate's distribution (no shuffle over raw datapoints) — a
+    // recomputed seriesId(tags) expression would not match the bucketing.
+    private val seriesKey: Column =
+      if (dp.columns.contains(KEY)) col(KEY) else seriesId(col(TAGS))
+
     // Common-subexpression elimination over the WHOLE tree: structural
     // equality of expression nodes -> the same SeriesFrame (and Spark plan
     // subtree, so exchanges are reused). Macros like :stddev reference their
@@ -285,13 +293,13 @@ object Planner {
       d match {
         case DataExpr.All(_, _) =>
           val norm = base
-            .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+            .groupBy(seriesKey.as(KEY), col(T))
             .agg(normAgg.as(V), first(col(TAGS)).as(TAGS))
           SeriesFrame(norm.select(col(KEY), col(TAGS), col(T), col(V)), Nil, ctx.step, dense = false)
 
         case af: DataExpr.AggregateFunction =>
           val norm = base
-            .groupBy(seriesId(col(TAGS)).as(KEY), col(T))
+            .groupBy(seriesKey.as(KEY), col(T))
             .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val out = norm
@@ -313,7 +321,7 @@ object Planner {
           val kcols = keys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
           val norm = base
             .filter(present)
-            .groupBy(seriesId(col(TAGS)).as(KEY) +: kcols :+ col(T): _*)
+            .groupBy(seriesKey.as(KEY) +: kcols :+ col(T): _*)
             .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val grouped = norm
@@ -511,7 +519,7 @@ object Planner {
               when(QueryCompiler.compile(d.query, col(TAGS)), col(V)).as(s"_v$i")
             }
             val norm = base
-              .select(seriesId(col(TAGS)).as(KEY) +: col(T) +: leafVals: _*)
+              .select(seriesKey.as(KEY) +: col(T) +: leafVals: _*)
               .groupBy(col(KEY), col(T))
               .agg(
                 sum(col("_v0")).as("_v0"),

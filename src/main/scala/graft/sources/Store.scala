@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.planner.Planner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Series-bucketed datapoint store: the parquet analog of the reference's
+ * by-series layout (MemoryDatabase's ConcurrentHashMap[ItemId, ...],
+ * db/MemoryDatabase.scala:81), and the layout choice that matters most at
+ * 100 TB: with the table hash-bucketed by the series key, the planner's
+ * per-(series, slot) normalization aggregation is satisfied by the scan's
+ * bucket partitioning — NO shuffle touches raw datapoints; the only
+ * exchange left in a fetch is the (small) cross-series aggregate. Bucket
+ * files are also sorted by (key, ts), so per-series scans are sequential.
+ *
+ * The written table carries the materialized `key` column; the planner
+ * detects it and groups on the attribute (bucketing only satisfies a
+ * distribution over the COLUMN, not over a recomputed expression).
+ */
+object Store {
+
+  /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a
+    * series-bucketed, time-sorted managed table. */
+  def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64): Unit =
+    dp.select(
+        Planner.seriesId(col("tags")).as("key"),
+        col("tags"), col("ts"), col("value"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "key")
+      .sortBy("key", "ts")
+      .saveAsTable(table)
+
+  /** Read the store back as a pre-keyed datapoint frame. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select(col("key"), col("tags"), col("ts"), col("value"))
+}
