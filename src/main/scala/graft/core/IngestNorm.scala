@@ -36,16 +36,21 @@ object IngestNorm {
     * skew), matching the reference. */
   final class OnlineRate extends Serializable {
 
-    private var lastT = -1L
+    // explicit has-previous flag (not a timestamp sentinel): keeps the
+    // semantics well-defined for timestamps <= 0 and identical to the batch
+    // columnar form's lag-IS-NULL test
+    private var hasPrev = false
+    private var lastT = 0L
     private var lastV = 0.0
 
     def next(t: Long, v: Double): Double = {
       val out =
-        if (lastT > 0L) {
+        if (hasPrev) {
           val durationSec = (t - lastT) / 1000.0
           val delta = v - lastV
           if (durationSec <= 0.0 || delta <= 0.0) 0.0 else delta / durationSec
         } else Double.NaN
+      hasPrev = true
       lastT = t
       lastV = v
       out
@@ -66,27 +71,32 @@ object IngestNorm {
   final class OnlineWeightedNorm(step: Long, heartbeat: Long) extends OnlineIngest {
     require(step >= 1 && heartbeat >= 1)
 
-    private var lastUpdate = -1L
+    // explicit has-previous flag instead of a timestamp sentinel, so the
+    // recurrence is well-defined for timestamps <= 0 and matches the batch
+    // columnar form (lag IS NULL) at every instant
+    private var hasPrev = false
+    private var lastUpdate = 0L
     private var partial = 0.0
 
     private def weighted(span: Long, v: Double): Double = v * (span.toDouble / step)
 
     def next(timestamp: Long, value: Double): List[(Long, Double)] = {
-      if (timestamp <= lastUpdate) return Nil // stale/duplicate arrival
-      if (lastUpdate > 0 && timestamp - lastUpdate > heartbeat) {
+      if (hasPrev && timestamp <= lastUpdate) return Nil // stale/duplicate
+      if (hasPrev && timestamp - lastUpdate > heartbeat) {
         // heartbeat expiry: forget the open slot's partial value
-        lastUpdate = -1L
+        hasPrev = false
         partial = 0.0
       }
       val out = List.newBuilder[(Long, Double)]
-      val offset = timestamp % step
+      val offset = math.floorMod(timestamp, step)
       val boundaryBelow = timestamp - offset
-      if (lastUpdate < boundaryBelow) {
+      if (!hasPrev || lastUpdate < boundaryBelow) {
         // crossed >= 1 boundary: finalize the slot the previous update left
         // open, full-value slots in between, then start the new partial
-        if (lastUpdate > 0) {
-          var b = lastUpdate - lastUpdate % step + step
-          partial += weighted(step - lastUpdate % step, value)
+        if (hasPrev) {
+          val lastOffset = math.floorMod(lastUpdate, step)
+          var b = lastUpdate - lastOffset + step
+          partial += weighted(step - lastOffset, value)
           out += ((b, partial))
           while (b < boundaryBelow) {
             b += step
@@ -98,6 +108,7 @@ object IngestNorm {
           // first sample: assume it covered the preceding step
           out += ((boundaryBelow, weighted(step - offset, value)))
         }
+        hasPrev = true
         lastUpdate = timestamp
         partial = weighted(offset, value)
       } else {

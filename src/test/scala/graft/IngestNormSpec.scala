@@ -72,7 +72,8 @@ class IngestNormSpec extends SparkSpec {
         (t, math.floor(rnd.nextDouble() * 10000) / 100.0)
       }
       s"s$s" -> samples
-    }.toMap
+    }.toMap + ("s0" -> // epoch-0 edge: boundaries at and below t=0
+      Seq((0L, 6.0), (30000L, 3.0), (90000L, 12.0), (400000L, 9.0)).map(x => (x._1, x._2)))
 
     val dp = frame(
       series.toSeq.flatMap { case (n, ss) => ss.map { case (t, v) => (n, t, v) } }, None)
