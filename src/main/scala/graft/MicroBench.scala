@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Expression-level microbenchmarks (diagnostics):
+  * sbt "runMain graft.MicroBench [rows]" */
+object MicroBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // realistic tag map: 4 entries, mixed cardinalities
+    val df = spark.range(n).select(
+      map(
+        lit("name"), concat(lit("m"), (col("id") % 100).cast("string")),
+        lit("node"), concat(lit("n"), (col("id") % 1000).cast("string")),
+        lit("nf.cluster"), concat(lit("c"), (col("id") % 10).cast("string")),
+        lit("region"), lit("us-east-1")
+      ).as("tags"))
+
+    def time(name: String, c: Column): Unit =
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df.select(c.as("k")).write.mode("overwrite").format("noop").save()
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+
+    val hof = array_join(
+      transform(array_sort(map_entries(col("tags"))),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+    time("series_id_hof", hof)
+    time("series_id_native", graft.planner.Planner.seriesId(col("tags")))
+    spark.stop()
+  }
+}

@@ -85,15 +85,14 @@ object Planner {
     (h2 % lit(1000000007L)).cast("double") / lit(1000000007.0)
   }
 
-  /** Canonical series id: sorted `k=v` pairs joined by commas. */
-  def seriesId(tags: Column): Column =
-    array_join(
-      transform(
-        array_sort(map_entries(tags)),
-        e => concat(e.getField("key"), lit("="), e.getField("value"))
-      ),
-      ","
-    )
+  /** Canonical series id: sorted `k=v` pairs joined by commas (null-valued
+    * entries = absent tags, skipped). A native codegen expression — the HOF
+    * formulation (array_join/transform/array_sort) is CodegenFallback and
+    * this runs per raw datapoint in every fetch (graft.functions.SeriesIdExpr). */
+  def seriesId(tags: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.SeriesIdExpr(GraftBridge.expression(tags)))
+  }
 
   /** Reference to an extracted group-key column; quoted because tag keys
     * routinely contain dots (nf.cluster) that a bare col() would parse as

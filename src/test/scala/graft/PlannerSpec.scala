@@ -60,6 +60,30 @@ class PlannerSpec extends SparkSpec {
   val a = Query.Equal("name", "a")
   val b = Query.Equal("name", "b")
 
+  test("native series-id expression matches the HOF formulation and stays in codegen") {
+    import spark.implicits._
+    val tricky = Seq(
+      Map("b" -> "2", "a" -> "1", "z" -> "último"),          // unsorted keys, unicode
+      Map("name" -> "x", "hi" -> null.asInstanceOf[String]), // null value = absent tag
+      Map.empty[String, String]
+    ).toDF("tags")
+    val hof = array_join(
+      transform(array_sort(map_entries(col("tags"))),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+    val rows = tricky.select(Planner.seriesId(col("tags")).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    assert(rows.map(_.getString(0)).toSet == Set("a=1,b=2,z=último", "name=x", ""))
+    // the whole projection must compile — no CodegenFallback island (a
+    // local relation constant-folds away, so assert over a real scan)
+    val scan = graft.sources.Datapoints.events(spark, "/root/testdata/sf0.001")
+      .select(Planner.seriesId(col("tags")))
+    scan.collect() // generated code must actually compile and run
+    val plan = scan.queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a whole-stage-codegen stage
+    assert(plan.contains("*(1) Project [seriesidexpr"), plan)
+  }
+
   test(":sum aggregates across series, absent slots yield no row") {
     assert(series(Sum(a)) == Map(
       slot(0) -> 11.0, slot(1) -> 27.0, slot(2) -> 3.0, slot(4) -> 5.0, slot(5) -> 6.0))
