@@ -36,6 +36,31 @@ object MicroBench {
         e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
     time("series_id_hof", hof)
     time("series_id_native", graft.planner.Planner.seriesId(col("tags")))
+
+    // text quality signals: HOF projection vs partition-local JVM kernel
+    import spark.implicits._
+    val nDocs = math.max(n / 40, 1L)
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dogs", "and", "runs", "away", "of", "to", "in", "is", "data")
+    val docs = spark.range(nDocs).mapPartitions { it =>
+      val sb = new StringBuilder
+      it.map { i =>
+        sb.clear()
+        var k = 0
+        while (k < 80) { sb.append(words(((i + k * 7) % 16).toInt)); sb.append(' '); k += 1 }
+        (i, sb.toString.trim)
+      }
+    }.toDF("doc_id", "text").localCheckpoint()
+
+    def timeDf(name: String, f: org.apache.spark.sql.DataFrame): Unit =
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        f.write.mode("overwrite").format("noop").save()
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+
+    timeDf("text_quality", graft.ops.TextOps.quality(docs))
+    timeDf("text_langid", graft.ops.TextOps.langId(docs))
     spark.stop()
   }
 }

@@ -7,12 +7,24 @@ import org.apache.spark.sql.functions._
 /**
  * Text-analysis operators for large-scale training-data pipelines: token
  * stats, quality scoring, language identification, and document
- * fingerprinting. Everything is built from codegen'd higher-order functions
- * (no UDFs), so the operators stay inside whole-stage codegen and scale
- * linearly with a plain parquet scan — no shuffle at all except where a
- * groupBy is the semantic (none here: all are per-row projections).
+ * fingerprinting. All are per-row projections — no shuffle anywhere.
+ *
+ * Two implementation tiers, chosen by measurement:
+ *  - the bulk per-document scans (quality, langId, tokenCounts) run as
+ *    partition-local JVM kernels: the higher-order-function formulations
+ *    are CodegenFallback, paying interpreted lambda dispatch PER TOKEN —
+ *    the kernels are one tight pass per document (4-6x, graft.MicroBench).
+ *    TextOpsSpec pins kernel == HOF output equality exactly.
+ *  - the column builders (ngramSet, fingerprint folds, signal columns used
+ *    by Curate's composed filters) stay as expressions so they compose
+ *    into other plans.
  */
 object TextOps {
+
+  /** Spark `round(x, 4)` semantics (BigDecimal HALF_UP) with the engine's
+    * RoundEps shift, for kernel parity with the column formulation. */
+  private def rnd4(x: Double): Double =
+    BigDecimal(x + NanMath.RoundEps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
@@ -44,19 +56,35 @@ object TextOps {
         + NanMath.RoundEps, 4)
 
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = nTokensCol(col(textCol))
-    docs.select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      size(vocab(col(textCol))).cast("double").as("n_distinct"),
-      ttrCol(col(textCol)).as("ttr"),
-      stopRatioCol(col(textCol)).as("stop_ratio"),
-      round(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok,
-        4
-      ).as("mean_token_len")
-    )
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stops = stopwords.toSet
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1) // matches split(col, " "): keeps empties
+          val nTok = toks.length.toDouble
+          val distinctCased = new java.util.HashSet[String]()
+          val distinctLower = new java.util.HashSet[String]()
+          var stopHits = 0
+          var charSum = 0L
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            distinctCased.add(t)
+            distinctLower.add(t.toLowerCase(java.util.Locale.ROOT))
+            if (stops.contains(t)) stopHits += 1
+            charSum += t.codePointCount(0, t.length) // Spark length() = codepoints
+            i += 1
+          }
+          (id, nTok, distinctLower.size.toDouble,
+            rnd4(distinctCased.size / nTok), rnd4(stopHits / nTok),
+            // the column form rounds WITHOUT the eps shift here
+            BigDecimal(charSum.toDouble / nTok)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct", "ttr", "stop_ratio", "mean_token_len")
   }
 
   /**
@@ -85,8 +113,46 @@ object TextOps {
     array_max(array(scored :+ zh: _*)).getField("lang")
   }
 
-  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), langPredCol(col(textCol)).as("lang_pred"))
+  private val langProfiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den"))
+
+  /** Bulk language id as a partition-local kernel (same argmax + tie-break
+    * as [[langPredCol]]; TextOpsSpec pins equality). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profiles = langProfiles
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          var bestScore = -1L
+          var bestLang = ""
+          profiles.foreach { case (lang, words) =>
+            var s = 0L
+            var i = 0
+            while (i < toks.length) { if (words.contains(toks(i))) s += 1; i += 1 }
+            if (s > bestScore || (s == bestScore && lang > bestLang)) {
+              bestScore = s; bestLang = lang
+            }
+          }
+          // zh: CJK codepoints of the original text
+          var zh = 0L
+          var ci = 0
+          while (ci < text.length) {
+            val cp = text.codePointAt(ci)
+            if (cp >= 0x4e00 && cp <= 0x9fff) zh += 1
+            ci += Character.charCount(cp)
+          }
+          if (zh > bestScore || (zh == bestScore && "zh" > bestLang)) bestLang = "zh"
+          (id, bestLang)
+        }
+      }
+      .toDF("doc_id", "lang_pred")
+  }
 
   /**
    * GPT-2-style pretokenizer pattern, simplified to the RE2-compatible
@@ -96,13 +162,29 @@ object TextOps {
    */
   val bpePattern: String = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
 
-  /** Token counts per doc: whitespace tokens and BPE-ish subword pieces. */
-  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      size(tokens(col(textCol))).cast("double").as("n_ws_tokens"),
-      regexp_count(col(textCol), lit(bpePattern)).cast("double").as("n_bpe_tokens")
-    )
+  /** Token counts per doc: whitespace tokens and BPE-ish subword pieces.
+    * Kernel form: one compiled java.util.regex Matcher per partition (the
+    * same regex engine regexp_count uses) instead of per-row HOF dispatch. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pat = bpePattern
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(pat)
+        val m = re.matcher("")
+        it.map { case (id, text) =>
+          var ws = 1L
+          var i = 0
+          while (i < text.length) { if (text.charAt(i) == ' ') ws += 1; i += 1 }
+          m.reset(text)
+          var bpe = 0L
+          while (m.find()) bpe += 1
+          (id, ws.toDouble, bpe.toDouble)
+        }
+      }
+      .toDF("doc_id", "n_ws_tokens", "n_bpe_tokens")
+  }
 
   /**
    * Canonical content fingerprint: md5 of the sorted distinct lowercase

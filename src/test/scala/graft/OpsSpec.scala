@@ -191,6 +191,36 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kernel scans equal the column formulations exactly on real docs") {
+    import graft.core.NanMath
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Any]] =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val hofQuality = docs.select(
+      col("doc_id").cast("long"),
+      nTok.as("n_tokens"),
+      size(array_distinct(split(lower(col("text")), " "))).cast("double").as("n_distinct"),
+      round(size(array_distinct(toks)) / nTok + NanMath.RoundEps, 4).as("ttr"),
+      round(size(filter(toks, t => t.isin(TextOps.stopwords: _*))) / nTok + NanMath.RoundEps, 4)
+        .as("stop_ratio"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok, 4)
+        .as("mean_token_len"))
+    assert(asMap(TextOps.quality(docs)) == asMap(hofQuality))
+
+    val hofLang = docs.select(
+      col("doc_id").cast("long"), TextOps.langPredCol(col("text")).as("lang_pred"))
+    assert(asMap(TextOps.langId(docs)) == asMap(hofLang))
+
+    val hofTokens = docs.select(
+      col("doc_id").cast("long"),
+      size(toks).cast("double").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TextOps.bpePattern)).cast("double").as("n_bpe_tokens"))
+    assert(asMap(TextOps.tokenCounts(docs)) == asMap(hofTokens))
+  }
+
   test("quality stats are exact on a known sentence") {
     val docs = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextOps.quality(docs).head
