@@ -61,6 +61,8 @@ object MicroBench {
 
     timeDf("text_quality", graft.ops.TextOps.quality(docs))
     timeDf("text_langid", graft.ops.TextOps.langId(docs))
+    timeDf("text_fingerprint", graft.ops.TextOps.fingerprint(docs))
+    timeDf("text_rolling_fp", graft.ops.TextOps.rollingFingerprint(docs))
     spark.stop()
   }
 }

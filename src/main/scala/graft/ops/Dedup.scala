@@ -72,8 +72,9 @@ object Dedup {
   private[ops] def famB(i: Int): Long = (40503L * (i + 1) + 17) % FamP
 
   /** 60-bit cross-engine base hash: the numeric value of the first 15 hex
-    * digits of an md5 (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)). */
-  private def md5Base60(md: java.security.MessageDigest, s: String): Long = {
+    * digits of an md5 (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT);
+    * Spark: conv(substring(md5(s),1,15),16,10)). */
+  private[ops] def md5Base60(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L

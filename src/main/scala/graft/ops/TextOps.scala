@@ -206,14 +206,30 @@ object TextOps {
    * exactly.
    */
   def rollingFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // Kernel form of fold((acc * B + md5_60(t) % P) % P, 7): the column
+    // formulation paid an md5 EXPRESSION per token inside an interpreted
+    // aggregate lambda — the slowest text scan by far (graft.MicroBench,
+    // ~10x). Same fold, same modular family, same md5-prefix hash as the
+    // DuckDB oracle.
     val B = 1000003L
     val P = 2147483647L
-    val h = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P
-    docs.select(
-      col("doc_id"),
-      aggregate(split(lower(col(textCol)), " "), lit(7L), (acc, t) => (acc * B + h(t)) % P)
-        .as("rolling_fp")
-    )
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          var acc = 7L
+          var i = 0
+          while (i < toks.length) {
+            acc = (acc * B + Dedup.md5Base60(md, toks(i)) % P) % P
+            i += 1
+          }
+          (id, acc)
+        }
+      }
+      .toDF("doc_id", "rolling_fp")
   }
 
   /** Distinct lowercase token n-grams of a text column; empty array when the
