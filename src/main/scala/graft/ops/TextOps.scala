@@ -242,6 +242,60 @@ object TextOps {
         .otherwise(array()))
   }
 
+  /** One (doc_id, gram) row per DISTINCT lowercase token n-gram per doc —
+    * the kernel form of explode(ngramSet(...)): the HOF slice/join chain
+    * ran interpreted per gram per document. */
+  private def ngramRows(docs: DataFrame, n: Int, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val sb = new java.lang.StringBuilder()
+            (0 to toks.length - n).iterator.flatMap { i =>
+              sb.setLength(0)
+              var j = i
+              while (j < i + n) {
+                if (j > i) sb.append(' ')
+                sb.append(toks(j))
+                j += 1
+              }
+              val g = sb.toString
+              if (seen.add(g)) Iterator.single((id, g)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "gram")
+  }
+
+  /** Per-doc distinct n-gram count, same kernel pass shape. */
+  private def ngramCounts(docs: DataFrame, n: Int, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          if (toks.length < n) (id, 0.0)
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i <= toks.length - n) {
+              seen.add(toks.slice(i, i + n).mkString(" "))
+              i += 1
+            }
+            (id, seen.size.toDouble)
+          }
+        }
+      }
+      .toDF("doc_id", "n_grams")
+  }
+
   /**
    * Benchmark decontamination: for each candidate document, how many of its
    * distinct token n-grams also appear anywhere in an evaluation set — the
@@ -253,6 +307,8 @@ object TextOps {
    * Scale shape: the eval side is benchmark-sized (thousands of docs, not
    * the corpus), so its distinct-gram set is broadcast and the corpus scan
    * never shuffles — per-doc gram stats fold map-side into the gram join.
+   * Gram generation runs as a partition-local kernel (the HOF explode paid
+   * interpreted dispatch per gram).
    */
   def decontaminate(
       docs: DataFrame,
@@ -263,8 +319,8 @@ object TextOps {
   ): DataFrame = {
     // localCheckpoint: the gram set is read twice (size guard + join) but
     // computed once; blocks are freed by the ContextCleaner afterwards
-    val evalGrams = evalDocs
-      .select(explode(ngramSet(col(textCol), n)).as("gram"))
+    val evalGrams = ngramRows(evalDocs, n, textCol)
+      .select(col("gram"))
       .distinct()
       .localCheckpoint()
     // The eval side is benchmark-sized by contract, but forcing the
@@ -274,13 +330,12 @@ object TextOps {
     // back to a shuffle join and let AQE pick the strategy.
     val evalSide =
       if (evalGrams.count() <= maxBroadcastGrams) broadcast(evalGrams) else evalGrams
-    val docGrams = docs.select(col("doc_id"), explode(ngramSet(col(textCol), n)).as("gram"))
+    val docGrams = ngramRows(docs, n, textCol)
     val hits = docGrams
       .join(evalSide, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams already distinct per doc
-    docs
-      .select(col("doc_id"), size(ngramSet(col(textCol), n)).cast("double").as("n_grams"))
+    ngramCounts(docs, n, textCol)
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
