@@ -191,11 +191,57 @@ object TextOps {
    * token set. Word-order- and duplication-insensitive, so reordered or
    * re-wrapped copies of a document collide (a cheap near-dup prefilter).
    */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
-      col("doc_id"),
-      md5(array_join(array_sort(vocab(col(textCol))), " ")).as("fingerprint")
-    )
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // kernel form of md5(array_join(array_sort(vocab(text)), " ")): one
+    // pass per document, same sorted-distinct-lowercase-token digest
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          // codepoint order == UTF-8 byte order == Spark's string sort;
+          // plain String.compareTo (UTF-16 units) would misorder
+          // supplementary characters against upper-BMP ones
+          val distinct = new java.util.TreeSet[String](new java.util.Comparator[String] {
+            def compare(a: String, b: String): Int = {
+              var i = 0
+              var j = 0
+              while (i < a.length && j < b.length) {
+                val ca = a.codePointAt(i)
+                val cb = b.codePointAt(j)
+                if (ca != cb) return Integer.compare(ca, cb)
+                i += Character.charCount(ca)
+                j += Character.charCount(cb)
+              }
+              Integer.compare(a.length - i, b.length - j)
+            }
+          })
+          var i = 0
+          while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+          md.reset()
+          val iter = distinct.iterator()
+          var first = true
+          while (iter.hasNext) {
+            if (!first) md.update(' '.toByte)
+            md.update(iter.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            first = false
+          }
+          val d = md.digest()
+          val out = new Array[Char](32)
+          var k = 0
+          while (k < 16) {
+            out(k * 2) = hex((d(k) >> 4) & 0xf)
+            out(k * 2 + 1) = hex(d(k) & 0xf)
+            k += 1
+          }
+          (id, new String(out))
+        }
+      }
+      .toDF("doc_id", "fingerprint")
+  }
 
   /**
    * Order-SENSITIVE polynomial rolling hash of the token stream (the

@@ -219,6 +219,12 @@ class TextOpsSpec extends SparkSpec {
       size(toks).cast("double").as("n_ws_tokens"),
       regexp_count(col("text"), lit(TextOps.bpePattern)).cast("double").as("n_bpe_tokens"))
     assert(asMap(TextOps.tokenCounts(docs)) == asMap(hofTokens))
+
+    val hofFp = docs.select(
+      col("doc_id").cast("long"),
+      md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+        .as("fingerprint"))
+    assert(asMap(TextOps.fingerprint(docs)) == asMap(hofFp))
   }
 
   test("quality stats are exact on a known sentence") {
