@@ -287,7 +287,9 @@ object SparkEntry {
     "math_const" -> q(Constant(42.0)),
     "math_time_dow" -> q(Time("dayOfWeek")),
     "math_time_span" -> q(TimeSpan(1704844800000L, 1705276800000L)),
-    // -- timezone support: calendar fields + date parsing in the request tz --
+    // -- timezone support: :time-span date parsing is zone-aware; :time
+    // calendar fields stay UTC even under tz (reference parity:
+    // MathExpr.Time.usingCalendar hardcodes ZoneOffset.UTC) --
     "math_time_tz" -> ((s, d) =>
       Planner.output(
         Planner.eval(Time("hourOfDay"), Datapoints.events(s, d), ctxNy), Nil, 4)),
@@ -836,8 +838,9 @@ object SparkEntry {
       "SELECT t, CAST(EXTRACT(isodow FROM make_timestamp(t * 1000)) AS DOUBLE) AS value FROM grid"),
     "math_time_span" -> base(
       "SELECT t, CASE WHEN t >= 1704844800000 AND t <= 1705276800000 THEN 1.0 ELSE 0.0 END AS value FROM grid"),
+    // :time stays UTC under tz=America/New_York (reference parity)
     "math_time_tz" -> base(
-      "SELECT t, CAST(EXTRACT(hour FROM (to_timestamp(t / 1000) AT TIME ZONE 'America/New_York')) AS DOUBLE) AS value FROM grid"),
+      "SELECT t, CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE) AS value FROM grid"),
     "math_time_span_tz" -> base(
       """SELECT t, CASE WHEN t >= epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-15 00:00:00'))
         |            AND t <= epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-20 00:00:00'))

@@ -23,6 +23,12 @@ package graft.core
  */
 object IngestNorm {
 
+  /** Counter heartbeat (norm/NormalizationCache.scala:27-30): a fixed two
+    * minute floor for sub-minute steps — reporting is irregular enough at
+    * small steps that 2*step would expire series the reference keeps. */
+  def counterHeartbeat(step: Long): Long =
+    if (step < 60000L) 120000L else 2 * step
+
   /** A per-series ingest normalizer: consumes raw (timestamp, value)
     * samples, returns the slots each sample finalizes as (slotEnd, value)
     * pairs. Serializable so streaming can carry it in GroupState. */
@@ -124,7 +130,7 @@ object IngestNorm {
     * (NormalizationCache.updateCounter). */
   final class OnlineCounter(step: Long) extends OnlineIngest {
     private val rate = new OnlineRate
-    private val norm = new OnlineWeightedNorm(step, 2 * step)
+    private val norm = new OnlineWeightedNorm(step, counterHeartbeat(step))
 
     def next(t: Long, v: Double): List[(Long, Double)] = {
       val r = rate.next(t, v)

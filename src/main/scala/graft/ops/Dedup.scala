@@ -391,6 +391,17 @@ object Dedup {
     // action anyway), truncates the iterative lineage so plans stay flat,
     // and — unlike persist — the blocks are freed by the ContextCleaner
     // when the previous round's frame goes unreachable.
+    //
+    // Failure semantics, acknowledged (here and at every localCheckpoint in
+    // graft.ops): the blocks are unreplicated and lineage is truncated, so
+    // losing an executor mid-job fails the job instead of recomputing —
+    // the job RESTARTS rather than degrades. That is the deliberate trade:
+    // these frames are small (edge sets, gram sets, distinct-value counts —
+    // orders of magnitude below the input), so re-running the job is cheap,
+    // while reliable checkpointing would put a DFS round-trip in every
+    // iteration and persist() leaks blocks across a long catalog session.
+    // On a cluster where node loss is routine and restarts are expensive,
+    // swap in df.checkpoint() (reliable, HDFS-backed) via one call site.
     var edges = canon(pairs.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint()

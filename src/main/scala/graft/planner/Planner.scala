@@ -352,13 +352,15 @@ object Planner {
     private def evalTime(m: MathExpr.Time): SeriesFrame =
       constant(timeValue(m.mode, col(T)), Map("name" -> m.mode))
 
-    /** Calendar field of a slot timestamp column in the context's zone
-      * (ctx.tz, the request's `tz` param), full reference mode grammar
+    /** Calendar field of a slot timestamp column, always in UTC: the
+      * reference evaluates :time with a fixed-UTC calendar regardless of the
+      * request zone (MathExpr.Time.usingCalendar, MathExpr.scala:214-216 —
+      * ZoneOffset.UTC hardcoded); only :time-span and date PARSING are
+      * zone-aware (the tz interpreter variable). Full reference mode grammar
       * (MathExpr.scala:179-213). Unit modes are FRACTIONAL divisions of
       * epoch millis, like the reference's sinceEpoch — zone-independent. */
     private def timeValue(mode0: String, t: Column): Column = {
-      val utc = timestamp_seconds(t / 1000L)
-      val ts = if (ctx.tz == "UTC") utc else from_utc_timestamp(utc, ctx.tz)
+      val ts = timestamp_seconds(t / 1000L)
       val v: Column = MathExpr.Time.normalize(mode0) match {
         case "secondOfMinute"    => second(ts)
         case "secondOfDay"       => hour(ts) * 3600 + minute(ts) * 60 + second(ts)

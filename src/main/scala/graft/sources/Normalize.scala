@@ -35,14 +35,26 @@ object Normalize {
   def rateConvert(dp: DataFrame): DataFrame = {
     val isCounter = coalesce(col("tags").getItem(DsTypeTag) === "counter", lit(false))
     val others = dp.filter(!isCounter).select(col("tags"), col("ts"), col("value"))
-    val w = Window.partitionBy(Planner.seriesId(col("tags"))).orderBy(col("ts"))
+    val sid = Planner.seriesId(col("tags"))
+    // Duplicate timestamps within a series would make the lag-based rates
+    // order-dependent (arbitrary tie order, one dup sees duration 0):
+    // collapse to one row per (series, ts) first, keeping the max value —
+    // the same dedup rule weightedNormalize applies downstream. The dedup
+    // window shares the rate window's partitioning and its sort is a
+    // prefix-compatible extension, so this costs no extra exchange or sort.
+    val wDedup = Window.partitionBy(sid).orderBy(col("ts").asc, col("value").desc)
+    val w = Window.partitionBy(sid).orderBy(col("ts"))
+    val deduped = dp
+      .filter(isCounter)
+      .withColumn("_dupTs", lag(col("ts"), 1).over(wDedup))
+      .filter(col("_dupTs").isNull || col("_dupTs") =!= col("ts"))
+      .drop("_dupTs")
     val prevTs = lag(col("ts"), 1).over(w)
     val prevV = lag(col("value"), 1).over(w)
     val durationSec = (col("ts") - prevTs).cast("double") / lit(1000.0)
     val delta = col("value") - prevV
     val rate = when(durationSec <= 0.0 || delta <= 0.0, 0.0).otherwise(delta / durationSec)
-    val converted = dp
-      .filter(isCounter)
+    val converted = deduped
       .withColumn("_rate", when(prevTs.isNull, lit(null)).otherwise(rate))
       .filter(col("_rate").isNotNull)
       .select(col("tags"), col("ts"), col("_rate").cast("double").as("value"))
@@ -133,8 +145,8 @@ object Normalize {
   }
 
   /** Counter pipeline (NormalizationCache.updateCounter wiring): rate
-    * conversion, then weighted alignment with the reference's 2-step
-    * heartbeat. */
+    * conversion, then weighted alignment with the reference's heartbeat
+    * rule (2*step, floored at two minutes for sub-minute steps). */
   def counters(dp: DataFrame, step: Long): DataFrame =
-    weightedNormalize(rateConvert(dp), step, 2 * step)
+    weightedNormalize(rateConvert(dp), step, graft.core.IngestNorm.counterHeartbeat(step))
 }

@@ -174,8 +174,15 @@ object StreamRunner {
   }
 
   /** Raw ingest row for the counter/rate normalizer (public for the
-    * Dataset encoder). */
-  final case class IngestRow(key: String, dstype: String, ts: Long, value: Double)
+    * Dataset encoder). `event_time` is the watermarked column — it must
+    * survive the projection into the stateful operator for the watermark
+    * to filter late rows and for EventTimeTimeout to resolve. */
+  final case class IngestRow(
+      key: String,
+      dstype: String,
+      ts: Long,
+      value: Double,
+      event_time: java.sql.Timestamp)
 
   /**
    * Streaming counter/rate ingest normalization (the reference
@@ -213,30 +220,44 @@ object StreamRunner {
         Planner.seriesId(col("tags")).as("key"),
         coalesce(col("tags").getItem(graft.sources.Normalize.DsTypeTag), lit("rate"))
           .as("dstype"),
-        col("ts"), col("value"))
+        col("ts"), col("value"), col("event_time"))
       .as[IngestRow]
+    // State lifecycle: the reference's NormalizationCache evicts any entry
+    // untouched for 4*step (removeEldestEntry, NormalizationCache.scala:45-
+    // 52) — the event-time analog is a timeout at lastTs + max(4*step,
+    // counter heartbeat), after which the open-slot partial AND the state
+    // entry are dropped; the series' next sample restarts fresh. Without
+    // this, permanently-silent series leak GroupState forever.
+    val evictAfter = math.max(4 * step, graft.core.IngestNorm.counterHeartbeat(step))
     rows
       .groupByKey(_.key)
       .flatMapGroupsWithState[CarriedState, SlotValue](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, it: Iterator[IngestRow], gstate: GroupState[CarriedState]) =>
-          val batch = it.toArray.sortBy(_.ts)
-          if (batch.isEmpty) Iterator.empty
-          else {
-            val algo = gstate.getOption
-              .map(s => deserialize[graft.core.IngestNorm.OnlineIngest](s.blob))
-              .getOrElse {
-                if (batch.head.dstype == "counter")
-                  new graft.core.IngestNorm.OnlineCounter(step)
-                else
-                  new graft.core.IngestNorm.OnlineWeightedNorm(step, step)
-              }
-            val out = batch.iterator
-              .flatMap(r => algo.next(r.ts, r.value))
-              .map { case (b, v) => SlotValue(key, b - step, v) }
-              .toList
-            gstate.update(CarriedState(batch.last.ts, serialize(algo)))
-            out.iterator
+          if (gstate.hasTimedOut) {
+            gstate.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toArray.sortBy(_.ts)
+            if (batch.isEmpty) Iterator.empty
+            else {
+              val algo = gstate.getOption
+                .map(s => deserialize[graft.core.IngestNorm.OnlineIngest](s.blob))
+                .getOrElse {
+                  if (batch.head.dstype == "counter")
+                    new graft.core.IngestNorm.OnlineCounter(step)
+                  else
+                    new graft.core.IngestNorm.OnlineWeightedNorm(step, step)
+                }
+              val out = batch.iterator
+                .flatMap(r => algo.next(r.ts, r.value))
+                .map { case (b, v) => SlotValue(key, b - step, v) }
+                .toList
+              gstate.update(CarriedState(batch.last.ts, serialize(algo)))
+              gstate.setTimeoutTimestamp(math.max(
+                batch.last.ts + evictAfter, gstate.getCurrentWatermarkMs() + 1))
+              out.iterator
+            }
           }
       }
   }

@@ -33,12 +33,13 @@ class ApiSpec extends SparkSpec {
       n1.contains("\"values\":[1.0,2.0,null,null]"), n1)
   }
 
-  test("tz threads through the context: :time calendar fields in the request zone") {
-    // 2024-01-01 00:00 UTC = 19:00 America/New_York the previous day
+  test(":time calendar fields stay UTC even when the request carries a tz") {
+    // reference parity: MathExpr.Time.usingCalendar hardcodes ZoneOffset.UTC;
+    // 2024-01-01 00:00 UTC stays hour 0 regardless of tz=America/New_York
     val ny = EvalContext(1704067200000L, 1704067200000L + 120000L, 60000L, "America/New_York")
     val out = Api.graph("hourOfDay,:time", dp, ny).collect().map(_.getString(0))
     assert(out.length == 1)
-    assert(out.head.contains("\"values\":[19.0,19.0]"), out.head)
+    assert(out.head.contains("\"values\":[0.0,0.0]"), out.head)
   }
 
   test("tz threads into zone-less :time-span date parsing") {
