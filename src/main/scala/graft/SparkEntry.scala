@@ -245,6 +245,30 @@ object SparkEntry {
     "data_all" -> q(All(Query.And(eq("name", "signup"), Query.LessThan("usr", "u003"))), "usr", "grp"),
     "data_offset" -> asl("name,click,:eq,:sum,1d,:offset"),
     "data_cf_max" -> asl("name,click,:eq,:sum,:cf-max"),
+    // -- series-bucketed store driven end-to-end (§2.1 physical layout):
+    // same answers as data_sum / data_by_sum, served from the bucketed
+    // table with zero datapoint-cardinality shuffle --
+    "store_data_sum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum"), storeEvents(s, d), ctx), Nil, 4)),
+    "store_data_by" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,(,usr,),:by"), storeEvents(s, d), ctx), Seq("usr"), 4)),
+    // -- pre-aggregated rollup reads (§2.1 RollupBlock analog): 6h-step
+    // fetches served from the 3h (sum,count,min,max) rollup table — the
+    // raw-scan answers, with rollupStep/step fewer rows touched --
+    "rollup_sum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum"), rollupEvents(s, d, ctx6.step), ctx6), Nil, 4)),
+    "rollup_by_sum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,(,usr,),:by"), rollupEvents(s, d, ctx6.step), ctx6), Seq("usr"), 4)),
+    "rollup_cf_max" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,:cf-max"), rollupEvents(s, d, ctx6.step), ctx6), Nil, 4)),
+    "rollup_cf_avg" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,:cf-avg"), rollupEvents(s, d, ctx6.step), ctx6), Nil, 4)),
     // -- ingest normalization: counter->rate + weighted alignment (§1.2/§2.1) --
     "data_rate_sum" -> ((s, d) =>
       Planner.output(Planner.eval(
@@ -391,6 +415,45 @@ object SparkEntry {
   )
 
   // --- LLM-pipeline / event / relational operators -------------------------
+
+  /**
+   * Testdata events written once (per session and sf dir) into the
+   * series-bucketed store (graft.sources.Store) and read back pre-keyed.
+   * The store-backed catalog queries prove the by-series physical layout —
+   * the reference's central storage idea (db/MemoryDatabase.scala:81) —
+   * END TO END: write -> bucketed scan -> planner fetch where the
+   * per-(series, slot) normalization is satisfied by the scan's bucket
+   * partitioning, so NO exchange touches raw datapoints (StoreSpec asserts
+   * that plan shape on these exact catalog entries).
+   */
+  private def storeEvents(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Store.writeBucketed(Datapoints.events(s, d), table, buckets = 32)
+    }
+    graft.sources.Store.read(s, table)
+  }
+
+  /** The rollup window: the testdata grid consolidated to 6h (120 slots),
+    * served from a 3h pre-aggregated rollup — two rollup rows re-compose
+    * per slot, so the catalog rows exercise real re-aggregation, not a
+    * one-row pass-through. */
+  private val ctx6 = EvalContext(1704067200000L, 1706659200000L, 21600000L)
+  private val RollupStep = 10800000L // 3h
+
+  /** 3h pre-aggregated rollup of the testdata events, materialized once
+    * (per session and sf dir) via graft.sources.Rollup. Fetches at any step
+    * that is a multiple of 3h read the (sum,count,min,max) columns instead
+    * of raw datapoints (reference RollupBlock read modes). */
+  private def rollupEvents(s: SparkSession, d: String, queryStep: Long): DataFrame = {
+    val table = "graft_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Rollup.materialize(Datapoints.events(s, d), table, RollupStep, buckets = 32)
+    }
+    graft.sources.Rollup.read(s, table, RollupStep, queryStep)
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -759,6 +822,26 @@ object SparkEntry {
     "data_cf_max" -> sql(
       Seq(DP, "normx AS (SELECT name, usr, grp, hi, t, max(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM normx WHERE name = 'click' GROUP BY t"),
+    // store-backed fetches answer the exact same oracles as the raw scans
+    "store_data_sum" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
+    "store_data_by" -> base(
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+    // rollup-backed fetches: the oracle computes straight from raw events
+    // at the 6h consolidated grid — hash-matching it proves the
+    // pre-aggregated columns reconstruct the raw-scan answer exactly
+    "rollup_sum" -> sql(Seq(DP),
+      "SELECT (t // 21600000) * 21600000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value " +
+        "FROM dp WHERE name = 'click' GROUP BY 1"),
+    "rollup_by_sum" -> sql(Seq(DP),
+      "SELECT usr, (t // 21600000) * 21600000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value " +
+        "FROM dp WHERE name = 'click' GROUP BY 1, 2"),
+    "rollup_cf_max" -> sql(
+      Seq(DP, "norm6 AS (SELECT name, usr, grp, hi, (t // 21600000) * 21600000 AS t, max(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm6 WHERE name = 'click' GROUP BY t"),
+    "rollup_cf_avg" -> sql(
+      Seq(DP, "norm6 AS (SELECT name, usr, grp, hi, (t // 21600000) * 21600000 AS t, avg(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm6 WHERE name = 'click' GROUP BY t"),
     // DuckDB replica of Normalize.rateConvert + weightedNormalize over the
     // eventsCounters source (same lag/lead/cover/carry formulation)
     "data_rate_sum" -> rateSql(

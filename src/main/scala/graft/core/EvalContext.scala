@@ -6,9 +6,10 @@ package graft.core
  * (atlas-core model/EvalContext.scala:24-39) but uses interval-start
  * timestamps for buckets: slot i covers `[start + i*step, start + (i+1)*step)`.
  *
- * `tz` is the request's display/calendar zone (the `tz` graph param,
- * reference eval/graph/GraphConfig.scala:55-61): `:time` calendar fields and
- * zone-less date parsing resolve in it; the grid itself stays in epoch ms.
+ * `tz` is the request's display zone (the `tz` graph param, reference
+ * eval/graph/GraphConfig.scala:55-61): `:time-span` and zone-less date
+ * parsing resolve in it. `:time` calendar fields stay UTC like the
+ * reference (MathExpr.Time.usingCalendar); the grid itself is epoch ms.
  */
 final case class EvalContext(start: Long, end: Long, step: Long, tz: String = "UTC") {
   require(step > 0, "step must be > 0")

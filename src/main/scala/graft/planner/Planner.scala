@@ -145,6 +145,12 @@ object Planner {
     private val seriesKey: Column =
       if (dp.columns.contains(KEY)) col(KEY) else seriesId(col(TAGS))
 
+    // Pre-aggregated rollup frames (graft.sources.Rollup) carry per-slot
+    // (sum, count, min, max) columns instead of raw values; each slot
+    // consolidation function reads its matching column (reference
+    // MemoryDatabase.blockAggr serving read modes from RollupBlock).
+    private val isRollup: Boolean = dp.columns.contains("v_sum")
+
     // Common-subexpression elimination over the WHOLE tree: structural
     // equality of expression nodes -> the same SeriesFrame (and Spark plan
     // subtree, so exchanges are reused). Macros like :stddev reference their
@@ -282,12 +288,19 @@ object Planner {
         .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(off))
 
       // Ingest normalization: one value per (series, slot); datapoints within
-      // a slot merge with the consolidation function.
+      // a slot merge with the consolidation function. On a rollup frame the
+      // same statistics re-compose from the pre-aggregated columns — sum of
+      // sums, min of mins, avg as sum/count — exactly (each CF is
+      // self-decomposable), so the answer is bit-identical to the raw scan.
       val normAgg = cfOf(d) match {
-        case "avg" => avg(col(V))
-        case "min" => min(col(V))
-        case "max" => max(col(V))
-        case _     => sum(col(V))
+        case "avg" if isRollup => sum(col("v_sum")) / sum(col("v_count"))
+        case "min" if isRollup => min(col("v_min"))
+        case "max" if isRollup => max(col("v_max"))
+        case _ if isRollup     => sum(col("v_sum"))
+        case "avg"             => avg(col(V))
+        case "min"             => min(col(V))
+        case "max"             => max(col(V))
+        case _                 => sum(col(V))
       }
       d match {
         case DataExpr.All(_, _) =>

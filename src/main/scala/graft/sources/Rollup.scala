@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.planner.Planner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pre-aggregated rollups: the parquet analog of the reference's
+ * RollupBlock, which serves Sum/Count/Min/Max read modes from per-block
+ * sub-arrays without touching raw data (model/Block.scala:823-,
+ * MemoryDatabase.blockAggr db/MemoryDatabase.scala:207-216).
+ *
+ * A rollup table holds, per (series, coarse slot), the four statistics of
+ * the RAW datapoint values inside the slot: (sum, count, min, max). Because
+ * each statistic composes with itself (sum of sums, min of mins, ...), a
+ * fetch whose slot consolidation function is sum/min/max — or avg, as
+ * sum/count — over ANY step that is a multiple of the rollup step reads the
+ * matching column instead of raw datapoints and gets the bit-identical
+ * answer with `rollupStep/step` times fewer rows scanned. At 100 TB this is
+ * the dashboard-refresh lever: a 30-day hourly window over a 6h rollup
+ * scans 1/6th of the bytes and skips ingest normalization entirely.
+ *
+ * Layout matches [[Store]]: hash-bucketed and sorted by the series key, so
+ * the planner's per-(series, slot) aggregation is satisfied by the scan's
+ * bucket partitioning — no exchange touches the rollup rows either.
+ */
+object Rollup {
+
+  val Columns = Seq("v_sum", "v_count", "v_min", "v_max")
+
+  /**
+   * Materialize a rollup table at `rollupStep` from a canonical datapoint
+   * frame (`tags`, `ts`, `value`). One datapoint-cardinality shuffle keyed
+   * by (series, slot) — the same key the write's bucketing then preserves;
+   * tags re-attach at series cardinality (carrying the map through the hot
+   * aggregate would force SortAggregate).
+   */
+  def materialize(dp: DataFrame, table: String, rollupStep: Long, buckets: Int = 64): Unit = {
+    require(rollupStep > 0, "rollupStep must be > 0")
+    val agg = dp
+      .select(
+        Planner.seriesId(col("tags")).as("key"),
+        (col("ts") - pmod(col("ts"), lit(rollupStep))).as("ts"),
+        col("value"))
+      .groupBy(col("key"), col("ts"))
+      .agg(
+        sum(col("value")).as("v_sum"),
+        count(col("value")).cast("double").as("v_count"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+    val tagsOf = dp
+      .select(Planner.seriesId(col("tags")).as("key"), col("tags"))
+      .dropDuplicates("key")
+    agg
+      .join(tagsOf, "key")
+      .select(col("key"), col("tags"), col("ts"),
+        col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "key")
+      .sortBy("key", "ts")
+      .saveAsTable(table)
+  }
+
+  /**
+   * Read a rollup table back as a planner-consumable frame. `queryStep` is
+   * the step the consuming EvalContext will consolidate to — it must be a
+   * multiple of the table's `rollupStep`, otherwise slot boundaries would
+   * split rollup rows and the pre-aggregates could not reconstruct the
+   * answer (the caller falls back to the raw store in that case, like the
+   * reference falling back from blockAggr to the raw block).
+   */
+  def read(spark: SparkSession, table: String, rollupStep: Long, queryStep: Long): DataFrame = {
+    require(queryStep >= rollupStep && queryStep % rollupStep == 0,
+      s"query step $queryStep is not a multiple of rollup step $rollupStep; read the raw store instead")
+    spark.table(table)
+  }
+}

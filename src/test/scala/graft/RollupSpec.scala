@@ -1,0 +1,61 @@
+package graft
+
+import graft.asl.Asl
+import graft.core.EvalContext
+import graft.planner.Planner
+import graft.sources.{Datapoints, Rollup}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Pre-aggregated rollup reads (reference RollupBlock /
+ * MemoryDatabase.blockAggr): a fetch at a step that is a multiple of the
+ * rollup step must reconstruct the raw-scan answer exactly from the
+ * (sum, count, min, max) columns, with no datapoint-cardinality shuffle.
+ */
+class RollupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  // 6h query grid over a 3h rollup: two rollup rows re-compose per slot
+  private val ctx6 = EvalContext(1704067200000L, 1706659200000L, 21600000L)
+
+  private def evalBoth(program: String): (DataFrame, DataFrame) = {
+    val raw = Datapoints.events(spark, dir)
+    Rollup.materialize(raw, "rollup_spec_t", 10800000L, buckets = 8)
+    val ru = Rollup.read(spark, "rollup_spec_t", 10800000L, ctx6.step)
+    val expr = Asl.parse(program)
+    (Planner.output(Planner.eval(expr, raw, ctx6), Nil),
+      Planner.output(Planner.eval(expr, ru, ctx6), Nil))
+  }
+
+  private def toMap(df: DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("every consolidation function reconstructs the raw answer from the rollup") {
+    try {
+      for (cf <- Seq(":cf-sum", ":cf-avg", ":cf-min", ":cf-max")) {
+        val (fromRaw, fromRollup) = evalBoth(s"name,click,:eq,:sum,$cf")
+        assert(toMap(fromRollup) == toMap(fromRaw), s"mismatch for $cf")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS rollup_spec_t")
+  }
+
+  test("rollup fetch plan touches no raw datapoints and never shuffles rollup rows") {
+    try {
+      val (_, fromRollup) = evalBoth(":true,:sum")
+      fromRollup.collect()
+      val plan = fromRollup.queryExecution.executedPlan.toString
+      // bucketed rollup scan satisfies the per-(series, slot) aggregation
+      assert("Exchange hashpartitioning\\(key".r.findFirstIn(plan).isEmpty,
+        s"rollup normalization still shuffles:\n$plan")
+      // and the scan reads the rollup table, not the events parquet
+      assert(plan.contains("rollup_spec_t"), plan)
+      assert(!plan.contains("events.parquet"), plan)
+    } finally spark.sql("DROP TABLE IF EXISTS rollup_spec_t")
+  }
+
+  test("misaligned query step is refused (fall back to the raw store)") {
+    intercept[IllegalArgumentException] {
+      Rollup.read(spark, "whatever", 10800000L, 3600000L)
+    }
+  }
+}

@@ -40,6 +40,30 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS events_bucketed")
   }
 
+  test("catalog store_data_sum/store_data_by: raw-scan answers, zero datapoint shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    // the driven plan: the exact catalog entries the driver hash-checks
+    val sum = SparkEntry.queries("store_data_sum")(spark, dir)
+    sum.collect()
+    val sumPlan = sum.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(key".r.findFirstIn(sumPlan).isEmpty,
+      s"store-backed fetch still shuffles datapoints:\n$sumPlan")
+
+    val by = SparkEntry.queries("store_data_by")(spark, dir)
+    by.collect()
+    val byPlan = by.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(key".r.findFirstIn(byPlan).isEmpty,
+      s"store-backed :by fetch still shuffles datapoints:\n$byPlan")
+
+    // and the answers match the raw-scan catalog entries bit for bit
+    def m2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def m3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m2(sum) == m2(SparkEntry.queries("data_sum")(spark, dir)))
+    assert(m3(by) == m3(SparkEntry.queries("data_by_sum")(spark, dir)))
+  }
+
   test("single-aggregate fetch from the store needs no datapoint shuffle at all") {
     val raw = Datapoints.events(spark, "/root/testdata/sf0.001")
     Store.writeBucketed(raw, "events_bucketed2", buckets = 8)
