@@ -112,8 +112,17 @@ object Api {
         first(col("tags")).as("tags"),
         map_from_entries(collect_list(struct(col("t"), col("value")))).as("tv"))
 
-    val values = array(grid.map(t =>
-      coalesce(element_at(col("tv"), lit(t)), lit(Double.NaN))): _*)
+    // ONE transform over a generated slot sequence, not `array(<one
+    // element_at per slot>)`: the literal form inlines bufferSize (720 on
+    // the testdata grid) expressions into the projection, whose generated
+    // processNext() then overflows janino's 64 KB method limit and drops
+    // the whole final stage to interpreted execution. The HOF is
+    // CodegenFallback, but this projection runs once per LINE (graph
+    // cardinality), never per datapoint, so interpreted is the right trade
+    // against losing codegen for the stage.
+    val values = transform(
+      sequence(lit(ctx.start), lit(ctx.start + (grid.size - 1) * frame.step), lit(frame.step)),
+      t => coalesce(element_at(col("tv"), t), lit(Double.NaN)))
 
     // legend: $k and $(k) substitution from tags (StyleExpr.legend,
     // StyleExpr.scala:47-62; Strings.substitute supports both forms)

@@ -115,6 +115,31 @@ object Similarity {
   }
 
   /**
+   * Auto-derived LSH geometry for [[cosinePairs]] (the hot-bucket guard the
+   * fixed 16x8 default lacked): `planes` grows with corpus size so expected
+   * RANDOM bucket occupancy stays ~32 (candidate volume within a bucket is
+   * quadratic in occupancy), and `tables` is then solved from the collision
+   * probability at the caller's threshold so the per-pair miss rate stays
+   * at the 0.005 the old default delivered at cos 0.9. At n = 500 / 0.9
+   * this reproduces exactly the former 16x8. Bounds: planes in [8, 16]
+   * (17+ bits would need > 64 tables to hold the miss target — past ~2M
+   * distinct vectors occupancy grows linearly again and the caller should
+   * raise `tables` explicitly or accept the documented recall floor),
+   * tables in [8, 64].
+   */
+  private[graft] def autoGeometry(n: Long, threshold: Double): (Int, Int) = {
+    val planes = math.min(16, math.max(8,
+      math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+    // P(one table collides) for a pair at exactly `threshold`:
+    // (1 - theta/pi)^planes, theta = acos(threshold)
+    val p = math.pow(1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi, planes)
+    val tables =
+      if (p >= 1.0) 8
+      else math.min(64, math.max(8, math.ceil(math.log(0.005) / math.log1p(-p)).toInt))
+    (tables, planes)
+  }
+
+  /**
    * All distinct pairs with cosine above `threshold` (embedding near-dup;
    * corpus-vs-corpus — the 100 TB use case, so nothing is ever collected to
    * the driver). Fully distributed, sub-quadratic:
@@ -126,26 +151,61 @@ object Similarity {
    *     probabilistic.
    *  2. Representatives get `tables` random-hyperplane signatures of
    *     `planes` bits and self-join on (table, bucket) — the
-   *     `Dedup.minhashLsh` band/bucket pattern. Defaults 16x8: a pair at
-   *     exactly cos 0.9 collides in >= 1 table with p ~ 0.996, rising
-   *     steeply above the threshold (cos 0.99 -> miss ~ 6e-9), while an
-   *     orthogonal pair survives with p ~ 0.06 — the candidate set is a
-   *     small fraction of the n^2 cross join.
-   *  3. Candidate group pairs expand back to member pairs and are exactly
+   *     `Dedup.minhashLsh` band/bucket pattern. `tables`/`planes` default
+   *     to 0 = derived from corpus size and threshold ([[autoGeometry]]):
+   *     at 500 vectors / cos 0.9 that is 16x8 — a pair at exactly the
+   *     threshold collides in >= 1 table with p ~ 0.996, rising steeply
+   *     above it, while an orthogonal pair survives with p ~ 0.06.
+   *  3. Each candidate pair is emitted ONLY by the first table in which it
+   *     collides (prefix-signature check on the join output), so a
+   *     near-identical cluster — which collides in nearly every table —
+   *     yields each pair once, not `tables` copies feeding a distinct():
+   *     candidate volume is output-bound, not output x tables
+   *     (OpsSpec pins the bar).
+   *  4. Candidate group pairs expand back to member pairs and are exactly
    *     re-ranked (same HALF_UP rounding as the oracle) — no false
    *     positives ever survive.
    */
   def cosinePairs(
       emb: DataFrame,
       threshold: Double,
-      tables: Int = 16,
-      planes: Int = 8,
+      tables: Int = 0,
+      planes: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
+    val (pairs, _) = candidateMemberPairs(emb, threshold, tables, planes, idCol, vecCol)
+    // exact re-rank: fetch both vectors, sequential-fold dot (same FP order
+    // as the JVM loop), same HALF_UP rounding as the DuckDB oracle
+    pairs
+      .join(v.as("va"), col("id_a") === col("va.id"))
+      .join(v.as("vb"), col("id_b") === col("vb.id"))
+      .withColumn("score",
+        round(aggregate(zip_with(col("va.vec"), col("vb.vec"), (p, q) => p * q),
+          lit(0.0), (acc, x) => acc + x) + NanMath.RoundEps, 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Candidate (id_a, id_b) pairs before the exact re-rank, each emitted
+    * exactly once; exposed within graft so OpsSpec can assert the
+    * candidate-volume bar. Returns (pairs, geometry actually used). */
+  private[graft] def candidateMemberPairs(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 0,
+      planes: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): (DataFrame, (Int, Int)) = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+
+    val (autoT, autoP) = autoGeometry(emb.count(), threshold)
+    val nt = if (tables > 0) tables else autoT
+    val np = if (planes > 0) planes else autoP
 
     val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
     // gid = min id among byte-identical normalized vectors (one shuffle;
@@ -156,22 +216,29 @@ object Similarity {
     val reps = members.filter(col("id") === col("gid"))
       .select(col("gid").as("id"), col("vec")).as[Vec]
 
-    // (table, bucket, gid) signature frame for distinct vectors only
-    val nt = tables
-    val np = planes
+    // per-rep signature ARRAY (all tables), exploded to (tbl, sig, gid,
+    // sigs) bucket rows — the array rides along so the join can test
+    // "did any EARLIER table already collide for this pair"
     val sigs = reps.mapPartitions { it =>
-      it.flatMap { r =>
-        val sg = signatures(r.vec, nt, np)
-        sg.iterator.zipWithIndex.map { case (sig, tbl) => (tbl, sig, r.id) }
-      }
-    }.toDF("tbl", "sig", "gid")
+      it.map(r => (r.id, signatures(r.vec, nt, np)))
+    }.toDF("gid", "sigs")
+      .select(col("gid"), col("sigs"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
 
-    // candidate group pairs: same (table, bucket), distinct
+    // candidate group pairs: same (table, bucket), emitted only in the
+    // FIRST colliding table — near-identical clusters collide in ~every
+    // table, and without this each pair reaches the exchange `tables`
+    // times before distinct() collapses it
+    val firstCollision = !exists(
+      zip_with(
+        slice(col("x.sigs"), lit(1), col("x.tbl")),
+        slice(col("y.sigs"), lit(1), col("y.tbl")),
+        (a, b) => a === b),
+      eq => eq)
     val candGroups = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.gid") < col("y.gid"))
+      .filter(firstCollision)
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
-      .distinct()
 
     val ids = members.select(col("gid"), col("id"))
     // cross-group member pairs (ga < gb but member ids interleave -> reorder)
@@ -185,18 +252,9 @@ object Similarity {
         col("ma.gid") === col("mb.gid") && col("ma.id") < col("mb.id"))
       .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"))
 
-    // exact re-rank: fetch both vectors, sequential-fold dot (same FP order
-    // as the JVM loop), same HALF_UP rounding as the DuckDB oracle
-    val pairs = crossPairs.union(intraPairs).distinct()
-    val scored = pairs
-      .join(v.as("va"), col("id_a") === col("va.id"))
-      .join(v.as("vb"), col("id_b") === col("vb.id"))
-      .withColumn("score",
-        round(aggregate(zip_with(col("va.vec"), col("vb.vec"), (p, q) => p * q),
-          lit(0.0), (acc, x) => acc + x) + NanMath.RoundEps, 4))
-      .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("score"))
-    scored
+    // first-collision emission makes every candidate pair unique already:
+    // no distinct() shuffle between candidates and the re-rank
+    (crossPairs.union(intraPairs), (nt, np))
   }
 
   /**

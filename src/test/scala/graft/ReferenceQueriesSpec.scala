@@ -58,12 +58,18 @@ class ReferenceQueriesEvalSpec extends SparkSpec {
     }
     val dp = graft.sources.Datapoints.events(spark, "/root/testdata/sf0.001")
     val ctx = graft.core.EvalContext.testdata
-    val failures = sample.flatMap { case (p, tz) =>
-      try {
-        graft.api.Api.graph(p, dp, ctx.copy(tz = tz)).collect()
-        None
-      } catch { case e: Exception => Some(s"'$p' (tz=$tz) -> ${e.getMessage}") }
-    }
+    // codegen fallback OFF: a janino failure (e.g. `Code grows beyond
+    // 64 KB` — which the per-slot element_at form of Api.message's values
+    // array used to trigger on every 720-slot graph) must FAIL the test,
+    // not silently execute the hottest stage interpreted.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val failures =
+      try sample.flatMap { case (p, tz) =>
+        try {
+          graft.api.Api.graph(p, dp, ctx.copy(tz = tz)).collect()
+          None
+        } catch { case e: Exception => Some(s"'$p' (tz=$tz) -> ${e.getMessage}") }
+      } finally spark.conf.set("spark.sql.codegen.fallback", "true")
     assert(
       failures.isEmpty,
       s"${failures.size}/${sample.size} failed:\n" + failures.take(15).mkString("\n"))
