@@ -1,0 +1,72 @@
+package graft
+
+/**
+ * Shuffle-budget regression gate for the most expensive catalog queries:
+ * each query's executed plan must not grow new exchanges. The budgets are
+ * the AUDITED values of the round-4/5 plan reviews (one shuffle per
+ * semantic step — see the per-operator notes in the sources); a failure
+ * here means a plan regression that the wall-clock bench would only
+ * surface as noise. Counts use the FINAL adaptive plan (collected first),
+ * at sf0.001 so the suite stays fast — exchange COUNT is data-independent.
+ */
+class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Broadcast joins OFF: at sf0.001 AQE demotes the big bucket/fact joins
+  // to broadcasts, hiding exactly the shuffles this gate exists to watch.
+  // With broadcasts disabled the executed plan is the 100 TB shape (a
+  // deliberately-broadcast dimension like rel_pct_price's marker frame
+  // then counts as a shuffle join — budgeted accordingly).
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+  }
+
+  /** Count DISTINCT shuffle exchanges in the final adaptive plan: AQE
+    * stages unwrap to their contained plan, reused exchanges don't count
+    * (the whole point of a reuse is that the shuffle runs once). */
+  private def shuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    plan match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec        => shuffles(q.plan)
+      case _: ReusedExchangeExec    => 0
+      case s: ShuffleExchangeLike   => 1 + s.children.map(shuffles).sum
+      case other                    => other.children.map(shuffles).sum
+    }
+  }
+
+  private def exchanges(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE
+    shuffles(df.queryExecution.executedPlan)
+  }
+
+  // budget = currently-audited count; tighten when a plan improves, never
+  // loosen without a written justification in the operator's scaladoc
+  private val budgets = Map(
+    "data_by_sum" -> 2, // normalization agg + cross-series agg
+    "store_data_sum" -> 1, // bucketed scan: only the cross-series agg
+    "rollup_sum" -> 1, // bucketed rollup scan: only the cross-series agg
+    "math_div_subset" -> 6, // two fetches (2 each) + sparse line join + output
+    "rel_pct_price" -> 5, // distinct-value counts, marker join, in-bucket rank
+    "dedup_minhash" -> 5, // shingle-set collapse, band bucket join, jaccard
+    "dedup_embedding" -> 8, // identical collapse, bucket join, re-rank joins
+    "text_decontaminate" -> 2 // doc grams + eval-gram collapse (guarded join)
+  )
+
+  for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
+    test(s"$name stays within its $budget-exchange budget") {
+      val got = exchanges(name)
+      info(s"$name: $got shuffle exchanges (budget $budget)")
+      assert(got <= budget,
+        s"$name grew to $got exchanges (budget $budget) — plan regression")
+    }
+  }
+}
