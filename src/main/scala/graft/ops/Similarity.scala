@@ -174,19 +174,33 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
     val (pairs, _) = candidateMemberPairs(emb, threshold, tables, planes, idCol, vecCol)
-    // exact re-rank: fetch both vectors, sequential-fold dot (same FP order
-    // as the JVM loop), same HALF_UP rounding as the DuckDB oracle
+    // exact re-rank as a partition-local kernel: the HOF dot
+    // (aggregate/zip_with) is CodegenFallback — interpreted per candidate
+    // PAIR, the hottest row set of the operator — while the JVM loop runs
+    // at memory bandwidth. Same sequential fold order, same HALF_UP
+    // rounding as the DuckDB oracle (dedup_embedding pins equality).
     pairs
       .join(v.as("va"), col("id_a") === col("va.id"))
       .join(v.as("vb"), col("id_b") === col("vb.id"))
-      .withColumn("score",
-        round(aggregate(zip_with(col("va.vec"), col("vb.vec"), (p, q) => p * q),
-          lit(0.0), (acc, x) => acc + x) + NanMath.RoundEps, 4))
-      .filter(col("score") >= threshold)
-      .select(col("id_a"), col("id_b"), col("score"))
+      .select(col("id_a"), col("id_b"), col("va.vec"), col("vb.vec"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, va, vb) =>
+          val s = rnd4(dot(va, vb))
+          if (s >= threshold) Some((a, b, s)) else None
+        }
+      }
+      .toDF("id_a", "id_b", "score")
   }
+
+  /** Spark `round(x, 4)` (BigDecimal HALF_UP) with the engine's RoundEps
+    * shift, for kernel parity with the column formulation. */
+  private def rnd4(x: Double): Double =
+    BigDecimal(x + NanMath.RoundEps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Candidate (id_a, id_b) pairs before the exact re-rank, each emitted
     * exactly once; exposed within graft so OpsSpec can assert the
@@ -227,18 +241,24 @@ object Similarity {
     // candidate group pairs: same (table, bucket), emitted only in the
     // FIRST colliding table — near-identical clusters collide in ~every
     // table, and without this each pair reaches the exchange `tables`
-    // times before distinct() collapses it
-    val firstCollision = !exists(
-      zip_with(
-        slice(col("x.sigs"), lit(1), col("x.tbl")),
-        slice(col("y.sigs"), lit(1), col("y.tbl")),
-        (a, b) => a === b),
-      eq => eq)
+    // times before a distinct() collapses it. The prefix check is a
+    // partition-local int loop (a slice/zip_with/exists HOF here would be
+    // CodegenFallback, interpreted on the join's full collision volume).
     val candGroups = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.gid") < col("y.gid"))
-      .filter(firstCollision)
-      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+      .select(col("x.gid"), col("y.gid"), col("x.tbl"),
+        col("x.sigs"), col("y.sigs"))
+      .as[(Long, Long, Int, Array[Int], Array[Int])]
+      .mapPartitions { it =>
+        it.flatMap { case (ga, gb, tbl, sa, sb) =>
+          var t = 0
+          var earlier = false
+          while (t < tbl && !earlier) { earlier = sa(t) == sb(t); t += 1 }
+          if (earlier) None else Some((ga, gb))
+        }
+      }
+      .toDF("ga", "gb")
 
     val ids = members.select(col("gid"), col("id"))
     // cross-group member pairs (ga < gb but member ids interleave -> reorder)
