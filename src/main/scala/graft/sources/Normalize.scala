@@ -144,9 +144,55 @@ object Normalize {
       .select(col("tags"), (col("_b") - lit(step)).as("ts"), col("value"))
   }
 
-  /** Counter pipeline (NormalizationCache.updateCounter wiring): rate
-    * conversion, then weighted alignment with the reference's heartbeat
-    * rule (2*step, floored at two minutes for sub-minute steps). */
-  def counters(dp: DataFrame, step: Long): DataFrame =
-    weightedNormalize(rateConvert(dp), step, graft.core.IngestNorm.counterHeartbeat(step))
+  /**
+   * Counter pipeline (NormalizationCache.updateCounter wiring): rate
+   * conversion, then weighted alignment with the reference's heartbeat
+   * rule (2*step, floored at two minutes for sub-minute steps).
+   *
+   * Runs as a ONE-shuffle kernel: group by series with a secondary sort on
+   * (ts, value desc), then the per-series online forms (core.IngestNorm —
+   * the exact objects streaming carries in GroupState) consume the sorted
+   * run; duplicate timestamps keep the max value, the same dedup rule as
+   * the columnar forms. Composing [[rateConvert]] + [[weightedNormalize]]
+   * instead costs four datapoint-cardinality exchanges (dedup window, rate
+   * window, slot-carry window, piece sum) plus a tags re-attach join —
+   * IngestNormSpec pins columnar == online, and the driver's recursive
+   * DuckDB rate oracle checks this pipeline end to end, so the columnar
+   * building blocks stay as the independently-tested specification.
+   */
+  def counters(dp: DataFrame, step: Long): DataFrame = {
+    val spark = dp.sparkSession
+    import spark.implicits._
+    val hb = graft.core.IngestNorm.counterHeartbeat(step)
+    val keyed = dp
+      .select(
+        Planner.seriesId(col("tags")).as("k"),
+        col("tags"),
+        coalesce(col("tags").getItem(DsTypeTag) === "counter", lit(false)).as("ctr"),
+        col("ts"), col("value"))
+      .as[(String, Map[String, String], Boolean, Long, Double)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts").asc, col("value").desc) { (_, it) =>
+        var algo: graft.core.IngestNorm.OnlineIngest = null
+        var tags: Map[String, String] = null
+        var lastTs = Long.MinValue
+        val out = List.newBuilder[(Map[String, String], Long, Double)]
+        it.foreach { case (_, tg, ctr, t, v) =>
+          if (algo == null) {
+            tags = tg
+            algo =
+              if (ctr) new graft.core.IngestNorm.OnlineCounter(step)
+              else new graft.core.IngestNorm.OnlineWeightedNorm(step, hb)
+          }
+          if (t != lastTs) { // duplicate timestamps: first row of the run = max
+            lastTs = t
+            // online form stamps the interval END; the frame convention is START
+            algo.next(t, v).foreach { case (b, sv) => out += ((tags, b - step, sv)) }
+          }
+        }
+        out.result()
+      }
+      .toDF("tags", "ts", "value")
+  }
 }
