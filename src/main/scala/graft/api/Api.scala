@@ -81,14 +81,21 @@ object Api {
       stepMs: Long = 60000L,
       maxDatapoints: Int = 0,
       nowMs: () => Long = () => System.currentTimeMillis(),
-      tz: String = "UTC"
+      tz: String = "UTC",
+      timezones: Seq[String] = Nil
   ): DataFrame = {
-    val (start0, end0) = Strings.timeRange(s, e, nowMs, java.time.ZoneId.of(tz))
+    // Multi-zone requests (repeated `tz` params): the reference keeps the
+    // LIST for rendering one time axis per zone, but only the HEAD is
+    // data-affecting — time-range parsing resolves in it
+    // (GraphConfig.scala:59-65: `tz = timezoneIds.head`). With no list the
+    // single `tz` param applies, like GraphConfig's settings default.
+    val primary = timezones.headOption.getOrElse(tz)
+    val (start0, end0) = Strings.timeRange(s, e, nowMs, java.time.ZoneId.of(primary))
     val step = graft.core.Step.round(stepMs, stepMs)
     val rs = math.floorDiv(start0, step) * step
     val re = math.floorDiv(end0, step) * step
     val fstart = if (rs == re) rs - step else rs
-    graph(program, dp, EvalContext(fstart, re + step, step, tz), maxDatapoints)
+    graph(program, dp, EvalContext(fstart, re + step, step, primary), maxDatapoints)
   }
 
   /** One fetch chunk per context partition (EvalContext.partition analog,

@@ -117,6 +117,21 @@ class ApiSpec extends SparkSpec {
       out.head.contains("\"values\":[2.0,null,null,null]"), out.head)
   }
 
+  test("multi-zone request: head of the tz list is the data-affecting zone") {
+    // reference GraphConfig keeps the zone LIST for axis rendering but
+    // resolves the time range in timezoneIds.head; an absolute zone-less
+    // end date must therefore parse in the FIRST listed zone
+    val utc = Api.graphRequest("42,:const", dp,
+      s = "e-2m", e = "1970-01-01T00:04:00", stepMs = 60000L,
+      timezones = List("UTC", "US/Pacific")).collect().map(_.getString(0))
+    assert(utc.head.contains("\"end\":300000"), utc.head) // 00:04 + one step
+    // 1970-01-01T00:04 US/Pacific = 08:04 UTC (PST = UTC-8)
+    val pst = Api.graphRequest("42,:const", dp,
+      s = "e-2m", e = "1970-01-01T00:04:00", stepMs = 60000L,
+      timezones = List("US/Pacific", "UTC")).collect().map(_.getString(0))
+    assert(pst.head.contains(s""""end":${8 * 3600000L + 300000}"""), pst.head)
+  }
+
   test("tags API lists keys, values and pairs with paging") {
     val keys = Api.tagKeys(dp, Query.True).collect().map(_.getString(0)).toList
     assert(keys == List("name", "node"))
