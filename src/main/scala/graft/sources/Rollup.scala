@@ -36,10 +36,29 @@ object Rollup {
    * aggregate would force SortAggregate).
    */
   def materialize(dp: DataFrame, table: String, rollupStep: Long, buckets: Int = 64): Unit = {
+    Store.dropStale(dp.sparkSession, table)
+    frame(dp, rollupStep)
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "key")
+      .sortBy("key", "ts")
+      .saveAsTable(table)
+  }
+
+  /** The rollup frame materialize() writes. Fed a pre-keyed frame (a
+    * [[Store]] bucketed table), the materialized `key` ATTRIBUTE is reused
+    * so the scan's bucket partitioning satisfies both the per-(series,
+    * slot) aggregate and the tags re-attach join: building a rollup from
+    * the store shuffles NOTHING (RollupSpec asserts the plan) — the
+    * periodic maintenance job is a single pass over each bucket. */
+  private[graft] def frame(dp: DataFrame, rollupStep: Long): DataFrame = {
     require(rollupStep > 0, "rollupStep must be > 0")
+    val keyCol =
+      if (dp.columns.contains("key")) col("key") else Planner.seriesId(col("tags"))
     val agg = dp
       .select(
-        Planner.seriesId(col("tags")).as("key"),
+        keyCol.as("key"),
         (col("ts") - pmod(col("ts"), lit(rollupStep))).as("ts"),
         col("value"))
       .groupBy(col("key"), col("ts"))
@@ -49,18 +68,12 @@ object Rollup {
         min(col("value")).as("v_min"),
         max(col("value")).as("v_max"))
     val tagsOf = dp
-      .select(Planner.seriesId(col("tags")).as("key"), col("tags"))
+      .select(keyCol.as("key"), col("tags"))
       .dropDuplicates("key")
     agg
       .join(tagsOf, "key")
       .select(col("key"), col("tags"), col("ts"),
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
-      .write
-      .mode("overwrite")
-      .format("parquet")
-      .bucketBy(buckets, "key")
-      .sortBy("key", "ts")
-      .saveAsTable(table)
   }
 
   /**

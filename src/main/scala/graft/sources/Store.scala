@@ -20,9 +20,21 @@ import org.apache.spark.sql.functions._
  */
 object Store {
 
+  /** Drop a stale managed-table location left by a previous session: the
+    * in-memory catalog starts empty each run, so `overwrite` plans as a
+    * CREATE and fails on the leftover directory instead of replacing it. */
+  private[sources] def dropStale(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
   /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a
     * series-bucketed, time-sorted managed table. */
-  def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64): Unit =
+  def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64): Unit = {
+    dropStale(dp.sparkSession, table)
     dp.select(
         Planner.seriesId(col("tags")).as("key"),
         col("tags"), col("ts"), col("value"))
@@ -32,8 +44,25 @@ object Store {
       .bucketBy(buckets, "key")
       .sortBy("key", "ts")
       .saveAsTable(table)
+  }
 
   /** Read the store back as a pre-keyed datapoint frame. */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select(col("key"), col("tags"), col("ts"), col("value"))
+
+  /**
+   * Compact the streaming ingest sink's append log
+   * (StreamRunner.ingest's date-partitioned parquet: the write-optimized
+   * layout) into the series-bucketed read-optimized table — the periodic
+   * maintenance job a deployment runs so historical queries get the
+   * zero-datapoint-shuffle fetch path while live data keeps appending
+   * cheaply. The reference's analog is the block rollover from the live
+   * in-memory update buffer into immutable compressed blocks
+   * (db/MemoryBlockStore.update rotation).
+   */
+  def compact(spark: SparkSession, storePath: String, table: String, buckets: Int = 64): Unit =
+    writeBucketed(
+      spark.read.parquet(storePath)
+        .select(col("tags"), col("t").as("ts"), col("value")),
+      table, buckets)
 }

@@ -53,6 +53,22 @@ class RollupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS rollup_spec_t")
   }
 
+  test("rollup build from the bucketed store shuffles nothing") {
+    val raw = Datapoints.events(spark, dir)
+    graft.sources.Store.writeBucketed(raw, "rollup_src_store", buckets = 8)
+    try {
+      val store = graft.sources.Store.read(spark, "rollup_src_store")
+      val fr = Rollup.frame(store, 10800000L)
+      fr.collect()
+      val plan = fr.queryExecution.executedPlan.toString
+      // the scan's bucket partitioning satisfies the per-(series, slot)
+      // aggregate AND the tags re-attach join: the maintenance job is a
+      // single pass over each bucket, no exchange anywhere
+      assert("Exchange hashpartitioning".r.findFirstIn(plan).isEmpty,
+        s"rollup build from the store still shuffles:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS rollup_src_store")
+  }
+
   test("misaligned query step is refused (fall back to the raw store)") {
     intercept[IllegalArgumentException] {
       Rollup.read(spark, "whatever", 10800000L, 3600000L)

@@ -279,6 +279,22 @@ class StreamSpec extends SparkSpec {
       val planStr = pruned.queryExecution.executedPlan.toString
       assert(planStr.contains("PartitionFilters") &&
         planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"))
+
+      // compaction closes the loop: the streaming append log rewrites into
+      // the series-bucketed read-optimized table, the same query answers
+      // identically, and the fetch no longer shuffles datapoints
+      graft.sources.Store.compact(spark, s"$dir/store", "stream_compacted", buckets = 4)
+      try {
+        val bucketed = graft.sources.Store.read(spark, "stream_compacted")
+        val frame = Planner.eval(DataExpr.Sum(Query.Equal("name", "a")), bucketed, ctx)
+        frame.df.collect()
+        val compactedPlan = frame.df.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning\\(key".r.findFirstIn(compactedPlan).isEmpty,
+          s"compacted fetch still shuffles datapoints:\n$compactedPlan")
+        val got2 = Planner.output(frame, Nil, 6)
+          .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+        assert(got2 == batch)
+      } finally spark.sql("DROP TABLE IF EXISTS stream_compacted")
     } finally query.stop()
   }
 
