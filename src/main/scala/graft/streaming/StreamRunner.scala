@@ -384,7 +384,8 @@ object StreamRunner {
       checkpointPath: String,
       step: Long,
       watermark: String = "10 minutes",
-      catalogPath: Option[String] = None
+      catalogPath: Option[String] = None,
+      rollup: Option[(String, Long)] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val valid = datapoints.filter(graft.sources.Validation.validTags(col("tags")))
     val normalized = valid
@@ -408,6 +409,18 @@ object StreamRunner {
         // series-catalog maintenance (§1.3 index rebuild analog): append the
         // batch's distinct series; readers dedup, compaction is a rewrite
         catalogPath.foreach(p => graft.sources.TagIndex.append(batch, p))
+        // incremental rollup maintenance (RollupBlock analog): append this
+        // batch's (sum,count,min,max) per (series, coarse slot). Fragments
+        // from different micro-batches may cover the SAME coarse slot —
+        // that is fine by construction: every rollup statistic re-composes
+        // with itself, and the planner's rollup read re-aggregates rows
+        // per (series, slot) anyway, so append-only maintenance stays
+        // EXACT with no read-time compaction.
+        rollup.foreach { case (p, rollupStep) =>
+          graft.sources.Rollup
+            .frame(batch.select(col("tags"), col("t").as("ts"), col("value")), rollupStep)
+            .write.mode("append").parquet(p)
+        }
       }
       .start()
   }
@@ -415,6 +428,13 @@ object StreamRunner {
   /** Read the ingested series store back as a canonical datapoint frame. */
   def readStore(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(storePath).select(col("tags"), col("t").as("ts"), col("value"))
+
+  /** Read the incrementally-maintained rollup back as a planner-consumable
+    * pre-aggregated frame (fragments re-aggregate exactly in evalData). */
+  def readRollup(spark: SparkSession, rollupPath: String): DataFrame =
+    spark.read.parquet(rollupPath)
+      .select(col("key"), col("tags"), col("ts"),
+        col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
 
   /**
    * Streaming `:percentiles`: per-slot bucket counts finalize under the

@@ -246,7 +246,8 @@ class StreamSpec extends SparkSpec {
     val input = MemoryStream[(Map[String, String], Long, Double)]
     val dp = input.toDF.toDF("tags", "ts", "value")
     val query = StreamRunner.ingest(dp, s"$dir/store", s"$dir/ckpt", ctx.step, "1 minute",
-      catalogPath = Some(s"$dir/catalog"))
+      catalogPath = Some(s"$dir/catalog"),
+      rollup = Some((s"$dir/rollup", 2 * ctx.step)))
     try {
       // valid rows plus one invalid (bad key charset) that must be dropped
       input.addData(points.sortBy(_._2) :+ ((Map("name" -> "bad key!") , slot(0), 1.0)))
@@ -279,6 +280,20 @@ class StreamSpec extends SparkSpec {
       val planStr = pruned.queryExecution.executedPlan.toString
       assert(planStr.contains("PartitionFilters") &&
         planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"))
+
+      // the incrementally-maintained rollup answers coarse-step queries
+      // with the raw-scan result (sum composes through both the ingest
+      // normalization and the rollup fragments)
+      val ctx2 = EvalContext(0L, 360000L, 2 * ctx.step)
+      val gotRollup = Planner.output(
+        Planner.eval(DataExpr.Sum(Query.Equal("name", "a")),
+          StreamRunner.readRollup(spark, s"$dir/rollup"), ctx2), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      val batchCoarse = Planner.output(
+        Planner.eval(DataExpr.Sum(Query.Equal("name", "a")),
+          points.toDF("tags", "ts", "value"), ctx2), Nil, 6)
+        .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+      assert(gotRollup == batchCoarse)
 
       // compaction closes the loop: the streaming append log rewrites into
       // the series-bucketed read-optimized table, the same query answers
