@@ -254,6 +254,14 @@ object SparkEntry {
     "store_data_by" -> ((s, d) =>
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:sum,(,usr,),:by"), storeEvents(s, d), ctx), Seq("usr"), 4)),
+    // index-driven fetch: the :re predicate resolves on the series catalog
+    // (once per series), matching keys semi-join the bucketed store, and
+    // the planner evaluates the pre-filtered frame with :true
+    "store_query_re_idx" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Sum(Query.True),
+        graft.sources.Store.readIndexed(s, storeTable(s, d), Query.Regex("name", "p.*")),
+        ctx), Nil, 4)),
     // -- pre-aggregated rollup reads (§2.1 RollupBlock analog): 6h-step
     // fetches served from the 3h (sum,count,min,max) rollup table — the
     // raw-scan answers, with rollupStep/step fewer rows touched --
@@ -426,14 +434,18 @@ object SparkEntry {
    * partitioning, so NO exchange touches raw datapoints (StoreSpec asserts
    * that plan shape on these exact catalog entries).
    */
-  private def storeEvents(s: SparkSession, d: String): DataFrame = {
+  private def storeTable(s: SparkSession, d: String): String = {
     val table = "graft_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
     this.synchronized {
       if (!s.catalog.tableExists(table))
-        graft.sources.Store.writeBucketed(Datapoints.events(s, d), table, buckets = 32)
+        graft.sources.Store.writeBucketed(
+          Datapoints.events(s, d), table, buckets = 32, catalog = true)
     }
-    graft.sources.Store.read(s, table)
+    table
   }
+
+  private def storeEvents(s: SparkSession, d: String): DataFrame =
+    graft.sources.Store.read(s, storeTable(s, d))
 
   /** The rollup window: the testdata grid consolidated to 6h (120 slots),
     * served from a 3h pre-aggregated rollup — two rollup rows re-compose
@@ -827,6 +839,8 @@ object SparkEntry {
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
     "store_data_by" -> base(
       "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+    "store_query_re_idx" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE regexp_matches(name, '^p.*') GROUP BY t"),
     // rollup-backed fetches: the oracle computes straight from raw events
     // at the 6h consolidated grid — hash-matching it proves the
     // pre-aggregated columns reconstruct the raw-scan answer exactly

@@ -32,8 +32,11 @@ object Store {
     }
 
   /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a
-    * series-bucketed, time-sorted managed table. */
-  def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64): Unit = {
+    * series-bucketed, time-sorted managed table. With `catalog = true`,
+    * also write the series-cardinality catalog table (`<table>_catalog`,
+    * one row per series) that [[readIndexed]] resolves predicates on. */
+  def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64,
+      catalog: Boolean = false): Unit = {
     dropStale(dp.sparkSession, table)
     dp.select(
         Planner.seriesId(col("tags")).as("key"),
@@ -44,11 +47,39 @@ object Store {
       .bucketBy(buckets, "key")
       .sortBy("key", "ts")
       .saveAsTable(table)
+    if (catalog) {
+      dropStale(dp.sparkSession, table + "_catalog")
+      TagIndex.seriesCatalog(dp)
+        .write.mode("overwrite").format("parquet").saveAsTable(table + "_catalog")
+    }
   }
 
   /** Read the store back as a pre-keyed datapoint frame. */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select(col("key"), col("tags"), col("ts"), col("value"))
+
+  /**
+   * Index-driven fetch — the reference's core query path (TagIndex.
+   * findItems resolves the predicate on the index, then only matching
+   * items' blocks are read: `db/MemoryDatabase.scala:218-229`). The
+   * predicate is evaluated ON THE CATALOG, one row per series — a `:re`
+   * regex runs ~#series times instead of once per datapoint — and the
+   * matching keys semi-join the store. Tag predicates are per-series
+   * (they read only `tags`), so the series-level filter is complete: the
+   * returned frame is exactly the matching datapoints, pre-keyed; callers
+   * evaluate with `Query.True`.
+   *
+   * The key set broadcasts (series cardinality, post-filter); if a
+   * non-selective query ever outgrows the broadcast, dropping the hint
+   * degrades gracefully — the store is bucketed by `key`, so a sort-merge
+   * join exchanges only the key SIDE into the buckets, never the store.
+   */
+  def readIndexed(spark: SparkSession, table: String, q: graft.asl.Query): DataFrame = {
+    val keys = spark.table(table + "_catalog")
+      .filter(graft.planner.QueryCompiler.compile(q, col("tags")))
+      .select(col("series").as("key"))
+    read(spark, table).join(broadcast(keys), "key")
+  }
 
   /**
    * Compact the streaming ingest sink's append log

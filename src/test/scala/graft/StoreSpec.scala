@@ -64,6 +64,30 @@ class StoreSpec extends SparkSpec {
     assert(m3(by) == m3(SparkEntry.queries("data_by_sum")(spark, dir)))
   }
 
+  test("index-driven fetch: predicate resolves on the catalog, store never shuffles") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Datapoints.events(spark, dir)
+    Store.writeBucketed(raw, "events_idx", buckets = 8, catalog = true)
+    try {
+      val q = Asl.parse("name,p.*,:re,:sum")
+      val fromRaw = Planner.output(Planner.eval(q, raw, ctx), Nil)
+      val indexed = Store.readIndexed(spark, "events_idx", Query.Regex("name", "p.*"))
+      val frame = Planner.eval(Asl.parse(":true,:sum"), indexed, ctx)
+      frame.df.collect()
+      val plan = frame.df.queryExecution.executedPlan.toString
+      // keys broadcast into the bucketed scan: no datapoint exchange
+      assert("Exchange hashpartitioning\\(key".r.findFirstIn(plan).isEmpty, plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(toMap(Planner.output(frame, Nil)) == toMap(fromRaw))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS events_idx")
+      spark.sql("DROP TABLE IF EXISTS events_idx_catalog")
+    }
+  }
+
   test("single-aggregate fetch from the store needs no datapoint shuffle at all") {
     val raw = Datapoints.events(spark, "/root/testdata/sf0.001")
     Store.writeBucketed(raw, "events_bucketed2", buckets = 8)
