@@ -217,6 +217,10 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
+    // sizing count: metadata-only on a parquet-backed frame (the normal
+    // case). If `emb` is an expensive DERIVED frame, this re-executes its
+    // plan once — pass explicit `tables`/`planes` (or cache upstream) to
+    // skip the sizing pass.
     val (autoT, autoP) = autoGeometry(emb.count(), threshold)
     val nt = if (tables > 0) tables else autoT
     val np = if (planes > 0) planes else autoP

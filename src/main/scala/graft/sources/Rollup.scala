@@ -89,4 +89,28 @@ object Rollup {
       s"query step $queryStep is not a multiple of rollup step $rollupStep; read the raw store instead")
     spark.table(table)
   }
+
+  /** Whether a rollup at `rollupStep` can serve a query at `queryStep`. */
+  def serves(rollupStep: Long, queryStep: Long): Boolean =
+    queryStep >= rollupStep && queryStep % rollupStep == 0
+
+  /**
+   * Automatic source selection (the reference picks the block read mode
+   * per request in MemoryDatabase.blockAggr): serve the fetch from the
+   * COARSEST aligned rollup, falling back to the raw store when no rollup
+   * divides the query step. `rollups` maps rollup table name -> its step.
+   * The planner needs no hint — it keys off the frame's columns.
+   */
+  def readBest(
+      spark: SparkSession,
+      storeTable: String,
+      rollups: Map[String, Long],
+      queryStep: Long
+  ): DataFrame =
+    rollups.filter { case (_, rs) => serves(rs, queryStep) } match {
+      case eligible if eligible.nonEmpty =>
+        val (table, rs) = eligible.maxBy(_._2)
+        read(spark, table, rs, queryStep)
+      case _ => Store.read(spark, storeTable)
+    }
 }

@@ -74,4 +74,33 @@ class RollupSpec extends SparkSpec {
       Rollup.read(spark, "whatever", 10800000L, 3600000L)
     }
   }
+
+  test("readBest picks the coarsest aligned rollup, the raw store otherwise") {
+    val raw = Datapoints.events(spark, dir)
+    graft.sources.Store.writeBucketed(raw, "rb_store", buckets = 8)
+    Rollup.materialize(raw, "rb_r3h", 10800000L, buckets = 8)
+    Rollup.materialize(raw, "rb_r6h", 21600000L, buckets = 8)
+    val rollups = Map("rb_r3h" -> 10800000L, "rb_r6h" -> 21600000L)
+    try {
+      def pick(stepMs: Long) = Rollup.readBest(spark, "rb_store", rollups, stepMs)
+      // 12h: both align, the coarsest (6h) wins; 6h: only itself + 3h, 6h wins
+      assert(pick(43200000L).inputFiles.exists(_.contains("rb_r6h")))
+      assert(pick(21600000L).inputFiles.exists(_.contains("rb_r6h")))
+      // 9h: only the 3h rollup divides it
+      assert(pick(32400000L).inputFiles.exists(_.contains("rb_r3h")))
+      // 1h (finer than any rollup) and 4h (aligned with none): raw store
+      assert(pick(3600000L).columns.contains("value"))
+      assert(pick(14400000L).inputFiles.exists(_.contains("rb_store")))
+
+      // and the selected source answers identically through the planner
+      val ctx12 = EvalContext(1704067200000L, 1706659200000L, 43200000L)
+      val expr = Asl.parse("name,click,:eq,:sum")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(
+        toMap(Planner.output(Planner.eval(expr, pick(ctx12.step), ctx12), Nil)) ==
+          toMap(Planner.output(Planner.eval(expr, raw, ctx12), Nil)))
+    } finally Seq("rb_store", "rb_r3h", "rb_r6h").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
