@@ -500,6 +500,7 @@ object SparkEntry {
       "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
       "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+      "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
       "text_decontaminate" -> ((s, d) => {
         val dd = docs(s, d)
         TextOps.decontaminate(
@@ -651,6 +652,18 @@ object SparkEntry {
           |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
           |FROM documents""".stripMargin,
       "text_langid" -> langSql,
+      "text_repetition" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |grams AS (
+          |  SELECT doc_id, w,
+          |    list_transform(range(1, len(w)), i -> list_extract(w, i) || ' ' || list_extract(w, i + 1)) AS g2,
+          |    list_transform(range(1, len(w) - 1), i -> list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2)) AS g3
+          |  FROM toks)
+          |SELECT doc_id,
+          |  round(CASE WHEN len(w) = 0 THEN 0.0 ELSE (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) END, 4) AS dup_word_frac,
+          |  round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE) END, 4) AS dup_2gram_frac,
+          |  round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE) END, 4) AS dup_3gram_frac
+          |FROM grams""".stripMargin,
       "pipeline_curate" ->
         s"""WITH keep AS (
            |  SELECT doc_id FROM (

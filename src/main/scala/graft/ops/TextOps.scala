@@ -88,6 +88,50 @@ object TextOps {
   }
 
   /**
+   * Repetition scores (the Gopher/MassiveText-family duplicate n-gram
+   * quality signals): the fraction of n-grams that repeat an earlier
+   * occurrence within the document, for n = 1, 2, 3 over whitespace
+   * tokens. High values flag boilerplate and generated spam that
+   * per-token quality stats miss entirely. Partition-local kernel (one
+   * hash-set pass per doc and n), no shuffle — the TextOps scan pattern.
+   */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = text.split(" ", -1) // matches string_split: keeps empties
+          def frac(n: Int): Double = {
+            val total = w.length - n + 1
+            if (total <= 0) 0.0
+            else {
+              val seen = new java.util.HashSet[String]()
+              var dup = 0
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              while (i < total) {
+                sb.setLength(0)
+                var j = 0
+                while (j < n) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(w(i + j))
+                  j += 1
+                }
+                if (!seen.add(sb.toString)) dup += 1
+                i += 1
+              }
+              rnd4(dup.toDouble / total)
+            }
+          }
+          (id, frac(1), frac(2), frac(3))
+        }
+      }
+      .toDF("doc_id", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac")
+  }
+
+  /**
    * Heuristic language identification: score each candidate language by its
    * stopword-profile hits (plus a CJK codepoint count for zh) and pick the
    * argmax; ties break to the lexicographically larger language code so the

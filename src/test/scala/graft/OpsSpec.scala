@@ -235,6 +235,23 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetition scores: hand-computed duplicate n-gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // words: 5 grams 2 dup of a,b -> 3/5; 2-grams: a b, b a, a b, b a -> 2/4; 3-grams: aba bab aba -> 1/3
+      (2L, "x y z"),            // no repeats at any n
+      (3L, "w w w w"),          // words 3/4; 2-grams 2/3; 3-grams 1/2
+      (4L, ""),                 // one empty token; no 2-/3-grams
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == (0.6, 0.5, 0.3333))
+    assert(got(2L) == (0.0, 0.0, 0.0))
+    assert(got(3L) == (0.75, 0.6667, 0.5))
+    assert(got(4L) == (0.0, 0.0, 0.0))
+    assert(got(5L) == (0.0, 0.0, 0.0))
+  }
+
   test("kernel scans equal the column formulations exactly on real docs") {
     import graft.core.NanMath
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
