@@ -42,6 +42,7 @@ object Curate {
       minTokens: Double = 5.0,
       minTtr: Double = 0.2,
       minStopRatio: Double = 0.0,
+      maxDup2gram: Double = 1.0,
       textCol: String = "text"
   ): DataFrame = {
     val t = col(textCol)
@@ -49,7 +50,8 @@ object Curate {
       TextOps.langPredCol(t) === lang &&
         TextOps.nTokensCol(t) >= minTokens &&
         TextOps.ttrCol(t) >= minTtr &&
-        TextOps.stopRatioCol(t) >= minStopRatio)
+        TextOps.stopRatioCol(t) >= minStopRatio &&
+        TextOps.dup2FracCol(t) <= maxDup2gram)
   }
 
   /**

@@ -87,6 +87,20 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "n_distinct", "ttr", "stop_ratio", "mean_token_len")
   }
 
+  /** Duplicate-2-gram fraction as a COLUMN (the repetition kernel's n=2 in
+    * expression form) so quality gates can stay one projection; the kernel
+    * below is the bulk-scan form (TextOpsSpec pins their equality). */
+  def dup2FracCol(text: Column): Column = {
+    val toks = tokens(text)
+    val g2 = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => concat(t, lit(" "), element_at(toks, i + 2)))
+    when(size(g2) === 0, 0.0)
+      .otherwise(round(
+        (size(g2) - size(array_distinct(g2))).cast("double") / size(g2)
+          + NanMath.RoundEps, 4))
+  }
+
   /**
    * Repetition scores (the Gopher/MassiveText-family duplicate n-gram
    * quality signals): the fraction of n-grams that repeat an earlier

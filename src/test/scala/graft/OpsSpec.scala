@@ -250,6 +250,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == (0.75, 0.6667, 0.5))
     assert(got(4L) == (0.0, 0.0, 0.0))
     assert(got(5L) == (0.0, 0.0, 0.0))
+
+    // the column form (the one-projection quality-gate path) agrees with
+    // the kernel on real docs
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val colForm = real.select(
+      col("doc_id").cast("long"), TextOps.dup2FracCol(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kernel = TextOps.repetition(real)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(colForm == kernel)
+
+    // quality gate: a repetition cap drops the boilerplate doc
+    val gated = Curate.qualityFilter(
+      docs.withColumn("text", concat(lit("the a and of to in is that x y "), col("text"))),
+      minTokens = 0.0, minTtr = 0.0, maxDup2gram = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!gated.contains(3L) && gated.contains(2L), gated)
   }
 
   test("kernel scans equal the column formulations exactly on real docs") {
