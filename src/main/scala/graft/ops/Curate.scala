@@ -46,12 +46,16 @@ object Curate {
       textCol: String = "text"
   ): DataFrame = {
     val t = col(textCol)
-    docs.filter(
+    val base =
       TextOps.langPredCol(t) === lang &&
         TextOps.nTokensCol(t) >= minTokens &&
         TextOps.ttrCol(t) >= minTtr &&
-        TextOps.stopRatioCol(t) >= minStopRatio &&
-        TextOps.dup2FracCol(t) <= maxDup2gram)
+        TextOps.stopRatioCol(t) >= minStopRatio
+    // the repetition signal costs an n-gram pass per row: skip it
+    // entirely at the no-op default (every fraction is <= 1)
+    docs.filter(
+      if (maxDup2gram >= 1.0) base
+      else base && TextOps.dup2FracCol(t) <= maxDup2gram)
   }
 
   /**

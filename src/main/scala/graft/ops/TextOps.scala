@@ -92,9 +92,15 @@ object TextOps {
     * below is the bulk-scan form (TextOpsSpec pins their equality). */
   def dup2FracCol(text: Column): Column = {
     val toks = tokens(text)
-    val g2 = transform(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (t, i) => concat(t, lit(" "), element_at(toks, i + 2)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    // zip_with over the array and its shifted self: both slices evaluate
+    // ONCE before iteration. An element_at(toks, i+2) inside a transform
+    // lambda instead re-splits the text PER ELEMENT (no CSE inside
+    // interpreted HOF lambdas) — O(tokens^2) per document.
+    val g2 = zip_with(
+      slice(toks, lit(1), n1),
+      slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
     when(size(g2) === 0, 0.0)
       .otherwise(round(
         (size(g2) - size(array_distinct(g2))).cast("double") / size(g2)
