@@ -494,6 +494,7 @@ object SparkEntry {
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
       "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
       "sim_ann_ivf" -> ((s, d) => Similarity.ivfTopK(emb(s, d), col("vec_id") < 10, 5)),
+      "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
@@ -633,6 +634,19 @@ object SparkEntry {
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            |  WHERE a.vec_id < 10
            |) WHERE rank <= 5""".stripMargin,
+      // int8 quantization: floor(v/scale + 0.5) — half-up-toward-+inf is
+      // identical in the JVM and DuckDB (round() is not, on negative
+      // halves); scale is single-op IEEE arithmetic, bit-identical
+      "emb_quantize" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |s AS (
+          |  SELECT vec_id, e,
+          |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+          |  FROM v)
+          |SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS idx,
+          |       floor(list_extract(e, u.i) / scale + 0.5) AS q, scale
+          |FROM s, unnest(range(1, len(e) + 1)) AS u(i)""".stripMargin,
       "text_quality" ->
         """SELECT doc_id,
           |       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,

@@ -160,6 +160,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pBig == 16 && tBig <= 64) // documented bounds
   }
 
+  test("int8 quantization round-trips real embeddings at >= 0.999 cosine fidelity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = Similarity.dequantize(Similarity.quantize(emb))
+    val minCos = deq.as("d")
+      .join(emb.as("o"), col("d.vec_id") === col("o.vec_id"))
+      .select(Similarity.cosine(
+        col("d.vec"), transform(col("o.embedding"), x => x.cast("double"))).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(minCos >= 0.999, s"quantization fidelity too low: min cosine $minCos")
+    // 4x storage story: every lane fits int8
+    val range = Similarity.quantize(emb).agg(min(col("q")), max(col("q"))).head()
+    assert(range.getDouble(0) >= -127.0 && range.getDouble(1) <= 127.0)
+  }
+
   test("cosinePairs plan never collects the corpus (distributed self-join)") {
     // would OOM as a driver-side broadcast at 100 TB; here just assert the
     // plan is join-shaped: a physical plan exists and contains a join node
