@@ -277,6 +277,19 @@ object SparkEntry {
     "rollup_cf_avg" -> ((s, d) =>
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:sum,:cf-avg"), rollupEvents(s, d, ctx6.step), ctx6), Nil, 4)),
+    // -- store-backed DEFAULT routing (§2.1 MemoryDatabase.executeImpl /
+    // blockAggr analog): the harness passes ONLY the backend — the planner
+    // resolves the :re on the series catalog (semi-join) and serves the 6h
+    // fetch from the 3h rollup via Rollup.readBest, with zero hand-wired
+    // readIndexed/readBest calls (PlanBudgetSpec pins the plan shape) --
+    "store_graph_auto" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,p.*,:re,:sum"), storeBackend(s, d), ctx6), Nil, 4)),
+    // same path where NO rollup aligns (1h step, 3h rollup): falls back to
+    // the raw bucketed store, still index-filtered on the catalog
+    "store_graph_auto_raw" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,(,click,view,),:in,:sum"), storeBackend(s, d), ctx), Nil, 4)),
     // -- ingest normalization: counter->rate + weighted alignment (§1.2/§2.1) --
     "data_rate_sum" -> ((s, d) =>
       Planner.output(Planner.eval(
@@ -458,14 +471,24 @@ object SparkEntry {
     * (per session and sf dir) via graft.sources.Rollup. Fetches at any step
     * that is a multiple of 3h read the (sum,count,min,max) columns instead
     * of raw datapoints (reference RollupBlock read modes). */
-  private def rollupEvents(s: SparkSession, d: String, queryStep: Long): DataFrame = {
+  private def rollupTable(s: SparkSession, d: String): String = {
     val table = "graft_rollup_" + d.replaceAll("[^A-Za-z0-9]", "_")
     this.synchronized {
       if (!s.catalog.tableExists(table))
         graft.sources.Rollup.materialize(Datapoints.events(s, d), table, RollupStep, buckets = 32)
     }
-    graft.sources.Rollup.read(s, table, RollupStep, queryStep)
+    table
   }
+
+  private def rollupEvents(s: SparkSession, d: String, queryStep: Long): DataFrame =
+    graft.sources.Rollup.read(s, rollupTable(s, d), RollupStep, queryStep)
+
+  /** The deployment-shaped backend: bucketed store + series catalog + the
+    * 3h rollup, handed to the planner as THE query path — index semi-join
+    * and rollup selection happen inside evalData with no per-query wiring
+    * (the store_graph_auto* catalog rows prove it end-to-end). */
+  private def storeBackend(s: SparkSession, d: String): graft.sources.StoreBackend =
+    graft.sources.StoreBackend(s, storeTable(s, d), Map(rollupTable(s, d) -> RollupStep))
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -883,6 +906,13 @@ object SparkEntry {
     "rollup_cf_avg" -> sql(
       Seq(DP, "norm6 AS (SELECT name, usr, grp, hi, (t // 21600000) * 21600000 AS t, avg(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm6 WHERE name = 'click' GROUP BY t"),
+    // default store routing: same answers as the raw-scan formulations —
+    // the rollup + index path must be invisible in the results
+    "store_graph_auto" -> sql(Seq(DP),
+      "SELECT (t // 21600000) * 21600000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value " +
+        "FROM dp WHERE regexp_matches(name, '^p.*') GROUP BY 1"),
+    "store_graph_auto_raw" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name IN ('click', 'view') GROUP BY t"),
     // DuckDB replica of Normalize.rateConvert + weightedNormalize over the
     // eventsCounters source (same lag/lead/cover/carry formulation)
     "data_rate_sum" -> rateSql(

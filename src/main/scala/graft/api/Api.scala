@@ -29,6 +29,29 @@ object Api {
       dp: DataFrame,
       ctx: EvalContext,
       maxDatapoints: Int = 0
+  ): DataFrame =
+    graphImpl(program, Planner.evalAll(_, dp, ctx), ctx, maxDatapoints)
+
+  /**
+   * Store-backed graph evaluation — the deployment default: every fetch in
+   * the request resolves its predicate on the series catalog and is served
+   * from the coarsest rollup aligned to the request step, with no
+   * hand-wired index calls (reference MemoryDatabase.executeImpl /
+   * blockAggr, db/MemoryDatabase.scala:207-229).
+   */
+  def graph(
+      program: String,
+      backend: graft.sources.StoreBackend,
+      ctx: EvalContext,
+      maxDatapoints: Int
+  ): DataFrame =
+    graphImpl(program, Planner.evalAll(_, backend, ctx), ctx, maxDatapoints)
+
+  private def graphImpl(
+      program: String,
+      evalAll: Seq[TimeSeriesExpr] => Seq[graft.planner.SeriesFrame],
+      ctx: EvalContext,
+      maxDatapoints: Int
   ): DataFrame = {
     // the context zone reaches both date parsing (:time-span) and :time
     val styled = Asl.parseAll(program, ctx.tz)
@@ -62,7 +85,7 @@ object Api {
     }
     // one shared CSE cache across the whole request: expressions sharing a
     // fetch (or any subtree) share one Spark plan subtree and its exchanges
-    Planner.evalAll(exprs, dp, ctx)
+    evalAll(exprs)
       .zip(expanded)
       .map { case (frame, s) => message(frame, s.expr, ctx, s.settings) }
       .reduce(_ unionByName _)
@@ -90,12 +113,35 @@ object Api {
     // (GraphConfig.scala:59-65: `tz = timezoneIds.head`). With no list the
     // single `tz` param applies, like GraphConfig's settings default.
     val primary = timezones.headOption.getOrElse(tz)
+    graph(program, dp, requestContext(s, e, stepMs, nowMs, primary), maxDatapoints)
+  }
+
+  /** Store-backed [[graphRequest]]: the request step drives rollup
+    * selection — a `step=1d` dashboard over a 6h rollup scans 1/6th of the
+    * rows with zero extra wiring from the caller. */
+  def graphRequest(
+      program: String,
+      backend: graft.sources.StoreBackend,
+      s: String,
+      e: String,
+      stepMs: Long,
+      maxDatapoints: Int,
+      nowMs: () => Long,
+      tz: String,
+      timezones: Seq[String]
+  ): DataFrame = {
+    val primary = timezones.headOption.getOrElse(tz)
+    graph(program, backend, requestContext(s, e, stepMs, nowMs, primary), maxDatapoints)
+  }
+
+  private def requestContext(
+      s: String, e: String, stepMs: Long, nowMs: () => Long, primary: String): EvalContext = {
     val (start0, end0) = Strings.timeRange(s, e, nowMs, java.time.ZoneId.of(primary))
     val step = graft.core.Step.round(stepMs, stepMs)
     val rs = math.floorDiv(start0, step) * step
     val re = math.floorDiv(end0, step) * step
     val fstart = if (rs == re) rs - step else rs
-    graph(program, dp, EvalContext(fstart, re + step, step, primary), maxDatapoints)
+    EvalContext(fstart, re + step, step, primary)
   }
 
   /** One fetch chunk per context partition (EvalContext.partition analog,

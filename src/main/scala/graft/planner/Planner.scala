@@ -109,8 +109,20 @@ object Planner {
 
   def eval(expr: TimeSeriesExpr, dp: DataFrame, ctx: EvalContext): SeriesFrame = {
     val spark = dp.sparkSession
-    new Evaluator(spark, dp, ctx).eval(expr)
+    new Evaluator(spark, dp, ctx, None).eval(expr)
   }
+
+  /**
+   * Store-backed evaluation — the default query path over a physical
+   * deployment: every DataExpr fetch resolves its predicate on the series
+   * catalog and is served from the coarsest aligned rollup automatically
+   * (reference MemoryDatabase.executeImpl + blockAggr,
+   * db/MemoryDatabase.scala:207-229). Callers pass only the backend; no
+   * hand-wired readIndexed/readBest calls.
+   */
+  def eval(expr: TimeSeriesExpr, backend: graft.sources.StoreBackend,
+      ctx: EvalContext): SeriesFrame =
+    new Evaluator(backend.spark, backend.raw, ctx, Some(backend)).eval(expr)
 
   /**
    * Evaluate several expressions against one datapoint frame with a SHARED
@@ -121,7 +133,15 @@ object Planner {
    */
   def evalAll(exprs: Seq[TimeSeriesExpr], dp: DataFrame, ctx: EvalContext): Seq[SeriesFrame] = {
     val spark = dp.sparkSession
-    val shared = new Evaluator(spark, dp, ctx)
+    val shared = new Evaluator(spark, dp, ctx, None)
+    exprs.map(shared.eval)
+  }
+
+  /** Store-backed variant of [[evalAll]]: one shared CSE cache, every fetch
+    * index-resolved and rollup-routed through the backend. */
+  def evalAll(exprs: Seq[TimeSeriesExpr], backend: graft.sources.StoreBackend,
+      ctx: EvalContext): Seq[SeriesFrame] = {
+    val shared = new Evaluator(backend.spark, backend.raw, ctx, Some(backend))
     exprs.map(shared.eval)
   }
 
@@ -135,7 +155,8 @@ object Planner {
 
   // -------------------------------------------------------------------------
 
-  private final class Evaluator(spark: SparkSession, dp: DataFrame, ctx: EvalContext) {
+  private final class Evaluator(spark: SparkSession, dp: DataFrame, ctx: EvalContext,
+      backend: Option[graft.sources.StoreBackend]) {
 
     // Pre-keyed frames (graft.sources.Store bucketed tables) carry the
     // series id as a materialized `key` column; grouping on the ATTRIBUTE
@@ -149,6 +170,9 @@ object Planner {
     // (sum, count, min, max) columns instead of raw values; each slot
     // consolidation function reads its matching column (reference
     // MemoryDatabase.blockAggr serving read modes from RollupBlock).
+    // Whether the SHARED frame is a pre-aggregated rollup (per-fetch
+    // routing recomputes this on the resolved frame inside evalData; this
+    // one guards paths that need the raw per-datapoint `value` column).
     private val isRollup: Boolean = dp.columns.contains("v_sum")
 
     // Common-subexpression elimination over the WHOLE tree: structural
@@ -281,11 +305,22 @@ object Planner {
     private def evalData(d: DataExpr): SeriesFrame = {
       val off = ctx.alignedOffset(d.offset)
       val fetch = ctx.withOffset(off)
-      val pred = QueryCompiler.compile(d.query, col(TAGS))
-      val base = dp
-        .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
-        .filter(pred)
-        .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(off))
+      // With a store backend the fetch is resolved per data expr — index
+      // semi-join on the series catalog plus coarsest-aligned-rollup
+      // selection — and the frame arrives complete for the predicate (tag
+      // predicates are per-series), so it is NOT re-applied per datapoint.
+      val (src, preFiltered) = backend match {
+        case Some(b) => (b.fetch(d.query, ctx.step), true)
+        case None    => (dp, false)
+      }
+      val srcKey =
+        if (src.columns.contains(KEY)) col(KEY) else seriesId(col(TAGS))
+      val srcRollup = src.columns.contains("v_sum")
+      val ranged = src.filter(col("ts") >= fetch.start && col("ts") < fetch.end)
+      val base =
+        (if (preFiltered) ranged
+         else ranged.filter(QueryCompiler.compile(d.query, col(TAGS))))
+          .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(off))
 
       // Ingest normalization: one value per (series, slot); datapoints within
       // a slot merge with the consolidation function. On a rollup frame the
@@ -293,25 +328,25 @@ object Planner {
       // sums, min of mins, avg as sum/count — exactly (each CF is
       // self-decomposable), so the answer is bit-identical to the raw scan.
       val normAgg = cfOf(d) match {
-        case "avg" if isRollup => sum(col("v_sum")) / sum(col("v_count"))
-        case "min" if isRollup => min(col("v_min"))
-        case "max" if isRollup => max(col("v_max"))
-        case _ if isRollup     => sum(col("v_sum"))
-        case "avg"             => avg(col(V))
-        case "min"             => min(col(V))
-        case "max"             => max(col(V))
-        case _                 => sum(col(V))
+        case "avg" if srcRollup => sum(col("v_sum")) / sum(col("v_count"))
+        case "min" if srcRollup => min(col("v_min"))
+        case "max" if srcRollup => max(col("v_max"))
+        case _ if srcRollup     => sum(col("v_sum"))
+        case "avg"              => avg(col(V))
+        case "min"              => min(col(V))
+        case "max"              => max(col(V))
+        case _                  => sum(col(V))
       }
       d match {
         case DataExpr.All(_, _) =>
           val norm = base
-            .groupBy(seriesKey.as(KEY), col(T))
+            .groupBy(srcKey.as(KEY), col(T))
             .agg(normAgg.as(V), first(col(TAGS)).as(TAGS))
           SeriesFrame(norm.select(col(KEY), col(TAGS), col(T), col(V)), Nil, ctx.step, dense = false)
 
         case af: DataExpr.AggregateFunction =>
           val norm = base
-            .groupBy(seriesKey.as(KEY), col(T))
+            .groupBy(srcKey.as(KEY), col(T))
             .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val out = norm
@@ -333,7 +368,7 @@ object Planner {
           val kcols = keys.map(k => col(TAGS).getItem(k).as(s"gk_$k"))
           val norm = base
             .filter(present)
-            .groupBy(seriesKey.as(KEY) +: kcols :+ col(T): _*)
+            .groupBy(srcKey.as(KEY) +: kcols :+ col(T): _*)
             .agg(normAgg.as(V))
           val agg = aggColFor(af)
           val grouped = norm
@@ -513,7 +548,7 @@ object Planner {
       }
 
       walk(root).flatMap { tree =>
-        if (mode == 1 && dataLeaves.size >= 2) {
+        if (mode == 1 && dataLeaves.size >= 2 && !isRollup) {
           val ds = dataLeaves.toList
           val offset = ctx.alignedOffset(ds.head.offset)
           if (!ds.forall(d => ctx.alignedOffset(d.offset) == offset && cfOf(d) == "sum")) None
@@ -524,10 +559,18 @@ object Planner {
             // normalization: the leaf predicates are per-series, so
             // when(pred, v) commutes with the per-series slot sum, and no
             // tags map has to survive an aggregate (first(map) would force
-            // SortAggregate for the whole normalization).
-            val base = dp
+            // SortAggregate for the whole normalization). With a store
+            // backend the OR of the leaf predicates resolves on the series
+            // catalog (raw store — leaf projection needs per-datapoint
+            // values); the per-leaf when() still runs on the matching
+            // datapoints to split them between leaves.
+            val src = backend match {
+              case Some(b) => b.fetchRaw(combined)
+              case None =>
+                dp.filter(QueryCompiler.compile(combined, col(TAGS)))
+            }
+            val base = src
               .filter(col("ts") >= fetch.start && col("ts") < fetch.end)
-              .filter(QueryCompiler.compile(combined, col(TAGS)))
               .withColumn(T, col("ts") - pmod(col("ts"), lit(ctx.step)) + lit(offset))
             val leafVals = ds.zipWithIndex.map { case (d, i) =>
               when(QueryCompiler.compile(d.query, col(TAGS)), col(V)).as(s"_v$i")

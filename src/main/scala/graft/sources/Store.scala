@@ -20,16 +20,30 @@ import org.apache.spark.sql.functions._
  */
 object Store {
 
+  /** Above this many matching series keys the index semi-join is NOT
+    * broadcast-hinted: ~2^20 keys at the observed ~60-100 B/key is tens of
+    * MB serialized — past the point where shipping the set to every
+    * executor beats exchanging it once into the store's buckets. */
+  val DefaultMaxBroadcastKeys: Long = 1L << 20
+
   /** Drop a stale managed-table location left by a previous session: the
     * in-memory catalog starts empty each run, so `overwrite` plans as a
-    * CREATE and fails on the leftover directory instead of replacing it. */
-  private[sources] def dropStale(spark: SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    * CREATE and fails on the leftover directory instead of replacing it.
+    * Only the in-memory-catalog scenario is handled — with a persistent
+    * (Hive) metastore the table either exists (overwrite works) or its
+    * warehouse path is not ours to guess, and deleting a computed path
+    * under a shared warehouse could destroy another catalog's data. */
+  private[sources] def dropStale(spark: SparkSession, table: String): Unit = {
+    require(!table.contains("."), s"unqualified session-catalog table expected, got: $table")
+    val inMemoryCatalog =
+      spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "in-memory"
+    if (inMemoryCatalog && !spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
+  }
 
   /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a
     * series-bucketed, time-sorted managed table. With `catalog = true`,
@@ -58,28 +72,47 @@ object Store {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select(col("key"), col("tags"), col("ts"), col("value"))
 
+  /** Resolve a tag predicate on the series catalog: one row per series, so
+    * a `:re` regex runs ~#series times instead of once per datapoint
+    * (reference TagIndex.findItems, index/RoaringTagIndex.scala). */
+  def indexKeys(spark: SparkSession, table: String, q: graft.asl.Query): DataFrame =
+    spark.table(table + "_catalog")
+      .filter(graft.planner.QueryCompiler.compile(q, col("tags")))
+      .select(col("series").as("key"))
+
+  /**
+   * Semi-join a resolved key set into a pre-keyed frame, size-gating the
+   * broadcast: the hint is only attached when the catalog-side count (a
+   * cheap action — series cardinality, not datapoints) stays under
+   * `maxBroadcastKeys`. A non-selective predicate (`:true`, a broad `:re`)
+   * over 10^8 series would otherwise ship GBs to every executor — and a
+   * hard-coded hint overrides Spark's own size logic. Past the gate the
+   * join is left unhinted: the frame is bucketed by `key`, so the
+   * sort-merge fallback exchanges only the key SIDE into the buckets,
+   * never the datapoints.
+   */
+  def semiJoinKeys(frame: DataFrame, keys: DataFrame,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
+    if (keys.count() <= maxBroadcastKeys) frame.join(broadcast(keys), "key")
+    else frame.join(keys, "key")
+
   /**
    * Index-driven fetch — the reference's core query path (TagIndex.
    * findItems resolves the predicate on the index, then only matching
    * items' blocks are read: `db/MemoryDatabase.scala:218-229`). The
-   * predicate is evaluated ON THE CATALOG, one row per series — a `:re`
-   * regex runs ~#series times instead of once per datapoint — and the
-   * matching keys semi-join the store. Tag predicates are per-series
-   * (they read only `tags`), so the series-level filter is complete: the
-   * returned frame is exactly the matching datapoints, pre-keyed; callers
-   * evaluate with `Query.True`.
-   *
-   * The key set broadcasts (series cardinality, post-filter); if a
-   * non-selective query ever outgrows the broadcast, dropping the hint
-   * degrades gracefully — the store is bucketed by `key`, so a sort-merge
-   * join exchanges only the key SIDE into the buckets, never the store.
+   * predicate is evaluated ON THE CATALOG via [[indexKeys]]; matching keys
+   * semi-join the store ([[semiJoinKeys]], broadcast only under the size
+   * gate). Tag predicates are per-series (they read only `tags`), so the
+   * series-level filter is complete: the returned frame is exactly the
+   * matching datapoints, pre-keyed; callers evaluate with `Query.True`.
+   * `:true` itself matches every series and skips the join entirely.
    */
-  def readIndexed(spark: SparkSession, table: String, q: graft.asl.Query): DataFrame = {
-    val keys = spark.table(table + "_catalog")
-      .filter(graft.planner.QueryCompiler.compile(q, col("tags")))
-      .select(col("series").as("key"))
-    read(spark, table).join(broadcast(keys), "key")
-  }
+  def readIndexed(spark: SparkSession, table: String, q: graft.asl.Query,
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
+    q match {
+      case graft.asl.Query.True => read(spark, table)
+      case _ => semiJoinKeys(read(spark, table), indexKeys(spark, table, q), maxBroadcastKeys)
+    }
 
   /**
    * Compact the streaming ingest sink's append log

@@ -54,6 +54,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "data_by_sum" -> 2, // normalization agg + cross-series agg
     "store_data_sum" -> 1, // bucketed scan: only the cross-series agg
     "rollup_sum" -> 1, // bucketed rollup scan: only the cross-series agg
+    // default store routing: the gated key broadcast rides the bucketed
+    // scan (selective predicate -> hinted semi-join, no key-side shuffle),
+    // so the only exchange is still the cross-series aggregate
+    "store_graph_auto" -> 1, // rollup scan + catalog semi-join + final agg
+    "store_graph_auto_raw" -> 1, // raw-store fallback, same shape
     "math_div_subset" -> 6, // two fetches (2 each) + sparse line join + output
     "rel_pct_price" -> 5, // distinct-value counts, marker join, in-bucket rank
     "dedup_minhash" -> 5, // shingle-set collapse, band bucket join, jaccard

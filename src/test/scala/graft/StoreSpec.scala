@@ -88,6 +88,67 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("index semi-join broadcast is size-gated: selective hints, non-selective does not") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Datapoints.events(spark, dir)
+    Store.writeBucketed(raw, "events_gate", buckets = 8, catalog = true)
+    try {
+      // selective predicate, default gate: matching keys fit -> broadcast
+      val sel = Store.readIndexed(spark, "events_gate", Query.Regex("name", "p.*"))
+      sel.collect()
+      assert(sel.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        sel.queryExecution.executedPlan.toString)
+
+      // non-selective predicate with the gate tripped (key count above the
+      // limit): NO broadcast may be planned — the hard-coded hint would ship
+      // the full series catalog to every executor at 10^8 series. AQE's own
+      // broadcast demotion is disabled so the asserted plan is the at-scale
+      // shape: the key side exchanges into the buckets, the store does not.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val wide = Store.readIndexed(spark, "events_gate", Query.HasKey("name"),
+          maxBroadcastKeys = 0L)
+        wide.collect()
+        val plan = wide.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"), plan)
+        // same rows either way: the gate is a plan choice, not a semantics one
+        val hinted = Store.readIndexed(spark, "events_gate", Query.HasKey("name"))
+        assert(wide.count() == hinted.count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+
+      // :true short-circuits the join entirely
+      val everything = Store.readIndexed(spark, "events_gate", Query.True)
+      assert(!everything.queryExecution.analyzed.toString.contains("Join"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS events_gate")
+      spark.sql("DROP TABLE IF EXISTS events_gate_catalog")
+    }
+  }
+
+  test("StoreBackend is the default path: rollup + catalog semi-join with no wiring") {
+    val dir = "/root/testdata/sf0.001"
+    // the exact catalog entries the driver hash-checks: only the backend is
+    // passed; routing must show up in the executed plan on its own
+    val auto = SparkEntry.queries("store_graph_auto")(spark, dir)
+    auto.collect()
+    val autoPlan = auto.queryExecution.executedPlan.toString
+    assert(autoPlan.contains("graft_rollup"), s"6h fetch not served from the 3h rollup:\n$autoPlan")
+    assert(autoPlan.contains("BroadcastHashJoin"), s"no catalog semi-join:\n$autoPlan")
+    assert("Exchange hashpartitioning\\(key".r.findFirstIn(autoPlan).isEmpty,
+      s"rollup-served fetch still shuffles rows:\n$autoPlan")
+
+    // unaligned step (1h vs 3h rollup): raw store fallback, still indexed
+    val rawFb = SparkEntry.queries("store_graph_auto_raw")(spark, dir)
+    rawFb.collect()
+    val rawPlan = rawFb.queryExecution.executedPlan.toString
+    assert(!rawPlan.contains("graft_rollup"), s"unaligned step must not read a rollup:\n$rawPlan")
+    assert(rawPlan.contains("BroadcastHashJoin"), s"no catalog semi-join:\n$rawPlan")
+  }
+
   test("single-aggregate fetch from the store needs no datapoint shuffle at all") {
     val raw = Datapoints.events(spark, "/root/testdata/sf0.001")
     Store.writeBucketed(raw, "events_bucketed2", buckets = 8)
