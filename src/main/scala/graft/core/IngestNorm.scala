@@ -29,6 +29,17 @@ object IngestNorm {
   def counterHeartbeat(step: Long): Long =
     if (step < 60000L) 120000L else 2 * step
 
+  /** ONE heartbeat rule per dstype, shared by the batch kernel
+    * (sources.Normalize.counters) and streaming ingest
+    * (StreamRunner.streamingIngestNormalize) so the two paths can never
+    * diverge on expiry for the same series: counters get
+    * [[counterHeartbeat]] (2*step, two-minute floor); client-computed
+    * rates heartbeat at exactly one step — the over-counting guard
+    * (norm/NormalizationCache.scala:57-85: updateRate normalizes with
+    * heartbeat = step). */
+  def heartbeatFor(isCounter: Boolean, step: Long): Long =
+    if (isCounter) counterHeartbeat(step) else step
+
   /** A per-series ingest normalizer: consumes raw (timestamp, value)
     * samples, returns the slots each sample finalizes as (slotEnd, value)
     * pairs. Serializable so streaming can carry it in GroupState. */

@@ -203,14 +203,16 @@ object Similarity {
     BigDecimal(x + NanMath.RoundEps).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /**
-   * Symmetric int8 quantization for embedding storage — the 100 TB lever
-   * for embedding tables: 4x smaller than float32 at ~1e-3 cosine error
-   * (OpsSpec pins a fidelity bar). Per vector: scale = maxAbs/127,
-   * q_i = floor(v_i/scale + 0.5) in [-127, 127]. The floor(+0.5) form is
-   * chosen over "round" because its half-up-toward-+inf semantics are
-   * IDENTICAL in the JVM and DuckDB (round() differs on negative halves),
-   * so the oracle reproduces every lane exactly. Output is exploded to
-   * (vec_id, idx, q, scale) rows so the driver hash-checks every value.
+   * Symmetric int8 quantization, ORACLE VIEW: per vector, scale =
+   * maxAbs/127, q_i = floor(v_i/scale + 0.5) in [-127, 127]. The
+   * floor(+0.5) form is chosen over "round" because its
+   * half-up-toward-+inf semantics are IDENTICAL in the JVM and DuckDB
+   * (round() differs on negative halves), so the oracle reproduces every
+   * lane exactly. Output is exploded to (vec_id, idx, q, scale) rows so
+   * the driver hash-checks every value — this shape exists for
+   * verification; the STORAGE path is [[quantizePacked]], which is the
+   * one that is actually ~4x smaller than float32 (per-lane doubles plus
+   * a repeated scale column here are obviously not).
    * Partition-local kernel, no shuffle.
    */
   def quantize(
@@ -245,6 +247,68 @@ object Similarity {
       .toDF("vec_id", "idx", "q", "scale")
   }
 
+  /**
+   * Symmetric int8 quantization, STORAGE PATH — the 100 TB lever for
+   * embedding tables: one row per vector, lanes packed into a `binary`
+   * column (1 byte/lane; lane values are in [-127, 127] so the signed-byte
+   * cast is lossless) plus ONE double scale — ~4x smaller than the
+   * float32 array it replaces, ~8x smaller than float64. Same codec as
+   * [[quantize]] (OpsSpec pins byte-for-byte agreement between the two
+   * shapes and the >= 0.999 cosine fidelity bar covers the codec).
+   * Partition-local kernel, no shuffle.
+   */
+  def quantizePacked(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[Vec]
+      .mapPartitions { it =>
+        it.map { r =>
+          var maxAbs = 0.0
+          var i = 0
+          while (i < r.vec.length) {
+            val a = math.abs(r.vec(i))
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          val scale = math.max(maxAbs, 1e-30) / 127.0
+          val q = new Array[Byte](r.vec.length)
+          i = 0
+          while (i < r.vec.length) {
+            q(i) = math.floor(r.vec(i) / scale + 0.5).toByte
+            i += 1
+          }
+          (r.id, scale, q)
+        }
+      }
+      .toDF("vec_id", "scale", "qvec")
+  }
+
+  /** Reconstruct float vectors from [[quantizePacked]] output (byte_i *
+    * scale), one projection, no shuffle. */
+  def dequantizePacked(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("vec_id").as("id"), col("scale"), col("qvec"))
+      .as[(Long, Double, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, scale, q) =>
+          val out = new Array[Double](q.length)
+          var i = 0
+          while (i < q.length) { out(i) = q(i) * scale; i += 1 }
+          (id, out)
+        }
+      }
+      .toDF("vec_id", "vec")
+  }
+
   /** Reconstruct float vectors from [[quantize]] output (q * scale),
     * grouped back to (vec_id, vec). */
   def dequantize(quantized: DataFrame): DataFrame =
@@ -271,12 +335,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
 
     // sizing count: metadata-only on a parquet-backed frame (the normal
-    // case). If `emb` is an expensive DERIVED frame, this re-executes its
-    // plan once — pass explicit `tables`/`planes` (or cache upstream) to
-    // skip the sizing pass.
-    val (autoT, autoP) = autoGeometry(emb.count(), threshold)
-    val nt = if (tables > 0) tables else autoT
-    val np = if (planes > 0) planes else autoP
+    // case). If `emb` is an expensive DERIVED frame, pass explicit
+    // `tables` AND `planes` (or cache upstream) — the sizing pass is only
+    // run when a dimension is actually unset.
+    val (nt, np) =
+      if (tables > 0 && planes > 0) (tables, planes)
+      else {
+        val (autoT, autoP) = autoGeometry(emb.count(), threshold)
+        (if (tables > 0) tables else autoT, if (planes > 0) planes else autoP)
+      }
 
     val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
     // gid = min id among byte-identical normalized vectors (one shuffle;

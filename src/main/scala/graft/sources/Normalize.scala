@@ -163,7 +163,9 @@ object Normalize {
   def counters(dp: DataFrame, step: Long): DataFrame = {
     val spark = dp.sparkSession
     import spark.implicits._
-    val hb = graft.core.IngestNorm.counterHeartbeat(step)
+    // non-counter (client-computed rate) heartbeat = step, the same shared
+    // rule streaming uses — the two ingest paths must agree on expiry
+    val rateHb = graft.core.IngestNorm.heartbeatFor(isCounter = false, step)
     val keyed = dp
       .select(
         Planner.seriesId(col("tags")).as("k"),
@@ -183,7 +185,7 @@ object Normalize {
             tags = tg
             algo =
               if (ctr) new graft.core.IngestNorm.OnlineCounter(step)
-              else new graft.core.IngestNorm.OnlineWeightedNorm(step, hb)
+              else new graft.core.IngestNorm.OnlineWeightedNorm(step, rateHb)
           }
           if (t != lastTs) { // duplicate timestamps: first row of the run = max
             lastTs = t

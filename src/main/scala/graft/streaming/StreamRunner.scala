@@ -247,7 +247,8 @@ object StreamRunner {
                   if (batch.head.dstype == "counter")
                     new graft.core.IngestNorm.OnlineCounter(step)
                   else
-                    new graft.core.IngestNorm.OnlineWeightedNorm(step, step)
+                    new graft.core.IngestNorm.OnlineWeightedNorm(step,
+                      graft.core.IngestNorm.heartbeatFor(isCounter = false, step))
                 }
               val out = batch.iterator
                 .flatMap(r => algo.next(r.ts, r.value))

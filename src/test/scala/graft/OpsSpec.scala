@@ -174,6 +174,38 @@ class SimilaritySpec extends SparkSpec {
     assert(range.getDouble(0) >= -127.0 && range.getDouble(1) <= 127.0)
   }
 
+  test("packed int8 storage path agrees byte-for-byte with the exploded oracle view") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // one byte per lane + one scale per vector (the actual 4x storage
+    // shape) must encode the exact same codec as the oracle-checked
+    // exploded frame: unpack every lane and compare (binary columns can't
+    // posexplode; the corpus is tiny at sf0.001 so unpack driver-side)
+    import spark.implicits._
+    val packed = Similarity.quantizePacked(emb)
+      .select(col("vec_id"), col("scale"), col("qvec"))
+      .as[(Long, Double, Array[Byte])]
+      .collect()
+      .flatMap { case (id, scale, q) =>
+        q.zipWithIndex.map { case (b, i) => (id, i.toLong) -> (b.toDouble, scale) }
+      }
+      .toMap
+    val exploded = Similarity.quantize(emb)
+      .select(col("vec_id"), col("idx"), col("q"), col("scale"))
+      .as[(Long, Long, Double, Double)]
+      .collect()
+    assert(exploded.length == packed.size, "packed/exploded lane counts differ")
+    exploded.foreach { case (id, idx, q, scale) =>
+      assert(packed((id, idx)) == ((q, scale)),
+        s"codec mismatch at ($id, $idx): packed=${packed((id, idx))} exploded=($q, $scale)")
+    }
+    // and the packed round-trip reconstructs the same vectors as dequantize
+    val viaPacked = Similarity.dequantizePacked(Similarity.quantizePacked(emb))
+    val viaExploded = Similarity.dequantize(Similarity.quantize(emb))
+    val vecDiff = viaPacked.as("a").join(viaExploded.as("b"), "vec_id")
+      .filter(col("a.vec") =!= col("b.vec")).count()
+    assert(vecDiff == 0L, s"$vecDiff packed round-trip vector mismatches")
+  }
+
   test("cosinePairs plan never collects the corpus (distributed self-join)") {
     // would OOM as a driver-side broadcast at 100 TB; here just assert the
     // plan is join-shaped: a physical plan exists and contains a join node
