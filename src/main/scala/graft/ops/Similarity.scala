@@ -123,8 +123,10 @@ object Similarity {
    * at the 0.005 the old default delivered at cos 0.9. At n = 500 / 0.9
    * this reproduces exactly the former 16x8. Bounds: planes in [8, 16]
    * (17+ bits would need > 64 tables to hold the miss target — past ~2M
-   * distinct vectors occupancy grows linearly again and the caller should
-   * raise `tables` explicitly or accept the documented recall floor),
+   * distinct vectors occupancy grows linearly again; candidateMemberPairs
+   * then splits hot buckets on fresh extension planes (the `bucketCap`
+   * overflow path) so candidate volume stays bounded, and the caller
+   * raises `tables` to buy back the per-split recall factor),
    * tables in [8, 64].
    */
   private[graft] def autoGeometry(n: Long, threshold: Double): (Int, Int) = {
@@ -172,12 +174,14 @@ object Similarity {
       tables: Int = 0,
       planes: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      bucketCap: Int = -1
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
-    val (pairs, _) = candidateMemberPairs(emb, threshold, tables, planes, idCol, vecCol)
+    val (pairs, _) =
+      candidateMemberPairs(emb, threshold, tables, planes, idCol, vecCol, bucketCap)
     // exact re-rank as a partition-local kernel: the HOF dot
     // (aggregate/zip_with) is CodegenFallback — interpreted per candidate
     // PAIR, the hottest row set of the operator — while the JVM loop runs
@@ -319,16 +323,47 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("pairs"), p => p.getField("v")).as("vec"))
 
-  /** Candidate (id_a, id_b) pairs before the exact re-rank, each emitted
-    * exactly once; exposed within graft so OpsSpec can assert the
-    * candidate-volume bar. Returns (pairs, geometry actually used). */
+  /** Occupancy cap per LSH bucket in the overflow path: past the 16-plane
+    * geometry bound (~2M distinct reps at the sized ~32 expected
+    * occupancy), hot buckets split on fresh hyperplanes until expected
+    * sub-occupancy is back under this. */
+  private[graft] val DefaultBucketCap = 64
+
+  /** Maximum split depth: extension bits available per table. */
+  private[graft] val ExtraPlanes = 16
+
+  /** Candidate (id_a, id_b) pairs before the exact re-rank; exposed within
+    * graft so OpsSpec can assert the candidate-volume bars. Returns
+    * (pairs, geometry actually used).
+    *
+    * `bucketCap`: -1 (default) = automatic — when the sizing count shows
+    * expected bucket occupancy above [[DefaultBucketCap]] (only possible
+    * past the 16-plane cap, ~2M+ distinct reps), hot buckets split
+    * adaptively; explicit-geometry calls skip the count and stay uncapped
+    * unless a cap is passed. 0 = never split (the pre-overflow plan,
+    * bit-identical to round 5). >0 = force that cap (specs use this).
+    *
+    * The split ([[ExtraPlanes]] fresh hyperplanes per table, computed in
+    * the same signature kernel): each (table, bucket) whose occupancy
+    * exceeds the cap keys its members by `ceil(log2(n/cap))` extra sign
+    * bits, so expected sub-occupancy falls back under the cap and
+    * within-bucket candidate volume stays O(cap) per row instead of
+    * O(occupancy) — the job stays output-bound at 10^9 reps. A
+    * NEAR-IDENTICAL hot cluster shares its extension bits and does not
+    * split — correctly so: its pairs are all true output, already emitted
+    * once each. The cost is recall: a theta-apart pair in a split bucket
+    * survives that table with (1 - theta/pi)^level; raise `tables` to
+    * compensate (scaladoc bound analysis in autoGeometry applies per
+    * table).
+    */
   private[graft] def candidateMemberPairs(
       emb: DataFrame,
       threshold: Double,
       tables: Int = 0,
       planes: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      bucketCap: Int = -1
   ): (DataFrame, (Int, Int)) = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -338,11 +373,21 @@ object Similarity {
     // case). If `emb` is an expensive DERIVED frame, pass explicit
     // `tables` AND `planes` (or cache upstream) — the sizing pass is only
     // run when a dimension is actually unset.
-    val (nt, np) =
-      if (tables > 0 && planes > 0) (tables, planes)
-      else {
-        val (autoT, autoP) = autoGeometry(emb.count(), threshold)
+    val sized: Option[Long] =
+      if (tables > 0 && planes > 0) None else Some(emb.count())
+    val (nt, np) = sized match {
+      case None => (tables, planes)
+      case Some(n) =>
+        val (autoT, autoP) = autoGeometry(n, threshold)
         (if (tables > 0) tables else autoT, if (planes > 0) planes else autoP)
+    }
+    val cap =
+      if (bucketCap >= 0) bucketCap
+      else sized match {
+        // auto: only engage the split machinery when expected occupancy
+        // can actually exceed the cap (past the plane-count bound)
+        case Some(n) if n > (1L << np) * DefaultBucketCap => DefaultBucketCap
+        case _ => 0
       }
 
     val v = vecs(emb, idCol, vecCol).toDF("id", "vec")
@@ -354,35 +399,76 @@ object Similarity {
     val reps = members.filter(col("id") === col("gid"))
       .select(col("gid").as("id"), col("vec")).as[Vec]
 
-    // per-rep signature ARRAY (all tables), exploded to (tbl, sig, gid,
-    // sigs) bucket rows — the array rides along so the join can test
-    // "did any EARLIER table already collide for this pair"
-    val sigs = reps.mapPartitions { it =>
-      it.map(r => (r.id, signatures(r.vec, nt, np)))
-    }.toDF("gid", "sigs")
-      .select(col("gid"), col("sigs"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val candGroups = if (cap == 0) {
+      // per-rep signature ARRAY (all tables), exploded to (tbl, sig, gid,
+      // sigs) bucket rows — the array rides along so the join can test
+      // "did any EARLIER table already collide for this pair"
+      val sigs = reps.mapPartitions { it =>
+        it.map(r => (r.id, signatures(r.vec, nt, np)))
+      }.toDF("gid", "sigs")
+        .select(col("gid"), col("sigs"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
 
-    // candidate group pairs: same (table, bucket), emitted only in the
-    // FIRST colliding table — near-identical clusters collide in ~every
-    // table, and without this each pair reaches the exchange `tables`
-    // times before a distinct() collapses it. The prefix check is a
-    // partition-local int loop (a slice/zip_with/exists HOF here would be
-    // CodegenFallback, interpreted on the join's full collision volume).
-    val candGroups = sigs.as("x").join(sigs.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
-          col("x.gid") < col("y.gid"))
-      .select(col("x.gid"), col("y.gid"), col("x.tbl"),
-        col("x.sigs"), col("y.sigs"))
-      .as[(Long, Long, Int, Array[Int], Array[Int])]
-      .mapPartitions { it =>
-        it.flatMap { case (ga, gb, tbl, sa, sb) =>
-          var t = 0
-          var earlier = false
-          while (t < tbl && !earlier) { earlier = sa(t) == sb(t); t += 1 }
-          if (earlier) None else Some((ga, gb))
+      // candidate group pairs: same (table, bucket), emitted only in the
+      // FIRST colliding table — near-identical clusters collide in ~every
+      // table, and without this each pair reaches the exchange `tables`
+      // times before a distinct() collapses it. The prefix check is a
+      // partition-local int loop (a slice/zip_with/exists HOF here would be
+      // CodegenFallback, interpreted on the join's full collision volume).
+      sigs.as("x").join(sigs.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+            col("x.gid") < col("y.gid"))
+        .select(col("x.gid"), col("y.gid"), col("x.tbl"),
+          col("x.sigs"), col("y.sigs"))
+        .as[(Long, Long, Int, Array[Int], Array[Int])]
+        .mapPartitions { it =>
+          it.flatMap { case (ga, gb, tbl, sa, sb) =>
+            var t = 0
+            var earlier = false
+            while (t < tbl && !earlier) { earlier = sa(t) == sb(t); t += 1 }
+            if (earlier) None else Some((ga, gb))
+          }
         }
-      }
-      .toDF("ga", "gb")
+        .toDF("ga", "gb")
+    } else {
+      // OVERFLOW PATH (bucket occupancy capped): base + extension sign
+      // bits in one kernel pass; the extension planes continue the same
+      // deterministic family past the base planes, so they are fresh and
+      // independent per table.
+      val sigRows = reps.mapPartitions { it =>
+        it.map { r =>
+          (r.id, signatures(r.vec, nt, np),
+            signatures(r.vec, nt, ExtraPlanes, planeBase = nt * np))
+        }
+      }.toDF("gid", "sigs", "exts")
+        .select(col("gid"), col("exts"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+        .select(col("gid"), col("tbl"), col("sig"),
+          element_at(col("exts"), col("tbl") + 1).as("ext"))
+
+      // occupancy per (tbl, sig): aggregation at BUCKET cardinality (tiny
+      // next to the pair join it protects); a bucket over the cap splits
+      // on just enough extension bits to bring expected sub-occupancy back
+      // under it
+      val hot = sigRows.groupBy(col("tbl"), col("sig"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select(col("tbl"), col("sig"),
+          least(lit(ExtraPlanes),
+            ceil(log(2.0, col("n").cast("double") / cap)).cast("int")).as("lvl"))
+
+      val bucketed = sigRows.join(hot, Seq("tbl", "sig"), "left")
+        .withColumn("lvl", coalesce(col("lvl"), lit(0)))
+        .withColumn("sub", expr(s"shiftrightunsigned(ext, $ExtraPlanes - lvl)"))
+
+      // pairs within final sub-buckets. A pair can collide in several
+      // tables; with the volume already occupancy-bounded the distinct()
+      // is proportional to candidates (<= cap x rows x tables), unlike the
+      // uncapped path where it would multiply an unbounded join output.
+      bucketed.as("x").join(bucketed.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+            col("x.sub") === col("y.sub") && col("x.gid") < col("y.gid"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+        .distinct()
+    }
 
     val ids = members.select(col("gid"), col("id"))
     // cross-group member pairs (ga < gb but member ids interleave -> reorder)
@@ -540,14 +626,21 @@ object Similarity {
 
   /** Sign-pattern signatures for a (normalized) vector: one `planes`-bit
     * bucket id per hash table, planes derived from `planeComponent`. */
-  private def signatures(v: Array[Double], tables: Int, planes: Int): Array[Int] =
+  /** Sign-pattern signatures, one `planes`-bit bucket id per table.
+    * `planeBase` offsets into the deterministic hyperplane family so a
+    * second signature set (the overflow split's extension bits) is fresh
+    * and independent of the base set. */
+  private def signatures(v: Array[Double], tables: Int, planes: Int,
+      planeBase: Int = 0): Array[Int] =
     Array.tabulate(tables) { tbl =>
       var sig = 0
       var p = 0
       while (p < planes) {
         var s = 0.0
         var d = 0
-        while (d < v.length) { s += v(d) * planeComponent(tbl * planes + p, d); d += 1 }
+        while (d < v.length) {
+          s += v(d) * planeComponent(planeBase + tbl * planes + p, d); d += 1
+        }
         if (s >= 0) sig |= 1 << p
         p += 1
       }

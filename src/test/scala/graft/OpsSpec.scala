@@ -174,6 +174,53 @@ class SimilaritySpec extends SparkSpec {
     assert(range.getDouble(0) >= -127.0 && range.getDouble(1) <= 127.0)
   }
 
+  test("overflow path caps hot-bucket candidate volume and keeps near-identical recall") {
+    import spark.implicits._
+    // a DIVERSE corpus forced into overflowing buckets: tiny geometry
+    // (2 tables x 2 planes = 4 buckets/table) over 400 spread-out vectors
+    // puts ~100 reps in every bucket — the >2M-rep density regime at
+    // signature level, no need for 2M real vectors
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 400).map(i => (i.toLong, unit()))
+    // planted near-identical neighbors (cos ~ 1 - 1e-7): must survive the
+    // split — their extension bits almost surely agree at every level
+    val planted = (0 until 10).map { i =>
+      val v = base(i * 31)._2
+      val w = v.clone(); w(i % 16) += 1e-3
+      val n = math.sqrt(w.map(x => x * x).sum)
+      ((1000 + i).toLong, w.map(_ / n))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+
+    val (uncapped, _) = Similarity.candidateMemberPairs(
+      emb, 0.99, tables = 2, planes = 2, bucketCap = 0)
+    val (capped, _) = Similarity.candidateMemberPairs(
+      emb, 0.99, tables = 2, planes = 2, bucketCap = 8)
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    info(s"candidates: uncapped $nUncapped, capped $nCapped")
+    // volume: bounded by rows x cap x tables, and far below the
+    // quadratic-in-occupancy uncapped volume
+    assert(nCapped <= 410L * 8 * 2, s"capped volume $nCapped above the occupancy bound")
+    assert(nCapped * 3 < nUncapped,
+      s"splitting did not reduce candidate volume: $nCapped vs $nUncapped")
+
+    // recall: every planted pair survives the split (deterministic planes,
+    // deterministic corpus; per-pair miss probability ~1e-5)
+    val found = Similarity.cosinePairs(emb, 0.99, tables = 2, planes = 2, bucketCap = 8)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { i =>
+      val pair = ((i * 31).toLong, (1000 + i).toLong)
+      assert(found.contains(pair), s"planted near-identical pair $pair lost by the split")
+    }
+  }
+
   test("packed int8 storage path agrees byte-for-byte with the exploded oracle view") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // one byte per lane + one scale per vector (the actual 4x storage
