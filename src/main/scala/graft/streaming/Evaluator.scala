@@ -64,17 +64,34 @@ object Evaluator {
     parsed
   }
 
+  /** Process-wide count of (subscription, interval-group) evaluations
+    * dropped by the datapoint budget — the droppedCounter analog of the
+    * reference's AggregatorSettings (eval/model/AggrDatapoint.scala:
+    * 105-130). Per-drop detail goes to the sink as a diagnostic row. */
+  val droppedDatapointsLimitExceeded = new java.util.concurrent.atomic.AtomicLong
+
   /**
    * Attach a FIXED set of subscriptions to a datapoint stream. The shared
    * normalize pass is scoped to the OR of their data queries. `sink`
    * receives, per micro-batch with finalized slots, a DataFrame of
    * (subscription: string, json: string) TimeSeriesMessage rows.
+   *
+   * `maxDatapointsPerExpr` is the per-expression cardinality guardrail
+   * (reference AggrDatapoint.AggregatorSettings.maxIntermediateDatapoints,
+   * eval/model/AggrDatapoint.scala:105-130): the most normalized (series,
+   * slot) rows any single subscription may consume in one interval. One
+   * pathological subscription (`:all` on a huge match) on a shared
+   * evaluator otherwise saturates every other subscriber's stream. On
+   * breach, THAT subscription's interval group is dropped with a counted
+   * diagnostic row (`{"type":"error",...}`, the LWC DiagnosticMessage
+   * shape) while the others evaluate exactly. Unlimited by default.
    */
   def attach(
       datapoints: DataFrame,
       subs: Seq[Subscription],
       step: Long,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      maxDatapointsPerExpr: Long = Long.MaxValue
   )(sink: DataFrame => Unit): StreamingQuery = {
     require(subs.nonEmpty, "no subscriptions")
     val parsed = parseAndCheck(subs)
@@ -82,7 +99,7 @@ object Evaluator {
     val combined = queries
       .reduceOption((a, b) => Query.Or(a, b): Query)
       .getOrElse(Query.True: Query)
-    attachImpl(datapoints, combined, () => parsed, step, watermark)(sink)
+    attachImpl(datapoints, combined, () => parsed, step, watermark, maxDatapointsPerExpr)(sink)
   }
 
   /**
@@ -99,16 +116,19 @@ object Evaluator {
       scope: Query,
       current: () => Seq[Subscription],
       step: Long,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      maxDatapointsPerExpr: Long = Long.MaxValue
   )(sink: DataFrame => Unit): StreamingQuery =
-    attachImpl(datapoints, scope, () => parseAndCheck(current()), step, watermark)(sink)
+    attachImpl(datapoints, scope, () => parseAndCheck(current()), step, watermark,
+      maxDatapointsPerExpr)(sink)
 
   private def attachImpl(
       datapoints: DataFrame,
       scope: Query,
       parsed: () => Seq[(String, List[StyleExpr])],
       step: Long,
-      watermark: String
+      watermark: String,
+      maxDatapointsPerExpr: Long
   )(sink: DataFrame => Unit): StreamingQuery = {
     val norm = StreamRunner.normalize(datapoints, scope, step, watermark)
     norm.writeStream
@@ -120,8 +140,42 @@ object Evaluator {
         if (!range.isNullAt(0) && subs.nonEmpty) {
           // the interval group of this batch: every window in it is complete
           val ctx = EvalContext(range.getLong(0), range.getLong(1) + step, step)
+          // Per-expression budget check: ONE conditional-count pass over
+          // the batch measures, per subscription, the most (series, slot)
+          // rows its data queries admit in any single interval — the
+          // quantity the reference's aggregators bound per step.
+          val overLimit: Set[String] =
+            if (maxDatapointsPerExpr == Long.MaxValue) Set.empty
+            else {
+              val preds = subs.map { case (_, styled) =>
+                styled.flatMap(se => dataExprs(se.expr)).map(_.query).distinct
+                  .reduceOption((a, b) => Query.Or(a, b): Query)
+                  .getOrElse(Query.True: Query)
+              }
+              val perSlot = preds.zipWithIndex.map { case (q, i) =>
+                sum(when(graft.planner.QueryCompiler.compile(q, col("tags")), 1L)
+                  .otherwise(0L)).as(s"_n$i")
+              }
+              val peak = slots.groupBy(col("ts")).agg(perSlot.head, perSlot.tail: _*)
+                .agg(
+                  max(col("_n0")).as("_n0"),
+                  preds.indices.tail.map(i => max(col(s"_n$i")).as(s"_n$i")): _*)
+                .collect()(0)
+              subs.indices.collect {
+                case i if !peak.isNullAt(i) && peak.getLong(i) > maxDatapointsPerExpr =>
+                  subs(i)._1
+              }.toSet
+            }
           val out = subs.map { case (id, styled) =>
-            styled.map { se =>
+            if (overLimit(id)) {
+              // drop THIS subscription's interval group, keep the others
+              // exact; counted + surfaced as an LWC DiagnosticMessage row
+              droppedDatapointsLimitExceeded.incrementAndGet()
+              val msg = "{\"type\":\"error\",\"message\":\"datapoints limit exceeded: " +
+                s"more than $maxDatapointsPerExpr datapoints in an interval" + "\"}"
+              slots.sparkSession.range(1)
+                .select(lit(id).as("subscription"), lit(msg).as("json"))
+            } else styled.map { se =>
               val expr: TimeSeriesExpr = if (se.settings.isEmpty) se.expr else se
               val frame = Planner.eval(expr, slots, ctx)
               graft.api.Api.message(frame, se.expr, ctx, se.settings)

@@ -482,6 +482,49 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("evaluator drops an over-budget subscription with a counter, others stay exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{Evaluator, Subscription}
+
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    // "small" touches 2 series per interval; "huge" fans a 12-node :by —
+    // over the 8-datapoint budget, the pathological-:all shape
+    val subs = Seq(
+      Subscription("small", "name,a,:eq,:sum"),
+      Subscription("huge", "name,b,:eq,:sum,(,node,),:by"))
+    val wide = (0 until 12).map { n =>
+      (Map("name" -> "b", "node" -> n.toString), slot(1) + 1000L, 1.0)
+    }
+    val received = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val dropsBefore = Evaluator.droppedDatapointsLimitExceeded.get()
+    val query = Evaluator.attach(
+      input.toDF.toDF("tags", "ts", "value"), subs, ctx.step, "1 minute",
+      maxDatapointsPerExpr = 8L) { out =>
+      received ++= out.collect().map(r =>
+        (r.getAs[String]("subscription"), r.getAs[String]("json")))
+    }
+    try {
+      input.addData((points ++ wide).sortBy(_._2))
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+      input.addData(Seq((Map("name" -> "a"), slot(1001), 0.0)))
+      query.processAllAvailable()
+
+      val (hugeRows, smallRows) = received.partition(_._1 == "huge")
+      // the over-limit subscription degraded to counted diagnostic drops
+      assert(hugeRows.nonEmpty)
+      assert(hugeRows.forall(_._2.contains("\"type\":\"error\"")),
+        s"expected only diagnostic rows for the over-budget subscription: $hugeRows")
+      assert(Evaluator.droppedDatapointsLimitExceeded.get() > dropsBefore)
+      // the small subscription still evaluated: real timeseries output
+      assert(smallRows.exists(_._2.contains("\"type\":\"timeseries\"")),
+        s"in-budget subscription lost its output: $smallRows")
+      assert(smallRows.forall(!_._2.contains("\"type\":\"error\"")))
+    } finally query.stop()
+  }
+
   test("evaluator rejects stateful words") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
