@@ -13,8 +13,32 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /**
+   * Deterministic single-thread spin calibration — the contention
+   * sentinel: the SAME fixed dependent-ALU workload is timed at run start
+   * and end and both numbers land in the JSON artifact. The workload is
+   * invariant to the plans under test, so a bench artifact whose query
+   * times inflated while its sentinels match other runs' sentinels shows a
+   * real plan regression — and one whose sentinels inflated too was taken
+   * on a contended machine and is not comparable (the shape of the
+   * round-4/5 driver artifacts, which read 60-150% high while quiet
+   * re-runs matched).
+   */
+  private[graft] def sentinel(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    if (x == 42L) System.err.println(x) // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sentinelStart = sentinel()
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-bench")
@@ -76,9 +100,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    val line =
-      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sf":"$sfDir"}"""
     spark.stop()
+    val sentinelEnd = sentinel()
+    System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f")
+    val line =
+      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sf":"$sfDir"}"""
     println(line)
   }
 }
