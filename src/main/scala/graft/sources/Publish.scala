@@ -53,4 +53,26 @@ object Publish {
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .filter(Validation.validTags(col("tags")))
   }
+
+  /**
+   * Decode a Smile (binary JSON) payload column to canonical datapoints —
+   * the second wire format the reference's publish endpoint accepts
+   * (PublishApi handles both `application/json` and
+   * `application/x-jackson-smile` bodies). Payload bytes transcode to JSON
+   * text in a partition-local kernel ([[Smile.decode]], clean-room decoder
+   * of the public format spec) and then flow through the EXACT same
+   * [[parse]] pipeline — schema coercion, batch/metric tag merge,
+   * validation — so the two formats can never drift. Undecodable payloads
+   * are dropped like malformed JSON.
+   */
+  def parseSmile(payloads: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val json = payloads
+      .select(col(payloadCol).cast("binary").as("b"))
+      .as[Array[Byte]]
+      .mapPartitions(it => it.flatMap(b => Smile.decode(b).map(Smile.toJson)))
+      .toDF("payload")
+    parse(json, "payload")
+  }
 }

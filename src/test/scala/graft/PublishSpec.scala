@@ -37,6 +37,91 @@ class PublishSpec extends SparkSpec {
       Map("name" -> "latency", "app" -> "www", "nf.cluster" -> "www-main"))
   }
 
+  test("smile publish payloads decode identically to the JSON path") {
+    import spark.implicits._
+    import scala.collection.mutable.ArrayBuffer
+
+    // Wire helpers derived from the public Smile spec (v1.0): zigzag VInt
+    // (7-bit groups big-endian, LAST byte carries 6 bits + 0x80 marker)
+    // and 7-bit-packed big-endian float64 (10 bytes, right-aligned).
+    def vlong(v: Long): Seq[Byte] = {
+      val z = (v << 1) ^ (v >> 63)
+      val out = ArrayBuffer(((z & 0x3F) | 0x80L).toByte)
+      var r = z >>> 6
+      while (r != 0) { out.prepend((r & 0x7F).toByte); r >>>= 7 }
+      out.toSeq
+    }
+    def packedDouble(d: Double): Seq[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 10).map(i => ((bits >>> (7 * (9 - i))) & 0x7F).toByte)
+    }
+
+    // the fixture is hand-assembled token by token from the spec — not
+    // produced by the decoder's own encoder — covering short ASCII names,
+    // shared-name back-references, tiny strings, small ints, VInt longs
+    // and packed doubles
+    val b = ArrayBuffer[Byte]()
+    def raw(xs: Int*): Unit = xs.foreach(x => b += x.toByte)
+    def ascii(s: String): Unit = b ++= s.getBytes("UTF-8")
+    raw(0x3A, 0x29, 0x0A, 0x01) //            header, shared names enabled
+    raw(0xFA) //                              { -- start object
+    raw(0x83); ascii("tags") //                 name len4 -> shared #0
+    raw(0xFA) //                                {
+    raw(0x82); ascii("app") //                    name len3 -> #1
+    raw(0x42); ascii("www") //                    tiny ASCII value len3
+    raw(0x83); ascii("node") //                   name -> #2
+    raw(0x42); ascii("i-1")
+    raw(0xFB) //                                }
+    raw(0x86); ascii("metrics") //              name len7 -> #3
+    raw(0xF8) //                                [ -- start array
+    raw(0xFA) //                                  {
+    raw(0x40) //                                    shared name ref #0 "tags"
+    raw(0xFA)
+    raw(0x83); ascii("name") //                       name -> #4
+    raw(0x42); ascii("cpu")
+    raw(0xFB)
+    raw(0x88); ascii("timestamp") //                name len9 -> #5
+    raw(0x25); b ++= vlong(1704067200000L) //       64-bit VInt
+    raw(0x84); ascii("value") //                    name len5 -> #6
+    raw(0x29); b ++= packedDouble(42.5) //          7-bit float64
+    raw(0xFB) //                                  }
+    raw(0xFA) //                                  {
+    raw(0x40) //                                    ref "tags"
+    raw(0xFA)
+    raw(0x44) //                                      ref #4 "name"
+    raw(0x42); ascii("gpu")
+    raw(0x42) //                                      ref #2 "node"
+    raw(0x42); ascii("i-2")
+    raw(0xFB)
+    raw(0x45) //                                    ref #5 "timestamp"
+    raw(0x25); b ++= vlong(1704067260000L)
+    raw(0x46) //                                    ref #6 "value"
+    raw(0xC5) //                                    small int -3 (zigzag 5)
+    raw(0xFB) //                                  }
+    raw(0xF9) //                                ]
+    raw(0xFB) //                              }
+    val fixture = b.toArray
+
+    val jsonTwin =
+      """{"tags":{"app":"www","node":"i-1"},"metrics":[
+        |{"tags":{"name":"cpu"},"timestamp":1704067200000,"value":42.5},
+        |{"tags":{"name":"gpu","node":"i-2"},"timestamp":1704067260000,"value":-3}]}""".stripMargin
+
+    val truncated = fixture.take(20)
+    val unsupported = Array[Byte](0x3A, 0x29, 0x0A, 0x00, 0x26) // BigInteger token
+    val smileRows = Publish
+      .parseSmile(Seq(fixture, truncated, unsupported).toDF("payload"))
+      .collect()
+    val jsonRows = Publish.parse(Seq(jsonTwin).toDF("payload")).collect()
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Map[String, String]]("tags"),
+        r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSet
+    assert(smileRows.length == 2) // truncated + unsupported payloads dropped
+    assert(canon(smileRows) == canon(jsonRows),
+      s"smile/json divergence: ${canon(smileRows)} vs ${canon(jsonRows)}")
+  }
+
   test("publish parse works unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
