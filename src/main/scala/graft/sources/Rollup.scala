@@ -95,6 +95,40 @@ object Rollup {
     queryStep >= rollupStep && queryStep % rollupStep == 0
 
   /**
+   * Compact the streaming rollup append log (StreamRunner.ingest's rollup
+   * sink: append-only fragments, several per coarse slot across
+   * micro-batches, unbounded small files over a long stream) into the
+   * series-bucketed rollup table — [[Store.compact]]'s analog for rollups,
+   * the periodic maintenance job that keeps long-horizon reads on the
+   * zero-shuffle bucketed path. Fragments covering the same (series, slot)
+   * merge EXACTLY because every rollup statistic composes with itself
+   * (sum of sums, min of mins, count as summed counts).
+   */
+  def compactFragments(spark: SparkSession, rollupPath: String, table: String,
+      buckets: Int = 64): Unit = {
+    Store.dropStale(spark, table)
+    val frags = spark.read.parquet(rollupPath)
+    val merged = frags
+      .groupBy(col("key"), col("ts"))
+      .agg(
+        sum(col("v_sum")).as("v_sum"),
+        sum(col("v_count")).as("v_count"),
+        min(col("v_min")).as("v_min"),
+        max(col("v_max")).as("v_max"))
+    val tagsOf = frags.select(col("key"), col("tags")).dropDuplicates("key")
+    merged
+      .join(tagsOf, "key")
+      .select(col("key"), col("tags"), col("ts"),
+        col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "key")
+      .sortBy("key", "ts")
+      .saveAsTable(table)
+  }
+
+  /**
    * Automatic source selection (the reference picks the block read mode
    * per request in MemoryDatabase.blockAggr): serve the fetch from the
    * COARSEST aligned rollup, falling back to the raw store when no rollup

@@ -149,6 +149,56 @@ class StoreSpec extends SparkSpec {
     assert(rawPlan.contains("BroadcastHashJoin"), s"no catalog semi-join:\n$rawPlan")
   }
 
+  test("store-backed graphRequest: the request step drives rollup selection") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Datapoints.events(spark, dir)
+    graft.sources.Store.writeBucketed(raw, "gr_store", buckets = 8, catalog = true)
+    graft.sources.Rollup.materialize(raw, "gr_rollup", 10800000L, buckets = 8)
+    try {
+      val backend = graft.sources.StoreBackend(
+        spark, "gr_store", Map("gr_rollup" -> 10800000L))
+      val now = () => 1706659200000L // the testdata window end
+      // a step=6h dashboard request: the 3h rollup serves it — chosen by
+      // the REQUEST step, with nothing wired by the caller
+      val viaStore = graft.api.Api.graphRequest(
+        "name,p.*,:re,:sum", backend, "e-30d", "now", 21600000L, 0, now, "UTC", Nil)
+      val got = viaStore.collect().map(_.getString(0)).sorted.toSeq
+      val plan = viaStore.queryExecution.executedPlan.toString
+      assert(plan.contains("gr_rollup"), s"6h request not served from the 3h rollup:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"no catalog semi-join:\n$plan")
+
+      // same messages as the raw-frame evaluation of the same request;
+      // values compared numerically — parallel sum order differs between
+      // the rollup composition and the raw scan in the last ulp
+      val viaRaw = graft.api.Api.graphRequest(
+        "name,p.*,:re,:sum", raw, "e-30d", "now", 21600000L, 0, now)
+        .collect().map(_.getString(0)).sorted.toSeq
+      def vals(json: String): Seq[Double] = {
+        import spark.implicits._
+        val schema = "data STRUCT<`values`: ARRAY<STRING>>"
+        Seq(json).toDF("json")
+          .select(from_json(col("json"),
+            org.apache.spark.sql.types.StructType.fromDDL(schema)).as("m"))
+          .select(col("m.data.values")).collect()(0).getSeq[String](0).map(_.toDouble)
+      }
+      assert(got.size == viaRaw.size)
+      got.zip(viaRaw).foreach { case (a, b) =>
+        assert(a.replaceAll("\"values\":\\[[^\\]]*\\]", "") ==
+          b.replaceAll("\"values\":\\[[^\\]]*\\]", ""), "message envelopes differ")
+        val (va, vb) = (vals(a), vals(b))
+        assert(va.size == vb.size)
+        va.zip(vb).foreach { case (x, y) =>
+          assert((x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+            s"value divergence: $x vs $y")
+        }
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gr_store")
+      spark.sql("DROP TABLE IF EXISTS gr_store_catalog")
+      spark.sql("DROP TABLE IF EXISTS gr_rollup")
+    }
+  }
+
   test("single-aggregate fetch from the store needs no datapoint shuffle at all") {
     val raw = Datapoints.events(spark, "/root/testdata/sf0.001")
     Store.writeBucketed(raw, "events_bucketed2", buckets = 8)

@@ -295,6 +295,25 @@ class StreamSpec extends SparkSpec {
         .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
       assert(gotRollup == batchCoarse)
 
+      // rollup fragment compaction: the append-only fragment log (several
+      // fragments per coarse slot, unbounded small files over a long
+      // stream) rewrites into the series-bucketed rollup table, merging
+      // same-slot fragments exactly; the same coarse query answers
+      // identically and no longer shuffles rollup rows
+      graft.sources.Rollup.compactFragments(
+        spark, s"$dir/rollup", "stream_rollup_compacted", buckets = 4)
+      try {
+        val rframe = Planner.eval(DataExpr.Sum(Query.Equal("name", "a")),
+          spark.table("stream_rollup_compacted"), ctx2)
+        rframe.df.collect()
+        val rplan = rframe.df.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning\\(key".r.findFirstIn(rplan).isEmpty,
+          s"compacted rollup fetch still shuffles rows:\n$rplan")
+        val gotCompacted = Planner.output(rframe, Nil, 6)
+          .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("value")).toMap
+        assert(gotCompacted == batchCoarse)
+      } finally spark.sql("DROP TABLE IF EXISTS stream_rollup_compacted")
+
       // compaction closes the loop: the streaming append log rewrites into
       // the series-bucketed read-optimized table, the same query answers
       // identically, and the fetch no longer shuffles datapoints
