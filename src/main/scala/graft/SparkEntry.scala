@@ -525,6 +525,8 @@ object SparkEntry {
       "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
       "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+      "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
+      "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_decontaminate" -> ((s, d) => {
         val dd = docs(s, d)
         TextOps.decontaminate(
@@ -543,6 +545,10 @@ object SparkEntry {
         Curate.stratifiedSample(dd, TextOps.langPredCol(col("text")), Map("en" -> 0.3))
           .select(col("doc_id"), TextOps.langPredCol(col("text")).as("stratum"))
       }),
+      "pipeline_mix" -> ((s, d) =>
+        Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
+          .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
+      "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
       // -- multimodal plumbing --
       "mm_features" -> ((s, d) =>
         Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
@@ -718,6 +724,47 @@ object SparkEntry {
            |JOIN lp ON k.doc_id = lp.doc_id
            |JOIN q ON k.doc_id = q.doc_id
            |WHERE lp.lang_pred = 'en' AND q.n_tokens >= 20 AND q.ttr >= 0.3 AND q.stop_ratio >= 0.02""".stripMargin,
+      "text_gopher" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(w) AS DOUBLE) AS n_words,
+          |    round(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
+          |    CAST(list_max(list_transform(w, x -> length(x))) AS DOUBLE) AS max_word_len,
+          |    round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) / CAST(len(w) AS DOUBLE), 4) AS top_word_frac
+          |  FROM toks)
+          |SELECT doc_id, n_words, mean_word_len, max_word_len, top_word_frac,
+          |  CASE WHEN n_words >= 20 AND n_words <= 1000
+          |        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+          |        AND top_word_frac <= 0.2 THEN 1.0 ELSE 0.0 END AS keep
+          |FROM m""".stripMargin,
+      "text_top_ngrams" ->
+        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          |dg AS (SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))) AS g
+          |  FROM toks WHERE len(w) >= 2))
+          |SELECT g AS ngram, CAST(count(*) AS DOUBLE) AS df
+          |FROM dg GROUP BY 1 ORDER BY df DESC, ngram ASC LIMIT 50""".stripMargin,
+      "pipeline_mix" ->
+        """WITH w AS (
+          |  SELECT doc_id, source,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b,
+          |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+          |  FROM documents),
+          |c AS (SELECT doc_id, source,
+          |    CAST(floor(wt) AS BIGINT) + CASE WHEN b < (wt - floor(wt)) * 10000 THEN 1 ELSE 0 END AS n
+          |  FROM w)
+          |SELECT doc_id, source, CAST(u.i AS DOUBLE) AS copy_idx
+          |FROM c, unnest(range(0, n)) AS u(i)""".stripMargin,
+      "pipeline_pack" ->
+        """WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |c AS (SELECT doc_id, source, n,
+          |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS st FROM t)
+          |SELECT doc_id, source, CAST(n AS DOUBLE) AS n_tokens,
+          |  CAST(st // 512 AS DOUBLE) AS seq_id,
+          |  CAST(st % 512 AS DOUBLE) AS seq_offset,
+          |  CASE WHEN st % 512 + n > 512 THEN 1.0 ELSE 0.0 END AS spans_boundary
+          |FROM c""".stripMargin,
       "pipeline_sample" ->
         s"""WITH lp AS ($langSql)
            |SELECT d.doc_id, lp.lang_pred AS stratum

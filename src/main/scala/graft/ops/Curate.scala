@@ -80,4 +80,85 @@ object Curate {
     }
     docs.filter(bucket < rate * 10000)
   }
+
+  /**
+   * Deterministic mixture weighting: realize per-domain sampling weights as
+   * concrete document copies, the way a training-data pipeline materializes
+   * a data mixture ("2.5 epochs of wiki, 0.5 of web"). A weight w produces
+   * floor(w) copies of every document plus one more for the hash fraction
+   * of documents selected by the same 60-bit md5 threshold
+   * [[stratifiedSample]] uses — so the realized rate is exact in
+   * expectation, reproducible across engines/runs, and documents gain or
+   * lose membership monotonically as weights move (no reshuffling of which
+   * docs survive when a weight is tuned).
+   *
+   * Scale shape: a pure projection + row generator over the scan — the
+   * weight lookup is a literal CASE chain (domains are few), the copy fan-
+   * out is `explode(sequence(...))`, and nothing shuffles. Output carries a
+   * `copy` index (0-based) so downstream shard/pack stages can spread
+   * repeats rather than colocate them.
+   */
+  def mixtureSample(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0), "weights must be >= 0")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10000
+    val wt = weights.foldLeft(lit(defaultWeight): Column) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+    }
+    val copies = (floor(wt) + when(bucket < (wt - floor(wt)) * 10000, 1).otherwise(0))
+      .cast("long")
+    docs.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
+  /**
+   * Sequence packing (concat-then-chunk): lay the corpus out as fixed-
+   * length training sequences by assigning every document a position in a
+   * running token stream — `seq_id` is the sequence its first token lands
+   * in, `seq_offset` the position within it, `spans_boundary` whether the
+   * document crosses into the next sequence (the tokens a packed loader
+   * would split across examples). Deterministic: documents pack in id
+   * order within each shard.
+   *
+   * Scale shape: the running token count is a window sum PARTITIONED BY
+   * the shard column — each shard sorts and packs independently (one
+   * exchange on the shard key, parallel across shards), which is how a
+   * sharded loader consumes the corpus anyway. A single global stream
+   * would instead need only the per-shard token totals (a tiny frame) as
+   * prefix offsets; keeping shard-local ids avoids that driver round-trip
+   * and the one-partition global sort.
+   */
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Long = 512L,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    val n = size(split(col(textCol), " ")).cast("long")
+    val start = (sum(n).over(w) - n).as("start_tok")
+    docs
+      .select(col(idCol), col(shardCol), n.as("n_tok"), start)
+      .select(
+        col(idCol),
+        col(shardCol),
+        col("n_tok").cast("double").as("n_tokens"),
+        // integer `div`, not `/`: Column./ is double division, which loses
+        // exactness once the running token offset passes 2^53
+        expr(s"start_tok div $seqLen").cast("double").as("seq_id"),
+        (col("start_tok") % seqLen).cast("double").as("seq_offset"),
+        when(col("start_tok") % seqLen + col("n_tok") > seqLen, 1.0)
+          .otherwise(0.0).as("spans_boundary"))
+  }
 }

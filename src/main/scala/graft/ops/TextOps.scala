@@ -455,4 +455,89 @@ object TextOps {
           round(coalesce(col("n_hits"), lit(0L)) / col("n_grams") + NanMath.RoundEps, 4))
           .otherwise(0.0).as("frac"))
   }
+
+  /**
+   * Gopher-style document quality rules (Rae et al. 2021, appendix A,
+   * "quality filtering"): word-count bounds, mean/max word length, and
+   * single-word dominance — the fraction of tokens that are the single
+   * most frequent token, which spikes on boilerplate and keyword-stuffed
+   * pages. Emits the per-document metrics PLUS the keep decision, so the
+   * gate is auditable rather than a silent filter.
+   *
+   * The keep rule compares the ROUNDED metrics (same 4-decimal values the
+   * frame exposes), so an external system replaying the emitted metrics
+   * reproduces the decision bit-for-bit.
+   *
+   * Scale shape: one partition-local token pass per document (a hash-map
+   * occurrence count — the column formulation would need a per-doc
+   * explode + groupBy shuffle); pure scan, no exchange. OpsSpec pins the
+   * kernel to a hand-computed fixture.
+   */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Double = 20.0,
+      maxWords: Double = 1000.0,
+      minMeanLen: Double = 2.0,
+      maxMeanLen: Double = 10.0,
+      maxTopFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = toks.length.toDouble
+          var chars = 0L
+          var maxLen = 0
+          val counts = new java.util.HashMap[String, Int]()
+          var top = 0
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            chars += t.length
+            if (t.length > maxLen) maxLen = t.length
+            val c = counts.merge(t, 1, Integer.sum)
+            if (c > top) top = c
+            i += 1
+          }
+          val meanLen = rnd4(chars / n)
+          val topFrac = rnd4(top / n)
+          val keep =
+            n >= minWords && n <= maxWords &&
+              meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+              topFrac <= maxTopFrac
+          (id, n, meanLen, maxLen.toDouble, topFrac, if (keep) 1.0 else 0.0)
+        }
+      }
+      .toDF(idCol, "n_words", "mean_word_len", "max_word_len", "top_word_frac", "keep")
+  }
+
+  /**
+   * Corpus-level top-k n-grams by document frequency — the vocabulary
+   * inspection pass a curation pipeline runs to spot boilerplate shared
+   * across documents (an n-gram with df near the corpus size is a
+   * template, not content). Deterministic output: ties at the cut rank
+   * break on the n-gram string.
+   *
+   * Scale shape: the distinct-per-doc gram rows fold map-side into the
+   * document-frequency aggregate (partial aggregation — the full gram
+   * stream never crosses the wire, only per-partition (gram, count)
+   * partials), and `orderBy(...).limit(k)` plans as TakeOrdered: each
+   * partition keeps a k-heap and the driver merges k-per-partition rows —
+   * no global sort of the gram vocabulary.
+   */
+  def topNgrams(
+      docs: DataFrame,
+      n: Int = 2,
+      k: Int = 50,
+      textCol: String = "text"
+  ): DataFrame =
+    ngramRows(docs, n, textCol)
+      .groupBy(col("gram").as("ngram"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(k)
 }

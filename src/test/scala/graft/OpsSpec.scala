@@ -407,6 +407,36 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_token_len") == math.round(17.0 / 6.0 * 10000) / 10000.0)
   }
 
+  test("gopher rules: hand-computed metrics and keep decision") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, Seq.fill(25)("word").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, minWords = 4.0, maxTopFrac = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val a = r(1L)
+    assert(a.getAs[Double]("n_words") == 4.0)
+    assert(a.getAs[Double]("mean_word_len") == 2.0)
+    assert(a.getAs[Double]("max_word_len") == 2.0)
+    assert(a.getAs[Double]("top_word_frac") == 0.5)
+    assert(a.getAs[Double]("keep") == 1.0)
+    val b = r(2L)
+    assert(b.getAs[Double]("n_words") == 25.0)
+    assert(b.getAs[Double]("top_word_frac") == 1.0) // single-word dominance
+    assert(b.getAs[Double]("keep") == 0.0)
+  }
+
+  test("top n-grams rank by document frequency with deterministic ties") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val r = TextOps.topNgrams(docs, n = 2, k = 2)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(r == Seq(("a b", 3.0), ("b c", 2.0)))
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
@@ -552,6 +582,44 @@ class CurateSpec extends SparkSpec {
     // deterministic: same rows on re-run
     val again = Curate.stratifiedSample(many, col("s"), Map("a" -> 0.25), defaultRate = 1.0)
     assert(kept.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixtureSample realizes integer weights exactly and fractions deterministically") {
+    val mixDocs = (0L until 40L)
+      .map(i => (i, if (i < 20) "w2" else "whalf")).toDF("doc_id", "source")
+    val out = Curate.mixtureSample(mixDocs, Map("w2" -> 2.0, "whalf" -> 0.5))
+    val byDoc = out.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach(i => assert(byDoc(i) == 2L)) // weight 2.0: exactly two copies
+    (20L until 40L).foreach(i => assert(byDoc.getOrElse(i, 0L) <= 1L))
+    assert((20L until 40L).count(i => byDoc.contains(i)) > 0) // fraction keeps some
+    // copy indices enumerate 0..n-1
+    assert(out.filter(col("source") === "w2").groupBy("copy").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 20L, 1L -> 20L))
+    // deterministic across runs; zero weight drops the domain entirely
+    val again = Curate.mixtureSample(mixDocs, Map("w2" -> 2.0, "whalf" -> 0.5))
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    assert(Curate.mixtureSample(mixDocs, Map("w2" -> 0.0))
+      .filter(col("source") === "w2").count() == 0)
+  }
+
+  test("packSequences: offsets, sequence ids and boundary spans are exact") {
+    val packDocs = Seq(
+      (1L, "s", "a a a"),
+      (2L, "s", "b b b b"),
+      (3L, "s", "c c"),
+      (4L, "t", "d d d d d d")
+    ).toDF("doc_id", "source", "text")
+    val r = Curate.packSequences(packDocs, seqLen = 5L)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def row(id: Long) = {
+      val x = r(id)
+      (x.getAs[Double]("seq_id"), x.getAs[Double]("seq_offset"), x.getAs[Double]("spans_boundary"))
+    }
+    assert(row(1L) == (0.0, 0.0, 0.0))
+    assert(row(2L) == (0.0, 3.0, 1.0)) // 3 + 4 > 5: crosses into sequence 1
+    assert(row(3L) == (1.0, 2.0, 0.0)) // starts at token 7 of shard s
+    assert(row(4L) == (0.0, 0.0, 1.0)) // other shard packs independently
   }
 }
 
