@@ -549,6 +549,17 @@ object SparkEntry {
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
+      // threshold 0.9: the near-duplicate regime where the LSH candidate
+      // path has ~1.0 recall (SemDeDup prunes at high similarity). At low
+      // thresholds an exact oracle is unreachable by design — LSH recall
+      // for an isolated pair AT the threshold decays with the bucket
+      // geometry (documented on cosinePairs); the planted-cluster OpsSpec
+      // test carries the semantics.
+      "pipeline_semdedup" -> ((s, d) =>
+        Curate.semanticDedupKeep(emb(s, d), 0.9).select(col("vec_id"))),
+      "text_pii_redact" -> ((s, d) => TextOps.piiRedact(
+        EventOps.events(s, d).select(col("event_id"), col("props")),
+        minDigits = 2, idCol = "event_id", textCol = "props")),
       // -- multimodal plumbing --
       "mm_features" -> ((s, d) =>
         Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
@@ -765,6 +776,37 @@ object SparkEntry {
           |  CAST(st % 512 AS DOUBLE) AS seq_offset,
           |  CASE WHEN st % 512 + n > 512 THEN 1.0 ELSE 0.0 END AS spans_boundary
           |FROM c""".stripMargin,
+      "pipeline_semdedup" ->
+        s"""WITH RECURSIVE
+           |pairs AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  WHERE round($cosSql, 4) >= 0.9),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |walk(node, r) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u),
+           |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
+           |SELECT e2.vec_id FROM embeddings e2 LEFT JOIN labels l ON e2.vec_id = l.node
+           |WHERE l.cluster_id IS NULL OR l.cluster_id = e2.vec_id""".stripMargin,
+      "text_pii_redact" -> {
+        val eP = graft.ops.TextOps.EmailPattern
+        val iP = graft.ops.TextOps.Ipv4Pattern
+        val nP = graft.ops.TextOps.digitRunPattern(2)
+        s"""WITH a AS (SELECT event_id, props AS t FROM events),
+           |e AS (SELECT event_id,
+           |        CAST(len(regexp_extract_all(t, '$eP')) AS DOUBLE) AS n_emails,
+           |        regexp_replace(t, '$eP', '<EMAIL>', 'g') AS t FROM a),
+           |i AS (SELECT event_id, n_emails,
+           |        CAST(len(regexp_extract_all(t, '$iP')) AS DOUBLE) AS n_ips,
+           |        regexp_replace(t, '$iP', '<IP>', 'g') AS t FROM e),
+           |n AS (SELECT event_id, n_emails, n_ips,
+           |        CAST(len(regexp_extract_all(t, '$nP')) AS DOUBLE) AS n_digit_runs,
+           |        regexp_replace(t, '$nP', '<NUM>', 'g') AS t FROM i)
+           |SELECT event_id, t AS redacted, n_emails, n_ips, n_digit_runs FROM n""".stripMargin
+      },
       "pipeline_sample" ->
         s"""WITH lp AS ($langSql)
            |SELECT d.doc_id, lp.lang_pred AS stratum

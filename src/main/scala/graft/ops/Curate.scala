@@ -120,6 +120,29 @@ object Curate {
   }
 
   /**
+   * Semantic dedup keep-decision (the SemDeDup shape, Abbas et al. 2023):
+   * items whose EMBEDDINGS are near-duplicates (cosine >= threshold)
+   * collapse to one representative per connected cluster — the
+   * embedding-space analog of [[dedupKeep]] over minhash pairs, catching
+   * paraphrases and re-renderings that share no token n-grams.
+   *
+   * Scale shape: candidate pairs come from the bucketed LSH path
+   * ([[Similarity.cosinePairs]] — never all-pairs, volume output-bound),
+   * clustering runs on the pair list (edge cardinality), and the corpus
+   * is touched once by the left_anti drop join.
+   */
+  def semanticDedupKeep(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val pairs = Similarity.cosinePairs(emb, threshold, idCol = idCol, vecCol = vecCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    dedupKeep(emb, pairs, idCol = idCol)
+  }
+
+  /**
    * Sequence packing (concat-then-chunk): lay the corpus out as fixed-
    * length training sequences by assigning every document a position in a
    * running token stream — `seq_id` is the sequence its first token lands

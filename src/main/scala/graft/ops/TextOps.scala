@@ -515,6 +515,45 @@ object TextOps {
       .toDF(idCol, "n_words", "mean_word_len", "max_word_len", "top_word_frac", "keep")
   }
 
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backreferences) so java.util.regex, RE2-based engines, and the DuckDB
+    * oracle all match the same spans. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  def digitRunPattern(minDigits: Int): String = s"\\d{$minDigits,}"
+
+  /**
+   * PII scrubbing: mask the mechanically-detectable identifier classes a
+   * curation pipeline removes before a corpus ships — email addresses,
+   * IPv4 addresses, and digit runs (phone/account numbers) — and report
+   * per-document counts so the pass is auditable. Masking is SEQUENTIAL
+   * (email, then IP, then digits) with each count taken on the previous
+   * stage's output, so a digit run inside an already-masked span is never
+   * double-counted; the fixed order makes the output a pure function of
+   * the text.
+   *
+   * Scale shape: a single codegen projection of builtin regexp functions
+   * over the scan (no UDF, no shuffle); the patterns compile once per
+   * task.
+   */
+  def piiRedact(
+      docs: DataFrame,
+      minDigits: Int = 6,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val numPat = digitRunPattern(minDigits)
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "<IP>")
+    docs.select(
+      col(idCol),
+      regexp_replace(t2, numPat, "<NUM>").as("redacted"),
+      regexp_count(t0, lit(EmailPattern)).cast("double").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Pattern)).cast("double").as("n_ips"),
+      regexp_count(t2, lit(numPat)).cast("double").as("n_digit_runs"))
+  }
+
   /**
    * Corpus-level top-k n-grams by document frequency — the vocabulary
    * inspection pass a curation pipeline runs to spot boilerplate shared

@@ -426,6 +426,27 @@ class TextOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("keep") == 0.0)
   }
 
+  test("pii redaction masks emails, IPs and digit runs sequentially with counts") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 5551234567 now"),
+      (2L, "server at 10.0.255.3 logged 42 errors from 192.168.1.1"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs, minDigits = 6)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("redacted") == "contact <EMAIL> or call <NUM> now")
+    assert(r(1L).getAs[Double]("n_emails") == 1.0)
+    assert(r(1L).getAs[Double]("n_digit_runs") == 1.0)
+    // the IP's dotted octets are masked as IPs, never as digit runs; the
+    // bare "42" stays below the 6-digit floor
+    assert(r(2L).getAs[String]("redacted") == "server at <IP> logged 42 errors from <IP>")
+    assert(r(2L).getAs[Double]("n_ips") == 2.0)
+    assert(r(2L).getAs[Double]("n_digit_runs") == 0.0)
+    assert(r(3L).getAs[String]("redacted") == "clean text with no identifiers at all")
+    assert(r(3L).getAs[Double]("n_emails") + r(3L).getAs[Double]("n_ips")
+      + r(3L).getAs[Double]("n_digit_runs") == 0.0)
+  }
+
   test("top n-grams rank by document frequency with deterministic ties") {
     val docs = Seq(
       (1L, "a b c"),
@@ -601,6 +622,19 @@ class CurateSpec extends SparkSpec {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
     assert(Curate.mixtureSample(mixDocs, Map("w2" -> 0.0))
       .filter(col("source") === "w2").count() == 0)
+  }
+
+  test("semanticDedupKeep keeps one representative per embedding cluster") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)), // near-dup of 0
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.01f, 0.999f, 0.0f)), // near-dup of 10
+      (20L, Array(0.0f, 0.0f, 1.0f)) // singleton
+    ).toDF("vec_id", "embedding")
+    val kept = Curate.semanticDedupKeep(emb, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L, 20L))
   }
 
   test("packSequences: offsets, sequence ids and boundary spans are exact") {

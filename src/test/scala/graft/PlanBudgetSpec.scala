@@ -63,7 +63,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "rel_pct_price" -> 5, // distinct-value counts, marker join, in-bucket rank
     "dedup_minhash" -> 5, // shingle-set collapse, band bucket join, jaccard
     "dedup_embedding" -> 8, // identical collapse, bucket join, re-rank joins
-    "text_decontaminate" -> 2 // doc grams + eval-gram collapse (guarded join)
+    "text_decontaminate" -> 2, // doc grams + eval-gram collapse (guarded join)
+    "text_gopher" -> 0, // partition-local kernel, pure scan
+    "text_top_ngrams" -> 1, // df aggregate; the top-k cut is TakeOrdered, not a sort
+    "pipeline_mix" -> 0, // weight projection + copy explode, no exchange
+    "pipeline_pack" -> 1 // shard-partitioned running-offset window
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
