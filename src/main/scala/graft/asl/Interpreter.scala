@@ -96,6 +96,41 @@ final case class Interpreter(vocabulary: List[Word], maxStackSize: Int = 1024) {
     throw new IllegalStateException("unmatched opening parenthesis")
   }
 
+  /**
+   * Token-at-a-time trace of a program run, for the expr debug endpoint:
+   * the initial state plus the state after every token. A `(` list
+   * literal is collected as ONE step, exactly as execution consumes it
+   * (reference stacklang Interpreter.debug:159-178 — each Step carries
+   * the REMAINING program and the context so far).
+   */
+  def debug(tokens: List[String], ctx: Context): List[Interpreter.Step] = {
+    val steps = List.newBuilder[Interpreter.Step]
+    var context = ctx
+    var rest = tokens
+    steps += Interpreter.Step(rest, context)
+    while (rest.nonEmpty) {
+      val token = rest.head
+      rest = rest.tail
+      token match {
+        case "(" =>
+          val (list, remaining) = collectList(rest)
+          context = push(context, list)
+          rest = remaining
+        case ")" =>
+          throw new IllegalStateException("unmatched closing parenthesis")
+        case t if t.startsWith(":") =>
+          context = executeWord(t.substring(1), context)
+        case t =>
+          context = push(context, t)
+      }
+      steps += Interpreter.Step(rest, context)
+    }
+    steps.result()
+  }
+
+  def debug(program: String): List[Interpreter.Step] =
+    debug(Interpreter.tokenize(program), Context(Nil))
+
   private def executeWord(name: String, ctx: Context): Context =
     words.get(name) match {
       case Some(ws) =>
@@ -112,6 +147,10 @@ final case class Interpreter(vocabulary: List[Word], maxStackSize: Int = 1024) {
 }
 
 object Interpreter {
+
+  /** One [[Interpreter.debug]] step: the remaining program and the context
+    * after the last consumed token. */
+  final case class Step(program: List[String], context: Context)
 
   /** Split on commas, trim, drop empty tokens (Interpreter.splitAndTrim). */
   def tokenize(program: String): List[String] =

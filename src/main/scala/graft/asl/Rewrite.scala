@@ -66,6 +66,61 @@ object Rewrite {
       DataExpr.GroupBy(mapQuery(af, f).asInstanceOf[DataExpr.AggregateFunction], keys)
   }
 
+  /** Rebuild a node with each direct TimeSeriesExpr child mapped by g.
+    * DataExpr subtrees (including the ones inside `:percentiles` /
+    * `:approx-distinct`) are leaves here — their internals are queries and
+    * grouping, not nested time-series operators. */
+  private def mapChildren(
+      e: TimeSeriesExpr, g: TimeSeriesExpr => TimeSeriesExpr): TimeSeriesExpr = e match {
+    case d: DataExpr                  => d
+    case m: MathExpr.Constant         => m
+    case m: MathExpr.SeededRandom     => m
+    case m: MathExpr.Time             => m
+    case m: MathExpr.TimeSpan         => m
+    case MathExpr.ClampMin(x, v)      => MathExpr.ClampMin(g(x), v)
+    case MathExpr.ClampMax(x, v)      => MathExpr.ClampMax(g(x), v)
+    case MathExpr.Unary(op, x)        => MathExpr.Unary(op, g(x))
+    case MathExpr.PerStep(x)          => MathExpr.PerStep(g(x))
+    case MathExpr.Binary(op, a, b)    => MathExpr.Binary(op, g(a), g(b))
+    case MathExpr.Aggr(op, x)         => MathExpr.Aggr(op, g(x))
+    case MathExpr.GroupBy(aggr, keys) =>
+      MathExpr.GroupBy(g(aggr).asInstanceOf[MathExpr.Aggr], keys)
+    case MathExpr.As(x, o, r)         => MathExpr.As(g(x), o, r)
+    case MathExpr.NamedRewrite(d, x)  => MathExpr.NamedRewrite(d, g(x))
+    case p: MathExpr.Percentiles      => p
+    case a: MathExpr.ApproxDistinct   => a
+    case x: StatefulExpr.Delay         => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.RollingCount  => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.RollingMin    => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.RollingMax    => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.RollingMean   => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.RollingSum    => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.Des           => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.SlidingDes    => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.Trend         => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.Integral      => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.CumulativeMax => x.copy(expr = g(x.expr))
+    case x: StatefulExpr.Derivative    => x.copy(expr = g(x.expr))
+    case FilterExpr.Stat(x, st)        => FilterExpr.Stat(g(x), st)
+    case s: FilterExpr.StatExpr        => s
+    case FilterExpr.Filter(x, p)       => FilterExpr.Filter(g(x), g(p))
+    case p: FilterExpr.PriorityFilter  => p.copy(expr = g(p.expr))
+    case c: FilterExpr.Consolidate     => c.copy(expr = g(c.expr))
+    case StyleExpr(x, settings)        => StyleExpr(g(x), settings)
+  }
+
+  /** Bottom-up structural rewrite (reference model Expr.rewrite): children
+    * first, then pf at every node where it is defined. Used by the expr
+    * tooling API to strip filter wrappers anywhere in a tree. */
+  def transform(e: TimeSeriesExpr)(
+      pf: PartialFunction[TimeSeriesExpr, TimeSeriesExpr]): TimeSeriesExpr = {
+    def go(x: TimeSeriesExpr): TimeSeriesExpr = {
+      val rebuilt = mapChildren(x, go)
+      if (pf.isDefinedAt(rebuilt)) pf(rebuilt) else rebuilt
+    }
+    go(e)
+  }
+
   /** Append common group-by keys to a data expr (`:cg`). */
   def withCommonGroup(d: DataExpr, keys: List[String]): DataExpr = d match {
     case DataExpr.GroupBy(af, existing) =>

@@ -931,4 +931,14 @@ object Vocabulary {
   /** Full vocabulary, dispatch order: query words before math for shared names. */
   val allWords: List[Word] =
     standard ::: query ::: data ::: mathWords ::: stateful ::: filter ::: style ::: events
+
+  /** Named sub-vocabularies for the expr tooling API, each including its
+    * dependencies the way the reference's vocabulary chain does
+    * (std < query < data < ... < main). */
+  val vocabularies: Map[String, List[Word]] = Map(
+    "std" -> standard,
+    "query" -> (standard ::: query),
+    "data" -> (standard ::: query ::: data),
+    "main" -> allWords
+  )
 }

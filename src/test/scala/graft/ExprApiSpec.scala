@@ -1,0 +1,106 @@
+package graft
+
+import graft.api.ExprApi
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expression tooling surface (reference /api/v1/expr endpoints):
+  * debug / normalize / complete / queries / rewrite / strip. */
+class ExprApiSpec extends AnyFunSuite {
+
+  test("debug traces every token with the remaining program and stack") {
+    val steps = ExprApi.debug("name,cpu,:eq,:sum")
+    // initial state + one step per token (the list-less program is 1:1)
+    assert(steps.length == 5)
+    assert(steps.head.program == List("name", "cpu", ":eq", ":sum"))
+    assert(steps.head.stack == Nil)
+    assert(steps(2).stack == List("cpu", "name")) // top first
+    assert(steps(3).stack == List("name,cpu,:eq"))
+    assert(steps.last.program == Nil)
+    assert(steps.last.stack == List("name,cpu,:eq,:sum"))
+  }
+
+  test("debug collects a list literal as one step and records variables") {
+    val steps = ExprApi.debug("name,cpu,:eq,:sum,(,app,),:by")
+    val afterList = steps(steps.length - 2)
+    assert(afterList.stack.head == "List(app)")
+    assert(steps.last.stack == List("name,cpu,:eq,:sum,(,app,),:by"))
+    val withVar = ExprApi.debug("v,name,cpu,:eq,:sum,:set,v,:get")
+    assert(withVar.last.variables("v") == "name,cpu,:eq,:sum")
+  }
+
+  test("debug verifies the final stack against the vocabulary") {
+    // query vocab: exactly one query
+    assert(ExprApi.debug("name,cpu,:eq", vocab = "query").nonEmpty)
+    intercept[IllegalArgumentException] {
+      ExprApi.debug("name,cpu,:eq,app,www,:eq", vocab = "query")
+    }
+    // main vocab: every value must be presentation-coercible
+    intercept[IllegalArgumentException] { ExprApi.debug("(,a,)") }
+  }
+
+  test("normalize produces the canonical display form") {
+    // clause order canonalizes (name first), nested :cq distributes
+    val n = ExprApi.normalize("app,www,:eq,name,cpu,:eq,:and,:sum")
+    assert(n == List("name,cpu,:eq,app,www,:eq,:and,:sum"))
+  }
+
+  test("complete suggests only words that execute on the current stack") {
+    val forQuery = ExprApi.complete("name,cpu,:eq")
+    val names = forQuery.map(_.name).toSet
+    assert(names.contains("sum") && names.contains("abs"))
+    // :by needs the key list on the stack before it can match
+    assert(!names.contains("by"))
+    assert(ExprApi.complete("name,cpu,:eq,:sum,(,app,)").map(_.name).contains("by"))
+    // excluded stack-manipulation words never appear
+    assert(!names.contains("dup") && !names.contains("drop"))
+    // empty stack: aggregate words that need an operand don't match
+    val empty = ExprApi.complete("")
+    assert(!empty.map(_.name).contains("by"))
+    // deterministic: sorted by name
+    assert(forQuery.map(_.name) == forQuery.map(_.name).sorted)
+  }
+
+  test("queries extracts the distinct data predicates, sorted") {
+    val qs = ExprApi.queries(
+      "name,cpu,:eq,:sum,name,disk,:eq,:max,:add,name,cpu,:eq,:count")
+    assert(qs == List("name,cpu,:eq", "name,disk,:eq"))
+  }
+
+  test("rewrite migrates legacy list-form offsets to :offset operations") {
+    // single non-zero offset -> plain :offset operator
+    assert(ExprApi.rewrite("name,cpu,:eq,:sum,(,1h,),:offset")
+      == List("name,cpu,:eq,:sum,1h,:offset"))
+    // single zero offset -> dropped entirely
+    assert(ExprApi.rewrite("name,cpu,:eq,:sum,(,0h,),:offset")
+      == List("name,cpu,:eq,:sum"))
+    // multiple offsets -> variable extraction, one :offset per duration
+    assert(ExprApi.rewrite("name,cpu,:eq,:sum,(,0h,1w,),:offset")
+      == List("Query0,name,cpu,:eq,:sum,:set,Query0,:get,Query0,:get,1w,:offset"))
+    // no offsets -> unchanged
+    assert(ExprApi.rewrite("name,cpu,:eq,:sum") == List("name,cpu,:eq,:sum"))
+  }
+
+  test("strip removes query clauses by key with ignore-mode simplification") {
+    // AND clause on a stripped key vanishes
+    assert(ExprApi.strip("name,cpu,:eq,node,i-1,:eq,:and,:sum", Set("node"))
+      == List("name,cpu,:eq,:sum"))
+    // :not of a stripped clause stays neutral (does not become :false)
+    assert(ExprApi.strip("name,cpu,:eq,node,i-1,:eq,:not,:and,:sum", Set("node"))
+      == List("name,cpu,:eq,:sum"))
+    // unrelated keys untouched
+    assert(ExprApi.strip("name,cpu,:eq,:sum", Set("node"))
+      == List("name,cpu,:eq,:sum"))
+  }
+
+  test("strip removes filter and style wrappers anywhere in the tree") {
+    assert(ExprApi.strip("name,cpu,:eq,:sum,max,2,:topk", Set.empty, Set("filter"))
+      == List("name,cpu,:eq,:sum"))
+    assert(ExprApi.strip("name,cpu,:eq,:sum,max,:stat,:abs", Set.empty, Set("filter"))
+      == List("name,cpu,:eq,:sum,:abs"))
+    assert(ExprApi.strip("name,cpu,:eq,:sum,2,:lw", Set.empty, Set("style"))
+      == List("name,cpu,:eq,:sum"))
+    intercept[IllegalArgumentException] {
+      ExprApi.strip("name,cpu,:eq,:sum", Set.empty, Set("bogus"))
+    }
+  }
+}
