@@ -525,6 +525,7 @@ object SparkEntry {
       "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
       "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+      "dedup_substring" -> ((s, d) => TextOps.sharedSubstrings(docs(s, d), n = 10)),
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_decontaminate" -> ((s, d) => {
@@ -735,6 +736,22 @@ object SparkEntry {
            |JOIN lp ON k.doc_id = lp.doc_id
            |JOIN q ON k.doc_id = q.doc_id
            |WHERE lp.lang_pred = 'en' AND q.n_tokens >= 20 AND q.ttr >= 0.3 AND q.stop_ratio >= 0.02""".stripMargin,
+      "dedup_substring" ->
+        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+          |dg AS (SELECT DISTINCT doc_id, g FROM (
+          |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 9, 0)),
+          |    i -> array_to_string(list_slice(tk, i + 1, i + 10), ' '))) AS g
+          |  FROM toks)),
+          |sh AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+          |hits AS (SELECT dg.doc_id, count(*) AS n_shared FROM dg JOIN sh USING (g) GROUP BY 1),
+          |ng AS (SELECT doc_id, count(*) AS n_windows FROM dg GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(COALESCE(ng.n_windows, 0) AS DOUBLE) AS n_windows,
+          |       CAST(COALESCE(h.n_shared, 0) AS DOUBLE) AS n_shared,
+          |       CASE WHEN COALESCE(ng.n_windows, 0) > 0
+          |            THEN round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / ng.n_windows, 4)
+          |            ELSE 0.0 END AS frac
+          |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)""".stripMargin,
       "text_gopher" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           |m AS (

@@ -515,6 +515,49 @@ object TextOps {
       .toDF(idCol, "n_words", "mean_word_len", "max_word_len", "top_word_frac", "keep")
   }
 
+  /**
+   * Corpus-internal exact-substring overlap — the "repeated n-token
+   * window" dedup signal (Lee et al. 2022, "Deduplicating Training Data
+   * Makes Language Models Better", which removes 50-token substrings that
+   * recur in the corpus): for every document, how many of its distinct
+   * n-token windows also occur in ANOTHER document. Unlike
+   * [[decontaminate]] (corpus vs a small eval set) both sides are the
+   * corpus itself, so the shared set comes from a self document-frequency
+   * aggregate rather than a broadcast.
+   *
+   * Scale shape: the distinct-per-doc window rows fold map-side into the
+   * df aggregate; windows with df >= 2 (a set that is tiny unless the
+   * corpus is pathologically duplicated) join back against the window
+   * rows — with AQE the df>=2 side broadcasts when small and degrades to
+   * a shuffle join when not. Window generation is the partition-local
+   * n-gram kernel.
+   */
+  def sharedSubstrings(
+      docs: DataFrame,
+      n: Int = 20,
+      textCol: String = "text"
+  ): DataFrame = {
+    val windows = ngramRows(docs, n, textCol)
+    val shared = windows
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val hits = windows.join(shared, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // windows already distinct per doc
+    ngramCounts(docs, n, textCol)
+      .withColumnRenamed("n_grams", "n_windows")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).cast("double").as("n_shared"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("n_shared"), lit(0L)) / col("n_windows") + NanMath.RoundEps, 4))
+          .otherwise(0.0).as("frac"))
+  }
+
   /** PII patterns, deliberately RE2-compatible (no lookaround, no
     * backreferences) so java.util.regex, RE2-based engines, and the DuckDB
     * oracle all match the same spans. */

@@ -426,6 +426,23 @@ class TextOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("keep") == 0.0)
   }
 
+  test("sharedSubstrings counts windows recurring in other documents") {
+    val docs = Seq(
+      (1L, "a b c d e"), // windows (n=3): "a b c","b c d","c d e"
+      (2L, "x b c d y"), // shares "b c d" with doc 1
+      (3L, "p q r s t"), // nothing shared
+      (4L, "u v") // too short for any window
+    ).toDF("doc_id", "text")
+    val r = TextOps.sharedSubstrings(docs, n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("n_windows") == 3.0)
+    assert(r(1L).getAs[Double]("n_shared") == 1.0)
+    assert(r(1L).getAs[Double]("frac") == math.round(1.0 / 3.0 * 10000) / 10000.0)
+    assert(r(2L).getAs[Double]("n_shared") == 1.0)
+    assert(r(3L).getAs[Double]("n_shared") == 0.0)
+    assert(r(4L).getAs[Double]("n_windows") == 0.0 && r(4L).getAs[Double]("frac") == 0.0)
+  }
+
   test("pii redaction masks emails, IPs and digit runs sequentially with counts") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call 5551234567 now"),
