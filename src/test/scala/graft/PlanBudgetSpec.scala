@@ -67,7 +67,15 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_gopher" -> 0, // partition-local kernel, pure scan
     "text_top_ngrams" -> 1, // df aggregate; the top-k cut is TakeOrdered, not a sort
     "pipeline_mix" -> 0, // weight projection + copy explode, no exchange
-    "pipeline_pack" -> 1 // shard-partitioned running-offset window
+    "pipeline_pack" -> 1, // shard-partitioned running-offset window
+    "text_pii_redact" -> 0, // regexp projection, pure scan
+    // window kernel (no shuffle) + gram df agg + shared join-back + per-doc
+    // agg + counts join
+    "dedup_substring" -> 4,
+    // FINAL stitched plan only: the LSH candidate generation and the
+    // cluster iterations run behind localCheckpoint boundaries (their own
+    // jobs), so this counts the drop-list anti-join side
+    "pipeline_semdedup" -> 1
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
