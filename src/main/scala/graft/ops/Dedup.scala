@@ -357,7 +357,8 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       srcCol: String = "doc_a",
-      dstCol: String = "doc_b"
+      dstCol: String = "doc_b",
+      maxLocalEdges: Long = 100000L
   ): DataFrame = {
     val spark = pairs.sparkSession
 
@@ -418,6 +419,38 @@ object Dedup {
     }
 
     var cur = signature(edges)
+
+    // Small-edge fast path: the signature already counted the canonical
+    // edge set, and near-dup edge lists are orders of magnitude smaller
+    // than the corpus by construction (they are the OUTPUT of the banded
+    // LSH join, bounded by true duplicate volume) — so most real corpora
+    // land here at any input scale. Below the bound (1e5 edges ~ 1.6 MB)
+    // a driver union-find replaces O(log^2 n) distributed rounds, each a
+    // full Spark job, with one collect of the already-materialized frame.
+    // Past the bound the alternating-star path below runs unchanged, so a
+    // pathologically-duplicated corpus degrades to the distributed
+    // algorithm rather than a driver OOM.
+    if (cur._1 <= maxLocalEdges) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = scala.collection.mutable.TreeSet.empty[Long]
+      edges.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (a, b) =>
+        nodes += a; nodes += b
+        val (ra, rb) = (find(a), find(b))
+        // min-root union: the root of every class IS the component min,
+        // matching the distributed output's cluster_id convention
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_id")
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {

@@ -71,9 +71,15 @@ class DedupSpec extends SparkSpec {
     // component {10,11}, node 20 absent from pairs (not emitted)
     val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find fast path (default bound)
+    val local = Dedup.connectedComponents(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(local == expected)
+    // distributed alternating-star path (bound forced to zero): identical
+    val dist = Dedup.connectedComponents(pairs, maxLocalEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == expected)
   }
 }
 
