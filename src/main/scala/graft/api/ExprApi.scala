@@ -52,11 +52,7 @@ object ExprApi {
 
   /** Display form of a stack value (reference ExprApi.valueString:132-135:
     * expression string for expressions, toString otherwise). */
-  private def valueString(v: Any): String = v match {
-    case e: TimeSeriesExpr => e.asl
-    case q: Query          => q.asl
-    case other             => other.toString
-  }
+  private def valueString(v: Any): String = Interpreter.displayString(v)
 
   /** Execute a program and coerce the final stack to styled expressions,
     * bottom (user order) first. */

@@ -131,6 +131,96 @@ final case class Interpreter(vocabulary: List[Word], maxStackSize: Int = 1024) {
   def debug(program: String): List[Interpreter.Step] =
     debug(Interpreter.tokenize(program), Context(Nil))
 
+  /**
+   * Error-recovering parse for editor/UI tooling (reference stacklang
+   * Interpreter.syntaxTree:186-320): unlike [[execute]], problems are
+   * collected as positioned diagnostics and processing continues, so one
+   * typo does not hide every later one. Every node carries its character
+   * span in the input and word nodes carry the stack BEFORE execution —
+   * what a hover/completion UI needs. Recovery is conservative: a failed
+   * or unknown word leaves the stack unchanged (graft words carry no
+   * declared stack effect to approximate with).
+   */
+  def syntaxTree(str: String, vars: Map[String, Any] = Map.empty): Interpreter.SyntaxTree = {
+    import Interpreter._
+    val diags = List.newBuilder[Diagnostic]
+    val nodes = List.newBuilder[SyntaxNode]
+    var stack: List[Any] = Nil
+    var variables = vars
+    var rest = tokenizeSpanned(str)
+
+    def display(l: List[Any]): List[String] = l.map(displayString)
+
+    while (rest.nonEmpty) {
+      val t = rest.head
+      rest = rest.tail
+      t.value match {
+        case "(" =>
+          // children are raw literal nodes (list bodies are not executed);
+          // nesting depth tracks the matching close paren
+          val children = List.newBuilder[SyntaxNode]
+          val items = List.newBuilder[Any]
+          var depth = 0
+          var closed = false
+          while (!closed && rest.nonEmpty) {
+            val c = rest.head
+            rest = rest.tail
+            c.value match {
+              case "(" =>
+                depth += 1; children += LiteralNode(c.value, c.span); items += c.value
+              case ")" if depth == 0 => closed = true
+              case ")" =>
+                depth -= 1; children += LiteralNode(c.value, c.span); items += c.value
+              case v =>
+                children += LiteralNode(v, c.span); items += v
+            }
+          }
+          val diag =
+            if (closed) None
+            else {
+              val d = Diagnostic(t.span, "unmatched opening parenthesis", error = true)
+              diags += d
+              Some(d)
+            }
+          stack = items.result() :: stack
+          nodes += ListNode(t.value, t.span, children.result(), closed, diag)
+        case ")" =>
+          val d = Diagnostic(t.span, "unmatched closing parenthesis", error = true)
+          diags += d
+          nodes += LiteralNode(t.value, t.span)
+        case v if v.startsWith(":") =>
+          val name = v.substring(1)
+          val before = display(stack)
+          words.get(name) match {
+            case None =>
+              val d = Diagnostic(t.span, s"unknown word ':$name'", error = true)
+              diags += d
+              nodes += WordNode(t.value, t.span, matched = None, before, Some(d))
+            case Some(_) =>
+              try {
+                val out = executeWord(name, Context(stack, variables))
+                stack = out.stack
+                variables = out.variables
+                nodes += WordNode(t.value, t.span, matched = Some(name), before, None)
+              } catch {
+                case e: Exception =>
+                  val d = Diagnostic(t.span, e.getMessage, error = true)
+                  diags += d
+                  nodes += WordNode(t.value, t.span, matched = None, before, Some(d))
+              }
+          }
+        case v =>
+          if (v.startsWith(";") && words.contains(v.substring(1))) {
+            diags += Diagnostic(t.span,
+              s"did you mean ':${v.substring(1)}'? (semicolon instead of colon)", error = false)
+          }
+          stack = v :: stack
+          nodes += LiteralNode(v, t.span)
+      }
+    }
+    Interpreter.SyntaxTree(nodes.result(), diags.result(), display(stack))
+  }
+
   private def executeWord(name: String, ctx: Context): Context =
     words.get(name) match {
       case Some(ws) =>
@@ -151,6 +241,73 @@ object Interpreter {
   /** One [[Interpreter.debug]] step: the remaining program and the context
     * after the last consumed token. */
   final case class Step(program: List[String], context: Context)
+
+  /** Character span [start, end) of a token in the source program. */
+  final case class Span(start: Int, end: Int)
+
+  /** A positioned problem found by [[Interpreter.syntaxTree]];
+    * `error = false` marks a warning (e.g. the semicolon hint). */
+  final case class Diagnostic(span: Span, message: String, error: Boolean)
+
+  sealed trait SyntaxNode { def token: String; def span: Span }
+
+  /** A pushed value (or an unmatched `)` kept in place for recovery). */
+  final case class LiteralNode(token: String, span: Span) extends SyntaxNode
+
+  /** A `:word` occurrence: the resolved word name when it executed, the
+    * display-form stack BEFORE execution, and the failure diagnostic. */
+  final case class WordNode(
+      token: String,
+      span: Span,
+      matched: Option[String],
+      stackBefore: List[String],
+      diagnostic: Option[Diagnostic]) extends SyntaxNode
+
+  /** A `(`...`)` list literal; `closed` is false when the close paren is
+    * missing (everything to end-of-input became the body). */
+  final case class ListNode(
+      token: String,
+      span: Span,
+      children: List[SyntaxNode],
+      closed: Boolean,
+      diagnostic: Option[Diagnostic]) extends SyntaxNode
+
+  /** Result of [[Interpreter.syntaxTree]]: the node list, every collected
+    * diagnostic, and the final stack in display form. */
+  final case class SyntaxTree(
+      nodes: List[SyntaxNode],
+      diagnostics: List[Diagnostic],
+      stack: List[String])
+
+  /** Display form of a stack value (expression ASL where available). */
+  def displayString(v: Any): String = v match {
+    case e: TimeSeriesExpr => e.asl
+    case q: Query          => q.asl
+    case other             => other.toString
+  }
+
+  private final case class SpannedToken(value: String, span: Span)
+
+  /** [[tokenize]] with character spans: split on commas, trim, drop
+    * empties, keeping each token's [start, end) offsets in the input. */
+  private def tokenizeSpanned(program: String): List[SpannedToken] = {
+    val out = List.newBuilder[SpannedToken]
+    var segStart = 0
+    var i = 0
+    def emit(endExclusive: Int): Unit = {
+      var s = segStart
+      var e = endExclusive
+      while (s < e && program.charAt(s).isWhitespace) s += 1
+      while (e > s && program.charAt(e - 1).isWhitespace) e -= 1
+      if (e > s) out += SpannedToken(program.substring(s, e), Span(s, e))
+    }
+    while (i < program.length) {
+      if (program.charAt(i) == ',') { emit(i); segStart = i + 1 }
+      i += 1
+    }
+    emit(program.length)
+    out.result()
+  }
 
   /** Split on commas, trim, drop empty tokens (Interpreter.splitAndTrim). */
   def tokenize(program: String): List[String] =

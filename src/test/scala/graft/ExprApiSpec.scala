@@ -92,6 +92,33 @@ class ExprApiSpec extends AnyFunSuite {
       == List("name,cpu,:eq,:sum"))
   }
 
+  test("syntaxTree recovers from errors with positioned diagnostics") {
+    import graft.asl.{Asl, Interpreter}
+    val t = Asl.interpreter.syntaxTree("name,cpu,:eq,:bogus,:sum")
+    // :bogus is flagged with its exact span; :sum still executes after it
+    assert(t.diagnostics.map(_.message) == List("unknown word ':bogus'"))
+    assert(t.diagnostics.head.span == Interpreter.Span(13, 19))
+    assert(t.stack == List("name,cpu,:eq,:sum"))
+    // word nodes carry the stack before execution, top first
+    val w = t.nodes.collect { case n: Interpreter.WordNode => n }
+    assert(w.head.matched.contains("eq") && w.head.stackBefore == List("cpu", "name"))
+    // a word that matches no overload leaves the stack unchanged
+    val t2 = Asl.interpreter.syntaxTree("name,cpu,:eq,:by,:sum")
+    assert(t2.diagnostics.exists(_.message.startsWith("no matches for word ':by'")))
+    assert(t2.stack == List("name,cpu,:eq,:sum"))
+  }
+
+  test("syntaxTree flags unmatched parens and semicolon typos") {
+    import graft.asl.{Asl, Interpreter}
+    val t1 = Asl.interpreter.syntaxTree("(,app")
+    assert(t1.diagnostics.exists(d => d.error && d.message == "unmatched opening parenthesis"))
+    assert(t1.nodes.collect { case n: Interpreter.ListNode => n }.head.closed == false)
+    val t2 = Asl.interpreter.syntaxTree("name,cpu,;eq")
+    assert(t2.diagnostics.exists(d => !d.error && d.message.contains("did you mean ':eq'")))
+    val t3 = Asl.interpreter.syntaxTree("a,)")
+    assert(t3.diagnostics.exists(d => d.error && d.message == "unmatched closing parenthesis"))
+  }
+
   test("strip removes filter and style wrappers anywhere in the tree") {
     assert(ExprApi.strip("name,cpu,:eq,:sum,max,2,:topk", Set.empty, Set("filter"))
       == List("name,cpu,:eq,:sum"))
