@@ -11,6 +11,29 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class ReferenceQueriesSpec extends AnyFunSuite {
 
+  test("expr tooling handles the whole reference corpus cleanly") {
+    assume(new java.io.File(ReferenceQueries.path).exists())
+    val programs = ReferenceQueries.programs
+    val failures = programs.flatMap { p =>
+      try {
+        // normalize output must itself re-parse to the same normal form
+        // (normalization is idempotent), queries must extract, and the
+        // recovering parse must find nothing to complain about in a
+        // corpus of valid programs
+        val norm = graft.api.ExprApi.normalize(p)
+        val again = graft.api.ExprApi.normalize(norm.mkString(","))
+        val stable = again == norm
+        val qs = graft.api.ExprApi.queries(p)
+        val diags = Asl.interpreter.syntaxTree(p).diagnostics.filter(_.error)
+        if (stable && qs != null && diags.isEmpty) None
+        else Some(s"'$p' -> stable=$stable diags=${diags.take(2)}")
+      } catch { case e: Exception => Some(s"'$p' -> ${e.getMessage}") }
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size}/${programs.size} failed:\n" + failures.take(15).mkString("\n"))
+  }
+
   test("every ASL program in the reference corpus parses") {
     assume(new java.io.File(ReferenceQueries.path).exists())
     val programs = ReferenceQueries.programs
