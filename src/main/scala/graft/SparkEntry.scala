@@ -533,6 +533,16 @@ object SparkEntry {
         TextOps.decontaminate(
           dd.filter(col("doc_id") % 20 =!= 0), dd.filter(col("doc_id") % 20 === 0), n = 5)
       }),
+      // same report through the Bloom-prefiltered plan (identical rows by
+      // construction — the confirm join removes Bloom false positives)
+      "text_decontaminate_bloom" -> ((s, d) => {
+        val dd = docs(s, d)
+        TextOps.decontaminateBloom(
+          dd.filter(col("doc_id") % 20 =!= 0), dd.filter(col("doc_id") % 20 === 0), n = 5)
+      }),
+      // -- event sessionization (gap-based, Spark native session windows) --
+      "events_sessionize" -> ((s, d) =>
+        EventOps.sessionize(EventOps.events(s, d), gapMs = 21600000L)),
       // -- corpus curation (composed pipeline decisions) --
       "pipeline_curate" -> ((s, d) => {
         val dd = docs(s, d)
@@ -635,6 +645,26 @@ object SparkEntry {
   }
 
   private def opsOracles: Map[String, String] = {
+    // shared verbatim by text_decontaminate and text_decontaminate_bloom
+    // (the Bloom path must reproduce the plain path bit-for-bit)
+    val decontaminateSql =
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+        |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
+        |  FROM toks)),
+        |ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0),
+        |hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN ev USING (g)
+        |         WHERE dg.doc_id % 20 <> 0 GROUP BY 1),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(ng.n_grams, 0) AS DOUBLE) AS n_grams,
+        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) AS n_hits,
+        |       CASE WHEN COALESCE(ng.n_grams, 0) > 0
+        |            THEN round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ng.n_grams, 4)
+        |            ELSE 0.0 END AS frac
+        |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0""".stripMargin
     // shared by text_langid and the curation-pipeline oracles
     val langSql =
       """WITH scored AS (
@@ -830,24 +860,26 @@ object SparkEntry {
            |FROM documents d JOIN lp ON d.doc_id = lp.doc_id
            |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
            |      < (CASE WHEN lp.lang_pred = 'en' THEN 0.3 ELSE 1.0 END) * 10000""".stripMargin,
-      "text_decontaminate" ->
-        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-          |dg AS (SELECT DISTINCT doc_id, g FROM (
-          |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
-          |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
-          |  FROM toks)),
-          |ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0),
-          |hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN ev USING (g)
-          |         WHERE dg.doc_id % 20 <> 0 GROUP BY 1),
-          |ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1)
-          |SELECT d.doc_id,
-          |       CAST(COALESCE(ng.n_grams, 0) AS DOUBLE) AS n_grams,
-          |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) AS n_hits,
-          |       CASE WHEN COALESCE(ng.n_grams, 0) > 0
-          |            THEN round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ng.n_grams, 4)
-          |            ELSE 0.0 END AS frac
-          |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)
-          |WHERE d.doc_id % 20 <> 0""".stripMargin,
+      "text_decontaminate" -> decontaminateSql,
+      // the Bloom prefilter is a plan change, not a semantics change: the
+      // exact confirm join makes the output identical to the plain variant
+      "text_decontaminate_bloom" -> decontaminateSql,
+      "events_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
+          |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+          |                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
+          |              THEN 1 ELSE 0 END AS is_start
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+          |s AS (
+          |  SELECT user_id, tms, value,
+          |         sum(is_start) OVER (PARTITION BY user_id ORDER BY tms, event_id
+          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          |  FROM e)
+          |SELECT user_id, min(tms) AS session_start, max(tms) AS session_end,
+          |       CAST(count(*) AS DOUBLE) AS n_events, round(sum(value), 4) AS sum_value
+          |FROM s GROUP BY user_id, sess""".stripMargin,
       "text_tokens" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""SELECT doc_id,

@@ -92,4 +92,38 @@ object EventOps {
       .groupBy(sampleBy.map(col) :+ bucket: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Gap-based sessionization: group each user's events into sessions
+   * separated by more than `gapMs` of inactivity and emit one row per
+   * session (start/end epoch-ms, event count, value sum). The standard
+   * clickstream / interaction-log preparation step before per-session
+   * features feed a training pipeline.
+   *
+   * Built on Spark's `session_window`, whose merge bound is INCLUSIVE
+   * (events exactly gapMs apart share a session; a new session starts when
+   * the gap to the previous event exceeds gapMs — the gaps-and-islands
+   * rule with `diff > gap`). Grouping by (user_id, session_window) plans as ONE
+   * exchange on user_id; the session merge itself is a sort within the
+   * partition, and works unchanged over a watermarked stream (the
+   * Structured Streaming native session-window path).
+   *
+   * Scale note: state per partition is bounded by one open session per
+   * user, not by event volume; a key whose events are pathologically dense
+   * degrades only its own partition's sort, which AQE skew handling splits.
+   */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("tms")))
+      .groupBy(
+        col("user_id"),
+        session_window(col("event_time"), s"$gapMs milliseconds").as("sw"))
+      .agg(
+        min(col("tms")).as("session_start"),
+        max(col("tms")).as("session_end"),
+        count(lit(1)).cast("double").as("n_events"),
+        round(sum(col("value")) + graft.core.NanMath.RoundEps, 4).as("sum_value"))
+      .select(
+        col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
 }

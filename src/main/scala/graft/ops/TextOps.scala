@@ -445,6 +445,13 @@ object TextOps {
       .join(evalSide, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams already distinct per doc
+    overlapReport(docs, hits, n, textCol)
+  }
+
+  /** Shared tail of the decontamination variants: per-doc gram totals
+    * left-joined with per-doc hit counts, overlap fraction rounded. */
+  private def overlapReport(
+      docs: DataFrame, hits: DataFrame, n: Int, textCol: String): DataFrame =
     ngramCounts(docs, n, textCol)
       .join(hits, Seq("doc_id"), "left")
       .select(
@@ -454,6 +461,55 @@ object TextOps {
         when(col("n_grams") > 0,
           round(coalesce(col("n_hits"), lit(0L)) / col("n_grams") + NanMath.RoundEps, 4))
           .otherwise(0.0).as("frac"))
+
+  /**
+   * [[decontaminate]] behind a Bloom-filter prefilter — same output rows
+   * bit-for-bit (the exact confirm join removes Bloom false positives), but
+   * the at-scale join economics change: when the eval side outgrows a
+   * broadcast hash table, the plain variant's fallback shuffle join moves
+   * the FULL corpus gram stream through an exchange (at 100 TB of text,
+   * that stream is several times the corpus itself). Here every corpus
+   * partition probes a broadcast Bloom sketch first — ~10 bits per eval
+   * gram, an order of magnitude smaller than a join hash table over the
+   * same keys — so only `true_hits + fpp * corpus_grams` rows reach the
+   * confirm join. The confirm join is left unhinted: its corpus side is
+   * now candidate-sized, so either Spark auto-broadcasts the (still
+   * materialized) eval set or AQE picks a shuffle whose corpus input is
+   * negligible.
+   *
+   * Mirrors Spark's own runtime row-level filtering idea
+   * (InjectRuntimeFilter's bloom pushdown), applied where the optimizer
+   * can't see it: the "join key" is a generated column (token n-grams)
+   * that never exists in the scan.
+   */
+  def decontaminateBloom(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalGrams = ngramRows(evalDocs, n, textCol)
+      .select(col("gram"))
+      .distinct()
+      .localCheckpoint()
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloomBc = spark.sparkContext.broadcast(
+      evalGrams.stat.bloomFilter("gram", nEval, fpp))
+    val candidates = ngramRows(docs, n, textCol)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bf = bloomBc.value
+        it.filter(r => bf.mightContainString(r._2))
+      }
+      .toDF("doc_id", "gram")
+    val hits = candidates
+      .join(evalGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    overlapReport(docs, hits, n, textCol)
   }
 
   /**

@@ -520,6 +520,48 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((3.0, 0.0, 0.0)))
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
+
+  test("decontaminateBloom reproduces decontaminate exactly (confirm join kills FPs)") {
+    // larger corpus so the bloom actually prunes: 40 candidate docs with
+    // distinct vocab, 2 of which copy eval windows; fpp high (0.1) to make
+    // false positives likely — the confirm join must erase their effect
+    val ev = Seq((1000L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val cand = ((0 until 38).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")) ++
+      Seq((100L, "xx alpha beta gamma delta yy"), (101L, "beta gamma delta epsilon zeta qq")))
+      .toDF("doc_id", "text")
+    val plain = TextOps.decontaminate(cand, ev, n = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val bloom = TextOps.decontaminateBloom(cand, ev, n = 4, fpp = 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(bloom == plain)
+    // sanity on the planted hits: doc 100 has 3 4-grams, 1 in eval;
+    // doc 101 has 3, 2 in eval ("beta gamma delta epsilon", "gamma delta epsilon zeta")
+    assert(plain.contains((100L, 3.0, 1.0, 0.3333)))
+    assert(plain.contains((101L, 3.0, 2.0, 0.6667)))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-based sessions: merge up to and including the gap, split past it") {
+    // user 1: three events 1000ms apart (all merge at gap=1500), then a
+    // jump of 8000 (new session). user 2: events exactly gapMs apart merge
+    // (session_window's bound is inclusive); 1501ms later splits.
+    val events = Seq(
+      (1L, 0L, 10.0), (1L, 1000L, 20.0), (1L, 2000L, 30.0), (1L, 10000L, 5.0),
+      (2L, 0L, 1.0), (2L, 1500L, 2.0), (2L, 3001L, 4.0)
+    ).toDF("user_id", "tms", "value")
+    val got = ops.EventOps.sessionize(events, gapMs = 1500L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 2000L, 3.0, 60.0),
+      (1L, 10000L, 10000L, 1.0, 5.0),
+      (2L, 0L, 1500L, 2.0, 3.0),
+      (2L, 3001L, 3001L, 1.0, 4.0)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -75,7 +75,18 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // FINAL stitched plan only: the LSH candidate generation and the
     // cluster iterations run behind localCheckpoint boundaries (their own
     // jobs), so this counts the drop-list anti-join side
-    "pipeline_semdedup" -> 1
+    "pipeline_semdedup" -> 1,
+    // one hash exchange on user_id; the session merge is a sort within the
+    // partition and the per-session agg rides the same partitioning
+    // (user_id is a prefix of the session grouping key)
+    "events_sessionize" -> 1,
+    // honest at-scale shape with broadcasts off: candidates + eval sides
+    // of the UNHINTED confirm join (both bloom-prefilter-sized), per-doc
+    // hit agg, and the join-back of per-doc gram totals. The plain
+    // variant's 2 relies on a forced eval broadcast; here the whole point
+    // is surviving an eval set too big for that hint, and the two extra
+    // exchanges carry candidate-sized data only
+    "text_decontaminate_bloom" -> 4
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
