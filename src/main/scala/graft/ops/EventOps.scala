@@ -112,9 +112,15 @@ object EventOps {
    * user, not by event volume; a key whose events are pathologically dense
    * degrades only its own partition's sort, which AQE skew handling splits.
    */
-  def sessionize(events: DataFrame, gapMs: Long): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("tms")))
+  def sessionize(
+      events: DataFrame,
+      gapMs: Long,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val timed = events.withColumn("event_time", timestamp_millis(col("tms")))
+    // streaming callers bound lateness so append mode can finalize a session
+    // once the watermark passes its close; batch callers need no watermark
+    watermark.fold(timed)(w => timed.withWatermark("event_time", w))
       .groupBy(
         col("user_id"),
         session_window(col("event_time"), s"$gapMs milliseconds").as("sw"))
@@ -126,4 +132,5 @@ object EventOps {
       .select(
         col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
+  }
 }

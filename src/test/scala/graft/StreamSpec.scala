@@ -599,4 +599,39 @@ class StreamSpec extends SparkSpec {
       assert(streamedRounded == batch)
     } finally query.stop()
   }
+
+  test("streaming sessionization finalizes the same sessions as batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // gap 2 min: user 1 -> {slot0,slot1} then {slot5}; user 2 -> {slot2,slot3}
+    val pts = Seq(
+      (1L, slot(0), 10.0), (1L, slot(1), 20.0), (1L, slot(5), 30.0),
+      (2L, slot(2), 1.0), (2L, slot(3), 2.0))
+    val gap = 120000L
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val out = graft.ops.EventOps.sessionize(
+      input.toDF.toDF("user_id", "tms", "value"), gap, watermark = Some("1 minute"))
+    val query = out.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.sortBy(_._2))
+      query.processAllAvailable()
+      // event far past every session close so the watermark finalizes them
+      input.addData(Seq((99L, slot(1000), 0.0)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_sessions")
+        .filter(col("user_id") =!= 99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.ops.EventOps.sessionize(pts.toDF("user_id", "tms", "value"), gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch && batch.size == 3)
+    } finally query.stop()
+  }
 }
