@@ -631,6 +631,21 @@ object SparkEntry {
           s.read.parquet(s"$d/lineitem.parquet"),
           "l_returnflag", "l_extendedprice",
           Seq(0.5, 0.9), Seq("p50", "p90"))),
+      // per-source corpus report: one agg pass for the moments, the
+      // domain-bounded exact-quantile path (no per-group global sort) for
+      // the length distribution, stitched on the tiny per-source frame
+      "corpus_profile" -> ((s, d) => {
+        val dd = docs(s, d)
+        val stats = dd.groupBy(col("source")).agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")) + NanMath.RoundEps, 4).as("mean_chars"),
+          countDistinct(col("lang")).cast("double").as("n_langs"))
+        stats.join(
+          Quantiles.groupedExact(dd, "source", "n_chars",
+            Seq(0.5, 0.9, 0.99), Seq("p50_chars", "p90_chars", "p99_chars")),
+          "source")
+      }),
       "rel_distinct_users_daily" -> ((s, d) => {
         val ev = EventOps.events(s, d)
         ev.groupBy((col("tms") - pmod(col("tms"), lit(86400000L))).as("t"))
@@ -929,6 +944,16 @@ object SparkEntry {
           |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
           |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
           |FROM lineitem GROUP BY 1""".stripMargin,
+      "corpus_profile" ->
+        """SELECT source,
+          |       CAST(count(*) AS DOUBLE) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |       round(avg(n_chars), 4) AS mean_chars,
+          |       CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+          |       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+          |       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+          |       round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+          |FROM documents GROUP BY source""".stripMargin,
       "rel_distinct_users_daily" ->
         """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS t, CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
           |FROM events GROUP BY 1""".stripMargin,

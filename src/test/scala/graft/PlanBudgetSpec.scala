@@ -86,7 +86,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // variant's 2 relies on a forced eval broadcast; here the whole point
     // is surviving an eval set too big for that hint, and the two extra
     // exchanges carry candidate-sized data only
-    "text_decontaminate_bloom" -> 4
+    "text_decontaminate_bloom" -> 4,
+    // moments agg (partial+final over countDistinct expand) + the
+    // domain-bounded quantile path (vc agg behind its checkpoint, histogram
+    // agg, marker walk, in-bucket rank) + the per-source stitch join
+    "corpus_profile" -> 7
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
