@@ -275,18 +275,29 @@ object Planner {
     private def densify(f: SeriesFrame): SeriesFrame =
       if (f.dense) f
       else {
-        val series = f.df.select(col(KEY), col(TAGS)).dropDuplicates(KEY)
-        val slots = (f.step, ctx.start, ctx.end)
-        val grid = series.select(
-          col(KEY),
-          col(TAGS),
-          explode(sequence(lit(slots._2), lit(slots._3 - slots._1), lit(slots._1))).as(T)
-        )
-        val joined = grid
-          .join(f.df.select(col(KEY).as("k2"), col(T).as("t2"), col(V)),
-            col(KEY) === col("k2") && col(T) === col("t2"), "left")
-          .select(col(KEY), col(TAGS), col(T), nullToNan(col(V)).as(V))
-        SeriesFrame(joined, f.grouping, f.step, dense = true)
+        // One pass over the line frame, no self-join: fold each line to a
+        // slot->value map (bounded by the request's grid size), project the
+        // dense values array, and explode it with its slot index. The
+        // previous formulation LEFT-joined a key-grid (dropDuplicates of
+        // the frame) against the frame itself; column pruning made the two
+        // subtrees differ, exchange reuse never fired, and the WHOLE fetch
+        // — parquet scan plus the datapoint-cardinality normalize exchange
+        // — executed twice for every densified expression. The transform
+        // lambda runs interpreted, but over line-cardinality rows (once
+        // per output slot), not datapoints.
+        val slots = sequence(lit(ctx.start), lit(ctx.end - f.step), lit(f.step))
+        val dense = f.df
+          .groupBy(col(KEY))
+          .agg(
+            first(col(TAGS)).as(TAGS),
+            map_from_arrays(collect_list(col(T)), collect_list(col(V))).as("_m"))
+          .select(col(KEY), col(TAGS),
+            transform(slots, t => element_at(col("_m"), t)).as("_vs"))
+          .select(col(KEY), col(TAGS), posexplode(col("_vs")).as(Seq("_i", "_v")))
+          .select(col(KEY), col(TAGS),
+            (lit(ctx.start) + col("_i") * lit(f.step)).as(T),
+            nullToNan(col("_v")).as(V))
+        SeriesFrame(dense, f.grouping, f.step, dense = true)
       }
 
     private def mapValue(f: SeriesFrame, fn: Column => Column): SeriesFrame =
@@ -487,17 +498,26 @@ object Planner {
      *    and all leaf aggregates (including the Σx² self-product) come out
      *    of one groupBy(t).
      *
-     * Only NaN-strict/forgiving ARITHMETIC ops participate: for them a slot
-     * with no data on some leaf produces exactly what the dense-grid join
-     * path produces (the NaN-aware column ops treat null-as-NaN leaves
-     * identically), while comparison/boolean ops need the dense grid (they
-     * turn empty slots into 0/1 signals) and :pow has the pow(NaN,0)=1 edge.
+     * NaN-strict/forgiving ARITHMETIC ops fuse sparse: a slot with no data
+     * on some leaf produces exactly what the dense-grid join path produces
+     * (the NaN-aware column ops treat null-as-NaN leaves identically), and
+     * slots absent on every leaf stay absent (downstream densify restores
+     * them as NaN, which is what the op chain would yield from all-NaN
+     * inputs). Comparison/boolean ops (and :pow, via pow(NaN,0)=1) can turn
+     * all-NaN slots into 0/1 signals, so a tree containing one LEFT-joins
+     * the time grid after the fused aggregate — line-cardinality work — and
+     * renders the op chain over null-as-NaN inputs, reproducing the dense
+     * path bit-for-bit without its per-side scan+normalize pipelines.
      */
     private def tryFuseArith(root: MathExpr.Binary): Option[SeriesFrame] = {
       import MathExpr._
-      val okOps: Set[BinOp] = Set(
+      val sparseOps: Set[BinOp] = Set(
         BinOp.Add, BinOp.Sub, BinOp.Mul, BinOp.Div,
         BinOp.FAdd, BinOp.FSub, BinOp.FMul, BinOp.FDiv)
+      val gridOps: Set[BinOp] = Set(
+        BinOp.Gt, BinOp.Ge, BinOp.Lt, BinOp.Le,
+        BinOp.And, BinOp.Or, BinOp.Pow)
+      var needsGrid = false
 
       sealed trait N
       final case class Leaf(idx: Int) extends N
@@ -513,7 +533,8 @@ object Planner {
       def walk(e: TimeSeriesExpr): Option[N] = e match {
         case Constant(v)            => Some(Const(v))
         case NamedRewrite(_, inner) => walk(inner)
-        case Binary(op, l, r) if okOps(op) =>
+        case Binary(op, l, r) if sparseOps(op) || gridOps(op) =>
+          if (gridOps(op)) needsGrid = true
           for { ln <- walk(l); rn <- walk(r) } yield Node(op, ln, rn)
         case d @ (_: DataExpr.Sum | _: DataExpr.Count | _: DataExpr.Min | _: DataExpr.Max)
             if mode != 2 =>
@@ -548,6 +569,19 @@ object Planner {
       }
 
       walk(root).flatMap { tree =>
+        // Sparse emit for pure-arithmetic trees; grid-complete emit (cheap —
+        // the grid and the fused line are both slot-cardinality) when a
+        // comparison/boolean/:pow node needs all-NaN slots materialized.
+        def emit(grouped: DataFrame): SeriesFrame = {
+          val withGrid =
+            if (needsGrid) gridDF.join(grouped, Seq(T), "left") else grouped
+          val out = withGrid.select(
+            lit("").as(KEY),
+            tagsLit(firstTags.getOrElse(Map.empty)).as(TAGS),
+            col(T),
+            render(tree).cast("double").as(V))
+          SeriesFrame(out, Nil, ctx.step, dense = needsGrid)
+        }
         if (mode == 1 && dataLeaves.size >= 2 && !isRollup) {
           val ds = dataLeaves.toList
           val offset = ctx.alignedOffset(ds.head.offset)
