@@ -699,10 +699,25 @@ object Planner {
       val g2 = f2.grouping
       val op = binOpCol(b.op)
 
-      val lhs = f1.df.select(
+      // An ungrouped side that is not a raw :all fetch is ONE line — at most
+      // bufferSize (slot-count) rows regardless of data volume — so it is
+      // always the broadcast side of the slot join; the grouped side then
+      // never shuffles. :all is the one ungrouped multi-line shape.
+      def oneLine(e: TimeSeriesExpr, g: List[String]): Boolean = {
+        def hasAll(x: Any): Boolean = x match {
+          case _: DataExpr.All => true
+          case p: Product      => p.productIterator.exists(hasAll)
+          case _               => false
+        }
+        g.isEmpty && !hasAll(e)
+      }
+
+      val lhs0 = f1.df.select(
         col(KEY).as("k1"), col(TAGS).as("tags1"), col(T), col(V).as("v1"))
-      val rhs = f2.df.select(
+      val rhs0 = f2.df.select(
         col(KEY).as("k2"), col(TAGS).as("tags2"), col(T).as("t2"), col(V).as("v2"))
+      val lhs = if (oneLine(b.expr1, g1) && !oneLine(b.expr2, g2)) broadcast(lhs0) else lhs0
+      val rhs = if (oneLine(b.expr2, g2)) broadcast(rhs0) else rhs0
 
       def finish(df: DataFrame, keyC: Column, tagsC: Column, grouping: List[String]) =
         SeriesFrame(
@@ -981,7 +996,9 @@ object Planner {
 
     private def statLines(f: SeriesFrame, stat: String): SeriesFrame = {
       val stats = perKeyStats(f).select(col(KEY), col(TAGS), col(s"stat_$stat").as(V))
-      val out = stats.crossJoin(gridDF).select(col(KEY), col(TAGS), col(T), col(V))
+      // The grid is slot-cardinality (bounded by the request window), so it
+      // is always the broadcast side of the line-replication cross join.
+      val out = stats.crossJoin(broadcast(gridDF)).select(col(KEY), col(TAGS), col(T), col(V))
       SeriesFrame(out, f.grouping, f.step, dense = true)
     }
 
@@ -1006,8 +1023,9 @@ object Planner {
           f.grouping, f.step, f.dense)
       } else {
         // Unkeyed signal: keep all lines iff the single signal fires.
+        // The gating frame is at most one row — always broadcast.
         SeriesFrame(
-          f.df.join(anyTrue.limit(1)).drop("keep_key"),
+          f.df.join(broadcast(anyTrue.limit(1))).drop("keep_key"),
           f.grouping, f.step, f.dense)
       }
     }
@@ -1023,7 +1041,13 @@ object Planner {
       // k rows), where a row_number window with no partition key would pull
       // EVERY line's stat row into one task (the reference's
       // BoundedPriorityBuffer is exactly the per-partition heap here)
-      val topKeys = stats.orderBy(order: _*).limit(p.k).select(col(KEY).as("keep_key"))
+      val topKeysRaw = stats.orderBy(order: _*).limit(p.k).select(col(KEY).as("keep_key"))
+      // k is a user literal (lines on a graph) — the kept-key set is at most
+      // k rows regardless of data volume, so broadcasting it is the right
+      // plan at any scale and saves shuffling the full line frame into a
+      // sort-merge join. Guarded only against a pathological k.
+      val topKeys =
+        if (p.k <= 100000) broadcast(topKeysRaw) else topKeysRaw
       val kept = f.df.join(topKeys, col(KEY) === col("keep_key"), "left_semi")
       p.others match {
         case None =>
