@@ -73,7 +73,7 @@ object Bench {
       .master("local[32]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
       // fresh warehouse per run (store/rollup queries write managed tables)

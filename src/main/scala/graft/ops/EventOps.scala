@@ -19,9 +19,9 @@ object EventOps {
   /** The driver's events table with a tags view for query matching, native
     * columns preserved, timestamps in epoch ms. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Datapoints.configure(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("tms", expr("ts div 1000000"))
+      .withColumn("tms", graft.sources.Datapoints.epochMs(col("ts")))
       .withColumn(
         "tags",
         map(

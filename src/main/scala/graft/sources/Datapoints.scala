@@ -14,17 +14,26 @@ import org.apache.spark.sql.functions._
  */
 object Datapoints {
 
-  /** Read options needed for the testdata (events.ts is parquet TIMESTAMP(NANOS)). */
+  /** Read options needed for the testdata: timestamps must resolve in UTC so
+    * the epoch extracted from a TIMESTAMP_NTZ column matches the DuckDB
+    * oracle's `epoch_ms` (DuckDB treats a naive timestamp as-is). */
   def configure(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+  /** Epoch milliseconds of a parquet timestamp column, whether the file
+    * carries TIMESTAMP (UTC-adjusted) or TIMESTAMP_NTZ (naive): the cast is
+    * a no-op for the former and interprets the wall clock in the session
+    * zone (pinned to UTC by [[configure]]) for the latter — both match the
+    * oracle's `epoch_ms(ts)`. */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_millis(c.cast("timestamp"))
 
   /**
    * events table as datapoints:
    *   name = event_type, usr = zero-padded user id, grp = user id mod 5,
    *   hi   = "y" only when value > 300 (an optional tag, for :has tests).
-   * `ts` arrives as nanoseconds (long) and is floored to milliseconds with
-   * integer arithmetic — nanos exceed 2^53 so double math would lose
-   * precision.
+   * `ts` arrives as a parquet timestamp and is floored to epoch ms via
+   * [[epochMs]].
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
@@ -42,7 +51,7 @@ object Datapoints {
         lit("grp"), concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")),
         lit("hi"), when(col("value") > 300, lit("y")).otherwise(lit(null: String))
       ).as("tags"),
-      expr("ts div 1000000").as("ts"),
+      epochMs(col("ts")).as("ts"),
       col("value").as("value")
     )
   }
@@ -65,7 +74,7 @@ object Datapoints {
         lit("grp"), concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")),
         lit("percentile"), concat(lit("D"), lpad(hex(idx), 4, "0"))
       ).as("tags"),
-      expr("ts div 1000000").as("ts"),
+      epochMs(col("ts")).as("ts"),
       lit(1.0).as("value")
     )
   }
@@ -86,7 +95,7 @@ object Datapoints {
     // publishes — sum-on-ingest normalization must see one point per slot
     ev.select(
         col("event_type"),
-        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        (epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(3600000L))).as("t"),
         Hll.registerCol(h).as("reg"),
         Hll.rhoCol(h).as("rho"))
       .groupBy(col("event_type"), col("t"), col("reg"))
@@ -112,7 +121,7 @@ object Datapoints {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(
         col("event_type"),
-        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        (epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(3600000L))).as("t"),
         col("value"))
     val agg = ev.groupBy(col("event_type"), col("t")).agg(
       count(lit(1)).cast("double").as("count"),
@@ -149,7 +158,7 @@ object Datapoints {
     val base = ev.select(
       col("event_type"),
       concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")).as("grp"),
-      expr("ts div 1000000").as("tms"),
+      epochMs(col("ts")).as("tms"),
       col("value"))
     // collapse same-ms samples first: a counter has ONE value per instant
     val perInstant = base
@@ -178,7 +187,7 @@ object Datapoints {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     ev.select(
         col("event_type"),
-        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("t"),
+        (epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(3600000L))).as("t"),
         col("value"))
       .groupBy(col("event_type"), col("t"))
       .agg(max(col("value")).as("v"))
@@ -204,7 +213,7 @@ object Datapoints {
         lit("returnflag"), col("l_returnflag"),
         lit("linestatus"), col("l_linestatus")
       ).as("tags"),
-      unix_millis(col("l_shipdate")).as("ts"),
+      epochMs(col("l_shipdate")).as("ts"),
       col("l_extendedprice").as("value")
     )
   }
