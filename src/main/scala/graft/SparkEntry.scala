@@ -515,6 +515,7 @@ object SparkEntry {
       "dedup_embedding" -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.9)),
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
+      "cluster_assign" -> ((s, d) => Similarity.nearestCentroid(emb(s, d), col("vec_id") < 4)),
       "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
       "sim_ann_ivf" -> ((s, d) => Similarity.ivfTopK(emb(s, d), col("vec_id") < 10, 5)),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
@@ -560,6 +561,29 @@ object SparkEntry {
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
+      "pipeline_chunk" -> ((s, d) => Curate.chunk(docs(s, d))),
+      // -- as-of join: each purchase picks up the user's latest prior click --
+      "join_asof" -> ((s, d) => {
+        val ev = EventOps.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("tms"), col("value"))
+        Joins.asof(
+          ev.filter(col("event_type") === "purchase").drop("event_type"),
+          ev.filter(col("event_type") === "click").drop("event_type"),
+          keyCols = Seq("user_id"), leftTime = "tms", rightTime = "tms",
+          valueCols = Seq("value"))
+      }),
+      // -- interval join: each error event into its containing user session --
+      "join_interval" -> ((s, d) => {
+        val ev = EventOps.events(s, d)
+        Joins.intervalJoin(
+          ev.filter(col("event_type") === "error")
+            .select(col("event_id"), col("user_id"), col("tms"), col("value")),
+          EventOps.sessionize(ev, gapMs = 21600000L),
+          keyCols = Seq("user_id"), pointTime = "tms",
+          startCol = "session_start", endCol = "session_end",
+          valueCols = Seq("n_events"), bucketMs = 21600000L)
+      }),
       // threshold 0.9: the near-duplicate regime where the LSH candidate
       // path has ~1.0 recall (SemDeDup prunes at high similarity). At low
       // thresholds an exact oracle is unreachable by design — LSH recall
@@ -660,6 +684,23 @@ object SparkEntry {
   }
 
   private def opsOracles: Map[String, String] = {
+    // shared by events_sessionize and (as a CTE) join_interval
+    val sessionizeSql =
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, tms, value,
+        |         sum(is_start) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e)
+        |SELECT user_id, min(tms) AS session_start, max(tms) AS session_end,
+        |       CAST(count(*) AS DOUBLE) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sess""".stripMargin
     // shared verbatim by text_decontaminate and text_decontaminate_bloom
     // (the Bloom path must reproduce the plain path bit-for-bit)
     val decontaminateSql =
@@ -720,6 +761,19 @@ object SparkEntry {
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            |  WHERE a.vec_id < 10
            |) WHERE rank <= 5""".stripMargin,
+      // ties on the ROUNDED score break to the smallest centroid id in
+      // both engines (row_number ties mirror the kernel's ascending-cid
+      // strict-> scan)
+      "cluster_assign" ->
+        s"""WITH s AS (
+           |  SELECT a.vec_id, b.vec_id AS cid, round($cosSql, 4) AS score
+           |  FROM embeddings a CROSS JOIN embeddings b
+           |  WHERE b.vec_id < 4)
+           |SELECT vec_id, cid AS centroid_id, score
+           |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                   ORDER BY score DESC, cid ASC) AS rn
+           |      FROM s)
+           |WHERE rn = 1""".stripMargin,
       // int8 quantization: floor(v/scale + 0.5) — half-up-toward-+inf is
       // identical in the JVM and DuckDB (round() is not, on negative
       // halves); scale is single-op IEEE arithmetic, bit-identical
@@ -838,6 +892,28 @@ object SparkEntry {
           |  CAST(st % 512 AS DOUBLE) AS seq_offset,
           |  CASE WHEN st % 512 + n > 512 THEN 1.0 ELSE 0.0 END AS spans_boundary
           |FROM c""".stripMargin,
+      "pipeline_chunk" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |         CASE WHEN len(toks) <= 32 THEN 1
+          |              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+          |  FROM t),
+          |x AS (
+          |  SELECT doc_id, n, toks,
+          |         unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+          |SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_start,
+          |       least(32, n - chunk_idx * 24) AS n_tok,
+          |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text
+          |FROM x""".stripMargin,
+      "join_asof" ->
+        """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS tms, p.value,
+          |       c.value AS asof_value, c.tms AS asof_tms
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT *, epoch_ms(ts) AS tms FROM events
+          |                WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= c.tms""".stripMargin,
       "pipeline_semdedup" ->
         s"""WITH RECURSIVE
            |pairs AS (
@@ -879,22 +955,20 @@ object SparkEntry {
       // the Bloom prefilter is a plan change, not a semantics change: the
       // exact confirm join makes the output identical to the plain variant
       "text_decontaminate_bloom" -> decontaminateSql,
-      "events_sessionize" ->
-        """WITH e AS (
-          |  SELECT user_id, event_id, epoch_ms(ts) AS tms, value,
-          |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-          |                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
-          |              THEN 1 ELSE 0 END AS is_start
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-          |s AS (
-          |  SELECT user_id, tms, value,
-          |         sum(is_start) OVER (PARTITION BY user_id ORDER BY tms, event_id
-          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-          |  FROM e)
-          |SELECT user_id, min(tms) AS session_start, max(tms) AS session_end,
-          |       CAST(count(*) AS DOUBLE) AS n_events, round(sum(value), 4) AS sum_value
-          |FROM s GROUP BY user_id, sess""".stripMargin,
+      "events_sessionize" -> sessionizeSql,
+      // each error event lands in exactly ONE containing session (sessions
+      // of a user are disjoint and cover every event), so the BETWEEN join
+      // is the full point-in-interval relation
+      "join_interval" ->
+        s"""WITH sess AS ($sessionizeSql)
+           |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS tms, p.value,
+           |       s.session_start AS iv_session_start,
+           |       s.session_end AS iv_session_end,
+           |       s.n_events AS iv_n_events
+           |FROM events p JOIN sess s
+           |  ON p.user_id = s.user_id
+           | AND epoch_ms(p.ts) BETWEEN s.session_start AND s.session_end
+           |WHERE p.event_type = 'error'""".stripMargin,
       "text_tokens" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""SELECT doc_id,

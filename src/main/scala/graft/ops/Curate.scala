@@ -184,4 +184,50 @@ object Curate {
         when(col("start_tok") % seqLen + col("n_tok") > seqLen, 1.0)
           .otherwise(0.0).as("spans_boundary"))
   }
+
+  /**
+   * Token-window chunking — the RAG / context-window splitter: each
+   * document becomes overlapping windows of `window` tokens advancing by
+   * `stride` (overlap = window - stride). Every token lands in at least one
+   * chunk; a document shorter than one window is a single chunk. Output is
+   * one row per (doc, chunk): chunk index, first-token offset, token count
+   * and the chunk text (tokens re-joined by a single space).
+   *
+   * Scale shape: a pure codegen projection + generator over the scan — the
+   * token array, chunk count and slices are all built-in expressions, the
+   * explode multiplies rows ~n/stride-fold with no shuffle at any point,
+   * and chunks of a document stay within the producing partition (good
+   * locality for a downstream per-chunk embed/score pass). Stateless per
+   * row, so the same frame streams unchanged.
+   */
+  def chunk(
+      docs: DataFrame,
+      window: Int = 32,
+      stride: Int = 24,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride must be in [1, window]")
+    // chunk count: 1 when the doc fits one window, else enough stride
+    // steps that the last window reaches the end (its start stays < n
+    // because stride <= window, so the tail chunk is never empty)
+    val nChunks =
+      when(col("__n") <= window, lit(1L)).otherwise(
+        ceil((col("__n") - lit(window)).cast("double") / lit(stride)) + 1L)
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(lit(window.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("n_tok"),
+        array_join(
+          slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(window)), " ").as("chunk_text"))
+  }
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark has no built-in word for.
+ *
+ * [[asof]] is the point-in-time ("as-of") join: each left row picks up the
+ * payload of the LATEST right row with the same key whose timestamp is at
+ * or before the left row's timestamp (`left.t >= right.t`), or nulls when
+ * no such row exists. DuckDB's native `ASOF LEFT JOIN` computes the same
+ * relation and serves as the oracle.
+ *
+ * Implementation is the scale-right union-of-streams plan rather than a
+ * range join: both sides are tagged and unioned, ONE shuffle co-partitions
+ * them by key, and a running `last(payload, ignoreNulls)` over the
+ * time-sorted partition carries each right payload forward to the left
+ * rows it covers. Cost is a single exchange + per-partition sort —
+ * per-row work is O(1), there is no candidate-interval explosion the way
+ * a `BETWEEN` range join explodes, and no per-left-row binary search. At
+ * 100 TB both inputs stream through the same hash partitioning; a hot key
+ * is bounded by that key's own row count, never by a cross product.
+ */
+object Joins {
+
+  /**
+   * As-of join `left` to `right` on equal `keyCols` with
+   * `left(leftTime) >= right(rightTime)`.
+   *
+   * Every column of `left` is preserved; each of `valueCols` from `right`
+   * arrives as `prefix + name`, plus `prefix + rightTime` carrying the
+   * matched row's timestamp. Ties: a right row at exactly the left row's
+   * timestamp matches (>= semantics); if several right rows share one
+   * (key, timestamp) the one with the greatest payload struct wins —
+   * deterministic, and irrelevant when (key, time) is unique on the right
+   * (the common case; DuckDB's ASOF leaves this unspecified).
+   */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "asof join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    val payFields = valueCols :+ rightTime
+    val payType = right
+      .select(struct(payFields.map(col): _*))
+      .schema.head.dataType
+
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__lrow"),
+        lit(null).cast(payType).as("__pay")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
+        struct(payFields.map(col): _*).as("__pay")): _*)
+
+    // right rows order BEFORE left rows at the same timestamp (so an
+    // equal-time right row is visible to the left row), and equal-time
+    // right rows order by payload (greatest wins under last()).
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__pay").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(n => col(s"__lrow.$n").as(n)) ++
+          payFields.map(n => col(s"__match.$n").as(s"$prefix$n")): _*)
+  }
+
+  /**
+   * Point-in-interval join: each `points` row joins every `intervals` row
+   * with the same key whose `[startCol, endCol]` (inclusive both ends)
+   * contains the point's `pointTime`. Non-matching points are dropped
+   * (inner semantics). Oracle: a plain `BETWEEN` join.
+   *
+   * The plan is the grid ("bucketed range") join, not a range cross
+   * product: every interval is exploded to the time buckets of width
+   * `bucketMs` it overlaps, every point maps to its single containing
+   * bucket, and the two sides meet in an EQUI-join on (key..., bucket)
+   * with the exact containment as a post-filter. Each matching pair is
+   * produced exactly once — through the point's own bucket — so no
+   * distinct() is needed. Spark can hash-partition and AQE-skew-split an
+   * equi-join; it can do neither for a raw `BETWEEN` condition, which
+   * plans as a per-key cross product. Pick `bucketMs` near the typical
+   * interval length: the interval side inflates by ~(length/bucketMs + 1)
+   * copies while each bucket's candidate population stays small.
+   */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      valueCols: Seq[String],
+      bucketMs: Long,
+      prefix: String = "iv_"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "interval join needs at least one key column")
+    require(bucketMs > 0, "bucketMs must be positive")
+    val pointCols = points.columns.toSeq
+    val payFields = (Seq(startCol, endCol) ++ valueCols).distinct
+    // integer `div`, not `/`: Column./ is double division, inexact past 2^53
+    def bucket(c: String) = expr(s"$c div ${bucketMs}L")
+    val iv = intervals.select(
+      (keyCols.map(col) ++ payFields.map(col) :+
+        explode(sequence(bucket(startCol), bucket(endCol))).as("__b")): _*)
+    val pt = points.withColumn("__b", bucket(pointTime))
+    pt.join(iv, keyCols :+ "__b")
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .select(
+        pointCols.map(col) ++
+          payFields.map(n => col(n).as(s"$prefix$n")): _*)
+  }
+}

@@ -115,6 +115,65 @@ object Similarity {
   }
 
   /**
+   * Nearest-centroid assignment — the k-means E-step as a standalone
+   * operator: every vector is labeled with the id of its most-cosine-similar
+   * centroid. `centroidPred` selects the centroid rows out of `emb` itself
+   * (k-means++-style seeding by known ids, or a previously-materialized
+   * centroid table unioned in). Ties break to the smallest centroid id on
+   * the ROUNDED score, so the decision is reproducible across engines.
+   *
+   * Scale shape: centroids are collected and broadcast (k is small by
+   * definition — bounded here at 64k rows) into a partition-local kernel;
+   * the corpus streams through one projection with NO shuffle, O(k·dim)
+   * work per vector. Scores are computed as dot/(|a||b|) over double-cast
+   * lanes in lane order — float-path-identical to the DuckDB oracle's
+   * `list_dot_product` formulation, so assignments match exactly.
+   */
+  def nearestCentroid(
+      emb: DataFrame,
+      centroidPred: Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = emb.filter(centroidPred)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    require(centroids.nonEmpty, "centroidPred selected no centroid rows")
+    require(centroids.length <= 65536,
+      s"${centroids.length} centroids exceed the broadcast bound")
+    val bc = spark.sparkContext.broadcast(
+      centroids.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) })
+
+    emb
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[Vec]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { v =>
+          val vn = math.sqrt(dot(v.vec, v.vec))
+          var bestId = -1L
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            // ascending-cid iteration + strict > : smallest id wins ties
+            val s = rnd4(dot(v.vec, cv) / (vn * cn))
+            if (s > best) { best = s; bestId = cid }
+            i += 1
+          }
+          (v.id, bestId, best)
+        }
+      }
+      .toDF("vec_id", "centroid_id", "score")
+  }
+
+  /**
    * Auto-derived LSH geometry for [[cosinePairs]] (the hot-bucket guard the
    * fixed 16x8 default lacked): `planes` grows with corpus size so expected
    * RANDOM bucket occupancy stays ~32 (candidate volume within a bucket is

@@ -627,12 +627,7 @@ object Planner {
               agg.as(s"_f$i")
             }
             val grouped = norm.groupBy(col(T)).agg(aggCols.head, aggCols.tail: _*)
-            val out = grouped.select(
-              lit("").as(KEY),
-              tagsLit(firstTags.getOrElse(Map.empty)).as(TAGS),
-              col(T),
-              render(tree).cast("double").as(V))
-            Some(SeriesFrame(out, Nil, ctx.step, dense = false))
+            Some(emit(grouped))
           }
         } else if (mode == 2 && aggrLeaves.size >= 2) {
           val f = eval(aggrBase.get)
@@ -647,12 +642,7 @@ object Planner {
             agg.as(s"_f$i")
           }
           val grouped = f.df.groupBy(col(T)).agg(aggCols.head, aggCols.tail: _*)
-          val out = grouped.select(
-            lit("").as(KEY),
-            tagsLit(firstTags.getOrElse(Map.empty)).as(TAGS),
-            col(T),
-            render(tree).cast("double").as(V))
-          Some(SeriesFrame(out, Nil, ctx.step, dense = false))
+          Some(emit(grouped))
         } else None
       }
     }

@@ -329,6 +329,23 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 at nProbe=2/8: $recall%.2f")
     assert(recall > 0.3) // deterministic quantizer, stable bound
   }
+
+  test("nearestCentroid assigns by rounded cosine, ties to the smallest centroid id") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),  // centroid 0
+      (1L, Array(0.0f, 1.0f)),  // centroid 1
+      (10L, Array(2.0f, 0.1f)), // -> 0
+      (11L, Array(0.1f, 3.0f)), // -> 1
+      (12L, Array(1.0f, 1.0f))  // exactly between: tie -> centroid 0
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.nearestCentroid(e, col("vec_id") < 2)
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") -> (x.getAs[Long]("centroid_id"), x.getAs[Double]("score")))
+      .toMap
+    assert(r(10L)._1 == 0L && r(11L)._1 == 1L)
+    assert(r(12L) == ((0L, 0.7071)))      // cos 45° both ways, rounded
+    assert(r(0L) == ((0L, 1.0)) && r(1L) == ((1L, 1.0))) // self-assignment
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
@@ -719,6 +736,75 @@ class CurateSpec extends SparkSpec {
     assert(row(2L) == (0.0, 3.0, 1.0)) // 3 + 4 > 5: crosses into sequence 1
     assert(row(3L) == (1.0, 2.0, 0.0)) // starts at token 7 of shard s
     assert(row(4L) == (0.0, 0.0, 1.0)) // other shard packs independently
+  }
+
+  test("chunk: windows cover every token, stride the starts, and rejoin exactly") {
+    val cd = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks at w4/s3
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 4).map(i => s"u$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val r = Curate.chunk(cd, window = 4, stride = 3)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx")) ->
+        (x.getAs[Long]("tok_start"), x.getAs[Long]("n_tok"), x.getAs[String]("chunk_text")))
+      .toMap
+    assert(r.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)))
+    assert(r((1L, 0L)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(r((1L, 1L)) == ((3L, 4L, "t4 t5 t6 t7")))  // overlap = window - stride
+    assert(r((1L, 2L)) == ((6L, 4L, "t7 t8 t9 t10"))) // tail window reaches the end
+    assert(r((2L, 0L)) == ((0L, 3L, "a b c")))
+    assert(r((3L, 0L)) == ((0L, 4L, "u1 u2 u3 u4")))
+  }
+
+  test("asof: latest at-or-before match per key, nulls when none, >= on ties") {
+    val left = Seq(
+      (10L, "k1", 100L), // before any right row -> null
+      (11L, "k1", 200L), // exactly at right ts 200 -> matches it (>=)
+      (12L, "k1", 350L), // between 200 and 400 -> still 200
+      (13L, "k1", 450L), // after 400 -> 400
+      (14L, "k2", 999L)  // key with no right rows at all -> null
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("k1", 200L, 2.0),
+      ("k1", 400L, 4.0),
+      ("k3", 100L, 9.0) // right-only key must not leak into output
+    ).toDF("k", "rt", "v")
+    val out = Joins.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        (Option(x.getAs[java.lang.Double]("asof_v")).map(_.toDouble),
+         Option(x.getAs[java.lang.Long]("asof_rt")).map(_.toLong)))
+      .toMap
+    assert(out.size == 5)
+    assert(out(10L) == ((None, None)))
+    assert(out(11L) == ((Some(2.0), Some(200L))))
+    assert(out(12L) == ((Some(2.0), Some(200L))))
+    assert(out(13L) == ((Some(4.0), Some(400L))))
+    assert(out(14L) == ((None, None)))
+  }
+
+  test("intervalJoin: inclusive containment, one row per matching pair, bucket-width independent") {
+    val points = Seq(
+      (1L, "k1", 100L),  // inside [50, 150]
+      (2L, "k1", 150L),  // ON the end bound (inclusive)
+      (3L, "k1", 151L),  // just past -> dropped
+      (4L, "k1", 5000L), // inside the bucket-spanning [4000, 9000]
+      (5L, "k2", 100L)   // same time, other key -> no interval
+    ).toDF("point_id", "k", "t")
+    val ivals = Seq(
+      ("k1", 50L, 150L, "a"),
+      ("k1", 4000L, 9000L, "b") // spans many 1000-width buckets
+    ).toDF("k", "s", "e", "tag")
+    def run(bucketMs: Long) = Joins
+      .intervalJoin(points, ivals, Seq("k"), "t", "s", "e", Seq("tag"), bucketMs)
+      .collect()
+      .map(x => x.getAs[Long]("point_id") -> x.getAs[String]("iv_tag"))
+      .toMap
+    val r = run(1000L)
+    assert(r == Map(1L -> "a", 2L -> "a", 4L -> "b"))
+    // the grid width changes the plan's inflation factor, never the result
+    assert(run(100L) == r && run(100000L) == r)
   }
 }
 

@@ -90,7 +90,16 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // moments agg (partial+final over countDistinct expand) + the
     // domain-bounded quantile path (vc agg behind its checkpoint, histogram
     // agg, marker walk, in-bucket rank) + the per-source stitch join
-    "corpus_profile" -> 7
+    "corpus_profile" -> 7,
+    // token-window explode is a pure generator over the scan
+    "pipeline_chunk" -> 0,
+    // ONE key co-partitioning of the unioned sides; the as-of carry is a
+    // sort + running last() within the partition, never a range join
+    "join_asof" -> 1,
+    // grid equi-join: session build (1 on user_id) + the two join sides
+    // hashed on (user_id, bucket); containment is a post-filter, so no
+    // per-key cross product anywhere
+    "join_interval" -> 3
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {

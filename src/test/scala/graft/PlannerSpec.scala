@@ -253,4 +253,20 @@ class PlannerSpec extends SparkSpec {
     assert(got(slot(1)) == 20.0)
     assert(!got.contains(slot(3)))
   }
+
+  test("fused comparison tree materializes the FULL grid, not just slots with data") {
+    // two fused Sum leaves: node=1 covers 0,1,2,4,5; node=2 covers 0,1.
+    // Slot 3 has no data on ANY leaf — the fused groupBy(t) alone would
+    // drop it, but comparison/boolean semantics demand a 0 there.
+    val n1 = Query.And(a, Query.Equal("node", "1"))
+    val n2 = Query.And(a, Query.Equal("node", "2"))
+    val expr = Binary(BinOp.And,
+      Binary(BinOp.Gt, Sum(n1), Constant(0.0)),
+      Binary(BinOp.Gt, Sum(n2), Constant(0.0)))
+    val s = series(expr)
+    assert(s.keySet == (0 to 5).map(slot).toSet)
+    assert(s(slot(0)) == 1.0 && s(slot(1)) == 1.0) // both sides present + positive
+    assert(s(slot(3)) == 0.0)                      // no data on any leaf
+    assert(s(slot(2)) == 0.0 && s(slot(4)) == 0.0 && s(slot(5)) == 0.0) // one side missing
+  }
 }
