@@ -139,7 +139,9 @@ object Bench {
       "filter_topk_others", "filter_having", "query_re", "events_table",
       "rel_revenue_by_nation", "rel_q1_pricing", "rel_pct_price",
       "dedup_exact", "dedup_minhash", "sim_topk", "sim_ann_lsh",
-      "text_tokens", "text_quality", "mm_features")
+      "text_tokens", "text_quality", "mm_features",
+      "join_asof", "join_interval", "pipeline_chunk", "cluster_assign",
+      "text_bm25", "text_unigram_nll", "dedup_incremental", "pipeline_split")
     val qs = results
       .filter { case (k, _, _) => headline.contains(k) }
       .map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }

@@ -529,6 +529,8 @@ object SparkEntry {
       "dedup_substring" -> ((s, d) => TextOps.sharedSubstrings(docs(s, d), n = 10)),
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
+      "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
+      "text_bm25" -> ((s, d) => TextOps.bm25(docs(s, d), "spark join merge")),
       "text_decontaminate" -> ((s, d) => {
         val dd = docs(s, d)
         TextOps.decontaminate(
@@ -562,6 +564,23 @@ object SparkEntry {
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
       "pipeline_chunk" -> ((s, d) => Curate.chunk(docs(s, d))),
+      "corpus_overlap" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.crossSourceOverlap(dd, Dedup.minhashLsh(dd, threshold = 0.5))
+      }),
+      "pipeline_split" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.leakageFreeSplit(dd, Dedup.minhashLsh(dd, threshold = 0.5))
+      }),
+      // incremental ingest: even doc ids play the existing corpus, odd the
+      // arriving batch — only cross-side pairs are produced
+      "dedup_incremental" -> ((s, d) => {
+        val dd = docs(s, d)
+        Dedup.minhashLshIncremental(
+          dd.filter(col("doc_id") % 2 === 0),
+          dd.filter(col("doc_id") % 2 === 1),
+          threshold = 0.5)
+      }),
       // -- as-of join: each purchase picks up the user's latest prior click --
       "join_asof" -> ((s, d) => {
         val ev = EventOps.events(s, d)
@@ -746,8 +765,26 @@ object SparkEntry {
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS n_dups
           |FROM documents GROUP BY 1""".stripMargin,
       "dedup_minhash" -> graft.ops.Dedup.minhashOracleSql(3, 16, 4, 0.5),
+      "dedup_incremental" -> graft.ops.Dedup.minhashIncrementalOracleSql(
+        3, 16, 4, 0.5, "doc_id % 2 = 0", "doc_id % 2 = 1"),
+      "corpus_overlap" ->
+        s"""WITH pairs AS (${graft.ops.Dedup.minhashOracleSql(3, 16, 4, 0.5)}),
+           |lab AS (SELECT doc_id, source FROM documents)
+           |SELECT least(a.source, b.source) AS source_a,
+           |       greatest(a.source, b.source) AS source_b,
+           |       CAST(count(*) AS DOUBLE) AS n_pairs
+           |FROM pairs p
+           |JOIN lab a ON p.doc_a = a.doc_id
+           |JOIN lab b ON p.doc_b = b.doc_id
+           |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
+      "pipeline_split" ->
+        s"""SELECT doc_id, cluster_id,
+           |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |            % 10000 < 2000
+           |       THEN 'val' ELSE 'train' END AS split
+           |FROM (${graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5)})""".stripMargin,
       "dedup_simhash" -> graft.ops.Dedup.simhashOracleSql(3),
       "dedup_embedding" ->
         s"""SELECT id_a, id_b, score FROM (
@@ -872,6 +909,15 @@ object SparkEntry {
           |  FROM toks WHERE len(w) >= 2))
           |SELECT g AS ngram, CAST(count(*) AS DOUBLE) AS df
           |FROM dg GROUP BY 1 ORDER BY df DESC, ngram ASC LIMIT 50""".stripMargin,
+      "text_bm25" -> graft.ops.TextOps.bm25OracleSql("spark join merge"),
+      "text_unigram_nll" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
+          |SELECT doc_id, round(-avg(ln(c.c / tot.n)), 4) AS nll
+          |FROM toks JOIN c USING (tok) CROSS JOIN tot
+          |GROUP BY doc_id""".stripMargin,
       "pipeline_mix" ->
         """WITH w AS (
           |  SELECT doc_id, source,

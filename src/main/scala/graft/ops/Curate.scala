@@ -186,6 +186,68 @@ object Curate {
   }
 
   /**
+   * Leakage-free train/validation split: the assignment is decided per
+   * near-duplicate CLUSTER, not per document, so no near-dup pair ever
+   * straddles the boundary (the classic eval-contamination failure of a
+   * per-doc random split). Clusters land in "val" at `valFrac` by the same
+   * 60-bit md5 threshold the sampling ops use, keyed on the cluster id —
+   * deterministic, reproducible, and stable under corpus growth (a new
+   * member joins its cluster's existing side).
+   *
+   * Scale shape: clustering runs at pair-list cardinality; the corpus is
+   * touched once by a left join against the (small) cluster labels — AQE
+   * broadcasts it — and the split decision is a projection.
+   */
+  def leakageFreeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      valFrac: Double = 0.2,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(valFrac >= 0.0 && valFrac <= 1.0, "valFrac must be in [0, 1]")
+    val cc = Dedup.connectedComponents(pairs)
+    val bucket =
+      conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    docs
+      .select(col(idCol).cast("long").as(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(bucket < valFrac * 10000, "val").otherwise("train"))
+  }
+
+  /**
+   * Cross-source overlap report: near-duplicate pair counts between every
+   * pair of corpus sources — the "how much of source X is already in
+   * source Y" question asked before mixing corpora. `pairs` is the output
+   * of any Dedup pair operator; source pairs are unordered
+   * (least/greatest), so X~Y and Y~X accumulate into one row.
+   *
+   * Scale shape: everything runs at PAIR cardinality (the dedup operator
+   * already bounded that), plus two hash joins against the doc→source
+   * projection and a final aggregate over at most |sources|² rows.
+   */
+  def crossSourceOverlap(
+      docs: DataFrame,
+      pairs: DataFrame,
+      srcCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val lab = docs.select(col(idCol).cast("long").as("__id"), col(srcCol))
+    pairs
+      .join(lab.select(col("__id"), col(srcCol).as("__sa")),
+        col("doc_a") === col("__id")).drop("__id")
+      .join(lab.select(col("__id"), col(srcCol).as("__sb")),
+        col("doc_b") === col("__id")).drop("__id")
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).cast("double").as("n_pairs"))
+  }
+
+  /**
    * Token-window chunking — the RAG / context-window splitter: each
    * document becomes overlapping windows of `window` tokens advancing by
    * `stride` (overlap = window - stride). Every token lands in at least one

@@ -171,11 +171,7 @@ object Dedup {
     // corpus. localCheckpoint (not persist) so the blocks are freed by the
     // ContextCleaner once the frame is unreachable — a catalog run executes
     // ~100 queries in one JVM and leaked cache blocks evict each other.
-    val groups = minhashDocs(docs, textCol, shingleSize, h).toDF()
-      .groupBy(col("sh"))
-      .agg(collect_list(col("doc_id")).as("ids"), first(col("sig")).as("sig"))
-      .withColumn("gid", array_min(col("ids")))
-      .localCheckpoint()
+    val groups = sigGroups(docs, textCol, shingleSize, h)
 
     // identical shingle sets: every in-group pair is a duplicate at 1.0
     val intra = intraPairs(groups, "gid").withColumn("jaccard", lit(1.0))
@@ -183,15 +179,7 @@ object Dedup {
     // Explode to (gid, band, bucket) only — the bands explode multiplies
     // every row by `bands`, so it must carry no set payload. Shingle sets
     // are re-joined for surviving candidate group pairs only.
-    val buckets = groups.select(
-      col("gid"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          concat_ws("_", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bucket"))
-      }: _*)).as("bb")
-    ).select(col("gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = bucketize(groups, bands, rowsPerBand)
 
     val a = buckets.select(col("band"), col("bucket"), col("gid").as("gid_a"))
     val b = buckets.select(col("band"), col("bucket"), col("gid").as("gid_b"))
@@ -215,6 +203,73 @@ object Dedup {
         col("jaccard"))
 
     intra.unionAll(cross)
+  }
+
+  /** (gid, band, bucket) rows of a signature-group frame: the bands
+    * explode carries no set payload (see the [[minhashLsh]] comment). */
+  private def bucketize(groups: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    groups.select(
+      col("gid"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bucket"))
+      }: _*)).as("bb")
+    ).select(col("gid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Signature-group ("index") frame of a corpus: one row per DISTINCT
+    * shingle set with its member doc ids, minhash signature and gid. */
+  private def sigGroups(
+      docs: DataFrame, textCol: String, shingleSize: Int, h: Int): DataFrame =
+    minhashDocs(docs, textCol, shingleSize, h).toDF()
+      .groupBy(col("sh"))
+      .agg(collect_list(col("doc_id")).as("ids"), first(col("sig")).as("sig"))
+      .withColumn("gid", array_min(col("ids")))
+      .localCheckpoint()
+
+  /**
+   * Incremental near-dup detection: minhash-LSH pairs BETWEEN an existing
+   * corpus and a new batch only — the daily-ingest shape, where the corpus
+   * is assumed already deduplicated and re-pairing it against itself every
+   * day would be quadratic waste. Output is (corpus_id, batch_id, jaccard)
+   * for cross-side pairs at or above `threshold`; batch-internal duplicates
+   * are a separate (plain [[minhashLsh]] on the batch) concern.
+   *
+   * Scale shape: the corpus side's signature groups and bucket rows are
+   * exactly the frames a production deployment PERSISTS as its dedup index
+   * (~1 KB/distinct set, built once, appended per batch) — per-batch cost
+   * is then batch-cardinality signature building plus a bucket equi-join
+   * against the corpus bucket table. The corpus never self-joins, and the
+   * identical-set fast path needs no special case: byte-identical sets
+   * share every bucket and measure jaccard 1.0 through the same join.
+   */
+  def minhashLshIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val h = bands * rowsPerBand
+    val gc = sigGroups(corpus, textCol, shingleSize, h)
+    val gb = sigGroups(batch, textCol, shingleSize, h)
+    val cand = bucketize(gc, bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("gid").as("gid_a"))
+      .join(bucketize(gb, bands, rowsPerBand)
+        .select(col("band"), col("bucket"), col("gid").as("gid_b")),
+        Seq("band", "bucket"))
+      .select(col("gid_a"), col("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
+    cand
+      .join(gc.select(col("gid").as("gid_a"), col("sh").as("sh_a"), col("ids").as("ids_a")), "gid_a")
+      .join(gb.select(col("gid").as("gid_b"), col("sh").as("sh_b"), col("ids").as("ids_b")), "gid_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")) + graft.core.NanMath.RoundEps, 4))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ids_a")).as("corpus_id"), col("ids_b"), col("jaccard"))
+      .select(col("corpus_id"), explode(col("ids_b")).as("batch_id"), col("jaccard"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
@@ -492,8 +547,10 @@ object Dedup {
   // --- DuckDB oracle SQL (same hash family constants, so values match) ----
 
   /** DuckDB replica of [[minhashLsh]] over the `documents` table. */
-  def minhashOracleSql(
-      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  /** The shingle/signature/bucket CTE prefix shared by the minhash oracle
+    * replicas; the candidate-pair condition is what varies per variant. */
+  private def minhashOraclePrefix(
+      shingleSize: Int, bands: Int, rowsPerBand: Int): String = {
     val h = bands * rowsPerBand
     val minExprs = (0 until h).map(i =>
       s"min(((shash % $FamP) * ${famA(i)} + ${famB(i)}) % $FamP) AS m$i").mkString(", ")
@@ -510,7 +567,12 @@ object Dedup {
        |  FROM toks)),
        |sigs AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
        |buckets AS (SELECT doc_id, bb.band AS band, bb.bucket AS bucket FROM (
-       |  SELECT doc_id, unnest([$bucketStructs]) AS bb FROM sigs)),
+       |  SELECT doc_id, unnest([$bucketStructs]) AS bb FROM sigs)),""".stripMargin
+  }
+
+  def minhashOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""${minhashOraclePrefix(shingleSize, bands, rowsPerBand)}
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |shs AS (SELECT doc_id, list_distinct(list(shash)) AS s FROM sh GROUP BY doc_id)
@@ -520,7 +582,24 @@ object Dedup {
        |               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4) AS jaccard
        |  FROM cand JOIN shs sa ON cand.doc_a = sa.doc_id JOIN shs sb ON cand.doc_b = sb.doc_id)
        |WHERE jaccard >= $threshold""".stripMargin
-  }
+
+  /** DuckDB replica of [[minhashLshIncremental]]: `corpusPred`/`batchPred`
+    * are SQL predicates over `doc_id` selecting the two sides. */
+  def minhashIncrementalOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      corpusPred: String, batchPred: String): String =
+    s"""${minhashOraclePrefix(shingleSize, bands, rowsPerBand)}
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE (${corpusPred.replace("doc_id", "a.doc_id")})
+       |    AND (${batchPred.replace("doc_id", "b.doc_id")})),
+       |shs AS (SELECT doc_id, list_distinct(list(shash)) AS s FROM sh GROUP BY doc_id)
+       |SELECT doc_a AS corpus_id, doc_b AS batch_id, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN shs sa ON cand.doc_a = sa.doc_id JOIN shs sb ON cand.doc_b = sb.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
 
   /**
    * DuckDB replica of [[connectedComponents]] over [[minhashLsh]] pairs on

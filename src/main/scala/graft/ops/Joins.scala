@@ -36,6 +36,10 @@ object Joins {
    * (key, timestamp) the one with the greatest payload struct wins —
    * deterministic, and irrelevant when (key, time) is unique on the right
    * (the common case; DuckDB's ASOF leaves this unspecified).
+   *
+   * `tolerance` bounds staleness: a match older than `tolerance` ms before
+   * the left timestamp is discarded (payload nulls, as if never matched) —
+   * a projection on the carried result, costing nothing extra.
    */
   def asof(
       left: DataFrame,
@@ -44,7 +48,8 @@ object Joins {
       leftTime: String,
       rightTime: String,
       valueCols: Seq[String],
-      prefix: String = "asof_"
+      prefix: String = "asof_",
+      tolerance: Option[Long] = None
   ): DataFrame = {
     require(keyCols.nonEmpty, "asof join needs at least one key column")
     val leftCols = left.columns.toSeq
@@ -52,18 +57,25 @@ object Joins {
     val payType = right
       .select(struct(payFields.map(col): _*))
       .schema.head.dataType
+    // only columns not already in the union schema ride the struct — keys
+    // and the timestamp reconstruct from the shuffled row itself, so the
+    // exchange carries each byte once
+    val lrowCols = leftCols.filterNot(n => keyCols.contains(n) || n == leftTime)
+    val lrowType = left
+      .select(struct(lrowCols.map(col): _*))
+      .schema.head.dataType
 
     val l = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTime).as("__t"),
         lit(1).as("__side"),
-        struct(leftCols.map(col): _*).as("__lrow"),
+        struct(lrowCols.map(col): _*).as("__lrow"),
         lit(null).cast(payType).as("__pay")): _*)
     val r = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
+        lit(null).cast(lrowType).as("__lrow"),
         struct(payFields.map(col): _*).as("__pay")): _*)
 
     // right rows order BEFORE left rows at the same timestamp (so an
@@ -74,12 +86,19 @@ object Joins {
       .orderBy(col("__t").asc, col("__side").asc, col("__pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    val carried = l.unionByName(r)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(
-        leftCols.map(n => col(s"__lrow.$n").as(n)) ++
-          payFields.map(n => col(s"__match.$n").as(s"$prefix$n")): _*)
+    val matched = tolerance.fold(col("__match")) { tol =>
+      when(col(s"__match.$rightTime") >= col("__t") - tol, col("__match"))
+    }
+    carried.select(
+      leftCols.map {
+        case n if keyCols.contains(n) => col(n)
+        case n if n == leftTime       => col("__t").as(n)
+        case n                        => col(s"__lrow.$n").as(n)
+      } ++
+        payFields.map(n => matched.getField(n).as(s"$prefix$n")): _*)
   }
 
   /**

@@ -678,4 +678,120 @@ object TextOps {
       .agg(count(lit(1)).cast("double").as("df"))
       .orderBy(col("df").desc, col("ngram").asc)
       .limit(k)
+
+  /**
+   * BM25 ranked retrieval: the top-k documents for a bag-of-words query,
+   * scored with the standard Okapi BM25 (Lucene idf variant:
+   * ln((N − df + 0.5)/(df + 0.5) + 1), so idf stays positive for
+   * majority terms). One operator turn of the classic search primitive a
+   * corpus pipeline uses for eval-set mining and nearest-query audits.
+   *
+   * Scale shape: the token explode is filtered to the query's terms AT THE
+   * SCAN (predicate on the generator output — the corpus tokens never
+   * materialize beyond the matching ones), per-(doc, term) tf folds
+   * map-side, the df/stat frames are term- and single-row-cardinality
+   * broadcasts, and the final cut is TakeOrdered (per-partition k-heaps,
+   * no global sort). Ranking compares UNROUNDED scores — both engines
+   * build the identical arithmetic tree from identical constants — with
+   * doc id as the tie-break.
+   */
+  def bm25(
+      docs: DataFrame,
+      query: String,
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    val toks = docs.select(
+      col(idCol),
+      size(split(lower(col(textCol)), " ")).cast("double").as("__len"),
+      explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+    val tf = toks
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        min(col("__len")).as("__len"))
+    val df = tf.groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("__df"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(split(lower(col(textCol)), " "))).as("__avgdl"))
+    val termScore =
+      log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
+        col("__tf") * lit(k1 + 1) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(df), "__tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(termScore).as("__s"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .limit(k)
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("__s").desc, col(idCol).asc)).cast("double"))
+      .select(col(idCol),
+        round(col("__s") + graft.core.NanMath.RoundEps, 4).as("score"),
+        col("rank"))
+  }
+
+  /** The DuckDB replica of [[bm25]], built from the SAME scala-computed
+    * constants so both engines evaluate an identical arithmetic tree. */
+  def bm25OracleSql(
+      query: String, k: Int = 20, k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = query.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(w)) AS avgdl FROM d),
+       |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS len, unnest(w) AS tok FROM d),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf, min(len) AS len
+       |       FROM t WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |s AS (SELECT doc_id,
+       |        sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * ${k1 + 1}
+       |            / (tf + $k1 * (${1.0 - b} + $b * len / avgdl))) AS score
+       |      FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
+       |SELECT doc_id, round(score, 4) AS score, CAST(rn AS DOUBLE) AS rank FROM (
+       |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM s)
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  /**
+   * Corpus-unigram negative log-likelihood — the cheap language-model
+   * quality signal (the KenLM-perplexity-filter shape with the corpus
+   * itself as the LM): score(doc) = −mean over its tokens of
+   * ln(count(token) / total tokens). Common boilerplate scores low,
+   * rare-token noise (mojibake, hex dumps) scores high; threshold the
+   * tails. Unsmoothed — the vocabulary IS the corpus vocabulary, so every
+   * token has mass.
+   *
+   * Scale shape: one token-count aggregate (map-side combined — the
+   * exploded token stream folds to per-partition (token, count) partials
+   * before the wire), the corpus total reduced from those counts (the
+   * count aggregate's exchange is REUSED, not recomputed), and one join
+   * of exploded tokens against the count table — per-token cardinality on
+   * a hash join AQE can broadcast or skew-split — before the per-doc
+   * average. Nothing is collected to the driver.
+   */
+  def unigramNll(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    toks
+      .join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(-avg(log(col("c") / col("n"))) + graft.core.NanMath.RoundEps, 4)
+        .as("nll"))
+  }
 }

@@ -83,6 +83,30 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops._
+
+  test("minhashLshIncremental pairs cross-side only; identical sets at 1.0") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u"),
+      (5L, "p q r s t u") // corpus-internal duplicate: must NOT pair
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "a b c d e f"), // identical to corpus doc 1
+      (4L, "m n o m n o")  // novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashLshIncremental(corpus, batch, shingleSize = 2)
+      .collect()
+      .map(x => (x.getAs[Long]("corpus_id"), x.getAs[Long]("batch_id")) ->
+        x.getAs[Double]("jaccard"))
+      .toMap
+    assert(r.keySet == Set((1L, 3L)))
+    assert(r((1L, 3L)) == 1.0)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -449,6 +473,28 @@ class TextOpsSpec extends SparkSpec {
     assert(b.getAs[Double]("keep") == 0.0)
   }
 
+  test("bm25: hand-computed scores, absent-term docs excluded, ranks sequential") {
+    // N=3, avgdl=2, df(x)=2, idf=ln(1.6)
+    // d1: tf=1,len=2 -> idf            = 0.4700
+    // d2: tf=2,len=3 -> idf*4.4/3.65   = 0.5666
+    val dd = Seq((1L, "x a"), (2L, "x x b"), (3L, "c")).toDF("doc_id", "text")
+    val r = TextOps.bm25(dd, "x", k = 10)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("score"), x.getAs[Double]("rank")))
+      .toMap
+    assert(r == Map(2L -> ((0.5666, 1.0)), 1L -> ((0.47, 2.0))))
+  }
+
+  test("unigramNll: hand-computed corpus-LM negative log-likelihood") {
+    // corpus counts: a=2, b=2, c=1, total 5
+    val dd = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextOps.unigramNll(dd)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.9163) // -ln(0.4)
+    assert(r(2L) == 1.2629) // -(ln 0.4 + ln 0.2)/2
+  }
+
   test("sharedSubstrings counts windows recurring in other documents") {
     val docs = Seq(
       (1L, "a b c d e"), // windows (n=3): "a b c","b c d","c d e"
@@ -738,6 +784,44 @@ class CurateSpec extends SparkSpec {
     assert(row(4L) == (0.0, 0.0, 1.0)) // other shard packs independently
   }
 
+  test("leakageFreeSplit puts whole near-dup clusters on one side of the boundary") {
+    val dd = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val r = Curate.leakageFreeSplit(dd, pairs, valFrac = 0.5)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[String]("split")))
+      .toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Set(1L, 2L, 3L).map(r(_)._1).size == 1) // one cluster
+    assert(Set(1L, 2L, 3L).map(r(_)._2).size == 1) // ...on one side
+    assert(r(4L)._1 == 4L && r(5L)._1 == 5L)       // singletons label themselves
+    // deterministic: a second evaluation decides identically
+    val again = Curate.leakageFreeSplit(dd, pairs, valFrac = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    assert(again == r.map { case (k, (_, s)) => k -> s })
+  }
+
+  test("crossSourceOverlap counts unordered source pairs at pair cardinality") {
+    val dd = Seq(
+      (1L, "web"), (2L, "web"), (3L, "books"), (4L, "code")
+    ).toDF("doc_id", "source")
+    val pairs = Seq(
+      (1L, 2L, 0.9), // web~web
+      (1L, 3L, 0.8), // web~books
+      (3L, 2L, 0.7), // books~web -> same unordered pair
+      (3L, 4L, 0.6)  // books~code
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val r = Curate.crossSourceOverlap(dd, pairs)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    assert(r == Map(
+      ("web", "web") -> 1.0,
+      ("books", "web") -> 2.0,
+      ("books", "code") -> 1.0))
+  }
+
   test("chunk: windows cover every token, stride the starts, and rejoin exactly") {
     val cd = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks at w4/s3
@@ -782,6 +866,18 @@ class CurateSpec extends SparkSpec {
     assert(out(12L) == ((Some(2.0), Some(200L))))
     assert(out(13L) == ((Some(4.0), Some(400L))))
     assert(out(14L) == ((None, None)))
+
+    // tolerance: the slot-12 match (150ms stale) survives a 200ms bound
+    // but not a 100ms one; exact-time and fresh matches are unaffected
+    val tol = Joins.asof(left, right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = Some(100L))
+      .collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Double]("asof_v")).map(_.toDouble))
+      .toMap
+    assert(tol(11L) == Some(2.0)) // age 0
+    assert(tol(12L) == None)      // age 150 > 100: discarded
+    assert(tol(13L) == Some(4.0)) // age 50
   }
 
   test("intervalJoin: inclusive containment, one row per matching pair, bucket-width independent") {

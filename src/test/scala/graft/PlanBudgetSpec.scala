@@ -99,7 +99,26 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // grid equi-join: session build (1 on user_id) + the two join sides
     // hashed on (user_id, bucket); containment is a post-filter, so no
     // per-key cross product anywhere
-    "join_interval" -> 3
+    "join_interval" -> 3,
+    // centroids broadcast into a partition-local kernel: pure scan
+    "cluster_assign" -> 0,
+    // token-count agg + count-side of the unhinted token join + per-doc
+    // avg; the corpus-total reduce REUSES the count exchange (asserted by
+    // the budget: a recompute would add its own scan+agg pair)
+    "text_unigram_nll" -> 4,
+    // per-(doc,term) tf agg + term df agg + corpus-stats reduce + per-doc
+    // score agg + the k-row rank window; the top-k cut is TakeOrdered
+    "text_bm25" -> 5,
+    // FINAL stitched plan only (cluster iterations run behind their own
+    // localCheckpoint jobs, as in pipeline_semdedup): the docs-side and
+    // label-side hashes of the unhinted left join
+    "pipeline_split" -> 2,
+    // cross-side bucket join (2) + candidate dedup + the two set re-joins
+    // (2 sides x 2); two more than dedup_minhash because the two sides are
+    // DISTINCT frames — the self-join's ReusedExchange can't fire. The
+    // side signature groups build behind their localCheckpoints (the
+    // persistable index frames)
+    "dedup_incremental" -> 7
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
