@@ -290,6 +290,13 @@ object SparkEntry {
     "store_graph_auto_raw" -> ((s, d) =>
       Planner.output(Planner.eval(
         Asl.parse("name,(,click,view,),:in,:sum"), storeBackend(s, d), ctx), Nil, 4)),
+    // date-partitioned store layout: a 5-day window over the 30-day table
+    // prunes 25/30 partition directories at PLAN time (StoreSpec asserts
+    // the partition filters + pruned file count); answers unchanged
+    "store_time_pruned" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum"),
+        graft.sources.StoreBackend(s, pstoreTable(s, d)), ctxPruned), Nil, 4)),
     // -- ingest normalization: counter->rate + weighted alignment (§1.2/§2.1) --
     "data_rate_sum" -> ((s, d) =>
       Planner.output(Planner.eval(
@@ -459,6 +466,23 @@ object SparkEntry {
 
   private def storeEvents(s: SparkSession, d: String): DataFrame =
     graft.sources.Store.read(s, storeTable(s, d))
+
+  /** Date-partitioned + series-bucketed store (writeBucketed with
+    * `partitioned = true`): the layout where a short dashboard window over
+    * long retention prunes whole day directories before any file opens. */
+  private def pstoreTable(s: SparkSession, d: String): String = {
+    val table = "graft_pstore_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      if (!s.catalog.tableExists(table))
+        graft.sources.Store.writeBucketed(
+          Datapoints.events(s, d), table, buckets = 32, catalog = true, partitioned = true)
+    }
+    table
+  }
+
+  /** 5-day sub-window (2024-01-11 .. 2024-01-16) of the testdata month —
+    * the pruned fetch reads 5 of the 30 day partitions. */
+  private val ctxPruned = EvalContext(1704931200000L, 1705363200000L, 3600000L)
 
   /** The rollup window: the testdata grid consolidated to 6h (120 slots),
     * served from a 3h pre-aggregated rollup — two rollup rows re-compose
@@ -1196,6 +1220,9 @@ object SparkEntry {
         "FROM dp WHERE regexp_matches(name, '^p.*') GROUP BY 1"),
     "store_graph_auto_raw" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name IN ('click', 'view') GROUP BY t"),
+    "store_time_pruned" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm " +
+        "WHERE name = 'click' AND t >= 1704931200000 AND t < 1705363200000 GROUP BY t"),
     // DuckDB replica of Normalize.rateConvert + weightedNormalize over the
     // eventsCounters source (same lag/lead/cover/carry formulation)
     "data_rate_sum" -> rateSql(

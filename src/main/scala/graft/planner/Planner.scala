@@ -321,7 +321,7 @@ object Planner {
       // selection — and the frame arrives complete for the predicate (tag
       // predicates are per-series), so it is NOT re-applied per datapoint.
       val (src, preFiltered) = backend match {
-        case Some(b) => (b.fetch(d.query, ctx.step), true)
+        case Some(b) => (b.fetch(d.query, ctx.step, fetch.start, fetch.end), true)
         case None    => (dp, false)
       }
       val srcKey =

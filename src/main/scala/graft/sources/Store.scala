@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.planner.Planner
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -45,20 +45,42 @@ object Store {
     }
   }
 
+  /** Partition-date column: UTC day of the epoch-millis timestamp,
+    * computed timezone-free (`date_from_unix_date` of the floored day
+    * number — `to_date` would read the session zone and move datapoints
+    * across partition boundaries between differently-configured jobs). */
+  private def dayOf(ts: Column): Column =
+    date_from_unix_date(floor(ts / lit(86400000L)).cast("int"))
+
   /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a
     * series-bucketed, time-sorted managed table. With `catalog = true`,
     * also write the series-cardinality catalog table (`<table>_catalog`,
-    * one row per series) that [[readIndexed]] resolves predicates on. */
+    * one row per series) that [[readIndexed]] resolves predicates on.
+    *
+    * With `partitioned = true` the table is ALSO hive-partitioned by UTC
+    * day (`d`), the layout that matters second-most at 100 TB: a 6-hour
+    * dashboard query against two years of history prunes ~729/731 of the
+    * bytes BEFORE any file is opened ([[pruneRange]] turns the query's
+    * time range into partition filters), while the bucket files inside
+    * each day keep the zero-datapoint-shuffle fetch — Spark's bucketed
+    * scan groups same-bucket files ACROSS partition directories into one
+    * task, so the scan's output partitioning is still hash(key) and the
+    * per-(series, slot) normalization stays exchange-free (StoreSpec
+    * asserts both properties on the partitioned layout). The reference's
+    * analog is block retention/rotation: queries touch only the blocks
+    * overlapping the requested window (db/MemoryBlockStore.blocks). */
   def writeBucketed(dp: DataFrame, table: String, buckets: Int = 64,
-      catalog: Boolean = false): Unit = {
+      catalog: Boolean = false, partitioned: Boolean = false): Unit = {
     dropStale(dp.sparkSession, table)
-    dp.select(
-        Planner.seriesId(col("tags")).as("key"),
-        col("tags"), col("ts"), col("value"))
+    val keyed = dp.select(
+      Planner.seriesId(col("tags")).as("key"),
+      col("tags"), col("ts"), col("value"))
+    val w0 = (if (partitioned) keyed.withColumn("d", dayOf(col("ts"))) else keyed)
       .write
       .mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, "key")
+    val w1 = if (partitioned) w0.partitionBy("d") else w0
+    w1.bucketBy(buckets, "key")
       .sortBy("key", "ts")
       .saveAsTable(table)
     if (catalog) {
@@ -68,9 +90,32 @@ object Store {
     }
   }
 
-  /** Read the store back as a pre-keyed datapoint frame. */
-  def read(spark: SparkSession, table: String): DataFrame =
-    spark.table(table).select(col("key"), col("tags"), col("ts"), col("value"))
+  /** Read the store back as a pre-keyed datapoint frame. A partitioned
+    * table keeps its `d` column so [[pruneRange]] can still prune;
+    * consumers drop it after pruning. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val t = spark.table(table)
+    val base = Seq("key", "tags", "ts", "value")
+    val cols = if (t.columns.contains("d")) base :+ "d" else base
+    t.select(cols.map(col): _*)
+  }
+
+  /**
+   * Restrict a store/rollup frame to the partitions overlapping
+   * `[startMs, endMs)`. A no-op for unpartitioned frames (no `d` column).
+   * The day filter compares the PARTITION column against literals, so it
+   * resolves at planning time (FileSourceScanExec partition filters) —
+   * directories outside the window are never listed, let alone read. The
+   * exact `ts` bounds still apply downstream; this only prunes whole days.
+   */
+  def pruneRange(frame: DataFrame, startMs: Long, endMs: Long): DataFrame =
+    if (!frame.columns.contains("d") || endMs <= startMs) frame
+    else {
+      val d0 = java.time.LocalDate.ofEpochDay(Math.floorDiv(startMs, 86400000L))
+      val d1 = java.time.LocalDate.ofEpochDay(Math.floorDiv(endMs - 1, 86400000L))
+      frame.filter(col("d") >= lit(java.sql.Date.valueOf(d0)) &&
+        col("d") <= lit(java.sql.Date.valueOf(d1)))
+    }
 
   /** Resolve a tag predicate on the series catalog: one row per series, so
     * a `:re` regex runs ~#series times instead of once per datapoint

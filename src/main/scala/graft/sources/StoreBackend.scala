@@ -36,14 +36,24 @@ final case class StoreBackend(
   /** The raw bucketed store, pre-keyed and unfiltered — the source for
     * paths that need raw per-datapoint values regardless of rollups
     * (sketch reshapes, fused-arithmetic leaf projection). */
-  def raw: DataFrame = Store.read(spark, storeTable)
+  def raw: DataFrame = Store.read(spark, storeTable).drop("d")
 
   /** Resolve a fetch: coarsest aligned rollup (or the raw store when none
     * divides `queryStep`), index-filtered to the series matching `q`. The
     * returned frame is complete for `q` — tag predicates are per-series —
-    * so the consumer must not re-apply the predicate per datapoint. */
-  def fetch(q: Query, queryStep: Long): DataFrame =
-    indexFiltered(Rollup.readBest(spark, storeTable, rollups, queryStep), q)
+    * so the consumer must not re-apply the predicate per datapoint.
+    *
+    * When the store is date-partitioned ([[Store.writeBucketed]] with
+    * `partitioned = true`) and the caller supplies the query's time range,
+    * partitions outside `[startMs, endMs)` are pruned at plan time
+    * ([[Store.pruneRange]]) — the 100 TB lever where a dashboard window
+    * touches days, not years. `startMs >= endMs` (the default) skips
+    * pruning. */
+  def fetch(q: Query, queryStep: Long, startMs: Long = 0L, endMs: Long = 0L): DataFrame =
+    indexFiltered(
+      Store.pruneRange(
+        Rollup.readBest(spark, storeTable, rollups, queryStep), startMs, endMs).drop("d"),
+      q)
 
   /** Raw-store fetch with the index filter — for consumers that need the
     * per-datapoint `value` column (never a rollup row). */

@@ -213,4 +213,48 @@ class StoreSpec extends SparkSpec {
       assert(perSeriesShuffle.isEmpty, s"normalization still shuffles:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS events_bucketed2")
   }
+
+  test("date-partitioned store: time range prunes partitions at plan time, answers unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
+      case other                    => other.children.flatMap(scans)
+    }
+
+    val dir = "/root/testdata/sf0.001"
+    val raw = Datapoints.events(spark, dir)
+    Store.writeBucketed(raw, "events_part", buckets = 8, catalog = true, partitioned = true)
+    try {
+      // 5-day window (2024-01-11 .. 2024-01-16) of the 30-day table
+      val sub = EvalContext(1704931200000L, 1705363200000L, 3600000L)
+      val backend = graft.sources.StoreBackend(spark, "events_part")
+      val expr = Asl.parse("name,click,:eq,:sum")
+
+      val pruned = Planner.output(Planner.eval(expr, backend, sub), Nil)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan
+      // the partition filter must reach the scan: 5 of 30 day directories
+      val scan = scans(plan).find(_.relation.partitionSchema.nonEmpty)
+        .getOrElse(fail(s"no partitioned scan in plan:\n$plan"))
+      assert(scan.partitionFilters.nonEmpty, s"no partition filters pushed:\n$plan")
+      val selected = scan.selectedPartitions.partitionCount
+      assert(selected == 5, s"expected 5 day partitions selected, got $selected")
+      // bucket partitioning survives the partition dirs: no datapoint shuffle
+      assert("Exchange hashpartitioning\\(key".r.findFirstIn(plan.toString).isEmpty,
+        s"partitioned store still shuffles datapoints:\n$plan")
+
+      // answers identical to the raw scan over the same window
+      val fromRaw = Planner.output(Planner.eval(expr, raw, sub), Nil)
+      def m2(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m2(pruned) == m2(fromRaw))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS events_part")
+      spark.sql("DROP TABLE IF EXISTS events_part_catalog")
+    }
+  }
 }
