@@ -587,6 +587,12 @@ object SparkEntry {
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
+      "pipeline_shuffle" -> ((s, d) =>
+        Curate.shuffleShards(docs(s, d), 16)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))),
+      "pipeline_source_cap" -> ((s, d) =>
+        Curate.perSourceCap(docs(s, d), 100)
+          .select(col("doc_id"), col("source"), col("n_chars"))),
       "pipeline_chunk" -> ((s, d) => Curate.chunk(docs(s, d))),
       "corpus_overlap" -> ((s, d) => {
         val dd = docs(s, d)
@@ -1021,6 +1027,19 @@ object SparkEntry {
            |FROM documents d JOIN lp ON d.doc_id = lp.doc_id
            |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
            |      < (CASE WHEN lp.lang_pred = 'en' THEN 0.3 ELSE 1.0 END) * 10000""".stripMargin,
+      "pipeline_shuffle" ->
+        """WITH h AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+          |s AS (SELECT doc_id, hh,
+          |        CAST(('0x' || substr(hh, 1, 15)) AS BIGINT) % 16 AS shard FROM h)
+          |SELECT doc_id, shard,
+          |       row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
+          |FROM s""".stripMargin,
+      "pipeline_source_cap" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents) t
+          |WHERE rk <= 100""".stripMargin,
       "text_decontaminate" -> decontaminateSql,
       // the Bloom prefilter is a plan change, not a semantics change: the
       // exact confirm join makes the output identical to the plain variant

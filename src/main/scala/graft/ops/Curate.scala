@@ -262,6 +262,104 @@ object Curate {
    * locality for a downstream per-chunk embed/score pass). Stateless per
    * row, so the same frame streams unchanged.
    */
+  /**
+   * Deterministic global shuffle into balanced training shards: every
+   * document gets a `shard` (which output file/worker it belongs to) and a
+   * dense `pos` (its 0-based position within the shard), both derived from
+   * the md5 of `seed:id` — so the shuffle order is reproducible across
+   * runs and engines, re-seeding produces an independent permutation, and
+   * adding documents never reorders existing shards' relative order
+   * (existing docs keep their hash rank).
+   *
+   * Scale shape: the terasort plan, which is the floor for any global
+   * shuffle — ONE exchange hash-partitioned on `shard` (md5 avalanche
+   * keeps shards balanced within sampling noise, no skew handling needed),
+   * then a sort + running row_number inside each shard. Nothing is
+   * collected; shard count is the only knob (size it so a shard fits an
+   * output file target, e.g. corpus_bytes / 1 GB).
+   */
+  def shuffleShards(
+      docs: DataFrame,
+      numShards: Int,
+      seed: String = "42",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
+      % numShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__h")
+  }
+
+  /**
+   * Per-source document cap: keep at most `cap` documents per source,
+   * ranked by a quality/priority score (desc) with the id as the
+   * deterministic tiebreak — the domain-dominance guard a web-scale
+   * pipeline applies so one crawl source can't swamp the mixture.
+   *
+   * Scale shape: the corpus never shuffles. A partition-local bounded-heap
+   * prune (`cap` entries per source per input partition — exactly the
+   * map-side half of a TopK) reduces each source to at most
+   * cap x numPartitions candidate (source, score, id) triples; the global
+   * row_number then runs at candidate cardinality, and the surviving ids
+   * semi-join back into the corpus (small by construction — AQE broadcasts
+   * it; no hard-coded hint). For a very-high-cardinality source column
+   * (millions of domains per partition) the local heaps' memory is
+   * cap x domains-per-partition — pass `localPrune = false` to skip the
+   * kernel and run the plain window plan instead.
+   */
+  def perSourceCap(
+      docs: DataFrame,
+      cap: Int,
+      sourceCol: String = "source",
+      scoreCol: String = "n_chars",
+      idCol: String = "doc_id",
+      localPrune: Boolean = true
+  ): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val triples = docs.select(
+      col(sourceCol).cast("string"), col(scoreCol).cast("double"),
+      col(idCol).cast("long"))
+    val cands =
+      if (!localPrune) triples
+      else triples.as[(String, Double, Long)].mapPartitions { it =>
+        // head of each heap = WORST kept item (lowest score, then highest
+        // id), so a better candidate replaces it in O(log cap)
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, i) => (-s, i)
+        }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (src, score, id) =>
+          val h = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < cap) h.enqueue((score, id))
+          else if (worstFirst.lt((score, id), h.head)) {
+            h.dequeue(); h.enqueue((score, id))
+          }
+        }
+        heaps.iterator.flatMap { case (src, h) =>
+          h.iterator.map { case (score, id) => (src, score, id) }
+        }
+      }.toDF(sourceCol, scoreCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val keep = cands
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   def chunk(
       docs: DataFrame,
       window: Int = 32,

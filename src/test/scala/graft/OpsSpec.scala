@@ -733,6 +733,58 @@ class CurateSpec extends SparkSpec {
     assert(kept.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
   }
 
+  test("shuffleShards: dense positions, balanced shards, seed-independent permutations") {
+    val many = (0L until 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val r = Curate.shuffleShards(many, numShards = 8).cache()
+    try {
+      // every doc appears exactly once, shards partition the corpus
+      assert(r.count() == 3000L)
+      assert(r.select("doc_id").distinct().count() == 3000L)
+      // positions are dense 0..n-1 within each shard
+      val byShard = r.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+        .collect()
+      assert(byShard.length == 8)
+      byShard.foreach { row =>
+        assert(row.getAs[Long]("lo") == 0L)
+        assert(row.getAs[Long]("hi") == row.getAs[Long]("n") - 1)
+        // md5 avalanche keeps shards balanced (expected 375 each)
+        assert(math.abs(row.getAs[Long]("n") - 375L) < 100, row.toString)
+      }
+      // deterministic across runs; a different seed permutes differently
+      val again = Curate.shuffleShards(many, numShards = 8)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "shard", "pos").collect()
+          .map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+      assert(m(r) == m(again))
+      val otherSeed = Curate.shuffleShards(many, numShards = 8, seed = "7")
+      assert(m(r) != m(otherSeed))
+    } finally r.unpersist()
+  }
+
+  test("perSourceCap: bounded-heap kernel matches the plain window plan, cap enforced") {
+    val many = (0L until 900L)
+      .map(i => (i, s"src${i % 3}", (i * 37 % 211))).toDF("doc_id", "source", "n_chars")
+      .repartition(7) // force multi-partition local heaps
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kernel = Curate.perSourceCap(many, cap = 40)
+    val window = Curate.perSourceCap(many, cap = 40, localPrune = false)
+    assert(ids(kernel) == ids(window))
+    // cap respected per source, and survivors are the top scores
+    val perSrc = kernel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ == 40L), perSrc.toString)
+    val minKept = kernel.groupBy("source").agg(min("n_chars")).collect()
+      .map(_.getLong(1)).min
+    val dropped = many.join(kernel, Seq("doc_id"), "left_anti")
+    // ties break by doc_id, so a dropped row may equal (but never beat)
+    // the worst kept score of its source
+    val srcMin = kernel.groupBy("source").agg(min(col("n_chars")).as("mn"))
+    val beats = dropped.join(srcMin, "source").filter(col("n_chars") > col("mn")).count()
+    assert(beats == 0L, s"dropped rows beating kept minimum: $beats (minKept=$minKept)")
+  }
+
   test("mixtureSample realizes integer weights exactly and fractions deterministically") {
     val mixDocs = (0L until 40L)
       .map(i => (i, if (i < 20) "w2" else "whalf")).toDF("doc_id", "source")

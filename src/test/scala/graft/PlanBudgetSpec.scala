@@ -93,6 +93,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "corpus_profile" -> 7,
     // token-window explode is a pure generator over the scan
     "pipeline_chunk" -> 0,
+    // the terasort floor for a global shuffle: ONE exchange hashed on
+    // shard, positions from a sort + row_number inside each shard
+    "pipeline_shuffle" -> 1,
+    // candidate window (cap x partitions rows) + the two sides of the
+    // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
+    // the corpus-cardinality prune itself is a zero-shuffle kernel
+    "pipeline_source_cap" -> 3,
     // ONE key co-partitioning of the unioned sides; the as-of carry is a
     // sort + running last() within the partition, never a range join
     "join_asof" -> 1,
