@@ -540,6 +540,13 @@ object SparkEntry {
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
       "cluster_assign" -> ((s, d) => Similarity.nearestCentroid(emb(s, d), col("vec_id") < 4)),
+      // full Lloyd loop + assignment; iterative, so rows-only for the
+      // driver — SimilaritySpec carries the determinism + recovery bars
+      "cluster_kmeans" -> ((s, d) => {
+        val e = emb(s, d)
+        Similarity.kmeansAssign(e, Similarity.kmeansFit(e, k = 8, maxIters = 8))
+          .select(col("vec_id"), col("centroid_id"))
+      }),
       "sim_ann_lsh" -> ((s, d) => Similarity.lshTopK(emb(s, d), col("vec_id") < 10, 5)),
       "sim_ann_ivf" -> ((s, d) => Similarity.ivfTopK(emb(s, d), col("vec_id") < 10, 5)),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),

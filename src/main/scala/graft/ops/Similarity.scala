@@ -143,7 +143,21 @@ object Similarity {
       .as[(Long, Array[Double])]
       .collect()
       .sortBy(_._1)
-    require(centroids.nonEmpty, "centroidPred selected no centroid rows")
+    assignKernel(emb, centroids, idCol, vecCol)
+  }
+
+  /** Shared assignment kernel: centroids (ascending id) broadcast with
+    * pre-computed norms; the corpus streams through one zero-shuffle
+    * projection, smallest centroid id winning rounded-score ties. */
+  private def assignKernel(
+      emb: DataFrame,
+      centroids: Array[(Long, Array[Double])],
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "no centroid rows")
     require(centroids.length <= 65536,
       s"${centroids.length} centroids exceed the broadcast bound")
     val bc = spark.sparkContext.broadcast(
@@ -171,6 +185,133 @@ object Similarity {
         }
       }
       .toDF("vec_id", "centroid_id", "score")
+  }
+
+  /**
+   * Distributed spherical k-means — the full Lloyd loop at corpus scale.
+   * The [[kmeans]] driver kernel trains the IVF coarse quantizer on a
+   * bounded sample; this one clusters the WHOLE embedding table (the
+   * corpus-mapping / semantic-clustering workhorse). Deterministic
+   * end-to-end: init is the k distinct unit vectors with the smallest
+   * ids, assignment ties break to the lowest cell, empty cells keep
+   * their previous centroid, no RNG anywhere — two runs produce
+   * identical centroids.
+   *
+   * Scale shape per iteration: centroids broadcast into a fused E+M
+   * partition-local kernel — each partition streams its vectors ONCE,
+   * accumulating per-cell unit-vector sums and counts (k x dim doubles
+   * of state); one exchange then carries the partitions x k bounded stat
+   * rows into a k-row reduce, and only k centroids ever reach the
+   * driver. The corpus is re-scanned once per iteration — persisting the
+   * input across iterations is the caller's storage decision, not the
+   * operator's.
+   *
+   * Returns (centroid_id, centroid, size); label vectors with
+   * [[kmeansAssign]]. Convergence: max over cells of (1 - cos(old, new))
+   * <= `tol`, or `maxIters`.
+   */
+  def kmeansFit(
+      emb: DataFrame,
+      k: Int,
+      maxIters: Int = 20,
+      tol: Double = 1e-4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k > 0 && k <= 65536, s"k=$k out of range")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .as[Vec]
+
+    val seed = data.orderBy(col("id")).limit(4 * k + 16).collect()
+    require(seed.nonEmpty, "no vectors to cluster")
+    var centroids = seed.iterator.map(v => normalize(v.vec))
+      .distinctBy(_.toSeq).take(k).toArray
+    var sizes = new Array[Long](centroids.length)
+    var shift = Double.MaxValue
+    var iter = 0
+    while (iter < maxIters && shift > tol) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val merged = data
+        .mapPartitions { it =>
+          val cs = bc.value
+          val kk = cs.length
+          val dim = cs(0).length
+          val sums = Array.fill(kk)(new Array[Double](dim))
+          val counts = new Array[Long](kk)
+          it.foreach { v =>
+            val u = normalize(v.vec)
+            var best = 0
+            var bestS = Double.NegativeInfinity
+            var c = 0
+            while (c < kk) {
+              val s = dot(u, cs(c))
+              if (s > bestS) { bestS = s; best = c }
+              c += 1
+            }
+            counts(best) += 1
+            val sb = sums(best)
+            var i = 0
+            while (i < dim) { sb(i) += u(i); i += 1 }
+          }
+          Iterator.tabulate(kk)(c => (c, sums(c), counts(c))).filter(_._3 > 0L)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2.clone()
+          var i = 0
+          while (i < s.length) { s(i) += b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      bc.unpersist(blocking = false)
+      val next = centroids.map(_.clone())
+      val nextSizes = new Array[Long](centroids.length)
+      merged.foreach { case (c, s, n) =>
+        nextSizes(c) = n
+        var i = 0
+        while (i < s.length) { s(i) /= n; i += 1 }
+        next(c) = normalize(s)
+      }
+      shift = 0.0
+      var c = 0
+      while (c < centroids.length) {
+        val d = 1.0 - dot(centroids(c), next(c))
+        if (d > shift) shift = d
+        c += 1
+      }
+      centroids = next
+      sizes = nextSizes
+      iter += 1
+    }
+    centroids.zipWithIndex
+      .map { case (v, c) => (c.toLong, v, sizes(c)) }
+      .toSeq.toDF("centroid_id", "centroid", "size")
+  }
+
+  /** Label every vector with its nearest [[kmeansFit]] centroid (max
+    * rounded cosine, ties to the smallest centroid id) — the same
+    * broadcast zero-shuffle kernel as [[nearestCentroid]], fed from a
+    * standalone centroid table instead of rows of `emb`. */
+  def kmeansAssign(
+      emb: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cs = centroids
+      .select(col("centroid_id").cast("long"),
+        transform(col("centroid"), x => x.cast("double")))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    assignKernel(emb, cs, idCol, vecCol)
   }
 
   /**

@@ -370,6 +370,41 @@ class SimilaritySpec extends SparkSpec {
     assert(r(12L) == ((0L, 0.7071)))      // cos 45° both ways, rounded
     assert(r(0L) == ((0L, 1.0)) && r(1L) == ((1L, 1.0))) // self-assignment
   }
+
+  test("kmeansFit recovers well-separated clusters, deterministically") {
+    // 90 vectors around three orthogonal axes in 4 dims, deterministic
+    // jitter on a non-axis lane; interleaved ids so init sees all clusters
+    val pts = (0 until 90).map { i =>
+      val axis = i % 3
+      val v = Array.fill(4)(0.0f)
+      v(axis) = 1.0f
+      v(3) = (0.05 * math.sin(i.toDouble)).toFloat
+      (i.toLong, v)
+    }
+    val e = pts.toDF("vec_id", "embedding").repartition(5)
+    val cents = Similarity.kmeansFit(e, k = 3, maxIters = 15)
+    val rows = cents.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("size")).sum == 90L)
+    // each fitted centroid hugs one true axis
+    val fitted = rows.map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val axes = Seq(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0), Array(0.0, 0, 1, 0))
+    axes.foreach { ax =>
+      val best = fitted.map(c => c.zip(ax).map { case (a, b) => a * b }.sum).max
+      assert(best > 0.99, s"no centroid near axis ${ax.toSeq}: $best")
+    }
+    // assignment is cluster-pure: vectors of one generating cluster share a cell
+    val assigned = Similarity.kmeansAssign(e, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    (0 until 3).foreach { axis =>
+      val cells = (0 until 90).filter(_ % 3 == axis).map(i => assigned(i.toLong)).toSet
+      assert(cells.size == 1, s"cluster $axis split across cells $cells")
+    }
+    // determinism: a second fit is bit-identical
+    val again = Similarity.kmeansFit(e, k = 3, maxIters = 15).collect()
+      .map(r => r.getAs[scala.collection.Seq[Double]]("centroid"))
+    assert(again.toSeq == rows.map(_.getAs[scala.collection.Seq[Double]]("centroid")).toSeq)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
