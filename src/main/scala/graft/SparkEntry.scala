@@ -577,6 +577,11 @@ object SparkEntry {
       // -- event sessionization (gap-based, Spark native session windows) --
       "events_sessionize" -> ((s, d) =>
         EventOps.sessionize(EventOps.events(s, d), gapMs = 21600000L)),
+      "events_funnel" -> ((s, d) =>
+        EventOps.funnel(EventOps.events(s, d),
+          Seq("signup", "click", "purchase"), windowMs = 604800000L)),
+      "events_retention" -> ((s, d) =>
+        EventOps.retention(EventOps.events(s, d))),
       // -- corpus curation (composed pipeline decisions) --
       "pipeline_curate" -> ((s, d) => {
         val dd = docs(s, d)
@@ -1052,6 +1057,26 @@ object SparkEntry {
       // exact confirm join makes the output identical to the plain variant
       "text_decontaminate_bloom" -> decontaminateSql,
       "events_sessionize" -> sessionizeSql,
+      // greedy-earliest chain anchored at the first step-0 event; each
+      // step strictly later and within the window of the anchor — the
+      // chained-min CTEs are the same recurrence the kernel runs
+      "events_funnel" ->
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+          |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
+          |       GROUP BY 1, 2),
+          |s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND t > s2.t2 AND t - s2.t1 <= 604800000
+          |       GROUP BY 1)
+          |SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 2, count(*) FROM s2
+          |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+      "events_retention" ->
+        """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+          |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+          |SELECT c.cohort, ud.day - c.cohort AS age, count(*) AS n_users
+          |FROM ud JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
       // each error event lands in exactly ONE containing session (sessions
       // of a user are disjoint and cover every event), so the BETWEEN join
       // is the full point-in-interval relation

@@ -133,4 +133,86 @@ object EventOps {
         col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
   }
+
+  /**
+   * Funnel analysis: how many users complete each prefix of an ordered
+   * step sequence. The chain is anchored at the user's EARLIEST step-0
+   * event; each later step is taken greedily — the earliest qualifying
+   * event strictly after the previous step's — and must land within
+   * `windowMs` of the anchor. Greedy-earliest is optimal for prefix
+   * existence, so this is the standard funnel definition, and the DuckDB
+   * oracle's chained-min CTEs reproduce it exactly (same-timestamp events
+   * can advance at most one step because each step requires a strictly
+   * later time, so tie order never changes the result).
+   *
+   * Scale shape: events filter to the step types AT THE SCAN, then ONE
+   * exchange on the user; flatMapSortedGroups streams each user's events
+   * in time order through an O(1)-state matcher — no per-user collect, no
+   * self-joins per step. Output is step-cardinality.
+   */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowMs: Long,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepsArr = steps.toArray
+    val reached = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long"), col(tsCol).cast("long"), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(tsCol)) { (_, it) =>
+        var r = 0
+        var anchor = 0L
+        var last = 0L
+        it.foreach { case (_, ts, tp) =>
+          if (r == 0) {
+            if (tp == stepsArr(0)) { anchor = ts; last = ts; r = 1 }
+          } else if (r < stepsArr.length && tp == stepsArr(r) &&
+              ts > last && ts - anchor <= windowMs) {
+            last = ts; r += 1
+          }
+        }
+        if (r > 0) Iterator.single(r) else Iterator.empty
+      }
+    reached
+      .toDF("reached")
+      .select(explode(sequence(lit(1L), col("reached").cast("long"))).as("step"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * Cohort retention: users bucket by their first active UTC day (the
+   * cohort); for each (cohort, age) the count of cohort users active
+   * `age` days later — the triangle a growth dashboard plots.
+   *
+   * Scale shape: ONE exchange on the user — per-user distinct active
+   * days collapse via collect_set, whose size is bounded by the CALENDAR
+   * (days in retention horizon), not event volume; cohort = array_min of
+   * the same set, so no second per-user pass; ages explode at user-day
+   * cardinality and the final (cohort, age) count is a plain count — the
+   * exploded rows are already distinct user-days.
+   */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): DataFrame = {
+    val userDays = events
+      .select(col(userCol).as("user"), floor(col(tsCol) / 86400000L).cast("long").as("day"))
+      .groupBy("user")
+      .agg(collect_set(col("day")).as("days"))
+      .select(col("user"), array_min(col("days")).as("cohort"), explode(col("days")).as("day"))
+    userDays
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

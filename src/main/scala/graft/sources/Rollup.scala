@@ -35,13 +35,18 @@ object Rollup {
    * tags re-attach at series cardinality (carrying the map through the hot
    * aggregate would force SortAggregate).
    */
-  def materialize(dp: DataFrame, table: String, rollupStep: Long, buckets: Int = 64): Unit = {
+  def materialize(dp: DataFrame, table: String, rollupStep: Long, buckets: Int = 64,
+      partitioned: Boolean = false): Unit = {
     Store.dropStale(dp.sparkSession, table)
-    frame(dp, rollupStep)
+    val f = frame(dp, rollupStep)
+    // same UTC-day partition layout as the store ([[Store.writeBucketed]]):
+    // long-retention rollups prune to the query window at plan time too
+    val w0 = (if (partitioned) f.withColumn("d", Store.dayOf(col("ts"))) else f)
       .write
       .mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, "key")
+    val w1 = if (partitioned) w0.partitionBy("d") else w0
+    w1.bucketBy(buckets, "key")
       .sortBy("key", "ts")
       .saveAsTable(table)
   }

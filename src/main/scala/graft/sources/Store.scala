@@ -49,7 +49,7 @@ object Store {
     * computed timezone-free (`date_from_unix_date` of the floored day
     * number — `to_date` would read the session zone and move datapoints
     * across partition boundaries between differently-configured jobs). */
-  private def dayOf(ts: Column): Column =
+  private[sources] def dayOf(ts: Column): Column =
     date_from_unix_date(floor(ts / lit(86400000L)).cast("int"))
 
   /** Write a canonical datapoint frame (`tags`, `ts`, `value`) as a

@@ -660,6 +660,42 @@ class SessionizeSpec extends SparkSpec {
       (2L, 0L, 1500L, 2.0, 3.0),
       (2L, 3001L, 3001L, 1.0, 4.0)))
   }
+
+  test("funnel: greedy-earliest chain, earliest anchor, strict ordering, window bound") {
+    val events = Seq(
+      // u1 completes all three in order and window
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2's click precedes the anchor: only step 1
+      (2L, 5L, "click"), (2L, 10L, "signup"), (2L, 20L, "purchase"),
+      // u3's click lands outside the window
+      (3L, 10L, "signup"), (3L, 200L, "click"),
+      // u4's click shares the anchor timestamp: strict > rejects it
+      (4L, 10L, "signup"), (4L, 10L, "click"),
+      // u5 never signs up: absent from every step
+      (5L, 5L, "click"), (5L, 6L, "purchase"),
+      // u6: anchor is the EARLIEST signup (10, not 50) so click@115 is
+      // outside the window even though it is within 100 of the later signup
+      (6L, 50L, "signup"), (6L, 10L, "signup"), (6L, 115L, "click")
+    ).toDF("user_id", "tms", "event_type")
+    val got = ops.EventOps.funnel(events, Seq("signup", "click", "purchase"), windowMs = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 1L)) // 5 reach signup, only u1 goes deeper
+  }
+
+  test("retention: cohort = first active day, one row per (cohort, age)") {
+    val day = 86400000L
+    val events = Seq(
+      (1L, 0L * day + 5), (1L, 1L * day + 7), (1L, 3L * day + 1), (1L, 3L * day + 2),
+      (2L, 1L * day + 9),
+      (3L, 1L * day + 4), (3L, 3L * day + 8)
+    ).toDF("user_id", "tms")
+    val got = ops.EventOps.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // u1
+      (1L, 0L) -> 2L,                                 // u2 + u3 on their first day
+      (1L, 2L) -> 1L))                                // u3 back two days later
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -103,4 +103,37 @@ class RollupSpec extends SparkSpec {
     } finally Seq("rb_store", "rb_r3h", "rb_r6h").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("date-partitioned rollup prunes to the query window through the backend") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
+      case other                    => other.children.flatMap(scans)
+    }
+    val raw = Datapoints.events(spark, dir)
+    graft.sources.Store.writeBucketed(raw, "rp_store", buckets = 8,
+      catalog = true, partitioned = true)
+    Rollup.materialize(raw, "rp_r3h", 10800000L, buckets = 8, partitioned = true)
+    try {
+      val backend = graft.sources.StoreBackend(
+        spark, "rp_store", Map("rp_r3h" -> 10800000L))
+      // 5-day window at 6h step: served from the partitioned 3h rollup
+      val sub = EvalContext(1704931200000L, 1705363200000L, 21600000L)
+      val expr = Asl.parse("name,click,:eq,:sum")
+      val out = Planner.output(Planner.eval(expr, backend, sub), Nil)
+      out.collect()
+      val scan = scans(out.queryExecution.executedPlan)
+        .find(f => f.relation.partitionSchema.nonEmpty &&
+          f.relation.location.rootPaths.exists(_.toString.contains("rp_r3h")))
+        .getOrElse(fail("rollup scan not partitioned/pruned"))
+      assert(scan.partitionFilters.nonEmpty)
+      assert(scan.selectedPartitions.partitionCount == 5,
+        s"expected 5 day partitions, got ${scan.selectedPartitions.partitionCount}")
+      assert(toMap(out) == toMap(Planner.output(Planner.eval(expr, raw, sub), Nil)))
+    } finally Seq("rp_store", "rp_store_catalog", "rp_r3h").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
