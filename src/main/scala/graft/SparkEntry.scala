@@ -474,8 +474,11 @@ object SparkEntry {
     val table = "graft_pstore_" + d.replaceAll("[^A-Za-z0-9]", "_")
     this.synchronized {
       if (!s.catalog.tableExists(table))
+        // 8 buckets x ~30 day dirs: enough write parallelism for the
+        // harness while keeping the one-off write to ~240 files (the
+        // bucket count doesn't change any plan property being proven)
         graft.sources.Store.writeBucketed(
-          Datapoints.events(s, d), table, buckets = 32, catalog = true, partitioned = true)
+          Datapoints.events(s, d), table, buckets = 8, catalog = true, partitioned = true)
     }
     table
   }

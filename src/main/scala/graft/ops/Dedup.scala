@@ -244,6 +244,35 @@ object Dedup {
    * identical-set fast path needs no special case: byte-identical sets
    * share every bucket and measure jaccard 1.0 through the same join.
    */
+  /** Build the PERSISTABLE dedup index of a document frame: the signature
+    * groups (one row per distinct shingle set: member ids, minhash
+    * signature, gid) that [[minhashPairsVsIndex]] joins new batches
+    * against. ~1 KB per distinct set; append each batch's kept docs'
+    * groups and the index stays current with no rebuild. */
+  def minhashIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = sigGroups(docs, textCol, shingleSize, bands * rowsPerBand)
+
+  /** Cross-side near-dup pairs between a persisted index ([[minhashIndex]]
+    * output, possibly re-read from parquet) and a new batch — the join
+    * half of [[minhashLshIncremental]] without rebuilding the corpus side. */
+  def minhashPairsVsIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val gb = sigGroups(batch, textCol, shingleSize, bands * rowsPerBand)
+    pairGroups(index, gb, bands, rowsPerBand, threshold)
+  }
+
   def minhashLshIncremental(
       corpus: DataFrame,
       batch: DataFrame,
@@ -256,6 +285,13 @@ object Dedup {
     val h = bands * rowsPerBand
     val gc = sigGroups(corpus, textCol, shingleSize, h)
     val gb = sigGroups(batch, textCol, shingleSize, h)
+    pairGroups(gc, gb, bands, rowsPerBand, threshold)
+  }
+
+  /** Bucket equi-join + exact-jaccard confirm between two signature-group
+    * frames (corpus side `gc`, batch side `gb`). */
+  private def pairGroups(gc: DataFrame, gb: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
     val cand = bucketize(gc, bands, rowsPerBand)
       .select(col("band"), col("bucket"), col("gid").as("gid_a"))
       .join(bucketize(gb, bands, rowsPerBand)

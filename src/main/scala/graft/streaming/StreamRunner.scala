@@ -438,6 +438,64 @@ object StreamRunner {
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
 
   /**
+   * Streaming near-dup-free corpus ingest — the daily-ingest dedup loop as
+   * a continuous pipeline. Each micro-batch of documents:
+   *
+   *  1. dedups WITHIN the batch (plain minhash-LSH pairs -> keep the
+   *     minimum id per near-dup cluster, [[graft.ops.Curate.dedupKeep]]);
+   *  2. drops batch docs near-duplicating the ACCUMULATED corpus via the
+   *     persisted signature index ([[graft.ops.Dedup.minhashPairsVsIndex]]
+   *     against `indexPath` — the corpus itself is never re-read, never
+   *     self-joined);
+   *  3. appends the survivors to `keptPath` and their signature groups to
+   *     `indexPath`, so the index stays current with no rebuild.
+   *
+   * Scale shape: per-batch cost is batch-cardinality signature building
+   * plus a bucket equi-join against the index (~1 KB per distinct corpus
+   * shingle set). The index only grows with KEPT documents. Exactly-once
+   * caveat: the appends are not transactional with the checkpoint — a
+   * crash between them can re-append a batch's survivors on replay
+   * (readers dedup on doc id, as with the ingest sink's fragments).
+   */
+  def streamingDedupIngest(
+      docs: DataFrame,
+      indexPath: String,
+      keptPath: String,
+      checkpointPath: String,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.{Curate, Dedup}
+        val intraPairs = Dedup.minhashLsh(batch, textCol = textCol,
+          shingleSize = shingleSize, bands = bands, rowsPerBand = rowsPerBand,
+          threshold = threshold)
+        val intraKept = Curate.dedupKeep(batch, intraPairs).localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val kept =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) intraKept
+          else {
+            val index = spark.read.parquet(indexPath)
+            val dupIds = Dedup.minhashPairsVsIndex(index, intraKept,
+                textCol, shingleSize, bands, rowsPerBand, threshold)
+              .select(col("batch_id").as("doc_id")).distinct()
+            intraKept.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+          }
+        Dedup.minhashIndex(kept, textCol, shingleSize, bands, rowsPerBand)
+          .write.mode("append").parquet(indexPath)
+        kept.write.mode("append").parquet(keptPath)
+      }
+      .start()
+
+  /**
    * Streaming `:percentiles`: per-slot bucket counts finalize under the
    * watermark (all buckets of a window evict in the same trigger, so each
    * micro-batch sees complete windows); the estimation itself needs window

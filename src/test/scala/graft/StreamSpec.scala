@@ -634,4 +634,39 @@ class StreamSpec extends SparkSpec {
       assert(streamed == batch && batch.size == 3)
     } finally query.stop()
   }
+
+  test("streaming dedup ingest: intra-batch and cross-batch near-dups never reach the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val (indexPath, keptPath, ckpt) = (s"$base/index", s"$base/kept", s"$base/ckpt")
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val query = StreamRunner.streamingDedupIngest(
+      docs, indexPath, keptPath, ckpt, shingleSize = 2)
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about spark streaming state and watermarks"
+    val c = "yet another unrelated document describing bucketed parquet layouts here"
+    try {
+      // batch 1: 1 and 2 are near-identical (intra-batch dup), 3 distinct
+      input.addData(Seq((1L, a), (2L, a.replace("lazy", "sleepy")), (3L, b)))
+      query.processAllAvailable()
+      val kept1 = spark.read.parquet(keptPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept1 == Set(1L, 3L), s"batch 1 kept $kept1")
+
+      // batch 2: 4 duplicates corpus doc 1 (cross-batch), 5 is new
+      input.addData(Seq((4L, a), (5L, c)))
+      query.processAllAvailable()
+      val kept2 = spark.read.parquet(keptPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 3L, 5L), s"after batch 2 kept $kept2")
+
+      // the index holds exactly the kept docs' signature groups
+      val indexed = spark.read.parquet(indexPath).select(explode(col("ids")).as("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 3L, 5L), s"index ids $indexed")
+    } finally query.stop()
+  }
 }
