@@ -437,6 +437,107 @@ object StreamRunner {
       .select(col("key"), col("tags"), col("ts"),
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
 
+  /** Per-user funnel matcher state: `t0` = earliest step-0 event time seen
+    * (-1 until one arrives), `buf` = later-step (ts, stepIdx) events still
+    * relevant — bounded by the funnel window once the anchor is known, and
+    * by the watermark lateness horizon before that. */
+  final case class FunnelState(t0: Long, buf: List[(Long, Int)])
+
+  /**
+   * Streaming funnel — EXACTLY the batch [[graft.ops.EventOps.funnel]]
+   * semantics (earliest-anchor, greedy-earliest strictly-ordered chain
+   * within `windowMs` of the anchor), finalized per user once the
+   * watermark passes `anchor + windowMs`: from that point no in-watermark
+   * event can change the outcome (later events are outside the window,
+   * and any NEW step-0 event would have an event time >= the watermark,
+   * so it cannot lower the anchor), so each user emits ONE
+   * (user_id, reached) row, exact, with state removed.
+   *
+   * State is O(events inside one funnel window) per user, not event
+   * history: pre-anchor buffering is pruned against the watermark (an
+   * event older than the watermark can never gain a new anchor below it),
+   * post-anchor buffering keeps only `(anchor, anchor + windowMs]`.
+   * Anchor-less users garbage-collect on a rolling event-time timeout.
+   */
+  def streamingFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowMs: Long,
+      watermark: String = "10 minutes",
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    val typed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"), col(typeCol).as("tp"))
+      // the watermarked column must survive into the stateful operator's
+      // input for EventTimeTimeout to bind to it
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            gstate: GroupState[FunnelState]) =>
+          val wm = gstate.getCurrentWatermarkMs()
+          if (gstate.hasTimedOut) {
+            val st = gstate.get
+            if (st.t0 >= 0) {
+              // watermark passed anchor + window: outcome is final
+              var r = 1
+              var last = st.t0
+              st.buf.sortBy(identity).foreach { case (ts, idx) =>
+                if (r < nSteps && idx == r && ts > last && ts - st.t0 <= windowMs) {
+                  r += 1; last = ts
+                }
+              }
+              gstate.remove()
+              Iterator.single((user, r.toLong))
+            } else {
+              // GC horizon for anchor-less users: drop events the
+              // watermark has made unusable, vanish when nothing is left
+              val kept = st.buf.filter(_._1 >= wm)
+              if (kept.isEmpty) gstate.remove()
+              else {
+                gstate.update(FunnelState(-1L, kept))
+                gstate.setTimeoutTimestamp(wm + windowMs + 1)
+              }
+              Iterator.empty
+            }
+          } else {
+            val prev = gstate.getOption.getOrElse(FunnelState(-1L, Nil))
+            var t0 = prev.t0
+            var buf = prev.buf
+            rows.foreach { case (_, ts, tp, _) =>
+              val idx = stepIdx(tp)
+              if (idx == 0) { if (t0 < 0 || ts < t0) t0 = ts }
+              else buf ::= (ts, idx)
+            }
+            buf =
+              if (t0 >= 0) buf.filter(x => x._1 > t0 && x._1 - t0 <= windowMs)
+              else buf.filter(_._1 >= wm)
+            if (t0 < 0 && buf.isEmpty) {
+              gstate.remove()
+            } else {
+              gstate.update(FunnelState(t0, buf))
+              val target = if (t0 >= 0) t0 + windowMs + 1 else wm + windowMs + 1
+              gstate.setTimeoutTimestamp(math.max(target, wm + 1))
+            }
+            Iterator.empty
+          }
+      }
+      .toDF(userCol, "reached")
+  }
+
   /**
    * Streaming near-dup-free corpus ingest — the daily-ingest dedup loop as
    * a continuous pipeline. Each micro-batch of documents:

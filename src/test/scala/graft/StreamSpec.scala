@@ -635,6 +635,58 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel finalizes identically to the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 100L
+    val steps = Seq("signup", "click", "purchase")
+    // the batch spec's corpus, plus u7 whose ANCHOR arrives in a later
+    // micro-batch (older timestamp, still inside the watermark) after a
+    // click already buffered pre-anchor
+    val all = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "click"), (2L, 10L, "signup"), (2L, 20L, "purchase"),
+      (3L, 10L, "signup"), (3L, 200L, "click"),
+      (4L, 10L, "signup"), (4L, 10L, "click"),
+      (6L, 50L, "signup"), (6L, 10L, "signup"), (6L, 115L, "click"),
+      (7L, 40L, "click"), (7L, 30L, "signup") // anchor arrives second
+    )
+    val input = MemoryStream[(Long, Long, String)]
+    val out = StreamRunner.streamingFunnel(
+      input.toDF.toDF("user_id", "tms", "event_type"), steps, W,
+      watermark = "1 second")
+    val query = out.writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("append").start()
+    try {
+      val (first, late) = all.partition { case (u, _, _) => u != 7L }
+      input.addData(first :+ ((7L, 40L, "click")))
+      query.processAllAvailable()
+      input.addData(Seq((7L, 30L, "signup"))) // late anchor, within watermark
+      query.processAllAvailable()
+      // two sentinels: one advances the watermark past every anchor+W,
+      // the next trigger fires the event-time timeouts it enabled
+      input.addData(Seq((99L, 100000L, "signup")))
+      query.processAllAvailable()
+      input.addData(Seq((99L, 200000L, "click")))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_funnel")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchReached = Map( // hand-checked against EventOps.funnel semantics
+        1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L, 7L -> 2L)
+      assert(streamed == batchReached, s"streamed $streamed")
+      // and the per-step counts equal the batch operator's on the same data
+      val batch = ops.EventOps.funnel(
+        all.toDF("user_id", "tms", "event_type"), steps, W)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fromStream = (1 to steps.length)
+        .map(s => s.toLong -> streamed.values.count(_ >= s).toLong)
+        .filter(_._2 > 0).toMap
+      assert(fromStream == batch, s"stream-derived $fromStream vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming dedup ingest: intra-batch and cross-batch near-dups never reach the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
