@@ -80,6 +80,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // partition and the per-session agg rides the same partitioning
     // (user_id is a prefix of the session grouping key)
     "events_sessionize" -> 1,
+    // user co-partitioning for the greedy matcher + the step-count agg
+    // over user-cardinality rows
+    "events_funnel" -> 2,
+    // per-user day-set collapse + the (cohort, age) count over
+    // user-day-cardinality rows
+    "events_retention" -> 2,
     // honest at-scale shape with broadcasts off: candidates + eval sides
     // of the UNHINTED confirm join (both bloom-prefilter-sized), per-doc
     // hit agg, and the join-back of per-doc gram totals. The plain
