@@ -564,6 +564,7 @@ object SparkEntry {
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
+      "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), k = 3)),
       "text_bm25" -> ((s, d) => TextOps.bm25(docs(s, d), "spark join merge")),
       "text_decontaminate" -> ((s, d) => {
         val dd = docs(s, d)
@@ -963,6 +964,22 @@ object SparkEntry {
           |SELECT doc_id, round(-avg(ln(c.c / tot.n)), 4) AS nll
           |FROM toks JOIN c USING (tok) CROSS JOIN tot
           |GROUP BY doc_id""".stripMargin,
+      // same arithmetic tree as the engine: tf * ln((n+1)/(df+1)), ranked
+      // on the unrounded score with the term string breaking ties
+      "text_tfidf" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+          |       FROM t WHERE term <> '' GROUP BY 1, 2),
+          |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |s AS (SELECT doc_id, term, tf * ln((n + 1.0) / (df + 1.0)) AS score
+          |      FROM tf JOIN df USING (term) CROSS JOIN n)
+          |SELECT doc_id, term, round(score, 4) AS score, CAST(rn AS DOUBLE) AS rank FROM (
+          |  SELECT doc_id, term, score,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          |  FROM s)
+          |WHERE rn <= 3""".stripMargin,
       "pipeline_mix" ->
         """WITH w AS (
           |  SELECT doc_id, source,

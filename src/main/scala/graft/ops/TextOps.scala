@@ -777,6 +777,55 @@ object TextOps {
    * a hash join AQE can broadcast or skew-split — before the per-doc
    * average. Nothing is collected to the driver.
    */
+  /**
+   * Per-document top-k TF-IDF terms — keyword extraction for corpus
+   * exploration and cluster labeling. Score = tf · ln((N + 1)/(df + 1))
+   * (add-one smoothing keeps idf defined and positive even for
+   * corpus-wide terms). Ranking compares UNROUNDED scores with the term
+   * string as the deterministic tie-break; both engines build the
+   * identical arithmetic tree from the same aggregates, so the cut
+   * matches exactly.
+   *
+   * Scale shape: per-(doc, term) tf folds map-side; document frequency
+   * is a COUNT WINDOW over the same (doc, term) frame partitioned by
+   * term — no separate df aggregate, no (term, df) join, and no second
+   * scan of the corpus (a derived-frame self-join loses exchange reuse
+   * to column pruning; the window keeps one pipeline). A pathologically
+   * hot term concentrates its (doc, term) rows in one window partition —
+   * the usual fix is the usual NLP one: drop stopwords upstream, they
+   * have idf ~ 0 here anyway. The per-doc top-k is a rank window
+   * partitioned by doc (WindowGroupLimit keeps k per partition before
+   * the sort — k-bounded, no global sort).
+   */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("n")))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(n)
+      .withColumn("score", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+    scored
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"),
+        round(col("score") + NanMath.RoundEps, 4).as("score"),
+        col("rank").cast("double").as("rank"))
+  }
+
   def unigramNll(
       docs: DataFrame,
       idCol: String = "doc_id",

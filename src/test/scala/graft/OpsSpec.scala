@@ -639,6 +639,29 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: hand-computed scores, deterministic tie-break") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2; df(a)=2 -> idf ln(3/3)=0; df(b)=df(c)=1 -> idf ln(3/2)
+    val got = TextOps.tfidfTopTerms(docs, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val idf1 = math.round(math.log(3.0 / 2.0) * 10000) / 10000.0
+    assert(got((1L, "b")) == ((idf1, 1.0)))
+    assert(got((1L, "a")) == ((0.0, 2.0))) // tf 2 x idf 0
+    assert(got((2L, "c")) == ((idf1, 1.0)))
+    assert(got((2L, "a")) == ((0.0, 2.0)))
+    // equal scores order by term: 'a' before 'b' when both score 0
+    val tie = Seq((9L, "b a")).toDF("doc_id", "text")
+    val ranks = TextOps.tfidfTopTerms(tie, k = 2).collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(ranks("a") == 1.0 && ranks("b") == 2.0)
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 

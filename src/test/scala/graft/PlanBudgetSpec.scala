@@ -122,6 +122,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // per-(doc,term) tf agg + term df agg + corpus-stats reduce + per-doc
     // score agg + the k-row rank window; the top-k cut is TakeOrdered
     "text_bm25" -> 5,
+    // tf agg + the term-window df (one exchange, replacing a df agg +
+    // join that re-scanned the corpus) + the stats reduce + the per-doc
+    // rank window
+    "text_tfidf" -> 4,
     // FINAL stitched plan only (cluster iterations run behind their own
     // localCheckpoint jobs, as in pipeline_semdedup): the docs-side and
     // label-side hashes of the unhinted left join
