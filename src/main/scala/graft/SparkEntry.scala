@@ -586,6 +586,13 @@ object SparkEntry {
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
       "events_retention" -> ((s, d) =>
         EventOps.retention(EventOps.events(s, d))),
+      // schema-on-read: the JSON props payload parsed into a typed column
+      // at the scan, then aggregated like any native column
+      "events_props_agg" -> ((s, d) =>
+        EventOps.extractProps(EventOps.events(s, d), Map("k" -> "bigint"))
+          .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")) + graft.core.NanMath.RoundEps, 4).as("sum_value"))),
       // -- corpus curation (composed pipeline decisions) --
       "pipeline_curate" -> ((s, d) => {
         val dd = docs(s, d)
@@ -1097,6 +1104,11 @@ object SparkEntry {
           |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
           |SELECT c.cohort, ud.day - c.cohort AS age, count(*) AS n_users
           |FROM ud JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+      "events_props_agg" ->
+        """SELECT event_type,
+          |       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
       // each error event lands in exactly ONE containing session (sessions
       // of a user are disjoint and cover every event), so the BETWEEN join
       // is the full point-in-interval relation

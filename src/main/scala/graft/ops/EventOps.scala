@@ -135,6 +135,33 @@ object EventOps {
   }
 
   /**
+   * Schema-on-read extraction of the JSON properties payload — the
+   * semi-structured half of an event record (`props`) becomes typed
+   * columns the planner can push down and aggregate on. `fields` maps
+   * field name -> Spark SQL type string (e.g. "k" -> "bigint").
+   *
+   * Scale shape: `from_json` with an explicit schema is a codegen'd
+   * projection over the scan — no shuffle, no inference pass over the
+   * corpus (schema inference at 100 TB is a full extra read; declaring
+   * the handful of fields a query needs is both faster and pruning-
+   * friendly, since only those fields are parsed out of each payload).
+   */
+  def extractProps(
+      events: DataFrame,
+      fields: Map[String, String],
+      propsCol: String = "props"
+  ): DataFrame = {
+    require(fields.nonEmpty, "declare at least one field to extract")
+    val ddl = fields.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"`$n` $t" }.mkString(", ")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val parsed = events.withColumn("__props", from_json(col(propsCol), schema))
+    fields.keys.toSeq.sorted
+      .foldLeft(parsed) { (df, f) => df.withColumn(f, col("__props").getField(f)) }
+      .drop("__props")
+  }
+
+  /**
    * Funnel analysis: how many users complete each prefix of an ordered
    * step sequence. The chain is anchored at the user's EARLIEST step-0
    * event; each later step is taken greedily — the earliest qualifying

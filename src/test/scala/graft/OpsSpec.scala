@@ -705,6 +705,25 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 1L)) // 5 reach signup, only u1 goes deeper
   }
 
+  test("extractProps: declared fields become typed columns, malformed JSON yields null") {
+    val events = Seq(
+      (1L, """{"k": 7, "device": "ios"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, """not json"""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("event_id", "props")
+    val got = ops.EventOps.extractProps(events,
+      Map("k" -> "bigint", "device" -> "string"))
+    assert(got.schema("k").dataType.typeName == "long")
+    assert(got.schema("device").dataType.typeName == "string")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(r.fieldIndex("k"))), Option(r.get(r.fieldIndex("device"))))).toMap
+    assert(rows(1L) == ((Some(7L), Some("ios"))))
+    assert(rows(2L) == ((Some(9L), None))) // absent field -> null
+    assert(rows(3L) == ((None, None)))     // malformed -> null row
+    assert(rows(4L) == ((None, None)))
+  }
+
   test("retention: cohort = first active day, one row per (cohort, age)") {
     val day = 86400000L
     val events = Seq(
