@@ -230,4 +230,104 @@ object ExprApi {
     case s: StyleExpr => s.expr
     case other        => other
   }
+
+  // --- editor-analysis surface (reference atlas-lsp AslDocumentAnalyzer /
+  // AslTokenTypes): semantic token classification and hover docs over the
+  // error-recovering syntaxTree. The JSON-RPC/websocket transport is
+  // infrastructure out of scope; this is the analysis the server serves. ---
+
+  /** One classified token: character span + one of `word`,
+    * `unknown-word`, `string`, `number`, `paren` (reference
+    * AslTokenTypes.{Word,UnknownWord,String,Number,Parenthesis}). */
+  final case class SemanticToken(start: Int, end: Int, tokenType: String)
+
+  /** Classify every token of a program for editor highlighting. Works on
+    * broken input — the unknown word that fails execution classifies as
+    * `unknown-word` (the reference's error-highlight type) and everything
+    * else keeps its type. */
+  def semanticTokens(program: String, vocab: String = "main"): List[SemanticToken] = {
+    import Interpreter._
+    def classify(n: SyntaxNode): List[SemanticToken] = n match {
+      case w: WordNode =>
+        List(SemanticToken(w.span.start, w.span.end,
+          if (w.matched.isDefined) "word" else "unknown-word"))
+      case l: ListNode =>
+        SemanticToken(l.span.start, l.span.end, "paren") :: l.children.flatMap(classify)
+      case l: LiteralNode if l.token == "(" || l.token == ")" =>
+        List(SemanticToken(l.span.start, l.span.end, "paren"))
+      case l: LiteralNode =>
+        val t = if (Coerce.isNumber(l.token)) "number" else "string"
+        List(SemanticToken(l.span.start, l.span.end, t))
+    }
+    interpreter(vocab).syntaxTree(program).nodes.flatMap(classify)
+  }
+
+  /**
+   * Hover documentation for the token at `offset` (reference
+   * AslDocumentAnalyzer.computeHover). For a word: its signature, the
+   * stack it saw, and the vocabulary examples. For a literal: its
+   * key/value position in the tag-pair stream (the reference's
+   * literalContext parity — an odd run of consecutive literals ends on a
+   * key, an even one on a value), described against the LIVE series
+   * catalog when one is supplied — the data-driven analog of the
+   * reference's static glossary files: a key hover reports how many
+   * series carry it and its distinct-value count, a value hover how many
+   * series match the pair.
+   */
+  def hover(
+      program: String,
+      offset: Int,
+      vocab: String = "main",
+      catalog: Option[org.apache.spark.sql.DataFrame] = None
+  ): Option[String] = {
+    import Interpreter._
+    val tree = interpreter(vocab).syntaxTree(program)
+    // top-level nodes only: the literal key/value rhythm is defined on the
+    // main token stream, not inside list bodies
+    val flat = tree.nodes
+    val at = flat.indexWhere(n => n.span.start <= offset && offset < n.span.end)
+    if (at < 0) return None
+    flat(at) match {
+      case w: WordNode =>
+        val word = w.matched.flatMap(m =>
+          interpreter(vocab).vocabulary.find(_.name == m))
+        word.map { wd =>
+          val sb = new StringBuilder
+          sb.append(s"**:${wd.name}**\n\n`${wd.signature}`")
+          if (w.stackBefore.nonEmpty)
+            sb.append(s"\n\nStack: ${w.stackBefore.mkString(", ")}")
+          if (wd.examples.nonEmpty)
+            sb.append(s"\n\nExamples:\n${wd.examples.map(e => s"- `$e`").mkString("\n")}")
+          sb.toString
+        }
+      case l: LiteralNode =>
+        // count consecutive literals ending at this node: odd run = key
+        var run = 0
+        var i = at
+        while (i >= 0 && flat(i).isInstanceOf[LiteralNode]) { run += 1; i -= 1 }
+        val isKey = run % 2 == 1
+        val base =
+          if (isKey) s"**${l.token}** (tag key)"
+          else {
+            val key = flat(at - 1).token
+            s"**${l.token}** (value of `$key`)"
+          }
+        val live = catalog.map { cat =>
+          import org.apache.spark.sql.functions._
+          if (isKey) {
+            val r = cat
+              .filter(map_contains_key(col("tags"), l.token))
+              .agg(count(lit(1)), countDistinct(col("tags").getItem(l.token)))
+              .head()
+            s"\n\nSeen in ${r.getLong(0)} series, ${r.getLong(1)} distinct values"
+          } else {
+            val key = flat(at - 1).token
+            val n = cat.filter(col("tags").getItem(key) === l.token).count()
+            s"\n\nMatches $n series"
+          }
+        }
+        Some(base + live.getOrElse(""))
+      case _ => None
+    }
+  }
 }

@@ -144,4 +144,19 @@ class ApiSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toList
     assert(pairs == List(("name", "b"), ("node", "n1")))
   }
+
+  test("hover against the live series catalog reports key and value cardinalities") {
+    import spark.implicits._
+    val dp = Seq(
+      (Map("name" -> "cpu", "node" -> "n1"), 0L, 1.0),
+      (Map("name" -> "cpu", "node" -> "n2"), 0L, 1.0),
+      (Map("name" -> "disk"), 0L, 1.0)
+    ).toDF("tags", "ts", "value")
+    val cat = graft.sources.TagIndex.seriesCatalog(dp)
+    val prog = "node,n1,:eq"
+    val hk = graft.api.ExprApi.hover(prog, 0, catalog = Some(cat)).get
+    assert(hk.contains("Seen in 2 series, 2 distinct values"), hk)
+    val hv = graft.api.ExprApi.hover(prog, prog.indexOf("n1"), catalog = Some(cat)).get
+    assert(hv.contains("Matches 1 series"), hv)
+  }
 }

@@ -130,4 +130,33 @@ class ExprApiSpec extends AnyFunSuite {
       ExprApi.strip("name,cpu,:eq,:sum", Set.empty, Set("bogus"))
     }
   }
+
+  test("semanticTokens classifies words, literals, numbers, parens, unknowns") {
+    val prog = "name,cpu,:eq,:sum,(,app,),:by,2,:mul,:bogus"
+    val toks = ExprApi.semanticTokens(prog)
+    def typeAt(tok: String) = {
+      val s = prog.indexOf(tok)
+      toks.find(t => t.start == s).map(_.tokenType).getOrElse(fail(s"no token at '$tok'"))
+    }
+    assert(typeAt("name") == "string")
+    assert(typeAt(":eq") == "word")
+    assert(typeAt(":sum") == "word")
+    assert(typeAt("(") == "paren")
+    assert(typeAt("2,") == "number")
+    assert(typeAt(":bogus") == "unknown-word")
+    // spans reconstruct the original tokens
+    toks.foreach(t => assert(t.start >= 0 && t.end <= prog.length && t.start < t.end))
+  }
+
+  test("hover: word shows signature, stack and examples; literal shows key/value position") {
+    val prog = "name,cpu,:eq,:sum"
+    val h = ExprApi.hover(prog, prog.indexOf(":sum") + 1).getOrElse(fail("no hover"))
+    assert(h.contains("**:sum**"))
+    assert(h.contains("--")) // the signature arrow
+    val hk = ExprApi.hover(prog, 1).getOrElse(fail("no key hover"))
+    assert(hk.contains("**name** (tag key)"))
+    val hv = ExprApi.hover(prog, prog.indexOf("cpu") + 1).getOrElse(fail("no value hover"))
+    assert(hv.contains("**cpu** (value of `name`)"))
+    assert(ExprApi.hover(prog, prog.length + 5).isEmpty)
+  }
 }
