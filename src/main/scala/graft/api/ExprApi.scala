@@ -330,4 +330,94 @@ object ExprApi {
       case _ => None
     }
   }
+
+  /**
+   * Pretty-print a program for humans (reference
+   * AslDocumentAnalyzer.formatExpression): each word groups with the
+   * arguments it consumed, simple groups stay inline, complex arguments
+   * break onto their own lines, and independent top-level expressions
+   * separate with a blank line. The output re-tokenizes to the same
+   * program (the tokenizer trims whitespace around commas), so
+   * `normalize(format(p)) == normalize(p)` — asserted corpus-wide.
+   *
+   * Where the reference derives each word's arity from declared
+   * parameter types (TypedWord), here it is INFERRED from the
+   * syntaxTree's per-word stack snapshots: pops and pushes fall out of
+   * the longest common suffix between the stacks before and after the
+   * word. Macros, overloads and stack shufflers need no special-casing —
+   * whatever the word actually did to the stack is what the formatter
+   * groups by.
+   */
+  def format(program: String, vocab: String = "main", maxWidth: Int = 78): String = {
+    import Interpreter._
+    val tree = interpreter(vocab).syntaxTree(program)
+    require(!tree.diagnostics.exists(_.error),
+      s"cannot format a program with errors: ${tree.diagnostics.filter(_.error).map(_.message).mkString("; ")}")
+    val nodes = tree.nodes
+
+    // stack AFTER word i = stack BEFORE the next word, minus the literal/
+    // list pushes in between (they sit on top); after the last word it is
+    // the final stack minus the trailing literals
+    val wordIdxs = nodes.zipWithIndex.collect { case (_: WordNode, i) => i }
+    def pushesBetween(from: Int, until: Int): Int =
+      nodes.slice(from, until).count(n => !n.isInstanceOf[WordNode])
+    val afterOf: Map[Int, List[String]] = wordIdxs.zipWithIndex.map {
+      case (i, k) =>
+        val (nextStack, upTo) =
+          if (k + 1 < wordIdxs.length) {
+            val j = wordIdxs(k + 1)
+            (nodes(j).asInstanceOf[WordNode].stackBefore, j)
+          } else (tree.stack, nodes.length)
+        i -> nextStack.drop(pushesBetween(i + 1, upTo))
+    }.toMap
+
+    sealed trait FNode { def size: Int }
+    final case class FSimple(text: String) extends FNode { val size = 1 }
+    final case class FParen(items: List[String]) extends FNode { val size = 1 }
+    final case class FCmd(args: List[FNode], word: String, size: Int) extends FNode
+
+    def commonSuffix(a: List[String], b: List[String]): Int =
+      a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+
+    val stack = scala.collection.mutable.ArrayBuffer.empty[FNode]
+    nodes.zipWithIndex.foreach {
+      case (l: LiteralNode, _) => stack += FSimple(l.token)
+      case (l: ListNode, _)    => stack += FParen(l.children.map(_.token))
+      case (w: WordNode, i) =>
+        val before = w.stackBefore
+        val after = afterOf(i)
+        val common = commonSuffix(before, after)
+        val pops = before.length - common
+        val pushes = after.length - common
+        var remaining = pops
+        val args = List.newBuilder[FNode]
+        while (remaining > 0 && stack.nonEmpty) {
+          val top = stack.remove(stack.length - 1)
+          remaining -= top.size
+          args += top
+        }
+        stack += FCmd(args.result().reverse, w.token, pushes)
+    }
+
+    def render(n: FNode): String = n match {
+      case FSimple(t) => t
+      case FParen(items) =>
+        val inline = ("(" +: items :+ ")").mkString(",")
+        if (inline.length <= maxWidth) inline
+        else ("(" +: items.map("  " + _) :+ ")").mkString(",\n")
+      case FCmd(args, word, _) =>
+        val rendered = args.map(render)
+        val inline = (rendered :+ word).mkString(",")
+        if (!inline.contains('\n') && inline.length <= maxWidth) inline
+        else {
+          // complex: each argument block on its own line, the word last
+          // (attached to a trailing simple argument when there is one)
+          val lastSimple = args.nonEmpty && args.last.isInstanceOf[FSimple]
+          if (lastSimple)
+            (rendered.init :+ s"${rendered.last},$word").mkString(",\n")
+          else (rendered :+ word).mkString(",\n")
+        }
+    }
+    stack.map(render).mkString(",\n\n")
+  }
 }

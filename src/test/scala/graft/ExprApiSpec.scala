@@ -131,6 +131,24 @@ class ExprApiSpec extends AnyFunSuite {
     }
   }
 
+  test("format: simple stays inline, complex args break, round-trips") {
+    // inline under the width budget
+    assert(ExprApi.format("name,cpu,:eq,:sum") == "name,cpu,:eq,:sum")
+    // two independent expressions separate with a blank line
+    val two = ExprApi.format("name,a,:eq,:sum,name,b,:eq,:sum")
+    assert(two.split("\n\n").length == 2)
+    // a binary op over two fetches breaks each side onto its own line
+    val add = ExprApi.format("name,cpu,:eq,:sum,name,disk,:eq,:sum,:add", maxWidth = 30)
+    assert(add ==
+      """name,cpu,:eq,:sum,
+        |name,disk,:eq,:sum,
+        |:add""".stripMargin)
+    // whatever the shape, the tokens re-parse to the same normal form
+    val p = "name,cpu,:eq,(,app,),:by,:sum,$app,:legend"
+    assert(ExprApi.normalize(ExprApi.format(p, maxWidth = 20)) == ExprApi.normalize(p))
+    intercept[IllegalArgumentException] { ExprApi.format("name,:bogus") }
+  }
+
   test("semanticTokens classifies words, literals, numbers, parens, unknowns") {
     val prog = "name,cpu,:eq,:sum,(,app,),:by,2,:mul,:bogus"
     val toks = ExprApi.semanticTokens(prog)

@@ -34,6 +34,22 @@ class ReferenceQueriesSpec extends AnyFunSuite {
       s"${failures.size}/${programs.size} failed:\n" + failures.take(15).mkString("\n"))
   }
 
+  test("formatting round-trips the whole corpus") {
+    assume(new java.io.File(ReferenceQueries.path).exists())
+    val programs = ReferenceQueries.programs
+    val failures = programs.flatMap { p =>
+      try {
+        val formatted = graft.api.ExprApi.format(p)
+        val same =
+          graft.api.ExprApi.normalize(formatted) == graft.api.ExprApi.normalize(p)
+        if (same) None else Some(s"'$p' -> reformatted to '$formatted'")
+      } catch { case e: Exception => Some(s"'$p' -> ${e.getMessage}") }
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size}/${programs.size} failed:\n" + failures.take(10).mkString("\n"))
+  }
+
   test("every ASL program in the reference corpus parses") {
     assume(new java.io.File(ReferenceQueries.path).exists())
     val programs = ReferenceQueries.programs
