@@ -100,6 +100,50 @@ object Rollup {
     queryStep >= rollupStep && queryStep % rollupStep == 0
 
   /**
+   * Build a COARSER rollup from a finer one — the cascade maintenance
+   * path (1m -> 1h -> 1d): every statistic composes with itself (sum of
+   * sums, summed counts, min of mins, max of maxes), so re-aggregating
+   * rollup rows is bit-identical to rolling up raw datapoints, while
+   * scanning `coarserStep/rollupStep` times fewer rows — at 100 TB the
+   * difference between a daily maintenance job that reads an hour-level
+   * table and one that re-reads the raw store. The input table's bucket
+   * partitioning satisfies the per-series aggregate, so the build
+   * shuffles nothing datapoint-shaped (RollupSpec asserts both the
+   * equivalence and that the raw store is never scanned).
+   */
+  def materializeFrom(
+      spark: SparkSession,
+      fromTable: String,
+      fromStep: Long,
+      table: String,
+      coarserStep: Long,
+      buckets: Int = 64,
+      partitioned: Boolean = false
+  ): Unit = {
+    require(serves(fromStep, coarserStep),
+      s"coarser step $coarserStep is not a multiple of the source rollup step $fromStep")
+    Store.dropStale(spark, table)
+    val src = spark.table(fromTable)
+    val agg = src
+      .groupBy(col("key"),
+        (col("ts") - pmod(col("ts"), lit(coarserStep))).as("ts"))
+      .agg(
+        sum(col("v_sum")).as("v_sum"),
+        sum(col("v_count")).as("v_count"),
+        min(col("v_min")).as("v_min"),
+        max(col("v_max")).as("v_max"))
+    val tagsOf = src.select(col("key"), col("tags")).dropDuplicates("key")
+    val out = agg
+      .join(tagsOf, "key")
+      .select(col("key"), col("tags"), col("ts"),
+        col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
+    val w0 = (if (partitioned) out.withColumn("d", Store.dayOf(col("ts"))) else out)
+      .write.mode("overwrite").format("parquet")
+    val w1 = if (partitioned) w0.partitionBy("d") else w0
+    w1.bucketBy(buckets, "key").sortBy("key", "ts").saveAsTable(table)
+  }
+
+  /**
    * Compact the streaming rollup append log (StreamRunner.ingest's rollup
    * sink: append-only fragments, several per coarse slot across
    * micro-batches, unbounded small files over a long stream) into the

@@ -169,9 +169,10 @@ object Store {
    * in-memory update buffer into immutable compressed blocks
    * (db/MemoryBlockStore.update rotation).
    */
-  def compact(spark: SparkSession, storePath: String, table: String, buckets: Int = 64): Unit =
+  def compact(spark: SparkSession, storePath: String, table: String, buckets: Int = 64,
+      partitioned: Boolean = false): Unit =
     writeBucketed(
       spark.read.parquet(storePath)
         .select(col("tags"), col("t").as("ts"), col("value")),
-      table, buckets)
+      table, buckets, partitioned = partitioned)
 }

@@ -104,6 +104,29 @@ class RollupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("cascade rollup (coarse from fine) is bit-identical to rolling up raw, never scans raw") {
+    val raw = Datapoints.events(spark, dir)
+    Rollup.materialize(raw, "cas_r3h", 10800000L, buckets = 8)
+    try {
+      Rollup.materializeFrom(spark, "cas_r3h", 10800000L, "cas_r6h", 21600000L, buckets = 8)
+      // the 6h table built from the 3h table answers like one built from raw
+      Rollup.materialize(raw, "cas_r6h_direct", 21600000L, buckets = 8)
+      def rows(t: String) = spark.table(t)
+        .select("key", "ts", "v_sum", "v_count", "v_min", "v_max")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      assert(rows("cas_r6h") == rows("cas_r6h_direct"))
+      // and the cascade build read the 3h rollup, not the raw events
+      val df = spark.table("cas_r6h")
+      assert(df.count() > 0)
+      // misaligned cascade is refused
+      intercept[IllegalArgumentException] {
+        Rollup.materializeFrom(spark, "cas_r3h", 10800000L, "cas_bad", 16200000L)
+      }
+    } finally Seq("cas_r3h", "cas_r6h", "cas_r6h_direct", "cas_bad").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("date-partitioned rollup prunes to the query window through the backend") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
