@@ -586,6 +586,8 @@ object SparkEntry {
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
       "events_retention" -> ((s, d) =>
         EventOps.retention(EventOps.events(s, d))),
+      "events_transitions" -> ((s, d) =>
+        EventOps.transitions(EventOps.events(s, d))),
       // schema-on-read: the JSON props payload parsed into a typed column
       // at the scan, then aggregated like any native column
       "events_props_agg" -> ((s, d) =>
@@ -1104,6 +1106,13 @@ object SparkEntry {
           |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
           |SELECT c.cohort, ud.day - c.cohort AS age, count(*) AS n_users
           |FROM ud JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+      "events_transitions" ->
+        """WITH o AS (
+          |  SELECT event_type AS from_type,
+          |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |  FROM events)
+          |SELECT from_type, to_type, count(*) AS n
+          |FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
       "events_props_agg" ->
         """SELECT event_type,
           |       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -217,6 +217,34 @@ object EventOps {
   }
 
   /**
+   * Event-flow transition matrix: counts of consecutive (event_type ->
+   * next event_type) pairs within each user's time-ordered stream — the
+   * aggregate behind a sankey/path-analysis view. Ordering ties break on
+   * the event id, so the matrix is deterministic and the window-`lead`
+   * oracle reproduces it exactly.
+   *
+   * Scale shape: ONE exchange on the user; `lead` is a within-partition
+   * sort (no second shuffle), and the final (from, to) count aggregates
+   * map-side into at most |types|^2 cells.
+   */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "tms",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * Cohort retention: users bucket by their first active UTC day (the
    * cohort); for each (cohort, age) the count of cohort users active
    * `age` days later — the triangle a growth dashboard plots.
