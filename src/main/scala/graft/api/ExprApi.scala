@@ -349,10 +349,63 @@ object ExprApi {
    * groups by.
    */
   def format(program: String, vocab: String = "main", maxWidth: Int = 78): String = {
+    def render(n: FNode): String = n match {
+      case FSimple(t, _, _) => t
+      case FParen(items, _, _) =>
+        val inline = ("(" +: items :+ ")").mkString(",")
+        if (inline.length <= maxWidth) inline
+        else ("(" +: items.map("  " + _) :+ ")").mkString(",\n")
+      case FCmd(args, word, _, _, _) =>
+        val rendered = args.map(render)
+        val inline = (rendered :+ word).mkString(",")
+        if (!inline.contains('\n') && inline.length <= maxWidth) inline
+        else {
+          // complex: each argument block on its own line, the word last
+          // (attached to a trailing simple argument when there is one)
+          val lastSimple = args.nonEmpty && args.last.isInstanceOf[FSimple]
+          if (lastSimple)
+            (rendered.init :+ s"${rendered.last},$word").mkString(",\n")
+          else (rendered :+ word).mkString(",\n")
+        }
+    }
+    buildTree(program, vocab).map(render).mkString(",\n\n")
+  }
+
+  /** One outline symbol: the word (or literal) with the character span
+    * covering it AND the arguments it consumed, nested (reference
+    * AslDocumentAnalyzer.computeDocumentSymbols). `kind` is one of
+    * `function`, `string`, `number`, `array`. */
+  final case class Symbol(
+      name: String, kind: String, start: Int, end: Int, children: List[Symbol])
+
+  /** Outline of a program: one symbol tree per top-level expression,
+    * grouped by the same inferred arities as [[format]]. */
+  def documentSymbols(program: String, vocab: String = "main"): List[Symbol] = {
+    def toSym(n: FNode): Symbol = n match {
+      case FSimple(t, s, e) =>
+        Symbol(t, if (Coerce.isNumber(t)) "number" else "string", s, e, Nil)
+      case FParen(_, s, e) => Symbol("(...)", "array", s, e, Nil)
+      case FCmd(args, word, _, s, e) => Symbol(word, "function", s, e, args.map(toSym))
+    }
+    buildTree(program, vocab).map(toSym)
+  }
+
+  private sealed trait FNode { def size: Int; def start: Int; def end: Int }
+  private final case class FSimple(text: String, start: Int, end: Int)
+      extends FNode { val size = 1 }
+  private final case class FParen(items: List[String], start: Int, end: Int)
+      extends FNode { val size = 1 }
+  private final case class FCmd(
+      args: List[FNode], word: String, size: Int, start: Int, end: Int) extends FNode
+
+  /** Shared grouping pass behind [[format]] and [[documentSymbols]]: each
+    * word becomes a node over the arguments it consumed, with pops and
+    * pushes inferred from consecutive stack snapshots. */
+  private def buildTree(program: String, vocab: String): List[FNode] = {
     import Interpreter._
     val tree = interpreter(vocab).syntaxTree(program)
     require(!tree.diagnostics.exists(_.error),
-      s"cannot format a program with errors: ${tree.diagnostics.filter(_.error).map(_.message).mkString("; ")}")
+      s"cannot process a program with errors: ${tree.diagnostics.filter(_.error).map(_.message).mkString("; ")}")
     val nodes = tree.nodes
 
     // stack AFTER word i = stack BEFORE the next word, minus the literal/
@@ -371,18 +424,14 @@ object ExprApi {
         i -> nextStack.drop(pushesBetween(i + 1, upTo))
     }.toMap
 
-    sealed trait FNode { def size: Int }
-    final case class FSimple(text: String) extends FNode { val size = 1 }
-    final case class FParen(items: List[String]) extends FNode { val size = 1 }
-    final case class FCmd(args: List[FNode], word: String, size: Int) extends FNode
-
     def commonSuffix(a: List[String], b: List[String]): Int =
       a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
 
     val stack = scala.collection.mutable.ArrayBuffer.empty[FNode]
     nodes.zipWithIndex.foreach {
-      case (l: LiteralNode, _) => stack += FSimple(l.token)
-      case (l: ListNode, _)    => stack += FParen(l.children.map(_.token))
+      case (l: LiteralNode, _) => stack += FSimple(l.token, l.span.start, l.span.end)
+      case (l: ListNode, _) =>
+        stack += FParen(l.children.map(_.token), l.span.start, l.span.end)
       case (w: WordNode, i) =>
         val before = w.stackBefore
         val after = afterOf(i)
@@ -396,28 +445,10 @@ object ExprApi {
           remaining -= top.size
           args += top
         }
-        stack += FCmd(args.result().reverse, w.token, pushes)
+        val argList = args.result().reverse
+        val start = argList.headOption.map(_.start).getOrElse(w.span.start)
+        stack += FCmd(argList, w.token, pushes, start, w.span.end)
     }
-
-    def render(n: FNode): String = n match {
-      case FSimple(t) => t
-      case FParen(items) =>
-        val inline = ("(" +: items :+ ")").mkString(",")
-        if (inline.length <= maxWidth) inline
-        else ("(" +: items.map("  " + _) :+ ")").mkString(",\n")
-      case FCmd(args, word, _) =>
-        val rendered = args.map(render)
-        val inline = (rendered :+ word).mkString(",")
-        if (!inline.contains('\n') && inline.length <= maxWidth) inline
-        else {
-          // complex: each argument block on its own line, the word last
-          // (attached to a trailing simple argument when there is one)
-          val lastSimple = args.nonEmpty && args.last.isInstanceOf[FSimple]
-          if (lastSimple)
-            (rendered.init :+ s"${rendered.last},$word").mkString(",\n")
-          else (rendered :+ word).mkString(",\n")
-        }
-    }
-    stack.map(render).mkString(",\n\n")
+    stack.toList
   }
 }

@@ -149,6 +149,21 @@ class ExprApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ExprApi.format("name,:bogus") }
   }
 
+  test("documentSymbols: words nest their consumed arguments with covering spans") {
+    val p = "name,cpu,:eq,:sum,4,:add"
+    val syms = ExprApi.documentSymbols(p)
+    assert(syms.length == 1)
+    val add = syms.head
+    assert(add.name == ":add" && add.kind == "function")
+    assert(add.start == 0 && add.end == p.length)
+    val Seq(sum, four) = add.children.toSeq
+    assert(four.name == "4" && four.kind == "number")
+    assert(sum.name == ":sum" && sum.children.map(_.name) == List(":eq"))
+    val eq = sum.children.head
+    assert(eq.children.map(_.name) == List("name", "cpu"))
+    assert(eq.start == 0 && eq.end == p.indexOf(",:sum"))
+  }
+
   test("semanticTokens classifies words, literals, numbers, parens, unknowns") {
     val prog = "name,cpu,:eq,:sum,(,app,),:by,2,:mul,:bogus"
     val toks = ExprApi.semanticTokens(prog)
