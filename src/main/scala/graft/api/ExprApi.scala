@@ -29,6 +29,17 @@ object ExprApi {
   /** One [[complete]] candidate. */
   final case class WordInfo(name: String, signature: String)
 
+  /** Full word reference for a vocabulary — name, signature and examples
+    * for every word, the static glossary an editor or docs generator
+    * consumes (complete() is the stack-aware subset of this). */
+  final case class WordDoc(name: String, signature: String, examples: List[String])
+
+  def words(vocab: String = "main"): List[WordDoc] =
+    interpreter(vocab).vocabulary
+      .map(w => WordDoc(w.name, w.signature, w.examples))
+      .distinctBy(_.name)
+      .sortBy(_.name)
+
   /** Words never suggested by [[complete]]: stack manipulation, trivially-
     * matching predicates, and deprecated operators (reference
     * atlas-webapi reference.conf `expr.complete.excluded-words`). */

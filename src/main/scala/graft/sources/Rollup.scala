@@ -45,6 +45,7 @@ object Rollup {
       .write
       .mode("overwrite")
       .format("parquet")
+      .option("compression", "zstd") // same rationale as Store.writeBucketed
     val w1 = if (partitioned) w0.partitionBy("d") else w0
     w1.bucketBy(buckets, "key")
       .sortBy("key", "ts")
@@ -138,7 +139,7 @@ object Rollup {
       .select(col("key"), col("tags"), col("ts"),
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
     val w0 = (if (partitioned) out.withColumn("d", Store.dayOf(col("ts"))) else out)
-      .write.mode("overwrite").format("parquet")
+      .write.mode("overwrite").format("parquet").option("compression", "zstd")
     val w1 = if (partitioned) w0.partitionBy("d") else w0
     w1.bucketBy(buckets, "key").sortBy("key", "ts").saveAsTable(table)
   }
@@ -172,6 +173,7 @@ object Rollup {
       .write
       .mode("overwrite")
       .format("parquet")
+      .option("compression", "zstd") // same rationale as Store.writeBucketed
       .bucketBy(buckets, "key")
       .sortBy("key", "ts")
       .saveAsTable(table)

@@ -79,6 +79,12 @@ object Store {
       .write
       .mode("overwrite")
       .format("parquet")
+      // zstd over the default snappy: the store is write-once/read-many
+      // long retention, where ~25-30% fewer bytes on disk is also ~25-30%
+      // fewer bytes scanned per query — at 100 TB the decode CPU is far
+      // cheaper than the saved IO (and the files sort by (key, ts), which
+      // compresses especially well under zstd's larger windows)
+      .option("compression", "zstd")
     val w1 = if (partitioned) w0.partitionBy("d") else w0
     w1.bucketBy(buckets, "key")
       .sortBy("key", "ts")

@@ -724,6 +724,20 @@ class SessionizeSpec extends SparkSpec {
     assert(rows(4L) == ((None, None)))
   }
 
+  test("event and curation operators degrade to empty output on empty input") {
+    val noEvents = Seq.empty[(Long, Long, String)].toDF("user_id", "tms", "event_type")
+    assert(ops.EventOps.funnel(noEvents, Seq("a", "b"), 100L).count() == 0)
+    assert(ops.EventOps.retention(noEvents.withColumnRenamed("event_type", "x")).count() == 0)
+    val noIds = Seq.empty[(Long, Long, String, Long)]
+      .toDF("user_id", "tms", "event_type", "event_id")
+    assert(ops.EventOps.transitions(noIds).count() == 0)
+    val noDocs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(Curate.shuffleShards(noDocs, 4).count() == 0)
+    assert(Curate.perSourceCap(noDocs, 5).count() == 0)
+    assert(TextOps.tfidfTopTerms(noDocs).count() == 0)
+  }
+
   test("retention: cohort = first active day, one row per (cohort, age)") {
     val day = 86400000L
     val events = Seq(
