@@ -144,8 +144,12 @@ object Store {
    */
   def semiJoinKeys(frame: DataFrame, keys: DataFrame,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
-    if (keys.count() <= maxBroadcastKeys) frame.join(broadcast(keys), "key")
-    else frame.join(keys, "key")
+    // a TRUE left_semi: a key duplicated on the catalog side (possible
+    // after incremental [[backfillDays]] appends) cannot multiply the
+    // joined datapoints, and no dedup shuffle is ever needed
+    if (keys.count() <= maxBroadcastKeys)
+      frame.join(broadcast(keys), Seq("key"), "left_semi")
+    else frame.join(keys, Seq("key"), "left_semi")
 
   /**
    * Index-driven fetch — the reference's core query path (TagIndex.
@@ -164,6 +168,41 @@ object Store {
       case graft.asl.Query.True => read(spark, table)
       case _ => semiJoinKeys(read(spark, table), indexKeys(spark, table, q), maxBroadcastKeys)
     }
+
+  /**
+   * Replace exactly the UTC-day partitions covered by `dp` in a
+   * date-partitioned store ([[writeBucketed]] with `partitioned = true`)
+   * — the backfill/correction path at 100 TB: re-deriving one bad day
+   * rewrites that day's directories and NOTHING else (dynamic partition
+   * overwrite), and the insert honors the table's bucket spec, so the
+   * zero-datapoint-shuffle fetch property survives the rewrite (StoreSpec
+   * asserts both). When the store has a series catalog, the batch's
+   * distinct series append to it — [[indexKeys]] dedups at read, and a
+   * full [[TagIndex]] rebuild stays the periodic compaction job.
+   */
+  def backfillDays(dp: DataFrame, table: String): Unit = {
+    val spark = dp.sparkSession
+    require(spark.table(table).columns.contains("d"),
+      s"$table is not date-partitioned; backfillDays needs the partitioned layout")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    val prevCodec = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // insertInto ignores writer options; route the codec through the conf
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    try {
+      dp.select(
+          Planner.seriesId(col("tags")).as("key"),
+          col("tags"), col("ts"), col("value"),
+          dayOf(col("ts")).as("d"))
+        .write.mode("overwrite").insertInto(table)
+      if (spark.catalog.tableExists(table + "_catalog"))
+        TagIndex.seriesCatalog(dp)
+          .write.mode("append").format("parquet").saveAsTable(table + "_catalog")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      spark.conf.set("spark.sql.parquet.compression.codec", prevCodec)
+    }
+  }
 
   /**
    * Compact the streaming ingest sink's append log

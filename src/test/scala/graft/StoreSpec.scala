@@ -214,6 +214,48 @@ class StoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS events_bucketed2")
   }
 
+  test("backfillDays rewrites only the targeted day, keeps bucketing and the index path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000L
+    val mk = (n: String, ts: Long, v: Double) => (Map("name" -> n), ts, v)
+    val dp = Seq(
+      mk("cpu", 0L, 1.0), mk("cpu", 3600000L, 2.0),      // day 0
+      mk("cpu", day + 1000L, 3.0), mk("disk", day, 4.0)  // day 1
+    ).toDF("tags", "ts", "value")
+    Store.writeBucketed(dp, "bf_store", buckets = 4, catalog = true, partitioned = true)
+    try {
+      // re-derive day 0: different values, plus a NEW series
+      val fix = Seq(mk("cpu", 0L, 10.0), mk("mem", 7200000L, 5.0))
+        .toDF("tags", "ts", "value")
+      Store.backfillDays(fix, "bf_store")
+
+      val rows = Store.read(spark, "bf_store")
+        .select(col("tags").getItem("name").as("n"), col("ts"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // day 0 fully replaced (the 3600000 cpu row is gone), day 1 intact
+      assert(rows == Map(
+        ("cpu", 0L) -> 10.0, ("mem", 7200000L) -> 5.0,
+        ("cpu", day + 1000L) -> 3.0, ("disk", day) -> 4.0), rows.toString)
+
+      // bucketing survives the insert: per-series agg still exchange-free
+      val agg = spark.table("bf_store").groupBy("key").agg(sum("value"))
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(key"), "backfill broke the bucket layout")
+
+      // the appended catalog finds the new series; duplicates don't
+      // multiply datapoints (indexKeys dedups)
+      val mem = Store.readIndexed(spark, "bf_store", graft.asl.Query.Equal("name", "mem"))
+      assert(mem.collect().map(_.getAs[Double]("value")).toList == List(5.0))
+      val cpu = Store.readIndexed(spark, "bf_store", graft.asl.Query.Equal("name", "cpu"))
+      assert(cpu.count() == 2) // one row per datapoint despite catalog re-append
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bf_store")
+      spark.sql("DROP TABLE IF EXISTS bf_store_catalog")
+    }
+  }
+
   test("date-partitioned store: time range prunes partitions at plan time, answers unchanged") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
