@@ -205,6 +205,28 @@ object Store {
   }
 
   /**
+   * Drop day partitions older than the retention horizon — the
+   * reference's block expiry (MemoryBlockStore rotates fixed-count block
+   * arrays; a partitioned table retires whole directories). Metadata +
+   * file deletion only: no data is read, queries running against newer
+   * days never notice. Returns the dropped partition dates.
+   */
+  def expireDays(spark: SparkSession, table: String,
+      keepDays: Int, nowMs: Long): Seq[String] = {
+    require(keepDays > 0, "keepDays must be positive")
+    val cutoff = java.time.LocalDate
+      .ofEpochDay(Math.floorDiv(nowMs, 86400000L) - keepDays + 1)
+    val stale = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0)) // "d=2024-01-01"
+      .collect { case p if p.startsWith("d=") &&
+        java.time.LocalDate.parse(p.drop(2)).isBefore(cutoff) => p.drop(2) }
+      .toSeq.sorted
+    stale.foreach(d =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (d = '$d')"))
+    stale
+  }
+
+  /**
    * Compact the streaming ingest sink's append log
    * (StreamRunner.ingest's date-partitioned parquet: the write-optimized
    * layout) into the series-bucketed read-optimized table — the periodic

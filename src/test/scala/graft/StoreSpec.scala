@@ -256,6 +256,25 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("expireDays retires whole day partitions past the retention horizon") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000L
+    val dp = (0 until 5).map(i => (Map("name" -> "cpu"), i * day + 1000L, i.toDouble))
+      .toDF("tags", "ts", "value")
+    Store.writeBucketed(dp, "exp_store", buckets = 4, partitioned = true)
+    try {
+      // now = day 4; keep 2 days -> days 0,1,2 expire
+      val dropped = Store.expireDays(spark, "exp_store", keepDays = 2, nowMs = 4 * day + 500L)
+      assert(dropped == Seq("1970-01-01", "1970-01-02", "1970-01-03"), dropped.toString)
+      val left = Store.read(spark, "exp_store").select("ts")
+        .collect().map(_.getLong(0)).toSet
+      assert(left == Set(3 * day + 1000L, 4 * day + 1000L))
+      // idempotent: nothing more to drop
+      assert(Store.expireDays(spark, "exp_store", 2, 4 * day + 500L).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS exp_store")
+  }
+
   test("date-partitioned store: time range prunes partitions at plan time, answers unchanged") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
