@@ -146,4 +146,55 @@ object Joins {
         pointCols.map(col) ++
           payFields.map(n => col(n).as(s"$prefix$n")): _*)
   }
+
+  /**
+   * Streaming [[intervalJoin]]: the same point-in-interval pairing over
+   * two LIVE streams, as a Spark stream-stream inner join. The exact
+   * containment predicate doubles as the state-cleanup bound: with both
+   * sides watermarked and `maxIntervalMs` capping interval length, Spark
+   * derives how long each side's rows can still match and evicts join
+   * state past it — state is bounded by (watermark delay + max interval)
+   * per key, not stream history. Same output rows as the batch operator
+   * on the same data (StreamSpec pins equivalence); late rows beyond the
+   * watermark drop instead of blocking eviction.
+   *
+   * The batch operator's grid-bucket trick exists because a batch BETWEEN
+   * join would plan a per-key cross product; the streaming join's
+   * symmetric hash join handles the range predicate natively, so no grid
+   * is needed here.
+   */
+  def streamingIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      valueCols: Seq[String],
+      maxIntervalMs: Long,
+      watermark: String = "10 minutes",
+      prefix: String = "iv_"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "interval join needs at least one key column")
+    require(maxIntervalMs > 0, "maxIntervalMs must be positive")
+    val pointCols = points.columns.toSeq
+    val payFields = (Seq(startCol, endCol) ++ valueCols).distinct
+    val pt = points
+      .withColumn("__pt", timestamp_millis(col(pointTime)))
+      .withWatermark("__pt", watermark)
+    val iv = intervals
+      .select((keyCols.map(c => col(c).as(s"__i_$c")) ++
+        payFields.map(n => col(n).as(s"$prefix$n"))): _*)
+      .withColumn("__it", timestamp_millis(col(s"$prefix$startCol")))
+      .withWatermark("__it", watermark)
+    val keyEq = keyCols.map(c => col(c) === col(s"__i_$c")).reduce(_ && _)
+    val contained =
+      col(pointTime) >= col(s"$prefix$startCol") &&
+        col(pointTime) <= col(s"$prefix$endCol") &&
+        // event-time range bound Spark uses to size and evict join state
+        col("__pt") >= col("__it") &&
+        col("__pt") <= col("__it") + expr(s"INTERVAL ${maxIntervalMs} MILLISECONDS")
+    pt.join(iv, keyEq && contained, "inner")
+      .select(pointCols.map(col) ++ payFields.map(n => col(s"$prefix$n")): _*)
+  }
 }

@@ -635,6 +635,46 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming interval join matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pts = Seq(
+      (1L, 100L, 5.0), (1L, 250L, 6.0), (1L, 900L, 7.0), (2L, 150L, 8.0))
+    val ivs = Seq(
+      (1L, 50L, 300L, "a"),  // contains 100, 250
+      (1L, 800L, 850L, "b"), // contains nothing (900 outside)
+      (2L, 100L, 200L, "c")) // contains 150
+    val pIn = MemoryStream[(Long, Long, Double)]
+    val iIn = MemoryStream[(Long, Long, Long, String)]
+    val out = ops.Joins.streamingIntervalJoin(
+      pIn.toDF.toDF("user_id", "tms", "value"),
+      iIn.toDF.toDF("user_id", "start_t", "end_t", "label"),
+      Seq("user_id"), "tms", "start_t", "end_t", Seq("label"),
+      maxIntervalMs = 1000L, watermark = "1 second")
+    val query = out.writeStream.format("memory").queryName("stream_ivjoin")
+      .outputMode("append").start()
+    try {
+      iIn.addData(ivs)
+      pIn.addData(pts)
+      query.processAllAvailable()
+      // advance both watermarks so all joins finalize
+      pIn.addData(Seq((99L, 100000L, 0.0)))
+      iIn.addData(Seq((99L, 100000L, 100001L, "z")))
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_ivjoin")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(5))).toSet
+      val batch = ops.Joins.intervalJoin(
+        pts.toDF("user_id", "tms", "value"),
+        ivs.toDF("user_id", "start_t", "end_t", "label"),
+        Seq("user_id"), "tms", "start_t", "end_t", Seq("label"), bucketMs = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(5))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch == Set((1L, 100L, "a"), (1L, 250L, "a"), (2L, 150L, "c")))
+    } finally query.stop()
+  }
+
   test("streaming funnel finalizes identically to the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
