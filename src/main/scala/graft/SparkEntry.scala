@@ -539,6 +539,17 @@ object SparkEntry {
           .join(cc, col("doc_id") === col("node"), "left")
           .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       }),
+      // cluster-size histogram: the dedup health report (how much of the
+      // corpus sits in how-big near-dup families) at cluster cardinality
+      "dedup_cluster_sizes" -> ((s, d) => {
+        val dd = docs(s, d)
+        val cc = Dedup.connectedComponents(Dedup.minhashLsh(dd, threshold = 0.5))
+        dd.select(col("doc_id").cast("long").as("doc_id"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      }),
       "dedup_embedding" -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.9)),
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
@@ -834,6 +845,12 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
+      "dedup_cluster_sizes" ->
+        s"""SELECT sz AS cluster_size, count(*) AS n_clusters FROM (
+           |  SELECT cluster_id, count(*) AS sz
+           |  FROM (${graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5)})
+           |  GROUP BY 1)
+           |GROUP BY 1""".stripMargin,
       "pipeline_split" ->
         s"""SELECT doc_id, cluster_id,
            |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)

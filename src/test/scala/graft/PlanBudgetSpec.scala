@@ -88,6 +88,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "events_retention" -> 2,
     // user window (lead is a within-partition sort) + the |types|^2 cell agg
     "events_transitions" -> 2,
+    // from_json is a scan projection; only the group-aggregate exchanges
+    "events_props_agg" -> 1,
     // honest at-scale shape with broadcasts off: candidates + eval sides
     // of the UNHINTED confirm join (both bloom-prefilter-sized), per-doc
     // hit agg, and the join-back of per-doc gram totals. The plain
