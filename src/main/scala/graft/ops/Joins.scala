@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,116 @@ object Joins {
    * symmetric hash join handles the range predicate natively, so no grid
    * is needed here.
    */
+  /** Per-key streaming as-of state: left rows waiting for their watermark
+    * finalize and the right rows that can still answer a future left.
+    * Both lists are watermark-bounded; once only the carry right remains
+    * it persists like the batch operator's running last() (key-cardinality
+    * state — add an application TTL if keys churn forever). */
+  final case class AsofState(lefts: List[(Long, String)], rights: List[(Long, String)])
+
+  /**
+   * Streaming [[asof]]: latest right row at-or-before each left row, over
+   * two live streams, EXACTLY the batch semantics. A left row finalizes
+   * once the watermark passes its timestamp — from then on no right row
+   * at-or-before it can still arrive (later arrivals sit at-or-above the
+   * watermark, and older ones are dropped by it), so the answer is final
+   * and the row emits exactly once. Rights prune to the single latest one
+   * at-or-below the watermark (any earlier right is dominated for every
+   * future left) plus whatever sits inside the lateness window; payloads
+   * ride as JSON through the state and re-type on the way out
+   * (from_json with the source schema), so the operator stays fully
+   * generic over the carried columns.
+   *
+   * Tie-break note: several rights sharing one (key, timestamp) resolve
+   * by greatest JSON payload here vs greatest struct in batch — identical
+   * whenever (key, time) is unique on the right (the common case).
+   */
+  def streamingAsof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_",
+      tolerance: Option[Long] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "asof join needs at least one key column")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val leftCols = left.columns.toSeq
+    val payFields = valueCols :+ rightTime
+    val lrowSchema = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    val paySchema = right.select(struct(payFields.map(col): _*)).schema.head.dataType
+
+    def keyed(df: DataFrame, t: String, side: Int, payload: Column): DataFrame = df.select(
+      concat_ws(" ", keyCols.map(c => col(c).cast("string")): _*).as("__k"),
+      col(t).cast("long").as("__t"),
+      lit(side).as("__side"),
+      payload.as("__json"))
+    val unioned = keyed(left, leftTime, 1, to_json(struct(leftCols.map(col): _*)))
+      .unionByName(keyed(right, rightTime, 0, to_json(struct(payFields.map(col): _*))))
+      .withColumn("__et", timestamp_millis(col("__t")))
+      .withWatermark("__et", watermark)
+      .as[(String, Long, Int, String, java.sql.Timestamp)]
+
+    val emitted = unioned
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, gstate) =>
+          val wm = gstate.getCurrentWatermarkMs()
+          val prev = gstate.getOption.getOrElse(AsofState(Nil, Nil))
+          var lefts = prev.lefts
+          var rights = prev.rights
+          if (!gstate.hasTimedOut) rows.foreach {
+            case (_, t, side, json, _) =>
+              if (side == 1) lefts ::= (t, json) else rights ::= (t, json)
+          }
+          // finalize every left the watermark has passed: the latest right
+          // at-or-below its timestamp is now definitive
+          val (done, pending) = lefts.partition(_._1 < wm)
+          val out = done.sortBy(_._1).map { case (t, lrow) =>
+            val m = rights.filter(_._1 <= t)
+            val pay =
+              if (m.isEmpty) null
+              else m.max(Ordering.by[(Long, String), (Long, String)](identity))._2
+            (lrow, pay)
+          }
+          // prune rights: the latest at-or-below the watermark dominates
+          // all earlier ones for every future left
+          val (recent, old) = rights.partition(_._1 >= wm)
+          val carry = if (old.isEmpty) Nil else List(old.max(
+            Ordering.by[(Long, String), (Long, String)](identity)))
+          val kept = recent ++ carry
+          if (pending.isEmpty && kept.isEmpty) gstate.remove()
+          else {
+            gstate.update(AsofState(pending, kept))
+            // wake when the next pending left can finalize, or on the next
+            // watermark advance to re-prune early rights
+            val target = pending.map(_._1 + 1) match {
+              case Nil => if (recent.nonEmpty) wm + 1 else Long.MaxValue
+              case ts  => ts.min
+            }
+            if (target != Long.MaxValue)
+              gstate.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+          out.iterator
+      }
+
+    val outDF = emitted.toDF("__lrow", "__pay")
+      .select(from_json(col("__lrow"), lrowSchema).as("__l"),
+        from_json(col("__pay"), paySchema).as("__m"))
+    val matched = tolerance.fold(col("__m")) { tol =>
+      when(col(s"__m.$rightTime") >= col(s"__l.$leftTime") - tol, col("__m"))
+    }
+    outDF.select(
+      leftCols.map(n => col(s"__l.$n").as(n)) ++
+        payFields.map(n => matched.getField(n).as(s"$prefix$n")): _*)
+  }
+
   def streamingIntervalJoin(
       points: DataFrame,
       intervals: DataFrame,

@@ -635,6 +635,50 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming asof matches the batch operator, including a late-arriving right row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val leftRows = Seq(
+      (10L, "k1", 100L), (11L, "k1", 200L), (12L, "k1", 350L),
+      (13L, "k1", 450L), (14L, "k2", 999L))
+    val rightRows = Seq(("k1", 200L, 2.0), ("k1", 400L, 4.0), ("k3", 100L, 9.0))
+    val lIn = MemoryStream[(Long, String, Long)]
+    val rIn = MemoryStream[(String, Long, Double)]
+    val out = ops.Joins.streamingAsof(
+      lIn.toDF.toDF("event_id", "k", "t"),
+      rIn.toDF.toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", Seq("v"), watermark = "1 second")
+    val query = out.writeStream.format("memory").queryName("stream_asof")
+      .outputMode("append").start()
+    try {
+      // the k1@400 right row arrives a BATCH LATER than the lefts that
+      // need it, still inside the watermark — finalize must wait for it
+      lIn.addData(leftRows)
+      rIn.addData(rightRows.take(1) ++ rightRows.drop(2))
+      query.processAllAvailable()
+      rIn.addData(Seq(rightRows(1)))
+      query.processAllAvailable()
+      // advance both watermarks past every left + one trigger for timeouts
+      lIn.addData(Seq((99L, "zz", 100000L)))
+      rIn.addData(Seq(("zz", 100000L, 0.0)))
+      query.processAllAvailable()
+      lIn.addData(Seq((98L, "zz", 200000L)))
+      rIn.addData(Seq(("zz", 200000L, 0.0)))
+      query.processAllAvailable()
+
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => x.getAs[Long]("event_id") ->
+          (Option(x.getAs[java.lang.Double]("asof_v")).map(_.toDouble),
+           Option(x.getAs[java.lang.Long]("asof_rt")).map(_.toLong))).toMap
+      val streamed = m(spark.table("stream_asof").filter(col("event_id") < 90L))
+      val batch = m(ops.Joins.asof(
+        leftRows.toDF("event_id", "k", "t"), rightRows.toDF("k", "rt", "v"),
+        Seq("k"), "t", "rt", Seq("v")))
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(streamed(13L) == ((Some(4.0), Some(400L)))) // the late right row won
+    } finally query.stop()
+  }
+
   test("streaming interval join matches the batch operator") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
