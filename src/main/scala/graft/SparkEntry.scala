@@ -297,6 +297,14 @@ object SparkEntry {
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:sum"),
         graft.sources.StoreBackend(s, pstoreTable(s, d)), ctxPruned), Nil, 4)),
+    // :percentiles served from the PRE-AGGREGATED rollup through the
+    // default backend routing: bucket counts are sums, so the rollup's
+    // v_sum re-composes the 6h bucket distribution exactly — the
+    // estimation path never notices it skipped the raw store
+    "rollup_percentiles" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,(,25,50,90,),:percentiles"),
+        bucketedBackend(s, d), ctx6), Seq("percentile"), 4)),
     // -- ingest normalization: counter->rate + weighted alignment (§1.2/§2.1) --
     "data_rate_sum" -> ((s, d) =>
       Planner.output(Planner.eval(
@@ -516,6 +524,24 @@ object SparkEntry {
     * (the store_graph_auto* catalog rows prove it end-to-end). */
   private def storeBackend(s: SparkSession, d: String): graft.sources.StoreBackend =
     graft.sources.StoreBackend(s, storeTable(s, d), Map(rollupTable(s, d) -> RollupStep))
+
+  /** Store + 3h rollup over the BUCKET-TAGGED datapoints (spectator
+    * percentile buckets as tag space): bucket counts consolidate by sum,
+    * so the rollup's v_sum column IS the coarse-slot percentile input —
+    * `:percentiles` dashboards serve from rollups with no special path. */
+  private def bucketedBackend(s: SparkSession, d: String): graft.sources.StoreBackend = {
+    val st = "graft_bstore_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val rt = "graft_brollup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      if (!s.catalog.tableExists(st))
+        graft.sources.Store.writeBucketed(
+          Datapoints.eventsBucketed(s, d), st, buckets = 8, catalog = true)
+      if (!s.catalog.tableExists(rt))
+        graft.sources.Rollup.materialize(
+          Datapoints.eventsBucketed(s, d), rt, RollupStep, buckets = 8)
+    }
+    graft.sources.StoreBackend(s, st, Map(rt -> RollupStep))
+  }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -1244,7 +1270,8 @@ object SparkEntry {
    * (group, slot), cumulative bucket counts, first bucket reaching the
    * requested share, linear interpolation between its boundaries.
    */
-  private def percentileOracle(name: String, pcts: List[Double], grouped: Boolean): String = {
+  private def percentileOracle(name: String, pcts: List[Double], grouped: Boolean,
+      stepMs: Long = 3600000L): String = {
     import graft.functions.PercentileBuckets
     def pad(p: Double): String = {
       val s = p.toString
@@ -1255,7 +1282,7 @@ object SparkEntry {
     val g = if (grouped) "grp, " else ""
     val gSel = if (grouped) "'g' || CAST(user_id % 5 AS VARCHAR) AS grp, " else ""
     s"""WITH bucketed AS (
-       |  SELECT $gSel(epoch_ms(ts) // 3600000) * 3600000 AS t,
+       |  SELECT $gSel(epoch_ms(ts) // $stepMs) * $stepMs AS t,
        |         ${PercentileBuckets.indexOfSql("CAST(floor(value) AS BIGINT)")} AS i
        |  FROM events WHERE event_type = '$name'),
        |counts AS (SELECT ${g}t, i, CAST(count(*) AS DOUBLE) AS c FROM bucketed GROUP BY ALL),
@@ -1523,6 +1550,8 @@ object SparkEntry {
         |  FROM bu GROUP BY t)""".stripMargin,
       byUsr("click", "bu")),
     "sketch_percentiles" -> percentileOracle("click", List(25.0, 50.0, 90.0), grouped = false),
+    "rollup_percentiles" ->
+      percentileOracle("click", List(25.0, 50.0, 90.0), grouped = false, stepMs = 21600000L),
     "sketch_percentiles_by" -> percentileOracle("click", List(50.0), grouped = true),
     "sketch_median" -> percentileOracle("view", List(50.0), grouped = false),
     "sketch_sample_count" -> {
