@@ -649,6 +649,9 @@ object SparkEntry {
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
+      "pipeline_token_budget" -> ((s, d) =>
+        Curate.tokenBudgetSample(docs(s, d), Map("src0" -> 3000L, "src1" -> 800L))
+          .select(col("doc_id"), col("source"))),
       "pipeline_shuffle" -> ((s, d) =>
         Curate.shuffleShards(docs(s, d), 16)
           .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))),
@@ -1111,6 +1114,18 @@ object SparkEntry {
            |FROM documents d JOIN lp ON d.doc_id = lp.doc_id
            |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
            |      < (CASE WHEN lp.lang_pred = 'en' THEN 0.3 ELSE 1.0 END) * 10000""".stripMargin,
+      "pipeline_token_budget" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+          |         md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |c AS (SELECT doc_id, source,
+          |        coalesce(sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+          |      FROM t)
+          |SELECT doc_id, source FROM c
+          |WHERE prior < (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
+          |               ELSE 9223372036854775807 END)""".stripMargin,
       "pipeline_shuffle" ->
         """WITH h AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
           |s AS (SELECT doc_id, hh,

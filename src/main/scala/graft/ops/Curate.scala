@@ -360,6 +360,45 @@ object Curate {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /**
+   * Fill a per-source TOKEN budget ("2B tokens of wiki, 500M of web"):
+   * documents are taken in the deterministic md5(seed:id) order (the same
+   * permutation [[shuffleShards]] realizes) until the running token total
+   * of the docs already taken reaches the source's budget — so the kept
+   * set is a stable hash-order prefix: raising a budget only ADDS
+   * documents, re-running reproduces the same sample, and the overshoot
+   * is at most one document. Sources without a budget keep everything.
+   *
+   * Scale shape: one exchange on source; the running token sum is a
+   * within-partition window (the same sequential-per-group shape as
+   * [[packSequences]] — a pathologically large single source serializes
+   * only its own partition's scan).
+   */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      seed: String = "42",
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(Long.MaxValue): Column) { case (acc, (k, b)) =>
+        when(col(sourceCol) === k, lit(b)).otherwise(acc)
+      }
+    docs
+      .withColumn("__h", h)
+      .withColumn("__n", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .filter(col("__prior") < budget)
+      .drop("__h", "__n", "__prior")
+  }
+
   def chunk(
       docs: DataFrame,
       window: Int = 32,

@@ -912,6 +912,27 @@ class CurateSpec extends SparkSpec {
     assert(beats == 0L, s"dropped rows beating kept minimum: $beats (minKept=$minKept)")
   }
 
+  test("tokenBudgetSample: hash-prefix fill, monotone in budget, bounded overshoot") {
+    val docs = (0L until 300L)
+      .map(i => (i, s"src${i % 2}", Seq.fill(10 + (i % 7).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def kept(b: Map[String, Long]) = Curate.tokenBudgetSample(docs, b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = kept(Map("src0" -> 200L))
+    val large = kept(Map("src0" -> 500L))
+    // prefix property: a bigger budget only adds documents
+    assert(small.subsetOf(large), "budget growth removed documents")
+    // unlisted source keeps everything (150 src1 docs)
+    assert(small.count(_ % 2 == 1) == 150)
+    // token total of kept src0 docs reaches the budget, overshoot < one doc
+    val toks = Curate.tokenBudgetSample(docs, Map("src0" -> 200L))
+      .filter(col("source") === "src0")
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0))
+    assert(toks.sum >= 200L && toks.sum - toks.max < 200L, s"sum=${toks.sum}")
+    // deterministic
+    assert(kept(Map("src0" -> 200L)) == small)
+  }
+
   test("mixtureSample realizes integer weights exactly and fractions deterministically") {
     val mixDocs = (0L until 40L)
       .map(i => (i, if (i < 20) "w2" else "whalf")).toDF("doc_id", "source")

@@ -106,6 +106,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the terasort floor for a global shuffle: ONE exchange hashed on
     // shard, positions from a sort + row_number inside each shard
     "pipeline_shuffle" -> 1,
+    // one exchange on source; the running token sum is a within-partition
+    // window (the packSequences shape)
+    "pipeline_token_budget" -> 1,
     // candidate window (cap x partitions rows) + the two sides of the
     // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
     // the corpus-cardinality prune itself is a zero-shuffle kernel
