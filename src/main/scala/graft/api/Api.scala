@@ -215,6 +215,70 @@ object Api {
       )).as("json"))
   }
 
+  /**
+   * CSV/TSV graph data (reference atlas-chart CsvGraphEngine /
+   * CommaSepGraphEngine / TabSepGraphEngine — the data-serialization half
+   * of `format=csv` / `format=txt`; PNG rendering stays out of scope):
+   * one line per timestamp rendered in the request zone
+   * (ISO_OFFSET_DATE_TIME like the reference), one column per plotted
+   * series labeled like the JSON output, values through the reference's
+   * default `%f` number format (NaN prints as `NaN`). Output size is the
+   * rendered graph (slots x lines), so building the string driver-side
+   * mirrors the reference streaming the same bytes.
+   *
+   * Columns sort by label for a deterministic layout — the union of
+   * per-expression frames does not guarantee a collection order.
+   */
+  def graphCsv(
+      program: String,
+      dp: DataFrame,
+      ctx: EvalContext,
+      maxDatapoints: Int = 0,
+      sep: String = ","
+  ): String = {
+    import org.apache.spark.sql.types._
+    val msgs = graph(program, dp, ctx, maxDatapoints)
+    val schema = StructType(Seq(
+      StructField("label", StringType),
+      StructField("start", LongType),
+      StructField("step", LongType),
+      StructField("data", StructType(Seq(
+        StructField("values", ArrayType(DoubleType)))))))
+    val series = msgs
+      .select(from_json(col("json"), schema,
+        Map("allowNonNumericNumbers" -> "true")).as("m"))
+      .select(col("m.label"), col("m.start"), col("m.step"), col("m.data.values"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[java.lang.Double](3)))
+      .sortBy(_._1)
+    require(series.nonEmpty, "no series to render")
+    val step = series.head._3
+    val start = series.head._2
+    val zone = java.time.ZoneId.of(ctx.tz)
+    val fmt = java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
+    val sb = new StringBuilder
+    sb.append("\"timestamp\"")
+    series.foreach { case (label, _, _, _) =>
+      sb.append(sep).append('"').append(label).append('"')
+    }
+    sb.append('\n')
+    val slots = series.head._4.length
+    var i = 0
+    while (i < slots) {
+      val t = java.time.Instant.ofEpochMilli(start + i.toLong * step).atZone(zone)
+      sb.append(t.format(fmt))
+      series.foreach { case (_, _, _, vs) =>
+        val v = vs(i)
+        sb.append(sep).append("%f".format(
+          if (v == null) Double.NaN else v.doubleValue()))
+      }
+      sb.append('\n')
+      i += 1
+    }
+    sb.toString
+  }
+
   // --- tags API (reference TagsApi.scala:44-100, TagIndex.findKeys/findValues) ---
 
   /** Distinct tag keys of series matching `q`, paged by `offset` cursor. */

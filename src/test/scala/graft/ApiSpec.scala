@@ -145,6 +145,30 @@ class ApiSpec extends SparkSpec {
     assert(pairs == List(("name", "b"), ("node", "n1")))
   }
 
+  test("graphCsv renders the reference CSV shape: header, ISO timestamps, %f values, NaN gaps") {
+    import spark.implicits._
+    val ctx = graft.core.EvalContext(0L, 3 * 3600000L, 3600000L)
+    val dp = Seq(
+      (Map("name" -> "a"), 0L, 1.0),
+      (Map("name" -> "a"), 3600000L, 2.5),
+      // a's slot 2 missing -> NaN cell
+      (Map("name" -> "b"), 0L, 5.0),
+      (Map("name" -> "b"), 3600000L, 6.0),
+      (Map("name" -> "b"), 7200000L, 7.0)
+    ).toDF("tags", "ts", "value")
+    val csv = Api.graphCsv("name,a,:eq,:sum,name,b,:eq,:sum", dp, ctx)
+    val lines = csv.trim.split("\n")
+    assert(lines.length == 4, csv)
+    assert(lines(0) == "\"timestamp\",\"name,a,:eq,:sum\",\"name,b,:eq,:sum\"")
+    assert(lines(1) == "1970-01-01T00:00:00Z,1.000000,5.000000")
+    assert(lines(2) == "1970-01-01T01:00:00Z,2.500000,6.000000")
+    assert(lines(3) == "1970-01-01T03:00:00Z,NaN,7.000000" ||
+      lines(3) == "1970-01-01T02:00:00Z,NaN,7.000000", lines(3))
+    // tab separator variant (the reference's txt engine)
+    val tsv = Api.graphCsv("name,b,:eq,:sum", dp, ctx, sep = "\t")
+    assert(tsv.trim.split("\n")(1) == "1970-01-01T00:00:00Z\t5.000000")
+  }
+
   test("hover against the live series catalog reports key and value cardinalities") {
     import spark.implicits._
     val dp = Seq(
