@@ -236,23 +236,8 @@ object Api {
       maxDatapoints: Int = 0,
       sep: String = ","
   ): String = {
-    import org.apache.spark.sql.types._
-    val msgs = graph(program, dp, ctx, maxDatapoints)
-    val schema = StructType(Seq(
-      StructField("label", StringType),
-      StructField("start", LongType),
-      StructField("step", LongType),
-      StructField("data", StructType(Seq(
-        StructField("values", ArrayType(DoubleType)))))))
-    val series = msgs
-      .select(from_json(col("json"), schema,
-        Map("allowNonNumericNumbers" -> "true")).as("m"))
-      .select(col("m.label"), col("m.start"), col("m.step"), col("m.data.values"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getSeq[java.lang.Double](3)))
-      .sortBy(_._1)
-    require(series.nonEmpty, "no series to render")
+    val series = collectSeries(graph(program, dp, ctx, maxDatapoints))
+      .map(s => (s._1, s._3, s._4, s._5))
     val step = series.head._3
     val start = series.head._2
     val zone = java.time.ZoneId.of(ctx.tz)
@@ -277,6 +262,79 @@ object Api {
       i += 1
     }
     sb.toString
+  }
+
+  /** Collect a graph result's lines, sorted by label for a deterministic
+    * layout: (label, tags, start, step, values). Rendered-graph-sized
+    * (lines x slots), never datapoint-sized. */
+  private def collectSeries(
+      msgs: DataFrame
+  ): Seq[(String, Map[String, String], Long, Long, Seq[java.lang.Double])] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("label", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("start", LongType),
+      StructField("step", LongType),
+      StructField("data", StructType(Seq(
+        StructField("values", ArrayType(DoubleType)))))))
+    val series = msgs
+      .select(from_json(col("json"), schema,
+        Map("allowNonNumericNumbers" -> "true")).as("m"))
+      .select(col("m.label"), col("m.tags"), col("m.start"), col("m.step"),
+        col("m.data.values"))
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+        r.getLong(2), r.getLong(3), r.getSeq[java.lang.Double](4)))
+      .sortBy(_._1)
+      .toSeq
+    require(series.nonEmpty, "no series to render")
+    series
+  }
+
+  /**
+   * Classic graph JSON (reference atlas-chart JsonGraphEngine, the
+   * `format=json` engine): `{start, step, legend, metrics, values,
+   * notices}` with the values matrix row-per-timestamp — NaN is emitted
+   * unquoted exactly like the reference (its own docs note the format
+   * needs a parser with non-standard-number support; `std.json`-style
+   * strict output is what [[graph]]'s TimeSeriesMessage rows are for).
+   * Columns sort by label like [[graphCsv]].
+   */
+  def graphJson(
+      program: String,
+      dp: DataFrame,
+      ctx: EvalContext,
+      maxDatapoints: Int = 0
+  ): String = {
+    val series = collectSeries(graph(program, dp, ctx, maxDatapoints))
+    val start = series.head._3
+    val step = series.head._4
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+    def num(v: java.lang.Double): String = {
+      val d = if (v == null) Double.NaN else v.doubleValue()
+      if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "Infinity"
+      else if (d.isNegInfinity) "-Infinity"
+      else d.toString
+    }
+    val legend = series.map(s => esc(s._1)).mkString("[", ",", "]")
+    val metrics = series.map { s =>
+      s._2.toList.sortBy(_._1)
+        .map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val slots = series.head._5.length
+    val values = (0 until slots).map { i =>
+      series.map(s => num(s._5(i))).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    s"""{"start":$start,"step":$step,"legend":$legend,"metrics":$metrics,"values":$values,"notices":[]}"""
   }
 
   // --- tags API (reference TagsApi.scala:44-100, TagIndex.findKeys/findValues) ---

@@ -169,6 +169,23 @@ class ApiSpec extends SparkSpec {
     assert(tsv.trim.split("\n")(1) == "1970-01-01T00:00:00Z\t5.000000")
   }
 
+  test("graphJson renders the classic format: legend, sorted-tag metrics, values matrix") {
+    import spark.implicits._
+    val ctx = graft.core.EvalContext(0L, 2 * 3600000L, 3600000L)
+    val dp = Seq(
+      (Map("name" -> "a", "usr" -> "u1"), 0L, 1.0),
+      (Map("name" -> "a", "usr" -> "u2"), 0L, 2.0),
+      (Map("name" -> "a", "usr" -> "u1"), 3600000L, 3.0)
+    ).toDF("tags", "ts", "value")
+    val json = Api.graphJson("name,a,:eq,:sum,(,usr,),:by", dp, ctx)
+    assert(json.startsWith("""{"start":0,"step":3600000,"legend":["""), json)
+    assert(json.contains(""""legend":["usr=u1","usr=u2"]"""), json)
+    assert(json.contains(""""metrics":[{"name":"a","usr":"u1"},{"name":"a","usr":"u2"}]"""), json)
+    // slot 0: both lines; slot 1: u2 absent -> unquoted NaN like the reference
+    assert(json.contains(""""values":[[1.0,2.0],[3.0,NaN]]"""), json)
+    assert(json.endsWith(""""notices":[]}"""), json)
+  }
+
   test("hover against the live series catalog reports key and value cardinalities") {
     import spark.implicits._
     val dp = Seq(
