@@ -306,7 +306,8 @@ object Api {
       program: String,
       dp: DataFrame,
       ctx: EvalContext,
-      maxDatapoints: Int = 0
+      maxDatapoints: Int = 0,
+      strict: Boolean = false
   ): String = {
     val series = collectSeries(graph(program, dp, ctx, maxDatapoints))
     val start = series.head._3
@@ -318,12 +319,16 @@ object Api {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     } + "\""
+    // strict = the reference's std.json engine: non-finite values quoted
+    // so any standard JSON parser accepts the payload
     def num(v: java.lang.Double): String = {
       val d = if (v == null) Double.NaN else v.doubleValue()
-      if (d.isNaN) "NaN"
-      else if (d.isPosInfinity) "Infinity"
-      else if (d.isNegInfinity) "-Infinity"
-      else d.toString
+      val raw =
+        if (d.isNaN) "NaN"
+        else if (d.isPosInfinity) "Infinity"
+        else if (d.isNegInfinity) "-Infinity"
+        else return d.toString
+      if (strict) "\"" + raw + "\"" else raw
     }
     val legend = series.map(s => esc(s._1)).mkString("[", ",", "]")
     val metrics = series.map { s =>

@@ -184,6 +184,9 @@ class ApiSpec extends SparkSpec {
     // slot 0: both lines; slot 1: u2 absent -> unquoted NaN like the reference
     assert(json.contains(""""values":[[1.0,2.0],[3.0,NaN]]"""), json)
     assert(json.endsWith(""""notices":[]}"""), json)
+    // std.json: strictly-parseable variant quotes non-finite values
+    val strict = Api.graphJson("name,a,:eq,:sum,(,usr,),:by", dp, ctx, strict = true)
+    assert(strict.contains(""""values":[[1.0,2.0],[3.0,"NaN"]]"""), strict)
   }
 
   test("hover against the live series catalog reports key and value cardinalities") {
