@@ -59,6 +59,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // so the only exchange is still the cross-series aggregate
     "store_graph_auto" -> 1, // rollup scan + catalog semi-join + final agg
     "store_graph_auto_raw" -> 1, // raw-store fallback, same shape
+    // partition-pruned scan keeps the bucketed zero-shuffle normalization;
+    // only the cross-series agg exchanges
+    "store_time_pruned" -> 1,
+    // rollup-served bucket counts (bucketed scan, no normalization
+    // exchange) + the cumulative-share window + the per-(t, pct) cut
+    "rollup_percentiles" -> 2,
     "math_div_subset" -> 6, // two fetches (2 each) + sparse line join + output
     "rel_pct_price" -> 5, // distinct-value counts, marker join, in-bucket rank
     "dedup_minhash" -> 5, // shingle-set collapse, band bucket join, jaccard
