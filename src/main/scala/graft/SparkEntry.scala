@@ -649,6 +649,10 @@ object SparkEntry {
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
+      "pipeline_interleave" -> ((s, d) =>
+        Curate.interleave(docs(s, d), Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0))
+          .select(col("doc_id"), col("source"),
+            round(col("pos_key"), 4).as("pos_key"))),
       "pipeline_token_budget" -> ((s, d) =>
         Curate.tokenBudgetSample(docs(s, d), Map("src0" -> 3000L, "src1" -> 800L))
           .select(col("doc_id"), col("source"))),
@@ -1114,6 +1118,16 @@ object SparkEntry {
            |FROM documents d JOIN lp ON d.doc_id = lp.doc_id
            |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
            |      < (CASE WHEN lp.lang_pred = 'en' THEN 0.3 ELSE 1.0 END) * 10000""".stripMargin,
+      "pipeline_interleave" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.0
+          |              WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |SELECT doc_id, source, round((CAST(rk AS DOUBLE) - 0.5) / w, 4) AS pos_key
+          |FROM r WHERE w > 0.0""".stripMargin,
       "pipeline_token_budget" ->
         """WITH t AS (
           |  SELECT doc_id, source, len(string_split(text, ' ')) AS n,

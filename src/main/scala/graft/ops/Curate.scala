@@ -399,6 +399,46 @@ object Curate {
       .drop("__h", "__n", "__prior")
   }
 
+  /**
+   * Deterministic proportional interleave — the training READ ORDER for a
+   * multi-source mixture: each document gets a stride-scheduling sort key
+   * `(rank_in_source - 0.5) / weight`, where rank is the document's
+   * position in its source's md5(seed:id) order. Reading the corpus by
+   * ascending key yields sources in their weight proportions EVENLY (a
+   * weight-2 source appears twice as often, spread out — not in bursts),
+   * every prefix of the order respects the mixture, and the schedule is
+   * reproducible across runs. Sources with weight 0 drop; unlisted
+   * sources default to weight 1.
+   *
+   * Scale shape: one exchange on source for the per-source rank window;
+   * the key is a projection. The global order itself is realized by
+   * whatever consumes it (a sort-on-write ranges-partitions at scale —
+   * the same economics as [[shuffleShards]]' terasort floor).
+   */
+  def interleave(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      seed: String = "42",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+    val weight = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(1.0): Column) { case (acc, (k, v)) =>
+        when(col(sourceCol) === k, lit(v)).otherwise(acc)
+      }
+    docs
+      .withColumn("__h", h)
+      .withColumn("__w", weight)
+      .filter(col("__w") > 0.0)
+      .withColumn("pos_key",
+        (row_number().over(w).cast("double") - 0.5) / col("__w"))
+      .drop("__h", "__w")
+  }
+
   def chunk(
       docs: DataFrame,
       window: Int = 32,

@@ -912,6 +912,26 @@ class CurateSpec extends SparkSpec {
     assert(beats == 0L, s"dropped rows beating kept minimum: $beats (minKept=$minKept)")
   }
 
+  test("interleave: every prefix of the stride order respects the mixture") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}", "x"))
+      .toDF("doc_id", "source", "text")
+    val r = Curate.interleave(docs, Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0))
+      .select("doc_id", "source", "pos_key")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .sortBy(x => (x._3, x._1))
+    assert(!r.exists(_._2 == "src2")) // weight 0 drops the source
+    // prefix proportions: in the first 90 scheduled docs, src0 appears
+    // about twice as often as src1 (stride keys alternate 2:1)
+    val prefix = r.take(90)
+    val c0 = prefix.count(_._2 == "src0")
+    val c1 = prefix.count(_._2 == "src1")
+    assert(c0 == 60 && c1 == 30, s"prefix mix $c0:$c1")
+    // deterministic re-run
+    val again = Curate.interleave(docs, Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0))
+      .select("doc_id", "pos_key").collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.forall { case (id, _, k) => again(id) == k })
+  }
+
   test("tokenBudgetSample: hash-prefix fill, monotone in budget, bounded overshoot") {
     val docs = (0L until 300L)
       .map(i => (i, s"src${i % 2}", Seq.fill(10 + (i % 7).toInt)("w").mkString(" ")))

@@ -115,6 +115,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // one exchange on source; the running token sum is a within-partition
     // window (the packSequences shape)
     "pipeline_token_budget" -> 1,
+    // one exchange on source for the rank window; the stride key is a
+    // projection
+    "pipeline_interleave" -> 1,
     // candidate window (cap x partitions rows) + the two sides of the
     // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
     // the corpus-cardinality prune itself is a zero-shuffle kernel
