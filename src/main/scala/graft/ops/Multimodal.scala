@@ -135,6 +135,108 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average perceptual hash (aHash) of an image payload: box-
+    * average luminance onto an 8x8 grid, set bit i when cell i exceeds
+    * the grid mean. Robust to resizing and re-encoding (the properties a
+    * byte hash has none of); non-image payloads fall back to the stub's
+    * md5-derived value so the column is total. */
+  private def aHash(payload: Array[Byte]): (Long, Boolean) =
+    sniff(payload) match {
+      case Some(_) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) (stubHash(payload), false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              val c = cy * 8 + x * 8 / w
+              sums(c) += lum
+              counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cells = Array.tabulate(64)(i =>
+            if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+          val mean = cells.sum / 64.0
+          var bits = 0L
+          var i = 0
+          while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+          (bits, true)
+        }
+      case None => (stubHash(payload), false)
+    }
+
+  /** The stub decoder's md5-prefix value, reused so non-image rows hash
+    * deterministically. */
+  private def stubHash(payload: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Perceptual hash per media row: (media_id, phash, is_image) — the
+    * zero-shuffle kernel pass [[phashPairs]] builds on. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, payload) =>
+        val (hash, isImage) = aHash(payload)
+        (id, hash, isImage)
+      })
+      .toDF("media_id", "phash", "is_image")
+  }
+
+  /**
+   * Near-duplicate IMAGES by perceptual hash: pairs within `maxHamming`
+   * bits — the multimodal analog of simhash text dedup, catching resized
+   * and re-encoded copies a byte hash misses.
+   *
+   * Scale shape: pigeonhole blocking — the 64 bits split into
+   * maxHamming+1 segments, and any pair within the bound must agree on at
+   * least one whole segment, so candidates come from an EQUI-join on
+   * (segment index, segment value), never a cross join; the exact
+   * bit_count(xor) confirm runs on candidates only.
+   */
+  def phashPairs(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nSeg = maxHamming + 1
+    val hashed = perceptualHash(media).filter(col("is_image"))
+    val segs = hashed.select(
+      col("media_id"), col("phash"),
+      explode(array((0 until nSeg).map { s =>
+        val lo = s * 64 / nSeg
+        val hi = (s + 1) * 64 / nSeg
+        struct(lit(s).as("seg"),
+          (shiftrightunsigned(col("phash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1))).as("v"))
+      }: _*)).as("sv"))
+      .select(col("media_id"), col("phash"), col("sv.seg").as("seg"), col("sv.v").as("v"))
+    segs.as("a")
+      .join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("media_a", "media_b")
+  }
+
   /**
    * Resize shape: per media row, the stub-decoded dimensions scaled to fit
    * inside a target box (aspect preserved, never upscaled — the standard

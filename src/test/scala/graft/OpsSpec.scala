@@ -756,6 +756,49 @@ class SessionizeSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("perceptual hash survives resize and re-encode; blocking finds only true pairs") {
+    import spark.implicits._
+    def pattern(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y) * 0x010101)
+      img
+    }
+    def bytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def scaled(img: java.awt.image.BufferedImage, w: Int, h: Int) = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      out
+    }
+    // structured pattern (quadrant brightness) so aHash has real signal
+    val base = pattern(320, 200)((x, y) => if ((x / 160 + y / 100) % 2 == 0) 220 else 30)
+    val other = pattern(320, 200)((x, y) => if ((x / 40 + y / 25) % 2 == 0) 220 else 30)
+    val media = Seq(
+      (1L, "img", bytes(base, "png")),
+      (2L, "img", bytes(scaled(base, 160, 100), "jpg")), // resized + re-encoded copy
+      (3L, "img", bytes(other, "png")),                  // different image
+      (4L, "txt", "not an image at all".getBytes("UTF-8"))
+    ).toDF("media_id", "format", "payload")
+
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashes(1L)._2 && hashes(2L)._2 && hashes(3L)._2 && !hashes(4L)._2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L)._1, hashes(2L)._1) <= 6,
+      s"resized copy drifted ${hamming(hashes(1L)._1, hashes(2L)._1)} bits")
+    assert(hamming(hashes(1L)._1, hashes(3L)._1) > 12,
+      s"unrelated images too close: ${hamming(hashes(1L)._1, hashes(3L)._1)}")
+
+    val pairs = Multimodal.phashPairs(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("binary payload plumbing: schema and deterministic stub decode") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.asMedia(docs)
