@@ -401,6 +401,59 @@ object ExprApi {
     buildTree(program, vocab).map(toSym)
   }
 
+  /** One quick fix: replace `[start, end)` with `replacement` (reference
+    * AslDocumentAnalyzer.computeCodeActions — typo and deprecated-offset
+    * actions, minus the LSP transport envelope). */
+  final case class CodeAction(title: String, start: Int, end: Int, replacement: String)
+
+  /** Structured quick fixes for a program: semicolon-for-colon typos,
+    * unknown words within edit distance 2 of a vocabulary word, and the
+    * legacy list-form `:offset` migration (a whole-program rewrite, like
+    * the reference's deprecated-offset action). A clean program yields
+    * none. */
+  def codeActions(program: String, vocab: String = "main"): List[CodeAction] = {
+    import Interpreter._
+    val in = interpreter(vocab)
+    val tree = in.syntaxTree(program)
+    val known = in.vocabulary.map(_.name).distinct
+
+    val typos = tree.nodes.flatMap {
+      case w: WordNode if w.matched.isEmpty &&
+          w.diagnostic.exists(_.message.startsWith("unknown word")) =>
+        val name = w.token.stripPrefix(":")
+        nearestWord(name, known).map(s =>
+          CodeAction(s"change to ':$s'", w.span.start, w.span.end, s":$s"))
+      case _ => Nil
+    }
+    val semis = tree.diagnostics
+      .filter(_.message.contains("semicolon instead of colon"))
+      .map { d =>
+        val word = program.substring(d.span.start + 1, d.span.end)
+        CodeAction(s"change to ':$word'", d.span.start, d.span.end, s":$word")
+      }
+    val offsets = Try(rewrite(program)).toOption
+      .map(_.mkString(","))
+      .filter(r => Try(normalize(program).mkString(",")).toOption.exists(_ != r))
+      .map(r => CodeAction("migrate legacy offset list to :offset", 0, program.length, r))
+      .toList
+    (semis ++ typos ++ offsets).sortBy(a => (a.start, a.title))
+  }
+
+  /** Closest vocabulary word within edit distance 2 (ties alphabetical). */
+  private def nearestWord(name: String, known: Seq[String]): Option[String] = {
+    def dist(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    known.map(w => (dist(name, w), w)).filter(_._1 <= 2).sorted.headOption.map(_._2)
+  }
+
   private sealed trait FNode { def size: Int; def start: Int; def end: Int }
   private final case class FSimple(text: String, start: Int, end: Int)
       extends FNode { val size = 1 }

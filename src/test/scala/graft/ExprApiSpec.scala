@@ -149,6 +149,25 @@ class ExprApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ExprApi.format("name,:bogus") }
   }
 
+  test("codeActions: typo suggestions, semicolon fix, legacy offset migration") {
+    // unknown word within distance 2 of a real one
+    val p1 = "name,cpu,:eq,:sumx"
+    val a1 = ExprApi.codeActions(p1)
+    assert(a1.exists(a => a.replacement == ":sum" && a.start == p1.indexOf(":sumx")), a1.toString)
+    // semicolon-for-colon typo
+    val p2 = "name,cpu,:eq,;sum"
+    val a2 = ExprApi.codeActions(p2)
+    assert(a2.exists(a => a.replacement == ":sum" &&
+      p2.substring(a.start, a.end) == ";sum"), a2.toString)
+    // legacy list-form offsets migrate to :offset operations
+    val p3 = "name,cpu,:eq,:sum,(,0h,1w,),:offset"
+    val a3 = ExprApi.codeActions(p3)
+    assert(a3.exists(a => a.title.contains("offset") && a.replacement.contains(":offset")),
+      a3.toString)
+    // a clean program yields no actions
+    assert(ExprApi.codeActions("name,cpu,:eq,:sum").isEmpty)
+  }
+
   test("documentSymbols: words nest their consumed arguments with covering spans") {
     val p = "name,cpu,:eq,:sum,4,:add"
     val syms = ExprApi.documentSymbols(p)
