@@ -342,6 +342,29 @@ object Api {
     s"""{"start":$start,"step":$step,"legend":$legend,"metrics":$metrics,"values":$values,"notices":[]}"""
   }
 
+  /** One entry point for every DATA format the reference's graph endpoint
+    * serves (PNG rendering excluded): `csv` / `txt` (tab) /
+    * `json` (classic, NaN unquoted) / `std.json` (strict) / `v2.json`
+    * (newline-delimited TimeSeriesMessage rows — the SSE/fetch-consistent
+    * encoding the reference's v2 engine targets). */
+  def graphData(
+      program: String,
+      dp: DataFrame,
+      ctx: EvalContext,
+      format: String = "json",
+      maxDatapoints: Int = 0
+  ): String = format match {
+    case "csv"      => graphCsv(program, dp, ctx, maxDatapoints, sep = ",")
+    case "txt"      => graphCsv(program, dp, ctx, maxDatapoints, sep = "\t")
+    case "json"     => graphJson(program, dp, ctx, maxDatapoints)
+    case "std.json" => graphJson(program, dp, ctx, maxDatapoints, strict = true)
+    case "v2.json" =>
+      graph(program, dp, ctx, maxDatapoints)
+        .collect().map(_.getString(0)).sorted.mkString("\n")
+    case other => throw new IllegalArgumentException(
+      s"unknown graph format '$other' (one of csv, txt, json, std.json, v2.json)")
+  }
+
   // --- tags API (reference TagsApi.scala:44-100, TagIndex.findKeys/findValues) ---
 
   /** Distinct tag keys of series matching `q`, paged by `offset` cursor. */

@@ -558,6 +558,33 @@ object StreamRunner {
    * crash between them can re-append a batch's survivors on replay
    * (readers dedup on doc id, as with the ingest sink's fragments).
    */
+  /**
+   * Compact [[streamingDedupIngest]]'s append-only signature index: a
+   * long-running stream appends one small file set per micro-batch, and
+   * file-count growth — not data growth — is what eventually slows the
+   * per-batch bucket join. Rewrites the index into `max(1, rows/rowsPerFile)`
+   * files via a temp directory + atomic-ish swap (write aside, delete,
+   * rename), the same economics as [[graft.sources.Store.compact]].
+   * Run it between batches (or against a paused stream): the ingest
+   * re-lists the directory per batch, so it picks up the compacted layout
+   * on its next trigger.
+   */
+  def compactDedupIndex(spark: SparkSession, indexPath: String,
+      rowsPerFile: Long = 4000000L): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return
+    val index = spark.read.parquet(indexPath)
+    val n = index.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
+    index.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+  }
+
   def streamingDedupIngest(
       docs: DataFrame,
       indexPath: String,

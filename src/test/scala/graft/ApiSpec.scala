@@ -189,6 +189,20 @@ class ApiSpec extends SparkSpec {
     assert(strict.contains(""""values":[[1.0,2.0],[3.0,"NaN"]]"""), strict)
   }
 
+  test("graphData dispatches every data format the graph endpoint serves") {
+    import spark.implicits._
+    val ctx = graft.core.EvalContext(0L, 3600000L, 3600000L)
+    val dp = Seq((Map("name" -> "a"), 0L, 1.0)).toDF("tags", "ts", "value")
+    val p = "name,a,:eq,:sum"
+    assert(Api.graphData(p, dp, ctx, "csv").startsWith("\"timestamp\","))
+    assert(Api.graphData(p, dp, ctx, "txt").contains("\t"))
+    assert(Api.graphData(p, dp, ctx, "json").startsWith("""{"start":0"""))
+    assert(Api.graphData(p, dp, ctx, "std.json").startsWith("""{"start":0"""))
+    val v2 = Api.graphData(p, dp, ctx, "v2.json")
+    assert(v2.contains(""""type":"timeseries"""") && !v2.contains("\n\n"))
+    intercept[IllegalArgumentException] { Api.graphData(p, dp, ctx, "png") }
+  }
+
   test("hover against the live series catalog reports key and value cardinalities") {
     import spark.implicits._
     val dp = Seq(

@@ -803,6 +803,24 @@ class StreamSpec extends SparkSpec {
       val indexed = spark.read.parquet(indexPath).select(explode(col("ids")).as("id"))
         .collect().map(_.getLong(0)).toSet
       assert(indexed == Set(1L, 3L, 5L), s"index ids $indexed")
+
+      // compaction rewrites the two per-batch file sets into one file
+      // with identical contents, and the next batch still dedups against it
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(parquetFiles >= 2, "expected one file set per micro-batch")
+      StreamRunner.compactDedupIndex(spark, indexPath)
+      assert(parquetFiles == 1, "compaction should leave one file")
+      val after = spark.read.parquet(indexPath).select(explode(col("ids")).as("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 3L, 5L))
+      input.addData(Seq((6L, c), (7L, "fresh new totally distinct sentence never seen")))
+      query.processAllAvailable()
+      val kept3 = spark.read.parquet(keptPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept3 == Set(1L, 3L, 5L, 7L), s"post-compaction batch kept $kept3")
     } finally query.stop()
   }
 }
