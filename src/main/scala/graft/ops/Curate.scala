@@ -400,6 +400,29 @@ object Curate {
   }
 
   /**
+   * Materialize [[shuffleShards]]' order as an on-disk training corpus:
+   * one directory per shard, each holding ONE zstd parquet file whose
+   * rows are in position order — the layout a data loader streams
+   * sequentially with no further shuffling. One writer task per shard
+   * (hash collisions may give a task two shards; partitionBy still
+   * splits them into their own directories/files).
+   */
+  def writeShards(
+      docs: DataFrame,
+      path: String,
+      numShards: Int,
+      seed: String = "42",
+      idCol: String = "doc_id"
+  ): Unit =
+    shuffleShards(docs, numShards, seed, idCol)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("shard")
+      .parquet(path)
+
+  /**
    * Deterministic proportional interleave — the training READ ORDER for a
    * multi-source mixture: each document gets a stride-scheduling sort key
    * `(rank_in_source - 0.5) / weight`, where rank is the document's

@@ -932,6 +932,25 @@ class CurateSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("writeShards materializes one in-order file per shard covering the corpus") {
+    val docs = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Curate.writeShards(docs, dir, numShards = 8)
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 8, shardDirs.map(_.getName).toList.toString)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+      // rows inside the file are in position order
+      val pos = spark.read.parquet(files.head.getPath)
+        .select("pos").collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted), s"${d.getName} not in position order")
+    }
+    // the shards partition the corpus exactly
+    val all = spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == (0L until 2000L).toSet)
+  }
+
   test("perSourceCap: bounded-heap kernel matches the plain window plan, cap enforced") {
     val many = (0L until 900L)
       .map(i => (i, s"src${i % 3}", (i * 37 % 211))).toDF("doc_id", "source", "n_chars")
