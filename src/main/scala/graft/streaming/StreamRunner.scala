@@ -426,6 +426,39 @@ object StreamRunner {
       .start()
   }
 
+  /**
+   * Dead-letter sink for the ingest pipeline: every datapoint [[ingest]]'s
+   * validation gate drops is captured here WITH its human-readable reasons
+   * — the observability half of the reference publish API's per-datapoint
+   * failure messages (207 partial-success responses). Runs as its own
+   * query over the same source; the codegen Column predicate selects the
+   * (presumed-rare) rejects, and only those pay the scalar validator that
+   * produces the reason strings.
+   */
+  def ingestDlq(
+      datapoints: DataFrame,
+      dlqPath: String,
+      checkpointPath: String,
+      rules: graft.sources.Validation.Rules = graft.sources.Validation.default
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = datapoints.sparkSession
+    import spark.implicits._
+    datapoints
+      .filter(!graft.sources.Validation.validTags(col("tags"), rules))
+      .select(col("tags"), col("ts"), col("value"))
+      .as[(Map[String, String], Long, Double)]
+      .mapPartitions(_.map { case (tags, ts, v) =>
+        (tags, ts, v, graft.sources.Validation.validate(tags, rules).mkString("; "))
+      })
+      .toDF("tags", "ts", "value", "reasons")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .format("parquet")
+      .option("path", dlqPath)
+      .start()
+  }
+
   /** Read the ingested series store back as a canonical datapoint frame. */
   def readStore(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(storePath).select(col("tags"), col("t").as("ts"), col("value"))

@@ -635,6 +635,28 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest dead-letter sink captures rejects with their validation reasons") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val query = StreamRunner.ingestDlq(dp, s"$base/dlq", s"$base/ckpt")
+    try {
+      input.addData(Seq(
+        (Map("name" -> "ok.metric"), 1000L, 1.0),          // valid: not captured
+        (Map("name" -> "bad value!"), 2000L, 2.0),          // invalid characters
+        (Map("node" -> "n1"), 3000L, 3.0)                   // missing name
+      ))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/dlq")
+        .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+      assert(rows.keySet == Set(2000L, 3000L), rows.toString)
+      assert(rows(2000L).contains("invalid characters in value: [name]"), rows(2000L))
+      assert(rows(3000L).contains("missing key: name"), rows(3000L))
+    } finally query.stop()
+  }
+
   test("streaming asof matches the batch operator, including a late-arriving right row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
