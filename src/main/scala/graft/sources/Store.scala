@@ -237,9 +237,9 @@ object Store {
    * (db/MemoryBlockStore.update rotation).
    */
   def compact(spark: SparkSession, storePath: String, table: String, buckets: Int = 64,
-      partitioned: Boolean = false): Unit =
+      partitioned: Boolean = false, catalog: Boolean = false): Unit =
     writeBucketed(
       spark.read.parquet(storePath)
         .select(col("tags"), col("t").as("ts"), col("value")),
-      table, buckets, partitioned = partitioned)
+      table, buckets, catalog = catalog, partitioned = partitioned)
 }

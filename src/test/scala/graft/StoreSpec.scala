@@ -256,6 +256,67 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("store lifecycle end-to-end: stream ingest -> compact -> query -> backfill -> expire") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_life").toString
+    val day = 86400000L
+    val step = 3600000L
+
+    // 1. live ingest: three days of a counter-free gauge series
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val q = graft.streaming.StreamRunner.ingest(
+      input.toDF.toDF("tags", "ts", "value"),
+      s"$base/store", s"$base/ckpt", step)
+    try {
+      val pts = for (d <- 0 until 3; h <- 0 until 4)
+        yield (Map("name" -> "cpu"), d * day + h * step + 1000L, (d * 10 + h).toDouble)
+      input.addData(pts.sortBy(_._2))
+      q.processAllAvailable()
+      input.addData(Seq((Map("name" -> "cpu"), 10L * day, 0.0))) // watermark flush
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // 2. compact the append log into the partitioned bucketed layout
+    Store.compact(spark, s"$base/store", "life_store", buckets = 4,
+      partitioned = true, catalog = true)
+    try {
+      val backend = graft.sources.StoreBackend(spark, "life_store")
+      val sub = EvalContext(day, 2 * day, step) // day 1 only
+      def values() = Planner.output(
+        Planner.eval(Asl.parse("name,cpu,:eq,:sum"), backend, sub), Nil)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      // 3. query through the default backend path: day-1 slots as ingested
+      val v1 = values()
+      assert(v1(day) == 10.0 && v1(day + step) == 11.0, v1.toString)
+
+      // 4. backfill day 1 with corrected values; only that day changes
+      val fix = (0 until 4).map(h =>
+        (Map("name" -> "cpu"), day + h * step + 1000L, 100.0 + h))
+        .toDF("tags", "ts", "value")
+      Store.backfillDays(fix, "life_store")
+      val v2 = values()
+      assert(v2(day) == 100.0 && v2(day + step) == 101.0, v2.toString)
+      val day0 = Planner.output(Planner.eval(
+        Asl.parse("name,cpu,:eq,:sum"), backend, EvalContext(0L, day, step)), Nil)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(day0(0L) == 0.0 && day0(step) == 1.0, day0.toString)
+
+      // 5. expire day 0; day 1 still answers, day 0 is gone
+      val dropped = Store.expireDays(spark, "life_store", keepDays = 10,
+        nowMs = 10L * day + 1)
+      assert(dropped.contains("1970-01-01"), dropped.toString)
+      assert(values()(day) == 100.0)
+      assert(Store.read(spark, "life_store").filter(col("ts") < day).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS life_store")
+      spark.sql("DROP TABLE IF EXISTS life_store_catalog")
+    }
+  }
+
   test("expireDays retires whole day partitions past the retention horizon") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
