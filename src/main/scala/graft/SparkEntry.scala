@@ -629,7 +629,9 @@ object SparkEntry {
       // at the scan, then aggregated like any native column
       "events_props_agg" -> ((s, d) =>
         EventOps.extractProps(EventOps.events(s, d), Map("k" -> "bigint"))
-          .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+          // sign-following % like the oracle's (pmod would diverge on a
+          // negative payload value)
+          .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("value")) + graft.core.NanMath.RoundEps, 4).as("sum_value"))),
       // -- corpus curation (composed pipeline decisions) --

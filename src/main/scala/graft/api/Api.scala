@@ -245,7 +245,8 @@ object Api {
     val sb = new StringBuilder
     sb.append("\"timestamp\"")
     series.foreach { case (label, _, _, _) =>
-      sb.append(sep).append('"').append(label).append('"')
+      // CSV quoting: embedded quotes double (RFC 4180)
+      sb.append(sep).append('"').append(label.replace("\"", "\"\"")).append('"')
     }
     sb.append('\n')
     val slots = series.head._4.length
@@ -255,8 +256,10 @@ object Api {
       sb.append(t.format(fmt))
       series.foreach { case (_, _, _, vs) =>
         val v = vs(i)
-        sb.append(sep).append("%f".format(
-          if (v == null) Double.NaN else v.doubleValue()))
+        // Locale.ROOT: a comma decimal separator from the JVM default
+        // locale would corrupt the comma-separated output
+        sb.append(sep).append(String.format(java.util.Locale.ROOT, "%f",
+          Double.box(if (v == null) Double.NaN else v.doubleValue())))
       }
       sb.append('\n')
       i += 1

@@ -209,11 +209,18 @@ object EventOps {
         }
         if (r > 0) Iterator.single(r) else Iterator.empty
       }
-    reached
+    val counts = reached
       .toDF("reached")
       .select(explode(sequence(lit(1L), col("reached").cast("long"))).as("step"))
       .groupBy("step")
       .agg(count(lit(1)).as("n_users"))
+    // every step appears in the output, zero-reached ones included —
+    // matching the oracle's per-step UNION arms (a funnel report with a
+    // silently missing tail step reads as "no data", not "zero users")
+    val allSteps = spark.range(1, steps.length + 1).select(col("id").as("step"))
+    allSteps
+      .join(counts, Seq("step"), "left")
+      .select(col("step"), coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /**

@@ -158,6 +158,13 @@ object Joins {
    * on the same data (StreamSpec pins equivalence); late rows beyond the
    * watermark drop instead of blocking eviction.
    *
+   * `maxIntervalMs` is a DATA CONTRACT, not advice: an interval longer
+   * than the cap cannot be held in bounded state, so it is EXCLUDED from
+   * the join explicitly (filtered before the state ever sees it) rather
+   * than silently half-matched — batch equivalence holds exactly for the
+   * rows satisfying the contract, and violations are a visible upstream
+   * bug, not a quiet divergence.
+   *
    * The batch operator's grid-bucket trick exists because a batch BETWEEN
    * join would plan a per-key cross product; the streaming join's
    * symmetric hash join handles the range predicate natively, so no grid
@@ -207,7 +214,7 @@ object Joins {
     val paySchema = right.select(struct(payFields.map(col): _*)).schema.head.dataType
 
     def keyed(df: DataFrame, t: String, side: Int, payload: Column): DataFrame = df.select(
-      concat_ws(" ", keyCols.map(c => col(c).cast("string")): _*).as("__k"),
+      to_json(struct(keyCols.map(col): _*)).as("__k"),
       col(t).cast("long").as("__t"),
       lit(side).as("__side"),
       payload.as("__json"))
@@ -293,6 +300,9 @@ object Joins {
       .withColumn("__pt", timestamp_millis(col(pointTime)))
       .withWatermark("__pt", watermark)
     val iv = intervals
+      // the data contract, enforced visibly: an over-cap interval cannot
+      // be held in bounded join state, so it never enters the join
+      .filter(col(endCol) - col(startCol) <= maxIntervalMs)
       .select((keyCols.map(c => col(c).as(s"__i_$c")) ++
         payFields.map(n => col(n).as(s"$prefix$n"))): _*)
       .withColumn("__it", timestamp_millis(col(s"$prefix$startCol")))

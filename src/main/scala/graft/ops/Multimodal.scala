@@ -216,25 +216,48 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nSeg = maxHamming + 1
     val hashed = perceptualHash(media).filter(col("is_image"))
-    val segs = hashed.select(
-      col("media_id"), col("phash"),
+    // collapse IDENTICAL hashes first (the [[graft.ops.Dedup]] lesson:
+    // duplicate-heavy corpora put byte-identical copies in the same
+    // bucket of every segment, making the self-join quadratically skewed
+    // on exactly the hottest keys). One representative per distinct hash
+    // joins; members expand afterwards.
+    val groups = hashed
+      .groupBy(col("phash"))
+      .agg(collect_list(col("media_id")).as("ids"), min(col("media_id")).as("rep"))
+      .localCheckpoint()
+    // intra-group pairs: identical hashes, hamming 0 by definition
+    val intra = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("media_a"), col("ids"))
+      .select(col("media_a"), explode(col("ids")).as("media_b"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("hamming", lit(0))
+    val segs = groups.select(
+      col("rep"), col("phash"), col("ids"),
       explode(array((0 until nSeg).map { s =>
         val lo = s * 64 / nSeg
         val hi = (s + 1) * 64 / nSeg
+        // a full-width segment needs -1L: (1L << 64) wraps to 1 in JVM shifts
+        val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
         struct(lit(s).as("seg"),
-          (shiftrightunsigned(col("phash"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1))).as("v"))
+          (shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask))).as("v"))
       }: _*)).as("sv"))
-      .select(col("media_id"), col("phash"), col("sv.seg").as("seg"), col("sv.v").as("v"))
-    segs.as("a")
+      .select(col("rep"), col("phash"), col("ids"),
+        col("sv.seg").as("seg"), col("sv.v").as("v"))
+    val cross = segs.as("a")
       .join(segs.as("b"),
         col("a.seg") === col("b.seg") && col("a.v") === col("b.v") &&
-          col("a.media_id") < col("b.media_id"))
+          col("a.rep") < col("b.rep"))
       .select(
-        col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("media_a", "media_b")
+      .dropDuplicates("ids_a", "ids_b")
+      .select(explode(col("ids_a")).as("media_a"), col("ids_b"), col("hamming"))
+      .select(col("media_a"), explode(col("ids_b")).as("media_b"), col("hamming"))
+      .select(least(col("media_a"), col("media_b")).as("media_a"),
+        greatest(col("media_a"), col("media_b")).as("media_b"), col("hamming"))
+    intra.unionByName(cross)
   }
 
   /**

@@ -226,10 +226,20 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
 
-    val seed = data.orderBy(col("id")).limit(4 * k + 16).collect()
-    require(seed.nonEmpty, "no vectors to cluster")
-    var centroids = seed.iterator.map(v => normalize(v.vec))
-      .distinctBy(_.toSeq).take(k).toArray
+    // seed scan: smallest-id rows, growing the window until k DISTINCT
+    // unit vectors are found or the corpus is exhausted (a duplicate-heavy
+    // head must not silently shrink k while distinct vectors exist)
+    var centroids = Array.empty[Array[Double]]
+    var window = 4 * k + 16
+    var exhausted = false
+    while (centroids.length < k && !exhausted) {
+      val rows = data.orderBy(col("id")).limit(window).collect()
+      centroids = rows.iterator.map(v => normalize(v.vec))
+        .distinctBy(_.toSeq).take(k).toArray
+      exhausted = rows.length < window
+      window *= 4
+    }
+    require(centroids.nonEmpty, "no vectors to cluster")
     var sizes = new Array[Long](centroids.length)
     var shift = Double.MaxValue
     var iter = 0

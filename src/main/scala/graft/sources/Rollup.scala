@@ -41,15 +41,7 @@ object Rollup {
     val f = frame(dp, rollupStep)
     // same UTC-day partition layout as the store ([[Store.writeBucketed]]):
     // long-retention rollups prune to the query window at plan time too
-    val w0 = (if (partitioned) f.withColumn("d", Store.dayOf(col("ts"))) else f)
-      .write
-      .mode("overwrite")
-      .format("parquet")
-      .option("compression", "zstd") // same rationale as Store.writeBucketed
-    val w1 = if (partitioned) w0.partitionBy("d") else w0
-    w1.bucketBy(buckets, "key")
-      .sortBy("key", "ts")
-      .saveAsTable(table)
+    Store.writeLayout(f, table, buckets, partitioned)
   }
 
   /** The rollup frame materialize() writes. Fed a pre-keyed frame (a
@@ -138,10 +130,7 @@ object Rollup {
       .join(tagsOf, "key")
       .select(col("key"), col("tags"), col("ts"),
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
-    val w0 = (if (partitioned) out.withColumn("d", Store.dayOf(col("ts"))) else out)
-      .write.mode("overwrite").format("parquet").option("compression", "zstd")
-    val w1 = if (partitioned) w0.partitionBy("d") else w0
-    w1.bucketBy(buckets, "key").sortBy("key", "ts").saveAsTable(table)
+    Store.writeLayout(out, table, buckets, partitioned)
   }
 
   /**
@@ -166,17 +155,11 @@ object Rollup {
         min(col("v_min")).as("v_min"),
         max(col("v_max")).as("v_max"))
     val tagsOf = frags.select(col("key"), col("tags")).dropDuplicates("key")
-    merged
+    val compacted = merged
       .join(tagsOf, "key")
       .select(col("key"), col("tags"), col("ts"),
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
-      .write
-      .mode("overwrite")
-      .format("parquet")
-      .option("compression", "zstd") // same rationale as Store.writeBucketed
-      .bucketBy(buckets, "key")
-      .sortBy("key", "ts")
-      .saveAsTable(table)
+    Store.writeLayout(compacted, table, buckets, partitioned = false)
   }
 
   /**

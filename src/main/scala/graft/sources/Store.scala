@@ -75,25 +75,34 @@ object Store {
     val keyed = dp.select(
       Planner.seriesId(col("tags")).as("key"),
       col("tags"), col("ts"), col("value"))
-    val w0 = (if (partitioned) keyed.withColumn("d", dayOf(col("ts"))) else keyed)
-      .write
-      .mode("overwrite")
-      .format("parquet")
-      // zstd over the default snappy: the store is write-once/read-many
-      // long retention, where ~25-30% fewer bytes on disk is also ~25-30%
-      // fewer bytes scanned per query — at 100 TB the decode CPU is far
-      // cheaper than the saved IO (and the files sort by (key, ts), which
-      // compresses especially well under zstd's larger windows)
-      .option("compression", "zstd")
-    val w1 = if (partitioned) w0.partitionBy("d") else w0
-    w1.bucketBy(buckets, "key")
-      .sortBy("key", "ts")
-      .saveAsTable(table)
+    writeLayout(keyed, table, buckets, partitioned)
     if (catalog) {
       dropStale(dp.sparkSession, table + "_catalog")
       TagIndex.seriesCatalog(dp)
         .write.mode("overwrite").format("parquet").saveAsTable(table + "_catalog")
     }
+  }
+
+  /**
+   * Shared physical writer for every bucketed table (the store and all
+   * rollup layouts): optional UTC-day partitioning, zstd over the default
+   * snappy — these tables are write-once/read-many long retention, where
+   * ~25-30% fewer bytes on disk is also that many fewer bytes scanned per
+   * query (at 100 TB the decode CPU is far cheaper than the saved IO),
+   * and the (key, ts)-sorted files compress especially well under zstd's
+   * larger windows. One edit site for the next layout change.
+   */
+  private[sources] def writeLayout(df: DataFrame, table: String, buckets: Int,
+      partitioned: Boolean): Unit = {
+    val w0 = (if (partitioned) df.withColumn("d", dayOf(col("ts"))) else df)
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .option("compression", "zstd")
+    val w1 = if (partitioned) w0.partitionBy("d") else w0
+    w1.bucketBy(buckets, "key")
+      .sortBy("key", "ts")
+      .saveAsTable(table)
   }
 
   /** Read the store back as a pre-keyed datapoint frame. A partitioned

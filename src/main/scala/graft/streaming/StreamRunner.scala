@@ -555,8 +555,16 @@ object StreamRunner {
               if (idx == 0) { if (t0 < 0 || ts < t0) t0 = ts }
               else buf ::= (ts, idx)
             }
+            // prune ONLY what no possible future can use. The anchor can
+            // still move DOWN (a step-0 event at-or-above the watermark),
+            // so an event at-or-below the current anchor stays buffered
+            // while its timestamp is >= the watermark — a lower anchor
+            // could land under it and re-qualify it. Events past
+            // anchor + window are gone for good (a lower anchor only
+            // lowers the window's end).
             buf =
-              if (t0 >= 0) buf.filter(x => x._1 > t0 && x._1 - t0 <= windowMs)
+              if (t0 >= 0) buf.filter(x =>
+                x._1 - t0 <= windowMs && (x._1 > t0 || x._1 >= wm))
               else buf.filter(_._1 >= wm)
             if (t0 < 0 && buf.isEmpty) {
               gstate.remove()

@@ -703,6 +703,11 @@ class SessionizeSpec extends SparkSpec {
     val got = ops.EventOps.funnel(events, Seq("signup", "click", "purchase"), windowMs = 100L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 5L, 2L -> 1L, 3L -> 1L)) // 5 reach signup, only u1 goes deeper
+    // a step nobody reaches still appears with a zero count (the oracle's
+    // UNION arms emit every step; "missing" and "zero" must not conflate)
+    val zeroTail = ops.EventOps.funnel(events, Seq("signup", "click", "refund"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zeroTail(3L) == 0L, zeroTail.toString)
   }
 
   test("extractProps: declared fields become typed columns, malformed JSON yields null") {
@@ -726,7 +731,10 @@ class SessionizeSpec extends SparkSpec {
 
   test("event and curation operators degrade to empty output on empty input") {
     val noEvents = Seq.empty[(Long, Long, String)].toDF("user_id", "tms", "event_type")
-    assert(ops.EventOps.funnel(noEvents, Seq("a", "b"), 100L).count() == 0)
+    // the funnel REPORT keeps its shape on empty input: every step, zero users
+    val emptyFunnel = ops.EventOps.funnel(noEvents, Seq("a", "b"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emptyFunnel == Map(1L -> 0L, 2L -> 0L))
     assert(ops.EventOps.retention(noEvents.withColumnRenamed("event_type", "x")).count() == 0)
     val noIds = Seq.empty[(Long, Long, String, Long)]
       .toDF("user_id", "tms", "event_type", "event_id")

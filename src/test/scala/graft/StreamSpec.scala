@@ -755,7 +755,11 @@ class StreamSpec extends SparkSpec {
       (3L, 10L, "signup"), (3L, 200L, "click"),
       (4L, 10L, "signup"), (4L, 10L, "click"),
       (6L, 50L, "signup"), (6L, 10L, "signup"), (6L, 115L, "click"),
-      (7L, 40L, "click"), (7L, 30L, "signup") // anchor arrives second
+      (7L, 40L, "click"), (7L, 30L, "signup"), // anchor arrives second
+      // u8: a HIGHER anchor is already set when the click is buffered, then
+      // a lower anchor arrives — the click (below the old anchor) must
+      // survive the prune and qualify under the new one
+      (8L, 50L, "signup"), (8L, 40L, "click"), (8L, 30L, "signup")
     )
     val input = MemoryStream[(Long, Long, String)]
     val out = StreamRunner.streamingFunnel(
@@ -764,10 +768,10 @@ class StreamSpec extends SparkSpec {
     val query = out.writeStream.format("memory").queryName("stream_funnel")
       .outputMode("append").start()
     try {
-      val (first, late) = all.partition { case (u, _, _) => u != 7L }
-      input.addData(first :+ ((7L, 40L, "click")))
+      val (first, late) = all.partition { case (u, _, _) => u < 7L }
+      input.addData(first ++ Seq((7L, 40L, "click"), (8L, 50L, "signup"), (8L, 40L, "click")))
       query.processAllAvailable()
-      input.addData(Seq((7L, 30L, "signup"))) // late anchor, within watermark
+      input.addData(Seq((7L, 30L, "signup"), (8L, 30L, "signup"))) // late anchors, within watermark
       query.processAllAvailable()
       // two sentinels: one advances the watermark past every anchor+W,
       // the next trigger fires the event-time timeouts it enabled
@@ -780,7 +784,7 @@ class StreamSpec extends SparkSpec {
         .filter(col("user_id") =!= 99L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val batchReached = Map( // hand-checked against EventOps.funnel semantics
-        1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L, 7L -> 2L)
+        1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L, 7L -> 2L, 8L -> 2L)
       assert(streamed == batchReached, s"streamed $streamed")
       // and the per-step counts equal the batch operator's on the same data
       val batch = ops.EventOps.funnel(
@@ -788,7 +792,7 @@ class StreamSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val fromStream = (1 to steps.length)
         .map(s => s.toLong -> streamed.values.count(_ >= s).toLong)
-        .filter(_._2 > 0).toMap
+        .toMap
       assert(fromStream == batch, s"stream-derived $fromStream vs batch $batch")
     } finally query.stop()
   }
