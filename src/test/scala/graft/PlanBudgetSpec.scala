@@ -87,8 +87,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // (user_id is a prefix of the session grouping key)
     "events_sessionize" -> 1,
     // user co-partitioning for the greedy matcher + the step-count agg
-    // over user-cardinality rows
-    "events_funnel" -> 2,
+    // over user-cardinality rows + the k-row steps-frame side of the
+    // zero-fill join (every step appears even when nobody reaches it)
+    "events_funnel" -> 3,
     // per-user day-set collapse + the (cohort, age) count over
     // user-day-cardinality rows
     "events_retention" -> 2,
