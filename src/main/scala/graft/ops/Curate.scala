@@ -164,12 +164,18 @@ object Curate {
       seqLen: Long = 512L,
       shardCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      tokenCountCol: Option[String] = None
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
-    val n = size(split(col(textCol), " ")).cast("long")
+    // `tokenCountCol` swaps the whitespace proxy for a real token count
+    // (e.g. [[TextOps.bpeTokenCounts]]' model-tokenizer column) so the
+    // packed layout is denominated in the tokens the loader will see
+    val n = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
     val start = (sum(n).over(w) - n).as("start_tok")
     docs
       .select(col(idCol), col(shardCol), n.as("n_tok"), start)
@@ -380,7 +386,8 @@ object Curate {
       seed: String = "42",
       sourceCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      tokenCountCol: Option[String] = None
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -391,9 +398,16 @@ object Curate {
       .foldLeft(lit(Long.MaxValue): Column) { case (acc, (k, b)) =>
         when(col(sourceCol) === k, lit(b)).otherwise(acc)
       }
+    // with `tokenCountCol` the budget spends REAL tokenizer tokens
+    // ([[TextOps.bpeTokenCounts]]) instead of the whitespace proxy — the
+    // per-source 30-60% whitespace/BPE divergence is exactly what a
+    // budget exists to control
+    val n = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
     docs
       .withColumn("__h", h)
-      .withColumn("__n", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__n", n)
       .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
       .filter(col("__prior") < budget)
       .drop("__h", "__n", "__prior")
@@ -491,5 +505,56 @@ object Curate {
         array_join(
           slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
             lit(window)), " ").as("chunk_text"))
+  }
+
+  /**
+   * [[chunk]] denominated in MODEL tokens: windows of `window` BPE pieces
+   * advancing by `stride`, so each chunk is exactly what a `window`-token
+   * context holds — not a whitespace approximation of it. `chunk_text` is
+   * the decoded piece slice (byte-level pieces carry their own leading
+   * whitespace, so a stride == window chunking concatenates back to the
+   * original text exactly).
+   *
+   * Scale shape: a partition-local kernel — the tokenizer ships once per
+   * executor as a broadcast, encoding is one regex + merge pass per
+   * document with a per-thread pretoken memo, and the chunk fan-out stays
+   * inside the producing partition (same locality as [[chunk]]); no
+   * shuffle anywhere.
+   */
+  def chunkBpe(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      window: Int = 32,
+      stride: Int = 24,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride must be in [1, window]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = bc.value
+        it.flatMap { case (id, text) =>
+          val pieces = tok.encode(text)
+          val n = pieces.length.toLong
+          // same chunk-count rule as [[chunk]]: one window when the doc
+          // fits, else enough stride steps that the last window reaches
+          // the end (start < n because stride <= window)
+          val nChunks =
+            if (n <= window) 1L
+            else math.ceil((n - window).toDouble / stride).toLong + 1L
+          (0L until nChunks).iterator.map { c =>
+            val start = (c * stride).toInt
+            val len = math.min(window.toLong, n - start)
+            (id, c, start.toLong,
+              len,
+              Bpe.decode(pieces.view.slice(start, start + len.toInt)))
+          }
+        }
+      }
+      .toDF(idCol, "chunk_idx", "tok_start", "n_tok", "chunk_text")
   }
 }

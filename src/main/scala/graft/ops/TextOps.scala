@@ -251,6 +251,36 @@ object TextOps {
   }
 
   /**
+   * Model-faithful token counts: one row per document with the REAL BPE
+   * token count under a loaded/trained [[BpeTokenizer]] alongside the
+   * whitespace proxy — the column the token-denominated curation
+   * operators ([[Curate.tokenBudgetSample]], [[Curate.packSequences]])
+   * consume via their `tokenCountCol` hook. Kernel scan, tokenizer
+   * broadcast once per executor, no shuffle.
+   */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = bc.value
+        it.map { case (id, text) =>
+          var ws = 1L
+          var i = 0
+          while (i < text.length) { if (text.charAt(i) == ' ') ws += 1; i += 1 }
+          (id, tok.countTokens(text).toDouble, ws.toDouble)
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens", "n_ws_tokens")
+  }
+
+  /**
    * Canonical content fingerprint: md5 of the sorted distinct lowercase
    * token set. Word-order- and duplication-insensitive, so reordered or
    * re-wrapped copies of a document collide (a cheap near-dup prefilter).

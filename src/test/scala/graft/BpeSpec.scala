@@ -1,0 +1,221 @@
+package graft
+
+import graft.ops.{Bpe, BpeTokenizer, Curate, TextOps}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hand-computed fixtures for the byte-level BPE tokenizer and the
+ * token-denominated curation hooks it feeds. Every expected value here
+ * was derived by hand on paper (merge tables included in comments), not
+ * by running the implementation.
+ */
+class BpeSpec extends SparkSpec {
+
+  test("bytes-to-unicode table matches the published GPT-2 mapping") {
+    // printable latin-1 maps to itself
+    assert(Bpe.ByteToChar('h'.toInt) === 'h')
+    assert(Bpe.ByteToChar('!'.toInt) === '!')
+    // space (0x20) is the 33rd non-printable byte (0..32) -> 256+32 = 'Ġ'
+    assert(Bpe.ByteToChar(0x20) === 'Ġ')
+    // newline (0x0A) -> 256+10 = 'Ċ'
+    assert(Bpe.ByteToChar(0x0a) === 'Ċ')
+    // all 256 images are distinct (the table must be reversible)
+    assert(Bpe.ByteToChar.distinct.length === 256)
+  }
+
+  test("zero merges: pretokens split to bytes; counts are byte counts") {
+    val bpe = Bpe.fromMerges(Seq.empty)
+    // "hello world" -> pretokens "hello", " world" -> 5 + 6 byte tokens
+    assert(bpe.countTokens("hello world") === 11L)
+    assert(bpe.encode("hello").toSeq === Seq("h", "e", "l", "l", "o"))
+    // the space rides the following word as Ġ
+    assert(bpe.encode(" world").head === "Ġ")
+    assert(bpe.countTokens("") === 0L)
+  }
+
+  test("hand merge table applies by rank, lowest first") {
+    // merges: rank0 (l,o), rank1 (h,e)
+    // "hello": h e l l o --(l,o)--> h e l lo --(h,e)--> he l lo
+    val bpe = Bpe.fromMerges(Seq(("l", "o"), ("h", "e")))
+    assert(bpe.encode("hello").toSeq === Seq("he", "l", "lo"))
+    // "world" has no (l,o) in order -> w o r l d stays 5 pieces,
+    // plus the leading-space byte merges nowhere: "Ġworld" -> 6
+    assert(bpe.countTokens("hello world") === 3L + 6L)
+  }
+
+  test("a merge applies to ALL its occurrences, greedy left-to-right") {
+    val bpe1 = Bpe.fromMerges(Seq(("l", "o")))
+    assert(bpe1.encode("lololo").toSeq === Seq("lo", "lo", "lo"))
+    val bpe2 = Bpe.fromMerges(Seq(("l", "o"), ("lo", "lo")))
+    // lo lo lo --(lo,lo) left-to-right--> lolo lo
+    assert(bpe2.encode("lololo").toSeq === Seq("lolo", "lo"))
+  }
+
+  test("training reproduces the classic Sennrich merge sequence") {
+    // histogram: low x5, lower x2, newest x6, widest x3
+    // round 1 pair counts: es 9, st 9 (tie -> lexicographic smallest = (e,s)),
+    //   we 8, lo 7, ow 7, ne 6, ew 6, wi 3, id 3, de 3, er 2
+    // round 2: (es,t) 9 wins
+    // round 3: lo 7 / ow 7 tie -> (l,o)
+    // round 4: (lo,w) 7 wins
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(hist, numMerges = 4)
+    assert(merges === IndexedSeq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // the classic result: "lowest" -> low + est
+    val bpe = Bpe.fromMerges(merges)
+    assert(bpe.encode("lowest").toSeq === Seq("low", "est"))
+    assert(bpe.countTokens("lowest") === 2L)
+  }
+
+  test("training stops below minPairCount") {
+    // every pair occurs once -> nothing reaches the default min of 2
+    assert(Bpe.train(Seq(("abc", 1L), ("xyz", 1L)), numMerges = 10) === IndexedSeq.empty)
+  }
+
+  test("decode(encode(text)) round-trips arbitrary text") {
+    val bpe = Bpe.fromMerges(Seq(("l", "o"), ("h", "e"), ("Ġ", "w")))
+    val samples = Seq(
+      "hello world",
+      "multi  spaces   and\ttabs\nnewlines",
+      "héllo wörld 日本語 emoji 😀 can't won't 12345",
+      " leading and trailing ",
+      "")
+    samples.foreach { s =>
+      assert(Bpe.decode(bpe.encode(s).toSeq) === s, s"round-trip failed for '$s'")
+    }
+  }
+
+  test("merges.txt save/load round-trips counts and pieces") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val bpe = Bpe.fromMerges(Bpe.train(hist, numMerges = 4))
+    Bpe.save(spark, bpe, s"$dir/merges.txt")
+    // header present, standard format
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/merges.txt"))
+    assert(lines.get(0).startsWith("#version"))
+    assert(lines.get(1) === "e s")
+    val loaded = Bpe.load(spark, s"$dir/merges.txt")
+    assert(loaded.merges.toSeq === bpe.merges.toSeq)
+    assert(loaded.encode("lowest").toSeq === Seq("low", "est"))
+  }
+
+  test("trainFrom a corpus is deterministic and counts drop as merges grow") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the lowest low", "src0"),
+      (2L, "newest of the new widest", "src0"),
+      (3L, "lower and lower the newest", "src1"),
+      (4L, "widest widest low lowest", "src1")
+    ).toDF("doc_id", "text", "source")
+    val a = Bpe.trainFrom(docs, numMerges = 20)
+    val b = Bpe.trainFrom(docs, numMerges = 20)
+    assert(a.merges.toSeq === b.merges.toSeq)
+    val zero = Bpe.fromMerges(Seq.empty)
+    val text = "the lowest and widest"
+    assert(a.countTokens(text) < zero.countTokens(text))
+    // counts never undershoot the pretoken count (a merge can only
+    // shrink within a pretoken, never across): "the", " lowest",
+    // " and", " widest" = 4 pretokens
+    assert(a.countTokens(text) >= 4L)
+  }
+
+  /** The operator's own ordering: lowercase-hex md5 of "seed:id". */
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  test("tokenBudgetSample spends BPE tokens when given the count column") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aa bb cc dd", "src0"), (2L, "aa bb", "src0"),
+      (3L, "aa bb cc dd ee ff", "src0"), (4L, "aa", "src0"),
+      (5L, "zz yy xx", "src1"), (6L, "zz", "src1"), (7L, "zz yy", "src1"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val bpe = Bpe.trainFrom(docs, numMerges = 8)
+    val counts = TextOps.bpeTokenCounts(docs, bpe)
+    val withCounts = docs.join(counts, "doc_id")
+    val budgets = Map("src0" -> 10L, "src1" -> 4L)
+    val kept = Curate.tokenBudgetSample(
+      withCounts, budgets, tokenCountCol = Some("n_bpe_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+
+    // independent replay: per source, take docs in (md5("42:"+id), id)
+    // order while the PRIOR bpe-count total is under the budget
+    val cnt = rows.map { case (id, text, _) => id -> bpe.countTokens(text) }.toMap
+    val expected = rows.groupBy(_._3).flatMap { case (src, rs) =>
+      val budget = budgets.getOrElse(src, Long.MaxValue)
+      var running = 0L
+      rs.sortBy { case (id, _, _) => (md5Hex(s"42:$id"), id) }
+        .flatMap { case (id, _, _) =>
+          val keep = running < budget
+          running += cnt(id)
+          if (keep) Some(id) else None
+        }
+    }.toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < rows.size) // both regimes exercised
+  }
+
+  test("packSequences packs by the count column when given") {
+    import spark.implicits._
+    // counts chosen by hand: running starts 0,4,9 -> seq ids 0,0,1 at len 8
+    val docs = Seq(
+      (1L, "x", "s", 4L), (2L, "x", "s", 5L), (3L, "x", "s", 2L)
+    ).toDF("doc_id", "text", "source", "n_bpe")
+    val out = Curate.packSequences(docs, seqLen = 8L, tokenCountCol = Some("n_bpe"))
+      .orderBy("doc_id")
+      .select("n_tokens", "seq_id", "seq_offset", "spans_boundary")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (4.0, 0.0, 0.0, 0.0),   // fills [0,4)
+      (5.0, 0.0, 4.0, 1.0),   // [4,9) crosses the 8 boundary
+      (2.0, 1.0, 1.0, 0.0)))  // [9,11) inside sequence 1
+  }
+
+  test("chunkBpe windows real pieces and reconstructs the text") {
+    import spark.implicits._
+    val docs = Seq((1L, "the lowest and widest lowest low")).toDF("doc_id", "text")
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val pieces = bpe.encode("the lowest and widest lowest low")
+    val n = pieces.length
+    // stride == window: chunks partition the piece stream exactly
+    val w = 4
+    val flat = Curate.chunkBpe(docs, bpe, window = w, stride = w)
+      .orderBy("chunk_idx")
+      .select("chunk_text").as[String].collect().mkString
+    assert(flat === "the lowest and widest lowest low")
+    // overlapping: each chunk equals its decoded piece slice, counts match
+    val over = Curate.chunkBpe(docs, bpe, window = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "tok_start", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    over.foreach { case (ci, start, nTok, text) =>
+      assert(start === ci * 2)
+      assert(nTok === math.min(4L, n - start))
+      assert(text === Bpe.decode(
+        pieces.slice(start.toInt, (start + nTok).toInt).toSeq))
+    }
+    // every piece is covered and the last chunk reaches the end
+    assert(over.last._2 + over.last._3 === n)
+  }
+
+  test("bpeTokenCounts matches countTokens row by row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the lowest low"), (2L, "widest  newest"), (3L, "")
+    ).toDF("doc_id", "text")
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("newest", 6L), ("widest", 3L)), numMerges = 3))
+    val got = TextOps.bpeTokenCounts(docs, bpe)
+      .orderBy("doc_id")
+      .select("n_bpe_tokens").as[Double].collect().toSeq
+    assert(got === Seq(
+      bpe.countTokens("the lowest low").toDouble,
+      bpe.countTokens("widest  newest").toDouble,
+      0.0))
+  }
+}

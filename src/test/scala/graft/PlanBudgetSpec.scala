@@ -152,7 +152,19 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // DISTINCT frames — the self-join's ReusedExchange can't fire. The
     // side signature groups build behind their localCheckpoints (the
     // persistable index frames)
-    "dedup_incremental" -> 7
+    "dedup_incremental" -> 7,
+    // BPE count kernel: tokenizer broadcast into a pure scan (the
+    // training histogram runs as its own bounded job at queries() build)
+    "text_bpe_tokens" -> 0,
+    // piece-window kernel, chunk fan-out stays in the producing partition
+    "pipeline_chunk_bpe" -> 0,
+    // docs + count-kernel sides of the unhinted join (distinct frames, no
+    // ReusedExchange) + the per-source budget window
+    "pipeline_token_budget_bpe" -> 3,
+    // same shapes as their whitespace twins — the count column is a
+    // projection swap, not a plan change
+    "pipeline_token_budget_col" -> 1,
+    "pipeline_pack_col" -> 1
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
