@@ -405,6 +405,90 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[scala.collection.Seq[Double]]("centroid"))
     assert(again.toSeq == rows.map(_.getAs[scala.collection.Seq[Double]]("centroid")).toSeq)
   }
+
+  /** FileSourceScanExec leaves of an executed plan (AQE-unwrapped). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec        => fileScans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(fileScans)
+    }
+  }
+
+  test("persisted IVF index: served results match in-memory IVF, scan is partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfBuildIndex(emb, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val served = Similarity.ivfTopKIndexed(spark, dir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // byte-equality with the re-training path: same quantizer parameters,
+    // same assignment rule, same ranking — the index changes WHERE the
+    // corpus lives, not what the query answers
+    val inMem = Similarity.ivfTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === inMem)
+    // the same recall@5 >= 0.8 bar the in-memory row carries
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.map(s => (s._1, s._2)).count(truth.contains).toDouble / truth.size
+    info(f"indexed IVF recall@5 on sf0.01: $recall%.2f")
+    assert(recall >= 0.8)
+    // partition pruning is physical: the cell filter reaches the scan as a
+    // partition filter and only the probed directories are listed
+    assert(new java.io.File(s"$dir/cells").listFiles()
+      .count(_.getName.startsWith("cell=")) === 16)
+    val prunedDf = spark.read.parquet(s"$dir/cells").filter(col("cell").isin(0, 1))
+    prunedDf.collect()
+    val scan = fileScans(prunedDf.queryExecution.executedPlan)
+      .find(_.relation.partitionSchema.nonEmpty)
+      .getOrElse(fail("no partitioned scan in the cells read"))
+    assert(scan.partitionFilters.nonEmpty, "cell filter not pushed as a partition filter")
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 cell partitions selected, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("persisted IVF index: incremental append keeps recall without re-training") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val built = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    // build on 90% of the corpus, append the arriving 10% batch through
+    // the STORED quantizer — no re-training, built rows untouched
+    Similarity.ivfBuildIndex(built, dir)
+    val centroidsBefore = spark.read.parquet(s"$dir/centroids").collect().toSet
+    Similarity.ivfAppendIndex(batch, dir)
+    assert(spark.read.parquet(s"$dir/centroids").collect().toSet === centroidsBefore)
+    val q = emb.filter(col("vec_id") < 10)
+    val served = Similarity.ivfTopKIndexed(spark, dir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // appended vectors are reachable as neighbors
+    assert(served.exists(_._2 % 10 === 0), "no appended vector ever surfaced")
+
+    // EQUIVALENCE: appending a batch is exactly a fresh full assignment
+    // under the same stored quantizer — copy the centroids to an empty
+    // index, assign the whole corpus through the append path, and the
+    // served answers are byte-identical (append has no recall cost of
+    // its own; cell quality is purely the quantizer's)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    spark.read.parquet(s"$dir/centroids").write.parquet(s"$dirFull/centroids")
+    Similarity.ivfAppendIndex(emb, dirFull)
+    val servedFull = Similarity.ivfTopKIndexed(spark, dirFull, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === servedFull)
+
+    // the same recall@5 bar the built index carries, against the grown
+    // corpus's truth
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.map(s => (s._1, s._2)).count(truth.contains).toDouble / truth.size
+    info(f"indexed IVF recall@5 after 10%% append: $recall%.2f")
+    assert(recall >= 0.8)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {

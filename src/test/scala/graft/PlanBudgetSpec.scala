@@ -164,7 +164,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // same shapes as their whitespace twins — the count column is a
     // projection swap, not a plan change
     "pipeline_token_budget_col" -> 1,
-    "pipeline_pack_col" -> 1
+    "pipeline_pack_col" -> 1,
+    // partition-pruned cells scan + broadcast-query score kernel (no
+    // shuffle) + the per-query top-k rank window
+    "sim_ann_ivf_idx" -> 1
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
