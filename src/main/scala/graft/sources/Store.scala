@@ -152,13 +152,20 @@ object Store {
    * never the datapoints.
    */
   def semiJoinKeys(frame: DataFrame, keys: DataFrame,
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+    // localCheckpoint: the catalog-filter plan executes ONCE — the gate
+    // count and the semi-join both read the materialized key blocks
+    // (without it, every fetch ran the catalog predicate twice: once for
+    // the eager count, again inside the join). Blocks are freed by the
+    // ContextCleaner when the fetch frame is collected.
+    val k = keys.localCheckpoint()
     // a TRUE left_semi: a key duplicated on the catalog side (possible
     // after incremental [[backfillDays]] appends) cannot multiply the
     // joined datapoints, and no dedup shuffle is ever needed
-    if (keys.count() <= maxBroadcastKeys)
-      frame.join(broadcast(keys), Seq("key"), "left_semi")
-    else frame.join(keys, Seq("key"), "left_semi")
+    if (k.count() <= maxBroadcastKeys)
+      frame.join(broadcast(k), Seq("key"), "left_semi")
+    else frame.join(k, Seq("key"), "left_semi")
+  }
 
   /**
    * Index-driven fetch — the reference's core query path (TagIndex.
@@ -193,35 +200,57 @@ object Store {
     val spark = dp.sparkSession
     require(spark.table(table).columns.contains("d"),
       s"$table is not date-partitioned; backfillDays needs the partitioned layout")
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    val prevCodec = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // insertInto ignores writer options; route the codec through the conf
-    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
-    try {
-      dp.select(
-          Planner.seriesId(col("tags")).as("key"),
-          col("tags"), col("ts"), col("value"),
-          dayOf(col("ts")).as("d"))
-        .write.mode("overwrite").insertInto(table)
-      if (spark.catalog.tableExists(table + "_catalog"))
-        TagIndex.seriesCatalog(dp)
-          .write.mode("append").format("parquet").saveAsTable(table + "_catalog")
-    } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-      spark.conf.set("spark.sql.parquet.compression.codec", prevCodec)
+    val write = dp.select(
+        Planner.seriesId(col("tags")).as("key"),
+        col("tags"), col("ts"), col("value"),
+        dayOf(col("ts")).as("d"))
+      .write.mode("overwrite")
+    // insertInto ignores DataFrameWriter options BY CONTRACT (per-write
+    // partitionOverwriteMode/compression never reach the command — a
+    // writer-option variant was tried and statically wiped the untouched
+    // partitions), so both knobs must ride the session conf. Scoping the
+    // mutation under the Store lock serializes concurrent backfills — the
+    // finally blocks can no longer restore each other's values; OTHER
+    // writers on the same session during a backfill still observe
+    // dynamic/zstd, the documented single-maintenance-writer expectation.
+    Store.synchronized {
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      val prevCodec = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+      try write.insertInto(table)
+      finally {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        spark.conf.set("spark.sql.parquet.compression.codec", prevCodec)
+      }
     }
+    if (spark.catalog.tableExists(table + "_catalog"))
+      TagIndex.seriesCatalog(dp)
+        .write.mode("append").format("parquet").saveAsTable(table + "_catalog")
   }
 
   /**
    * Drop day partitions older than the retention horizon — the
    * reference's block expiry (MemoryBlockStore rotates fixed-count block
-   * arrays; a partitioned table retires whole directories). Metadata +
-   * file deletion only: no data is read, queries running against newer
-   * days never notice. Returns the dropped partition dates.
+   * arrays; a partitioned table retires whole directories). The partition
+   * drop is metadata + file deletion only: no data is read, queries
+   * running against newer days never notice. Returns the dropped
+   * partition dates.
+   *
+   * With `compactCatalog = true` (and a `<table>_catalog` present) the
+   * series catalog is rebuilt after the drop: series whose datapoints all
+   * expired are removed, and duplicate series rows accumulated by
+   * incremental [[backfillDays]] appends collapse to one — without this,
+   * a long retention cycle inflates every [[indexKeys]] scan and the
+   * semi-join key set with series that can never match a datapoint.
+   * Scale shape: one column-pruned distinct-key scan of the surviving
+   * store (map-side partial agg at series cardinality) semi-joins the
+   * catalog; the kept rows materialize through a localCheckpoint before
+   * the overwrite (the source table cannot be read and replaced in one
+   * plan).
    */
   def expireDays(spark: SparkSession, table: String,
-      keepDays: Int, nowMs: Long): Seq[String] = {
+      keepDays: Int, nowMs: Long, compactCatalog: Boolean = false): Seq[String] = {
     require(keepDays > 0, "keepDays must be positive")
     val cutoff = java.time.LocalDate
       .ofEpochDay(Math.floorDiv(nowMs, 86400000L) - keepDays + 1)
@@ -232,6 +261,15 @@ object Store {
       .toSeq.sorted
     stale.foreach(d =>
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (d = '$d')"))
+    if (compactCatalog && stale.nonEmpty &&
+        spark.catalog.tableExists(table + "_catalog")) {
+      val live = spark.table(table).select(col("key")).distinct()
+      val kept = spark.table(table + "_catalog")
+        .join(live, col("series") === col("key"), "left_semi")
+        .dropDuplicates("series")
+        .localCheckpoint()
+      kept.write.mode("overwrite").format("parquet").saveAsTable(table + "_catalog")
+    }
     stale
   }
 

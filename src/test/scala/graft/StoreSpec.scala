@@ -3,7 +3,7 @@ package graft
 import graft.asl.{Asl, Query}
 import graft.core.EvalContext
 import graft.planner.Planner
-import graft.sources.{Datapoints, Store}
+import graft.sources.{Datapoints, Maintenance, Store}
 import org.apache.spark.sql.functions._
 
 /**
@@ -314,6 +314,133 @@ class StoreSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS life_store")
       spark.sql("DROP TABLE IF EXISTS life_store_catalog")
+    }
+  }
+
+  test("expireDays compacts the catalog: dead series drop, fetch plans scan the catalog once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
+      case other                    => other.children.flatMap(scans)
+    }
+
+    val day = 86400000L
+    val mk = (n: String, ts: Long, v: Double) => (Map("name" -> n), ts, v)
+    // series "old" lives only on day 0; "cpu" spans all three days
+    val dp = Seq(
+      mk("old", 1000L, 1.0),
+      mk("cpu", 1000L, 1.0), mk("cpu", day + 1000L, 2.0),
+      mk("cpu", 2 * day + 1000L, 3.0)
+    ).toDF("tags", "ts", "value")
+    Store.writeBucketed(dp, "cexp_store", buckets = 4, catalog = true, partitioned = true)
+    try {
+      // backfill-append day 2: duplicates cpu's catalog row, adds mem
+      val fix = Seq(mk("cpu", 2 * day + 1000L, 30.0), mk("mem", 2 * day + 2000L, 5.0))
+        .toDF("tags", "ts", "value")
+      Store.backfillDays(fix, "cexp_store")
+      assert(spark.table("cexp_store_catalog").count() == 4) // old, cpu x2, mem
+
+      // expire day 0 WITH catalog compaction: "old" has no surviving
+      // datapoints and leaves the catalog; duplicate cpu rows collapse
+      val dropped = Store.expireDays(spark, "cexp_store", keepDays = 2,
+        nowMs = 2 * day + 500L, compactCatalog = true)
+      assert(dropped == Seq("1970-01-01"), dropped.toString)
+      val cat = spark.table("cexp_store_catalog")
+        .select(col("tags").getItem("name")).as[String].collect().sorted.toSeq
+      assert(cat == Seq("cpu", "mem"), cat.toString)
+      assert(Store.indexKeys(spark, "cexp_store",
+        graft.asl.Query.Equal("name", "old")).count() == 0)
+
+      // the fetch runs the catalog predicate ONCE (checkpointed key
+      // blocks feed both the gate count and the semi-join): the fetch
+      // plan itself contains NO catalog file scan
+      val fetch = Store.readIndexed(spark, "cexp_store",
+        graft.asl.Query.Equal("name", "cpu"))
+      assert(fetch.collect().map(_.getAs[Double]("value")).sorted.toSeq == Seq(2.0, 30.0))
+      val catalogScans = scans(fetch.queryExecution.executedPlan)
+        .flatMap(_.tableIdentifier).count(_.table.contains("_catalog"))
+      assert(catalogScans == 0,
+        s"fetch plan re-scans the catalog:\n${fetch.queryExecution.executedPlan}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cexp_store")
+      spark.sql("DROP TABLE IF EXISTS cexp_store_catalog")
+    }
+  }
+
+  test("Maintenance.run: one cron pass compacts store + rollups, cascades, expires, returns the backend") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
+      case other                    => other.children.flatMap(scans)
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val day = 86400000L
+    val step = 3600000L
+    // live ingest with BOTH sinks: store append log + 3h rollup fragments
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val q = graft.streaming.StreamRunner.ingest(
+      input.toDF.toDF("tags", "ts", "value"),
+      s"$base/store", s"$base/ckpt", step,
+      rollup = Some((s"$base/rollup", 3 * step)))
+    try {
+      val pts = for (d <- 0 until 3; h <- 0 until 6)
+        yield (Map("name" -> "cpu"), d * day + h * step + 1000L, (d * 10 + h).toDouble)
+      input.addData(pts.sortBy(_._2))
+      q.processAllAvailable()
+      input.addData(Seq((Map("name" -> "cpu"), 10L * day, 0.0))) // watermark flush
+      q.processAllAvailable()
+    } finally q.stop()
+
+    try {
+      val (backend, report) = Maintenance.run(
+        spark, "mx_store",
+        storePath = Some(s"$base/store"),
+        rollupPath = Some(s"$base/rollup"),
+        rollupStepMs = 3 * step,
+        cascadeSteps = Seq(6 * step),
+        keepDays = 10, nowMs = 10 * day + 1, buckets = 4)
+      // every maintained table is wired into the returned backend
+      assert(report.rollups == Map(
+        s"mx_store_rollup_${3 * step}" -> 3 * step,
+        s"mx_store_rollup_${6 * step}" -> 6 * step), report.toString)
+      assert(report.expiredDays == Seq("1970-01-01"), report.toString)
+      assert(Store.read(spark, "mx_store").filter(col("ts") < day).count() == 0)
+
+      // a 6h query through the backend serves from the CASCADED rollup
+      // (never raw) and answers exactly like the raw store evaluation
+      val sub = EvalContext(day, 2 * day, 6 * step)
+      val expr = Asl.parse("name,cpu,:eq,:sum")
+      val fromBackend = Planner.output(Planner.eval(expr, backend, sub), Nil)
+      val m1 = fromBackend.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val tables = scans(fromBackend.queryExecution.executedPlan)
+        .flatMap(_.tableIdentifier).map(_.table)
+      assert(tables.contains(s"mx_store_rollup_${6 * step}"),
+        s"6h fetch did not read the cascaded rollup: $tables")
+      assert(!tables.contains("mx_store"), s"6h fetch still scans raw: $tables")
+      val m2 = Planner.output(Planner.eval(
+        expr, Store.read(spark, "mx_store").drop("d"), sub), Nil)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m1.nonEmpty && m1 == m2, s"$m1 vs $m2")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mx_store")
+      spark.sql("DROP TABLE IF EXISTS mx_store_catalog")
+      spark.sql(s"DROP TABLE IF EXISTS mx_store_rollup_${3 * step}")
+      spark.sql(s"DROP TABLE IF EXISTS mx_store_rollup_${6 * step}")
     }
   }
 
