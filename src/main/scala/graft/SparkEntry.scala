@@ -621,6 +621,9 @@ object SparkEntry {
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
       "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
       "dedup_substring" -> ((s, d) => TextOps.sharedSubstrings(docs(s, d), n = 10)),
+      // the TRANSFORM the report only flags: recurring 10-token windows cut,
+      // first occurrence kept (Lee et al. exact-substring dedup)
+      "dedup_substring_cut" -> ((s, d) => TextOps.removeSharedSpans(docs(s, d), n = 10)),
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
@@ -1050,6 +1053,35 @@ object SparkEntry {
           |            THEN round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / ng.n_windows, 4)
           |            ELSE 0.0 END AS frac
           |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)""".stripMargin,
+      // same recurrence, as the REWRITE: first occurrence by (doc_id, pos)
+      // wins (encoded doc_id*2^20+pos — positions are far below 2^20, so
+      // the arithmetic min equals the engine's struct min), covered tokens
+      // cut, remainder re-joined in order
+      "dedup_substring_cut" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |wins AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 10)) AS pos
+          |         FROM toks WHERE len(w) >= 10),
+          |wg AS (SELECT doc_id, pos, array_to_string(w[pos+1 : pos+10], ' ') AS gram FROM wins),
+          |dups AS (SELECT gram, min(doc_id * 1048576 + pos) AS keep
+          |         FROM wg GROUP BY gram HAVING count(*) >= 2),
+          |rem AS (SELECT g.doc_id, g.pos FROM wg g JOIN dups d USING (gram)
+          |        WHERE g.doc_id * 1048576 + g.pos <> d.keep),
+          |cov AS (SELECT DISTINCT r.doc_id, r.pos + u.i AS tok
+          |        FROM rem r, unnest(generate_series(0, 9)) AS u(i)),
+          |tk AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1)) AS idx FROM toks),
+          |tk2 AS (SELECT doc_id, idx, w[idx+1] AS tok FROM tk),
+          |kept AS (SELECT t.doc_id, t.idx, t.tok FROM tk2 t
+          |         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.tok),
+          |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned_text
+          |        FROM kept GROUP BY doc_id),
+          |rc AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_removed_tokens
+          |       FROM cov GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       coalesce(a.cleaned_text, '') AS cleaned_text,
+          |       coalesce(rc.n_removed_tokens, 0.0) AS n_removed_tokens
+          |FROM documents d
+          |LEFT JOIN agg a USING (doc_id)
+          |LEFT JOIN rc USING (doc_id)""".stripMargin,
       "text_gopher" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           |m AS (

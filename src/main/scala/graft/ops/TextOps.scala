@@ -644,6 +644,118 @@ object TextOps {
           .otherwise(0.0).as("frac"))
   }
 
+  /** All-POSITION window rows (doc_id, pos, gram), case-sensitive and NOT
+    * deduped per doc — the positional form [[removeSharedSpans]] cuts
+    * spans from (the distinct lowercase [[ngramRows]] feed the report
+    * operators). Same partition-local kernel shape. */
+  private def windowRowsAt(docs: DataFrame, n: Int, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val sb = new java.lang.StringBuilder()
+            (0 to toks.length - n).iterator.map { i =>
+              sb.setLength(0)
+              var j = i
+              while (j < i + n) {
+                if (j > i) sb.append(' ')
+                sb.append(toks(j))
+                j += 1
+              }
+              (id, i.toLong, sb.toString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gram")
+  }
+
+  /**
+   * Exact-substring span REMOVAL — the transform [[sharedSubstrings]] only
+   * reports (Lee et al. 2022: cut verbatim n-token windows that recur in
+   * the corpus, keep one occurrence): every occurrence of a duplicated
+   * window except the globally first (smallest (doc_id, pos)) is marked,
+   * a document's marked windows merge into covered token spans, and the
+   * covered tokens are deleted. Within-document repeats dedup the same way
+   * (occurrence count, not document frequency). Matching is exact
+   * (case-sensitive) — this rewrites text, so only verbatim duplication
+   * qualifies. Output: (doc_id, cleaned_text, n_removed_tokens); documents
+   * with nothing to cut pass through byte-identical.
+   *
+   * A kept first occurrence can still lose tokens to an OVERLAPPING
+   * removed window of a different gram — coverage is per token, which is
+   * what makes the pass idempotent-safe (re-running on the output finds
+   * no surviving duplicated window of the same length).
+   *
+   * Scale shape: the window generator is token-cardinality — the known
+   * cost of exact-substring dedup (the suffix-array formulation pays the
+   * same linear pass); the duplicate-gram aggregate folds map-side, the
+   * join back to positions carries only duplicated grams (tiny unless the
+   * corpus is pathologically boilerplated), and the final rewrite is one
+   * kernel pass over the docs joined with their (small) span lists. The
+   * generator runs twice (aggregate + join) — regenerating windows beats
+   * materializing a token-cardinality frame.
+   */
+  def removeSharedSpans(
+      docs: DataFrame,
+      n: Int = 20,
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = windowRowsAt(docs, n, textCol)
+    val dups = wins
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("c") >= 2)
+      .select(col("gram"),
+        col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
+    val removed = wins.join(dups, "gram")
+      .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .select(col("doc_id"), col("pos"))
+    val spans = removed.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("spans"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col(textCol))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(textCol),
+        coalesce(col("spans"), array().cast("array<bigint>")).as("spans"))
+      .as[(Long, String, Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (id, text, ps) =>
+          if (ps.isEmpty) (id, text, 0.0)
+          else {
+            val toks = text.split(" ", -1)
+            val covered = new Array[Boolean](toks.length)
+            ps.foreach { p =>
+              var i = p.toInt
+              val end = math.min(toks.length, p.toInt + n)
+              while (i < end) { covered(i) = true; i += 1 }
+            }
+            val sb = new java.lang.StringBuilder()
+            var cut = 0
+            var first = true
+            var i = 0
+            while (i < toks.length) {
+              if (covered(i)) cut += 1
+              else {
+                if (!first) sb.append(' ')
+                sb.append(toks(i))
+                first = false
+              }
+              i += 1
+            }
+            (id, sb.toString, cut.toDouble)
+          }
+        }
+      }
+      .toDF("doc_id", "cleaned_text", "n_removed_tokens")
+  }
+
   /** PII patterns, deliberately RE2-compatible (no lookaround, no
     * backreferences) so java.util.regex, RE2-based engines, and the DuckDB
     * oracle all match the same spans. */

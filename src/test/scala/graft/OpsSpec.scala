@@ -631,6 +631,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(4L).getAs[Double]("n_windows") == 0.0 && r(4L).getAs[Double]("frac") == 0.0)
   }
 
+  test("removeSharedSpans cuts recurring windows, keeps the first occurrence, is idempotent") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // holds the FIRST "a b c d" -> untouched
+      (2L, "x y a b c d z"),    // cross-doc duplicate at pos 2 -> cut
+      (3L, "p q r s p q r s"),  // within-doc repeat at pos 4 -> cut
+      (4L, "")                  // shorter than a window -> passthrough
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeSharedSpans(docs, n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out(1L) === (("a b c d e f", 0.0)))
+    assert(out(2L) === (("x y z", 4.0)))
+    assert(out(3L) === (("p q r s", 4.0)))
+    assert(out(4L) === (("", 0.0)))
+    // idempotent: a second pass over the cleaned corpus cuts nothing
+    val again = TextOps.removeSharedSpans(
+      TextOps.removeSharedSpans(docs, n = 4)
+        .select(col("doc_id"), col("cleaned_text").as("text")), n = 4)
+      .collect().map(r => r.getDouble(2)).sum
+    assert(again === 0.0)
+  }
+
   test("pii redaction masks emails, IPs and digit runs sequentially with counts") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call 5551234567 now"),

@@ -167,7 +167,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "pipeline_pack_col" -> 1,
     // partition-pruned cells scan + broadcast-query score kernel (no
     // shuffle) + the per-query top-k rank window
-    "sim_ann_ivf_idx" -> 1
+    "sim_ann_ivf_idx" -> 1,
+    // dup-gram agg + the wins side of the gram join-back (the agg side
+    // reuses its grouping partitioning) + the per-doc span collect + the
+    // docs side of the spans join; the window generator is a kernel,
+    // re-run not materialized
+    "dedup_substring_cut" -> 4
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
