@@ -226,19 +226,24 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
 
-    // seed scan: smallest-id rows, growing the window until k DISTINCT
-    // unit vectors are found or the corpus is exhausted (a duplicate-heavy
-    // head must not silently shrink k while distinct vectors exist)
-    var centroids = Array.empty[Array[Double]]
-    var window = 4 * k + 16
-    var exhausted = false
-    while (centroids.length < k && !exhausted) {
-      val rows = data.orderBy(col("id")).limit(window).collect()
-      centroids = rows.iterator.map(v => normalize(v.vec))
-        .distinctBy(_.toSeq).take(k).toArray
-      exhausted = rows.length < window
-      window *= 4
-    }
+    // seed: the k DISTINCT unit vectors with the smallest first-occurrence
+    // ids, found in ONE bounded distributed pass — group by the normalized
+    // vector (map-side-combined min(id) at distinct-vector cardinality),
+    // TakeOrdered the k smallest group ids, collect exactly k rows. Same
+    // seed set and order as the old grow-the-window driver scan (a
+    // vector's first occurrence IS its min id), without its pathology: on
+    // a duplicate-heavy corpus with < k distinct vectors the old loop's
+    // final window collected the whole table to the driver. Fewer than k
+    // distinct vectors in the WHOLE corpus still legitimately shrink k.
+    var centroids: Array[Array[Double]] = data
+      .map(v => Vec(v.id, normalize(v.vec)))
+      .toDF("id", "vec")
+      .groupBy(col("vec")).agg(min(col("id")).as("gid"))
+      .orderBy(col("gid"))
+      .limit(k)
+      .select(col("vec"))
+      .as[Array[Double]]
+      .collect()
     require(centroids.nonEmpty, "no vectors to cluster")
     var sizes = new Array[Long](centroids.length)
     var shift = Double.MaxValue

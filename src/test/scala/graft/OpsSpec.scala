@@ -406,6 +406,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == rows.map(_.getAs[scala.collection.Seq[Double]]("centroid")).toSeq)
   }
 
+  test("kmeansFit seeds in one bounded pass on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // 100k rows, only TWO distinct vectors: the old seed scan grew its
+    // driver window x4 until it collected the entire table; the grouped
+    // seed touches the driver with at most k rows
+    val e = spark.range(100000)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 2 === 0, array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)))
+          .otherwise(array(lit(0.0f), lit(1.0f), lit(0.0f), lit(0.0f)))
+          .as("embedding"))
+    val fit = Similarity.kmeansFit(e, k = 8, maxIters = 3).collect()
+    // k legitimately shrinks to the 2 distinct vectors; seeds are the
+    // first-occurrence order (id 0's vector, then id 1's)
+    assert(fit.length === 2)
+    val c0 = fit.find(_.getAs[Long]("centroid_id") == 0L).get
+      .getAs[scala.collection.Seq[Double]]("centroid")
+    assert(c0.head === 1.0) // id 0's (normalized) vector seeds cell 0
+    assert(fit.map(_.getAs[Long]("size")).sum === 100000L)
+  }
+
   /** FileSourceScanExec leaves of an executed plan (AQE-unwrapped). */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
