@@ -56,6 +56,37 @@ class NormalizerSpec extends AnyFunSuite {
     assert(issues.exists(_.contains("unknown reserved key")))
     assert(Validation.validate(Map("cluster" -> "web")).exists(_.contains("missing key")))
   }
+
+  test("KeyPatternRule analog: configured key regex on top of the charset rule") {
+    val rules = Validation.default.copy(keyPattern = Some("^[a-z][a-zA-Z]*$"))
+    assert(Validation.validate(Map("name" -> "sps", "appName" -> "web"), rules).isEmpty)
+    // passes the charset rule, fails the configured pattern (leading upper)
+    val issues = Validation.validate(Map("name" -> "sps", "AppName" -> "web"), rules)
+    assert(issues.exists(_.contains("key doesn't match pattern")), issues.toString)
+    assert(Validation.validate(Map("name" -> "sps", "AppName" -> "web")).isEmpty,
+      "default rules must be unaffected")
+  }
+
+  test("ValuePatternRule analog: configured value regex") {
+    val rules = Validation.default.copy(valuePattern = Some("^[a-z0-9.]+$"))
+    assert(Validation.validate(Map("name" -> "sps.count"), rules).isEmpty)
+    val issues = Validation.validate(Map("name" -> "SpsCount"), rules)
+    assert(issues.exists(_.contains("value doesn't match pattern")), issues.toString)
+    assert(Validation.validate(Map("name" -> "SpsCount")).isEmpty)
+  }
+
+  test("NameValueLengthRule analog: name value bounds independent of other values") {
+    val rules = Validation.default.copy(nameValueLength = Some((3, 8)))
+    assert(Validation.validate(Map("name" -> "sps", "c" * 2 -> "x" * 120), rules).isEmpty)
+    // name too long at 9 even though other values go to 120
+    val long = Validation.validate(Map("name" -> "abcdefghi"), rules)
+    assert(long.exists(_.contains("value too long: [name]")), long.toString)
+    // name too short at 2, a bound plain ValueLength can't express
+    val short = Validation.validate(Map("name" -> "ab"), rules)
+    assert(short.exists(_.contains("value too short: [name]")), short.toString)
+    // other keys keep the common bounds
+    assert(Validation.validate(Map("name" -> "sps", "grp" -> "ab"), rules).isEmpty)
+  }
 }
 
 class ValidationColumnSpec extends SparkSpec {
@@ -75,6 +106,30 @@ class ValidationColumnSpec extends SparkSpec {
       .map(r => r.getAs[Map[String, String]]("tags") -> r.getAs[Boolean]("ok"))
     got.foreach { case (tags, ok) =>
       assert(ok == Validation.validate(tags).isEmpty, tags.toString)
+    }
+  }
+
+  test("column predicate matches the scalar validator under configured rules") {
+    import spark.implicits._
+    val rules = Validation.default.copy(
+      keyPattern = Some("^[a-z][a-zA-Z]*$"),
+      valuePattern = Some("[a-z0-9.]+"), // UNanchored: the column side must anchor it
+      nameValueLength = Some((3, 8)))
+    val rows = Seq(
+      Map("name" -> "sps", "appName" -> "web"),
+      Map("name" -> "sps", "AppName" -> "web"),   // key pattern violation
+      Map("name" -> "sps", "grp" -> "Web1"),      // value pattern violation
+      Map("name" -> "abcdefghi"),                 // name too long
+      Map("name" -> "ab"),                        // name too short
+      Map("name" -> "sps.x", "grp" -> "x.1")
+    ).toDF("tags")
+    val got = rows
+      .select(col("tags"), Validation.validTags(col("tags"), rules).as("ok"))
+      .collect()
+      .map(r => r.getAs[Map[String, String]]("tags") -> r.getAs[Boolean]("ok"))
+    assert(got.count(_._2) == 2)
+    got.foreach { case (tags, ok) =>
+      assert(ok == Validation.validate(tags, rules).isEmpty, tags.toString)
     }
   }
 }
