@@ -280,6 +280,26 @@ object Joins {
         payFields.map(n => matched.getField(n).as(s"$prefix$n")): _*)
   }
 
+  /**
+   * The rows [[streamingIntervalJoin]]'s length cap rejects: intervals
+   * longer than `maxIntervalMs` cannot be held in bounded join state and
+   * never enter the join, so an upstream bug producing long intervals
+   * would otherwise lose matches silently. Run THIS complement over the
+   * same interval frame — batch or streaming — and route it to a
+   * dead-letter sink or a count metric (the `StreamRunner.ingestDlq`
+   * pattern), making the contract violation observable. By construction
+   * `overCapIntervals ∪ (what the join consumes) = intervals`.
+   */
+  def overCapIntervals(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      maxIntervalMs: Long
+  ): DataFrame = {
+    require(maxIntervalMs > 0, "maxIntervalMs must be positive")
+    intervals.filter(col(endCol) - col(startCol) > maxIntervalMs)
+  }
+
   def streamingIntervalJoin(
       points: DataFrame,
       intervals: DataFrame,
@@ -300,8 +320,11 @@ object Joins {
       .withColumn("__pt", timestamp_millis(col(pointTime)))
       .withWatermark("__pt", watermark)
     val iv = intervals
-      // the data contract, enforced visibly: an over-cap interval cannot
-      // be held in bounded join state, so it never enters the join
+      // the length cap is the data contract: an over-cap interval cannot
+      // be held in bounded join state, so it never enters the join. The
+      // rejected complement is exposed by [[overCapIntervals]] — route it
+      // to a dead-letter/metric sink so the violation is OBSERVED, not a
+      // quiet divergence
       .filter(col(endCol) - col(startCol) <= maxIntervalMs)
       .select((keyCols.map(c => col(c).as(s"__i_$c")) ++
         payFields.map(n => col(n).as(s"$prefix$n"))): _*)

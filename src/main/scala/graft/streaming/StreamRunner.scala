@@ -471,10 +471,13 @@ object StreamRunner {
         col("v_sum"), col("v_count"), col("v_min"), col("v_max"))
 
   /** Per-user funnel matcher state: `t0` = earliest step-0 event time seen
-    * (-1 until one arrives), `buf` = later-step (ts, stepIdx) events still
-    * relevant — bounded by the funnel window once the anchor is known, and
-    * by the watermark lateness horizon before that. */
-  final case class FunnelState(t0: Long, buf: List[(Long, Int)])
+    * (-1 until one arrives), `buf` = later-step (ts, eventType) events
+    * still relevant — bounded by the funnel window once the anchor is
+    * known, and by the watermark lateness horizon before that. The TYPE
+    * (not a precomputed step index) is buffered so repeated step names —
+    * Seq("click", "click") — replay through the same stepsArr(r) matcher
+    * the batch kernel runs (an index map would collapse duplicates). */
+  final case class FunnelState(t0: Long, buf: List[(Long, String)])
 
   /**
    * Streaming funnel — EXACTLY the batch [[graft.ops.EventOps.funnel]]
@@ -504,7 +507,11 @@ object StreamRunner {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
+    val stepsArr = steps.toArray
+    val step0 = stepsArr(0)
+    // types that can advance a rank PAST the anchor; with repeated step
+    // names an anchor-typed event buffers TOO (it may serve a later rank)
+    val tailTypes = steps.drop(1).toSet
     val nSteps = steps.length
     val typed = events
       .filter(col(typeCol).isin(steps: _*))
@@ -525,11 +532,14 @@ object StreamRunner {
           if (gstate.hasTimedOut) {
             val st = gstate.get
             if (st.t0 >= 0) {
-              // watermark passed anchor + window: outcome is final
+              // watermark passed anchor + window: outcome is final —
+              // replay is the batch kernel's matcher verbatim (advance on
+              // type == stepsArr(r)), so repeated step names behave
+              // identically to EventOps.funnel
               var r = 1
               var last = st.t0
-              st.buf.sortBy(identity).foreach { case (ts, idx) =>
-                if (r < nSteps && idx == r && ts > last && ts - st.t0 <= windowMs) {
+              st.buf.sortBy(identity).foreach { case (ts, tp) =>
+                if (r < nSteps && tp == stepsArr(r) && ts > last && ts - st.t0 <= windowMs) {
                   r += 1; last = ts
                 }
               }
@@ -551,9 +561,8 @@ object StreamRunner {
             var t0 = prev.t0
             var buf = prev.buf
             rows.foreach { case (_, ts, tp, _) =>
-              val idx = stepIdx(tp)
-              if (idx == 0) { if (t0 < 0 || ts < t0) t0 = ts }
-              else buf ::= (ts, idx)
+              if (tp == step0 && (t0 < 0 || ts < t0)) t0 = ts
+              if (tailTypes.contains(tp)) buf ::= (ts, tp)
             }
             // prune ONLY what no possible future can use. The anchor can
             // still move DOWN (a step-0 event at-or-above the watermark),
@@ -604,11 +613,17 @@ object StreamRunner {
    * long-running stream appends one small file set per micro-batch, and
    * file-count growth — not data growth — is what eventually slows the
    * per-batch bucket join. Rewrites the index into `max(1, rows/rowsPerFile)`
-   * files via a temp directory + atomic-ish swap (write aside, delete,
-   * rename), the same economics as [[graft.sources.Store.compact]].
-   * Run it between batches (or against a paused stream): the ingest
-   * re-lists the directory per batch, so it picks up the compacted layout
-   * on its next trigger.
+   * files, swapped in backup-first: write aside, rename the live index to
+   * a backup, rename the compacted copy into place, then delete the
+   * backup. Every step is recoverable — a failure before the swap leaves
+   * the live index untouched, a failed swap restores the backup and
+   * throws, and debris from an interrupted earlier run is cleared on the
+   * next attempt. The index path is absent only between two metadata
+   * renames (not across a bulk file delete, which previously left a
+   * window where a concurrent ingest trigger saw no index and silently
+   * skipped cross-batch dedup). Still run it between batches or against a
+   * paused stream — the ingest re-lists the directory per trigger and
+   * picks up the compacted layout on its next one.
    */
   def compactDedupIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 4000000L): Unit = {
@@ -620,10 +635,17 @@ object StreamRunner {
     val n = index.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
+    val bak = new org.apache.hadoop.fs.Path(indexPath + "__pre_compact")
     index.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    if (fs.exists(bak)) fs.delete(bak, true) // debris from an interrupted run
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compaction backup rename failed: $path -> $bak")
+    if (!fs.rename(tmp, path)) {
+      // restore the live index before surfacing the failure
+      fs.rename(bak, path)
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path (index restored)")
+    }
+    fs.delete(bak, true)
   }
 
   def streamingDedupIngest(

@@ -657,6 +657,34 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest dead-letter sink surfaces configured pattern/length rule reasons") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dlq_rules").toString
+    val rules = graft.sources.Validation.default.copy(
+      keyPattern = Some("^[a-z][a-zA-Z]*$"),
+      valuePattern = Some("^[a-z0-9.]+$"),
+      nameValueLength = Some((3, 8)))
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val dp = input.toDF.toDF("tags", "ts", "value")
+    val query = StreamRunner.ingestDlq(dp, s"$base/dlq", s"$base/ckpt", rules)
+    try {
+      input.addData(Seq(
+        (Map("name" -> "sps.x", "appName" -> "web"), 1000L, 1.0), // valid
+        (Map("name" -> "sps", "AppName" -> "web"), 2000L, 2.0),   // key pattern
+        (Map("name" -> "sps", "grp" -> "Web1"), 3000L, 3.0),      // value pattern
+        (Map("name" -> "abcdefghi"), 4000L, 4.0)                  // name length
+      ))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/dlq")
+        .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+      assert(rows.keySet == Set(2000L, 3000L, 4000L), rows.toString)
+      assert(rows(2000L).contains("key doesn't match pattern"), rows(2000L))
+      assert(rows(3000L).contains("value doesn't match pattern"), rows(3000L))
+      assert(rows(4000L).contains("value too long: [name]"), rows(4000L))
+    } finally query.stop()
+  }
+
   test("streaming asof matches the batch operator, including a late-arriving right row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -741,6 +769,20 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("over-cap intervals are observable: the rejected complement partitions the input") {
+    import spark.implicits._
+    val ivs = Seq(
+      (1L, 50L, 300L, "a"),      // within the cap
+      (1L, 0L, 5000L, "toolong") // over the 1000 ms cap -> silently dropped
+    ).toDF("user_id", "start_t", "end_t", "label")
+    val rejected = ops.Joins.overCapIntervals(ivs, "start_t", "end_t", 1000L)
+      .select("label").as[String].collect().toSeq
+    assert(rejected == Seq("toolong"))
+    // the complement partitions the frame: rejected + consumable = input
+    val consumable = ivs.filter(col("end_t") - col("start_t") <= 1000L).count()
+    assert(consumable + rejected.size == ivs.count())
+  }
+
   test("streaming funnel finalizes identically to the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -797,6 +839,54 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel matches batch with REPEATED step names") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("click", "click", "view")
+    val W = 100L
+    val all = Seq(
+      // u1 completes: anchor click@10, second click@20, view@30
+      (1L, 10L, "click"), (1L, 20L, "click"), (1L, 30L, "view"),
+      // u2: one click only -> reached 1 (a dup-collapsing index map
+      // emitted NOTHING here: idx 0 never matched)
+      (2L, 10L, "click"),
+      // u3: two clicks, no view -> reached 2
+      (3L, 10L, "click"), (3L, 50L, "click"),
+      // u4: view before the second click -> view can't advance rank 2
+      // until a second click lands; order click, view, click -> reached 2
+      (4L, 10L, "click"), (4L, 20L, "view"), (4L, 30L, "click"),
+      // u5: second click outside the window -> reached 1
+      (5L, 10L, "click"), (5L, 200L, "click")
+    )
+    val input = MemoryStream[(Long, Long, String)]
+    val out = StreamRunner.streamingFunnel(
+      input.toDF.toDF("user_id", "tms", "event_type"), steps, W,
+      watermark = "1 second")
+    val query = out.writeStream.format("memory").queryName("stream_funnel_rep")
+      .outputMode("append").start()
+    try {
+      input.addData(all)
+      query.processAllAvailable()
+      input.addData(Seq((99L, 100000L, "click")))
+      query.processAllAvailable()
+      input.addData(Seq((99L, 200000L, "click")))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_funnel_rep")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L),
+        s"streamed $streamed")
+      // per-step counts equal the batch operator's on the same data
+      val batch = ops.EventOps.funnel(
+        all.toDF("user_id", "tms", "event_type"), steps, W)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fromStream = (1 to steps.length)
+        .map(s => s.toLong -> streamed.values.count(_ >= s).toLong)
+        .toMap
+      assert(fromStream == batch, s"stream-derived $fromStream vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming dedup ingest: intra-batch and cross-batch near-dups never reach the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -839,6 +929,10 @@ class StreamSpec extends SparkSpec {
       assert(parquetFiles >= 2, "expected one file set per micro-batch")
       StreamRunner.compactDedupIndex(spark, indexPath)
       assert(parquetFiles == 1, "compaction should leave one file")
+      // backup-first swap leaves no debris: neither the temp copy nor the
+      // pre-compaction backup survives a successful run
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(indexPath + "__compacting")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(indexPath + "__pre_compact")))
       val after = spark.read.parquet(indexPath).select(explode(col("ids")).as("id"))
         .collect().map(_.getLong(0)).toSet
       assert(after == Set(1L, 3L, 5L))
