@@ -190,9 +190,11 @@ object Joins {
    * (from_json with the source schema), so the operator stays fully
    * generic over the carried columns.
    *
-   * Tie-break note: several rights sharing one (key, timestamp) resolve
-   * by greatest JSON payload here vs greatest struct in batch — identical
-   * whenever (key, time) is unique on the right (the common case).
+   * Ties: several rights sharing one (key, timestamp) resolve by greatest
+   * payload STRUCT, exactly the batch rule — all rows tied at the winning
+   * timestamp ride the state as a JSON array and `array_max` over the
+   * typed structs picks the winner at output (StreamSpec pins batch
+   * equality on a duplicate-(key, ts) corpus).
    */
   def streamingAsof(
       left: DataFrame,
@@ -243,16 +245,28 @@ object Joins {
           val (done, pending) = lefts.partition(_._1 < wm)
           val out = done.sortBy(_._1).map { case (t, lrow) =>
             val m = rights.filter(_._1 <= t)
+            // ALL rights tied at the winning timestamp emit as a JSON
+            // array; the output projection resolves the tie with
+            // array_max over the TYPED structs — the same greatest-struct
+            // rule the batch operator's last() ordering applies (a string
+            // max here would rank "9.0" above "10.0")
             val pay =
               if (m.isEmpty) null
-              else m.max(Ordering.by[(Long, String), (Long, String)](identity))._2
+              else {
+                val tmax = m.iterator.map(_._1).max
+                m.collect { case (`tmax`, j) => j }.mkString("[", ",", "]")
+              }
             (lrow, pay)
           }
           // prune rights: the latest at-or-below the watermark dominates
-          // all earlier ones for every future left
+          // all earlier ones for every future left. EVERY row tied at the
+          // carried timestamp stays — picking one by string order here
+          // would pre-empt the typed struct tie-break at output
           val (recent, old) = rights.partition(_._1 >= wm)
-          val carry = if (old.isEmpty) Nil else List(old.max(
-            Ordering.by[(Long, String), (Long, String)](identity)))
+          val carry = if (old.isEmpty) Nil else {
+            val tmax = old.iterator.map(_._1).max
+            old.filter(_._1 == tmax)
+          }
           val kept = recent ++ carry
           if (pending.isEmpty && kept.isEmpty) gstate.remove()
           else {
@@ -271,7 +285,8 @@ object Joins {
 
     val outDF = emitted.toDF("__lrow", "__pay")
       .select(from_json(col("__lrow"), lrowSchema).as("__l"),
-        from_json(col("__pay"), paySchema).as("__m"))
+        array_max(from_json(col("__pay"),
+          org.apache.spark.sql.types.ArrayType(paySchema))).as("__m"))
     val matched = tolerance.fold(col("__m")) { tol =>
       when(col(s"__m.$rightTime") >= col(s"__l.$leftTime") - tol, col("__m"))
     }

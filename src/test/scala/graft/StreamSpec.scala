@@ -691,7 +691,10 @@ class StreamSpec extends SparkSpec {
     val leftRows = Seq(
       (10L, "k1", 100L), (11L, "k1", 200L), (12L, "k1", 350L),
       (13L, "k1", 450L), (14L, "k2", 999L))
-    val rightRows = Seq(("k1", 200L, 2.0), ("k1", 400L, 4.0), ("k3", 100L, 9.0))
+    // k2@500 is DUPLICATED: the greatest payload struct must win, as in
+    // batch (a JSON-string max would rank "9.0" above "10.0")
+    val rightRows = Seq(("k1", 200L, 2.0), ("k1", 400L, 4.0), ("k3", 100L, 9.0),
+      ("k2", 500L, 9.0), ("k2", 500L, 10.0))
     val lIn = MemoryStream[(Long, String, Long)]
     val rIn = MemoryStream[(String, Long, Double)]
     val out = ops.Joins.streamingAsof(
@@ -726,6 +729,7 @@ class StreamSpec extends SparkSpec {
         Seq("k"), "t", "rt", Seq("v")))
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
       assert(streamed(13L) == ((Some(4.0), Some(400L)))) // the late right row won
+      assert(streamed(14L) == ((Some(10.0), Some(500L)))) // struct tie-break, not string
     } finally query.stop()
   }
 
