@@ -549,6 +549,15 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
+    * so the cache is safe): the three BPE catalog rows share it instead of
+    * re-running the histogram pass + merge learn each. */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.BpeTokenizer]
+  private def corpusBpe(s: SparkSession, d: String): graft.ops.BpeTokenizer =
+    bpeCache.getOrElseUpdate(d,
+      graft.ops.Bpe.trainFrom(docs(s, d), numMerges = 100, maxWords = 8000))
+
   /** Persisted IVF ANN index over the embeddings table, built once per
     * (session, sf dir) under the warehouse — the served-from-storage path
     * [[graft.ops.Similarity.ivfTopKIndexed]] reads (no re-training at
@@ -561,6 +570,19 @@ object SparkEntry {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
         graft.ops.Similarity.ivfBuildIndex(emb(s, d), path)
+    }
+    path
+  }
+
+  /** Persisted LSH signature index, same lifecycle as [[ivfIndexPath]]. */
+  private def lshIndexPath(s: SparkSession, d: String): String = {
+    val path = s.conf.get("spark.sql.warehouse.dir") +
+      "/graft_lsh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")))
+        graft.ops.Similarity.lshBuildIndex(emb(s, d), path)
     }
     path
   }
@@ -611,6 +633,11 @@ object SparkEntry {
       // plus recall after an incremental append)
       "sim_ann_ivf_idx" -> ((s, d) =>
         Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
+          emb(s, d).filter(col("vec_id") < 10), 5)),
+      // LSH served from the persisted signature index: corpus hashed once
+      // at build, queries hash only themselves (byte-equal to sim_ann_lsh)
+      "sim_ann_lsh_idx" -> ((s, d) =>
+        Similarity.lshTopKIndexed(s, lshIndexPath(s, d),
           emb(s, d).filter(col("vec_id") < 10), 5)),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // -- text analysis --
@@ -699,23 +726,19 @@ object SparkEntry {
       // counts from the real byte-level merge loop. Iterative BPE is not
       // SQL-expressible -> rows-only; BpeSpec pins hand-computed merges,
       // counts, and the budget/pack/chunk integration
-      "text_bpe_tokens" -> ((s, d) => {
-        val dd = docs(s, d)
-        TextOps.bpeTokenCounts(dd, Bpe.trainFrom(dd, numMerges = 100, maxWords = 8000))
-      }),
+      "text_bpe_tokens" -> ((s, d) =>
+        TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d))),
       "pipeline_token_budget_bpe" -> ((s, d) => {
         val dd = docs(s, d)
-        val bpe = Bpe.trainFrom(dd, numMerges = 100, maxWords = 8000)
         Curate.tokenBudgetSample(
-          dd.join(TextOps.bpeTokenCounts(dd, bpe).select(col("doc_id"), col("n_bpe_tokens")), "doc_id"),
+          dd.join(TextOps.bpeTokenCounts(dd, corpusBpe(s, d))
+            .select(col("doc_id"), col("n_bpe_tokens")), "doc_id"),
           Map("src0" -> 3000L, "src1" -> 800L),
           tokenCountCol = Some("n_bpe_tokens"))
           .select(col("doc_id"), col("source"), col("n_bpe_tokens"))
       }),
-      "pipeline_chunk_bpe" -> ((s, d) => {
-        val dd = docs(s, d)
-        Curate.chunkBpe(dd, Bpe.trainFrom(dd, numMerges = 100, maxWords = 8000))
-      }),
+      "pipeline_chunk_bpe" -> ((s, d) =>
+        Curate.chunkBpe(docs(s, d), corpusBpe(s, d))),
       "pipeline_shuffle" -> ((s, d) =>
         Curate.shuffleShards(docs(s, d), 16)
           .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))),

@@ -985,6 +985,138 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
   }
 
+  // --- persisted LSH index -------------------------------------------------
+
+  /**
+   * Build a PERSISTED LSH signature index — the per-call cost
+   * [[lshTopK]] pays that this removes is the corpus re-hash: `tables`
+   * sign-pattern signatures per vector (tables x planes x dim flops, the
+   * dominant build cost) compute ONCE and live on storage alongside the
+   * normalized vector; queries hash only themselves, and new batches
+   * append through the same stored geometry without touching built rows.
+   * The deterministic hyperplane family is parameterized by (table,
+   * plane, dim) alone, so an append writes signatures bit-identical to
+   * what a full rebuild would — SimilaritySpec asserts build+append ==
+   * fresh-build exactly.
+   *
+   * Layout under `path`:
+   *   meta/   one row: (tables, planes)
+   *   rows/   (id, vec, sigs array<int>)   normalized vectors
+   *
+   * Scale shape: one kernel scan + write at build/append; the query path
+   * is a single scan of (id, vec, sigs) with a broadcast of the hashed
+   * queries — no re-hash, no shuffle before the k-row rank window. The
+   * signature array is ~tables x 4 bytes next to the vector it indexes
+   * (no per-table row duplication — a bucket-partitioned layout would
+   * store the corpus `tables` times over).
+   */
+  def lshBuildIndex(
+      emb: DataFrame,
+      path: String,
+      tables: Int = 8,
+      planes: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(tables > 0 && planes > 0 && planes <= 30, "bad LSH geometry")
+    Seq((tables, planes)).toDF("tables", "planes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeLshRows(emb, path, tables, planes, idCol, vecCol, overwrite = true)
+  }
+
+  /** Append a batch through the STORED geometry (no re-hash of built
+    * rows; identical signatures to a fresh full build by construction). */
+  def lshAppendIndex(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val (tables, planes) = readLshMeta(emb.sparkSession, path)
+    writeLshRows(emb, path, tables, planes, idCol, vecCol, overwrite = false)
+  }
+
+  private def readLshMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").select("tables", "planes").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private def writeLshRows(
+      emb: DataFrame,
+      path: String,
+      tables: Int,
+      planes: Int,
+      idCol: String,
+      vecCol: String,
+      overwrite: Boolean
+  ): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    vecs(emb, idCol, vecCol)
+      .mapPartitions { it =>
+        it.map(v => (v.id, v.vec, signatures(v.vec, tables, planes)))
+      }
+      .toDF("id", "vec", "sigs")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/rows")
+  }
+
+  /**
+   * ANN top-k served from a persisted LSH index: queries hash driver-side
+   * against the stored geometry and broadcast; the index scan matches
+   * buckets within `probeHamming` bits per table and exactly re-ranks
+   * survivors — identical candidates, scores and ranking to [[lshTopK]]
+   * at the same geometry (OpsSpec pins byte-equality), with zero corpus
+   * hashing at query time.
+   */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      probeHamming: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import spark.implicits._
+    val (tables, planes) = readLshMeta(spark, path)
+    val qs = vecs(queries, idCol, vecCol).collect()
+      .map(q => (q, signatures(q.vec, tables, planes)))
+    val bc = spark.sparkContext.broadcast(qs)
+    val maxHam = probeHamming
+    val candidates = spark.read.parquet(s"$path/rows")
+      .select(col("id"), col("vec"), col("sigs"))
+      .as[(Long, Array[Double], Array[Int])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (id, vec, vsig) =>
+          queries.iterator.flatMap { case (q, qsig) =>
+            if (q.id == id) None
+            else {
+              var t = 0
+              var hit = false
+              while (t < vsig.length && !hit) {
+                hit = Integer.bitCount(vsig(t) ^ qsig(t)) <= maxHam
+                t += 1
+              }
+              if (hit) Some((q.id, id, dot(q.vec, vec))) else None
+            }
+          }
+        }
+      }
+      .toDF("query_id", "nbr_id", "score")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+  }
+
   /**
    * Deterministic pseudo-random hyperplane component for (plane p, dim d):
    * a value in [-1, 1) derived from a 64-bit mix of (p, d) — the same

@@ -472,6 +472,26 @@ class SimilaritySpec extends SparkSpec {
       s"expected 2 cell partitions selected, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("persisted LSH index: byte-equal to the in-memory path; append == fresh build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    Similarity.lshBuildIndex(emb, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def rows(d: String) = Similarity.lshTopKIndexed(spark, d, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val served = rows(dir)
+    // identical candidates, scores and ranking to the re-hashing path
+    val inMem = Similarity.lshTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === inMem)
+    // the deterministic hyperplane family makes append EXACTLY a fresh
+    // build: index 90% then append 10%, answers are byte-identical
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lsh-inc").toString
+    Similarity.lshBuildIndex(emb.filter(col("vec_id") % 10 =!= 0), dir2)
+    Similarity.lshAppendIndex(emb.filter(col("vec_id") % 10 === 0), dir2)
+    assert(rows(dir2) === served)
+  }
+
   test("persisted IVF index: incremental append keeps recall without re-training") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val built = emb.filter(col("vec_id") % 10 =!= 0)

@@ -168,6 +168,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // partition-pruned cells scan + broadcast-query score kernel (no
     // shuffle) + the per-query top-k rank window
     "sim_ann_ivf_idx" -> 1,
+    // stored-signature scan + broadcast-query match kernel + the rank
+    // window — no corpus hashing at query time
+    "sim_ann_lsh_idx" -> 1,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
