@@ -99,10 +99,14 @@ object Bpe {
     new BpeTokenizer(merges.toArray, pattern)
 
   /**
-   * Load a published-format `merges.txt`: `#`-prefixed header lines are
-   * skipped, every other non-blank line is "A B" with rank = order. Reads
-   * through the Hadoop filesystem so an index on cluster storage (HDFS/
-   * object store) loads the same as a local file.
+   * Load a published-format `merges.txt`: an optional `#version` header on
+   * the FIRST line is skipped, every other non-blank line is "A B" with
+   * rank = order. Only that first line is treated as a comment — a merge
+   * whose left token IS '#' (which real GPT-2-family merges files contain
+   * for markdown/code corpora) parses as data, so save/load round-trips
+   * every trainable merge. Reads through the Hadoop filesystem so an
+   * index on cluster storage (HDFS/object store) loads the same as a
+   * local file.
    */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       pattern: String = DefaultPattern): BpeTokenizer = {
@@ -112,8 +116,9 @@ object Bpe {
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, UTF_8))
       val merges = Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { l =>
+        .zipWithIndex
+        .filterNot { case (l, i) => l.isEmpty || (i == 0 && l.startsWith("#version")) }
+        .map { case (l, _) =>
           val sp = l.indexOf(' ')
           require(sp > 0 && sp < l.length - 1, s"malformed merges line: '$l'")
           (l.substring(0, sp), l.substring(sp + 1))
@@ -236,6 +241,24 @@ object Bpe {
       .limit(maxWords)
   }
 
+  /**
+   * Token VOCABULARY of a tokenizer — the standard GPT-2 construction
+   * (the vocab.json analog): the 256 byte tokens first, then one token
+   * per merge in rank order, id = position. Every piece [[BpeTokenizer.encode]]
+   * can emit is in this vocabulary by construction (a piece is either a
+   * single byte char or the concatenation some merge produced), so
+   * [[BpeTokenizer.encodeIds]] is total and `decodeIds` inverts it.
+   */
+  def vocab(bpe: BpeTokenizer): IndexedSeq[String] =
+    (0 until 256).map(b => String.valueOf(ByteToChar(b))) ++
+      bpe.merges.map { case (a, b) => a + b }
+
+  /** Inverse of [[BpeTokenizer.encodeIds]]: ids -> pieces -> text. */
+  def decodeIds(bpe: BpeTokenizer, ids: Seq[Int]): String = {
+    val v = vocab(bpe)
+    decode(ids.map(v(_)))
+  }
+
   /** Train a tokenizer from a corpus: histogram pass + driver-side learn
     * over the bounded top-`maxWords` cut. Deterministic end to end. */
   def trainFrom(
@@ -346,4 +369,15 @@ final class BpeTokenizer(
     while (m.find()) n += bpeWord(Bpe.toByteUnicode(m.group())).length
     n
   }
+
+  @transient private lazy val vocabIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    Bpe.vocab(this).zipWithIndex.foreach { case (tok, i) => m.put(tok, i) }
+    m
+  }
+
+  /** Token IDS of `text` under [[Bpe.vocab]] — what a training pipeline
+    * actually feeds the model; `Bpe.decodeIds` inverts it exactly. */
+  def encodeIds(text: String): Array[Int] =
+    encode(text).map(vocabIds.get(_).intValue)
 }

@@ -765,6 +765,50 @@ object Similarity {
     best
   }
 
+  // shared by the in-memory and persisted-index ANN paths: the indexed
+  // twins' byte-equality contract (OpsSpec) is STRUCTURAL — one
+  // implementation each for probe selection, bucket matching and the
+  // final exact cut, not parallel copies that could drift
+
+  /** The `nProbe` nearest cells of a vector by squared Euclidean
+    * (deterministic: ties break to the lower cell index). */
+  private def probeCells(
+      v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Array[Int] =
+    centroids.indices
+      .map { c =>
+        var dist = 0.0
+        var i = 0
+        while (i < v.length) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
+        (dist, c)
+      }
+      .sorted.take(nProbe).map(_._2).toArray
+
+  /** True iff some hash table puts the two signatures within `maxHam`
+    * bits of the same bucket. */
+  private def hammingHit(a: Array[Int], b: Array[Int], maxHam: Int): Boolean = {
+    var t = 0
+    var hit = false
+    while (t < a.length && !hit) {
+      hit = Integer.bitCount(a(t) ^ b(t)) <= maxHam
+      t += 1
+    }
+    hit
+  }
+
+  /** Exact per-query top-k cut over (query_id, nbr_id, score) candidates:
+    * rank window, k filter, 4-decimal rounding — the shared tail of every
+    * ANN operator. */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"),
+        round(col("score") + NanMath.RoundEps, 4).as("score"))
+  }
+
   /**
    * IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
    * corpus into cells; each query probes only its `nProbe` nearest cells.
@@ -792,19 +836,8 @@ object Similarity {
 
     val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
     val centroids = kmeans(sample.map(_.vec), nCells, iters)
-
-    def probeCells(v: Array[Double]): Array[Int] =
-      centroids.indices
-        .map { c =>
-          var dist = 0.0
-          var i = 0
-          while (i < v.length) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
-          (dist, c)
-        }
-        .sorted.take(nProbe).map(_._2).toArray
-
     val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
-      .map(q => (q, probeCells(q.vec).toSet))
+      .map(q => (q, probeCells(q.vec, centroids, nProbe).toSet))
     val bcQ = spark.sparkContext.broadcast(queries)
     val bcC = spark.sparkContext.broadcast(centroids)
 
@@ -819,14 +852,7 @@ object Similarity {
         }
       }
     }.toDF("query_id", "nbr_id", "score")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+    rankTopK(candidates, k)
   }
 
   // --- persisted IVF index -------------------------------------------------
@@ -945,19 +971,8 @@ object Similarity {
     import spark.implicits._
     val centroids = readIvfCentroids(spark, path)
     val np = math.min(nProbe, centroids.length)
-
-    def probeCells(v: Array[Double]): Array[Int] =
-      centroids.indices
-        .map { c =>
-          var dist = 0.0
-          var i = 0
-          while (i < v.length) { val d = v(i) - centroids(c)(i); dist += d * d; i += 1 }
-          (dist, c)
-        }
-        .sorted.take(np).map(_._2).toArray
-
     val qs = vecs(queries, idCol, vecCol).collect()
-      .map(q => (q, probeCells(q.vec).toSet))
+      .map(q => (q, probeCells(q.vec, centroids, np).toSet))
     val probed = qs.flatMap(_._2).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qs)
 
@@ -975,14 +990,7 @@ object Similarity {
         }
       }
       .toDF("query_id", "nbr_id", "score")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+    rankTopK(candidates, k)
   }
 
   // --- persisted LSH index -------------------------------------------------
@@ -1093,28 +1101,14 @@ object Similarity {
       .mapPartitions { it =>
         val queries = bc.value
         it.flatMap { case (id, vec, vsig) =>
-          queries.iterator.flatMap { case (q, qsig) =>
-            if (q.id == id) None
-            else {
-              var t = 0
-              var hit = false
-              while (t < vsig.length && !hit) {
-                hit = Integer.bitCount(vsig(t) ^ qsig(t)) <= maxHam
-                t += 1
-              }
-              if (hit) Some((q.id, id, dot(q.vec, vec))) else None
-            }
+          queries.iterator.collect {
+            case (q, qsig) if q.id != id && hammingHit(vsig, qsig, maxHam) =>
+              (q.id, id, dot(q.vec, vec))
           }
         }
       }
       .toDF("query_id", "nbr_id", "score")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+    rankTopK(candidates, k)
   }
 
   /**
@@ -1189,27 +1183,12 @@ object Similarity {
       val qs = bc.value
       it.flatMap { v =>
         val vsig = signatures(v.vec, nt, np)
-        qs.iterator.flatMap { case (q, qsig) =>
-          if (q.id == v.id) None
-          else {
-            var t = 0
-            var hit = false
-            while (t < vsig.length && !hit) {
-              hit = Integer.bitCount(vsig(t) ^ qsig(t)) <= maxHam
-              t += 1
-            }
-            if (hit) Some((q.id, v.id, dot(q.vec, v.vec))) else None
-          }
+        qs.iterator.collect {
+          case (q, qsig) if q.id != v.id && hammingHit(vsig, qsig, maxHam) =>
+            (q.id, v.id, dot(q.vec, v.vec))
         }
       }
     }.toDF("query_id", "nbr_id", "score")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nbr_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), round(col("score") + NanMath.RoundEps, 4).as("score"))
+    rankTopK(candidates, k)
   }
 }

@@ -226,6 +226,14 @@ object TextOps {
    */
   val bpePattern: String = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
 
+  /** Whitespace token count (= spaces + 1, matching `size(split(t, " "))`). */
+  private[ops] def wsTokens(text: String): Long = {
+    var ws = 1L
+    var i = 0
+    while (i < text.length) { if (text.charAt(i) == ' ') ws += 1; i += 1 }
+    ws
+  }
+
   /** Token counts per doc: whitespace tokens and BPE-ish subword pieces.
     * Kernel form: one compiled java.util.regex Matcher per partition (the
     * same regex engine regexp_count uses) instead of per-row HOF dispatch. */
@@ -238,13 +246,10 @@ object TextOps {
         val re = java.util.regex.Pattern.compile(pat)
         val m = re.matcher("")
         it.map { case (id, text) =>
-          var ws = 1L
-          var i = 0
-          while (i < text.length) { if (text.charAt(i) == ' ') ws += 1; i += 1 }
           m.reset(text)
           var bpe = 0L
           while (m.find()) bpe += 1
-          (id, ws.toDouble, bpe.toDouble)
+          (id, wsTokens(text).toDouble, bpe.toDouble)
         }
       }
       .toDF("doc_id", "n_ws_tokens", "n_bpe_tokens")
@@ -270,14 +275,13 @@ object TextOps {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val tok = bc.value
+        // column order mirrors [[tokenCounts]] (ws first) so positional
+        // consumers can switch between the sibling operators safely
         it.map { case (id, text) =>
-          var ws = 1L
-          var i = 0
-          while (i < text.length) { if (text.charAt(i) == ' ') ws += 1; i += 1 }
-          (id, tok.countTokens(text).toDouble, ws.toDouble)
+          (id, wsTokens(text).toDouble, tok.countTokens(text).toDouble)
         }
       }
-      .toDF(idCol, "n_bpe_tokens", "n_ws_tokens")
+      .toDF(idCol, "n_ws_tokens", "n_bpe_tokens")
   }
 
   /**

@@ -49,6 +49,10 @@ object Maintenance {
       buckets: Int = 64,
       partitioned: Boolean = true
   ): (StoreBackend, Report) = {
+    // a forgotten nowMs would silently expire nothing (cutoff lands in
+    // 1969) — retention misconfiguration must fail loudly, not accumulate
+    require(keepDays == 0 || nowMs > 0L,
+      "keepDays is set but nowMs is not — pass the current epoch millis")
     storePath.foreach(p =>
       Store.compact(spark, p, table, buckets, partitioned = partitioned, catalog = true))
     val rollups = scala.collection.mutable.LinkedHashMap.empty[String, Long]

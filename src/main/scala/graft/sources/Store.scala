@@ -153,12 +153,16 @@ object Store {
    */
   def semiJoinKeys(frame: DataFrame, keys: DataFrame,
       maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
-    // localCheckpoint: the catalog-filter plan executes ONCE — the gate
-    // count and the semi-join both read the materialized key blocks
-    // (without it, every fetch ran the catalog predicate twice: once for
-    // the eager count, again inside the join). Blocks are freed by the
-    // ContextCleaner when the fetch frame is collected.
-    val k = keys.localCheckpoint()
+    // persist(): the catalog-filter plan executes ONCE — the gate count
+    // materializes the blocks and the semi-join reads them (without it,
+    // every fetch ran the catalog predicate twice: once for the eager
+    // count, again inside the join). Chosen over localCheckpoint on the
+    // DEFAULT query path because persist keeps the lineage: a lost
+    // executor recomputes the partition instead of failing the fetch
+    // (and eviction under memory pressure degrades to recompute, never
+    // to error). Blocks are freed by the ContextCleaner when the fetch
+    // frame is collected and dereferenced.
+    val k = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a TRUE left_semi: a key duplicated on the catalog side (possible
     // after incremental [[backfillDays]] appends) cannot multiply the
     // joined datapoints, and no dedup shuffle is ever needed

@@ -58,9 +58,16 @@ object Validation {
     tags.foreach { case (k, v) =>
       if (k.length > rules.maxKeyLength) issues += s"key too long: [$k]"
       if (k.length < rules.minKeyLength) issues += s"key too short: [$k]"
-      val (vMin, vMax) =
-        if (k == "name") rules.nameValueLength.getOrElse((1, rules.maxValueLength))
-        else (1, rules.maxValueLength)
+      // empty values are invalid regardless of a configured min of 0 —
+      // the clamp keeps the scalar reasons and the Column predicate in
+      // lockstep (the unconditional "value empty" below would otherwise
+      // reject what a min-0 Column bound accepts)
+      val (vMin, vMax) = {
+        val (mn, mx) =
+          if (k == "name") rules.nameValueLength.getOrElse((1, rules.maxValueLength))
+          else (1, rules.maxValueLength)
+        (math.max(1, mn), mx)
+      }
       if (v.length > vMax) issues += s"value too long: [$k]"
       if (v.isEmpty) issues += s"value empty: [$k]"
       else if (v.length < vMin) issues += s"value too short: [$k]"
@@ -84,7 +91,8 @@ object Validation {
     val required = rules.requiredKeys
       .map(k => tags.getItem(k).isNotNull)
       .foldLeft(lit(true))(_ && _)
-    val (nameMin, nameMax) = rules.nameValueLength.getOrElse((1, rules.maxValueLength))
+    val (nameMin0, nameMax) = rules.nameValueLength.getOrElse((1, rules.maxValueLength))
+    val nameMin = math.max(1, nameMin0) // empty never passes; matches the scalar
     val perEntry = forall(entries, { e =>
       val k = e.getField("key")
       val v = e.getField("value")

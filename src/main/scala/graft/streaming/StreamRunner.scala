@@ -476,7 +476,11 @@ object StreamRunner {
     * known, and by the watermark lateness horizon before that. The TYPE
     * (not a precomputed step index) is buffered so repeated step names —
     * Seq("click", "click") — replay through the same stepsArr(r) matcher
-    * the batch kernel runs (an index map would collapse duplicates). */
+    * the batch kernel runs (an index map would collapse duplicates).
+    * CHECKPOINT COMPATIBILITY: this schema replaced the former
+    * (ts, stepIdx: Int) form — a streamingFunnel query upgraded across
+    * that change must restart from a fresh checkpoint (the state-store
+    * encoder cannot read the old row shape). */
   final case class FunnelState(t0: Long, buf: List[(Long, String)])
 
   /**

@@ -100,6 +100,17 @@ class BpeSpec extends SparkSpec {
     assert(loaded.encode("lowest").toSeq === Seq("low", "est"))
   }
 
+  test("merges whose tokens start with '#' survive save/load (only the version header is a comment)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-hash").toString
+    // a markdown/code corpus legitimately trains '#'-leading merges
+    val bpe = Bpe.fromMerges(Seq(("#", "#"), ("##", "#"), ("i", "n")))
+    Bpe.save(spark, bpe, s"$dir/merges.txt")
+    val loaded = Bpe.load(spark, s"$dir/merges.txt")
+    assert(loaded.merges.toSeq === bpe.merges.toSeq)
+    assert(loaded.encode("###").toSeq === Seq("###"))
+    assert(loaded.countTokens("### in") === bpe.countTokens("### in"))
+  }
+
   test("trainFrom a corpus is deterministic and counts drop as merges grow") {
     import spark.implicits._
     val docs = Seq(
@@ -201,6 +212,23 @@ class BpeSpec extends SparkSpec {
     }
     // every piece is covered and the last chunk reaches the end
     assert(over.last._2 + over.last._3 === n)
+  }
+
+  test("vocab ids: byte tokens then merges in rank order; encodeIds round-trips") {
+    val merges = Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4)
+    val bpe = Bpe.fromMerges(merges)
+    val v = Bpe.vocab(bpe)
+    assert(v.length === 256 + 4)
+    assert(v(256) === "es" && v(257) === "est" && v(258) === "lo" && v(259) === "low")
+    // "lowest" -> ["low", "est"] -> merge ids 259, 257 (computed by hand)
+    assert(bpe.encodeIds("lowest").toSeq === Seq(259, 257))
+    // single-byte pieces use the byte-token ids: 'l' = its own codepoint
+    assert(bpe.encodeIds("l").toSeq === Seq('l'.toInt))
+    val samples = Seq("the lowest and widest", "low lower lowest", " spaced  text ")
+    samples.foreach { s =>
+      assert(Bpe.decodeIds(bpe, bpe.encodeIds(s).toSeq) === s, s"id round-trip for '$s'")
+    }
   }
 
   test("bpeTokenCounts matches countTokens row by row") {

@@ -87,6 +87,7 @@ class NormalizerSpec extends AnyFunSuite {
     // other keys keep the common bounds
     assert(Validation.validate(Map("name" -> "sps", "grp" -> "ab"), rules).isEmpty)
   }
+
 }
 
 class ValidationColumnSpec extends SparkSpec {
@@ -121,6 +122,7 @@ class ValidationColumnSpec extends SparkSpec {
       Map("name" -> "sps", "grp" -> "Web1"),      // value pattern violation
       Map("name" -> "abcdefghi"),                 // name too long
       Map("name" -> "ab"),                        // name too short
+      Map("name" -> ""),                          // empty: invalid even at min 0
       Map("name" -> "sps.x", "grp" -> "x.1")
     ).toDF("tags")
     val got = rows
@@ -131,5 +133,18 @@ class ValidationColumnSpec extends SparkSpec {
     got.foreach { case (tags, ok) =>
       assert(ok == Validation.validate(tags, rules).isEmpty, tags.toString)
     }
+  }
+
+  test("a configured name min of 0 still rejects empty values in BOTH forms") {
+    import spark.implicits._
+    val rules = Validation.default.copy(nameValueLength = Some((0, 8)))
+    // scalar: empty is always invalid
+    assert(Validation.validate(Map("name" -> ""), rules).exists(_.contains("value empty")))
+    // column: the min-0 bound is clamped, so the predicate agrees (the
+    // ingest/DLQ split can't accept what the request path rejects)
+    val ok = Seq(Map("name" -> ""), Map("name" -> "sps")).toDF("tags")
+      .select(Validation.validTags(col("tags"), rules).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(ok == Seq(false, true))
   }
 }

@@ -426,19 +426,6 @@ class SimilaritySpec extends SparkSpec {
     assert(fit.map(_.getAs[Long]("size")).sum === 100000L)
   }
 
-  /** FileSourceScanExec leaves of an executed plan (AQE-unwrapped). */
-  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec        => fileScans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(fileScans)
-    }
-  }
-
   test("persisted IVF index: served results match in-memory IVF, scan is partition-pruned") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString

@@ -22,4 +22,19 @@ object TestSpark {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** FileSourceScanExec leaves of an executed plan, AQE-unwrapped — the
+    * shared walker for every plan-shape assertion (partition pruning,
+    * table-scan counting). */
+  protected def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec        => fileScans(q.plan)
+      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(fileScans)
+      case other                    => other.children.flatMap(fileScans)
+    }
+  }
 }

@@ -323,13 +323,6 @@ class StoreSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
 
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
-      case other                    => other.children.flatMap(scans)
-    }
-
     val day = 86400000L
     val mk = (n: String, ts: Long, v: Double) => (Map("name" -> n), ts, v)
     // series "old" lives only on day 0; "cpu" spans all three days
@@ -363,7 +356,7 @@ class StoreSpec extends SparkSpec {
       val fetch = Store.readIndexed(spark, "cexp_store",
         graft.asl.Query.Equal("name", "cpu"))
       assert(fetch.collect().map(_.getAs[Double]("value")).sorted.toSeq == Seq(2.0, 30.0))
-      val catalogScans = scans(fetch.queryExecution.executedPlan)
+      val catalogScans = fileScans(fetch.queryExecution.executedPlan)
         .flatMap(_.tableIdentifier).count(_.table.contains("_catalog"))
       assert(catalogScans == 0,
         s"fetch plan re-scans the catalog:\n${fetch.queryExecution.executedPlan}")
@@ -380,13 +373,6 @@ class StoreSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
-      case other                    => other.children.flatMap(scans)
-    }
 
     val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
     val day = 86400000L
@@ -427,7 +413,7 @@ class StoreSpec extends SparkSpec {
       val expr = Asl.parse("name,cpu,:eq,:sum")
       val fromBackend = Planner.output(Planner.eval(expr, backend, sub), Nil)
       val m1 = fromBackend.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val tables = scans(fromBackend.queryExecution.executedPlan)
+      val tables = fileScans(fromBackend.queryExecution.executedPlan)
         .flatMap(_.tableIdentifier).map(_.table)
       assert(tables.contains(s"mx_store_rollup_${6 * step}"),
         s"6h fetch did not read the cascaded rollup: $tables")
@@ -467,13 +453,6 @@ class StoreSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f) ++ f.children.flatMap(scans)
-      case other                    => other.children.flatMap(scans)
-    }
-
     val dir = "/root/testdata/sf0.001"
     val raw = Datapoints.events(spark, dir)
     Store.writeBucketed(raw, "events_part", buckets = 8, catalog = true, partitioned = true)
@@ -487,7 +466,7 @@ class StoreSpec extends SparkSpec {
       pruned.collect()
       val plan = pruned.queryExecution.executedPlan
       // the partition filter must reach the scan: 5 of 30 day directories
-      val scan = scans(plan).find(_.relation.partitionSchema.nonEmpty)
+      val scan = fileScans(plan).find(_.relation.partitionSchema.nonEmpty)
         .getOrElse(fail(s"no partitioned scan in plan:\n$plan"))
       assert(scan.partitionFilters.nonEmpty, s"no partition filters pushed:\n$plan")
       val selected = scan.selectedPartitions.partitionCount
