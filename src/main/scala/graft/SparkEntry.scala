@@ -739,6 +739,14 @@ object SparkEntry {
       }),
       "pipeline_chunk_bpe" -> ((s, d) =>
         Curate.chunkBpe(docs(s, d), corpusBpe(s, d))),
+      // the MATERIALIZED packed layout: real token-id sequences (rows-only
+      // — BPE ids; BpeSpec pins exact stream reconstruction)
+      "pipeline_pack_ids" -> ((s, d) =>
+        Curate.packTokenIds(docs(s, d), corpusBpe(s, d), seqLen = 128)),
+      // the same placement arithmetic over whitespace tokens, exploded so
+      // DuckDB verifies every (shard, seq, slot, token) cell
+      "pipeline_pack_tokens" -> ((s, d) =>
+        Curate.packTokensExploded(docs(s, d))),
       "pipeline_shuffle" -> ((s, d) =>
         Curate.shuffleShards(docs(s, d), 16)
           .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))),
@@ -1264,6 +1272,13 @@ object SparkEntry {
           |SELECT doc_id, source FROM c
           |WHERE prior < (CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 15000
           |               ELSE 9223372036854775807 END)""".stripMargin,
+      "pipeline_pack_tokens" ->
+        """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+          |c AS (SELECT doc_id, source, w,
+          |        sum(len(w)) OVER (PARTITION BY source ORDER BY doc_id) - len(w) AS st FROM t),
+          |x AS (SELECT source AS shard, st + u.i AS pos, w[u.i + 1] AS tok
+          |      FROM c, unnest(generate_series(0, len(w) - 1)) AS u(i))
+          |SELECT shard, pos // 512 AS seq_id, pos % 512 AS slot, tok FROM x""".stripMargin,
       "pipeline_pack_col" ->
         """WITH t AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n FROM documents),
           |c AS (SELECT doc_id, source, n,

@@ -521,6 +521,105 @@ object Curate {
    * inside the producing partition (same locality as [[chunk]]); no
    * shuffle anywhere.
    */
+  /**
+   * MATERIALIZED sequence packing with model tokens — where
+   * [[packSequences]] computes each document's placement, this emits the
+   * training sequences themselves: every document BPE-encodes to token
+   * ids, the ids concatenate in id order within each shard, and the
+   * stream cuts into rows of exactly `seqLen` ids (`token_ids:
+   * array<int>`) — the tensor-ready layout a loader memory-maps. The last
+   * sequence of a shard may be short (`n_tokens` says so; the loader pads
+   * or drops).
+   *
+   * Scale shape: documents never explode to per-token rows. The encode is
+   * a broadcast-tokenizer kernel; the running offset is the
+   * [[packSequences]] per-shard window (one exchange on shard); each doc
+   * then emits at most ceil(n/seqLen)+1 SLICE rows ((shard, seq, offset,
+   * ids-slice) — doc-slice cardinality, each row an int array), and one
+   * exchange on (shard, seq) assembles slices into sequences. Total
+   * shuffled bytes ~ 4·tokens + row overhead at slice granularity, the
+   * floor for a layout that has to move every token once.
+   */
+  def packTokenIds(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      seqLen: Int = 512,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    val enc = docs
+      .select(col(idCol).cast("long"), col(shardCol).cast("string"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val tok = bc.value
+        it.map { case (id, shard, text) => (id, shard, tok.encodeIds(text)) }
+      }
+      .toDF("__id", "__shard", "__ids")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__id"))
+    val slices = enc
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .as[(Long, String, Array[Int], Long, Long)]
+      .flatMap { case (_, shard, ids, _, start) =>
+        // cut the doc's ids at seqLen boundaries of the shard stream
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Array[Int])]
+        var pos = start
+        var i = 0
+        while (i < ids.length) {
+          val seq = pos / seqLen
+          val off = pos % seqLen
+          val take = math.min(seqLen - off, (ids.length - i).toLong).toInt
+          out += ((shard, seq, off, java.util.Arrays.copyOfRange(ids, i, i + take)))
+          pos += take
+          i += take
+        }
+        out
+      }
+      .toDF("shard", "seq_id", "offset", "piece")
+    slices
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(flatten(
+        array_sort(collect_list(struct(col("offset"), col("piece"))))
+          .getField("piece")).as("token_ids"))
+      .select(col("shard"), col("seq_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"), col("token_ids"))
+  }
+
+  /**
+   * Token-level placement of [[packSequences]], EXPLODED for exact oracle
+   * verification: one row per whitespace token with its (shard, seq, slot)
+   * position in the packed stream — the same arithmetic [[packTokenIds]]
+   * applies to BPE ids, over tokens DuckDB can also produce. Pure window +
+   * generator plan (one exchange on the shard key).
+   */
+  def packTokensExploded(
+      docs: DataFrame,
+      seqLen: Long = 512L,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    val n = size(split(col(textCol), " ")).cast("long")
+    docs
+      .select(col(idCol), col(shardCol),
+        (sum(n).over(w) - n).as("__start"), split(col(textCol), " ").as("__toks"))
+      .select(col(shardCol).as("shard"), col("__start"),
+        posexplode(col("__toks")).as(Seq("__idx", "tok")))
+      .select(col("shard"),
+        expr(s"(__start + __idx) div ${seqLen}L").as("seq_id"),
+        ((col("__start") + col("__idx")) % seqLen).as("slot"),
+        col("tok"))
+  }
+
   def chunkBpe(
       docs: DataFrame,
       bpe: BpeTokenizer,

@@ -231,6 +231,48 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIds materializes exact fixed-length sequences per shard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the lowest low", "s0"),
+      (2L, "widest newest", "s0"),
+      (3L, "lower the low", "s0"),
+      (4L, "low low", "s1")
+    ).toDF("doc_id", "text", "source")
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val L = 4
+    val out = Curate.packTokenIds(docs, bpe, seqLen = L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getSeq[Int](3).toArray))
+    // within each shard: sequences are the id-order concatenation of the
+    // docs' encodeIds streams, cut every L tokens
+    Seq("s0" -> Seq(1L -> "the lowest low", 2L -> "widest newest", 3L -> "lower the low"),
+        "s1" -> Seq(4L -> "low low")).foreach { case (shard, ds) =>
+      val stream = ds.flatMap { case (_, t) => bpe.encodeIds(t) }
+      val seqs = out.filter(_._1 == shard).sortBy(_._2)
+      // contiguous seq ids from 0, all full except possibly the last
+      assert(seqs.map(_._2).toSeq === (0L until seqs.length.toLong))
+      seqs.init.foreach { case (_, _, n, ids) => assert(n === L && ids.length === L) }
+      assert(seqs.flatMap(_._4).toSeq === stream, s"shard $shard stream mismatch")
+    }
+  }
+
+  test("packTokensExploded places every whitespace token at its packed (seq, slot)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s0"), (2L, "d e", "s0"), (3L, "f", "s0")
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.packTokensExploded(docs, seqLen = 4L)
+      .orderBy("seq_id", "slot")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // stream a b c d e f cut at 4: seq0 = a b c d, seq1 = e f
+    assert(out === Seq(
+      (0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"), (0L, 3L, "d"),
+      (1L, 0L, "e"), (1L, 1L, "f")))
+  }
+
   test("bpeTokenCounts matches countTokens row by row") {
     import spark.implicits._
     val docs = Seq(

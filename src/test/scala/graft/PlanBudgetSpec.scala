@@ -171,6 +171,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // stored-signature scan + broadcast-query match kernel + the rank
     // window — no corpus hashing at query time
     "sim_ann_lsh_idx" -> 1,
+    // shard-offset window + the (shard, seq) slice assembly — documents
+    // never explode to per-token rows, slices carry the ids
+    "pipeline_pack_ids" -> 2,
+    // placement arithmetic is a projection over the offset window
+    "pipeline_pack_tokens" -> 1,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
