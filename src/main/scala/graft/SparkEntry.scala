@@ -1652,7 +1652,8 @@ object SparkEntry {
     "math_div_subset" -> base(
       """SELECT pud.usr, pud.grp, pud.t, round(CASE WHEN cud.v = 0 AND pud.v = 0 THEN 0 WHEN cud.v = 0 THEN NULL ELSE pud.v / cud.v END, 4) AS value
         |FROM pud JOIN cud ON pud.usr = cud.usr AND pud.t = cud.t
-        |WHERE pud.v IS NOT NULL AND cud.v IS NOT NULL""".stripMargin,
+        |WHERE pud.v IS NOT NULL AND cud.v IS NOT NULL
+        |  AND CASE WHEN cud.v = 0 AND pud.v = 0 THEN 0 WHEN cud.v = 0 THEN NULL ELSE pud.v / cud.v END IS NOT NULL""".stripMargin,
       "pu AS (SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'purchase' GROUP BY 1, 2, 3)",
       "puk AS (SELECT DISTINCT usr, grp FROM pu)",
       "pud AS (SELECT puk.usr, puk.grp, grid.t, pu.v FROM puk CROSS JOIN grid LEFT JOIN pu ON pu.usr = puk.usr AND pu.grp = puk.grp AND pu.t = grid.t)",

@@ -131,6 +131,15 @@ class PlannerSpec extends SparkSpec {
     assert(got(slot(0)) == 0.0)
   }
 
+  test(":div x/0 is a GAP (no row), matching the sparse-NaN convention") {
+    // b / (b - b): denominator 0, numerator nonzero everywhere b exists —
+    // every slot is x/0 -> NaN -> dropped (the sf0.1 scale probe caught
+    // the subset-key oracle keeping such a row the engine drops)
+    val zero = Binary(BinOp.Sub, Sum(b), Sum(b))
+    val got = series(Binary(BinOp.Div, Sum(b), zero))
+    assert(got.isEmpty, got.toString)
+  }
+
   test("grouped binary op joins lines by subset key") {
     val byNode = GroupBy(Sum(a), List("node"))
     val got = values(Binary(BinOp.Div, byNode, Sum(a)))
