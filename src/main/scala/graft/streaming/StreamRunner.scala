@@ -426,6 +426,76 @@ object StreamRunner {
       .start()
   }
 
+  /** Per-shard packing state: the next sequence id to assign and the
+    * partial tail sequence (< seqLen ids) awaiting more tokens. */
+  final case class PackState(nextSeq: Long, tail: Array[Int])
+
+  /**
+   * Streaming [[graft.ops.Curate.packTokenIds]]: a LIVE document stream
+   * packs into fixed-length token-id training sequences continuously —
+   * the ingest-to-tensor path with no batch rebuild. Per shard the state
+   * is O(seqLen): the next sequence id and the partial tail; a sequence
+   * row emits the moment it fills, exactly once.
+   *
+   * Ordering contract: documents pack in (micro-batch arrival, doc id)
+   * order per shard — the stream-prefix analog of the batch operator's
+   * id order. Feeding a corpus in one batch reproduces the batch
+   * operator's FULL sequences row-for-row (StreamSpec pins it); the
+   * final short tail stays in state rather than emitting (a stream has
+   * no end — a deployment flushes by sending an end-of-corpus sentinel
+   * document or padding). Processing-time stateful op: no watermark
+   * needed, nothing is ever dropped as late.
+   */
+  def streamingPackTokenIds(
+      docs: DataFrame,
+      bpe: graft.ops.BpeTokenizer,
+      seqLen: Int = 512,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    docs
+      .select(col(shardCol).cast("string"), col(idCol).cast("long"), col(textCol))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, (String, Long, Long, Array[Int])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, rows: Iterator[(String, Long, String)],
+            gstate: GroupState[PackState]) =>
+          val tok = bc.value
+          val st = gstate.getOption.getOrElse(PackState(0L, Array.empty[Int]))
+          var seq = st.nextSeq
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          buf ++= st.tail
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Array[Int])]
+          // within the batch, id order (the batch operator's order); the
+          // sort buffers one group's batch slice, not stream history
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, text) =>
+            val ids = tok.encodeIds(text)
+            var i = 0
+            while (i < ids.length) {
+              val take = math.min(seqLen - buf.length, ids.length - i)
+              var j = 0
+              while (j < take) { buf += ids(i + j); j += 1 }
+              i += take
+              if (buf.length == seqLen) {
+                out += ((shard, seq, seqLen.toLong, buf.toArray))
+                seq += 1
+                buf.clear()
+              }
+            }
+          }
+          gstate.update(PackState(seq, buf.toArray))
+          out.iterator
+      }
+      .toDF("shard", "seq_id", "n_tokens", "token_ids")
+  }
+
   /**
    * Dead-letter sink for the ingest pipeline: every datapoint [[ingest]]'s
    * validation gate drops is captured here WITH its human-readable reasons

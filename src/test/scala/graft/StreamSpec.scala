@@ -891,6 +891,51 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming packTokenIds: one batch reproduces batch full sequences; the tail carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bpe = graft.ops.Bpe.fromMerges(graft.ops.Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val corpus = Seq(
+      (1L, "the lowest low", "s0"),
+      (2L, "widest newest", "s0"),
+      (3L, "lower the low", "s0"),
+      (4L, "low low lowest", "s1"))
+    val L = 4
+
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamRunner.streamingPackTokenIds(
+      input.toDF.toDF("doc_id", "text", "source"), bpe, seqLen = L)
+    val query = out.writeStream.format("memory").queryName("stream_pack")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 1-2; batch 2: docs 3-4 — the partial tail after
+      // batch 1 must continue into batch 2's stream seamlessly
+      input.addData(corpus.take(2))
+      query.processAllAvailable()
+      input.addData(corpus.drop(2))
+      query.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getSeq[Int](3).toSeq))).toMap
+      val streamed = rows(spark.table("stream_pack"))
+      // batch reference on the same corpus: every FULL sequence matches
+      // (the short tail stays in streaming state; a stream has no end)
+      val batch = rows(graft.ops.Curate.packTokenIds(
+        corpus.toDF("doc_id", "text", "source"), bpe, seqLen = L))
+      val fullBatch = batch.filter { case (_, (n, _)) => n == L }
+      assert(streamed == fullBatch, s"streamed $streamed vs batch-full $fullBatch")
+      assert(streamed.nonEmpty)
+      // and the cross-batch carry really happened: doc 3's tokens landed
+      // in a sequence that started inside batch 1's tail
+      val s0Stream = corpus.filter(_._3 == "s0").flatMap(c => bpe.encodeIds(c._2))
+      val s0Seqs = streamed.collect { case (("s0", sid), (_, ids)) => sid -> ids }
+        .toSeq.sortBy(_._1).flatMap(_._2)
+      assert(s0Seqs == s0Stream.take(s0Seqs.length))
+    } finally query.stop()
+  }
+
   test("streaming dedup ingest: intra-batch and cross-batch near-dups never reach the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
