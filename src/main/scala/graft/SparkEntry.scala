@@ -801,6 +801,14 @@ object SparkEntry {
       // test carries the semantics.
       "pipeline_semdedup" -> ((s, d) =>
         Curate.semanticDedupKeep(emb(s, d), 0.9).select(col("vec_id"))),
+      // embedding-space decontamination at the same >= 0.9 near-dup regime
+      // (eval = every 10th vector): corpus rows near any eval vector drop
+      "pipeline_semdecontam" -> ((s, d) => {
+        val e = emb(s, d)
+        Curate.semanticDecontaminate(
+          e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0), 0.9)
+          .select(col("vec_id"))
+      }),
       "text_pii_redact" -> ((s, d) => TextOps.piiRedact(
         EventOps.events(s, d).select(col("event_id"), col("props")),
         minDigits = 2, idCol = "event_id", textCol = "props")),
@@ -1216,6 +1224,11 @@ object SparkEntry {
            |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
            |SELECT e2.vec_id FROM embeddings e2 LEFT JOIN labels l ON e2.vec_id = l.node
            |WHERE l.cluster_id IS NULL OR l.cluster_id = e2.vec_id""".stripMargin,
+      "pipeline_semdecontam" ->
+        s"""SELECT a.vec_id FROM embeddings a
+           |WHERE a.vec_id % 10 <> 0 AND NOT EXISTS (
+           |  SELECT 1 FROM embeddings b
+           |  WHERE b.vec_id % 10 = 0 AND round($cosSql, 4) >= 0.9)""".stripMargin,
       "text_pii_redact" -> {
         val eP = graft.ops.TextOps.EmailPattern
         val iP = graft.ops.TextOps.Ipv4Pattern

@@ -143,6 +143,31 @@ object Curate {
   }
 
   /**
+   * Semantic decontamination keep-decision: corpus rows whose embedding
+   * near-duplicates ANY eval-set embedding (cosine >= threshold) drop —
+   * the embedding-space half of benchmark decontamination, catching the
+   * paraphrases and re-renderings the n-gram overlap test
+   * ([[TextOps.decontaminate]]) cannot see. The probe is
+   * [[Similarity.contaminatedIds]] (eval side broadcast, corpus
+   * zero-shuffle kernel); the drop is one left_anti join against the
+   * (tiny) contaminated-id set — AQE broadcasts it, the corpus never
+   * shuffles.
+   */
+  def semanticDecontaminate(
+      emb: DataFrame,
+      evalEmb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val hits = Similarity.contaminatedIds(emb, evalEmb, threshold,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("vec_id").as("__contaminated"))
+      .distinct()
+    emb.join(hits, emb(idCol).cast("long") === col("__contaminated"), "left_anti")
+  }
+
+  /**
    * Sequence packing (concat-then-chunk): lay the corpus out as fixed-
    * length training sequences by assigning every document a position in a
    * running token stream — `seq_id` is the sequence its first token lands

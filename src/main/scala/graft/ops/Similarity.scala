@@ -993,6 +993,58 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
+  /**
+   * Cross-set contamination probe: corpus vectors with an EVAL-side
+   * embedding within `threshold` cosine — the semantic analog of n-gram
+   * [[TextOps.decontaminate]] (a paraphrased benchmark question shares no
+   * 5-gram with its restatement; its embedding sits right next to it).
+   * Returns one row per (corpus id, matching eval id) with the exact
+   * rounded score.
+   *
+   * Scale shape: the eval side is benchmark-sized BY CONTRACT (the same
+   * contract the n-gram decontaminate's broadcast makes): its normalized
+   * vectors AND their LSH signatures broadcast once; the corpus streams
+   * through ONE kernel — each row hashes itself, probes the eval tables
+   * within `probeHamming` bits, and exact-scores only colliding eval
+   * vectors. Zero shuffle over the corpus. The prefilter is probabilistic
+   * in general; at the near-duplicate thresholds decontamination runs at
+   * (>= 0.9) the 16x8 multiprobe geometry misses a true pair with
+   * p < 1e-3 per pair — the [[cosinePairs]] high-similarity adjudication,
+   * and the regime the oracle row pins exactly.
+   */
+  def contaminatedIds(
+      emb: DataFrame,
+      evalEmb: DataFrame,
+      threshold: Double,
+      tables: Int = 16,
+      planes: Int = 8,
+      probeHamming: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val evals = vecs(evalEmb, idCol, vecCol).collect()
+      .map(q => (q, signatures(q.vec, tables, planes)))
+    val bc = spark.sparkContext.broadcast(evals)
+    val maxHam = probeHamming
+    vecs(emb, idCol, vecCol)
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { v =>
+          val vsig = signatures(v.vec, tables, planes)
+          qs.iterator.flatMap { case (q, qsig) =>
+            if (!hammingHit(vsig, qsig, maxHam)) None
+            else {
+              val s = rnd4(dot(v.vec, q.vec))
+              if (s >= threshold) Some((v.id, q.id, s)) else None
+            }
+          }
+        }
+      }
+      .toDF("vec_id", "eval_id", "score")
+  }
+
   // --- persisted LSH index -------------------------------------------------
 
   /**

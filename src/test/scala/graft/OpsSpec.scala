@@ -459,6 +459,32 @@ class SimilaritySpec extends SparkSpec {
       s"expected 2 cell partitions selected, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("semantic decontamination drops exactly the corpus rows near an eval embedding") {
+    import spark.implicits._
+    // corpus: id 1 is a near-copy of eval vector 100, id 2 is orthogonal,
+    // id 3 is a moderate-similarity neighbor below the threshold
+    val mk = (v: Seq[Double]) => v.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, mk(Seq(1.0, 0.01, 0.0, 0.0))),
+      (2L, mk(Seq(0.0, 0.0, 1.0, 0.0))),
+      (3L, mk(Seq(1.0, 0.8, 0.0, 0.0)))  // cos ~ 0.78 to eval 100
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, mk(Seq(1.0, 0.0, 0.0, 0.0))),
+      (101L, mk(Seq(0.0, 0.0, 0.0, 1.0)))
+    ).toDF("vec_id", "embedding")
+    val hits = Similarity.contaminatedIds(corpus, eval, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 100L)))
+    val kept = Curate.semanticDecontaminate(corpus, eval, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // zero-shuffle probe: the contamination kernel plan has no exchange
+    val probePlan = Similarity.contaminatedIds(corpus, eval, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("Exchange"), probePlan)
+  }
+
   test("persisted LSH index: byte-equal to the in-memory path; append == fresh build") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString

@@ -176,6 +176,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "pipeline_pack_ids" -> 2,
     // placement arithmetic is a projection over the offset window
     "pipeline_pack_tokens" -> 1,
+    // broadcast-eval contamination kernel (0 exchanges) + the distinct
+    // on the tiny contaminated-id set; the anti join's id side reuses
+    // that grouping and the corpus side is the scan
+    "pipeline_semdecontam" -> 1,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
