@@ -63,6 +63,19 @@ object MicroBench {
     timeDf("text_langid", graft.ops.TextOps.langId(docs))
     timeDf("text_fingerprint", graft.ops.TextOps.fingerprint(docs))
     timeDf("text_rolling_fp", graft.ops.TextOps.rollingFingerprint(docs))
+
+    // BPE tokenizer throughput: trained merges, memoized-pretoken kernel.
+    // Reported as corpus MB/s alongside the wall time (the number that
+    // matters for a tokenize pass over a 100 TB corpus).
+    val bpe = graft.ops.Bpe.trainFrom(docs, numMerges = 200, maxWords = 8000)
+    val corpusBytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.bpeTokenCounts(docs, bpe)
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe_token_counts run$i: $secs%.2f s  (${corpusBytes / secs / 1e6}%.0f MB/s)")
+    }
     spark.stop()
   }
 }

@@ -801,6 +801,17 @@ object SparkEntry {
       // test carries the semantics.
       "pipeline_semdedup" -> ((s, d) =>
         Curate.semanticDedupKeep(emb(s, d), 0.9).select(col("vec_id"))),
+      // snapshot diff: old = corpus minus every-7th doc, new = corpus
+      // minus every-11th with every-5th doc's text revised
+      "pipeline_corpus_diff" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.corpusDiff(
+          dd.filter(col("doc_id") % 7 =!= 0),
+          dd.filter(col("doc_id") % 11 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))))
+      }),
       // embedding-space decontamination at the same >= 0.9 near-dup regime
       // (eval = every 10th vector): corpus rows near any eval vector drop
       "pipeline_semdecontam" -> ((s, d) => {
@@ -1224,6 +1235,17 @@ object SparkEntry {
            |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
            |SELECT e2.vec_id FROM embeddings e2 LEFT JOIN labels l ON e2.vec_id = l.node
            |WHERE l.cluster_id IS NULL OR l.cluster_id = e2.vec_id""".stripMargin,
+      "pipeline_corpus_diff" ->
+        """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 7 <> 0),
+          |n AS (SELECT doc_id,
+          |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS nh
+          |      FROM documents WHERE doc_id % 11 <> 0)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |       CASE WHEN o.oh IS NULL THEN 'added'
+          |            WHEN n.nh IS NULL THEN 'removed'
+          |            WHEN o.oh = n.nh THEN 'unchanged'
+          |            ELSE 'changed' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
       "pipeline_semdecontam" ->
         s"""SELECT a.vec_id FROM embeddings a
            |WHERE a.vec_id % 10 <> 0 AND NOT EXISTS (

@@ -42,7 +42,11 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: encoding is a partition-local kernel (compiled regex +
  * merge-rank hash map, broadcast once per executor, per-thread pretoken
- * memo cache); no shuffle anywhere on the count path.
+ * memo cache); no shuffle anywhere on the count path. Measured
+ * (graft.MicroBench, local[32], 200-merge tokenizer over a repetitive
+ * 16-word synthetic corpus — near-best-case memo hit rate): ~0.25 s per
+ * 75 MB pass, ~280 MB/s aggregate; diverse web text lands lower as memo
+ * hits fall, degrading toward the per-word merge loop.
  */
 object Bpe {
 

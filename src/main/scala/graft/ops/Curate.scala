@@ -143,6 +143,36 @@ object Curate {
   }
 
   /**
+   * Corpus snapshot diff — what changed between two releases of a corpus
+   * (successive crawls, a re-filtering run): one row per document id
+   * present in EITHER side with status `added` / `removed` / `changed` /
+   * `unchanged`, content compared by md5 of the text. The audit a
+   * pipeline runs before promoting a new corpus version (how much churn
+   * did the new filter cause?).
+   *
+   * Scale shape: content hashes are projections at each scan; one
+   * full-outer hash join on the id — bucketable, AQE-skew-splittable, no
+   * text bytes cross the wire (only 32-char hashes).
+   */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val o = oldDocs.select(col(idCol).cast("long").as(idCol),
+      md5(col(textCol)).as("__oh"))
+    val n = newDocs.select(col(idCol).cast("long").as(idCol),
+      md5(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
    * Semantic decontamination keep-decision: corpus rows whose embedding
    * near-duplicates ANY eval-set embedding (cosine >= threshold) drop —
    * the embedding-space half of benchmark decontamination, catching the

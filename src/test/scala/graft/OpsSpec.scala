@@ -684,6 +684,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(4L).getAs[Double]("n_windows") == 0.0 && r(4L).getAs[Double]("frac") == 0.0)
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged by content hash") {
+    val oldDocs = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curate.corpusDiff(oldDocs, newDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("removeSharedSpans cuts recurring windows, keeps the first occurrence, is idempotent") {
     val docs = Seq(
       (1L, "a b c d e f"),      // holds the FIRST "a b c d" -> untouched

@@ -180,6 +180,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // on the tiny contaminated-id set; the anti join's id side reuses
     // that grouping and the corpus side is the scan
     "pipeline_semdecontam" -> 1,
+    // the two sides of the unhinted full-outer id join; hashes are scan
+    // projections, no text bytes shuffle
+    "pipeline_corpus_diff" -> 2,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
