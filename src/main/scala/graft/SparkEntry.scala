@@ -674,6 +674,11 @@ object SparkEntry {
       "events_funnel" -> ((s, d) =>
         EventOps.funnel(EventOps.events(s, d),
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
+      // REPEATED step names (click twice): the greedy matcher advances on
+      // the step-position type, and the chained-min oracle follows
+      "events_funnel_rep" -> ((s, d) =>
+        EventOps.funnel(EventOps.events(s, d),
+          Seq("click", "click", "purchase"), windowMs = 604800000L)),
       "events_retention" -> ((s, d) =>
         EventOps.retention(EventOps.events(s, d))),
       "events_transitions" -> ((s, d) =>
@@ -1347,6 +1352,20 @@ object SparkEntry {
       "events_funnel" ->
         """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
           |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
+          |       GROUP BY 1, 2),
+          |s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND t > s2.t2 AND t - s2.t1 <= 604800000
+          |       GROUP BY 1)
+          |SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 2, count(*) FROM s2
+          |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+      // same chained-min recurrence with the step type repeated: the
+      // second click must be strictly later than the anchor click
+      "events_funnel_rep" ->
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+          |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'click' GROUP BY 1),
           |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
           |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
           |       GROUP BY 1, 2),

@@ -231,6 +231,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: encode/decode round-trips and counts agree on random unicode text") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L), ("###", 4L)),
+      numMerges = 8))
+    // fragments cover the byte-level edge cases: multi-space runs, tabs,
+    // newlines, '#', accents, CJK, an astral emoji (surrogate pair),
+    // contractions, digits
+    val frags = Seq("low", "est", "newest", "a", " ", "  ", "\t", "\n",
+      "#", "##", "é", "ß", "中文", "😀", "'s", "'t", "123", ".", "--")
+    val gen = Gen.listOf(Gen.oneOf(frags)).map(_.mkString)
+    val prop = Prop.forAll(gen) { s =>
+      val pieces = bpe.encode(s)
+      Bpe.decode(pieces.toSeq) == s &&
+        bpe.countTokens(s) == pieces.length.toLong &&
+        Bpe.decodeIds(bpe, bpe.encodeIds(s).toSeq) == s
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packTokenIds materializes exact fixed-length sequences per shard") {
     import spark.implicits._
     val docs = Seq(
