@@ -68,7 +68,9 @@ object MicroBench {
     // Reported as corpus MB/s alongside the wall time (the number that
     // matters for a tokenize pass over a 100 TB corpus).
     val bpe = graft.ops.Bpe.trainFrom(docs, numMerges = 200, maxWords = 8000)
-    val corpusBytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    // octet_length: actual UTF-8 bytes, not characters (chars understate
+    // throughput on non-ASCII text; identical on this ASCII corpus)
+    val corpusBytes = docs.select(sum(octet_length(col("text")))).head().getLong(0)
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       graft.ops.TextOps.bpeTokenCounts(docs, bpe)

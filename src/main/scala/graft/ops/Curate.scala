@@ -160,15 +160,19 @@ object Curate {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    // presence rides explicit flags, not hash nullness: a NULL-text
+    // document would otherwise read as a join miss ("added"/"removed")
+    // instead of comparing; the null-safe <=> makes NULL == NULL text
+    // "unchanged" like any other equal content
     val o = oldDocs.select(col(idCol).cast("long").as(idCol),
-      md5(col(textCol)).as("__oh"))
+      md5(col(textCol)).as("__oh"), lit(true).as("__op"))
     val n = newDocs.select(col(idCol).cast("long").as(idCol),
-      md5(col(textCol)).as("__nh"))
+      md5(col(textCol)).as("__nh"), lit(true).as("__np"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") === col("__nh"), "unchanged")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -686,15 +686,20 @@ class TextOpsSpec extends SparkSpec {
 
   test("corpusDiff labels added/removed/changed/unchanged by content hash") {
     val oldDocs = Seq(
-      (1L, "same text"), (2L, "will change"), (3L, "will be removed")
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val newDocs = Seq(
-      (1L, "same text"), (2L, "has changed"), (4L, "brand new")
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String]), (6L, "filled in")
     ).toDF("doc_id", "text")
     val got = graft.ops.Curate.corpusDiff(oldDocs, newDocs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // NULL text compares as content (presence is explicit, not inferred
+    // from the hash): null == null -> unchanged, null -> text -> changed
     assert(got === Map(
-      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "unchanged", 6L -> "changed"))
   }
 
   test("removeSharedSpans cuts recurring windows, keeps the first occurrence, is idempotent") {
