@@ -646,6 +646,7 @@ object SparkEntry {
       "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
       "text_rolling_fp" -> ((s, d) => TextOps.rollingFingerprint(docs(s, d))),
       "text_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+      "text_normalize" -> ((s, d) => TextOps.normalizeText(docs(s, d))),
       "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
       "dedup_substring" -> ((s, d) => TextOps.sharedSubstrings(docs(s, d), n = 10)),
       // the TRANSFORM the report only flags: recurring 10-token windows cut,
@@ -1240,6 +1241,11 @@ object SparkEntry {
            |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
            |SELECT e2.vec_id FROM embeddings e2 LEFT JOIN labels l ON e2.vec_id = l.node
            |WHERE l.cluster_id IS NULL OR l.cluster_id = e2.vec_id""".stripMargin,
+      "text_normalize" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+          |FROM documents""".stripMargin,
       "pipeline_corpus_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 7 <> 0),
           |n AS (SELECT doc_id,

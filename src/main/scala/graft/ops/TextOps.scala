@@ -648,6 +648,43 @@ object TextOps {
           .otherwise(0.0).as("frac"))
   }
 
+  /**
+   * Unicode + whitespace canonicalization — the normalization pass a text
+   * pipeline runs BEFORE hashing, deduping or tokenizing (without it the
+   * composed and decomposed renderings of "café" are different documents
+   * to every downstream operator): NFC-normalize, strip control
+   * characters (tab and newline survive), collapse space runs to one,
+   * trim. One partition-local kernel (java.text.Normalizer + one compiled
+   * regex pass), no shuffle; the DuckDB oracle reproduces it with
+   * `nfc_normalize` + the same RE2-compatible patterns.
+   */
+  def normalizeText(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ctrl = java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B-\\x1F\\x7F]")
+        val spaces = java.util.regex.Pattern.compile(" +")
+        it.map { case (id, text) =>
+          val nfc = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+          val stripped = ctrl.matcher(nfc).replaceAll("")
+          val collapsed = spaces.matcher(stripped).replaceAll(" ")
+          // trim SPACES only (matching SQL trim; String.trim would also
+          // eat the tabs/newlines the control strip deliberately keeps)
+          var a = 0
+          var b = collapsed.length
+          while (a < b && collapsed.charAt(a) == ' ') a += 1
+          while (b > a && collapsed.charAt(b - 1) == ' ') b -= 1
+          (id, collapsed.substring(a, b))
+        }
+      }
+      .toDF(idCol, "norm_text")
+  }
+
   /** All-POSITION window rows (doc_id, pos, gram), case-sensitive and NOT
     * deduped per doc — the positional form [[removeSharedSpans]] cuts
     * spans from (the distinct lowercase [[ngramRows]] feed the report

@@ -684,6 +684,24 @@ class TextOpsSpec extends SparkSpec {
     assert(r(4L).getAs[Double]("n_windows") == 0.0 && r(4L).getAs[Double]("frac") == 0.0)
   }
 
+  test("normalizeText: NFC composition, control strip, space collapse, space-only trim") {
+    val docs = Seq(
+      (1L, "cafe\u0301 time"),         // decomposed e + combining acute
+      (2L, "a\u0001b\u0007c"),          // control chars stripped
+      (3L, "  a   b  "),                // runs collapse, ends trim
+      (4L, "keep\tthis\nshape"),        // tab and newline survive
+      (5L, "\tindent stays")            // leading tab NOT trimmed (space-only trim)
+    ).toDF("doc_id", "text")
+    val got = TextOps.normalizeText(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "caf\u00e9 time")            // composed e-acute
+    assert(got(1L).length === 9) // one char shorter than the decomposed input
+    assert(got(2L) === "abc")
+    assert(got(3L) === "a b")
+    assert(got(4L) === "keep\tthis\nshape")
+    assert(got(5L) === "\tindent stays")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged by content hash") {
     val oldDocs = Seq(
       (1L, "same text"), (2L, "will change"), (3L, "will be removed"),

@@ -183,6 +183,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the two sides of the unhinted full-outer id join; hashes are scan
     // projections, no text bytes shuffle
     "pipeline_corpus_diff" -> 2,
+    // NFC + regex kernel, pure scan
+    "text_normalize" -> 0,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
