@@ -605,18 +605,27 @@ object Curate {
       seqLen: Int = 512,
       shardCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      eos: Option[Int] = None
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(bpe)
+    // `eos` appends a document separator after every doc's ids (the
+    // GPT-2-family <|endoftext|> convention — without it the model never
+    // learns document boundaries inside packed sequences); the canonical
+    // id is the first one past the vocabulary, [[graft.ops.Bpe.vocab]]
+    // size = 256 + merges
     val enc = docs
       .select(col(idCol).cast("long"), col(shardCol).cast("string"), col(textCol))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val tok = bc.value
-        it.map { case (id, shard, text) => (id, shard, tok.encodeIds(text)) }
+        it.map { case (id, shard, text) =>
+          val ids = tok.encodeIds(text)
+          (id, shard, eos.fold(ids)(e => ids :+ e))
+        }
       }
       .toDF("__id", "__shard", "__ids")
     val w = org.apache.spark.sql.expressions.Window

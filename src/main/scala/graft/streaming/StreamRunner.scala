@@ -452,7 +452,8 @@ object StreamRunner {
       seqLen: Int = 512,
       shardCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      eos: Option[Int] = None
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
@@ -476,7 +477,8 @@ object StreamRunner {
           // within the batch, id order (the batch operator's order); the
           // sort buffers one group's batch slice, not stream history
           rows.toSeq.sortBy(_._2).foreach { case (_, _, text) =>
-            val ids = tok.encodeIds(text)
+            val encoded = tok.encodeIds(text)
+            val ids = eos.fold(encoded)(e => encoded :+ e)
             var i = 0
             while (i < ids.length) {
               val take = math.min(seqLen - buf.length, ids.length - i)

@@ -281,6 +281,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIds with eos inserts the document separator at every boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the lowest low", "s0"),
+      (2L, "widest newest", "s0")
+    ).toDF("doc_id", "text", "source")
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val eosId = Bpe.vocab(bpe).length // first id past the vocabulary
+    val out = Curate.packTokenIds(docs, bpe, seqLen = 5, eos = Some(eosId))
+      .orderBy("seq_id").collect()
+      .flatMap(_.getSeq[Int](3)).toSeq
+    val expected = Seq(1L -> "the lowest low", 2L -> "widest newest")
+      .flatMap { case (_, t) => bpe.encodeIds(t).toSeq :+ eosId }
+    assert(out === expected)
+    assert(out.count(_ == eosId) === 2) // one separator per document
+  }
+
   test("packTokensExploded places every whitespace token at its packed (seq, slot)") {
     import spark.implicits._
     val docs = Seq(
