@@ -818,6 +818,15 @@ object SparkEntry {
               when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
                 .otherwise(col("text"))))
       }),
+      "pipeline_corpus_diff_sim" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.corpusDiffDetailed(
+          dd.filter(col("doc_id") % 7 =!= 0),
+          dd.filter(col("doc_id") % 11 =!= 0)
+            .withColumn("text",
+              when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))))
+      }),
       // embedding-space decontamination at the same >= 0.9 near-dup regime
       // (eval = every 10th vector): corpus rows near any eval vector drop
       "pipeline_semdecontam" -> ((s, d) => {
@@ -1257,6 +1266,27 @@ object SparkEntry {
           |            WHEN o.oh = n.nh THEN 'unchanged'
           |            ELSE 'changed' END AS status
           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+      // the detailed diff adds jaccard over distinct whitespace-token sets
+      // for changed docs (1.0 unchanged, 0.0 added/removed by definition)
+      "pipeline_corpus_diff_sim" ->
+        """WITH o AS (SELECT doc_id, text AS ot, md5(text) AS oh FROM documents WHERE doc_id % 7 <> 0),
+          |n AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS nt
+          |      FROM documents WHERE doc_id % 11 <> 0),
+          |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.ot, n.nt,
+          |        CASE WHEN o.doc_id IS NULL THEN 'added'
+          |             WHEN n.doc_id IS NULL THEN 'removed'
+          |             WHEN o.oh = md5(n.nt) THEN 'unchanged'
+          |             ELSE 'changed' END AS status
+          |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, status,
+          |  CASE WHEN status = 'unchanged' THEN 1.0
+          |       WHEN status = 'changed' THEN round(
+          |         CAST(len(list_filter(list_distinct(string_split(ot, ' ')),
+          |                x -> list_contains(list_distinct(string_split(nt, ' ')), x))) AS DOUBLE)
+          |         / len(list_distinct(string_split(ot, ' ') || string_split(nt, ' '))), 4)
+          |       ELSE 0.0 END AS similarity
+          |FROM d""".stripMargin,
       "pipeline_semdecontam" ->
         s"""SELECT a.vec_id FROM embeddings a
            |WHERE a.vec_id % 10 <> 0 AND NOT EXISTS (

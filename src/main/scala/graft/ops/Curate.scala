@@ -177,6 +177,52 @@ object Curate {
   }
 
   /**
+   * [[corpusDiff]] with change MAGNITUDE: every `changed` document also
+   * reports the jaccard similarity of its old and new distinct token sets
+   * — the audit that separates a touched-up sentence (similarity ~ 1)
+   * from a rewrite (~ 0) before promoting a corpus version. `unchanged`
+   * rows are 1.0 and `added`/`removed` are 0.0 by definition, so the
+   * column is total.
+   *
+   * Scale shape: [[corpusDiff]]'s hash join decides status; only CHANGED
+   * ids (tiny between sane snapshots) join back to both text sides, and
+   * the jaccard is a per-row kernel over that small frame.
+   */
+  def corpusDiffDetailed(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = oldDocs.sparkSession
+    import spark.implicits._
+    val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
+    val changedSim = diff.filter(col("status") === "changed")
+      .select(col(idCol))
+      .join(oldDocs.select(col(idCol).cast("long").as(idCol),
+        col(textCol).as("__ot")), Seq(idCol))
+      .join(newDocs.select(col(idCol).cast("long").as(idCol),
+        col(textCol).as("__nt")), Seq(idCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, ot, nt) =>
+          val a = ot.split(" ", -1).toSet
+          val b = nt.split(" ", -1).toSet
+          val inter = a.intersect(b).size.toDouble
+          val union = a.union(b).size.toDouble
+          (id, BigDecimal(inter / union + graft.core.NanMath.RoundEps)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF(idCol, "__sim")
+    diff.join(changedSim, Seq(idCol), "left")
+      .select(col(idCol), col("status"),
+        when(col("status") === "unchanged", 1.0)
+          .when(col("status") === "changed", col("__sim"))
+          .otherwise(0.0).as("similarity"))
+  }
+
+  /**
    * Semantic decontamination keep-decision: corpus rows whose embedding
    * near-duplicates ANY eval-set embedding (cosine >= threshold) drop —
    * the embedding-space half of benchmark decontamination, catching the

@@ -720,6 +720,23 @@ class TextOpsSpec extends SparkSpec {
       5L -> "unchanged", 6L -> "changed"))
   }
 
+  test("corpusDiffDetailed scores change magnitude by token-set jaccard") {
+    val oldDocs = Seq(
+      (1L, "same text"), (2L, "a b c d"), (3L, "gone"), (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "same text"), (2L, "a b c e"), (4L, "fresh"), (5L, "p q r")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curate.corpusDiffDetailed(oldDocs, newDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got(1L) === (("unchanged", 1.0)))
+    // {a,b,c,d} vs {a,b,c,e}: 3 shared of 5 distinct
+    assert(got(2L) === (("changed", 0.6)))
+    assert(got(3L) === (("removed", 0.0)))
+    assert(got(4L) === (("added", 0.0)))
+    assert(got(5L) === (("changed", 0.0))) // full rewrite
+  }
+
   test("removeSharedSpans cuts recurring windows, keeps the first occurrence, is idempotent") {
     val docs = Seq(
       (1L, "a b c d e f"),      // holds the FIRST "a b c d" -> untouched

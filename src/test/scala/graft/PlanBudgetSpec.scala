@@ -185,6 +185,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "pipeline_corpus_diff" -> 2,
     // NFC + regex kernel, pure scan
     "text_normalize" -> 0,
+    // corpusDiff's full-outer join (2) + the changed-id text join-backs
+    // and the final stitch, all at changed-cardinality
+    "pipeline_corpus_diff_sim" -> 7,
     // dup-gram agg + the wins side of the gram join-back (the agg side
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
