@@ -194,27 +194,20 @@ object Curate {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val spark = oldDocs.sparkSession
-    import spark.implicits._
     val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
+    // [[Dedup.jaccard]] over the split token arrays (array_intersect/union
+    // dedupe, so this IS the distinct-token-set measure) — a NULL text
+    // propagates to a NULL similarity like the SQL form, where a kernel
+    // would NPE on the null-vs-text 'changed' rows [[corpusDiff]] supports
     val changedSim = diff.filter(col("status") === "changed")
       .select(col(idCol))
       .join(oldDocs.select(col(idCol).cast("long").as(idCol),
         col(textCol).as("__ot")), Seq(idCol))
       .join(newDocs.select(col(idCol).cast("long").as(idCol),
         col(textCol).as("__nt")), Seq(idCol))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, ot, nt) =>
-          val a = ot.split(" ", -1).toSet
-          val b = nt.split(" ", -1).toSet
-          val inter = a.intersect(b).size.toDouble
-          val union = a.union(b).size.toDouble
-          (id, BigDecimal(inter / union + graft.core.NanMath.RoundEps)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
-      }
-      .toDF(idCol, "__sim")
+      .select(col(idCol),
+        round(Dedup.jaccard(split(col("__ot"), " "), split(col("__nt"), " "))
+          + graft.core.NanMath.RoundEps, 4).as("__sim"))
     diff.join(changedSim, Seq(idCol), "left")
       .select(col(idCol), col("status"),
         when(col("status") === "unchanged", 1.0)

@@ -722,19 +722,25 @@ class TextOpsSpec extends SparkSpec {
 
   test("corpusDiffDetailed scores change magnitude by token-set jaccard") {
     val oldDocs = Seq(
-      (1L, "same text"), (2L, "a b c d"), (3L, "gone"), (5L, "x y z")
+      (1L, "same text"), (2L, "a b c d"), (3L, "gone"), (5L, "x y z"),
+      (6L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val newDocs = Seq(
-      (1L, "same text"), (2L, "a b c e"), (4L, "fresh"), (5L, "p q r")
+      (1L, "same text"), (2L, "a b c e"), (4L, "fresh"), (5L, "p q r"),
+      (6L, "was null")
     ).toDF("doc_id", "text")
-    val got = graft.ops.Curate.corpusDiffDetailed(oldDocs, newDocs)
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
-    assert(got(1L) === (("unchanged", 1.0)))
+    val rows = graft.ops.Curate.corpusDiffDetailed(oldDocs, newDocs).collect()
+    val got = rows.map(r => r.getLong(0) -> ((r.getString(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === (("unchanged", Some(1.0))))
     // {a,b,c,d} vs {a,b,c,e}: 3 shared of 5 distinct
-    assert(got(2L) === (("changed", 0.6)))
-    assert(got(3L) === (("removed", 0.0)))
-    assert(got(4L) === (("added", 0.0)))
-    assert(got(5L) === (("changed", 0.0))) // full rewrite
+    assert(got(2L) === (("changed", Some(0.6))))
+    assert(got(3L) === (("removed", Some(0.0))))
+    assert(got(4L) === (("added", Some(0.0))))
+    assert(got(5L) === (("changed", Some(0.0)))) // full rewrite
+    // NULL -> text is 'changed' with NULL similarity (same as the SQL
+    // form), never a crash
+    assert(got(6L) === (("changed", None)))
   }
 
   test("removeSharedSpans cuts recurring windows, keeps the first occurrence, is idempotent") {

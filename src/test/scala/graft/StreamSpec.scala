@@ -936,6 +936,43 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming packTokenIds with eos matches batch, boundary landing exactly on a batch edge") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bpe = graft.ops.Bpe.fromMerges(graft.ops.Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val eosId = graft.ops.Bpe.vocab(bpe).length
+    // doc 1 encodes to 8 ids (+ eos = 9): with seqLen 3 the buffer is
+    // EMPTY exactly at the micro-batch boundary — the eos lands as the
+    // last token of sequence 2; doc 2 then starts sequence 3 next batch
+    val d1 = (1L, "the lowest low", "s0")
+    assert(bpe.encodeIds(d1._2).length === 8, "fixture drifted")
+    val d2 = (2L, "widest newest", "s0")
+    val input = MemoryStream[(Long, String, String)]
+    val out = StreamRunner.streamingPackTokenIds(
+      input.toDF.toDF("doc_id", "text", "source"), bpe, seqLen = 3, eos = Some(eosId))
+    val query = out.writeStream.format("memory").queryName("stream_pack_eos")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(d1))
+      query.processAllAvailable()
+      input.addData(Seq(d2))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_pack_eos")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Int](3).toSeq).toMap
+      val batch = graft.ops.Curate.packTokenIds(
+          Seq(d1, d2).toDF("doc_id", "text", "source"), bpe, seqLen = 3,
+          eos = Some(eosId))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getSeq[Int](3).toSeq))).toMap
+      val fullBatch = batch.collect { case (k, (n, ids)) if n == 3 => k -> ids }
+      assert(streamed == fullBatch, s"streamed $streamed vs batch-full $fullBatch")
+      assert(streamed(("s0", 2L)).last == eosId) // doc 1's eos ends seq 2
+    } finally query.stop()
+  }
+
   test("streaming dedup ingest: intra-batch and cross-batch near-dups never reach the corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
