@@ -574,6 +574,19 @@ object SparkEntry {
     path
   }
 
+  /** Persisted IVF-PQ index, same lifecycle as [[ivfIndexPath]]. */
+  private def ivfPqIndexPath(s: SparkSession, d: String): String = {
+    val path = s.conf.get("spark.sql.warehouse.dir") +
+      "/graft_ivfpq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    this.synchronized {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+        graft.ops.Similarity.ivfPqBuildIndex(emb(s, d), path)
+    }
+    path
+  }
+
   /** Persisted LSH signature index, same lifecycle as [[ivfIndexPath]]. */
   private def lshIndexPath(s: SparkSession, d: String): String = {
     val path = s.conf.get("spark.sql.warehouse.dir") +
@@ -639,6 +652,18 @@ object SparkEntry {
       "sim_ann_lsh_idx" -> ((s, d) =>
         Similarity.lshTopKIndexed(s, lshIndexPath(s, d),
           emb(s, d).filter(col("vec_id") < 10), 5)),
+      // product quantization: codes are m=8 bytes/vector (32x compression
+      // at 128-dim float), exhaustive ADC scan + exact refine of the top
+      // rf*k shortlist — SimilaritySpec pins recall@5 >= 0.9 at these
+      // knobs and byte-exactness when the codebook covers the corpus
+      "sim_ann_pq" -> ((s, d) => Similarity.pqTopK(emb(s, d), col("vec_id") < 10, 5)),
+      // IVF-PQ from the PERSISTED index: probed-cell partition pruning x
+      // PQ byte compression, residual ADC + exact refine against the
+      // full-precision table (the FAISS IVFPQ+refine deployment shape)
+      "sim_ann_pq_idx" -> ((s, d) =>
+        Similarity.ivfPqTopKIndexed(s, ivfPqIndexPath(s, d),
+          emb(s, d).filter(col("vec_id") < 10), 5,
+          refineFrom = Some(emb(s, d)))),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),

@@ -1243,4 +1243,429 @@ object Similarity {
     }.toDF("query_id", "nbr_id", "score")
     rankTopK(candidates, k)
   }
+
+  // --- product quantization (PQ / IVF-PQ) ----------------------------------
+
+  /** Trained product quantizer: `m` subspaces of `dsub` dims each,
+    * `codebooks(j)(c)` = codeword `c` of subspace `j`. Codebook size is
+    * <= 256 BY CONTRACT so a code is exactly `m` bytes. */
+  final case class PqModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+    def codebookSize: Int = codebooks.head.length
+  }
+
+  /** Plain (non-spherical) Lloyd k-means for PQ sub-quantizers: subvectors
+    * are NOT unit vectors, so the spherical renormalization in [[kmeans]]
+    * would bias every codeword onto the sphere and break the residual
+    * geometry. Same determinism contract: first-k-distinct init, fixed
+    * iteration count, empty cells keep their previous centroid, no RNG. */
+  private def kmeansPlain(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = xs.head.length
+    val centroids = xs.distinctBy(_.toSeq).take(k).map(_.clone)
+    val kk = centroids.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        val best = nearestCell(x, centroids)
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /**
+   * Train a product quantizer on a bounded deterministic sample (smallest
+   * ids — the [[ivfTopK]] sampling contract). Each of the `m` subspaces
+   * gets an independent `codebookSize`-codeword Lloyd quantizer over the
+   * sample's subvectors. Vectors are L2-normalized first (the geometry
+   * every ANN operator here serves), so PQ scores approximate cosine.
+   *
+   * Scale shape: training is driver-side on `sampleSize` rows by design
+   * (FAISS trains PQ on ~1e5-1e6 samples regardless of corpus size); the
+   * corpus is touched only by [[pqEncode]]'s single kernel scan.
+   */
+  def pqTrain(
+      emb: DataFrame,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      sampleSize: Int = 1024,
+      iters: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): PqModel = {
+    require(codebookSize <= 256, s"codebookSize $codebookSize > 256: codes are one byte per subspace")
+    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
+    require(sample.nonEmpty, "no vectors to train on")
+    val d = sample.head.vec.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v.vec, j * dsub, (j + 1) * dsub))
+      kmeansPlain(subs, codebookSize, iters)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Nearest codeword of subvector `x[off, off+dsub)` in `book`. */
+  private def nearestCode(x: Array[Double], off: Int, book: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < book(c).length) { val dd = x(off + i) - book(c)(i); dist += dd * dd; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ code of an (already normalized, possibly residual) vector. */
+  private def encodeOne(v: Array[Double], model: PqModel): Array[Byte] = {
+    val code = new Array[Byte](model.m)
+    var j = 0
+    while (j < model.m) {
+      code(j) = nearestCode(v, j * model.dsub, model.codebooks(j)).toByte
+      j += 1
+    }
+    code
+  }
+
+  /**
+   * Encode the corpus to `m`-byte PQ codes: `(id, code: binary)`.
+   * One broadcast-codebook kernel scan, zero shuffle. At 128-dim float
+   * this is 512 B -> m bytes (64x at m=8) — the storage/bandwidth step
+   * that makes a 100 TB embedding corpus scannable: the ADC query path
+   * ([[pqTopKEncoded]]) reads ONLY these codes, never the vectors.
+   */
+  def pqEncode(
+      emb: DataFrame,
+      model: PqModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vecs(emb, idCol, vecCol)
+      .map(v => (v.id, encodeOne(v.vec, bc.value)))
+      .toDF("id", "code")
+  }
+
+  /** Per-query ADC lookup table: `table(j)(c)` = dot(query subvector j,
+    * codeword c of subspace j), so a corpus score is `m` table lookups. */
+  private def adcTable(q: Array[Double], model: PqModel): Array[Array[Double]] =
+    Array.tabulate(model.m) { j =>
+      val book = model.codebooks(j)
+      Array.tabulate(book.length) { c =>
+        var s = 0.0
+        var i = 0
+        while (i < model.dsub) { s += q(j * model.dsub + i) * book(c)(i); i += 1 }
+        s
+      }
+    }
+
+  private def adcScore(code: Array[Byte], table: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < code.length) { s += table(j)(code(j) & 0xff); j += 1 }
+    s
+  }
+
+  /** Asymmetric-distance top-k over pre-encoded codes: queries carry exact
+    * (full-precision) vectors, the corpus is scored from codes alone via
+    * broadcast lookup tables — `m` array reads per corpus row, no vector
+    * arithmetic, no corpus shuffle. */
+  def pqTopKEncoded(
+      codes: DataFrame,
+      model: PqModel,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = vecs(queries, idCol, vecCol).collect()
+      .map(q => (q.id, adcTable(q.vec, model)))
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val candidates = codes
+      .select(col("id").cast("long"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val queries = bcQ.value
+        it.flatMap { case (id, code) =>
+          queries.iterator.collect {
+            case (qid, table) if qid != id => (qid, id, adcScore(code, table))
+          }
+        }
+      }
+      .toDF("query_id", "nbr_id", "score")
+    rankTopK(candidates, k)
+  }
+
+  /** Exact re-rank of an ADC shortlist (the FAISS refine/`k_factor`
+    * pattern): the shortlist (queries x refineFactor*k pairs, tiny by
+    * construction) broadcasts into a semi-join that fetches ONLY the
+    * candidate vectors from the corpus, which are then exact-scored
+    * against the broadcast query vectors. PQ error ends up deciding only
+    * WHICH refineFactor*k candidates get exact-scored, not the final
+    * order — recall converges to brute force as refineFactor grows while
+    * the exact work stays at shortlist cardinality. */
+  private def refineShortlist(
+      shortlist: DataFrame, // (query_id, nbr_id) candidate pairs
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qVecs = vecs(queries, idCol, vecCol).collect().map(q => q.id -> q.vec).toMap
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val candidates = vecs(emb, idCol, vecCol)
+      .join(broadcast(shortlist.select(col("query_id"), col("nbr_id"))),
+        col("id") === col("nbr_id"))
+      .select(col("query_id").cast("long"), col("nbr_id").cast("long"), col("vec"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.map { case (qid, nid, vec) => (qid, nid, dot(qs(qid), vec)) }
+      }
+      .toDF("query_id", "nbr_id", "score")
+    rankTopK(candidates, k)
+  }
+
+  /**
+   * Product-quantization ANN end to end: train on a bounded sample,
+   * encode the corpus (one kernel scan), ADC-score the queries over codes
+   * (one kernel scan), then exact-rerank the top `refineFactor * k` ADC
+   * candidates per query (one broadcast semi-join — the FAISS
+   * refine/`k_factor` pattern; `refineFactor = 0` disables it and returns
+   * raw ADC scores). Every corpus row is still scored by ADC (the FAISS
+   * `IndexPQ` shape); combine with IVF cells ([[ivfPqBuildIndex]]) to
+   * also cut the scanned fraction.
+   */
+  def pqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      refineFactor: Int = 8,
+      sampleSize: Int = 1024,
+      iters: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val model = pqTrain(emb, m, codebookSize, sampleSize, iters, idCol, vecCol)
+    val queries = emb.filter(queryPred)
+    val adc = pqTopKEncoded(pqEncode(emb, model, idCol, vecCol), model,
+      queries, if (refineFactor > 0) refineFactor * k else k, idCol, vecCol)
+    if (refineFactor > 0) refineShortlist(adc, emb, queries, k, idCol, vecCol)
+    else adc
+  }
+
+  // --- persisted IVF-PQ index ----------------------------------------------
+
+  /** Residual of `v` against its cell centroid (classic IVF-PQ: the PQ
+    * quantizes what the coarse quantizer leaves, so codeword resolution is
+    * spent on within-cell variation, not cluster position). */
+  private def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+    r
+  }
+
+  /** Train a PQ model on cell residuals of the sample. */
+  private def pqTrainResidual(
+      sample: Array[Vec], centroids: Array[Array[Double]],
+      m: Int, codebookSize: Int, iters: Int): PqModel = {
+    val d = sample.head.vec.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    require(codebookSize <= 256, "codebookSize > 256: codes are one byte per subspace")
+    val dsub = d / m
+    val residuals = sample.map(v => residual(v.vec, centroids(nearestCell(v.vec, centroids))))
+    val codebooks = Array.tabulate(m) { j =>
+      kmeansPlain(residuals.map(r => java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)),
+        codebookSize, iters)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /**
+   * Build a persisted IVF-PQ index: the [[ivfBuildIndex]] layout, but
+   * `cells/` stores `m`-byte residual PQ codes instead of full vectors.
+   * This composes BOTH ANN economies: partition pruning cuts the scanned
+   * fraction to nProbe/nCells, and PQ cuts the scanned BYTES per row by
+   * ~d*4/m (a 128-dim float corpus at m=8 reads 1.6% of the files at 64x
+   * fewer bytes each — the shape that makes a 10^11-vector index
+   * serveable). Training (coarse quantizer + residual codebooks) stays on
+   * the bounded smallest-id sample; the corpus is touched by exactly one
+   * assign+encode kernel scan. Deterministic end to end — two builds are
+   * byte-identical.
+   *
+   * Layout under `path`:
+   *   centroids/  (centroid_id, centroid)             coarse quantizer
+   *   pq/         (subspace, codeword_id, codeword)   residual codebooks
+   *   cells/      (id, code) PARTITIONED BY cell      m-byte codes
+   */
+  def ivfPqBuildIndex(
+      emb: DataFrame,
+      path: String,
+      nCells: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      sampleSize: Int = 1024,
+      iters: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
+    require(sample.nonEmpty, "no vectors to index")
+    val centroids = kmeans(sample.map(_.vec), nCells, iters)
+    val model = pqTrainResidual(sample, centroids, m, codebookSize, iters)
+    centroids.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (w, c) => (j, c, w) }
+    }.toSeq.toDF("subspace", "codeword_id", "codeword")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+    writePqCells(emb, path, centroids, model, idCol, vecCol, overwrite = true)
+  }
+
+  /** Append a batch WITHOUT re-training (the [[ivfAppendIndex]] contract):
+    * stored quantizer + codebooks assign and encode the new vectors in one
+    * kernel scan; rows append into the existing cell partitions. */
+  def ivfPqAppendIndex(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = emb.sparkSession
+    writePqCells(emb, path, readIvfCentroids(spark, path), readPqModel(spark, path),
+      idCol, vecCol, overwrite = false)
+  }
+
+  private def writePqCells(
+      emb: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      model: PqModel,
+      idCol: String,
+      vecCol: String,
+      overwrite: Boolean
+  ): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcM = spark.sparkContext.broadcast(model)
+    vecs(emb, idCol, vecCol)
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val mdl = bcM.value
+        it.map { v =>
+          val cell = nearestCell(v.vec, cs)
+          (cell, v.id, encodeOne(residual(v.vec, cs(cell)), mdl))
+        }
+      }
+      .toDF("cell", "id", "code")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+  }
+
+  /** Stored residual codebooks (doubles round-trip parquet exactly). */
+  private def readPqModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/pq")
+      .select(col("subspace").cast("int"), col("codeword_id").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Double])]
+      .collect()
+    val m = rows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    PqModel(m, codebooks.head.head.length, codebooks)
+  }
+
+  /**
+   * ANN top-k from the persisted IVF-PQ index: centroids + codebooks load
+   * driver-side (k + m*codebookSize rows), each query probes its `nProbe`
+   * nearest cells, and the scan reads ONLY the probed cells' code files.
+   * Scoring is residual ADC: dot(q, v) ~= dot(q, c_cell) + dot(q, v - c_cell),
+   * where the first term is exact per (query, cell) and the second is `m`
+   * table lookups against the query's per-subspace codeword dot products.
+   *
+   * `refineFrom` + `refineFactor`: exact-rerank the top refineFactor*k ADC
+   * candidates against a full-precision vector table (the deployment shape
+   * FAISS documents as IVFPQ + refine: the index holds codes only, a
+   * separate id-addressed store holds vectors, and the refine fetch is
+   * shortlist-sized — here a broadcast semi-join against `refineFrom`).
+   */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      refineFrom: Option[DataFrame] = None,
+      refineFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, path)
+    val model = readPqModel(spark, path)
+    val np = math.min(nProbe, centroids.length)
+    val qs = vecs(queries, idCol, vecCol).collect().map { q =>
+      val probes = probeCells(q.vec, centroids, np)
+      // exact dot(q, centroid) per probed cell; residual table shared across cells
+      (q.id, probes.map(c => (c, dot(q.vec, centroids(c)))).toMap, adcTable(q.vec, model))
+    }
+    val probed = qs.flatMap(_._2.keys).distinct.toSeq
+    val bcQ = spark.sparkContext.broadcast(qs)
+
+    val candidates = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell").cast("int"), col("id"), col("code"))
+      .as[(Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val queries = bcQ.value
+        it.flatMap { case (cell, id, code) =>
+          queries.iterator.collect {
+            case (qid, cellDots, table) if qid != id && cellDots.contains(cell) =>
+              (qid, id, cellDots(cell) + adcScore(code, table))
+          }
+        }
+      }
+      .toDF("query_id", "nbr_id", "score")
+    refineFrom match {
+      case Some(emb) if refineFactor > 0 =>
+        refineShortlist(rankTopK(candidates, refineFactor * k), emb, queries, k, idCol, vecCol)
+      case _ => rankTopK(candidates, k)
+    }
+  }
 }

@@ -171,6 +171,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // stored-signature scan + broadcast-query match kernel + the rank
     // window — no corpus hashing at query time
     "sim_ann_lsh_idx" -> 1,
+    // ADC scan is a broadcast-table kernel (0); the two exchanges are the
+    // shortlist rank window and the final post-refine rank window — the
+    // refine fetch itself is a broadcast semi-join on the tiny shortlist
+    "sim_ann_pq" -> 2,
+    // same tail as sim_ann_pq over the partition-pruned cells scan
+    "sim_ann_pq_idx" -> 2,
     // shard-offset window + the (shard, seq) slice assembly — documents
     // never explode to per-token rows, slices carry the ids
     "pipeline_pack_ids" -> 2,
