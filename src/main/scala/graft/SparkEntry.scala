@@ -680,6 +680,7 @@ object SparkEntry {
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
+      "text_bigram_nll" -> ((s, d) => TextOps.bigramNll(docs(s, d))),
       "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), k = 3)),
       "text_bm25" -> ((s, d) => TextOps.bm25(docs(s, d), "spark join merge")),
       "text_decontaminate" -> ((s, d) => {
@@ -1201,6 +1202,27 @@ object SparkEntry {
           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c)
           |SELECT doc_id, round(-avg(ln(c.c / tot.n)), 4) AS nll
           |FROM toks JOIN c USING (tok) CROSS JOIN tot
+          |GROUP BY doc_id""".stripMargin,
+      // interpolated bigram LM, same conventions as the engine: MLE
+      // p(v|u) against the FULL unigram count of u (no renormalization
+      // for doc-final tokens), unigram interpolation at lambda=0.75
+      "text_bigram_nll" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          |pos AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+          |c1 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM pos GROUP BY tok),
+          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1),
+          |bg AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(w)), i -> list_extract(w, i))) AS u,
+          |         unnest(list_transform(range(1, len(w)), i -> list_extract(w, i + 1))) AS v
+          |       FROM toks WHERE len(w) >= 2),
+          |c2 AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY u, v)
+          |SELECT doc_id,
+          |       round(-avg(ln(0.75 * c2.c2 / cu.c + 0.25 * cv.c / tot.n)), 4) AS nll
+          |FROM bg JOIN c2 USING (u, v)
+          |  JOIN c1 cu ON bg.u = cu.tok
+          |  JOIN c1 cv ON bg.v = cv.tok
+          |  CROSS JOIN tot
           |GROUP BY doc_id""".stripMargin,
       // same arithmetic tree as the engine: tf * ln((n+1)/(df+1)), ranked
       // on the unrounded score with the term string breaking ties

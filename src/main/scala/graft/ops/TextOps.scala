@@ -1026,4 +1026,55 @@ object TextOps {
       .agg(round(-avg(log(col("c") / col("n"))) + graft.core.NanMath.RoundEps, 4)
         .as("nll"))
   }
+
+  /**
+   * Interpolated bigram LM negative log-likelihood — the [[unigramNll]]
+   * quality scorer with one token of context:
+   * `p(v|u) = lambda * c(u,v)/c(u) + (1-lambda) * c(v)/N`, per-doc
+   * `nll = -avg over bigram positions ln p`. The unigram interpolation
+   * floors every probability (any v seen anywhere in the corpus scores
+   * > 0), so no explicit smoothing constant is needed; docs with fewer
+   * than two tokens carry no bigram position and are absent from the
+   * output (the caller left-joins if absence must be explicit).
+   *
+   * Scale shape: bigram pairs come from `arrays_zip(slice, slice)` inside
+   * codegen (no per-token self-join); the three count joins shuffle on
+   * token/bigram keys at vocabulary cardinality, NOT corpus cardinality,
+   * and the final per-doc avg is one doc-keyed exchange. The bigram count
+   * table is the big intermediate (O(unique bigrams)); it is never
+   * collected or broadcast. p is MLE-interpolated, not renormalized for
+   * doc-final tokens (sum_v c(u,v) <= c(u)) — a scoring convention, stated
+   * here and mirrored verbatim by the oracle.
+   */
+  def bigramNll(
+      docs: DataFrame,
+      lambda: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val words = docs.select(col(idCol), split(lower(col(textCol)), " ").as("w"))
+    val toks = words.select(col(idCol), explode(col("w")).as("tok"))
+    val c1 = toks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
+    val total = c1.agg(sum(col("c")).as("n"))
+    val bigrams = words
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("u"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("v"))).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"))
+    val c2 = bigrams.groupBy(col("u"), col("v")).agg(count(lit(1)).cast("double").as("c2"))
+    val cu = c1.select(col("tok").as("u"), col("c").as("cu"))
+    val cv = c1.select(col("tok").as("v"), col("c").as("cv"))
+    bigrams
+      .join(c2, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .join(cv, Seq("v"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(
+        -avg(log(lit(lambda) * col("c2") / col("cu") +
+          lit(1.0 - lambda) * col("cv") / col("n"))) + graft.core.NanMath.RoundEps, 4)
+        .as("nll"))
+  }
 }

@@ -760,6 +760,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L) == 1.2629) // -(ln 0.4 + ln 0.2)/2
   }
 
+  test("bigramNll: hand-computed interpolated bigram negative log-likelihood") {
+    // c1: a=3 b=2 z=1, N=6; c2: (a,b)=1, (b,a)=2; lambda=0.75
+    // p(b|a) = .75*(1/3) + .25*(2/6) = 1/3     p(a|b) = .75*(2/2) + .25*(3/6) = .875
+    val dd = Seq((1L, "a b a"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
+    val r = TextOps.bigramNll(dd)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.6161) // (ln 3 + -ln .875)/2... = -(ln(1/3) + ln(.875))/2
+    assert(r(2L) == 0.1335) // -ln(.875)
+    assert(!r.contains(3L)) // no bigram position: absent by contract
+    // context matters: "b a" (a seen bigram) scores far better than the
+    // same tokens would under any unseen pairing — the unigram floor:
+    // a doc of an UNSEEN bigram of seen tokens scores only the .25 term
+    val dd2 = Seq((1L, "a b"), (2L, "b a"), (3L, "a a")).toDF("doc_id", "text")
+    val r2 = TextOps.bigramNll(dd2).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // c1: a=4 b=2 N=6; c2: (a,b)=1,(b,a)=1,(a,a)=1
+    // p(b|a)=.75/4+.25*2/6=0.2708; p(a|b)=.75/2+.25*4/6=0.5417; p(a|a)=.75/4+.25*4/6=0.3542
+    assert(r2(1L) == 1.3063 && r2(2L) == 0.6131 && r2(3L) == 1.038)
+  }
+
   test("sharedSubstrings counts windows recurring in other documents") {
     val docs = Seq(
       (1L, "a b c d e"), // windows (n=3): "a b c","b c d","c d e"

@@ -136,6 +136,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // avg; the corpus-total reduce REUSES the count exchange (asserted by
     // the budget: a recompute would add its own scan+agg pair)
     "text_unigram_nll" -> 4,
+    // bigram twin with one token of context: unigram agg + bigram agg +
+    // the pair/count joins on token keys + the per-doc avg — vocabulary-
+    // cardinality exchanges, never corpus-text bytes
+    "text_bigram_nll" -> 7,
     // per-(doc,term) tf agg + term df agg + corpus-stats reduce + per-doc
     // score agg + the k-row rank window; the top-k cut is TakeOrdered
     "text_bm25" -> 5,
