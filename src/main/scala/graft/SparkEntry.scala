@@ -665,6 +665,10 @@ object SparkEntry {
           emb(s, d).filter(col("vec_id") < 10), 5,
           refineFrom = Some(emb(s, d)))),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
+      // distributed PCA to 8 dims (rows-only: DuckDB has no eigensolver;
+      // SimilaritySpec carries known-axes recovery, orthonormality,
+      // full-rank exact reconstruction and bit-identical-refit bars)
+      "emb_pca" -> ((s, d) => Pca.fitProject(emb(s, d), r = 8)),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed principal-component analysis over an embedding column —
+ * the dimensionality-reduction preprocessor the SemDeDup / clustering
+ * pipeline shapes call for (cluster or dedup in a compact r-dim space,
+ * then act on the original rows).
+ *
+ * Execution shape (one corpus pass, d <= ~2048 BY CONTRACT):
+ *  - each partition accumulates (count, sum[d], outer[d*d]) in primitive
+ *    arrays — no per-row allocation, no shuffle;
+ *  - the per-partition partials (numPartitions x ~d^2 doubles, ~32 KB
+ *    each at d=64) collect to the driver WITH their partition index and
+ *    reduce in index order, so the float sum is associativity-stable and
+ *    two fits over the same files are bit-identical;
+ *  - covariance = outer/n - mean mean^T; eigendecomposition is cyclic
+ *    Jacobi on the driver (a d x d symmetric problem — microseconds at
+ *    embedding dims, no cluster involvement);
+ *  - [[project]] broadcasts the (r x d) basis and maps the corpus in one
+ *    kernel scan.
+ *
+ * At 100 TB nothing changes: the only driver-side object is
+ * partitions x d^2 partials (bound the partition count via coalesce for
+ * absurd fan-in), and the corpus is read exactly twice (fit, project) —
+ * or once if the caller persists the projection.
+ *
+ * Determinism: no RNG anywhere; eigenvector sign is normalized (largest-
+ * magnitude component positive, first index on ties) so two fits agree
+ * even across Jacobi rotation orderings.
+ */
+object Pca {
+
+  /** Fitted basis: `components(i)` is the i-th principal axis (unit,
+    * descending variance); `explained(i)` its variance share. */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      explained: Array[Double])
+
+  /** One partition's moment partial: n, sum, flattened upper outer. */
+  private type Partial = (Int, Long, Array[Double], Array[Double])
+
+  /**
+   * Fit a PCA basis of rank `r` in one distributed pass.
+   */
+  def fit(
+      emb: DataFrame,
+      r: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      jacobiSweeps: Int = 50
+  ): PcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[Array[Double]]
+    val partials: Array[Partial] = rows
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val d = first.length
+          val sum = new Array[Double](d)
+          val outer = new Array[Double](d * d)
+          var n = 0L
+          def add(v: Array[Double]): Unit = {
+            var i = 0
+            while (i < d) {
+              sum(i) += v(i)
+              var j = i
+              while (j < d) { outer(i * d + j) += v(i) * v(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          add(first)
+          it.foreach(add)
+          Iterator.single((org.apache.spark.TaskContext.getPartitionId(), n, sum, outer))
+        }
+      }
+      .collect()
+    require(partials.nonEmpty, "no vectors to fit")
+    val d = partials.head._3.length
+    require(r >= 1 && r <= d, s"rank $r outside [1, $d]")
+
+    // index-ordered driver reduce: bit-stable across runs
+    val sum = new Array[Double](d)
+    val outer = new Array[Double](d * d)
+    var n = 0L
+    partials.sortBy(_._1).foreach { case (_, pn, ps, po) =>
+      n += pn
+      var i = 0
+      while (i < d) { sum(i) += ps(i); i += 1 }
+      i = 0
+      while (i < d * d) { outer(i) += po(i); i += 1 }
+    }
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      outer(a * d + b) / n - mean(i) * mean(j)
+    }
+
+    val (values, vectors) = jacobiEigen(cov, jacobiSweeps)
+    val order = values.indices.sortBy(i => (-values(i), i))
+    val totalVar = values.sum max Double.MinPositiveValue
+    val comps = order.take(r).map(i => signNormalize(vectors(i))).toArray
+    val eig = order.take(r).map(values).toArray
+    PcaModel(mean, comps, eig, eig.map(_ / totalVar))
+  }
+
+  /** Largest-magnitude component positive (first index on ties) — the
+    * deterministic sign convention. */
+  private def signNormalize(v: Array[Double]): Array[Double] = {
+    var best = 0
+    var i = 1
+    while (i < v.length) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    if (v(best) < 0) v.map(-_) else v
+  }
+
+  /**
+   * Cyclic Jacobi eigendecomposition of a symmetric matrix: sweep the
+   * upper triangle, rotate out each off-diagonal element, accumulate the
+   * rotations. Returns (eigenvalues, eigenvectors-as-rows), unsorted.
+   * Converges quadratically; `sweeps` is a hard cap, the off-diagonal
+   * norm check exits early. Pure driver-side double arithmetic — no RNG,
+   * no library dependency.
+   */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]], sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone)
+    // v(i) accumulates as COLUMNS of the rotation product; row i of the
+    // returned basis is column i read out at the end
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < sweeps && off > 1e-11 * d * d) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d)(i => Array.tabulate(d)(k => v(k)(i))))
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Project the corpus onto the fitted basis: `(id, proj: array<double>)`
+    * with `proj(i) = (v - mean) . components(i)`. One broadcast-basis
+    * kernel scan, zero shuffle. */
+  def project(
+      emb: DataFrame,
+      model: PcaModel,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, vec) =>
+          val proj = new Array[Double](m.components.length)
+          var i = 0
+          while (i < m.components.length) {
+            val comp = m.components(i)
+            var s = 0.0
+            var j = 0
+            while (j < vec.length) { s += (vec(j) - m.mean(j)) * comp(j); j += 1 }
+            proj(i) = s
+            i += 1
+          }
+          (id, proj)
+        }
+      }
+      .toDF("id", "proj")
+  }
+
+  /** Fit + project, rounded to 4 decimals for a stable catalog surface. */
+  def fitProject(
+      emb: DataFrame,
+      r: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val model = fit(emb, r, idCol, vecCol)
+    project(emb, model, idCol, vecCol)
+      .select(col("id"),
+        transform(col("proj"), x => round(x + graft.core.NanMath.RoundEps, 4)).as("proj"))
+  }
+}

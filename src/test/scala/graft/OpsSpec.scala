@@ -543,6 +543,70 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("jacobiEigen: hand-computed eigenpairs of a symmetric matrix") {
+    // [[2,1],[1,2]] -> values {3, 1}, vectors (1,1)/sqrt2 and (1,-1)/sqrt2
+    val (values, vectors) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)), 30)
+    val pairs = values.zip(vectors).sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-12 && math.abs(pairs(1)._1 - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(pairs(0)._2.map(math.abs).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(pairs(1)._2.map(math.abs).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("PCA recovers known axes from axis-aligned synthetic data") {
+    import spark.implicits._
+    // v_i = a_i*e0 + b_i*e1 in 4-dim, a ~ 3x the spread of b, a/b cycles
+    // coprime (11, 5) over a full lcm=55 period twice -> cov(a,b) = 0
+    val data = (0 until 110).map { i =>
+      val a = 3.0f * ((i % 11) - 5)
+      val b = ((i * 7) % 5) - 2.0f
+      (i.toLong, Array(a, b, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val m = Pca.fit(data, 2)
+    // first component is e0 (sign-normalized positive), second e1
+    assert(math.abs(m.components(0)(0) - 1.0) < 1e-9)
+    assert(m.components(0).drop(1).forall(x => math.abs(x) < 1e-9))
+    assert(math.abs(m.components(1)(1) - 1.0) < 1e-9)
+    assert(math.abs(m.components(1)(0)) < 1e-9 && m.components(1).drop(2).forall(x => math.abs(x) < 1e-9))
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+    // the two live axes carry all variance
+    assert(math.abs(m.explained.sum - 1.0) < 1e-9)
+    // projection onto e0/e1 returns the centered coefficients
+    val proj = Pca.project(data, m).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val meanA = (0 until 110).map(i => 3.0 * ((i % 11) - 5)).sum / 110.0
+    assert(math.abs(proj(0L)(0) - (3.0 * (0 - 5) - meanA)) < 1e-6)
+  }
+
+  test("PCA basis on sf0.01 embeddings: orthonormal, descending, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val m1 = Pca.fit(emb, 8)
+    val m2 = Pca.fit(emb, 8)
+    // index-ordered partial reduce + sign normalization: bit-identical fits
+    assert(m1.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    for (i <- 0 until 8; j <- i until 8) {
+      val d = m1.components(i).zip(m1.components(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"basis not orthonormal at ($i,$j)")
+    }
+    assert(m1.eigenvalues.sliding(2).forall(w => w(0) >= w(1)))
+    assert(m1.explained.forall(e => e >= 0 && e <= 1.0) && m1.explained.sum <= 1.0 + 1e-12)
+    info(f"variance explained by 8/64 dims on sf0.01: ${m1.explained.sum}%.3f")
+  }
+
+  test("PCA at full rank reconstructs the input exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val m = Pca.fit(emb, 64)
+    val proj = Pca.project(emb, m).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    orig.foreach { case (id, v) =>
+      val rec = Array.tabulate(64) { j =>
+        m.mean(j) + (0 until 64).map(i => proj(id)(i) * m.components(i)(j)).sum
+      }
+      v.zip(rec).foreach { case (a, b) => assert(math.abs(a - b) < 1e-8) }
+    }
+  }
+
   test("PQ ADC is exact when the codebook covers every distinct subvector") {
     import spark.implicits._
     // 40 distinct 64-dim vectors, 64 codewords: every subvector is its own

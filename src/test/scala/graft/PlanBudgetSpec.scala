@@ -175,6 +175,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // stored-signature scan + broadcast-query match kernel + the rank
     // window — no corpus hashing at query time
     "sim_ann_lsh_idx" -> 1,
+    // moment pass collects bounded per-partition partials (a job, not a
+    // shuffle); the projection is a broadcast-basis kernel scan
+    "emb_pca" -> 0,
     // ADC scan is a broadcast-table kernel (0); the two exchanges are the
     // shortlist rank window and the final post-refine rank window — the
     // refine fetch itself is a broadcast semi-join on the tiny shortlist
