@@ -757,6 +757,18 @@ object SparkEntry {
           .select(col("doc_id"), col("source"))),
       "pipeline_pack_col" -> ((s, d) =>
         Curate.packSequences(docs(s, d), seqLen = 2048L, tokenCountCol = Some("n_chars"))),
+      // DSIR (Xie et al.): importance weights = per-token avg unigram
+      // log-ratio of the English target LM vs the whole-corpus LM...
+      "pipeline_dsir_weights" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.dsirWeights(dd, dd.filter(col("lang") === "en"))
+      }),
+      // ...and Gumbel top-k resampling under md5-derived noise — the
+      // whole draw is deterministic and the oracle replicates it exactly
+      "pipeline_dsir_sample" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.dsirSample(dd, dd.filter(col("lang") === "en"), n = 100)
+      }),
       // -- model-faithful BPE token counts (judge r6 item #1): tokenizer
       // trained on the corpus itself (one histogram pass + driver learn),
       // counts from the real byte-level merge loop. Iterative BPE is not
@@ -1387,6 +1399,48 @@ object SparkEntry {
           |SELECT doc_id, source FROM c
           |WHERE prior < (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
           |               ELSE 9223372036854775807 END)""".stripMargin,
+      // DSIR weights: add-1-smoothed unigram LMs over the JOINT vocab,
+      // per-doc AVERAGE token log-ratio (length-invariant) — conventions
+      // mirrored from Curate.dsirWeights verbatim
+      "pipeline_dsir_weights" ->
+        """WITH ctoks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |ttoks AS (
+          |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang = 'en'),
+          |cr AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cr FROM ctoks GROUP BY tok),
+          |ct AS (SELECT tok, CAST(count(*) AS DOUBLE) AS ct FROM ttoks GROUP BY tok),
+          |v AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+          |             coalesce(cr.cr, 0.0) AS cr, coalesce(ct.ct, 0.0) AS ct
+          |      FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+          |s AS (SELECT CAST(count(*) AS DOUBLE) AS vocab,
+          |             sum(cr) AS nr, sum(ct) AS nt FROM v),
+          |r AS (SELECT tok, ln((ct + 1) / (nt + vocab)) - ln((cr + 1) / (nr + vocab)) AS lr
+          |      FROM v CROSS JOIN s)
+          |SELECT doc_id, round(avg(lr), 4) AS logw
+          |FROM ctoks JOIN r USING (tok) GROUP BY doc_id""".stripMargin,
+      // Gumbel top-k under md5-derived uniforms: u = (first 8 md5 hex
+      // digits of the id + 0.5) / 2^32, key = logw + -ln(-ln(u))
+      "pipeline_dsir_sample" ->
+        """WITH ctoks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |ttoks AS (
+          |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang = 'en'),
+          |cr AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cr FROM ctoks GROUP BY tok),
+          |ct AS (SELECT tok, CAST(count(*) AS DOUBLE) AS ct FROM ttoks GROUP BY tok),
+          |v AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+          |             coalesce(cr.cr, 0.0) AS cr, coalesce(ct.ct, 0.0) AS ct
+          |      FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+          |s AS (SELECT CAST(count(*) AS DOUBLE) AS vocab,
+          |             sum(cr) AS nr, sum(ct) AS nt FROM v),
+          |r AS (SELECT tok, ln((ct + 1) / (nt + vocab)) - ln((cr + 1) / (nr + vocab)) AS lr
+          |      FROM v CROSS JOIN s),
+          |w AS (SELECT doc_id, avg(lr) AS logw FROM ctoks JOIN r USING (tok) GROUP BY doc_id),
+          |keyed AS (SELECT doc_id, logw,
+          |  logw - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |                 + 0.5) / 4294967296.0)) AS k
+          |  FROM w)
+          |SELECT doc_id, round(logw, 4) AS logw
+          |FROM keyed ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
       "pipeline_token_budget_col" ->
         """WITH t AS (
           |  SELECT doc_id, source, n_chars AS n,

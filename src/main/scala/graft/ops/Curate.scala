@@ -763,4 +763,87 @@ object Curate {
       }
       .toDF(idCol, "chunk_idx", "tok_start", "n_tok", "chunk_text")
   }
+
+  // --- DSIR importance resampling ------------------------------------------
+
+  /**
+   * Data Selection with Importance Resampling (Xie et al. 2023) weights:
+   * per document, the average token log-likelihood ratio between a TARGET
+   * domain's unigram LM and the raw corpus's unigram LM,
+   * `logw = avg_i [ ln p_target(w_i) - ln p_corpus(w_i) ]`, both MLE with
+   * add-1 smoothing over the JOINT vocabulary (so target-unseen tokens get
+   * a finite floor instead of -inf). Positive = looks more like the
+   * target than like the average corpus document. The per-token AVERAGE
+   * (not DSIR's raw sum) makes the weight length-invariant — a scoring
+   * choice, stated here and mirrored by the oracle.
+   *
+   * Scale shape: two token-count aggregations + a vocabulary-cardinality
+   * full-outer join build the ratio table; the corpus tokens join it on
+   * the token key and reduce per doc — all exchanges are at vocabulary or
+   * doc cardinality, the text bytes stay in the scan. The target side is
+   * typically benchmark/domain-sized but is NOT required to be (it is
+   * aggregated, never broadcast).
+   */
+  def dsirWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    dsirWeightsRaw(docs, target, idCol, textCol)
+      .select(col(idCol), round(col("logw") + graft.core.NanMath.RoundEps, 4).as("logw"))
+
+  /** Unrounded [[dsirWeights]] plan (the rounded surface is for catalogs;
+    * downstream keying wants full precision). */
+  private def dsirWeightsRaw(
+      docs: DataFrame, target: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val corpusToks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val targetToks = target.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val cr = corpusToks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cr"))
+    val ct = targetToks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("ct"))
+    val vocab = cr.join(ct, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("cr"), lit(0.0)).as("cr"),
+        coalesce(col("ct"), lit(0.0)).as("ct"))
+    val stats = vocab.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum(col("cr")).as("nr"),
+      sum(col("ct")).as("nt"))
+    val ratios = vocab.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (log((col("ct") + 1) / (col("nt") + col("v"))) -
+          log((col("cr") + 1) / (col("nr") + col("v")))).as("lr"))
+    corpusToks.join(ratios, Seq("tok")).groupBy(col(idCol)).agg(avg(col("lr")).as("logw"))
+  }
+
+  /**
+   * DSIR selection: Gumbel top-k over the importance weights — sampling
+   * WITHOUT replacement proportional to `exp(logw / temperature)`, made
+   * fully deterministic (and oracle-replicable) by deriving the Gumbel
+   * noise from an md5 hash of the doc id instead of an RNG:
+   * `u = (int(md5(id)[0:8 hex]) + 0.5) / 2^32`, `g = -ln(-ln(u))`,
+   * keep the `n` largest `logw/temperature + g`. As temperature -> 0 this
+   * degrades to deterministic top-n by weight; large temperature -> near-
+   * uniform. The top-n cut is a TakeOrdered (map-side bounded heaps, no
+   * global sort) — scale-safe at any corpus size.
+   */
+  def dsirSample(
+      docs: DataFrame,
+      target: DataFrame,
+      n: Int,
+      temperature: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val key = col("logw") / temperature - log(-log(u))
+    dsirWeightsRaw(docs, target, idCol, textCol)
+      .select(col(idCol), col("logw"), key.as("k"))
+      .orderBy(col("k").desc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), round(col("logw") + graft.core.NanMath.RoundEps, 4).as("logw"))
+  }
 }

@@ -1416,6 +1416,32 @@ class CurateSpec extends SparkSpec {
     assert(kept(Map("src0" -> 200L)) == small)
   }
 
+  test("dsirWeights: hand-computed importance log-ratios") {
+    // corpus: a=1 b=2 c=3 (Nr=6); target: a=2 b=1 (Nt=3); joint vocab V=3
+    // lr(a)=ln(3/6)-ln(2/9)  lr(b)=ln(2/6)-ln(3/9)=0  lr(c)=ln(1/6)-ln(4/9)
+    val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a b")).toDF("doc_id", "text")
+    val w = Curate.dsirWeights(corpus, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) == 0.4055)  // (lr_a + 0) / 2 = ln(2.25)/2
+    assert(w(2L) == -0.4904) // (0 + lr_c) / 2
+    assert(w(3L) == -0.9808) // lr_c
+    // the target-looking doc outranks the corpus-typical ones
+    assert(w(1L) > w(2L) && w(2L) > w(3L))
+  }
+
+  test("dsirSample: temperature -> 0 degrades to deterministic top-n by weight") {
+    val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c c")).toDF("doc_id", "text")
+    val target = Seq((9L, "a a b")).toDF("doc_id", "text")
+    val top2 = Curate.dsirSample(corpus, target, n = 2, temperature = 1e-4)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 2L)) // the two highest weights
+    // the draw is a pure function of (corpus, target, n, T): re-runs agree
+    val d1 = Curate.dsirSample(corpus, target, n = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val d2 = Curate.dsirSample(corpus, target, n = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(d1.sorted == d2.sorted)
+  }
+
   test("mixtureSample realizes integer weights exactly and fractions deterministically") {
     val mixDocs = (0L until 40L)
       .map(i => (i, if (i < 20) "w2" else "whalf")).toDF("doc_id", "source")

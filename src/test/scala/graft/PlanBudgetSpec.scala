@@ -178,6 +178,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // moment pass collects bounded per-partition partials (a job, not a
     // shuffle); the projection is a broadcast-basis kernel scan
     "emb_pca" -> 0,
+    // two unigram-count aggs + the vocab full-outer join + the corpus
+    // token join + per-doc avg — vocabulary/doc cardinality only; the
+    // joint-vocab stats reduce rides the broadcast
+    "pipeline_dsir_weights" -> 6,
+    // the weights plan + a TakeOrdered cut (bounded map-side heaps, no
+    // extra exchange for the global top-n)
+    "pipeline_dsir_sample" -> 6,
     // ADC scan is a broadcast-table kernel (0); the two exchanges are the
     // shortlist rank window and the final post-refine rank window — the
     // refine fetch itself is a broadcast semi-join on the tiny shortlist
