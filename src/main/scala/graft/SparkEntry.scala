@@ -685,6 +685,16 @@ object SparkEntry {
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
       "text_bigram_nll" -> ((s, d) => TextOps.bigramNll(docs(s, d))),
+      // fastText-style hashed-BoW logistic quality classifier (rows-only:
+      // iterative training is not SQL-expressible; CurateSpec pins the
+      // planted-rule accuracy = 1.0 bar, bit-identical refits, and the
+      // pretokenized-path equivalence). 20 Adagrad passes on a planted
+      // lexical label, then one kernel scoring scan over the corpus.
+      "text_quality_clf" -> ((s, d) => {
+        val dd = docs(s, d)
+        val labeled = dd.withColumn("y", col("text").contains("spark").cast("int"))
+        Classifier.score(dd, Classifier.fit(labeled, "y", iters = 20))
+      }),
       "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), k = 3)),
       "text_bm25" -> ((s, d) => TextOps.bm25(docs(s, d), "spark join merge")),
       "text_decontaminate" -> ((s, d) => {

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Linear quality classifier over hashed bag-of-words features — the
+ * fastText/CCNet pipeline shape: train a cheap binary model on a labeled
+ * seed set (e.g. "looks like the reference corpus" vs "random crawl"),
+ * then score every document in one kernel scan and gate or bucket on the
+ * probability.
+ *
+ * Features: the hashing trick. Each lowercased whitespace token hashes
+ * into one of `dim` buckets (deterministic JVM string hash — stable
+ * across runs and machines for the same strings); a document's feature
+ * vector is its binary bucket-PRESENCE vector plus a bias (presence,
+ * not tf/len: every active feature then has unit scale, which keeps the
+ * logistic problem well-conditioned — tf/len features at 1/doclen need
+ * weights of order doclen and converge an order of magnitude slower). No
+ * vocabulary table exists, so the model is a single dense `double[dim+1]`
+ * — broadcastable at any corpus size, robust to unseen tokens.
+ *
+ * Training: full-batch Adagrad on the logistic loss with L2 — per-
+ * feature adaptive steps (rare informative buckets take large updates,
+ * ubiquitous ones small), still fully deterministic: the accumulator is
+ * a pure function of the gradient history, no RNG, zero init, fixed
+ * schedule. Each iteration is ONE corpus pass: every partition folds its documents
+ * into a dense gradient partial (`dim+1` doubles, ~256 KB at the 2^15
+ * default), the bounded partials collect and reduce driver-side in
+ * partition-index order (bit-stable, the [[Pca.fit]] precedent), and the
+ * updated weights re-broadcast.
+ *
+ * Scale notes (100 TB): per-iteration cost is one scan + partitions x dim
+ * doubles to the driver — no shuffle at all; the corpus is re-tokenized
+ * each pass, so for many iterations the caller should persist the
+ * pre-featurized frame ([[featurize]]) and pass `pretokenized = true`
+ * (same trade as kmeansFit's documented re-scan). Scoring is a pure
+ * broadcast-weights kernel scan, 0 exchanges.
+ */
+object Classifier {
+
+  /** Hashed-feature row: sorted distinct bucket indices + L1-normalized
+    * counts. Top-level so the Dataset encoder can reach it. */
+  final case class FeatRow(id: Long, label: Double, idx: Array[Int], value: Array[Double])
+
+  /** Stable token -> bucket hash: JVM String.hashCode folded positive. */
+  private def bucket(tok: String, dim: Int): Int = {
+    val h = tok.hashCode % dim
+    if (h < 0) h + dim else h
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Hash a document into its sparse binary-presence feature row. */
+  private def featurizeOne(id: Long, label: Double, text: String, dim: Int): FeatRow = {
+    val present = new java.util.TreeSet[Integer]()
+    text.toLowerCase.split(" ", -1).foreach(t => present.add(bucket(t, dim)))
+    val idx = new Array[Int](present.size)
+    val it = present.iterator()
+    var i = 0
+    while (it.hasNext) { idx(i) = it.next(); i += 1 }
+    FeatRow(id, label, idx, Array.fill(idx.length)(1.0))
+  }
+
+  /** Materializable featurized view `(id, label, idx, value)` — persist
+    * this before a long [[fit]] to pay tokenization once. */
+  def featurize(
+      docs: DataFrame,
+      labelCol: String,
+      dim: Int = 1 << 15,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(labelCol).cast("double"), col(textCol))
+      .as[(Long, Double, String)]
+      .map { case (id, y, text) => featurizeOne(id, y, text, dim) }
+      .toDF("id", "label", "idx", "value")
+  }
+
+  /**
+   * Fit logistic-regression weights; returns `double[dim + 1]`, bias last.
+   * `labelCol` must be 0/1. Pass the output of [[featurize]] (with
+   * `pretokenized = true`) to skip per-iteration re-tokenization.
+   */
+  def fit(
+      docs: DataFrame,
+      labelCol: String = "label",
+      dim: Int = 1 << 15,
+      iters: Int = 50,
+      learningRate: Double = 0.5,
+      l2: Double = 1e-6,
+      pretokenized: Boolean = false,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Array[Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats =
+      if (pretokenized)
+        docs.select(col("id"), col("label"), col("idx"), col("value")).as[FeatRow]
+      else
+        featurize(docs, labelCol, dim, idCol, textCol).as[FeatRow]
+
+    val n = feats.count().toDouble
+    require(n > 0, "no labeled rows")
+    var w = new Array[Double](dim + 1)
+    val gsum = new Array[Double](dim + 1)
+    var iter = 0
+    while (iter < iters) {
+      val bc = spark.sparkContext.broadcast(w)
+      val partials = feats
+        .mapPartitions { it =>
+          val ww = bc.value
+          val g = new Array[Double](ww.length)
+          var any = false
+          it.foreach { r =>
+            any = true
+            var z = ww(ww.length - 1)
+            var i = 0
+            while (i < r.idx.length) { z += ww(r.idx(i)) * r.value(i); i += 1 }
+            val err = sigmoid(z) - r.label
+            i = 0
+            while (i < r.idx.length) { g(r.idx(i)) += err * r.value(i); i += 1 }
+            g(ww.length - 1) += err
+          }
+          if (any)
+            Iterator.single((org.apache.spark.TaskContext.getPartitionId(), g))
+          else Iterator.empty
+        }
+        .collect()
+      bc.unpersist(blocking = false)
+      val grad = new Array[Double](w.length)
+      partials.sortBy(_._1).foreach { case (_, g) =>
+        var i = 0
+        while (i < grad.length) { grad(i) += g(i); i += 1 }
+      }
+      val next = new Array[Double](w.length)
+      var i = 0
+      while (i < w.length) {
+        val g = grad(i) / n + l2 * w(i)
+        gsum(i) += g * g
+        next(i) = w(i) - learningRate * g / (math.sqrt(gsum(i)) + 1e-10)
+        i += 1
+      }
+      w = next
+      iter += 1
+    }
+    w
+  }
+
+  /** Score documents with fitted weights: `(id, prob)` rounded to 4
+    * decimals — one broadcast-weights kernel scan, zero shuffle. */
+  def score(
+      docs: DataFrame,
+      weights: Array[Double],
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = weights.length - 1
+    val bc = spark.sparkContext.broadcast(weights)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ww = bc.value
+        it.map { case (id, text) =>
+          val r = featurizeOne(id, 0.0, text, dim)
+          var z = ww(dim)
+          var i = 0
+          while (i < r.idx.length) { z += ww(r.idx(i)) * r.value(i); i += 1 }
+          (id, math.rint(sigmoid(z) * 10000.0) / 10000.0)
+        }
+      }
+      .toDF("id", "prob")
+  }
+}

@@ -178,6 +178,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // moment pass collects bounded per-partition partials (a job, not a
     // shuffle); the projection is a broadcast-basis kernel scan
     "emb_pca" -> 0,
+    // training iterations are their own driver-reduced jobs (no shuffle);
+    // the scored surface is a broadcast-weights kernel scan
+    "text_quality_clf" -> 0,
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
