@@ -741,6 +741,13 @@ object SparkEntry {
           lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02)
           .select(col("doc_id"))
       }),
+      // keep-BEST retention: per near-dup cluster keep the longest copy
+      // (n_chars), not the smallest id — the policy swap vs dedup_exact
+      "dedup_keep_best" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.dedupKeepBest(dd, Dedup.minhashLsh(dd, threshold = 0.5), col("n_chars"))
+          .select(col("doc_id"))
+      }),
       "pipeline_sample" -> ((s, d) => {
         val dd = docs(s, d)
         Curate.stratifiedSample(dd, TextOps.langPredCol(col("text")), Map("en" -> 0.3))
@@ -1055,6 +1062,7 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
+      "dedup_keep_best" -> graft.ops.Dedup.keepBestOracleSql(3, 16, 4, 0.5, "d.n_chars"),
       "dedup_cluster_sizes" ->
         s"""SELECT sz AS cluster_size, count(*) AS n_clusters FROM (
            |  SELECT cluster_id, count(*) AS sz

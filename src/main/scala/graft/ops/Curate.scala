@@ -32,6 +32,39 @@ object Curate {
   }
 
   /**
+   * Quality-aware near-duplicate retention: per connected near-dup
+   * cluster keep the row MAXIMIZING `quality` (ties to the smallest doc
+   * id) instead of [[dedupKeep]]'s smallest-id representative — the
+   * policy real pipelines want when duplicates differ in cleanliness
+   * (keep the longest / highest-scored copy, drop the truncated ones).
+   *
+   * Scale shape: clustering runs at pair cardinality; the argmax window
+   * runs over CLUSTERED nodes only (pair-adjacent cardinality — the
+   * inner join keeps singletons out of the window entirely), and the
+   * corpus is touched once by the same left_anti drop-list join as
+   * [[dedupKeep]] (AQE broadcasts the drop side).
+   */
+  def dedupKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      quality: Column,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = Dedup.connectedComponents(pairs)
+    val clustered = docs
+      .select(col(idCol).cast("long").as("__node"), quality.as("__q"))
+      .join(cc, col("__node") === col("node"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("__node").asc)
+    val losers = clustered
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("__node"))
+    docs.join(losers, docs(idCol).cast("long") === losers("__node"), "left_anti")
+  }
+
+  /**
    * Quality gate: language + lexical thresholds, evaluated as ONE codegen
    * projection over the scan (no joins against separate metric frames —
    * the signals are pure per-row functions of the text).

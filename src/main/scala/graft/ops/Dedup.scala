@@ -658,6 +658,34 @@ object Dedup {
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
   }
 
+  /**
+   * DuckDB replica of [[Curate.dedupKeepBest]] over [[minhashLsh]] pairs
+   * on the `documents` table: per transitive cluster keep the row
+   * maximizing `qualityExpr` (ties to the smallest doc id); singletons
+   * keep themselves.
+   */
+  def keepBestOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      qualityExpr: String): String = {
+    val pairSql = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold)
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, r) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u),
+       |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node),
+       |cl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cid,
+       |              $qualityExpr AS q
+       |       FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+       |rk AS (SELECT doc_id,
+       |         row_number() OVER (PARTITION BY cid ORDER BY q DESC, doc_id ASC) AS rk
+       |       FROM cl)
+       |SELECT doc_id FROM rk WHERE rk = 1""".stripMargin
+  }
+
   /** DuckDB replica of [[simhash]] over the `documents` table. */
   def simhashOracleSql(maxHamming: Int): String = {
     val nSeg = maxHamming + 1

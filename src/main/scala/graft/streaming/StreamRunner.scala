@@ -763,6 +763,92 @@ object StreamRunner {
       .start()
 
   /**
+   * Streaming CURATION ingest — the whole training-data front door as one
+   * continuous pipeline: per micro-batch, (1) the [[Curate.qualityFilter]]
+   * lexical gate, (2) an optional [[graft.ops.Classifier]] probability
+   * gate under broadcast weights, (3) intra-batch + vs-index near-dup
+   * removal (the [[streamingDedupIngest]] machinery), then the survivors
+   * append to `keptPath` + the signature index, and EVERY rejected doc
+   * lands in `rejectPath` as `(doc_id, reason)` with reason in
+   * {quality, classifier, duplicate} — the [[ingestDlq]] pattern, so a
+   * drop is always attributable and re-playable.
+   *
+   * Scale shape per trigger: the two gates are pure kernel/codegen scans
+   * of the batch; dedup is the per-batch bucket join vs the persisted
+   * index (batch-sized left side, signature-pruned right); rejects are
+   * batch-sized anti joins. Same exactly-once caveat as
+   * [[streamingDedupIngest]]: parquet appends are not transactional
+   * across the three sinks — a crash between writes can duplicate a
+   * batch's rows on restart (checkpointed offsets bound it to one batch).
+   */
+  def streamingCurationIngest(
+      docs: DataFrame,
+      indexPath: String,
+      keptPath: String,
+      rejectPath: String,
+      checkpointPath: String,
+      lang: String = "en",
+      minTokens: Double = 5.0,
+      minTtr: Double = 0.2,
+      clfWeights: Option[Array[Double]] = None,
+      minProb: Double = 0.5,
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        import graft.ops.{Classifier, Curate, Dedup}
+        val batch = rawBatch.localCheckpoint()
+        def ids(df: DataFrame) = df.select(col("doc_id"))
+
+        val gated = Curate.qualityFilter(batch, lang, minTokens, minTtr,
+          textCol = textCol).localCheckpoint()
+        val qualityRejects = batch.join(ids(gated), Seq("doc_id"), "left_anti")
+
+        val scored = clfWeights match {
+          case Some(w) =>
+            val pass = Classifier.score(gated, w, "doc_id", textCol)
+              .filter(col("prob") >= minProb)
+              .select(col("id").as("doc_id"))
+            gated.join(pass, Seq("doc_id")).localCheckpoint()
+          case None => gated
+        }
+        val clfRejects = gated.join(ids(scored), Seq("doc_id"), "left_anti")
+
+        val intraPairs = Dedup.minhashLsh(scored, textCol = textCol,
+          shingleSize = shingleSize, bands = bands, rowsPerBand = rowsPerBand,
+          threshold = threshold)
+        val intraKept = Curate.dedupKeep(scored, intraPairs).localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val kept =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) intraKept
+          else {
+            val index = spark.read.parquet(indexPath)
+            val dupIds = Dedup.minhashPairsVsIndex(index, intraKept,
+                textCol, shingleSize, bands, rowsPerBand, threshold)
+              .select(col("batch_id").as("doc_id")).distinct()
+            intraKept.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+          }
+        val dupRejects = scored.join(ids(kept), Seq("doc_id"), "left_anti")
+
+        Dedup.minhashIndex(kept, textCol, shingleSize, bands, rowsPerBand)
+          .write.mode("append").parquet(indexPath)
+        kept.write.mode("append").parquet(keptPath)
+        ids(qualityRejects).withColumn("reason", lit("quality"))
+          .unionByName(ids(clfRejects).withColumn("reason", lit("classifier")))
+          .unionByName(ids(dupRejects).withColumn("reason", lit("duplicate")))
+          .write.mode("append").parquet(rejectPath)
+      }
+      .start()
+
+  /**
    * Streaming `:percentiles`: per-slot bucket counts finalize under the
    * watermark (all buckets of a window evict in the same trigger, so each
    * micro-batch sees complete windows); the estimation itself needs window

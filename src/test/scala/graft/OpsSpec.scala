@@ -1284,6 +1284,23 @@ class CurateSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("dedupKeepBest keeps the highest-quality copy per cluster, not the smallest id") {
+    // synthetic pair list: {1,2,3} is one transitive cluster, 4 a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val dd = Seq((1L, "x", 10L), (2L, "y", 99L), (3L, "z", 50L), (4L, "w", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = Curate.dedupKeepBest(dd, pairs, col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L)) // argmax quality in the cluster; dedupKeep would keep 1
+    val keptMin = Curate.dedupKeep(dd, pairs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 4L))
+    // quality tie falls back to the smallest id
+    val tied = Seq((1L, "x", 7L), (2L, "y", 7L)).toDF("doc_id", "text", "n_chars")
+    val keptTied = Curate.dedupKeepBest(tied, Seq((1L, 2L)).toDF("doc_a", "doc_b"), col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L))
+  }
+
   test("qualityFilter gates on language and lexical thresholds") {
     val kept = Curate.qualityFilter(docs, lang = "en", minTokens = 10.0, minTtr = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

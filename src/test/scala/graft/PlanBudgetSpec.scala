@@ -181,6 +181,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // training iterations are their own driver-reduced jobs (no shuffle);
     // the scored surface is a broadcast-weights kernel scan
     "text_quality_clf" -> 0,
+    // FINAL stitched plan (CC iterations behind their checkpoints, the
+    // pipeline_semdedup precedent): the clustered-nodes join sides + the
+    // per-cluster argmax window + the drop-list anti join side
+    "dedup_keep_best" -> 5,
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast

@@ -1029,4 +1029,55 @@ class StreamSpec extends SparkSpec {
       assert(kept3 == Set(1L, 3L, 5L, 7L), s"post-compaction batch kept $kept3")
     } finally query.stop()
   }
+
+  test("streaming curation ingest: quality, classifier and duplicate rejects are attributed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val (indexPath, keptPath, rejectPath, ckpt) =
+      (s"$base/index", s"$base/kept", s"$base/rejects", s"$base/ckpt")
+
+    // classifier: junk vocabulary vs clean vocabulary, trained batch-side
+    val clean = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away",
+      "completely different content about the spark streaming state store",
+      "the bucketed parquet layout is described in this clean document")
+    val junk = Seq(
+      "the spam junk noise spam junk noise fills the whole page",
+      "the junk noise spam page is full of the spam junk noise")
+    val labeled = (clean.map((_, 1)) ++ junk.map((_, 0))).zipWithIndex
+      .map { case ((t, y), i) => (100L + i, t, y) }.toDF("doc_id", "text", "y")
+    val w = graft.ops.Classifier.fit(labeled, "y", iters = 60)
+
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, String)]
+    val query = StreamRunner.streamingCurationIngest(
+      input.toDF.toDF("doc_id", "text"), indexPath, keptPath, rejectPath, ckpt,
+      minTokens = 5.0, minTtr = 0.2, clfWeights = Some(w), shingleSize = 2)
+    try {
+      // 1 kept; 2 near-dups 1 intra-batch; 3 fails the token gate;
+      // 4 passes quality but speaks the junk vocabulary
+      input.addData(Seq(
+        (1L, a),
+        (2L, a.replace("lazy", "sleepy")),
+        (3L, "too short"),
+        (4L, "the spam junk noise spam junk noise covers the entire page today")))
+      query.processAllAvailable()
+      // 5 duplicates corpus doc 1 cross-batch; 6 is new and clean
+      input.addData(Seq(
+        (5L, a),
+        (6L, "the completely fresh document about shuffle free aggregation plans here")))
+      query.processAllAvailable()
+
+      val kept = spark.read.parquet(keptPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 6L), s"kept $kept")
+      val rejects = spark.read.parquet(rejectPath)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rejects == Map(2L -> "duplicate", 3L -> "quality",
+        4L -> "classifier", 5L -> "duplicate"), s"rejects $rejects")
+      // every input doc is accounted for exactly once: kept or attributed
+      assert(kept ++ rejects.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    } finally query.stop()
+  }
 }
