@@ -609,6 +609,9 @@ object SparkEntry {
       "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(docs(s, d), threshold = 0.5)),
       "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), maxHamming = 3)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), n = 3, threshold = 0.3)),
+      // asymmetric containment |AnB|/|A|: catches short-doc-quoted-by-long
+      // pairs whose jaccard is near zero (LSH structurally misses them)
+      "dedup_containment" -> ((s, d) => Dedup.ngramContainment(docs(s, d), n = 3, threshold = 0.5)),
       "dedup_clusters" -> ((s, d) => {
         val dd = docs(s, d)
         val cc = Dedup.connectedComponents(Dedup.minhashLsh(dd, threshold = 0.5))
@@ -630,6 +633,12 @@ object SparkEntry {
       "dedup_embedding" -> ((s, d) => Similarity.cosinePairs(emb(s, d), 0.9)),
       // -- similarity search --
       "sim_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)),
+      // full kNN GRAPH (every vector's exact top-5): the all-queries
+      // degenerate of bruteForceTopK — broadcast side is the whole corpus,
+      // so this row is the exact-at-bench-scale form; at 10^9+ vectors the
+      // same graph comes from the LSH-bucketed cosinePairs + per-node rank
+      // (candidate recall traded for the broadcast)
+      "sim_knn_graph" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), lit(true), 5)),
       "cluster_assign" -> ((s, d) => Similarity.nearestCentroid(emb(s, d), col("vec_id") < 4)),
       // full Lloyd loop + assignment; iterative, so rows-only for the
       // driver — SimilaritySpec carries the determinism + recovery bars
@@ -1061,6 +1070,7 @@ object SparkEntry {
            |JOIN lab b ON p.doc_b = b.doc_id
            |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
+      "dedup_containment" -> graft.ops.Dedup.containmentOracleSql(3, 0.5),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
       "dedup_keep_best" -> graft.ops.Dedup.keepBestOracleSql(3, 16, 4, 0.5, "d.n_chars"),
       "dedup_cluster_sizes" ->
@@ -1087,6 +1097,12 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            |  WHERE a.vec_id < 10
+           |) WHERE rank <= 5""".stripMargin,
+      "sim_knn_graph" ->
+        s"""SELECT query_id, nbr_id, round(score, 4) AS score, CAST(rank AS DOUBLE) AS rank FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosSql AS score,
+           |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            |) WHERE rank <= 5""".stripMargin,
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid

@@ -325,6 +325,62 @@ object Dedup {
   ): DataFrame =
     minhashLsh(docs, textCol, shingleSize = n, bands = 32, rowsPerBand = 2, threshold = threshold)
 
+  /**
+   * Asymmetric n-gram CONTAINMENT pairs: `cont_a = |A n B| / |A|` (and the
+   * `_b` mirror), emitted when either side is >= `threshold`. Containment
+   * catches what jaccard structurally cannot: a short document quoted or
+   * wholly subsumed by a much longer one has jaccard ~ |A|/|B| -> 0 but
+   * containment 1.0 — minhash-LSH candidates (jaccard-tuned) MISS exactly
+   * these pairs, so this operator joins on the grams themselves.
+   *
+   * Scale shape: distinct (doc, gram) rows from the partition-local kernel
+   * ([[TextOps.ngramRows]]), one gram-keyed self-join producing only
+   * co-occurring pairs, then pair-count + two size join-backs — exchanges
+   * at gram/pair cardinality. The honest caveat: a gram shared by df docs
+   * contributes df^2/2 candidate rows, so a stopword-like n-gram is a
+   * skew hotspot; at corpus scale run it on gram frequencies first
+   * ([[TextOps.topNgrams]]) and strip df-pathological grams explicitly, or
+   * raise `n` — both documented trades, not silent caps. Docs shorter than
+   * `n` tokens have NO grams (the [[TextOps.ngramSet]] convention) and
+   * never pair.
+   */
+  def ngramContainment(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val grams = TextOps.ngramRows(docs, n, textCol)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = grams.toDF("doc_a", "gram")
+      .join(grams.toDF("doc_b", "gram_b"), col("gram") === col("gram_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("sz_a") + graft.core.NanMath.RoundEps, 4).as("cont_a"),
+        round(col("inter") / col("sz_b") + graft.core.NanMath.RoundEps, 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /** DuckDB replica of [[ngramContainment]] over the `documents` table. */
+  def containmentOracleSql(n: Int, threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - ${n - 1}),
+       |    i -> array_to_string(list_slice(tk, i + 1, i + $n), ' '))) AS gram
+       |  FROM toks WHERE len(tk) >= $n)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS sz FROM g GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS DOUBLE) AS c
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+       |  SELECT doc_a, doc_b, round(c / sa.sz, 4) AS cont_a, round(c / sb.sz, 4) AS cont_b
+       |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id JOIN sz sb ON inter.doc_b = sb.doc_id)
+       |WHERE greatest(cont_a, cont_b) >= $threshold""".stripMargin
+
   /** SimHash signature width: 60 bits (the md5-derived base hash width),
     * packed into one long. */
   private[ops] val SimhashBits = 60

@@ -389,7 +389,7 @@ object TextOps {
   /** One (doc_id, gram) row per DISTINCT lowercase token n-gram per doc —
     * the kernel form of explode(ngramSet(...)): the HOF slice/join chain
     * ran interpreted per gram per document. */
-  private def ngramRows(docs: DataFrame, n: Int, textCol: String): DataFrame = {
+  private[ops] def ngramRows(docs: DataFrame, n: Int, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]

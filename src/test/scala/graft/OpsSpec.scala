@@ -23,6 +23,25 @@ class DedupSpec extends SparkSpec {
     assert(got.values.sum == 5.0)
   }
 
+  test("ngramContainment: hand-computed asymmetric containment, the jaccard blind spot") {
+    // doc 2 is a strict prefix of doc 1: every gram of 2 is in 1, so
+    // cont_b = 1.0 while jaccard is only 2/4 = 0.5 — exactly the pair a
+    // jaccard-tuned detector at 0.8 would miss
+    val dd = Seq(
+      (1L, "a b c d e f"), // grams: "a b c","b c d","c d e","d e f"
+      (2L, "a b c d"),     // grams: "a b c","b c d"
+      (3L, "x y z w"),     // disjoint
+      (4L, "q r")          // shorter than n: no grams, never pairs
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(dd, n = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((0.5, 1.0))) // |AnB|=2, |A|=4, |B|=2
+    // a symmetric threshold on both sides finds nothing here
+    assert(Dedup.ngramContainment(dd, n = 3, threshold = 0.5)
+      .filter(col("cont_a") >= 0.8 && col("cont_b") >= 0.8).count() == 0)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -185,6 +185,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // pipeline_semdedup precedent): the clustered-nodes join sides + the
     // per-cluster argmax window + the drop-list anti join side
     "dedup_keep_best" -> 5,
+    // gram self-join sides (one exchange each over the distinct-gram
+    // kernel rows) + pair-count agg + the two size join-backs — all at
+    // gram/pair cardinality
+    "dedup_containment" -> 5,
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
