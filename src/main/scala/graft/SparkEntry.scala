@@ -568,7 +568,10 @@ object SparkEntry {
     this.synchronized {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+      // probe the LAST-written artifact (cells): a crash mid-build then
+      // re-triggers the overwrite build instead of wedging the cache on a
+      // half-written index
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")))
         graft.ops.Similarity.ivfBuildIndex(emb(s, d), path)
     }
     path
@@ -581,7 +584,8 @@ object SparkEntry {
     this.synchronized {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+      // last-written artifact, as in ivfIndexPath
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")))
         graft.ops.Similarity.ivfPqBuildIndex(emb(s, d), path)
     }
     path
@@ -594,7 +598,8 @@ object SparkEntry {
     this.synchronized {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta")))
+      // last-written artifact, as in ivfIndexPath
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rows")))
         graft.ops.Similarity.lshBuildIndex(emb(s, d), path)
     }
     path

@@ -54,7 +54,11 @@ object Classifier {
   /** Hash a document into its sparse binary-presence feature row. */
   private def featurizeOne(id: Long, label: Double, text: String, dim: Int): FeatRow = {
     val present = new java.util.TreeSet[Integer]()
-    text.toLowerCase.split(" ", -1).foreach(t => present.add(bucket(t, dim)))
+    // Locale.ROOT: the documented cross-machine hash stability would break
+    // under locale-sensitive case folding (tr dotless-i), and it matches
+    // the tokenization convention everywhere else in graft.ops
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      .foreach(t => present.add(bucket(t, dim)))
     val idx = new Array[Int](present.size)
     val it = present.iterator()
     var i = 0
@@ -82,7 +86,13 @@ object Classifier {
   /**
    * Fit logistic-regression weights; returns `double[dim + 1]`, bias last.
    * `labelCol` must be 0/1. Pass the output of [[featurize]] (with
-   * `pretokenized = true`) to skip per-iteration re-tokenization.
+   * `pretokenized = true`) to skip per-iteration re-tokenization; that
+   * frame carries its own `label` column (labelCol is not consulted) and
+   * MUST have been featurized at this `dim` — the fit validates the
+   * index range and fails with a named error on a mismatch rather than
+   * aliasing buckets into the bias slot. The raw-docs path featurizes
+   * once behind a localCheckpoint, so the text is tokenized once, not
+   * once per iteration.
    */
   def fit(
       docs: DataFrame,
@@ -98,10 +108,16 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats =
-      if (pretokenized)
+      if (pretokenized) {
+        val missing = Seq("id", "label", "idx", "value").filterNot(docs.columns.contains)
+        require(missing.isEmpty,
+          s"pretokenized frame lacks ${missing.mkString(",")} - pass featurize() output")
+        val maxIdx = docs.agg(max(array_max(col("idx")))).head.get(0)
+        require(maxIdx == null || maxIdx.asInstanceOf[Int] < dim,
+          s"featurized index $maxIdx >= dim $dim - featurize() ran at a larger dim")
         docs.select(col("id"), col("label"), col("idx"), col("value")).as[FeatRow]
-      else
-        featurize(docs, labelCol, dim, idCol, textCol).as[FeatRow]
+      } else
+        featurize(docs, labelCol, dim, idCol, textCol).localCheckpoint().as[FeatRow]
 
     val n = feats.count().toDouble
     require(n > 0, "no labeled rows")
@@ -171,7 +187,11 @@ object Classifier {
           var z = ww(dim)
           var i = 0
           while (i < r.idx.length) { z += ww(r.idx(i)) * r.value(i); i += 1 }
-          (id, math.rint(sigmoid(z) * 10000.0) / 10000.0)
+          // the engine-wide rounding convention (half-up + RoundEps), so
+          // a threshold gate on the rounded prob behaves like every other
+          // rounded-threshold operator
+          (id, BigDecimal(sigmoid(z) + graft.core.NanMath.RoundEps)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }
       .toDF("id", "prob")

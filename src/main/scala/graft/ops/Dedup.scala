@@ -306,6 +306,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(explode(col("ids_a")).as("corpus_id"), col("ids_b"), col("jaccard"))
       .select(col("corpus_id"), explode(col("ids_b")).as("batch_id"), col("jaccard"))
+      // doc ids are global across the two sides by contract, so an equal-id
+      // pair is a document meeting ITSELF (e.g. a crash-replayed streaming
+      // batch matching its own already-indexed signatures) — never a dup.
+      // Disjoint-side callers are unaffected; replay callers stop
+      // misclassifying every survivor as a duplicate of itself.
+      .filter(col("corpus_id") =!= col("batch_id"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
@@ -350,7 +356,10 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
-    val grams = TextOps.ngramRows(docs, n, textCol)
+    // materialize the tokenization kernel once: three consumers (both
+    // self-join sides + sizes) would otherwise re-scan and re-shingle the
+    // text three times
+    val grams = TextOps.ngramRows(docs, n, textCol).localCheckpoint()
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = grams.toDF("doc_a", "gram")
       .join(grams.toDF("doc_b", "gram_b"), col("gram") === col("gram_b"))

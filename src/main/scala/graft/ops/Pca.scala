@@ -137,8 +137,20 @@ object Pca {
     // returned basis is column i read out at the end
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
+    // convergence is judged RELATIVE to the matrix's own Frobenius scale:
+    // an absolute cutoff silently skips every sweep on small-magnitude
+    // covariances (1e-6-scale embeddings -> 1e-12-scale entries) and
+    // returns the identity basis as "principal" axes
+    var frobSq = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { frobSq += a(fi)(fj) * a(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val tol = 1e-20 * math.max(frobSq, Double.MinPositiveValue)
     var off = offDiag(a)
-    while (sweep < sweeps && off > 1e-11 * d * d) {
+    while (sweep < sweeps && off > tol) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1

@@ -713,7 +713,15 @@ object Similarity {
    * the geometry the index serves), empty cells keep their previous
    * centroid — fully deterministic, no RNG.
    */
-  private[ops] def kmeans(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[ops] def kmeans(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    lloyd(xs, k, iters, spherical = true)
+
+  /** The ONE Lloyd loop behind both the spherical coarse quantizer
+    * ([[kmeans]]) and the plain PQ sub-quantizers ([[kmeansPlain]]) —
+    * a sampling/empty-cell fix applied here reaches every persisted
+    * quantizer instead of silently diverging two hand-synced copies. */
+  private def lloyd(
+      xs: Array[Array[Double]], k: Int, iters: Int, spherical: Boolean): Array[Array[Double]] = {
     val dim = xs.head.length
     val centroids = xs.distinctBy(_.toSeq).take(k).map(_.clone)
     val kk = centroids.length
@@ -722,16 +730,7 @@ object Similarity {
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
       xs.foreach { x =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < kk) {
-          var dist = 0.0
-          var i = 0
-          while (i < dim) { val d = x(i) - centroids(c)(i); dist += d * d; i += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
+        val best = nearestCell(x, centroids)
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += x(i); i += 1 }
@@ -741,8 +740,10 @@ object Similarity {
         if (counts(c) > 0) {
           var i = 0
           while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
-          val n = math.sqrt(dot(centroids(c), centroids(c)))
-          if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
+          if (spherical) {
+            val n = math.sqrt(dot(centroids(c), centroids(c)))
+            if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
+          }
         }
         c += 1
       }
@@ -880,6 +881,26 @@ object Similarity {
    * smallest-id sample (deterministic, no RNG — two builds are
    * byte-identical).
    */
+  /** Bounded smallest-id training sample — the deterministic sampling
+    * contract every driver-side trainer (IVF, PQ, IVF-PQ) shares. */
+  private def trainingSample(
+      emb: DataFrame, sampleSize: Int, idCol: String, vecCol: String): Array[Vec] = {
+    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
+    require(sample.nonEmpty, "no vectors to train on")
+    sample
+  }
+
+  /** Persist a coarse quantizer as the shared `centroids/` layout. */
+  private def writeCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
   def ivfBuildIndex(
       emb: DataFrame,
       path: String,
@@ -890,14 +911,9 @@ object Similarity {
       vecCol: String = "embedding"
   ): Unit = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
-    require(sample.nonEmpty, "no vectors to index")
+    val sample = trainingSample(emb, sampleSize, idCol, vecCol)
     val centroids = kmeans(sample.map(_.vec), nCells, iters)
-    centroids.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toSeq
-      .toDF("centroid_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(spark, centroids, path)
     writeCells(emb, path, centroids, idCol, vecCol, overwrite = true)
   }
 
@@ -1258,32 +1274,8 @@ object Similarity {
     * would bias every codeword onto the sphere and break the residual
     * geometry. Same determinism contract: first-k-distinct init, fixed
     * iteration count, empty cells keep their previous centroid, no RNG. */
-  private def kmeansPlain(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    val dim = xs.head.length
-    val centroids = xs.distinctBy(_.toSeq).take(k).map(_.clone)
-    val kk = centroids.length
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(kk)(new Array[Double](dim))
-      val counts = new Array[Int](kk)
-      xs.foreach { x =>
-        val best = nearestCell(x, centroids)
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += x(i); i += 1 }
-      }
-      var c = 0
-      while (c < kk) {
-        if (counts(c) > 0) {
-          var i = 0
-          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
-        }
-        c += 1
-      }
-      it += 1
-    }
-    centroids
-  }
+  private def kmeansPlain(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] =
+    lloyd(xs, k, iters, spherical = false)
 
   /**
    * Train a product quantizer on a bounded deterministic sample (smallest
@@ -1306,8 +1298,7 @@ object Similarity {
       vecCol: String = "embedding"
   ): PqModel = {
     require(codebookSize <= 256, s"codebookSize $codebookSize > 256: codes are one byte per subspace")
-    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
-    require(sample.nonEmpty, "no vectors to train on")
+    val sample = trainingSample(emb, sampleSize, idCol, vecCol)
     val d = sample.head.vec.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
@@ -1538,14 +1529,10 @@ object Similarity {
   ): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
-    require(sample.nonEmpty, "no vectors to index")
+    val sample = trainingSample(emb, sampleSize, idCol, vecCol)
     val centroids = kmeans(sample.map(_.vec), nCells, iters)
     val model = pqTrainResidual(sample, centroids, m, codebookSize, iters)
-    centroids.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toSeq
-      .toDF("centroid_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(spark, centroids, path)
     model.codebooks.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (w, c) => (j, c, w) }
     }.toSeq.toDF("subspace", "codeword_id", "codeword")

@@ -756,9 +756,15 @@ object StreamRunner {
               .select(col("batch_id").as("doc_id")).distinct()
             intraKept.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
           }
+        // kept BEFORE index: a crash between the writes replays the batch
+        // with its signatures absent, so the recomputed kept set is
+        // identical and rows at worst duplicate (at-least-once). The
+        // reverse order replayed against the batch's OWN signatures —
+        // the self-pair guard in pairGroups now also defuses that, but
+        // the ordering keeps the failure mode duplication, never loss.
+        kept.write.mode("append").parquet(keptPath)
         Dedup.minhashIndex(kept, textCol, shingleSize, bands, rowsPerBand)
           .write.mode("append").parquet(indexPath)
-        kept.write.mode("append").parquet(keptPath)
       }
       .start()
 
@@ -779,7 +785,11 @@ object StreamRunner {
    * batch-sized anti joins. Same exactly-once caveat as
    * [[streamingDedupIngest]]: parquet appends are not transactional
    * across the three sinks — a crash between writes can duplicate a
-   * batch's rows on restart (checkpointed offsets bound it to one batch).
+   * batch's rows on restart (checkpointed offsets bound it to one
+   * batch). The kept-before-index write order plus the self-pair guard
+   * in the index match keep that failure mode DUPLICATION: a replayed
+   * batch is never re-classified as duplicates of its own signatures
+   * and silently dropped.
    */
   def streamingCurationIngest(
       docs: DataFrame,
@@ -838,9 +848,11 @@ object StreamRunner {
           }
         val dupRejects = scored.join(ids(kept), Seq("doc_id"), "left_anti")
 
+        // kept before index (see streamingDedupIngest): replay after a
+        // crash between the two at worst duplicates rows, never drops them
+        kept.write.mode("append").parquet(keptPath)
         Dedup.minhashIndex(kept, textCol, shingleSize, bands, rowsPerBand)
           .write.mode("append").parquet(indexPath)
-        kept.write.mode("append").parquet(keptPath)
         ids(qualityRejects).withColumn("reason", lit("quality"))
           .unionByName(ids(clfRejects).withColumn("reason", lit("classifier")))
           .unionByName(ids(dupRejects).withColumn("reason", lit("duplicate")))

@@ -124,6 +124,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r.keySet == Set((1L, 3L)))
     assert(r((1L, 3L)) == 1.0)
   }
+
+  test("a replayed batch never matches its own indexed signatures") {
+    // crash-replay shape: the batch's signatures are ALREADY in the index
+    // under the same doc ids — the self-pair guard must not call the doc a
+    // duplicate of itself, while a real cross-id duplicate still pairs
+    val docsDf = Seq((1L, "a b c d e f"), (2L, "m n o p q r")).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(docsDf, shingleSize = 2)
+    val replayPairs = Dedup.minhashPairsVsIndex(index, docsDf, shingleSize = 2).collect()
+    assert(replayPairs.isEmpty, s"replay misattributed: ${replayPairs.toSeq}")
+    val realDup = Seq((3L, "a b c d e f")).toDF("doc_id", "text")
+    val crossPairs = Dedup.minhashPairsVsIndex(index, realDup, shingleSize = 2)
+      .collect().map(x => (x.getAs[Long]("corpus_id"), x.getAs[Long]("batch_id"))).toSet
+    assert(crossPairs == Set((1L, 3L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -581,6 +595,20 @@ class SimilaritySpec extends SparkSpec {
       val b = ((i * 7) % 5) - 2.0f
       (i.toLong, Array(a, b, 0.0f, 0.0f))
     }.toDF("vec_id", "embedding")
+    // 1e-6-scale copy: covariance entries ~1e-12, where an absolute Jacobi
+    // cutoff would skip every sweep and return the identity basis — the
+    // relative (Frobenius-scaled) threshold must still converge
+    val tiny = (0 until 110).map { i =>
+      val a = 3e-6f * ((i % 11) - 5)
+      val b = 1e-6f * (((i * 7) % 5) - 2)
+      (i.toLong, Array(0.5f * a + 0.866f * b, 0.866f * a - 0.5f * b, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val mt = Pca.fit(tiny, 2)
+    // rotated axes: the basis must be the planted (cos, sin) directions,
+    // not the standard basis the un-swept identity would return
+    assert(math.abs(math.abs(mt.components(0)(0)) - 0.5) < 1e-3,
+      s"tiny-scale fit returned ${mt.components(0).toSeq} — Jacobi never swept")
+
     val m = Pca.fit(data, 2)
     // first component is e0 (sign-normalized positive), second e1
     assert(math.abs(m.components(0)(0) - 1.0) < 1e-9)

@@ -187,8 +187,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "dedup_keep_best" -> 5,
     // gram self-join sides (one exchange each over the distinct-gram
     // kernel rows) + pair-count agg + the two size join-backs — all at
-    // gram/pair cardinality
-    "dedup_containment" -> 5,
+    // gram/pair cardinality. 6 (not 5): the grams kernel is materialized
+    // behind a localCheckpoint so the text is tokenized ONCE instead of
+    // three times; the checkpoint boundary costs the identical-subplan
+    // ReusedExchange one extra gram-cardinality exchange — tokenized
+    // text bytes >> gram rows, the documented trade
+    "dedup_containment" -> 6,
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
