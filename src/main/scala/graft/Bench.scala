@@ -141,7 +141,8 @@ object Bench {
       "dedup_exact", "dedup_minhash", "sim_topk", "sim_ann_lsh",
       "text_tokens", "text_quality", "mm_features",
       "join_asof", "join_interval", "pipeline_chunk", "cluster_assign",
-      "text_bm25", "text_unigram_nll", "dedup_incremental", "pipeline_split")
+      "text_bm25", "text_unigram_nll", "dedup_incremental", "pipeline_split",
+      "sim_ann_pq", "dedup_containment", "text_quality_clf", "pipeline_dsir_sample")
     val qs = results
       .filter { case (k, _, _) => headline.contains(k) }
       .map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }
