@@ -920,6 +920,12 @@ object SparkEntry {
       "mm_resize" -> ((s, d) =>
         Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
       // -- event operators (§2.9), through the ASL front-end --
+      // shuffle-key health checks over the busiest join/group key: measure
+      // the skew BEFORE the 100 TB shuffle, at key cardinality
+      "diag_key_skew" -> ((s, d) =>
+        Diag.keySkew(s.read.parquet(s"$d/events.parquet"), "user_id", k = 10)),
+      "diag_skew_stats" -> ((s, d) =>
+        Diag.skewStats(s.read.parquet(s"$d/events.parquet"), "user_id")),
       "events_table" -> ((s, d) => EventOps.eval(
         Asl.parseEvent("name,error,:eq,usr,u100,:ge,:and,(,event_id,tms,user_id,value,),:table"),
         EventOps.events(s, d), stepMs = 86400000L)),
@@ -968,6 +974,14 @@ object SparkEntry {
       // graft.ops.Quantiles for the domain-bounded order-statistics plan.
       "rel_pct_price" -> ((s, d) =>
         Quantiles.groupedExact(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.9), Seq("p50", "p90"))),
+      // the sketched knob beside the exact plan: ONE exchange via native
+      // percentile_approx (rows-only — GK picks observed values, not
+      // quantile_cont interpolation; QuantilesSpec bars the rank error)
+      "rel_pct_price_approx" -> ((s, d) =>
+        Quantiles.groupedApprox(
           s.read.parquet(s"$d/lineitem.parquet"),
           "l_returnflag", "l_extendedprice",
           Seq(0.5, 0.9), Seq("p50", "p90"))),
@@ -1592,6 +1606,23 @@ object SparkEntry {
            |       CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) AS n_bpe_tokens
            |FROM documents""".stripMargin
       },
+      "diag_key_skew" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+          |r AS (SELECT key, cnt,
+          |        row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+          |        sum(cnt) OVER (ORDER BY cnt DESC, key ASC ROWS UNBOUNDED PRECEDING) AS cum
+          |      FROM c)
+          |SELECT key, CAST(cnt AS DOUBLE) AS cnt, round(cnt / total, 4) AS share,
+          |       round(cum / total, 4) AS cum_share, CAST(rank AS DOUBLE) AS rank
+          |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin,
+      "diag_skew_stats" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt FROM events GROUP BY 1),
+          |i AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, key ASC) AS i FROM c),
+          |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(cnt) AS DOUBLE) AS s,
+          |             CAST(max(cnt) AS DOUBLE) AS m, CAST(sum(i * cnt) AS DOUBLE) AS sic FROM i)
+          |SELECT n AS n_keys, s AS n_rows, round(m / s, 4) AS max_share,
+          |       round((2 * sic - (n + 1) * s) / (n * s), 4) AS gini FROM a""".stripMargin,
       "events_table" ->
         """SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
           |WHERE event_type = 'error' AND 'u' || lpad(CAST(user_id AS VARCHAR), 3, '0') >= 'u100'""".stripMargin,

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.core.NanMath
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Pipeline-health diagnostics: before shuffling 100 TB on a key, measure
+ * the key. A skewed `groupBy`/`join` key is the single most common way a
+ * plan that works at test scale dies at cluster scale (one straggler
+ * partition owning 30% of the rows) — these operators put numbers on
+ * that BEFORE the expensive job runs, at key cardinality, so the caller
+ * can decide to salt, AQE-skew-join, or cap.
+ */
+object Diag {
+
+  /**
+   * Top-k heaviest key values with row share and cumulative share:
+   * `(key, cnt, share, cum_share, rank)`, heaviest first (ties to the
+   * smaller key string). One count aggregate at key cardinality + a
+   * TakeOrdered-size window over the k survivors — the corpus is scanned
+   * once and only key-cardinality rows ever shuffle.
+   */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("total") + NanMath.RoundEps, 4))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          / col("total") + NanMath.RoundEps, 4))
+      .select(col("key"), col("cnt").cast("double").as("cnt"),
+        col("share"), col("cum_share"), col("rank").cast("double").as("rank"))
+  }
+
+  /**
+   * One-row key-distribution summary: `(n_keys, n_rows, max_share, gini)`.
+   * Gini over the per-key counts via the sorted-index formula
+   * `sum((2i - n - 1) * c_i) / (n * sum c)` on ascending counts —
+   * 0 = perfectly uniform key, -> 1 = one key owns everything. The rank
+   * window runs at KEY cardinality (the single-partition window warning
+   * is the documented price; a key column with 10^9 distinct values
+   * should be sampled first, at which point skew was not the question).
+   */
+  def skewStats(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").asc, col("key").asc)
+    counts
+      .withColumn("i", row_number().over(w))
+      .agg(
+        count(lit(1)).cast("double").as("n_keys"),
+        sum(col("cnt")).cast("double").as("n_rows"),
+        max(col("cnt")).cast("double").as("max_cnt"),
+        // sum((2i - n - 1) c_i) = 2 sum(i c_i) - (n + 1) sum(c_i)
+        sum(col("i") * col("cnt")).cast("double").as("sic"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("max_cnt") / col("n_rows") + NanMath.RoundEps, 4).as("max_share"),
+        round((lit(2) * col("sic") - (col("n_keys") + 1) * col("n_rows"))
+          / (col("n_keys") * col("n_rows")) + NanMath.RoundEps, 4).as("gini"))
+  }
+}

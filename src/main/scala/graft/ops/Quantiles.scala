@@ -113,4 +113,34 @@ object Quantiles {
     }
     interp.groupBy(g).agg(pivotCols.head, pivotCols.tail: _*)
   }
+
+  /**
+   * Sketched grouped quantiles via Spark's native `percentile_approx`
+   * (Greenwald-Khanna): ONE hash-aggregate exchange total, the mergeable-
+   * sketch economics [[groupedExact]] deliberately does not use. The
+   * trade, stated plainly: rank error is bounded by 1/accuracy (value
+   * error unbounded in theory on adversarial distributions), results are
+   * NOT quantile_cont-interpolated (the sketch returns an observed value),
+   * so this is the dashboard/monitoring knob — groupedExact remains the
+   * oracle-grade path. At 100 TB this is the difference between one
+   * combiner-friendly pass and the exact plan's five exchanges.
+   */
+  def groupedApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      names: Seq[String],
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.length == names.length, "qs/names mismatch")
+    val agg = percentile_approx(
+      col(valueCol),
+      array(qs.map(lit): _*),
+      lit(accuracy)).as("ps")
+    df.groupBy(col(groupCol)).agg(agg)
+      .select(col(groupCol) +: names.zipWithIndex.map { case (name, i) =>
+        round(element_at(col("ps"), i + 1) + NanMath.RoundEps, 4).as(name)
+      }: _*)
+  }
 }

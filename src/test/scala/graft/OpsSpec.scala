@@ -1725,8 +1725,48 @@ class CurateSpec extends SparkSpec {
   }
 }
 
+class DiagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keySkew: hand-computed shares and cumulative shares") {
+    // a x4, b x2, c x1, d x1
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val got = Diag.keySkew(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 4.0, 0.5, 0.5, 1.0), ("b", 2.0, 0.25, 0.75, 2.0)))
+  }
+
+  test("skewStats: gini 0 on uniform keys, hand-computed on skewed") {
+    val uniform = Seq("x", "x", "y", "y").toDF("k")
+    val u = Diag.skewStats(uniform, "k").collect().head
+    assert(u.getDouble(0) == 2.0 && u.getDouble(1) == 4.0 && u.getDouble(2) == 0.5 && u.getDouble(3) == 0.0)
+    // counts ascending (c=1, d=1, b=2, a=4): sic = 1+2+6+16 = 25
+    // gini = (2*25 - 5*8) / (4*8) = 0.3125
+    val skewed = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val s = Diag.skewStats(skewed, "k").collect().head
+    assert(s.getDouble(0) == 4.0 && s.getDouble(1) == 8.0)
+    assert(s.getDouble(2) == 0.5 && s.getDouble(3) == 0.3125)
+  }
+}
+
 class QuantilesSpec extends SparkSpec {
   import spark.implicits._
+
+  test("groupedApprox tracks groupedExact within GK rank error at one exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = ops.Quantiles.groupedExact(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.9), Seq("p50", "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = ops.Quantiles.groupedApprox(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.9), Seq("p50", "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (g, (a50, a90)) =>
+      val (e50, e90) = exact(g)
+      assert(math.abs(a50 - e50) / e50 <= 0.02, s"$g p50 approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.02, s"$g p90 approx $a90 vs exact $e90")
+    }
+  }
 
   test("groupedExact matches the quantile_cont definition (single-task reference)") {
     // deterministic synthetic data: 2-decimal values, two groups, with ties

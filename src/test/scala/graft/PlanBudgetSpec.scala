@@ -67,6 +67,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "rollup_percentiles" -> 2,
     "math_div_subset" -> 6, // two fetches (2 each) + sparse line join + output
     "rel_pct_price" -> 5, // distinct-value counts, marker join, in-bucket rank
+    // the sketched knob: ONE mergeable-sketch hash aggregate — the whole
+    // point of the row next to the exact 5-exchange plan
+    "rel_pct_price_approx" -> 1,
+    // key-count agg + the global top-k/cum window at key cardinality
+    "diag_key_skew" -> 2,
+    // key-count agg + the ascending-index window + the final reduce
+    "diag_skew_stats" -> 2,
     "dedup_minhash" -> 5, // shingle-set collapse, band bucket join, jaccard
     "dedup_embedding" -> 8, // identical collapse, bucket join, re-rank joins
     "text_decontaminate" -> 2, // doc grams + eval-gram collapse (guarded join)
