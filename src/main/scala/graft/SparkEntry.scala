@@ -920,6 +920,11 @@ object SparkEntry {
       "mm_resize" -> ((s, d) =>
         Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
       // -- event operators (§2.9), through the ASL front-end --
+      // time-to-convert percentiles per funnel step (greedy-earliest chain
+      // == chained-min recurrence, so DuckDB's quantile_cont replays it)
+      "events_funnel_times" -> ((s, d) =>
+        EventOps.funnelTimes(EventOps.events(s, d),
+          Seq("signup", "click", "purchase"), windowMs = 604800000L)),
       // shuffle-key health checks over the busiest join/group key: measure
       // the skew BEFORE the 100 TB shuffle, at key cardinality
       "diag_key_skew" -> ((s, d) =>
@@ -1555,6 +1560,23 @@ object SparkEntry {
           |SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM s1
           |UNION ALL SELECT 2, count(*) FROM s2
           |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+      // the chained-min recurrence extended with per-user conversion
+      // delays; quantile_cont matches the engine's groupedExact exactly
+      "events_funnel_times" ->
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+          |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
+          |       GROUP BY 1, 2),
+          |s3 AS (SELECT ev.user_id, s2.t1, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND t > s2.t2 AND t - s2.t1 <= 604800000
+          |       GROUP BY 1, 2),
+          |d AS (SELECT CAST(2 AS BIGINT) AS step, CAST(t2 - t1 AS DOUBLE) AS dt FROM s2
+          |      UNION ALL SELECT 3, CAST(t3 - t1 AS DOUBLE) FROM s3)
+          |SELECT step, count(*) AS n_users,
+          |       round(quantile_cont(dt, 0.5), 4) AS p50_ms,
+          |       round(quantile_cont(dt, 0.9), 4) AS p90_ms
+          |FROM d GROUP BY 1""".stripMargin,
       // same chained-min recurrence with the step type repeated: the
       // second click must be strictly later than the anchor click
       "events_funnel_rep" ->

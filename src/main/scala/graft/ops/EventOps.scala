@@ -224,6 +224,63 @@ object EventOps {
   }
 
   /**
+   * Time-to-convert distribution per funnel step: for every user the
+   * [[funnel]] greedy-earliest matcher reaches step `s >= 2`, the delay
+   * `t_s - t_anchor` in ms; reported per step as user count + exact
+   * quantile_cont percentiles (via [[Quantiles.groupedExact]] — the
+   * funnel's k-row step cardinality makes the exact path cheap). The
+   * greedy-earliest chain equals the chained-min recurrence, so the
+   * DuckDB oracle reproduces the per-user times exactly.
+   *
+   * Scale shape: same single user-keyed exchange as [[funnel]] (events
+   * filter to step types at the scan); the quantile stage runs over
+   * (step, dt) rows at converted-user cardinality, grouped into at most
+   * |steps|-1 cells.
+   */
+  def funnelTimes(
+      events: DataFrame,
+      steps: Seq[String],
+      windowMs: Long,
+      pcts: Seq[Double] = Seq(0.5, 0.9),
+      names: Seq[String] = Seq("p50_ms", "p90_ms"),
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): DataFrame = {
+    require(steps.length >= 2, "time-to-convert needs at least two steps")
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepsArr = steps.toArray
+    val dts = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long"), col(tsCol).cast("long"), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(tsCol)) { (_, it) =>
+        // the funnel matcher, recording each reached step's time
+        var r = 0
+        var anchor = 0L
+        var last = 0L
+        val times = new Array[Long](stepsArr.length)
+        it.foreach { case (_, ts, tp) =>
+          if (r == 0) {
+            if (tp == stepsArr(0)) { anchor = ts; last = ts; times(0) = ts; r = 1 }
+          } else if (r < stepsArr.length && tp == stepsArr(r) &&
+              ts > last && ts - anchor <= windowMs) {
+            times(r) = ts; last = ts; r += 1
+          }
+        }
+        (1 until r).iterator.map(s => ((s + 1).toLong, (times(s) - anchor).toDouble))
+      }
+      .toDF("step", "dt")
+      .localCheckpoint() // two consumers (counts + quantiles): match once
+    val counts = dts.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    counts.join(
+      Quantiles.groupedExact(dts, "step", "dt", pcts, names), Seq("step"))
+  }
+
+  /**
    * Event-flow transition matrix: counts of consecutive (event_type ->
    * next event_type) pairs within each user's time-ordered stream — the
    * aggregate behind a sankey/path-analysis view. Ordering ties break on

@@ -1124,6 +1124,26 @@ class SessionizeSpec extends SparkSpec {
       (2L, 3001L, 3001L, 1.0, 4.0)))
   }
 
+  test("funnelTimes: hand-computed conversion-delay percentiles per step") {
+    val events = Seq(
+      // u1: signup@10, click@20 (dt 10), purchase@30 (dt 20)
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: signup@0, click@40 (dt 40) — no purchase
+      (2L, 0L, "signup"), (2L, 40L, "click"),
+      // u3: signup@0, click@60 (dt 60), purchase@90 (dt 90)
+      (3L, 0L, "signup"), (3L, 60L, "click"), (3L, 90L, "purchase"),
+      // u4: signup only
+      (4L, 5L, "signup")
+    ).toDF("user_id", "tms", "event_type")
+    val got = ops.EventOps.funnelTimes(events, Seq("signup", "click", "purchase"), 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // step 2 dts {10, 40, 60}: p50 = 40, p90 = 0.9*(n-1)=1.8 -> 40+0.8*(60-40)=56
+    assert(got(2L) == ((3L, 40.0, 56.0)))
+    // step 3 dts {20, 90}: p50 = 55, p90 = 20+0.9*70 = 83
+    assert(got(3L) == ((2L, 55.0, 83.0)))
+    assert(!got.contains(1L)) // the anchor step has no delay by definition
+  }
+
   test("funnel: greedy-earliest chain, earliest anchor, strict ordering, window bound") {
     val events = Seq(
       // u1 completes all three in order and window

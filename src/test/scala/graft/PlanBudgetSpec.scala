@@ -100,6 +100,10 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // per-user day-set collapse + the (cohort, age) count over
     // user-day-cardinality rows
     "events_retention" -> 2,
+    // FINAL stitched plan (the matcher runs behind its localCheckpoint):
+    // step-count agg + the exact-quantile stage at (step, dt) cardinality
+    // + the counts/quantiles stitch join
+    "events_funnel_times" -> 6,
     // user window (lead is a within-partition sort) + the |types|^2 cell agg
     "events_transitions" -> 2,
     // from_json is a scan projection; only the group-aggregate exchanges
