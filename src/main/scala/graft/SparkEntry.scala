@@ -788,6 +788,12 @@ object SparkEntry {
           .select(col("doc_id"), col("source"))),
       "pipeline_pack_col" -> ((s, d) =>
         Curate.packSequences(docs(s, d), seqLen = 2048L, tokenCountCol = Some("n_chars"))),
+      // vocabulary drift between the English slice and the rest: the
+      // data-drift alarm (KL both ways + bounded JSD over the joint vocab)
+      "pipeline_vocab_drift" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.vocabDrift(dd.filter(col("lang") === "en"), dd.filter(col("lang") =!= "en"))
+      }),
       // DSIR (Xie et al.): importance weights = per-token avg unigram
       // log-ratio of the English target LM vs the whole-corpus LM...
       "pipeline_dsir_weights" -> ((s, d) => {
@@ -1457,6 +1463,20 @@ object SparkEntry {
           |SELECT doc_id, source FROM c
           |WHERE prior < (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
           |               ELSE 9223372036854775807 END)""".stripMargin,
+      "pipeline_vocab_drift" ->
+        """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang = 'en'),
+          |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang <> 'en'),
+          |ca AS (SELECT tok, CAST(count(*) AS DOUBLE) AS ca FROM ta GROUP BY tok),
+          |cb AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cb FROM tb GROUP BY tok),
+          |v AS (SELECT coalesce(ca.ca, 0.0) AS ca, coalesce(cb.cb, 0.0) AS cb
+          |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+          |s AS (SELECT CAST(count(*) AS DOUBLE) AS vocab, sum(ca) AS na, sum(cb) AS nb FROM v),
+          |d AS (SELECT (ca + 1) / (na + vocab) AS p, (cb + 1) / (nb + vocab) AS q
+          |      FROM v CROSS JOIN s)
+          |SELECT round(sum(p * ln(p / q)), 4) AS kl_ab,
+          |       round(sum(q * ln(q / p)), 4) AS kl_ba,
+          |       round((sum(p * ln(2 * p / (p + q))) + sum(q * ln(2 * q / (p + q)))) / 2, 4) AS jsd
+          |FROM d""".stripMargin,
       // DSIR weights: add-1-smoothed unigram LMs over the JOINT vocab,
       // per-doc AVERAGE token log-ratio (length-invariant) — conventions
       // mirrored from Curate.dsirWeights verbatim

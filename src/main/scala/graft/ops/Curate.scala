@@ -826,6 +826,50 @@ object Curate {
     dsirWeightsRaw(docs, target, idCol, textCol)
       .select(col(idCol), round(col("logw") + graft.core.NanMath.RoundEps, 4).as("logw"))
 
+  /**
+   * Vocabulary drift between two corpus slices (two snapshots, two
+   * domains, train vs incoming batch): KL(p||q), KL(q||p) and the
+   * symmetric bounded Jensen-Shannon divergence over add-1-smoothed
+   * unigram distributions on the JOINT vocabulary — the data-drift
+   * alarm a continuously-ingesting pipeline watches (a JSD step change
+   * between yesterday's and today's crawl means the source mix moved).
+   * Add-1 over the joint vocab makes p and q proper distributions
+   * (sum(c+1) = N + V exactly), so JSD is in [0, ln 2].
+   *
+   * Scale shape: two token-count aggregations + one vocabulary-
+   * cardinality full-outer join + a single scalar aggregate — text bytes
+   * stay in their scans, nothing broadcasts but the 3-number stats row.
+   */
+  def vocabDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String = "text"
+  ): DataFrame = {
+    val ta = a.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val tb = b.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val ca = ta.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("ca"))
+    val cb = tb.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cb"))
+    val vocab = ca.join(cb, Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0.0)).as("ca"),
+        coalesce(col("cb"), lit(0.0)).as("cb"))
+    val stats = vocab.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    val p = (col("ca") + 1) / (col("na") + col("v"))
+    val q = (col("cb") + 1) / (col("nb") + col("v"))
+    vocab.crossJoin(broadcast(stats))
+      .select(p.as("p"), q.as("q"))
+      .agg(
+        round(sum(col("p") * log(col("p") / col("q"))) + graft.core.NanMath.RoundEps, 4)
+          .as("kl_ab"),
+        round(sum(col("q") * log(col("q") / col("p"))) + graft.core.NanMath.RoundEps, 4)
+          .as("kl_ba"),
+        round((sum(col("p") * log(lit(2) * col("p") / (col("p") + col("q")))) +
+          sum(col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))) / 2
+          + graft.core.NanMath.RoundEps, 4).as("jsd"))
+  }
+
   /** Unrounded [[dsirWeights]] plan (the rounded surface is for catalogs;
     * downstream keying wants full precision). */
   private def dsirWeightsRaw(

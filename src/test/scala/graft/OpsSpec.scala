@@ -23,6 +23,32 @@ class DedupSpec extends SparkSpec {
     assert(got.values.sum == 5.0)
   }
 
+  test("optimalBands: minimizes the S-curve error, shifts with the threshold") {
+    val (b5, r5) = Dedup.optimalBands(0.5, 64)
+    assert(b5 * r5 <= 64 && b5 >= 1 && r5 >= 1)
+    // exhaustive optimality under the same discretized objective
+    def prob(s: Double, b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def err(t: Double, b: Int, r: Int): Double = {
+      val n = 200
+      def integ(lo: Double, hi: Double)(f: Double => Double) = {
+        val h = (hi - lo) / n
+        (1 until n).map(i => f(lo + i * h)).sum * h + (f(lo) + f(hi)) / 2 * h
+      }
+      0.5 * integ(0, t)(prob(_, b, r)) + 0.5 * integ(t, 1)(s => 1 - prob(s, b, r))
+    }
+    val all = for (b <- 1 to 64; r <- 1 to 64 / b) yield err(0.5, b, r)
+    assert(math.abs(err(0.5, b5, r5) - all.min) < 1e-12)
+    // higher thresholds want LONGER bands (more rows per band shifts the
+    // S-curve right), lower thresholds shorter ones
+    val (_, rHigh) = Dedup.optimalBands(0.9, 64)
+    val (_, rLow) = Dedup.optimalBands(0.2, 64)
+    assert(rHigh > r5 && r5 > rLow, s"rows per band not monotone: $rLow <= $r5 <= $rHigh")
+    // asymmetric weighting moves the knee: recall-heavy tuning (low
+    // fpWeight) accepts more candidates, never fewer
+    val (bRec, rRec) = Dedup.optimalBands(0.5, 64, fpWeight = 0.1)
+    assert(rRec <= r5 || bRec >= b5)
+  }
+
   test("ngramContainment: hand-computed asymmetric containment, the jaccard blind spot") {
     // doc 2 is a strict prefix of doc 1: every gram of 2 is in 1, so
     // cont_b = 1.0 while jaccard is only 2/4 = 0.5 — exactly the pair a
@@ -1546,6 +1572,21 @@ class CurateSpec extends SparkSpec {
     val acc = joined.count { case (y, p) => (p >= 0.5) == (y == 1) }.toDouble / joined.length
     info(f"train accuracy on the planted rule at sf0.01: $acc%.3f")
     assert(acc >= 0.99) // measured 1.000 at lr=0.5, 50 iters
+  }
+
+  test("vocabDrift: hand-computed KL and JSD; zero on identical corpora") {
+    // A = "a a b", B = "a b b": joint vocab {a,b}, V=2, Na=Nb=3
+    // p = (0.6, 0.4), q = (0.4, 0.6)
+    // KL(p||q) = 0.2*ln(1.5) = 0.0811 both ways; JSD = 0.6 ln 1.2 + 0.4 ln 0.8 = 0.0201
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b b")).toDF("doc_id", "text")
+    val r = Curate.vocabDrift(a, b).collect().head
+    assert(r.getDouble(0) == 0.0811 && r.getDouble(1) == 0.0811 && r.getDouble(2) == 0.0201)
+    val same = Curate.vocabDrift(a, a).collect().head
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0 && same.getDouble(2) == 0.0)
+    // JSD is bounded by ln 2 even for disjoint vocabularies
+    val disjoint = Curate.vocabDrift(a, Seq((3L, "x y z")).toDF("doc_id", "text")).collect().head
+    assert(disjoint.getDouble(2) > 0 && disjoint.getDouble(2) <= math.log(2.0))
   }
 
   test("dsirWeights: hand-computed importance log-ratios") {

@@ -208,6 +208,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
     "pipeline_dsir_weights" -> 6,
+    // the dsir front half without the corpus join-back: two count aggs +
+    // the vocab full-outer join + the scalar divergence reduce
+    "pipeline_vocab_drift" -> 4,
     // the weights plan + a TakeOrdered cut (bounded map-side heaps, no
     // extra exchange for the global top-n)
     "pipeline_dsir_sample" -> 6,
