@@ -845,17 +845,7 @@ object Curate {
       b: DataFrame,
       textCol: String = "text"
   ): DataFrame = {
-    val ta = a.select(explode(split(lower(col(textCol)), " ")).as("tok"))
-    val tb = b.select(explode(split(lower(col(textCol)), " ")).as("tok"))
-    val ca = ta.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("ca"))
-    val cb = tb.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cb"))
-    val vocab = ca.join(cb, Seq("tok"), "full_outer")
-      .select(coalesce(col("ca"), lit(0.0)).as("ca"),
-        coalesce(col("cb"), lit(0.0)).as("cb"))
-    val stats = vocab.agg(
-      count(lit(1)).cast("double").as("v"),
-      sum(col("ca")).as("na"),
-      sum(col("cb")).as("nb"))
+    val (vocab, stats) = jointVocabCounts(a, b, textCol)
     val p = (col("ca") + 1) / (col("na") + col("v"))
     val q = (col("cb") + 1) / (col("nb") + col("v"))
     vocab.crossJoin(broadcast(stats))
@@ -870,27 +860,39 @@ object Curate {
           + graft.core.NanMath.RoundEps, 4).as("jsd"))
   }
 
+  /** Shared joint-vocabulary scaffolding for the LM-ratio operators
+    * ([[dsirWeights]], [[vocabDrift]]): one row per token seen on either
+    * side with zero-coalesced counts `(tok, ca, cb)` plus the one-row
+    * `(v, na, nb)` stats frame — tokenization and smoothing conventions
+    * live HERE once, so the two operators cannot silently diverge. */
+  private def jointVocabCounts(
+      a: DataFrame, b: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val ta = a.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val tb = b.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+    val ca = ta.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("ca"))
+    val cb = tb.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cb"))
+    val vocab = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ca"), lit(0.0)).as("ca"),
+        coalesce(col("cb"), lit(0.0)).as("cb"))
+    val stats = vocab.agg(
+      count(lit(1)).cast("double").as("v"),
+      sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    (vocab, stats)
+  }
+
   /** Unrounded [[dsirWeights]] plan (the rounded surface is for catalogs;
     * downstream keying wants full precision). */
   private def dsirWeightsRaw(
       docs: DataFrame, target: DataFrame, idCol: String, textCol: String): DataFrame = {
     val corpusToks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("tok"))
-    val targetToks = target.select(explode(split(lower(col(textCol)), " ")).as("tok"))
-    val cr = corpusToks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("cr"))
-    val ct = targetToks.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("ct"))
-    val vocab = cr.join(ct, Seq("tok"), "full_outer")
-      .select(col("tok"),
-        coalesce(col("cr"), lit(0.0)).as("cr"),
-        coalesce(col("ct"), lit(0.0)).as("ct"))
-    val stats = vocab.agg(
-      count(lit(1)).cast("double").as("v"),
-      sum(col("cr")).as("nr"),
-      sum(col("ct")).as("nt"))
+    val (vocab, stats) = jointVocabCounts(docs, target, textCol)
     val ratios = vocab.crossJoin(broadcast(stats))
       .select(col("tok"),
-        (log((col("ct") + 1) / (col("nt") + col("v"))) -
-          log((col("cr") + 1) / (col("nr") + col("v")))).as("lr"))
+        (log((col("cb") + 1) / (col("nb") + col("v"))) -
+          log((col("ca") + 1) / (col("na") + col("v")))).as("lr"))
     corpusToks.join(ratios, Seq("tok")).groupBy(col(idCol)).agg(avg(col("lr")).as("logw"))
   }
 

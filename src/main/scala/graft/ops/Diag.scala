@@ -26,7 +26,10 @@ object Diag {
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    // asc_nulls_last: Spark defaults NULLS FIRST on ASC where DuckDB (and
+    // the oracle) default NULLS LAST — a NULL key tying at the k boundary
+    // must rank identically in both engines
+    val w = Window.orderBy(col("cnt").desc, col("key").asc_nulls_last)
     counts
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -52,15 +55,19 @@ object Diag {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").asc, col("key").asc)
+    val w = Window.orderBy(col("cnt").asc, col("key").asc_nulls_last)
     counts
       .withColumn("i", row_number().over(w))
       .agg(
         count(lit(1)).cast("double").as("n_keys"),
         sum(col("cnt")).cast("double").as("n_rows"),
         max(col("cnt")).cast("double").as("max_cnt"),
-        // sum((2i - n - 1) c_i) = 2 sum(i c_i) - (n + 1) sum(c_i)
-        sum(col("i") * col("cnt")).cast("double").as("sic"))
+        // sum((2i - n - 1) c_i) = 2 sum(i c_i) - (n + 1) sum(c_i);
+        // multiply in DOUBLE: at the corpus scale this op exists to
+        // diagnose, long i*cnt overflows (n_keys * n_rows / 2 passes
+        // 2^63 near 1e8 keys x 1e12 rows) — ANSI mode would throw and
+        // non-ANSI would silently diverge from the HUGEINT oracle
+        sum(col("i").cast("double") * col("cnt").cast("double")).as("sic"))
       .select(col("n_keys"), col("n_rows"),
         round(col("max_cnt") / col("n_rows") + NanMath.RoundEps, 4).as("max_share"),
         round((lit(2) * col("sic") - (col("n_keys") + 1) * col("n_rows"))
