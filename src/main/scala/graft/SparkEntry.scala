@@ -926,6 +926,11 @@ object SparkEntry {
       "mm_resize" -> ((s, d) =>
         Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
       // -- event operators (§2.9), through the ASL front-end --
+      // last-touch attribution: purchases credit the latest preceding
+      // click/view within 7 days, else 'direct'
+      "events_attribution" -> ((s, d) =>
+        EventOps.lastTouchAttribution(EventOps.events(s, d),
+          "purchase", Seq("click", "view"), windowMs = 604800000L)),
       // time-to-convert percentiles per funnel step (greedy-earliest chain
       // == chained-min recurrence, so DuckDB's quantile_cont replays it)
       "events_funnel_times" -> ((s, d) =>
@@ -968,6 +973,24 @@ object SparkEntry {
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + NanMath.RoundEps, 4).as("revenue"),
             round(avg(col("l_discount")) + NanMath.RoundEps, 4).as("avg_disc"),
             count(lit(1)).cast("double").as("n"))),
+      // TPC-H Q3 shape: two selective dims broadcast into the fact scan,
+      // per-order revenue agg, TakeOrdered top-10 — the canonical
+      // star-join plan (no fact shuffle before the aggregate)
+      "rel_q3_shipping" -> ((s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING")
+        li.filter(col("l_shipdate") > lit("1998-01-01").cast("date"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            + NanMath.RoundEps, 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      }),
       "rel_revenue_by_nation" -> ((s, d) => {
         val li = s.read.parquet(s"$d/lineitem.parquet")
         val ord = s.read.parquet(s"$d/orders.parquet")
@@ -1580,6 +1603,21 @@ object SparkEntry {
           |SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM s1
           |UNION ALL SELECT 2, count(*) FROM s2
           |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+      // same ignore-nulls running-carry window as the engine; the strict
+      // 1-PRECEDING frame encodes "strictly earlier in (t, id) order"
+      "events_attribution" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
+          |            WHERE event_type IN ('click', 'view', 'purchase')),
+          |x AS (SELECT user_id, event_id, event_type, t,
+          |        last_value(CASE WHEN event_type <> 'purchase'
+          |                        THEN struct_pack(tt := t, ty := event_type) END IGNORE NULLS)
+          |          OVER (PARTITION BY user_id ORDER BY t, event_id
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+          |      FROM ev)
+          |SELECT CASE WHEN lt IS NOT NULL AND t - lt.tt <= 604800000 THEN lt.ty
+          |            ELSE 'direct' END AS touch_type,
+          |       count(*) AS n_conversions
+          |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
       // the chained-min recurrence extended with per-user conversion
       // delays; quantile_cont matches the engine's groupedExact exactly
       "events_funnel_times" ->
@@ -1695,6 +1733,17 @@ object SparkEntry {
           |       round(avg(l_discount), 4) AS avg_disc,
           |       CAST(count(*) AS DOUBLE) AS n
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      "rel_q3_shipping" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < DATE '1998-01-01'
+          |  AND l_shipdate > DATE '1998-01-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
       "rel_revenue_by_nation" ->
         """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
           |FROM lineitem

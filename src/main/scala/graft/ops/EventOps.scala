@@ -281,6 +281,49 @@ object EventOps {
   }
 
   /**
+   * Last-touch attribution: each conversion event credits the most recent
+   * PRECEDING touch event of the same user (strictly earlier in the
+   * (time, event_id) order) within `windowMs`; conversions with no
+   * in-window touch bucket as `direct`. Returns (touch_type,
+   * n_conversions) — the marketing-attribution staple.
+   *
+   * Scale shape: one user-keyed exchange; the running last-touch carry is
+   * a within-partition `last(_, ignoreNulls)` window (the join_asof
+   * union-carry shape — no touches-x-conversions range join), and the
+   * final count aggregates into at most |touchTypes| + 1 cells.
+   */
+  def lastTouchAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowMs: Long,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and distinct from the conversion type")
+    require(windowMs > 0, "windowMs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("t"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
+      .select(col(userCol), col(tsCol).cast("long").as("t"), col(idCol), col(typeCol))
+      .withColumn("lt",
+        last(when(col(typeCol) =!= conversionType,
+          struct(col("t").as("tt"), col(typeCol).as("ty"))), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(
+        when(col("lt").isNotNull && col("t") - col("lt.tt") <= windowMs, col("lt.ty"))
+          .otherwise(lit("direct")).as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /**
    * Event-flow transition matrix: counts of consecutive (event_type ->
    * next event_type) pairs within each user's time-ordered stream — the
    * aggregate behind a sankey/path-analysis view. Ordering ties break on

@@ -1150,6 +1150,27 @@ class SessionizeSpec extends SparkSpec {
       (2L, 3001L, 3001L, 1.0, 4.0)))
   }
 
+  test("lastTouchAttribution: latest in-window touch wins, else direct") {
+    val events = Seq(
+      // u1: click@10 then view@20 then purchase@30 -> view (latest touch)
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "purchase"),
+      // u2: click@10, purchase@200 with window 100 -> touch expired: direct
+      (2L, 10L, 4L, "click"), (2L, 200L, 5L, "purchase"),
+      // u3: no touches at all -> direct
+      (3L, 50L, 6L, "purchase"),
+      // u4: touch at the SAME ts but smaller id is strictly earlier in the
+      // (t, id) order -> attributed to the click
+      (4L, 70L, 7L, "click"), (4L, 70L, 8L, "purchase"),
+      // u4's second purchase@90 also credits the click@70
+      (4L, 90L, 9L, "purchase"),
+      // u5: touch AFTER the conversion never counts
+      (5L, 40L, 10L, "purchase"), (5L, 45L, 11L, "view")
+    ).toDF("user_id", "tms", "event_id", "event_type")
+    val got = ops.EventOps.lastTouchAttribution(events, "purchase", Seq("click", "view"), 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 1L, "click" -> 2L, "direct" -> 3L), got.toString)
+  }
+
   test("funnelTimes: hand-computed conversion-delay percentiles per step") {
     val events = Seq(
       // u1: signup@10, click@20 (dt 10), purchase@30 (dt 20)

@@ -104,6 +104,14 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // step-count agg + the exact-quantile stage at (step, dt) cardinality
     // + the counts/quantiles stitch join
     "events_funnel_times" -> 6,
+    // one user exchange for the carry window + the |touches|+1-cell count
+    "events_attribution" -> 2,
+    // the EXPLICIT broadcast hints on the two filtered dims survive the
+    // disabled auto-threshold (hints always win), so the fact scan never
+    // shuffles before the per-order aggregate — 1 exchange + a
+    // TakeOrdered top-10. The hint is the operator's own declaration
+    // that a mktsegment/date-filtered dim is broadcastable at any SF
+    "rel_q3_shipping" -> 1,
     // user window (lead is a within-partition sort) + the |types|^2 cell agg
     "events_transitions" -> 2,
     // from_json is a scan projection; only the group-aggregate exchanges
