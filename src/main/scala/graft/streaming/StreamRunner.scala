@@ -861,6 +861,42 @@ object StreamRunner {
       .start()
 
   /**
+   * Streaming vocabulary-drift monitor: every micro-batch of incoming
+   * documents is scored against a FIXED reference corpus with
+   * [[graft.ops.Curate.vocabDrift]] and one `(batch_id, n_docs, kl_ab,
+   * kl_ba, jsd)` row appends to `driftPath` — the live data-drift alarm
+   * (a JSD step change means the source mix moved; alert thresholds are
+   * the caller's read-side query over the drift log). `a` in the KL
+   * direction is the REFERENCE, `b` the batch.
+   *
+   * Scale shape per trigger: the reference side's token counts are
+   * recomputed per batch by design — cache/persist the reference frame
+   * before starting the stream to pay its scan once; the batch side is
+   * micro-batch-sized. Empty batches write nothing (no spurious zero-JSD
+   * rows).
+   */
+  def streamingDriftMonitor(
+      docs: DataFrame,
+      reference: DataFrame,
+      driftPath: String,
+      checkpointPath: String,
+      textCol: String = "text"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          graft.ops.Curate.vocabDrift(reference, batch, textCol)
+            .select(lit(batchId).as("batch_id"), lit(n).as("n_docs"),
+              col("kl_ab"), col("kl_ba"), col("jsd"))
+            .write.mode("append").parquet(driftPath)
+        }
+      }
+      .start()
+
+  /**
    * Streaming `:percentiles`: per-slot bucket counts finalize under the
    * watermark (all buckets of a window evict in the same trigger, so each
    * micro-batch sees complete windows); the estimation itself needs window

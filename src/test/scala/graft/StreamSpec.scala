@@ -1030,6 +1030,38 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming drift monitor: same-distribution batches sit low, a shifted batch spikes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val (driftPath, ckpt) = (s"$base/drift", s"$base/ckpt")
+    val reference = Seq((1L, "a b c a b c a b"), (2L, "b c a a b c")).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamRunner.streamingDriftMonitor(
+      input.toDF.toDF("doc_id", "text"), reference, driftPath, ckpt)
+    try {
+      // batch 0 speaks the reference vocabulary; batch 1 is disjoint
+      input.addData(Seq((10L, "a b c b a c"), (11L, "c b a")))
+      query.processAllAvailable()
+      input.addData(Seq((12L, "x y z x y"), (13L, "z y x")))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(driftPath)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+      assert(rows.keySet == Set(0L, 1L))
+      assert(rows(0L)._1 == 2L && rows(1L)._1 == 2L)
+      val (inDist, shifted) = (rows(0L)._2, rows(1L)._2)
+      assert(shifted > inDist * 5,
+        s"disjoint-vocab batch JSD $shifted should dwarf in-distribution $inDist")
+      assert(shifted <= math.log(2.0)) // JSD's hard bound
+      // batch equality: the streamed row IS the batch operator's answer
+      val batchJsd = graft.ops.Curate
+        .vocabDrift(reference, Seq((12L, "x y z x y"), (13L, "z y x")).toDF("doc_id", "text"))
+        .collect().head.getDouble(2)
+      assert(shifted == batchJsd)
+    } finally query.stop()
+  }
+
   test("streaming curation ingest: quality, classifier and duplicate rejects are attributed") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
