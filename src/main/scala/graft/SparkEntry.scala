@@ -931,6 +931,10 @@ object SparkEntry {
       "events_attribution" -> ((s, d) =>
         EventOps.lastTouchAttribution(EventOps.events(s, d),
           "purchase", Seq("click", "view"), windowMs = 604800000L)),
+      // first-touch twin: the EARLIEST in-window touch wins (deque kernel)
+      "events_attribution_first" -> ((s, d) =>
+        EventOps.firstTouchAttribution(EventOps.events(s, d),
+          "purchase", Seq("click", "view"), windowMs = 604800000L)),
       // time-to-convert percentiles per funnel step (greedy-earliest chain
       // == chained-min recurrence, so DuckDB's quantile_cont replays it)
       "events_funnel_times" -> ((s, d) =>
@@ -1618,6 +1622,27 @@ object SparkEntry {
           |            ELSE 'direct' END AS touch_type,
           |       count(*) AS n_conversions
           |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+      // earliest valid touch per conversion via a bounded window join +
+      // rank-1 cut; 'strictly earlier' is the (t, id) lexicographic order
+      "events_attribution_first" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
+          |            WHERE event_type IN ('click', 'view', 'purchase')),
+          |conv AS (SELECT user_id, event_id, t FROM ev WHERE event_type = 'purchase'),
+          |touch AS (SELECT user_id, event_id, t, event_type FROM ev
+          |          WHERE event_type <> 'purchase'),
+          |j AS (SELECT c.event_id AS cid, tch.event_type AS ty, tch.t AS tt,
+          |             tch.event_id AS tid
+          |      FROM conv c JOIN touch tch ON c.user_id = tch.user_id
+          |        AND (tch.t < c.t OR (tch.t = c.t AND tch.event_id < c.event_id))
+          |        AND c.t - tch.t <= 604800000),
+          |best AS (SELECT cid, ty,
+          |           row_number() OVER (PARTITION BY cid ORDER BY tt ASC, tid ASC) AS rk
+          |         FROM j)
+          |SELECT CASE WHEN b.ty IS NULL THEN 'direct' ELSE b.ty END AS touch_type,
+          |       count(*) AS n_conversions
+          |FROM conv c LEFT JOIN (SELECT cid, ty FROM best WHERE rk = 1) b
+          |  ON c.event_id = b.cid
+          |GROUP BY 1""".stripMargin,
       // the chained-min recurrence extended with per-user conversion
       // delays; quantile_cont matches the engine's groupedExact exactly
       "events_funnel_times" ->

@@ -324,6 +324,55 @@ object EventOps {
   }
 
   /**
+   * First-touch attribution — the [[lastTouchAttribution]] twin crediting
+   * the EARLIEST in-window preceding touch. A running-carry window cannot
+   * express it (the window's left edge depends on each conversion's own
+   * time), so this is a sorted-group kernel: per user, touches enter a
+   * time-ordered deque, each conversion evicts expired entries from the
+   * front and credits the head — O(events) per user, same single
+   * user-keyed exchange.
+   */
+  def firstTouchAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowMs: Long,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and distinct from the conversion type")
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
+      .select(col(userCol).cast("long"), col(tsCol).cast("long"),
+        col(idCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(tsCol), col(idCol)) { (_, it) =>
+        val touches = new java.util.ArrayDeque[(Long, String)]()
+        it.flatMap { case (_, t, _, tp) =>
+          if (tp != conversionType) {
+            touches.addLast((t, tp))
+            Iterator.empty
+          } else {
+            while (!touches.isEmpty && t - touches.peekFirst()._1 > windowMs)
+              touches.pollFirst()
+            Iterator.single(
+              if (touches.isEmpty) "direct" else touches.peekFirst()._2)
+          }
+        }
+      }
+      .toDF("touch_type")
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /**
    * Event-flow transition matrix: counts of consecutive (event_type ->
    * next event_type) pairs within each user's time-ordered stream — the
    * aggregate behind a sankey/path-analysis view. Ordering ties break on

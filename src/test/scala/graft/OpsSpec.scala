@@ -1169,6 +1169,12 @@ class SessionizeSpec extends SparkSpec {
     val got = ops.EventOps.lastTouchAttribution(events, "purchase", Seq("click", "view"), 100L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("view" -> 1L, "click" -> 2L, "direct" -> 3L), got.toString)
+    // first-touch twin on the same fixture: u1's EARLIEST touch is the
+    // click (last-touch credited the view) — the policies disagree exactly
+    // where they should
+    val first = ops.EventOps.firstTouchAttribution(events, "purchase", Seq("click", "view"), 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("click" -> 3L, "direct" -> 3L), first.toString)
   }
 
   test("funnelTimes: hand-computed conversion-delay percentiles per step") {

@@ -106,6 +106,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "events_funnel_times" -> 6,
     // one user exchange for the carry window + the |touches|+1-cell count
     "events_attribution" -> 2,
+    // same shape, deque kernel instead of the carry window
+    "events_attribution_first" -> 2,
     // the EXPLICIT broadcast hints on the two filtered dims survive the
     // disabled auto-threshold (hints always win), so the fact scan never
     // shuffles before the per-order aggregate — 1 exchange + a
