@@ -683,6 +683,14 @@ object SparkEntry {
       // SimilaritySpec carries known-axes recovery, orthonormality,
       // full-rank exact reconstruction and bit-identical-refit bars)
       "emb_pca" -> ((s, d) => Pca.fitProject(emb(s, d), r = 8)),
+      // JL random projection (rows-only): data-independent dim cut with a
+      // hash-regenerated Rademacher matrix — zero training, zero shuffle;
+      // SimilaritySpec pins bit-identical re-runs + the distance band
+      "emb_jl" -> ((s, d) => {
+        val proj = Pca.randomProject(emb(s, d), r = 16)
+        proj.select(col("id"),
+          transform(col("proj"), x => round(x + graft.core.NanMath.RoundEps, 4)).as("proj"))
+      }),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),

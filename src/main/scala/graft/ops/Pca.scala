@@ -236,6 +236,57 @@ object Pca {
       .toDF("id", "proj")
   }
 
+  /**
+   * Johnson-Lindenstrauss random projection to `r` dims — the
+   * data-INDEPENDENT complement to [[fit]]: zero training passes, the
+   * projection matrix is a deterministic pseudo-random Rademacher
+   * (+-1/sqrt(r)) matrix derived by hashing (row, col) with splitmix64,
+   * so every executor regenerates it locally (nothing broadcast, nothing
+   * collected) and two runs are bit-identical. JL guarantees pairwise
+   * distances distort by at most (1 +- eps) with r = O(ln n / eps^2) —
+   * the right tool when the corpus is too big to even take PCA's one
+   * moment pass, or when dims must be cut BEFORE any statistics exist
+   * (streaming ingest).
+   */
+  def randomProject(
+      emb: DataFrame,
+      r: Int,
+      seed: Long = 0x9e3779b97f4a7c15L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(r >= 1, s"rank $r < 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val scale = 1.0 / math.sqrt(r)
+        it.map { case (id, vec) =>
+          val proj = new Array[Double](r)
+          var i = 0
+          while (i < r) {
+            var s = 0.0
+            var j = 0
+            while (j < vec.length) {
+              // splitmix64 of (seed, i, j): sign = top bit
+              var z = seed + (i.toLong * 0x100000001L) + (j.toLong * 0xda942042e4dd58b5L)
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+              z = z ^ (z >>> 31)
+              s += (if (z < 0) -vec(j) else vec(j))
+              j += 1
+            }
+            proj(i) = s * scale
+            i += 1
+          }
+          (id, proj)
+        }
+      }
+      .toDF("id", "proj")
+  }
+
   /** Fit + project, rounded to 4 decimals for a stable catalog surface. */
   def fitProject(
       emb: DataFrame,

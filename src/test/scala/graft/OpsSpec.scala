@@ -666,6 +666,31 @@ class SimilaritySpec extends SparkSpec {
     info(f"variance explained by 8/64 dims on sf0.01: ${m1.explained.sum}%.3f")
   }
 
+  test("JL random projection: deterministic, distance-preserving within the eps band") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val r = 32
+    val p1 = Pca.randomProject(emb, r)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    val p2 = Pca.randomProject(emb, r)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    // executor-side regenerated matrix: two runs bit-identical
+    assert(p1.keySet == p2.keySet && p1.forall { case (k, v) => v.sameElements(p2(k)) })
+    val orig = emb.collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // pairwise squared-distance ratios over a deterministic pair sample
+    val ids = orig.keys.toArray.sorted.take(40)
+    val ratios = for (i <- ids.indices; j <- (i + 1) until ids.length) yield {
+      val (a, b) = (ids(i), ids(j))
+      d2(p1(a), p1(b)) / d2(orig(a), orig(b))
+    }
+    val mean = ratios.sum / ratios.size
+    info(f"JL r=32: mean distance ratio $mean%.3f, spread [${ratios.min}%.2f, ${ratios.max}%.2f]")
+    assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean far from 1")
+    assert(ratios.forall(x => x > 0.3 && x < 2.5), "a pair distorted beyond the JL band")
+  }
+
   test("PCA at full rank reconstructs the input exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val m = Pca.fit(emb, 64)

@@ -199,6 +199,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // moment pass collects bounded per-partition partials (a job, not a
     // shuffle); the projection is a broadcast-basis kernel scan
     "emb_pca" -> 0,
+    // hash-regenerated projection matrix: pure kernel scan
+    "emb_jl" -> 0,
     // training iterations are their own driver-reduced jobs (no shuffle);
     // the scored surface is a broadcast-weights kernel scan
     "text_quality_clf" -> 0,
