@@ -796,6 +796,10 @@ object SparkEntry {
           .select(col("doc_id"), col("source"))),
       "pipeline_pack_col" -> ((s, d) =>
         Curate.packSequences(docs(s, d), seqLen = 2048L, tokenCountCol = Some("n_chars"))),
+      // weight-proportional per-source selection (Gumbel keys, md5 noise):
+      // the oracle replays the exact draw
+      "pipeline_weighted_sample" -> ((s, d) =>
+        Curate.weightedStratifiedSample(docs(s, d), col("n_chars"), nPer = 8)),
       // vocabulary drift between the English slice and the rest: the
       // data-drift alarm (KL both ways + bounded JSD over the joint vocab)
       "pipeline_vocab_drift" -> ((s, d) => {
@@ -1498,6 +1502,16 @@ object SparkEntry {
           |SELECT doc_id, source FROM c
           |WHERE prior < (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
           |               ELSE 9223372036854775807 END)""".stripMargin,
+      "pipeline_weighted_sample" ->
+        """WITH keyed AS (
+          |  SELECT doc_id, source,
+          |    ln(n_chars) - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |                          + 0.5) / 4294967296.0)) AS k
+          |  FROM documents),
+          |r AS (SELECT doc_id, source,
+          |        row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) AS rk
+          |      FROM keyed)
+          |SELECT doc_id, source FROM r WHERE rk <= 8""".stripMargin,
       "pipeline_vocab_drift" ->
         """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang = 'en'),
           |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang <> 'en'),

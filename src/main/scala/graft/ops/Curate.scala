@@ -827,6 +827,39 @@ object Curate {
       .select(col(idCol), round(col("logw") + graft.core.NanMath.RoundEps, 4).as("logw"))
 
   /**
+   * Per-stratum weighted sampling WITHOUT replacement: within each
+   * stratum keep the `nPer` docs drawn proportional to
+   * `exp(ln(weight)/temperature)` = weight^(1/T) via the same
+   * deterministic md5-Gumbel keys as [[dsirSample]] — "give me 10k docs
+   * per source, preferring the long/high-quality ones, reproducibly".
+   * `weight` must be strictly positive where sampled; temperature -> 0
+   * degrades to per-stratum top-n by weight, large T -> uniform.
+   *
+   * Scale shape: one projection for the key + one stratum-keyed rank
+   * window — a single exchange; no per-stratum collect, no RNG state.
+   */
+  def weightedStratifiedSample(
+      docs: DataFrame,
+      weight: Column,
+      nPer: Int,
+      strataCol: String = "source",
+      temperature: Double = 1.0,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nPer > 0, "nPer must be positive")
+    require(temperature > 0, "temperature must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val key = log(weight) / temperature - log(-log(u))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nPer)
+      .select(col(idCol), col(strataCol))
+  }
+
+  /**
    * Vocabulary drift between two corpus slices (two snapshots, two
    * domains, train vs incoming batch): KL(p||q), KL(q||p) and the
    * symmetric bounded Jensen-Shannon divergence over add-1-smoothed

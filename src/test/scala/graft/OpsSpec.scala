@@ -1626,6 +1626,25 @@ class CurateSpec extends SparkSpec {
     assert(acc >= 0.99) // measured 1.000 at lr=0.5, 50 iters
   }
 
+  test("weightedStratifiedSample: per-stratum counts exact, T -> 0 is top-n by weight") {
+    val docs = (0L until 20L).map(i =>
+      (i, if (i < 10) "s0" else "s1", (i + 1) * 10)).toDF("doc_id", "source", "w")
+    // tiny temperature: the Gumbel noise is negligible next to ln(w)/T,
+    // so each stratum keeps exactly its n heaviest rows
+    val top = Curate.weightedStratifiedSample(docs, col("w"), nPer = 3, temperature = 1e-6)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(top == Set(("s0", 7L), ("s0", 8L), ("s0", 9L),
+      ("s1", 17L), ("s1", 18L), ("s1", 19L)))
+    // at T = 1 the draw is weighted-random but still exactly nPer per
+    // stratum and a pure function of the inputs
+    val d1 = Curate.weightedStratifiedSample(docs, col("w"), nPer = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val d2 = Curate.weightedStratifiedSample(docs, col("w"), nPer = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(d1 == d2)
+    assert(d1.count(_._1 == "s0") == 4 && d1.count(_._1 == "s1") == 4)
+  }
+
   test("vocabDrift: hand-computed KL and JSD; zero on identical corpora") {
     // A = "a a b", B = "a b b": joint vocab {a,b}, V=2, Na=Nb=3
     // p = (0.6, 0.4), q = (0.4, 0.6)

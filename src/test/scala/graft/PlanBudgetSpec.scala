@@ -220,6 +220,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
     "pipeline_dsir_weights" -> 6,
+    // one stratum-keyed rank window over a key projection
+    "pipeline_weighted_sample" -> 1,
     // the dsir front half without the corpus join-back: two count aggs +
     // the vocab full-outer join + the scalar divergence reduce
     "pipeline_vocab_drift" -> 4,
