@@ -166,6 +166,27 @@ object Classifier {
     w
   }
 
+  /** Persist fitted weights as one parquet row `(dim, weights)` — the
+    * model artifact a scoring deployment loads without retraining (the
+    * persisted-index lifecycle precedent). Doubles round-trip parquet
+    * exactly, so save/load scores are bit-identical. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      weights: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    Seq((weights.length - 1, weights)).toDF("dim", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load weights persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] = {
+    import spark.implicits._
+    val (dim, w) = spark.read.parquet(path)
+      .select(col("dim").cast("int"), col("weights"))
+      .as[(Int, Array[Double])].head()
+    require(w.length == dim + 1, s"corrupt model: ${w.length} weights for dim $dim")
+    w
+  }
+
   /** Score documents with fitted weights: `(id, prob)` rounded to 4
     * decimals — one broadcast-weights kernel scan, zero shuffle. */
   def score(

@@ -54,6 +54,14 @@ object Pca {
       vecCol: String = "embedding",
       jacobiSweeps: Int = 50
   ): PcaModel = {
+    val (n, sum, outer) = moments(emb, vecCol)
+    modelFromMoments(n, sum, outer, r, jacobiSweeps)
+  }
+
+  /** The single distributed pass behind [[fit]] and the persisted-moment
+    * lifecycle: per-partition (count, sum, outer) primitives reduced
+    * driver-side in partition-index order (bit-stable). */
+  private def moments(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Double]) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -85,8 +93,6 @@ object Pca {
       .collect()
     require(partials.nonEmpty, "no vectors to fit")
     val d = partials.head._3.length
-    require(r >= 1 && r <= d, s"rank $r outside [1, $d]")
-
     // index-ordered driver reduce: bit-stable across runs
     val sum = new Array[Double](d)
     val outer = new Array[Double](d * d)
@@ -98,18 +104,80 @@ object Pca {
       i = 0
       while (i < d * d) { outer(i) += po(i); i += 1 }
     }
+    (n, sum, outer)
+  }
+
+  private def modelFromMoments(
+      n: Long, sum: Array[Double], outer: Array[Double],
+      r: Int, jacobiSweeps: Int): PcaModel = {
+    val d = sum.length
+    require(r >= 1 && r <= d, s"rank $r outside [1, $d]")
     val mean = sum.map(_ / n)
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
       outer(a * d + b) / n - mean(i) * mean(j)
     }
-
     val (values, vectors) = jacobiEigen(cov, jacobiSweeps)
     val order = values.indices.sortBy(i => (-values(i), i))
     val totalVar = values.sum max Double.MinPositiveValue
     val comps = order.take(r).map(i => signNormalize(vectors(i))).toArray
     val eig = order.take(r).map(values).toArray
     PcaModel(mean, comps, eig, eig.map(_ / totalVar))
+  }
+
+  // --- persisted, incrementally-maintained moments -------------------------
+
+  /**
+   * Append one batch's moment row `(seq, n, sum, outer)` to a persisted
+   * moment log. Moments are ADDITIVE, so a PCA basis over the whole
+   * corpus-so-far comes from [[fromMoments]] without ever re-reading
+   * prior batches — the model-maintenance analog of the persisted
+   * dedup/ANN indexes: the heavy pass touches only the new data, the
+   * driver merges a handful of d^2-sized rows. `seq` orders the merge
+   * (use the micro-batch id / ingestion sequence) so the float reduce is
+   * reproducible for a given ingestion history.
+   */
+  def appendMoments(
+      emb: DataFrame,
+      path: String,
+      seq: Long,
+      vecCol: String = "embedding"
+  ): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, sum, outer) = moments(emb, vecCol)
+    Seq((seq, n, sum, outer)).toDF("seq", "n", "sum", "outer")
+      .coalesce(1).write.mode("append").parquet(path)
+  }
+
+  /** Build the PCA basis from a persisted moment log: rows merge in
+    * `seq` order on the driver (batches x d^2 doubles — no corpus
+    * access at all). */
+  def fromMoments(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      r: Int,
+      jacobiSweeps: Int = 50
+  ): PcaModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("seq").cast("long"), col("n").cast("long"), col("sum"), col("outer"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no moment rows at $path")
+    val d = rows.head._3.length
+    val sum = new Array[Double](d)
+    val outer = new Array[Double](d * d)
+    var n = 0L
+    rows.foreach { case (_, bn, bs, bo) =>
+      n += bn
+      var i = 0
+      while (i < d) { sum(i) += bs(i); i += 1 }
+      i = 0
+      while (i < d * d) { outer(i) += bo(i); i += 1 }
+    }
+    modelFromMoments(n, sum, outer, r, jacobiSweeps)
   }
 
   /** Largest-magnitude component positive (first index on ties) — the

@@ -861,6 +861,27 @@ object StreamRunner {
       .start()
 
   /**
+   * Streaming PCA maintenance: each micro-batch of vectors appends ONE
+   * additive moment row ([[graft.ops.Pca.appendMoments]], seq = the
+   * micro-batch id), so an up-to-date basis is always
+   * `Pca.fromMoments(path)` away without re-reading any prior batch —
+   * the model-maintenance analog of the streaming dedup index.
+   */
+  def streamingPcaMoments(
+      vectors: DataFrame,
+      momentsPath: String,
+      checkpointPath: String,
+      vecCol: String = "embedding"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) graft.ops.Pca.appendMoments(batch, momentsPath, batchId, vecCol)
+      }
+      .start()
+
+  /**
    * Streaming vocabulary-drift monitor: every micro-batch of incoming
    * documents is scored against a FIXED reference corpus with
    * [[graft.ops.Curate.vocabDrift]] and one `(batch_id, n_docs, kl_ab,

@@ -691,6 +691,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.forall(x => x > 0.3 && x < 2.5), "a pair distorted beyond the JL band")
   }
 
+  test("persisted PCA moments: incremental batches rebuild the full-corpus basis") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-moments").toString
+    Pca.appendMoments(a, dir, seq = 0)
+    Pca.appendMoments(b, dir, seq = 1)
+    val inc = Pca.fromMoments(spark, dir, r = 8)
+    val full = Pca.fit(emb, r = 8)
+    // moments are additive; only float reassociation across the batch
+    // boundary separates the two models
+    full.mean.zip(inc.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    full.eigenvalues.zip(inc.eigenvalues).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    full.components.zip(inc.components).foreach { case (cf, ci) =>
+      cf.zip(ci).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+  }
+
+  test("classifier model save/load round-trips to bit-identical scores") {
+    val docs = Seq((1L, "spark plan", 1), (2L, "junk noise", 0),
+      (3L, "spark scala", 1), (4L, "noise spam", 0)).toDF("doc_id", "text", "y")
+    val w = Classifier.fit(docs, "y", iters = 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString + "/model"
+    Classifier.save(spark, w, dir)
+    val loaded = Classifier.load(spark, dir)
+    assert(loaded.sameElements(w)) // doubles round-trip parquet exactly
+    val s1 = Classifier.score(docs, w).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val s2 = Classifier.score(docs, loaded).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(s1 == s2)
+  }
+
   test("PCA at full rank reconstructs the input exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val m = Pca.fit(emb, 64)

@@ -1030,6 +1030,33 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming PCA moments: the live moment log rebuilds the batch basis") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pcam").toString
+    val (momentsPath, ckpt) = (s"$base/moments", s"$base/ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = StreamRunner.streamingPcaMoments(
+      input.toDF.toDF("vec_id", "embedding"), momentsPath, ckpt)
+    try {
+      val (h1, h2) = emb.splitAt(emb.length / 2)
+      input.addData(h1.toSeq)
+      query.processAllAvailable()
+      input.addData(h2.toSeq)
+      query.processAllAvailable()
+      val live = graft.ops.Pca.fromMoments(spark, momentsPath, r = 4)
+      val batch = graft.ops.Pca.fit(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), r = 4)
+      batch.mean.zip(live.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+      batch.eigenvalues.zip(live.eigenvalues).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9)
+      }
+    } finally query.stop()
+  }
+
   test("streaming drift monitor: same-distribution batches sit low, a shifted batch spikes") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
