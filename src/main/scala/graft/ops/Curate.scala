@@ -849,9 +849,7 @@ object Curate {
     require(nPer > 0, "nPer must be positive")
     require(temperature > 0, "temperature must be positive")
     import org.apache.spark.sql.expressions.Window
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0
-    val key = log(weight) / temperature - log(-log(u))
+    val key = gumbelKey(idCol, log(weight), temperature)
     val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
     docs
       .withColumn("__rk", row_number().over(w))
@@ -891,6 +889,17 @@ object Curate {
         round((sum(col("p") * log(lit(2) * col("p") / (col("p") + col("q")))) +
           sum(col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))) / 2
           + graft.core.NanMath.RoundEps, 4).as("jsd"))
+  }
+
+  /** The md5-derived Gumbel sampling key shared by every replayable
+    * randomized draw ([[dsirSample]], [[weightedStratifiedSample]]):
+    * `logWeight/T - ln(-ln(u))` with `u = (int(md5(id)[0:8 hex]) + 0.5)
+    * / 2^32`. This expression IS the oracle contract with the DuckDB
+    * side — one definition, so the draws cannot drift apart. */
+  private def gumbelKey(idCol: String, logWeight: Column, temperature: Double): Column = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    logWeight / temperature - log(-log(u))
   }
 
   /** Shared joint-vocabulary scaffolding for the LM-ratio operators
@@ -949,9 +958,7 @@ object Curate {
       textCol: String = "text"
   ): DataFrame = {
     require(temperature > 0, "temperature must be positive")
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0
-    val key = col("logw") / temperature - log(-log(u))
+    val key = gumbelKey(idCol, col("logw"), temperature)
     dsirWeightsRaw(docs, target, idCol, textCol)
       .select(col(idCol), col("logw"), key.as("k"))
       .orderBy(col("k").desc, col(idCol).asc)

@@ -160,17 +160,28 @@ object Pca {
       jacobiSweeps: Int = 50
   ): PcaModel = {
     import spark.implicits._
-    val rows = spark.read.parquet(path)
+    val all = spark.read.parquet(path)
       .select(col("seq").cast("long"), col("n").cast("long"), col("sum"), col("outer"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .collect()
       .sortBy(_._1)
-    require(rows.nonEmpty, s"no moment rows at $path")
+    require(all.nonEmpty, s"no moment rows at $path")
+    // ONE row per seq: an at-least-once foreachBatch replay appends the
+    // same batch's moments twice under the same seq, and for an ADDITIVE
+    // statistic duplication is a silently wrong basis, not just extra
+    // rows — the stored seq key makes the dedup exact (replayed rows are
+    // recomputed from the same batch, so any survivor is correct)
+    val rows = all.distinctBy(_._1)
     val d = rows.head._3.length
     val sum = new Array[Double](d)
     val outer = new Array[Double](d * d)
     var n = 0L
-    rows.foreach { case (_, bn, bs, bo) =>
+    rows.foreach { case (seq, bn, bs, bo) =>
+      // loud failure on a mid-stream dimension change: a longer row would
+      // otherwise be read through the WRONG d x d layout and corrupt the
+      // covariance silently
+      require(bs.length == d && bo.length == d.toLong * d,
+        s"moment row seq=$seq has dim ${bs.length}, log started at $d")
       n += bn
       var i = 0
       while (i < d) { sum(i) += bs(i); i += 1 }
@@ -331,19 +342,29 @@ object Pca {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val scale = 1.0 / math.sqrt(r)
+        // the sign matrix depends only on (seed, i, j): materialize it
+        // ONCE per partition (r*d bytes) so the hot loop is one add per
+        // entry, not three multiplies of splitmix per entry per row
+        var signs: Array[Array[Boolean]] = null
         it.map { case (id, vec) =>
-          val proj = new Array[Double](r)
-          var i = 0
-          while (i < r) {
-            var s = 0.0
-            var j = 0
-            while (j < vec.length) {
+          if (signs == null) {
+            signs = Array.tabulate(r, vec.length) { (i, j) =>
               // splitmix64 of (seed, i, j): sign = top bit
               var z = seed + (i.toLong * 0x100000001L) + (j.toLong * 0xda942042e4dd58b5L)
               z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
               z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
               z = z ^ (z >>> 31)
-              s += (if (z < 0) -vec(j) else vec(j))
+              z < 0
+            }
+          }
+          val proj = new Array[Double](r)
+          var i = 0
+          while (i < r) {
+            val row = signs(i)
+            var s = 0.0
+            var j = 0
+            while (j < vec.length) {
+              s += (if (row(j)) -vec(j) else vec(j))
               j += 1
             }
             proj(i) = s * scale

@@ -888,7 +888,12 @@ object StreamRunner {
    * kl_ba, jsd)` row appends to `driftPath` — the live data-drift alarm
    * (a JSD step change means the source mix moved; alert thresholds are
    * the caller's read-side query over the drift log). `a` in the KL
-   * direction is the REFERENCE, `b` the batch.
+   * direction is the REFERENCE, `b` the batch. Same at-least-once caveat
+   * as the other foreachBatch sinks: a crash between the append and the
+   * checkpoint commit replays the batch, duplicating its (recomputed,
+   * identical) drift row — read-side consumers should take one row per
+   * batch_id, exactly as [[graft.ops.Pca.fromMoments]] does for the
+   * moment log.
    *
    * Scale shape per trigger: the reference side's token counts are
    * recomputed per batch by design — cache/persist the reference frame

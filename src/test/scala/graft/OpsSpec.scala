@@ -698,6 +698,10 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca-moments").toString
     Pca.appendMoments(a, dir, seq = 0)
     Pca.appendMoments(b, dir, seq = 1)
+    // crash-replay shape: the same batch's moments appended twice under
+    // the same seq must not double-count (additive statistics corrupt
+    // silently otherwise) — fromMoments keeps one row per seq
+    Pca.appendMoments(b, dir, seq = 1)
     val inc = Pca.fromMoments(spark, dir, r = 8)
     val full = Pca.fit(emb, r = 8)
     // moments are additive; only float reassociation across the batch
