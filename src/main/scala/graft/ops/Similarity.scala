@@ -1260,6 +1260,34 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
+  /**
+   * Recall@k evaluation of an ANN result against ground truth: per query
+   * the fraction of true neighbors the approximate result found, plus
+   * one `query_id = -1` summary row with the mean over queries — the
+   * measurement every index-tuning loop needs, as an operator instead of
+   * driver-side spec code. Both inputs are `(query_id, nbr_id, ...)`
+   * frames (the shared ANN output shape); comparison is on the id PAIRS,
+   * so score differences do not matter. Queries the approximate side
+   * missed entirely count as recall 0 (absence must not inflate the
+   * mean).
+   *
+   * Scale shape: one left join on (query_id, nbr_id) at result-set
+   * cardinality + a per-query aggregate — evaluation never touches the
+   * corpus or the vectors.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("nbr_id"))
+      .join(approx.select(col("query_id"), col("nbr_id"), lit(1).as("__hit")),
+        Seq("query_id", "nbr_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("r"))
+    val perQuery = hits.select(col("query_id").cast("long"),
+      round(col("r") + graft.core.NanMath.RoundEps, 4).as("recall"))
+    perQuery.unionByName(
+      hits.agg(round(avg(col("r")) + graft.core.NanMath.RoundEps, 4).as("recall"))
+        .select(lit(-1L).as("query_id"), col("recall")))
+  }
+
   // --- product quantization (PQ / IVF-PQ) ----------------------------------
 
   /** Trained product quantizer: `m` subspaces of `dsub` dims each,

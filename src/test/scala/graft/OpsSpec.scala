@@ -740,6 +740,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recallAtK: hand-computed per-query recall, missed queries count as zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "nbr_id")
+    // q1 found both, q2 found one of two (plus a wrong one), q3 found none
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "nbr_id")
+    val r = Similarity.recallAtK(approx, exact)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 1.0 && r(2L) == 0.5 && r(3L) == 0.0)
+    assert(r(-1L) == 0.5) // mean over queries, absent q3 included
+    // agreement with the inline spec-style computation on a real index
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+    val ann = Similarity.lshTopK(emb, col("vec_id") < 10, 5)
+    val mean = Similarity.recallAtK(ann, truth)
+      .filter(col("query_id") === -1L).collect().head.getDouble(1)
+    val inline = {
+      val t = truth.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val a = ann.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      t.groupBy(_._1).map { case (_, ps) => ps.count(a.contains).toDouble / ps.size }
+        .sum / t.map(_._1).size
+    }
+    assert(math.abs(mean - inline) < 1e-4)
+  }
+
   test("PQ ADC is exact when the codebook covers every distinct subvector") {
     import spark.implicits._
     // 40 distinct 64-dim vectors, 64 codewords: every subvector is its own
