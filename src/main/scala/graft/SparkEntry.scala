@@ -938,6 +938,9 @@ object SparkEntry {
       "mm_resize" -> ((s, d) =>
         Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
       // -- event operators (§2.9), through the ASL front-end --
+      // rolling 7-day distinct active users per observed day (WAU)
+      "events_wau" -> ((s, d) =>
+        EventOps.rollingActiveUsers(EventOps.events(s, d), windowDays = 7)),
       // last-touch attribution: purchases credit the latest preceding
       // click/view within 7 days, else 'direct'
       "events_attribution" -> ((s, d) =>
@@ -1629,6 +1632,12 @@ object SparkEntry {
           |SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM s1
           |UNION ALL SELECT 2, count(*) FROM s2
           |UNION ALL SELECT 3, count(*) FROM s3""".stripMargin,
+      "events_wau" ->
+        """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+          |days AS (SELECT DISTINCT day FROM ud)
+          |SELECT d.day, count(DISTINCT ud.user_id) AS active_users
+          |FROM days d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+          |GROUP BY 1""".stripMargin,
       // same ignore-nulls running-carry window as the engine; the strict
       // 1-PRECEDING frame encodes "strictly earlier in (t, id) order"
       "events_attribution" ->

@@ -281,6 +281,40 @@ object EventOps {
   }
 
   /**
+   * Rolling window of distinct active users (DAU/WAU/MAU): for every UTC
+   * day OBSERVED in the data, the count of distinct users active in the
+   * trailing `windowDays` days — the growth-dashboard staple next to
+   * [[retention]].
+   *
+   * Scale shape: per-user distinct active days collapse first (ONE user
+   * exchange, calendar-bounded like retention); each user-day then fans
+   * out to the <= windowDays output days it contributes to (explode of a
+   * bounded sequence, user-day x window cardinality — never event
+   * cardinality), a semi-join restricts to observed days, and the final
+   * count runs over distinct (day, user) rows.
+   */
+  def rollingActiveUsers(
+      events: DataFrame,
+      windowDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val ud = events
+      .select(col(userCol).cast("long").as("user"),
+        floor(col(tsCol).cast("long") / lit(86400000L)).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    ud
+      .select(col("user"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("rday"))
+      .join(days.select(col("day").as("rday")), Seq("rday"), "left_semi")
+      .distinct()
+      .groupBy(col("rday").as("day"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /**
    * Last-touch attribution: each conversion event credits the most recent
    * PRECEDING touch event of the same user (strictly earlier in the
    * (time, event_id) order) within `windowMs`; conversions with no

@@ -1236,6 +1236,25 @@ class SessionizeSpec extends SparkSpec {
       (2L, 3001L, 3001L, 1.0, 4.0)))
   }
 
+  test("rollingActiveUsers: hand-computed trailing-window distinct counts") {
+    val day = 86400000L
+    // u1 active days {0, 2}; u2 active {2}; u3 active {10}
+    val events = Seq(
+      (1L, 0L * day + 5), (1L, 0L * day + 9), (1L, 2L * day + 1),
+      (2L, 2L * day + 7), (3L, 10L * day + 3)
+    ).toDF("user_id", "tms")
+    val got = ops.EventOps.rollingActiveUsers(events, windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // observed days {0, 2, 10}; trailing-3-day windows:
+    // day 0 <- {u1@0} = 1; day 2 <- {u1@{0,2}, u2@2} = 2; day 10 <- {u3} = 1
+    assert(got == Map(0L -> 1L, 2L -> 2L, 10L -> 1L), got.toString)
+    // a user active TWICE in the window still counts once
+    val dup = Seq((1L, 0L), (1L, 1L * day), (2L, 1L * day)).toDF("user_id", "tms")
+    val g2 = ops.EventOps.rollingActiveUsers(dup, windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0L -> 1L, 1L -> 2L), g2.toString)
+  }
+
   test("lastTouchAttribution: latest in-window touch wins, else direct") {
     val events = Seq(
       // u1: click@10 then view@20 then purchase@30 -> view (latest touch)

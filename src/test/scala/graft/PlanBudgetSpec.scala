@@ -104,6 +104,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // step-count agg + the exact-quantile stage at (step, dt) cardinality
     // + the counts/quantiles stitch join
     "events_funnel_times" -> 6,
+    // user-day distinct + the day-fanout distinct + observed-days semi
+    // join side + the per-day count — user-day x window cardinality
+    "events_wau" -> 3,
     // one user exchange for the carry window + the |touches|+1-cell count
     "events_attribution" -> 2,
     // same shape, deque kernel instead of the carry window
