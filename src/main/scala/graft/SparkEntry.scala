@@ -228,11 +228,51 @@ object SparkEntry {
    * Spark side (Planner.output and the ops queries): parallel summation is
    * order-nondeterministic in both engines, so exact x.xxxx5 round ties
    * would otherwise flip the 4th decimal between runs.
+   *
+   * The `+ 0.0` appended to every rewritten call collapses IEEE -0.0 to
+   * canonical +0.0: DuckDB's round() keeps the sign when a tiny negative
+   * rounds to zero, while Spark's BigDecimal HALF_UP never emits -0.0.
+   * The two zeros are numerically equal but stringify differently, so a
+   * value-hash comparison (the driver's) sees them as distinct — this bit
+   * the r7 gate on pipeline_dsir_weights (one doc's logw rounded to -0.0
+   * in DuckDB, +0.0 in Spark).
    */
   def oracleSql: Map[String, String] =
-    (engineOracles ++ opsOracles).map { case (k, sql) =>
-      k -> sql.replace("round(", s"round(${graft.core.NanMath.RoundEps} + ")
+    (engineOracles ++ opsOracles).map { case (k, sql) => k -> symmetricRound(sql) }
+
+  /** Rewrite every `round(args)` call in an oracle SQL string (balanced-
+   *  paren aware, nested calls handled) to `(round(EPS + args) + 0.0)` —
+   *  the epsilon shift plus the -0.0 canonicalization described above. */
+  private[graft] def symmetricRound(sql: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val atCall = sql.startsWith("round(", i) &&
+        (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_'))
+      if (atCall) {
+        val start = i + 6
+        var depth = 1
+        var j = start
+        while (depth > 0 && j < sql.length) {
+          sql.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _   =>
+          }
+          j += 1
+        }
+        require(depth == 0, s"unbalanced parens in oracle SQL after offset $i")
+        b.append(s"(round(${graft.core.NanMath.RoundEps} + ")
+          .append(symmetricRound(sql.substring(start, j - 1)))
+          .append(") + 0.0)")
+        i = j
+      } else {
+        b.append(sql.charAt(i))
+        i += 1
+      }
     }
+    b.toString
+  }
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- data layer (§2.3) --
@@ -681,16 +721,23 @@ object SparkEntry {
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // distributed PCA to 8 dims (rows-only: DuckDB has no eigensolver;
       // SimilaritySpec carries known-axes recovery, orthonormality,
-      // full-rank exact reconstruction and bit-identical-refit bars)
-      "emb_pca" -> ((s, d) => Pca.fitProject(emb(s, d), r = 8)),
+      // full-rank exact reconstruction and bit-identical-refit bars).
+      // Catalog surface is EXPLODED to (id, dim, v) scalar cells: the
+      // driver sorts every result frame before hashing, and an
+      // array<double> column crashes its checker (r7: "unhashable type:
+      // numpy.ndarray") — the operator API (Pca.fitProject) keeps arrays
+      "emb_pca" -> ((s, d) =>
+        Pca.fitProject(emb(s, d), r = 8)
+          .select(col("id"), posexplode(col("proj")).as(Seq("dim", "v")))),
       // JL random projection (rows-only): data-independent dim cut with a
       // hash-regenerated Rademacher matrix — zero training, zero shuffle;
-      // SimilaritySpec pins bit-identical re-runs + the distance band
-      "emb_jl" -> ((s, d) => {
-        val proj = Pca.randomProject(emb(s, d), r = 16)
-        proj.select(col("id"),
-          transform(col("proj"), x => round(x + graft.core.NanMath.RoundEps, 4)).as("proj"))
-      }),
+      // SimilaritySpec pins bit-identical re-runs + the distance band.
+      // Exploded to scalar cells for the same driver-sortability reason
+      "emb_jl" -> ((s, d) =>
+        Pca.randomProject(emb(s, d), r = 16)
+          .select(col("id"), posexplode(col("proj")).as(Seq("dim", "v")))
+          .select(col("id"), col("dim"),
+            round(col("v") + graft.core.NanMath.RoundEps, 4).as("v"))),
       // -- text analysis --
       "text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
       "text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
@@ -837,9 +884,14 @@ object SparkEntry {
       "pipeline_chunk_bpe" -> ((s, d) =>
         Curate.chunkBpe(docs(s, d), corpusBpe(s, d))),
       // the MATERIALIZED packed layout: real token-id sequences (rows-only
-      // — BPE ids; BpeSpec pins exact stream reconstruction)
+      // — BPE ids; BpeSpec pins exact stream reconstruction). Exploded to
+      // one (shard, seq_id, slot, token_id) scalar cell per token so the
+      // driver can sort/hash the frame (array<int> crashed its checker in
+      // r7); the operator API (packTokenIds) keeps the array layout
       "pipeline_pack_ids" -> ((s, d) =>
-        Curate.packTokenIds(docs(s, d), corpusBpe(s, d), seqLen = 128)),
+        Curate.packTokenIds(docs(s, d), corpusBpe(s, d), seqLen = 128)
+          .select(col("shard"), col("seq_id"),
+            posexplode(col("token_ids")).as(Seq("slot", "token_id")))),
       // the same placement arithmetic over whitespace tokens, exploded so
       // DuckDB verifies every (shard, seq, slot, token) cell
       "pipeline_pack_tokens" -> ((s, d) =>
@@ -1586,7 +1638,11 @@ object SparkEntry {
       "pipeline_pack_tokens" ->
         """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
           |c AS (SELECT doc_id, source, w,
-          |        sum(len(w)) OVER (PARTITION BY source ORDER BY doc_id) - len(w) AS st FROM t),
+          |        -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas turns
+          |        -- into float64 -> the driver's value hash sees "3.0" vs the
+          |        -- engine's "3" (numerically equal, hash-distinct; r7 gate)
+          |        CAST(sum(len(w)) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+          |          - len(w) AS st FROM t),
           |x AS (SELECT source AS shard, st + u.i AS pos, w[u.i + 1] AS tok
           |      FROM c, unnest(generate_series(0, len(w) - 1)) AS u(i))
           |SELECT shard, pos // 512 AS seq_id, pos % 512 AS slot, tok FROM x""".stripMargin,

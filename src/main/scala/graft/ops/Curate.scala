@@ -299,17 +299,27 @@ object Curate {
       tokenCountCol: Option[String] = None
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol))
     // `tokenCountCol` swaps the whitespace proxy for a real token count
     // (e.g. [[TextOps.bpeTokenCounts]]' model-tokenizer column) so the
     // packed layout is denominated in the tokens the loader will see
     val n = tokenCountCol
       .map(c => col(c).cast("long"))
       .getOrElse(size(split(col(textCol), " ")).cast("long"))
-    val start = (sum(n).over(w) - n).as("start_tok")
+    // ROWS frame, not the default RANGE: under RANGE, duplicate (shard,
+    // id) rows would receive IDENTICAL cumulative sums and therefore
+    // overlapping stream positions (silent corruption). ROWS over the
+    // (id, n_tok) order gives every physical row its own prefix sum —
+    // duplicates pack consecutively; rows tying on both id and n_tok are
+    // interchangeable in the output multiset, so the result stays
+    // deterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__id"), col("__n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col("__n")).over(w), lit(0L)).as("start_tok")
     docs
-      .select(col(idCol), col(shardCol), n.as("n_tok"), start)
+      .select(col(idCol).as("__id"), col(shardCol).as("__shard"), n.as("__n"))
+      .select(col("__id").as(idCol), col("__shard").as(shardCol),
+        col("__n").as("n_tok"), start)
       .select(
         col(idCol),
         col(shardCol),
@@ -700,11 +710,20 @@ object Curate {
         }
       }
       .toDF("__id", "__shard", "__ids")
+    // ROWS frame with a content tiebreak, not the default RANGE: RANGE
+    // hands duplicate (shard, id) rows the same cumulative sum, producing
+    // overlapping slices and sequences with n_tokens > seqLen after the
+    // flatten. ROWS gives each physical row its own prefix; ordering ties
+    // by (n, hash(ids)) so two docs sharing an id still place
+    // deterministically (rows tying on all three carry identical id
+    // streams, so either order yields the same packed stream).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard")).orderBy(col("__id"))
+      .partitionBy(col("__shard"))
+      .orderBy(col("__id"), col("__n"), hash(col("__ids")))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val slices = enc
       .withColumn("__n", size(col("__ids")).cast("long"))
-      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
       .as[(Long, String, Array[Int], Long, Long)]
       .flatMap { case (_, shard, ids, _, start) =>
         // cut the doc's ids at seqLen boundaries of the shard stream
@@ -746,13 +765,18 @@ object Curate {
       textCol: String = "text"
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    // same ROWS-frame + content-tiebreak contract as [[packTokenIds]]:
+    // duplicate (shard, id) rows must not share a stream position
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol))
-    val n = size(split(col(textCol), " ")).cast("long")
+      .partitionBy(col("__shard"))
+      .orderBy(col("__id"), size(col("__toks")), hash(col("__toks")))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
-      .select(col(idCol), col(shardCol),
-        (sum(n).over(w) - n).as("__start"), split(col(textCol), " ").as("__toks"))
-      .select(col(shardCol).as("shard"), col("__start"),
+      .select(col(idCol).as("__id"), col(shardCol).as("__shard"),
+        split(col(textCol), " ").as("__toks"))
+      .select(col("__shard"), col("__toks"),
+        coalesce(sum(size(col("__toks")).cast("long")).over(w), lit(0L)).as("__start"))
+      .select(col("__shard").as("shard"), col("__start"),
         posexplode(col("__toks")).as(Seq("__idx", "tok")))
       .select(col("shard"),
         expr(s"(__start + __idx) div ${seqLen}L").as("seq_id"),
