@@ -1027,6 +1027,13 @@ object Similarity {
    * (>= 0.9) the 16x8 multiprobe geometry misses a true pair with
    * p < 1e-3 per pair — the [[cosinePairs]] high-similarity adjudication,
    * and the regime the oracle row pins exactly.
+   *
+   * Below that regime the prefilter is NOT a safe approximation (the
+   * miss probability grows quickly as the angle widens, and a missed
+   * pair means a contaminated document silently kept), so the kernel
+   * switches itself to the exact path — every (corpus, eval) pair is
+   * scored, same zero-shuffle shape, just without the signature skip.
+   * `tables = 0` forces the exact path at any threshold.
    */
   def contaminatedIds(
       emb: DataFrame,
@@ -1040,17 +1047,21 @@ object Similarity {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // the multiprobe skip is only trustworthy in the near-duplicate
+    // regime; below 0.9 (or at tables = 0) fall back to exact scoring of
+    // every pair rather than silently losing true contamination hits
+    val exact = tables <= 0 || threshold < 0.9
     val evals = vecs(evalEmb, idCol, vecCol).collect()
-      .map(q => (q, signatures(q.vec, tables, planes)))
+      .map(q => (q, if (exact) Array.empty[Int] else signatures(q.vec, tables, planes)))
     val bc = spark.sparkContext.broadcast(evals)
     val maxHam = probeHamming
     vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { v =>
-          val vsig = signatures(v.vec, tables, planes)
+          val vsig = if (exact) Array.empty[Int] else signatures(v.vec, tables, planes)
           qs.iterator.flatMap { case (q, qsig) =>
-            if (!hammingHit(vsig, qsig, maxHam)) None
+            if (!exact && !hammingHit(vsig, qsig, maxHam)) None
             else {
               val s = rnd4(dot(v.vec, q.vec))
               if (s >= threshold) Some((v.id, q.id, s)) else None

@@ -166,9 +166,27 @@ object Store {
     // a TRUE left_semi: a key duplicated on the catalog side (possible
     // after incremental [[backfillDays]] appends) cannot multiply the
     // joined datapoints, and no dedup shuffle is ever needed
-    if (k.count() <= maxBroadcastKeys)
-      frame.join(broadcast(k), Seq("key"), "left_semi")
-    else frame.join(k, Seq("key"), "left_semi")
+    if (k.count() <= maxBroadcastKeys) {
+      // broadcast branch: the key set is bounded, so take it to the
+      // driver NOW (broadcast would collect it there anyway), release the
+      // cached blocks immediately, and join against a LocalRelation. The
+      // catalog predicate still runs once total, and repeated
+      // index-driven fetches in a long-lived session no longer
+      // accumulate MEMORY_AND_DISK blocks until the ContextCleaner
+      // happens to run.
+      val rows = k.collect()
+      k.unpersist(blocking = false)
+      val local = keys.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), keys.schema)
+      frame.join(broadcast(local), Seq("key"), "left_semi")
+    } else
+      // non-broadcast branch: the blocks back BOTH the count and the
+      // sort-merge join, and the join executes only when the caller runs
+      // the returned fetch frame — so the lifecycle is the caller's:
+      // blocks are freed by the ContextCleaner once the fetch frame is
+      // dereferenced, or eagerly via frame.unpersist on the keys frame a
+      // long-lived service should hold on to.
+      frame.join(k, Seq("key"), "left_semi")
   }
 
   /**

@@ -717,9 +717,18 @@ object StreamRunner {
     if (!fs.rename(path, bak))
       throw new java.io.IOException(s"compaction backup rename failed: $path -> $bak")
     if (!fs.rename(tmp, path)) {
-      // restore the live index before surfacing the failure
-      fs.rename(bak, path)
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path (index restored)")
+      // restore the live index before surfacing the failure — and if the
+      // restore ITSELF fails, say so explicitly with the backup location:
+      // a silently-failed restore leaves the index absent, and the next
+      // ingest trigger would see no index and skip cross-batch dedup (the
+      // exact window the backup-first rewrite exists to close)
+      if (fs.rename(bak, path))
+        throw new java.io.IOException(s"compaction swap failed: $tmp -> $path (index restored)")
+      else
+        throw new java.io.IOException(
+          s"compaction swap failed: $tmp -> $path AND the restore rename failed — " +
+            s"the live index is still available at the backup path $bak; " +
+            s"rename it back to $path manually before the next ingest trigger")
     }
     fs.delete(bak, true)
   }

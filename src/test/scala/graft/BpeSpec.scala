@@ -281,6 +281,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIds stays valid under duplicate (shard, doc_id) rows") {
+    import spark.implicits._
+    // two rows share doc_id 1 — under the old RANGE-framed cumulative sum
+    // both received the same stream start, producing overlapping slices
+    // and sequences with n_tokens > seqLen after the flatten
+    val docs = Seq(
+      (1L, "the lowest low", "s0"),
+      (1L, "widest newest", "s0"),
+      (2L, "lower the low", "s0")
+    ).toDF("doc_id", "text", "source")
+    val bpe = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    val L = 4
+    val out = Curate.packTokenIds(docs, bpe, seqLen = L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3).toArray))
+      .sortBy(_._2)
+    // every sequence holds at most L ids, all but the last exactly L, and
+    // the concatenated stream is a permutation-at-doc-granularity of the
+    // three docs' id streams with total length preserved
+    out.init.foreach { case (_, _, n, ids) => assert(n === L && ids.length === L) }
+    assert(out.forall { case (_, _, n, ids) => n <= L && ids.length <= L })
+    val total = Seq("the lowest low", "widest newest", "lower the low")
+      .map(bpe.encodeIds(_).length).sum
+    assert(out.map(_._4.length).sum === total)
+    // the dup-id docs are ordered deterministically (n, then content
+    // hash), so repeated runs produce the identical stream
+    val again = Curate.packTokenIds(docs, bpe, seqLen = L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](3).toSeq)).sortBy(_._2)
+    assert(again.toSeq === out.map(t => (t._1, t._2, t._4.toSeq)).toSeq)
+  }
+
   test("packTokenIds with eos inserts the document separator at every boundary") {
     import spark.implicits._
     val docs = Seq(

@@ -544,6 +544,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!probePlan.contains("Exchange"), probePlan)
   }
 
+  test("contaminatedIds below the 0.9 regime scores every pair exactly (no LSH misses)") {
+    import spark.implicits._
+    // the multiprobe prefilter is only a safe approximation near 1.0; at
+    // a 0.5 threshold the kernel must switch itself to the exact path —
+    // every true >= threshold pair present, bit-equal to brute force
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val eval = (1000 until 1010).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairSet(Similarity.contaminatedIds(corpus, eval, threshold = 0.5))
+    // brute force oracle: normalized dot of every (corpus, eval) pair
+    val exact = pairSet(Similarity.contaminatedIds(corpus, eval, threshold = 0.5, tables = 0))
+    assert(got === exact)
+    assert(got.nonEmpty, "degenerate fixture: no pair above 0.5")
+    // and tables = 0 forces the exact path even at a high threshold
+    val hi = pairSet(Similarity.contaminatedIds(corpus, eval, threshold = 0.9, tables = 0))
+    assert(hi === exact.filter(_._3 >= 0.9))
+  }
+
   test("persisted LSH index: byte-equal to the in-memory path; append == fresh build") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
