@@ -803,7 +803,20 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id").asc)
+    // exact-duplicate candidates collapse here: an at-least-once replayed
+    // streaming index append ([[graft.streaming.StreamRunner
+    // .streamingAnnIngest]]) can duplicate (id, vec) index rows, which
+    // would otherwise let one neighbor occupy two of the k slots. Sorted
+    // by (score, nbr_id), exact duplicates are ADJACENT, so a lag guard
+    // inside the SAME window drops every copy after the first — no
+    // distinct, no extra exchange (the re-rank reuses the window sort) —
+    // and non-replay paths, where each corpus row scores once, are
+    // untouched.
     candidates
+      .withColumn("__dup",
+        coalesce(col("nbr_id") === lag(col("nbr_id"), 1).over(w) &&
+          col("score") === lag(col("score"), 1).over(w), lit(false)))
+      .filter(!col("__dup"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"),
@@ -1129,6 +1142,69 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").select("tables", "planes").head()
     (r.getInt(0), r.getInt(1))
+  }
+
+  /**
+   * Compact a persisted ANN index in place — covers every stored layout
+   * this module writes: [[ivfBuildIndex]]/[[ivfPqBuildIndex]] `cells/`
+   * (partitioned by cell) and [[lshBuildIndex]] `rows/` (flat). Each
+   * append ([[ivfAppendIndex]], [[lshAppendIndex]], [[ivfPqAppendIndex]],
+   * or the streaming ingest built on them) writes one small file set per
+   * batch — the dedup-index growth profile: FILE-COUNT growth, not data
+   * growth, is what eventually slows the probed directory listings and
+   * scans. The flat `rows/` layout rewrites into max(1, n/rowsPerFile)
+   * files; the partitioned `cells/` layout rewrites with the rows of each
+   * cell hashed into a single task (so each cell directory holds one
+   * file again, `maxRecordsPerFile` splitting oversized cells). Trained
+   * artifacts (`centroids/`, `pq/`, `meta/`) are immutable-after-build
+   * and untouched, so query results are byte-identical before and after.
+   *
+   * Swap semantics are [[graft.sources.Dirs.swapInPlace]] (backup-first,
+   * restore-on-failure, debris-clearing) — the same crash story as the
+   * dedup-index compactor. Run it between batches or against a paused
+   * stream; query paths list the directories per call and pick up the
+   * compacted layout on their next one.
+   *
+   * Scale shape: one scan + one write of the appended layout; the
+   * `cells/` rewrite is a single exchange on the cell key (the only
+   * shuffle the whole index lifecycle ever does — builds and appends are
+   * zero-shuffle kernels, which is exactly why they leave one file per
+   * task per cell behind for this pass to fold).
+   */
+  def compactAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rowsPerFile: Long = 4000000L
+  ): Unit = {
+    val rows = s"$path/rows"
+    val cells = s"$path/cells"
+    // full-row dropDuplicates physically heals at-least-once replay
+    // debris from [[graft.streaming.StreamRunner.streamingAnnIngest]]
+    // (a replayed batch re-appends byte-identical rows; the stored
+    // geometry is deterministic, so exact-duplicate rows are the ONLY
+    // duplicates a replay can create — collapsing them can never drop
+    // distinct data). Until compaction runs, [[rankTopK]]'s adjacent-
+    // duplicate guard keeps query answers correct anyway.
+    if (graft.sources.Dirs.exists(spark, rows)) {
+      val df = spark.read.parquet(rows).dropDuplicates()
+      val n = df.count()
+      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      graft.sources.Dirs.swapInPlace(spark, rows) { tmp =>
+        df.coalesce(files).write.mode("overwrite").parquet(tmp)
+      }
+    }
+    if (graft.sources.Dirs.exists(spark, cells)) {
+      // partition column `cell` inferred from the directory names
+      val df = spark.read.parquet(cells).dropDuplicates()
+      val nCells = math.max(1L, df.select("cell").distinct().count()).toInt
+      graft.sources.Dirs.swapInPlace(spark, cells) { tmp =>
+        df.repartition(nCells, col("cell"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", rowsPerFile)
+          .partitionBy("cell")
+          .parquet(tmp)
+      }
+    }
   }
 
   private def writeLshRows(

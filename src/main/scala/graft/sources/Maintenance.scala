@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
  *   4. [[Store.expireDays]] with `compactCatalog = true`: retention expiry
  *      retires whole day partitions and drops dead/duplicate series from
  *      the catalog.
+ *   5. index compaction: the streaming dedup signature index
+ *      ([[graft.streaming.StreamRunner.compactDedupIndex]]) and any
+ *      persisted ANN indexes ([[graft.ops.Similarity.compactAnnIndex]] —
+ *      IVF/LSH/IVF-PQ) fold their per-batch append files back into a
+ *      bounded layout. Both appenders are deliberately zero-shuffle, so
+ *      file-count growth is their design debt and this pass is where it
+ *      gets paid.
  *
  * Returns the [[StoreBackend]] wired to every table it maintained — the
  * cron job's output IS the default query path — plus a report of what ran.
@@ -32,7 +39,10 @@ import org.apache.spark.sql.SparkSession
  */
 object Maintenance {
 
-  final case class Report(expiredDays: Seq[String], rollups: Map[String, Long])
+  final case class Report(
+      expiredDays: Seq[String],
+      rollups: Map[String, Long],
+      compactedIndexes: Seq[String] = Nil)
 
   /** Naming convention for maintained rollup tables. */
   def rollupTable(table: String, stepMs: Long): String = s"${table}_rollup_$stepMs"
@@ -47,7 +57,9 @@ object Maintenance {
       keepDays: Int = 0,
       nowMs: Long = 0L,
       buckets: Int = 64,
-      partitioned: Boolean = true
+      partitioned: Boolean = true,
+      dedupIndexes: Seq[String] = Nil,
+      annIndexes: Seq[String] = Nil
   ): (StoreBackend, Report) = {
     // a forgotten nowMs would silently expire nothing (cutoff lands in
     // 1969) — retention misconfiguration must fail loudly, not accumulate
@@ -72,6 +84,9 @@ object Maintenance {
     val expired =
       if (keepDays > 0) Store.expireDays(spark, table, keepDays, nowMs, compactCatalog = true)
       else Nil
-    (StoreBackend(spark, table, rollups.toMap), Report(expired, rollups.toMap))
+    dedupIndexes.foreach(p => graft.streaming.StreamRunner.compactDedupIndex(spark, p))
+    annIndexes.foreach(p => graft.ops.Similarity.compactAnnIndex(spark, p))
+    (StoreBackend(spark, table, rollups.toMap),
+      Report(expired, rollups.toMap, dedupIndexes ++ annIndexes))
   }
 }

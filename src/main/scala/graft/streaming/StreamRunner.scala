@@ -703,34 +703,13 @@ object StreamRunner {
    */
   def compactDedupIndex(spark: SparkSession, indexPath: String,
       rowsPerFile: Long = 4000000L): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) return
+    if (!graft.sources.Dirs.exists(spark, indexPath)) return
     val index = spark.read.parquet(indexPath)
     val n = index.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = new org.apache.hadoop.fs.Path(indexPath + "__compacting")
-    val bak = new org.apache.hadoop.fs.Path(indexPath + "__pre_compact")
-    index.coalesce(files).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true) // debris from an interrupted run
-    if (!fs.rename(path, bak))
-      throw new java.io.IOException(s"compaction backup rename failed: $path -> $bak")
-    if (!fs.rename(tmp, path)) {
-      // restore the live index before surfacing the failure — and if the
-      // restore ITSELF fails, say so explicitly with the backup location:
-      // a silently-failed restore leaves the index absent, and the next
-      // ingest trigger would see no index and skip cross-batch dedup (the
-      // exact window the backup-first rewrite exists to close)
-      if (fs.rename(bak, path))
-        throw new java.io.IOException(s"compaction swap failed: $tmp -> $path (index restored)")
-      else
-        throw new java.io.IOException(
-          s"compaction swap failed: $tmp -> $path AND the restore rename failed — " +
-            s"the live index is still available at the backup path $bak; " +
-            s"rename it back to $path manually before the next ingest trigger")
+    graft.sources.Dirs.swapInPlace(spark, indexPath) { tmp =>
+      index.coalesce(files).write.mode("overwrite").parquet(tmp)
     }
-    fs.delete(bak, true)
   }
 
   def streamingDedupIngest(
@@ -774,6 +753,53 @@ object StreamRunner {
         kept.write.mode("append").parquet(keptPath)
         Dedup.minhashIndex(kept, textCol, shingleSize, bands, rowsPerBand)
           .write.mode("append").parquet(indexPath)
+      }
+      .start()
+
+  /**
+   * Streaming ANN index ingest — the [[streamingDedupIngest]] symmetric
+   * for embeddings: per micro-batch, new vectors assign through the
+   * STORED geometry (coarse quantizer / LSH hyperplanes / PQ codebooks,
+   * read from the index, never re-trained) and append into the persisted
+   * index, so the continuously-arriving corpus is queryable without a
+   * rebuild. The layout under `indexPath` says which appender applies:
+   * `pq/` -> [[graft.ops.Similarity.ivfPqAppendIndex]], else
+   * `centroids/` -> [[graft.ops.Similarity.ivfAppendIndex]], else
+   * `meta/` -> [[graft.ops.Similarity.lshAppendIndex]]. The index must be
+   * BUILT before the stream starts — training inside a trigger would let
+   * the geometry drift between batches, which is exactly what the
+   * persisted-index contract forbids.
+   *
+   * Scale shape per trigger: one broadcast-geometry kernel scan of the
+   * batch + the append write — zero shuffle, the [[streamingDedupIngest]]
+   * cost profile. Crash-replay adjudication (same as the dedup ingest):
+   * the append is not transactional with the checkpoint, so a crash
+   * between them replays the batch and re-appends byte-identical rows —
+   * at-least-once, never loss. Exact duplicates cannot distort answers
+   * (the rank kernel collapses adjacent duplicates in-window) and are
+   * physically removed by the next [[graft.ops.Similarity
+   * .compactAnnIndex]] pass ([[graft.sources.Maintenance]] composes it).
+   */
+  def streamingAnnIngest(
+      emb: DataFrame,
+      indexPath: String,
+      checkpointPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.Similarity
+        def has(d: String) = graft.sources.Dirs.exists(spark, s"$indexPath/$d")
+        if (has("pq")) Similarity.ivfPqAppendIndex(batch, indexPath, idCol, vecCol)
+        else if (has("centroids")) Similarity.ivfAppendIndex(batch, indexPath, idCol, vecCol)
+        else if (has("meta")) Similarity.lshAppendIndex(batch, indexPath, idCol, vecCol)
+        else throw new IllegalStateException(
+          s"no persisted ANN index at $indexPath — build one " +
+            "(ivfBuildIndex / lshBuildIndex / ivfPqBuildIndex) before streaming ingest")
       }
       .start()
 

@@ -842,6 +842,65 @@ class SimilaritySpec extends SparkSpec {
     assert(codes1.values.forall(_.length === 8))
   }
 
+  test("ANN index compaction: repeated appends fold to a bounded layout, answers byte-identical") {
+    import graft.sources.Dirs
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+
+    // IVF: build on half the corpus, then drip the rest in 5 append
+    // batches — each append leaves one file set per task per cell
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-cpt").toString
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") % 2 === 0), ivfDir)
+    (1 to 9 by 2).foreach(b => Similarity.ivfAppendIndex(emb.filter(col("vec_id") % 10 === b), ivfDir))
+    def ivfRows = Similarity.ivfTopKIndexed(spark, ivfDir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivfBefore = ivfRows
+    val ivfFilesBefore = Dirs.dataFileCount(spark, s"$ivfDir/cells")
+    val nCells = spark.read.parquet(s"$ivfDir/cells").select("cell").distinct().count()
+    Similarity.compactAnnIndex(spark, ivfDir)
+    assert(ivfRows === ivfBefore, "compaction changed IVF answers")
+    val ivfFilesAfter = Dirs.dataFileCount(spark, s"$ivfDir/cells")
+    assert(ivfFilesAfter < ivfFilesBefore, s"$ivfFilesAfter !< $ivfFilesBefore")
+    assert(ivfFilesAfter <= nCells, s"more than one file per cell: $ivfFilesAfter > $nCells")
+    // recall is untouched by construction — identical answer rows mean
+    // identical recall; report it for the record (the half-corpus-trained
+    // quantizer's own recall level is pinned by the build/append specs)
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfRows.map(s => (s._1, s._2)).count(truth.contains).toDouble / truth.size
+    info(f"IVF recall@5 across compaction (unchanged by identity): $recall%.2f")
+
+    // LSH: flat rows/ layout folds to max(1, n/rowsPerFile) files
+    val lshDir = java.nio.file.Files.createTempDirectory("graft-lsh-cpt").toString
+    Similarity.lshBuildIndex(emb.filter(col("vec_id") % 2 === 0), lshDir)
+    (1 to 9 by 2).foreach(b => Similarity.lshAppendIndex(emb.filter(col("vec_id") % 10 === b), lshDir))
+    def lshRows = Similarity.lshTopKIndexed(spark, lshDir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lshBefore = lshRows
+    val lshFilesBefore = Dirs.dataFileCount(spark, s"$lshDir/rows")
+    Similarity.compactAnnIndex(spark, lshDir)
+    assert(lshRows === lshBefore, "compaction changed LSH answers")
+    assert(Dirs.dataFileCount(spark, s"$lshDir/rows") === 1, "flat layout should fold to one file")
+    assert(lshFilesBefore > 1, "fixture degenerate: appends produced a single file")
+
+    // IVF-PQ: the residual-code cells/ layout compacts identically
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-cpt").toString
+    Similarity.ivfPqBuildIndex(emb.filter(col("vec_id") % 2 === 0), pqDir)
+    Similarity.ivfPqAppendIndex(emb.filter(col("vec_id") % 2 === 1), pqDir)
+    def pqRows = Similarity.ivfPqTopKIndexed(spark, pqDir, q, 5, refineFrom = Some(emb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pqBefore = pqRows
+    Similarity.compactAnnIndex(spark, pqDir)
+    assert(pqRows === pqBefore, "compaction changed IVF-PQ answers")
+
+    // Maintenance composes index compaction into the cron pass: a second
+    // compact over already-compacted indexes is a stable no-op
+    val (_, report) = graft.sources.Maintenance.run(
+      spark, "unused", annIndexes = Seq(ivfDir, lshDir, pqDir))
+    assert(report.compactedIndexes === Seq(ivfDir, lshDir, pqDir))
+    assert(ivfRows === ivfBefore && lshRows === lshBefore && pqRows === pqBefore)
+  }
+
   test("persisted IVF-PQ index: recall bar, probe pruning, append without re-training") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val built = emb.filter(col("vec_id") % 10 =!= 0)

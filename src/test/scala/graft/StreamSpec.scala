@@ -1139,4 +1139,70 @@ class StreamSpec extends SparkSpec {
       assert(kept ++ rejects.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
     } finally query.stop()
   }
+
+  test("streaming ANN ingest: stream-appended index == batch-appended; replay duplicates harmless") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val built = emb.filter(col("vec_id") % 2 === 0)
+    val batch1 = emb.filter(col("vec_id") % 4 === 1)
+    val batch2 = emb.filter(col("vec_id") % 4 === 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val (sDir, bDir, ckpt) = (s"$base/stream", s"$base/batch", s"$base/ckpt")
+    // identical deterministic build (smallest-id sample, no RNG) on both
+    // sides — the stream and batch paths start from the same quantizer
+    Similarity.ivfBuildIndex(built, sDir)
+    Similarity.ivfBuildIndex(built, bDir)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF.toDF("vec_id", "embedding")
+    val query = StreamRunner.streamingAnnIngest(stream, sDir, ckpt)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    try {
+      input.addData(rowsOf(batch1))
+      query.processAllAvailable()
+      input.addData(rowsOf(batch2))
+      query.processAllAvailable()
+    } finally query.stop()
+    Similarity.ivfAppendIndex(batch1, bDir)
+    Similarity.ivfAppendIndex(batch2, bDir)
+
+    val q = emb.filter(col("vec_id") < 10)
+    def served(dir: String) = Similarity.ivfTopKIndexed(spark, dir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaStream = served(sDir)
+    assert(viaStream === served(bDir),
+      "streaming ingest must equal the batch append it wraps")
+
+    // crash-replay adjudication: a replayed trigger re-appends the SAME
+    // batch (at-least-once) — answers must not change (the rank kernel
+    // collapses exact duplicates), and the next maintenance compaction
+    // physically removes the debris
+    Similarity.ivfAppendIndex(batch2, sDir)
+    assert(served(sDir) === viaStream, "replay duplicates distorted top-k")
+    val dupRows = spark.read.parquet(s"$sDir/cells").count()
+    Similarity.compactAnnIndex(spark, sDir)
+    val healedRows = spark.read.parquet(s"$sDir/cells").count()
+    assert(healedRows === dupRows - batch2.count(), "compaction should drop replay duplicates")
+    assert(served(sDir) === viaStream, "compaction changed answers")
+
+    // the dispatch covers the flat-layout index too: LSH stream append ==
+    // batch append through the same stored geometry
+    val (lDir, lCkpt) = (s"$base/lsh", s"$base/lckpt")
+    Similarity.lshBuildIndex(built, lDir)
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val query2 = StreamRunner.streamingAnnIngest(input2.toDF.toDF("vec_id", "embedding"), lDir, lCkpt)
+    try {
+      input2.addData(rowsOf(batch1))
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val lBatch = java.nio.file.Files.createTempDirectory("graft_ann_lshb").toString
+    Similarity.lshBuildIndex(built, lBatch)
+    Similarity.lshAppendIndex(batch1, lBatch)
+    def lshServed(dir: String) = Similarity.lshTopKIndexed(spark, dir, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lshServed(lDir) === lshServed(lBatch))
+  }
 }
