@@ -598,6 +598,29 @@ object SparkEntry {
     bpeCache.getOrElseUpdate(d,
       graft.ops.Bpe.trainFrom(docs(s, d), numMerges = 100, maxWords = 8000))
 
+  /** PUBLISHED-format tokenizer for the id-fidelity row: the corpus
+    * tokenizer's merges shipped as merges.txt + vocab.json whose id
+    * assignment is NOT the merge-rank enumeration (sorted-token order,
+    * the GPT-2-style mismatch) plus an <|endoftext|> special —
+    * round-tripped through storage and [[graft.ops.Bpe.loadPublished]] so
+    * the row exercises the exact path a real released-model tokenizer
+    * takes. Deterministic per sf dir, cached like [[corpusBpe]]. */
+  private val pubBpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.BpeTokenizer]
+  private def publishedBpe(s: SparkSession, d: String): graft.ops.BpeTokenizer =
+    pubBpeCache.getOrElseUpdate(d, {
+      val base = corpusBpe(s, d)
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_bpe_pub_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val published = graft.ops.Bpe.vocab(base).sorted.zipWithIndex.toMap
+      val specials = Map("<|endoftext|>" -> published.size)
+      graft.ops.Bpe.save(s, base, s"$dir/merges.txt")
+      graft.ops.Bpe.saveVocab(s,
+        new graft.ops.BpeTokenizer(base.merges, base.pattern, Some(published), specials),
+        s"$dir/vocab.json")
+      graft.ops.Bpe.loadPublished(s, s"$dir/merges.txt", s"$dir/vocab.json", specials)
+    })
+
   /** Persisted IVF ANN index over the embeddings table, built once per
     * (session, sf dir) under the warehouse — the served-from-storage path
     * [[graft.ops.Similarity.ivfTopKIndexed]] reads (no re-training at
@@ -718,6 +741,23 @@ object SparkEntry {
         Similarity.ivfPqTopKIndexed(s, ivfPqIndexPath(s, d),
           emb(s, d).filter(col("vec_id") < 10), 5,
           refineFrom = Some(emb(s, d)))),
+      // the index-tuning measurement AS a catalog row (rows-only: the
+      // approximate sides are the persisted-index ANN paths): recall@5 of
+      // the served LSH and IVF-PQ indexes against brute-force truth, per
+      // query plus the query_id = -1 mean row — what an operator watches
+      // when turning the tables/probes/refine knobs. OpsSpec pins
+      // recallAtK against hand-computed fractions.
+      "sim_ann_recall" -> ((s, d) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)
+        Similarity.recallAtK(
+            Similarity.lshTopKIndexed(s, lshIndexPath(s, d), q, 5), exact)
+          .withColumn("method", lit("lsh_idx"))
+          .unionByName(Similarity.recallAtK(
+              Similarity.ivfPqTopKIndexed(s, ivfPqIndexPath(s, d), q, 5,
+                refineFrom = Some(emb(s, d))), exact)
+            .withColumn("method", lit("ivfpq_idx")))
+      }),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // distributed PCA to 8 dims (rows-only: DuckDB has no eigensolver;
       // SimilaritySpec carries known-axes recovery, orthonormality,
@@ -872,6 +912,13 @@ object SparkEntry {
       // counts, and the budget/pack/chunk integration
       "text_bpe_tokens" -> ((s, d) =>
         TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d))),
+      // id-FIDELITY row (rows-only): the published-tokenizer path end to
+      // end — merges.txt + vocab.json (non-rank ids) + special token
+      // loaded from storage, every doc's id stream pinned as a scalar
+      // digest. BpeSpec pins that loaded ids == direct-override ids and
+      // differ from the merge-rank enumeration
+      "text_bpe_ids_published" -> ((s, d) =>
+        TextOps.bpeTokenIdDigests(docs(s, d), publishedBpe(s, d))),
       "pipeline_token_budget_bpe" -> ((s, d) => {
         val dd = docs(s, d)
         Curate.tokenBudgetSample(

@@ -103,6 +103,85 @@ object Bpe {
     new BpeTokenizer(merges.toArray, pattern)
 
   /**
+   * Load a published `vocab.json` (the GPT-2-family token -> id map). The
+   * id assignment of a released model is NOT the merge-rank enumeration
+   * [[vocab]] synthesizes — GPT-2's own file starts with printable ASCII
+   * ("!" = 0) rather than byte order — so a pipeline that must produce
+   * the ids a real model was trained on has to carry this map, not a
+   * synthesized one. Jackson (already on the Spark classpath) parses the
+   * one JSON object; token strings are in the bytes-to-unicode alphabet
+   * exactly as published.
+   */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Map[String, Int] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      require(root.isObject, s"vocab.json at $path is not a JSON object")
+      val b = Map.newBuilder[String, Int]
+      val it = root.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asInt()
+      }
+      b.result()
+    } finally in.close()
+  }
+
+  /** Persist a tokenizer's id map as standard `vocab.json` (inverse of
+    * [[loadVocab]]; the synthesized [[vocab]] enumeration unless the
+    * tokenizer carries a published override). */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession, bpe: BpeTokenizer, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val gen = new com.fasterxml.jackson.core.JsonFactory()
+      .createGenerator(out.asInstanceOf[java.io.OutputStream])
+    try {
+      gen.writeStartObject()
+      val entries: Iterator[(String, Int)] = bpe.vocabOverride match {
+        case Some(v) => v.toSeq.sortBy(_._2).iterator
+        case None    => vocab(bpe).iterator.zipWithIndex
+      }
+      entries.foreach { case (tok, id) => gen.writeNumberField(tok, id) }
+      bpe.specialTokens.toSeq.sortBy(_._2).foreach { case (tok, id) =>
+        if (!bpe.vocabOverride.exists(_.contains(tok))) gen.writeNumberField(tok, id)
+      }
+      gen.writeEndObject()
+    } finally gen.close() // closes the underlying stream too
+  }
+
+  /**
+   * Load a PUBLISHED tokenizer — `merges.txt` + `vocab.json` + the
+   * added/special-token table — id-preserving: [[BpeTokenizer.encodeIds]]
+   * emits exactly the released model's ids, so packed sequences from this
+   * pipeline are bit-compatible with that model's training data. Special
+   * tokens (only EOS had a convention before this) are matched ATOMICALLY
+   * before pretokenization (longest first), count one token each, and
+   * decode back to their literal text.
+   *
+   * Totality is validated up front: every byte token and every merge
+   * product must carry an id, otherwise some input would have no encoding
+   * — better to fail at load than NPE mid-scan on an executor.
+   */
+  def loadPublished(
+      spark: org.apache.spark.sql.SparkSession,
+      mergesPath: String,
+      vocabPath: String,
+      specialTokens: Map[String, Int] = Map.empty,
+      pattern: String = DefaultPattern
+  ): BpeTokenizer = {
+    val base = load(spark, mergesPath, pattern)
+    val ids = loadVocab(spark, vocabPath)
+    val missing = vocab(base).filterNot(ids.contains)
+    require(missing.isEmpty,
+      s"vocab.json at $vocabPath is missing ${missing.size} token(s) the merges can emit, " +
+        s"e.g. '${missing.take(3).mkString("', '")}' — merges and vocab are from different models?")
+    new BpeTokenizer(base.merges, pattern, Some(ids), specialTokens)
+  }
+
+  /**
    * Load a published-format `merges.txt`: an optional `#version` header on
    * the FIRST line is skipped, every other non-blank line is "A B" with
    * rank = order. Only that first line is treated as a comment — a merge
@@ -257,10 +336,15 @@ object Bpe {
     (0 until 256).map(b => String.valueOf(ByteToChar(b))) ++
       bpe.merges.map { case (a, b) => a + b }
 
-  /** Inverse of [[BpeTokenizer.encodeIds]]: ids -> pieces -> text. */
+  /** Inverse of [[BpeTokenizer.encodeIds]]: ids -> pieces -> text.
+    * Published-vocab tokenizers invert their id override; special-token
+    * ids decode to their literal text. */
   def decodeIds(bpe: BpeTokenizer, ids: Seq[Int]): String = {
-    val v = vocab(bpe)
-    decode(ids.map(v(_)))
+    val inv: Map[Int, String] = (bpe.vocabOverride match {
+      case Some(v) => v.map(_.swap)
+      case None    => vocab(bpe).zipWithIndex.map { case (t, i) => i -> t }.toMap
+    }) ++ bpe.specialTokens.map { case (lit, id) => id -> toByteUnicode(lit) }
+    decode(ids.map(inv(_)))
   }
 
   /** Train a tokenizer from a corpus: histogram pass + driver-side learn
@@ -289,7 +373,12 @@ object Bpe {
  */
 final class BpeTokenizer(
     val merges: Array[(String, String)],
-    val pattern: String
+    val pattern: String,
+    /** Published id map ([[Bpe.loadPublished]]); None = merge-rank ids. */
+    val vocabOverride: Option[Map[String, Int]] = None,
+    /** Added/special tokens (literal -> id): matched atomically before
+      * pretokenization, longest first; one token each. */
+    val specialTokens: Map[String, Int] = Map.empty
 ) extends Serializable {
 
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
@@ -355,33 +444,78 @@ final class BpeTokenizer(
     parts
   }
 
+  /** Alternation matching any special token, longest literal first (so
+    * overlapping specials resolve the way published tokenizers do). */
+  @transient private lazy val specialMatcherTl: ThreadLocal[java.util.regex.Matcher] = {
+    val alternation = specialTokens.keys.toSeq.sortBy(t => (-t.length, t))
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    ThreadLocal.withInitial[java.util.regex.Matcher](() =>
+      java.util.regex.Pattern.compile(alternation).matcher(""))
+  }
+
+  /** Split on special-token occurrences: (segment, isSpecial) in order.
+    * Plain text when no specials are registered (zero overhead). */
+  private def segments(text: String): Iterator[(String, Boolean)] =
+    if (specialTokens.isEmpty) Iterator((text, false))
+    else {
+      val m = specialMatcherTl.get()
+      m.reset(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      var last = 0
+      while (m.find()) {
+        if (m.start() > last) out += ((text.substring(last, m.start()), false))
+        out += ((m.group(), true))
+        last = m.end()
+      }
+      if (last < text.length) out += ((text.substring(last), false))
+      out.iterator
+    }
+
   /** Token pieces of `text` in the bytes-to-unicode alphabet;
-    * `Bpe.decode(encode(text)) == text`. */
+    * `Bpe.decode(encode(text)) == text`. Special tokens surface as one
+    * atomic piece each. */
   def encode(text: String): Array[String] = {
     val m = matcherTl.get()
-    m.reset(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (m.find()) out ++= bpeWord(Bpe.toByteUnicode(m.group()))
+    segments(text).foreach {
+      case (seg, true) => out += Bpe.toByteUnicode(seg)
+      case (seg, false) =>
+        m.reset(seg)
+        while (m.find()) out ++= bpeWord(Bpe.toByteUnicode(m.group()))
+    }
     out.toArray
   }
 
-  /** Model token count of `text` — what the budget/pack operators spend. */
+  /** Model token count of `text` — what the budget/pack operators spend.
+    * Special tokens count one each. */
   def countTokens(text: String): Long = {
     val m = matcherTl.get()
-    m.reset(text)
     var n = 0L
-    while (m.find()) n += bpeWord(Bpe.toByteUnicode(m.group())).length
+    segments(text).foreach {
+      case (_, true) => n += 1L
+      case (seg, false) =>
+        m.reset(seg)
+        while (m.find()) n += bpeWord(Bpe.toByteUnicode(m.group())).length
+    }
     n
   }
 
   @transient private lazy val vocabIds: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Bpe.vocab(this).zipWithIndex.foreach { case (tok, i) => m.put(tok, i) }
+    vocabOverride match {
+      case Some(v) => v.foreach { case (tok, i) => m.put(tok, i) }
+      case None    => Bpe.vocab(this).zipWithIndex.foreach { case (tok, i) => m.put(tok, i) }
+    }
+    // specials resolve through their own table (priority over the vocab
+    // map — published files usually list them in both, with the same id)
+    specialTokens.foreach { case (lit, i) => m.put(Bpe.toByteUnicode(lit), i) }
     m
   }
 
-  /** Token IDS of `text` under [[Bpe.vocab]] — what a training pipeline
-    * actually feeds the model; `Bpe.decodeIds` inverts it exactly. */
+  /** Token IDS of `text` — what a training pipeline actually feeds the
+    * model: the released model's own ids when built by
+    * [[Bpe.loadPublished]], the merge-rank enumeration otherwise;
+    * `Bpe.decodeIds` inverts it exactly. */
   def encodeIds(text: String): Array[Int] =
     encode(text).map(vocabIds.get(_).intValue)
 }

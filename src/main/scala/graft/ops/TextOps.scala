@@ -285,6 +285,40 @@ object TextOps {
   }
 
   /**
+   * Model token IDS per document, in DIGEST form — one scalar row per doc
+   * (count + md5 of the comma-joined id stream) so the full id sequence
+   * is pinned without an array column (the driver's checker sorts every
+   * frame; arrays crash it). The id denomination is whatever the
+   * tokenizer carries: a [[graft.ops.Bpe.loadPublished]] tokenizer digests
+   * the RELEASED model's ids (vocab.json + specials), a self-trained one
+   * the merge-rank enumeration. Same zero-shuffle broadcast-kernel shape
+   * as [[bpeTokenCounts]].
+   */
+  def bpeTokenIdDigests(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val ids = tok.encodeIds(text)
+          md.reset()
+          val digest = md.digest(ids.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (id, ids.length.toLong, digest)
+        }
+      }
+      .toDF(idCol, "n_tokens", "ids_md5")
+  }
+
+  /**
    * Canonical content fingerprint: md5 of the sorted distinct lowercase
    * token set. Word-order- and duplication-insensitive, so reordered or
    * re-wrapped copies of a document collide (a cheap near-dup prefilter).

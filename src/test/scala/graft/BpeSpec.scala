@@ -253,6 +253,60 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("published tokenizer: vocab.json ids + special tokens, id-preserving round trip") {
+    import org.apache.spark.sql.SparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-pub").toString
+    val base = Bpe.fromMerges(Bpe.train(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), numMerges = 4))
+    // published-style id assignment: NOT the merge-rank enumeration (GPT-2's
+    // own vocab.json starts at "!" = 0, not byte 0) — here, sorted-token
+    // order, which shares no id with the synthesized enumeration's tail
+    val published: Map[String, Int] = Bpe.vocab(base).sorted.zipWithIndex.toMap
+    val eot = "<|endoftext|>"
+    val specials = Map(eot -> 50256)
+    val direct = new graft.ops.BpeTokenizer(base.merges, base.pattern, Some(published), specials)
+
+    // files round-trip: merges.txt + vocab.json written, loadPublished
+    // reconstructs a tokenizer that encodes identically
+    Bpe.save(spark, direct, s"$dir/merges.txt")
+    Bpe.saveVocab(spark, direct, s"$dir/vocab.json")
+    val loadedVocab = Bpe.loadVocab(spark, s"$dir/vocab.json")
+    assert(loadedVocab === published ++ specials)
+    val loaded = Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab.json", specials)
+    val text = "the lowest low and newest"
+    assert(loaded.encodeIds(text).toSeq === direct.encodeIds(text).toSeq)
+
+    // the override is real: published ids differ from merge-rank ids and
+    // map each emitted piece to its vocab.json entry
+    val pieces = loaded.encode(text)
+    assert(loaded.encodeIds(text).toSeq === pieces.map(published).toSeq)
+    assert(loaded.encodeIds(text).toSeq !== base.encodeIds(text).toSeq)
+    // same segmentation as the self-trained tokenizer — only ids change
+    assert(pieces.toSeq === base.encode(text).toSeq)
+
+    // special tokens: atomic (never split by the pretokenizer), one count
+    // each, published id, decode back to their literal
+    val t2 = s"low$eot and$eot$eot done"
+    val ids2 = loaded.encodeIds(t2)
+    assert(ids2.count(_ == 50256) === 3)
+    assert(loaded.countTokens(t2) ===
+      loaded.countTokens("low") + loaded.countTokens(" and") + loaded.countTokens(" done") + 3)
+    assert(Bpe.decodeIds(loaded, ids2.toSeq) === t2)
+    // plain round trip still holds through the published path
+    assert(Bpe.decodeIds(loaded, loaded.encodeIds(text).toSeq) === text)
+
+    // merges/vocab from DIFFERENT models fail loudly at load, not NPE
+    // mid-scan: a vocab missing a merge product is rejected
+    val broken = published - Bpe.vocab(base).last
+    Bpe.saveVocab(spark,
+      new graft.ops.BpeTokenizer(base.merges, base.pattern, Some(broken), Map.empty),
+      s"$dir/vocab_broken.json")
+    val err = intercept[IllegalArgumentException] {
+      Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab_broken.json")
+    }
+    assert(err.getMessage.contains("missing"))
+  }
+
   test("packTokenIds materializes exact fixed-length sequences per shard") {
     import spark.implicits._
     val docs = Seq(
