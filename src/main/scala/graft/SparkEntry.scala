@@ -1049,6 +1049,21 @@ object SparkEntry {
       "events_attribution_first" -> ((s, d) =>
         EventOps.firstTouchAttribution(EventOps.events(s, d),
           "purchase", Seq("click", "view"), windowMs = 604800000L)),
+      // multi-touch weighting models: every in-window touch shares each
+      // conversion's unit of credit — 1/n, 2^(-Δ/halflife) normalized,
+      // or 40/20/40 U-shaped. The oracle replays the full pair join the
+      // kernel avoids (credits pre-aggregate per user in the deque scan)
+      "events_attribution_linear" -> ((s, d) =>
+        EventOps.multiTouchAttribution(EventOps.events(s, d),
+          "purchase", Seq("click", "view"), windowMs = 604800000L)),
+      "events_attribution_decay" -> ((s, d) =>
+        EventOps.multiTouchAttribution(EventOps.events(s, d),
+          "purchase", Seq("click", "view"), windowMs = 604800000L,
+          model = "time_decay", halfLifeMs = 86400000L)),
+      "events_attribution_position" -> ((s, d) =>
+        EventOps.multiTouchAttribution(EventOps.events(s, d),
+          "purchase", Seq("click", "view"), windowMs = 604800000L,
+          model = "position")),
       // time-to-convert percentiles per funnel step (greedy-earliest chain
       // == chained-min recurrence, so DuckDB's quantile_cont replays it)
       "events_funnel_times" -> ((s, d) =>
@@ -1183,6 +1198,19 @@ object SparkEntry {
         |SELECT user_id, min(tms) AS session_start, max(tms) AS session_end,
         |       CAST(count(*) AS DOUBLE) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin
+    // shared CTE prefix of the three multi-touch attribution oracles:
+    // the conversion × in-window-touch pair join (eligibility = the same
+    // (t, id) lexicographic order the first-touch oracle uses)
+    val multiTouchPairsSql =
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
+        |            WHERE event_type IN ('click', 'view', 'purchase')),
+        |conv AS (SELECT user_id, event_id AS cid, t AS tc FROM ev
+        |         WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id AS tid, t AS tt, event_type AS ty FROM ev
+        |        WHERE event_type <> 'purchase'),
+        |pr AS (SELECT cid, tc, ty, tt, tid FROM conv c JOIN tch USING (user_id)
+        |       WHERE (tt < tc OR (tt = tc AND tid < cid)) AND tc - tt <= 604800000),
+        |""".stripMargin
     // shared verbatim by text_decontaminate and text_decontaminate_bloom
     // (the Bloom path must reproduce the plain path bit-for-bit)
     val decontaminateSql =
@@ -1777,6 +1805,37 @@ object SparkEntry {
           |FROM conv c LEFT JOIN (SELECT cid, ty FROM best WHERE rk = 1) b
           |  ON c.event_id = b.cid
           |GROUP BY 1""".stripMargin,
+      // multi-touch weighting: the oracle replays the conversion × touch
+      // pair join with per-conversion window weights; eligibility is the
+      // same (t, id) lexicographic order as the first-touch oracle, and
+      // each conversion hands out exactly 1.0 of credit
+      "events_attribution_linear" ->
+        (multiTouchPairsSql +
+          """w AS (SELECT ty, 1.0 / count(*) OVER (PARTITION BY cid) AS w FROM pr),
+            |d AS (SELECT 'direct' AS ty, CAST(count(*) AS DOUBLE) AS w FROM conv c
+            |      WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.cid = c.cid)),
+            |u AS (SELECT ty, w FROM w UNION ALL SELECT ty, w FROM d WHERE w > 0)
+            |SELECT ty AS touch_type, round(sum(w), 4) AS credit FROM u GROUP BY 1""".stripMargin),
+      "events_attribution_decay" ->
+        (multiTouchPairsSql +
+          """w AS (SELECT ty, pow(0.5, (tc - tt) / 86400000.0)
+            |        / sum(pow(0.5, (tc - tt) / 86400000.0)) OVER (PARTITION BY cid) AS w
+            |      FROM pr),
+            |d AS (SELECT 'direct' AS ty, CAST(count(*) AS DOUBLE) AS w FROM conv c
+            |      WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.cid = c.cid)),
+            |u AS (SELECT ty, w FROM w UNION ALL SELECT ty, w FROM d WHERE w > 0)
+            |SELECT ty AS touch_type, round(sum(w), 4) AS credit FROM u GROUP BY 1""".stripMargin),
+      "events_attribution_position" ->
+        (multiTouchPairsSql +
+          """p AS (SELECT ty, row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn,
+            |        count(*) OVER (PARTITION BY cid) AS n FROM pr),
+            |w AS (SELECT ty, CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+            |                      WHEN rn = 1 OR rn = n THEN 0.4
+            |                      ELSE 0.2 / (n - 2) END AS w FROM p),
+            |d AS (SELECT 'direct' AS ty, CAST(count(*) AS DOUBLE) AS w FROM conv c
+            |      WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.cid = c.cid)),
+            |u AS (SELECT ty, w FROM w UNION ALL SELECT ty, w FROM d WHERE w > 0)
+            |SELECT ty AS touch_type, round(sum(w), 4) AS credit FROM u GROUP BY 1""".stripMargin),
       // the chained-min recurrence extended with per-user conversion
       // delays; quantile_cont matches the engine's groupedExact exactly
       "events_funnel_times" ->

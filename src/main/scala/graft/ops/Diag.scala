@@ -17,9 +17,10 @@ object Diag {
   /**
    * Top-k heaviest key values with row share and cumulative share:
    * `(key, cnt, share, cum_share, rank)`, heaviest first (ties to the
-   * smaller key string). One count aggregate at key cardinality + a
-   * TakeOrdered-size window over the k survivors — the corpus is scanned
-   * once and only key-cardinality rows ever shuffle.
+   * smaller key string). One count aggregate at key cardinality, a
+   * TakeOrdered top-k cut (per-partition heaps — key-cardinality rows
+   * never funnel into one task), then the rank/cum window over only the
+   * k survivors.
    */
   def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -31,8 +32,13 @@ object Diag {
     // must rank identically in both engines
     val w = Window.orderBy(col("cnt").desc, col("key").asc_nulls_last)
     counts
+      // orderBy + limit plans as TakeOrdered BEFORE the single-partition
+      // window, so the global window (unavoidable for a global rank) only
+      // ever sees k rows — ranks and cumulative shares over the top-k cut
+      // are identical to ranking everything and filtering after
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last)
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .crossJoin(broadcast(total))
       .withColumn("share", round(col("cnt") / col("total") + NanMath.RoundEps, 4))
       .withColumn("cum_share",

@@ -407,6 +407,105 @@ object EventOps {
   }
 
   /**
+   * Multi-touch attribution — EVERY in-window preceding touch of a
+   * conversion shares its credit, under one of the standard weighting
+   * models marketing analytics actually runs:
+   *
+   *   - `linear`: 1/n to each of the n in-window touches;
+   *   - `time_decay`: weight ∝ 2^(-(t_conv - t_touch)/halfLifeMs),
+   *     normalized per conversion — recency-biased credit;
+   *   - `position` (U-shaped): 40% first touch, 40% last, the remaining
+   *     20% split over the middles (n = 1 takes 1.0, n = 2 split 0.5/0.5).
+   *
+   * A conversion with no in-window touch credits `direct` with 1.0.
+   * "Preceding" is the same (t, id) lexicographic order the first/last-
+   * touch operators use, so the three model families agree on which
+   * touches are eligible. Every conversion distributes exactly 1.0 of
+   * credit, so `sum(credit) == conversions` — the invariant the spec pins.
+   *
+   * Scale shape: one user-keyed exchange into a sorted-group kernel
+   * (same as [[firstTouchAttribution]]): touches enter a time-ordered
+   * deque, expired entries evict from the front as time advances (memory
+   * bounded by the window span), each conversion walks only its in-window
+   * deque, and credits pre-aggregate PER USER inside the kernel — the
+   * final exchange moves (touch_type, credit) partials, touch-type
+   * cardinality per user, never per-pair rows. The join-shaped
+   * formulation (conversions × in-window touches) that the DuckDB oracle
+   * replays would shuffle the full pair set.
+   */
+  def multiTouchAttribution(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      windowMs: Long,
+      model: String = "linear",
+      halfLifeMs: Long = 0L,
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "tms",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touch types must be non-empty and distinct from the conversion type")
+    require(windowMs > 0, "windowMs must be positive")
+    require(Set("linear", "time_decay", "position")(model),
+      s"unknown attribution model '$model' (linear | time_decay | position)")
+    require(model != "time_decay" || halfLifeMs > 0,
+      "time_decay needs halfLifeMs > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (conv, win, mdl, hl) = (conversionType, windowMs, model, halfLifeMs)
+    events
+      .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
+      .select(col(userCol).cast("long"), col(tsCol).cast("long"),
+        col(idCol).cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col(tsCol), col(idCol)) { (_, it) =>
+        val touches = new java.util.ArrayDeque[(Long, String)]()
+        val credits = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        def add(ty: String, w: Double): Unit =
+          credits.update(ty, credits.getOrElse(ty, 0.0) + w)
+        it.foreach { case (_, t, _, tp) =>
+          if (tp != conv) touches.addLast((t, tp))
+          else {
+            while (!touches.isEmpty && t - touches.peekFirst()._1 > win)
+              touches.pollFirst()
+            if (touches.isEmpty) add("direct", 1.0)
+            else {
+              val arr = touches.toArray(new Array[(Long, String)](touches.size))
+              val n = arr.length
+              mdl match {
+                case "linear" =>
+                  val w = 1.0 / n
+                  arr.foreach(x => add(x._2, w))
+                case "time_decay" =>
+                  val ws = arr.map(x => math.pow(0.5, (t - x._1).toDouble / hl))
+                  val s = ws.sum
+                  var i = 0
+                  while (i < n) { add(arr(i)._2, ws(i) / s); i += 1 }
+                case "position" =>
+                  if (n == 1) add(arr(0)._2, 1.0)
+                  else if (n == 2) { add(arr(0)._2, 0.5); add(arr(1)._2, 0.5) }
+                  else {
+                    add(arr(0)._2, 0.4)
+                    add(arr(n - 1)._2, 0.4)
+                    val mid = 0.2 / (n - 2)
+                    var i = 1
+                    while (i < n - 1) { add(arr(i)._2, mid); i += 1 }
+                  }
+              }
+            }
+          }
+        }
+        credits.iterator
+      }
+      .toDF("touch_type", "credit")
+      .groupBy(col("touch_type"))
+      .agg(round(sum(col("credit")) + graft.core.NanMath.RoundEps, 4).as("credit"))
+  }
+
+  /**
    * Event-flow transition matrix: counts of consecutive (event_type ->
    * next event_type) pairs within each user's time-ordered stream — the
    * aggregate behind a sankey/path-analysis view. Ordering ties break on

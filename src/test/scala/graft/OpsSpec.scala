@@ -1365,6 +1365,43 @@ class SessionizeSpec extends SparkSpec {
     assert(first == Map("click" -> 3L, "direct" -> 3L), first.toString)
   }
 
+  test("multiTouchAttribution: hand-computed linear / time-decay / position credits") {
+    // the last-touch fixture plus u6, whose 3-touch path (click, view,
+    // click) separates the three models
+    val events = Seq(
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "click"), (2L, 200L, 5L, "purchase"),
+      (3L, 50L, 6L, "purchase"),
+      (4L, 70L, 7L, "click"), (4L, 70L, 8L, "purchase"),
+      (4L, 90L, 9L, "purchase"),
+      (5L, 40L, 10L, "purchase"), (5L, 45L, 11L, "view"),
+      (6L, 10L, 12L, "click"), (6L, 20L, 13L, "view"), (6L, 30L, 14L, "click"),
+      (6L, 40L, 15L, "purchase")
+    ).toDF("user_id", "tms", "event_id", "event_type")
+    def run(model: String, hl: Long = 0L) =
+      ops.EventOps.multiTouchAttribution(events, "purchase", Seq("click", "view"),
+        100L, model = model, halfLifeMs = hl)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // linear: u1 splits 1/2 each; u4's two conversions credit click 1.0
+    // each (single touch); u6 splits 1/3 each over (click, view, click);
+    // u2 expired + u3/u5 untouched -> direct 3
+    assert(run("linear") ==
+      Map("click" -> 3.1667, "view" -> 0.8333, "direct" -> 3.0))
+    // position, n=3 on u6: first click 0.4 + last click 0.4, middle view
+    // 0.2; n<=2 cases match linear
+    assert(run("position") ==
+      Map("click" -> 3.3, "view" -> 0.7, "direct" -> 3.0))
+    // time-decay, halflife 10: u1 weights 2^-2:2^-1 -> click 1/3, view
+    // 2/3; u6 weights 2^-3:2^-2:2^-1 -> click 5/7, view 2/7;
+    // click total 1/3 + 2 + 5/7 = 64/21, view 2/3 + 2/7 = 20/21
+    assert(run("time_decay", hl = 10L) ==
+      Map("click" -> 3.0476, "view" -> 0.9524, "direct" -> 3.0))
+    // every conversion hands out exactly one unit of credit
+    Seq(run("linear"), run("position"), run("time_decay", hl = 10L)).foreach { m =>
+      assert(math.abs(m.values.sum - 7.0) < 1e-9, m.toString)
+    }
+  }
+
   test("funnelTimes: hand-computed conversion-delay percentiles per step") {
     val events = Seq(
       // u1: signup@10, click@20 (dt 10), purchase@30 (dt 20)

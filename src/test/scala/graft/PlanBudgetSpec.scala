@@ -111,6 +111,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "events_attribution" -> 2,
     // same shape, deque kernel instead of the carry window
     "events_attribution_first" -> 2,
+    // multi-touch models: one user exchange into the credit-aggregating
+    // deque kernel + the touch-type-cardinality final agg — the pair
+    // join only the ORACLE replays never materializes in the engine plan
+    "events_attribution_linear" -> 2,
+    "events_attribution_decay" -> 2,
+    "events_attribution_position" -> 2,
     // the EXPLICIT broadcast hints on the two filtered dims survive the
     // disabled auto-threshold (hints always win), so the fact scan never
     // shuffles before the per-order aggregate — 1 exchange + a
@@ -184,6 +190,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // BPE count kernel: tokenizer broadcast into a pure scan (the
     // training histogram runs as its own bounded job at queries() build)
     "text_bpe_tokens" -> 0,
+    // published-vocab id digests: the same broadcast-tokenizer kernel
+    // scan — loading vocab.json changes ids, never the plan
+    "text_bpe_ids_published" -> 0,
     // piece-window kernel, chunk fan-out stays in the producing partition
     "pipeline_chunk_bpe" -> 0,
     // docs + count-kernel sides of the unhinted join (distinct frames, no
