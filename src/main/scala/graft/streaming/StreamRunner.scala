@@ -757,6 +757,94 @@ object StreamRunner {
       .start()
 
   /**
+   * Streaming rolling active users (DAU/WAU/MAU) — the continuous form of
+   * [[graft.ops.EventOps.rollingActiveUsers]]: per micro-batch, the
+   * batch's novel (user, day) pairs join the persisted user-day state,
+   * and every OBSERVED day whose trailing `windowDays` window those pairs
+   * touch gets its distinct-user count recomputed and appended to
+   * `outPath` as `(day, active_users, seq)` — late events update past
+   * days, a fresh day materializes immediately. Readers take the
+   * latest `seq` per day ([[readActiveUsers]]); after any prefix of the
+   * stream that view equals the batch operator over the same events
+   * (StreamSpec pins it, late data included).
+   *
+   * Scale shape per trigger: batch-cardinality distinct + one anti-join
+   * against the user-day state (user-day cardinality, calendar-bounded —
+   * never event cardinality), then the window fan-out ONLY over the
+   * state slice the affected days can see (`windowDays`-bounded span).
+   *
+   * Crash-replay adjudication: counts are computed from state ∪ fresh
+   * and written BEFORE the state append, so a crash between the two
+   * replays the batch with its pairs still novel — the counts rewrite
+   * (same values, latest-seq read collapses them) and the state append
+   * completes. Duplication, never loss; duplicate state pairs from an
+   * append-then-crash collapse in the distinct().
+   */
+  def streamingActiveUsers(
+      events: DataFrame,
+      statePath: String,
+      outPath: String,
+      checkpointPath: String,
+      windowDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "tms"
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowDays >= 1, "windowDays must be positive")
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ud = batch
+          .select(col(userCol).cast("long").as("user"),
+            floor(col(tsCol).cast("long") / lit(86400000L)).as("day"))
+          .distinct()
+        val fresh =
+          (if (!graft.sources.Dirs.exists(spark, statePath)) ud
+           else ud.join(spark.read.parquet(statePath), Seq("user", "day"), "left_anti"))
+            .localCheckpoint()
+        if (!fresh.isEmpty) {
+          val r = fresh.agg(min(col("day")), max(col("day"))).head()
+          val (minD, maxD) = (r.getLong(0), r.getLong(1))
+          val lo = minD - (windowDays - 1)
+          val hi = maxD + (windowDays - 1)
+          // state ∪ fresh, BEFORE the state append (see the crash story)
+          val state =
+            (if (graft.sources.Dirs.exists(spark, statePath))
+               spark.read.parquet(statePath).filter(col("day").between(lo, hi))
+                 .unionByName(fresh)
+             else fresh).distinct()
+          val affected = state.select(col("day")).distinct()
+            .filter(col("day").between(minD, hi))
+          state
+            .select(col("user"),
+              explode(sequence(col("day"), col("day") + (windowDays - 1))).as("rday"))
+            .join(affected.select(col("day").as("rday")), Seq("rday"), "left_semi")
+            .distinct()
+            .groupBy(col("rday").as("day"))
+            .agg(count(lit(1)).as("active_users"))
+            .withColumn("seq", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          fresh.write.mode("append").parquet(statePath)
+        }
+      }
+      .start()
+  }
+
+  /** Latest per-day view of [[streamingActiveUsers]]' append log: the
+    * highest-`seq` row per day is the current count (superseded rows and
+    * replay duplicates collapse here — the dedup-on-read contract every
+    * append sink in this module shares). */
+  def readActiveUsers(spark: SparkSession, outPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("day")).orderBy(col("seq").desc)
+    spark.read.parquet(outPath)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("day"), col("active_users"))
+  }
+
+  /**
    * Streaming ANN index ingest — the [[streamingDedupIngest]] symmetric
    * for embeddings: per micro-batch, new vectors assign through the
    * STORED geometry (coarse quantizer / LSH hyperplanes / PQ codebooks,

@@ -1140,6 +1140,55 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming active users: latest-seq view equals the batch operator after every prefix, late data included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_wau").toString
+    val (statePath, outPath, ckpt) = (s"$base/state", s"$base/out", s"$base/ckpt")
+    val day = 86400000L
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF.toDF("user_id", "tms")
+    val query = StreamRunner.streamingActiveUsers(
+      events, statePath, outPath, ckpt, windowDays = 3)
+
+    val b1 = Seq((1L, 0L), (2L, 0L), (1L, 1L * day))            // days 0,1
+    val b2 = Seq((3L, 2L * day), (2L, 2L * day), (1L, 4L * day)) // days 2,4 (gap at 3)
+    val b3 = Seq((4L, 0L), (3L, 4L * day))                       // LATE user-day on day 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def check(label: String): Unit = {
+      val got = StreamRunner.readActiveUsers(spark, outPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.ops.EventOps.rollingActiveUsers(
+          seen.toSeq.toDF("user_id", "tms"), windowDays = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"$label: got $got want $want")
+    }
+    try {
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        input.addData(b)
+        query.processAllAvailable()
+        seen ++= b
+        check(s"after batch ${i + 1}")
+      }
+      // an already-seen user-day is a no-op trigger: nothing novel, no
+      // new output rows, view unchanged
+      val rowsBefore = spark.read.parquet(outPath).count()
+      input.addData(Seq((1L, 0L)))
+      query.processAllAvailable()
+      assert(spark.read.parquet(outPath).count() === rowsBefore)
+      check("after duplicate-only batch")
+    } finally query.stop()
+    // crash-replay shape: re-appending a batch's counts with the same seq
+    // (out written, state append lost, batch replayed) collapses in the
+    // latest-seq read — simulate by duplicating the out log wholesale
+    // (materialized first: appending a lazy self-read races the listing)
+    val log = spark.read.parquet(outPath)
+    val dup = spark.createDataFrame(
+      java.util.Arrays.asList(log.collect(): _*), log.schema)
+    dup.write.mode("append").parquet(outPath)
+    check("after simulated replay duplication")
+  }
+
   test("streaming ANN ingest: stream-appended index == batch-appended; replay duplicates harmless") {
     import spark.implicits._
     import graft.ops.Similarity
