@@ -242,22 +242,32 @@ object SparkEntry {
 
   /** Rewrite every `round(args)` call in an oracle SQL string (balanced-
    *  paren aware, nested calls handled) to `(round(EPS + args) + 0.0)` —
-   *  the epsilon shift plus the -0.0 canonicalization described above. */
+   *  the epsilon shift plus the -0.0 canonicalization described above.
+   *  Single-quoted SQL literals (with the doubled-quote escape) are
+   *  copied verbatim: a paren — or the word `round(` — inside a regex or
+   *  string constant must neither open a call nor move the depth count. */
   private[graft] def symmetricRound(sql: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < sql.length) {
       val atCall = sql.startsWith("round(", i) &&
         (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_'))
-      if (atCall) {
+      if (sql.charAt(i) == '\'') {
+        val j = endOfSqlLiteral(sql, i)
+        // NB substring, not append(seq, start, end): Scala's
+        // StringBuilder resolves that overload to appending the args
+        b.append(sql.substring(i, j))
+        i = j
+      } else if (atCall) {
         val start = i + 6
         var depth = 1
         var j = start
         while (depth > 0 && j < sql.length) {
           sql.charAt(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _   =>
+            case '\'' => j = endOfSqlLiteral(sql, j) - 1
+            case '('  => depth += 1
+            case ')'  => depth -= 1
+            case _    =>
           }
           j += 1
         }
@@ -272,6 +282,19 @@ object SparkEntry {
       }
     }
     b.toString
+  }
+
+  /** Index just past a single-quoted SQL literal starting at `start`
+    * (doubled quotes escape; an unterminated literal runs to the end). */
+  private def endOfSqlLiteral(sql: String, start: Int): Int = {
+    var j = start + 1
+    while (j < sql.length) {
+      if (sql.charAt(j) == '\'') {
+        if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2
+        else return j + 1
+      } else j += 1
+    }
+    j
   }
 
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1818,9 +1841,14 @@ object SparkEntry {
             |SELECT ty AS touch_type, round(sum(w), 4) AS credit FROM u GROUP BY 1""".stripMargin),
       "events_attribution_decay" ->
         (multiTouchPairsSql +
-          """w AS (SELECT ty, pow(0.5, (tc - tt) / 86400000.0)
-            |        / sum(pow(0.5, (tc - tt) / 86400000.0)) OVER (PARTITION BY cid) AS w
-            |      FROM pr),
+          """m AS (SELECT cid, ty, tc, tt,
+            |        -- newest-touch anchor, mirroring the engine's
+            |        -- max-subtraction softmax (exact BIGINT arithmetic
+            |        -- before the one double division on both sides)
+            |        min(tc - tt) OVER (PARTITION BY cid) AS dt0 FROM pr),
+            |w AS (SELECT ty, pow(0.5, (tc - tt - dt0) / 86400000.0)
+            |        / sum(pow(0.5, (tc - tt - dt0) / 86400000.0)) OVER (PARTITION BY cid) AS w
+            |      FROM m),
             |d AS (SELECT 'direct' AS ty, CAST(count(*) AS DOUBLE) AS w FROM conv c
             |      WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.cid = c.cid)),
             |u AS (SELECT ty, w FROM w UNION ALL SELECT ty, w FROM d WHERE w > 0)

@@ -480,7 +480,15 @@ object EventOps {
                   val w = 1.0 / n
                   arr.foreach(x => add(x._2, w))
                 case "time_decay" =>
-                  val ws = arr.map(x => math.pow(0.5, (t - x._1).toDouble / hl))
+                  // anchored at the NEWEST in-window touch (max-
+                  // subtraction softmax): its weight is exactly 1, so
+                  // the normalizer can never underflow to 0 however
+                  // small the halflife is next to the touch ages — the
+                  // unanchored form emitted NaN credits (0/0) once every
+                  // 2^(-age/halflife) underflowed. Ratios are unchanged;
+                  // the oracle applies the same anchor.
+                  val dt0 = t - arr(n - 1)._1
+                  val ws = arr.map(x => math.pow(0.5, (t - x._1 - dt0).toDouble / hl))
                   val s = ws.sum
                   var i = 0
                   while (i < n) { add(arr(i)._2, ws(i) / s); i += 1 }

@@ -1185,14 +1185,8 @@ object Similarity {
     // duplicates a replay can create — collapsing them can never drop
     // distinct data). Until compaction runs, [[rankTopK]]'s adjacent-
     // duplicate guard keeps query answers correct anyway.
-    if (graft.sources.Dirs.exists(spark, rows)) {
-      val df = spark.read.parquet(rows).dropDuplicates()
-      val n = df.count()
-      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-      graft.sources.Dirs.swapInPlace(spark, rows) { tmp =>
-        df.coalesce(files).write.mode("overwrite").parquet(tmp)
-      }
-    }
+    graft.sources.Dirs.compactFlat(spark, rows, rowsPerFile, dedup = true)
+    graft.sources.Dirs.recover(spark, cells) // crashed-swap healing first
     if (graft.sources.Dirs.exists(spark, cells)) {
       // partition column `cell` inferred from the directory names
       val df = spark.read.parquet(cells).dropDuplicates()

@@ -22,31 +22,120 @@ import org.apache.spark.sql.SparkSession
  */
 object Dirs {
 
-  /** Replace `livePath` with a layout produced by `write(tmpPath)`. */
+  /** Replace `livePath` with a layout produced by `write(tmpPath)`.
+    *
+    * A `__swapping` marker frames the two renames, so a PROCESS CRASH
+    * inside the window is recoverable on the next run (see
+    * [[recoverInterruptedSwap]]) — without it, a crashed swap left the
+    * backup looking like debris: an appender would re-create the live
+    * path with only new batches, and the next compaction would delete
+    * the backup holding the only full copy. */
   def swapInPlace(spark: SparkSession, livePath: String)(write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(livePath)
     val fs = path.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(livePath + "__compacting")
     val bak = new org.apache.hadoop.fs.Path(livePath + "__pre_compact")
+    val marker = new org.apache.hadoop.fs.Path(livePath + "__swapping")
+    recoverInterruptedSwap(fs, path, bak, marker)
     write(tmp.toString) // mode("overwrite") clears stale tmp debris
-    if (fs.exists(bak)) fs.delete(bak, true) // debris from an interrupted run
-    if (!fs.rename(path, bak))
+    if (fs.exists(bak)) fs.delete(bak, true) // pre-marker-era debris
+    fs.create(marker, true).close() // swap window opens
+    if (!fs.rename(path, bak)) {
+      fs.delete(marker, false)
       throw new java.io.IOException(s"compaction backup rename failed: $path -> $bak")
+    }
     if (!fs.rename(tmp, path)) {
       // restore the live directory before surfacing the failure — and if
       // the restore ITSELF fails, say so explicitly with the backup
       // location: a silently-failed restore leaves the path absent, and
       // the next reader would see no data and carry on without it
-      if (fs.rename(bak, path))
+      if (fs.rename(bak, path)) {
+        fs.delete(marker, false)
         throw new java.io.IOException(s"compaction swap failed: $tmp -> $path (restored)")
-      else
+      } else
         throw new java.io.IOException(
           s"compaction swap failed: $tmp -> $path AND the restore rename failed — " +
             s"the live data is still available at the backup path $bak; " +
             s"rename it back to $path manually before the next read")
     }
     fs.delete(bak, true)
+    fs.delete(marker, false) // swap window closed
+  }
+
+  /** Public entry-point form of the crash recovery below: call before
+    * reading or compacting a swap-managed directory whose previous
+    * maintenance run may have died inside the rename window. */
+  def recover(spark: SparkSession, livePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(livePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, path,
+      new org.apache.hadoop.fs.Path(livePath + "__pre_compact"),
+      new org.apache.hadoop.fs.Path(livePath + "__swapping"))
+  }
+
+  /** Heal a swap the previous run crashed inside of (marker present):
+    * live absent -> the backup IS the data, rename it back; live present
+    * (an appender re-created it with post-crash batches) -> move the
+    * backup's data files in beside them (names are task-unique, layouts
+    * identical by construction), so nothing is lost and the compaction
+    * about to run folds both. A backup without a marker is debris from a
+    * COMPLETED swap and stays deletable. */
+  private def recoverInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(marker)) return
+    if (fs.exists(bak)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(
+            s"recovery rename failed: $bak -> $live — restore it manually")
+      } else {
+        mergeInto(fs, bak, live)
+        fs.delete(bak, true)
+      }
+    }
+    fs.delete(marker, false)
+  }
+
+  /** Move every data file under `from` to the same relative path under
+    * `to` (metadata renames only; directories created as needed). */
+  private def mergeInto(
+      fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit = {
+    val it = fs.listFiles(from, true)
+    val fromUri = from.toUri.getPath
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(fromUri).stripPrefix("/")
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) { // skip _SUCCESS etc.
+        val dest = new org.apache.hadoop.fs.Path(to, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(s"recovery merge rename failed: $f -> $dest")
+      }
+    }
+  }
+
+  /** Fold a flat parquet append log into max(1, n/rowsPerFile) files,
+    * swapped in place — the one recipe behind the dedup-index and
+    * flat-ANN-index compactors. `dedup` runs a full-row dropDuplicates
+    * first (safe where replay can only create exact-duplicate rows).
+    * No-op when the directory doesn't exist. */
+  def compactFlat(
+      spark: SparkSession, dir: String, rowsPerFile: Long, dedup: Boolean): Unit = {
+    recover(spark, dir) // a crashed swap may have left the data at the backup
+    if (!exists(spark, dir)) return
+    val log = spark.read.parquet(dir)
+    val df = if (dedup) log.dropDuplicates() else log
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    swapInPlace(spark, dir) { tmp =>
+      df.coalesce(files).write.mode("overwrite").parquet(tmp)
+    }
   }
 
   def exists(spark: SparkSession, dir: String): Boolean = {

@@ -702,15 +702,11 @@ object StreamRunner {
    * picks up the compacted layout on its next one.
    */
   def compactDedupIndex(spark: SparkSession, indexPath: String,
-      rowsPerFile: Long = 4000000L): Unit = {
-    if (!graft.sources.Dirs.exists(spark, indexPath)) return
-    val index = spark.read.parquet(indexPath)
-    val n = index.count()
-    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    graft.sources.Dirs.swapInPlace(spark, indexPath) { tmp =>
-      index.coalesce(files).write.mode("overwrite").parquet(tmp)
-    }
-  }
+      rowsPerFile: Long = 4000000L): Unit =
+    // dedup = false: index rows are signature GROUPS whose duplication is
+    // already tolerated by the self-pair guard on the match side; the
+    // compactor only folds files
+    graft.sources.Dirs.compactFlat(spark, indexPath, rowsPerFile, dedup = false)
 
   def streamingDedupIngest(
       docs: DataFrame,
@@ -772,6 +768,9 @@ object StreamRunner {
    * against the user-day state (user-day cardinality, calendar-bounded —
    * never event cardinality), then the window fan-out ONLY over the
    * state slice the affected days can see (`windowDays`-bounded span).
+   * The state is day-partitioned and both its reads carry day-range
+   * filters, so a long-retention state prunes to the batch/window span
+   * at plan time — per-trigger I/O never grows with total retention.
    *
    * Crash-replay adjudication: counts are computed from state ∪ fresh
    * and written BEFORE the state append, so a crash between the two
@@ -799,33 +798,45 @@ object StreamRunner {
           .select(col(userCol).cast("long").as("user"),
             floor(col(tsCol).cast("long") / lit(86400000L)).as("day"))
           .distinct()
-        val fresh =
-          (if (!graft.sources.Dirs.exists(spark, statePath)) ud
-           else ud.join(spark.read.parquet(statePath), Seq("user", "day"), "left_anti"))
-            .localCheckpoint()
-        if (!fresh.isEmpty) {
-          val r = fresh.agg(min(col("day")), max(col("day"))).head()
-          val (minD, maxD) = (r.getLong(0), r.getLong(1))
-          val lo = minD - (windowDays - 1)
-          val hi = maxD + (windowDays - 1)
-          // state ∪ fresh, BEFORE the state append (see the crash story)
-          val state =
-            (if (graft.sources.Dirs.exists(spark, statePath))
-               spark.read.parquet(statePath).filter(col("day").between(lo, hi))
-                 .unionByName(fresh)
-             else fresh).distinct()
-          val affected = state.select(col("day")).distinct()
-            .filter(col("day").between(minD, hi))
-          state
-            .select(col("user"),
-              explode(sequence(col("day"), col("day") + (windowDays - 1))).as("rday"))
-            .join(affected.select(col("day").as("rday")), Seq("rday"), "left_semi")
-            .distinct()
-            .groupBy(col("rday").as("day"))
-            .agg(count(lit(1)).as("active_users"))
-            .withColumn("seq", lit(batchId))
-            .write.mode("append").parquet(outPath)
-          fresh.write.mode("append").parquet(statePath)
+          .localCheckpoint()
+        if (!ud.isEmpty) {
+          // the state is day-PARTITIONED, and every state read below
+          // carries a day-range filter, so both the novelty anti-join
+          // (same-day pairs only) and the window slice prune to the
+          // batch/window span at plan time instead of scanning the full
+          // retention twice per trigger
+          val hasState = graft.sources.Dirs.exists(spark, statePath)
+          def state(loD: Long, hiD: Long): DataFrame =
+            spark.read.parquet(statePath)
+              .select(col("user").cast("long").as("user"), col("day").cast("long").as("day"))
+              .filter(col("day").between(loD, hiD))
+          val span = ud.agg(min(col("day")), max(col("day"))).head()
+          val (bLo, bHi) = (span.getLong(0), span.getLong(1))
+          val fresh =
+            (if (!hasState) ud
+             else ud.join(state(bLo, bHi), Seq("user", "day"), "left_anti"))
+              .localCheckpoint()
+          if (!fresh.isEmpty) {
+            val r = fresh.agg(min(col("day")), max(col("day"))).head()
+            val (minD, maxD) = (r.getLong(0), r.getLong(1))
+            val lo = minD - (windowDays - 1)
+            val hi = maxD + (windowDays - 1)
+            // state ∪ fresh, BEFORE the state append (see the crash story)
+            val merged =
+              (if (hasState) state(lo, hi).unionByName(fresh) else fresh).distinct()
+            val affected = merged.select(col("day")).distinct()
+              .filter(col("day").between(minD, hi))
+            merged
+              .select(col("user"),
+                explode(sequence(col("day"), col("day") + (windowDays - 1))).as("rday"))
+              .join(affected.select(col("day").as("rday")), Seq("rday"), "left_semi")
+              .distinct()
+              .groupBy(col("rday").as("day"))
+              .agg(count(lit(1)).as("active_users"))
+              .withColumn("seq", lit(batchId))
+              .write.mode("append").parquet(outPath)
+            fresh.write.mode("append").partitionBy("day").parquet(statePath)
+          }
         }
       }
       .start()

@@ -1400,6 +1400,18 @@ class SessionizeSpec extends SparkSpec {
     Seq(run("linear"), run("position"), run("time_decay", hl = 10L)).foreach { m =>
       assert(math.abs(m.values.sum - 7.0) < 1e-9, m.toString)
     }
+
+    // decay underflow regression: a touch ~2e6 halflives old made every
+    // unanchored 2^(-age/hl) weight underflow to 0.0 and the credit NaN
+    // (0/0); anchored at the newest touch the single in-window touch
+    // takes exactly 1.0
+    val uf = Seq(
+      (9L, 0L, 90L, "click"), (9L, 2000000L, 91L, "purchase")
+    ).toDF("user_id", "tms", "event_id", "event_type")
+    val tiny = ops.EventOps.multiTouchAttribution(uf, "purchase", Seq("click", "view"),
+        10000000L, model = "time_decay", halfLifeMs = 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tiny === Map("click" -> 1.0), tiny.toString)
   }
 
   test("funnelTimes: hand-computed conversion-delay percentiles per step") {
@@ -2142,6 +2154,27 @@ class EntrySpec extends SparkSpec {
 
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("symmetricRound: literal-safe balanced rewrite of every round() call") {
+    val eps = graft.core.NanMath.RoundEps.toString
+    assert(SparkEntry.symmetricRound("SELECT round(x, 4) FROM t") ===
+      s"SELECT (round($eps + x, 4) + 0.0) FROM t")
+    // nested calls rewrite inside-out
+    assert(SparkEntry.symmetricRound("round(round(x, 6), 4)") ===
+      s"(round($eps + (round($eps + x, 6) + 0.0), 4) + 0.0)")
+    // literals are copied verbatim: parens and even the word round(
+    // inside a string must neither open a call nor shift depth counting
+    val in = "SELECT round(len(regexp_extract(s, '([0-9)]+')), 4) AS a, 'round(' AS b FROM t"
+    val out = SparkEntry.symmetricRound(in)
+    assert(out ===
+      s"SELECT (round($eps + len(regexp_extract(s, '([0-9)]+')), 4) + 0.0) AS a, 'round(' AS b FROM t")
+    // doubled-quote escape inside a literal
+    assert(SparkEntry.symmetricRound("SELECT 'it''s (round(' AS c, round(y, 2) FROM t") ===
+      s"SELECT 'it''s (round(' AS c, (round($eps + y, 2) + 0.0) FROM t")
+    // identifier suffix does not match: aground(x) is not a round call
+    assert(SparkEntry.symmetricRound("SELECT aground(x) FROM t") ===
+      "SELECT aground(x) FROM t")
   }
 
   test("every query runs on sf0.001") {

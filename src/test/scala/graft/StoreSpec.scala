@@ -485,4 +485,47 @@ class StoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS events_part_catalog")
     }
   }
+
+  test("Dirs swap crash recovery: a kill inside the rename window loses nothing") {
+    import spark.implicits._
+    import graft.sources.Dirs
+    val base = java.nio.file.Files.createTempDirectory("graft-dirs").toString
+    val live = s"$base/idx"
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows: Set[Long] =
+      spark.read.parquet(live).select("v").collect().map(_.getLong(0)).toSet
+    def mk(p: String, vs: Seq[Long]): Unit =
+      vs.toDF("v").write.mode("append").parquet(p)
+
+    // scenario 1: crash BETWEEN the two renames, then an appender
+    // re-creates the live path with a new batch before the next
+    // maintenance pass. Pre-fix, that pass deleted the backup (the only
+    // full copy) as debris; now it merges the backup's files back in.
+    mk(live, Seq(1L, 2L, 3L))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+    fs.create(new org.apache.hadoop.fs.Path(live + "__swapping"), true).close()
+    mk(live, Seq(4L, 5L)) // the post-crash append
+    Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
+    assert(rows === Set(1L, 2L, 3L, 4L, 5L), "recovery lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swapping")))
+    assert(Dirs.dataFileCount(spark, live) === 1)
+
+    // scenario 2: crash in the window with NO appender in between (live
+    // absent) — the backup renames straight back and compaction proceeds
+    assert(fs.rename(new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+    fs.create(new org.apache.hadoop.fs.Path(live + "__swapping"), true).close()
+    Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
+    assert(rows === Set(1L, 2L, 3L, 4L, 5L), "live-absent recovery lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swapping")))
+
+    // a backup WITHOUT a marker is completed-swap debris and is cleared
+    mk(live + "__pre_compact", Seq(99L))
+    Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
+    assert(rows === Set(1L, 2L, 3L, 4L, 5L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+  }
 }
