@@ -814,6 +814,16 @@ object SparkEntry {
       // first occurrence kept (Lee et al. exact-substring dedup)
       "dedup_substring_cut" -> ((s, d) => TextOps.removeSharedSpans(docs(s, d), n = 10)),
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
+      // C4-style line cleanup: word-count floor + blocklist phrase cut
+      // per line, empty docs dropped (Raffel et al. 2020 heuristics;
+      // the synthetic docs are single-line, so the gate acts per doc —
+      // TextOpsSpec carries the multi-line fixture)
+      "text_line_filter" -> ((s, d) =>
+        TextOps.lineFilter(docs(s, d), minWords = 40,
+          blocklist = Seq("slow fast slow"))),
+      // corpus-wide exact paragraph dedup: only the globally-first
+      // occurrence of each paragraph survives, docs reassembled
+      "dedup_paragraphs" -> ((s, d) => Dedup.paragraphDedup(docs(s, d))),
       "text_top_ngrams" -> ((s, d) => TextOps.topNgrams(docs(s, d))),
       "text_unigram_nll" -> ((s, d) => TextOps.unigramNll(docs(s, d))),
       "text_bigram_nll" -> ((s, d) => TextOps.bigramNll(docs(s, d))),
@@ -973,6 +983,9 @@ object SparkEntry {
         Curate.perSourceCap(docs(s, d), 100)
           .select(col("doc_id"), col("source"), col("n_chars"))),
       "pipeline_chunk" -> ((s, d) => Curate.chunk(docs(s, d))),
+      // loader-health report over the packed layout: fill rate and
+      // boundary-straddle fraction per shard at the catalog seqLen
+      "pipeline_pack_report" -> ((s, d) => Curate.packingEfficiency(docs(s, d))),
       "corpus_overlap" -> ((s, d) => {
         val dd = docs(s, d)
         Curate.crossSourceOverlap(dd, Dedup.minhashLsh(dd, threshold = 0.5))
@@ -1459,6 +1472,37 @@ object SparkEntry {
           |        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
           |        AND top_word_frac <= 0.2 THEN 1.0 ELSE 0.0 END AS keep
           |FROM m""".stripMargin,
+      // list_filter replays the same per-line gate the kernel runs: the
+      // single-space word split (nonempty tokens) and the lowercase
+      // blocklist substring
+      "text_line_filter" ->
+        """WITH ls AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split(text, chr(10)), l ->
+          |           len(list_filter(string_split(l, ' '), w -> w <> '')) >= 40
+          |           AND NOT contains(lower(l), 'slow fast slow')) AS kept,
+          |         len(string_split(text, chr(10))) AS n_all
+          |  FROM documents)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+          |       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+          |       CAST(n_all - len(kept) AS BIGINT) AS n_lines_dropped
+          |FROM ls WHERE len(kept) > 0""".stripMargin,
+      // globally-first paragraph occurrence survives (the engine windows
+      // on md5(para); partitioning on the text itself is the same
+      // grouping), docs rebuilt in position order
+      "dedup_paragraphs" ->
+        """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents),
+          |p AS (SELECT doc_id, u.i AS idx, ps[u.i + 1] AS para
+          |      FROM t, unnest(generate_series(0, len(ps) - 1)) AS u(i)),
+          |k AS (SELECT doc_id, idx, para,
+          |        row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM p),
+          |r AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text,
+          |        count(*) AS kept FROM k WHERE rn = 1 GROUP BY doc_id),
+          |a AS (SELECT doc_id, count(*) AS total FROM p GROUP BY doc_id)
+          |SELECT r.doc_id, r.text,
+          |       CAST(kept AS BIGINT) AS n_paras_kept,
+          |       CAST(total - kept AS BIGINT) AS n_paras_dropped
+          |FROM r JOIN a USING (doc_id)""".stripMargin,
       "text_top_ngrams" ->
         """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
           |dg AS (SELECT DISTINCT doc_id, g FROM (
@@ -1532,6 +1576,23 @@ object SparkEntry {
           |  CAST(st % 512 AS DOUBLE) AS seq_offset,
           |  CASE WHEN st % 512 + n > 512 THEN 1.0 ELSE 0.0 END AS spans_boundary
           |FROM c""".stripMargin,
+      // same running-offset arithmetic as pipeline_pack, aggregated to
+      // the per-shard loader-health report
+      "pipeline_pack_report" ->
+        """WITH t AS (SELECT doc_id, source,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |c AS (SELECT doc_id, source, n,
+          |        CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n AS st
+          |      FROM t),
+          |g AS (SELECT source AS shard, count(*) AS n_docs,
+          |        CAST(sum(n) AS DOUBLE) AS n_tokens,
+          |        sum(CASE WHEN st % 512 + n > 512 THEN 1.0 ELSE 0.0 END) AS spans
+          |      FROM c GROUP BY 1)
+          |SELECT shard, n_docs, n_tokens,
+          |       ceil(n_tokens / 512) AS n_sequences,
+          |       round(n_tokens / (ceil(n_tokens / 512) * 512), 4) AS fill_rate,
+          |       round(spans / n_docs, 4) AS spans_frac
+          |FROM g""".stripMargin,
       "pipeline_chunk" ->
         """WITH t AS (
           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

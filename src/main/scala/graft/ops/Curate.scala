@@ -311,15 +311,16 @@ object Curate {
     // (id, n_tok) order gives every physical row its own prefix sum —
     // duplicates pack consecutively; rows tying on both id and n_tok are
     // interchangeable in the output multiset, so the result stays
-    // deterministic.
+    // deterministic. The window partitions on the OUTPUT column names
+    // (no internal rename below it) so a downstream shard-keyed
+    // aggregate ([[packingEfficiency]]) reuses the exchange.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard")).orderBy(col("__id"), col("__n"))
+      .partitionBy(col(shardCol)).orderBy(col(idCol), col("n_tok"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val start = coalesce(sum(col("__n")).over(w), lit(0L)).as("start_tok")
     docs
-      .select(col(idCol).as("__id"), col(shardCol).as("__shard"), n.as("__n"))
-      .select(col("__id").as(idCol), col("__shard").as(shardCol),
-        col("__n").as("n_tok"), start)
+      .select(col(idCol), col(shardCol), n.as("n_tok"))
+      .select(col(idCol), col(shardCol), col("n_tok"),
+        coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_tok"))
       .select(
         col(idCol),
         col(shardCol),
@@ -330,6 +331,42 @@ object Curate {
         (col("start_tok") % seqLen).cast("double").as("seq_offset"),
         when(col("start_tok") % seqLen + col("n_tok") > seqLen, 1.0)
           .otherwise(0.0).as("spans_boundary"))
+  }
+
+  /**
+   * Packing-efficiency report over the [[packSequences]] layout — the
+   * loader-health numbers an operator watches when choosing `seqLen`:
+   * per shard, document/token totals, the sequence count the stream cuts
+   * into, the fill rate of those sequences (trailing-sequence padding is
+   * the only waste in concat-then-chunk packing, so fill = total /
+   * (n_seq * seqLen)), and the fraction of documents that straddle a
+   * sequence boundary (the examples a non-concat loader would truncate
+   * or that lose attention locality). One aggregation at shard
+   * cardinality over the same window arithmetic the packer runs — the
+   * DuckDB oracle replays it exactly.
+   */
+  def packingEfficiency(
+      docs: DataFrame,
+      seqLen: Long = 512L,
+      shardCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCountCol: Option[String] = None
+  ): DataFrame = {
+    val packed = packSequences(docs, seqLen, shardCol, idCol, textCol, tokenCountCol)
+    packed
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("double").as("n_tokens"),
+        sum(col("spans_boundary")).as("__spans"))
+      .select(
+        col(shardCol).as("shard"), col("n_docs"), col("n_tokens"),
+        ceil(col("n_tokens") / seqLen).cast("double").as("n_sequences"),
+        round(col("n_tokens") / (ceil(col("n_tokens") / seqLen) * seqLen)
+          + graft.core.NanMath.RoundEps, 4).as("fill_rate"),
+        round(col("__spans") / col("n_docs") + graft.core.NanMath.RoundEps, 4)
+          .as("spans_frac"))
   }
 
   /**

@@ -399,6 +399,52 @@ object Dedup {
    * of hand-picking — a mis-tuned geometry silently trades recall for
    * candidate volume at corpus scale.
    */
+  /**
+   * Corpus-wide exact PARAGRAPH dedup — the line/paragraph-granular
+   * sibling of [[exact]] (whole documents) and
+   * [[graft.ops.TextOps.removeSharedSpans]] (token windows): every
+   * occurrence of a repeated paragraph except the globally FIRST (by
+   * (doc id, position) order) is cut, and documents are reassembled from
+   * their surviving paragraphs in order — the boilerplate-removal pass
+   * (headers, footers, cookie banners) that document-level dedup cannot
+   * see and span removal treats token-wise. Documents losing every
+   * paragraph drop out. Returns (id, text, n_paras_kept,
+   * n_paras_dropped). Empty paragraphs (from consecutive separators)
+   * participate like any other — the first survives, the rest cut.
+   *
+   * Scale shape: paragraphs explode in-scan (no shuffle); the keep
+   * decision is one row_number window over md5(paragraph) — paragraph
+   * text rides that single hash exchange — and reassembly is one
+   * exchange on the doc id with an array_sort(collect_list) rebuild, so
+   * corpus text crosses the wire exactly twice (the floor for a global
+   * first-occurrence decision plus a positional rebuild).
+   */
+  def paragraphDedup(
+      docs: DataFrame,
+      sep: String = "\n",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__para")))
+    val w = Window.partitionBy(md5(col("__para"))).orderBy(col("__id"), col("__idx"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(array_sort(collect_list(
+          when(col("__rn") === 1, struct(col("__idx"), col("__para"))))) // nulls drop
+          .getField("__para"), sep).as("text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_paras_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_paras_dropped"))
+      .filter(col("n_paras_kept") > 0)
+      .select(col("__id").as(idCol), col("text"),
+        col("n_paras_kept"), col("n_paras_dropped"))
+  }
+
   def optimalBands(
       threshold: Double,
       numHashes: Int,

@@ -719,6 +719,64 @@ object TextOps {
       .toDF(idCol, "norm_text")
   }
 
+  /**
+   * C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics,
+   * parameterized): per document, keep only lines that (a) have at least
+   * `minWords` space-separated words, (b) if `requireTerminalPunct`, end
+   * in `.`, `!`, `?` or a closing quote after trimming, and (c) contain
+   * no `blocklist` phrase (case-insensitive substring — the
+   * "lorem ipsum"/"javascript"/cookie-notice class). Documents left with
+   * zero lines are dropped entirely. Returns (id, text, n_lines_kept,
+   * n_lines_dropped) with the surviving lines rejoined in order.
+   *
+   * Scale shape: one partition-local kernel pass (compiled checks, no
+   * regex per word), zero shuffle — the C4 cleanup runs at scan speed.
+   * The DuckDB oracle replays it with list_filter over the same
+   * single-space word split.
+   */
+  def lineFilter(
+      docs: DataFrame,
+      minWords: Int = 3,
+      requireTerminalPunct: Boolean = false,
+      blocklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(minWords >= 0, "minWords must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (mw, punct, block) = (minWords, requireTerminalPunct,
+      blocklist.map(_.toLowerCase(java.util.Locale.ROOT)))
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val lines = text.split("\n", -1)
+          val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+          var dropped = 0
+          lines.foreach { line =>
+            // word count over the single-space split, nonempty tokens —
+            // the convention the oracle mirrors exactly
+            var words = 0
+            var i = 0
+            val L = line.length
+            while (i < L) {
+              if (line.charAt(i) != ' ' && (i == 0 || line.charAt(i - 1) == ' ')) words += 1
+              i += 1
+            }
+            val trimmed = line.trim
+            val punctOk = !punct || (trimmed.nonEmpty && "\"'.!?".indexOf(
+              trimmed.charAt(trimmed.length - 1)) >= 0)
+            val lower = line.toLowerCase(java.util.Locale.ROOT)
+            val blockOk = !block.exists(lower.contains)
+            if (words >= mw && punctOk && blockOk) kept += line else dropped += 1
+          }
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single((id, kept.mkString("\n"), kept.length.toLong, dropped.toLong))
+        }
+      }
+      .toDF(idCol, "text", "n_lines_kept", "n_lines_dropped")
+  }
+
   /** All-POSITION window rows (doc_id, pos, gram), case-sensitive and NOT
     * deduped per doc — the positional form [[removeSharedSpans]] cuts
     * spans from (the distinct lowercase [[ngramRows]] feed the report

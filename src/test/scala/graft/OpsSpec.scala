@@ -17,6 +17,27 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different content about spark query engines and shuffles everywhere")
   ).toDF("doc_id", "text")
 
+  test("paragraphDedup: only the globally-first occurrence of a repeated paragraph survives") {
+    val pdocs = Seq(
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "shared header") // its only paragraph is a repeat -> doc drops
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.paragraphDedup(df)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = run(pdocs)
+    assert(got(1L) === (("shared header\nunique one\nshared footer", 3L, 0L)))
+    assert(got(2L) === (("unique two", 1L, 2L)))
+    assert(!got.contains(3L), "doc of only-repeated paragraphs must drop")
+    // idempotent: a deduped corpus passes through unchanged
+    val once = ops.Dedup.paragraphDedup(pdocs).select(col("doc_id"), col("text"))
+    val twice = run(once)
+    assert(twice === Map(
+      1L -> (("shared header\nunique one\nshared footer", 3L, 0L)),
+      2L -> (("unique two", 1L, 0L))))
+  }
+
   test("exact dedup groups identical texts") {
     val got = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(got(0L) == 2.0) // docs 0 and 1 collapse, keep_id = 0
@@ -946,6 +967,29 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lineFilter: C4-style per-line gates, hand-computed") {
+    val docs = Seq(
+      (1L, "good line with five words here\nno\nthis has lorem ipsum junk text\nanother decent line of text"),
+      (2L, "x y"), // every line under minWords -> doc dropped
+      (3L, "ends with four words exactly")
+    ).toDF("doc_id", "text")
+    val got = ops.TextOps.lineFilter(docs, minWords = 4, blocklist = Seq("lorem ipsum"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 6-word line kept, "no" under the floor, the LOREM IPSUM line
+    // cut by the blocklist, the 5-word line kept
+    assert(got(1L) ===
+      (("good line with five words here\nanother decent line of text", 2L, 2L)))
+    assert(!got.contains(2L), "doc with zero surviving lines must drop")
+    assert(got(3L) === (("ends with four words exactly", 1L, 0L)))
+    // terminal-punctuation gate, on: the unpunctuated line drops
+    val p = ops.TextOps.lineFilter(
+        Seq((9L, "a proper sentence here.\nno punct line here"))
+          .toDF("doc_id", "text"),
+        minWords = 2, requireTerminalPunct = true)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(p === (("a proper sentence here.", 1L, 1L)))
+  }
+
   test("repetition scores: hand-computed duplicate n-gram fractions") {
     val docs = Seq(
       (1L, "a b a b a"),        // words: 5 grams 2 dup of a,b -> 3/5; 2-grams: a b, b a, a b, b a -> 2/4; 3-grams: aba bab aba -> 1/3
@@ -1632,6 +1676,23 @@ class CurateSpec extends SparkSpec {
     (3L, base.split(" ").reverse.mkString(" ")),
     (4L, "completely different content about spark query engines and shuffles everywhere")
   ).toDF("doc_id", "text")
+
+  test("packingEfficiency: hand-computed fill and boundary-straddle stats") {
+    val d = Seq(
+      (1L, "s0", "a b c d"),       // 4 tokens, starts at 0
+      (2L, "s0", "a b c d e"),     // 5 tokens, starts at 4 -> 4+5 > 8 straddles
+      (3L, "s1", "a b")            // 2 tokens
+    ).toDF("doc_id", "source", "text")
+    val got = Curate.packingEfficiency(d, seqLen = 8L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // s0: 9 tokens over 2 sequences of 8 -> fill 9/16, one of two docs straddles
+    assert(got("s0") === ((2L, 9.0, 2.0, 0.5625, 0.5)))
+    // s1: 2 tokens, one sequence, fill 0.25, nothing straddles
+    assert(got("s1") === ((1L, 2.0, 1.0, 0.25, 0.0)))
+  }
 
   test("dedupKeep keeps one representative per near-dup cluster") {
     val kept = Curate.dedupKeep(docs, Dedup.minhashLsh(docs, threshold = 0.3))

@@ -193,6 +193,14 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // published-vocab id digests: the same broadcast-tokenizer kernel
     // scan — loading vocab.json changes ids, never the plan
     "text_bpe_ids_published" -> 0,
+    // C4 line cleanup is a pure kernel scan
+    "text_line_filter" -> 0,
+    // paragraph hash window + the doc-id reassembly group: corpus text
+    // crosses the wire exactly twice (the documented floor)
+    "dedup_paragraphs" -> 2,
+    // the pack window's shard exchange; the per-shard aggregate reuses
+    // that partitioning
+    "pipeline_pack_report" -> 1,
     // piece-window kernel, chunk fan-out stays in the producing partition
     "pipeline_chunk_bpe" -> 0,
     // docs + count-kernel sides of the unhinted join (distinct frames, no
