@@ -814,6 +814,14 @@ object SparkEntry {
       // first occurrence kept (Lee et al. exact-substring dedup)
       "dedup_substring_cut" -> ((s, d) => TextOps.removeSharedSpans(docs(s, d), n = 10)),
       "text_gopher" -> ((s, d) => TextOps.gopherRules(docs(s, d))),
+      // Flesch-Kincaid grade + reading ease under the standard
+      // dictionary-free syllable approximation, hash-checked cell by cell
+      "text_readability" -> ((s, d) => TextOps.readability(docs(s, d))),
+      // one-row Zipf rank-frequency fit: ln(freq) ~ ln(rank) least
+      // squares over the top-1000 vocabulary, the corpus-health alarm
+      "text_zipf" -> ((s, d) => TextOps.zipfFit(docs(s, d))),
+      // the seqLen-choice input: token-length histogram per source
+      "pipeline_length_hist" -> ((s, d) => Curate.lengthHistogram(docs(s, d))),
       // C4-style line cleanup: word-count floor + blocklist phrase cut
       // per line, empty docs dropped (Raffel et al. 2020 heuristics;
       // the synthetic docs are single-line, so the gate acts per doc —
@@ -1472,6 +1480,47 @@ object SparkEntry {
           |        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
           |        AND top_word_frac <= 0.2 THEN 1.0 ELSE 0.0 END AS keep
           |FROM m""".stripMargin,
+      // identical counting conventions both sides: nonempty single-space
+      // words, non-blank [.!?]+ sentence segments (min 1), vowel-group
+      // syllables (min 1 per word)
+      "text_readability" ->
+        """WITH w AS (SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS words,
+          |    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+          |                             s -> trim(s) <> '')), 1) AS sentences
+          |  FROM documents),
+          |s AS (SELECT doc_id,
+          |    CAST(len(words) AS DOUBLE) AS n_words,
+          |    CAST(sentences AS DOUBLE) AS n_sentences,
+          |    CAST(list_sum(list_transform(words,
+          |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+          |      AS DOUBLE) AS n_syllables
+          |  FROM w WHERE len(words) > 0)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  round(0.39 * n_words / n_sentences + 11.8 * n_syllables / n_words - 15.59, 4)
+          |    AS fk_grade,
+          |  round(206.835 - 1.015 * n_words / n_sentences - 84.6 * n_syllables / n_words, 4)
+          |    AS reading_ease
+          |FROM s""".stripMargin,
+      // same (count desc, token asc) rank order and the same
+      // covariance-form least squares; 4-decimal rounding absorbs the
+      // engines' different summation orders
+      "text_zipf" ->
+        """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+          |      ORDER BY cnt DESC, tok ASC LIMIT 1000),
+          |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS x,
+          |             ln(CAST(cnt AS DOUBLE)) AS y FROM c)
+          |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+          |       round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+          |       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4) AS intercept,
+          |       round(pow(corr(x, y), 2), 4) AS r2
+          |FROM r""".stripMargin,
+      "pipeline_length_hist" ->
+        """SELECT source AS shard,
+          |       (CAST(len(string_split(text, ' ')) AS BIGINT) // 64) * 64 AS bucket_lo,
+          |       count(*) AS n_docs
+          |FROM documents GROUP BY 1, 2""".stripMargin,
       // list_filter replays the same per-line gate the kernel runs: the
       // single-space word split (nonempty tokens) and the lowercase
       // blocklist substring

@@ -334,6 +334,34 @@ object Curate {
   }
 
   /**
+   * Token-length histogram per source — the distribution a seqLen /
+   * truncation choice is actually made from ([[packingEfficiency]]
+   * reports the consequence; this reports the cause): documents bucketed
+   * by whitespace token count (or `tokenCountCol` for model tokens) into
+   * `bucketWidth`-wide bins. One aggregation at (source × bucket)
+   * cardinality.
+   */
+  def lengthHistogram(
+      docs: DataFrame,
+      bucketWidth: Long = 64L,
+      shardCol: String = "source",
+      textCol: String = "text",
+      tokenCountCol: Option[String] = None
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val n = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(split(col(textCol), " ")).cast("long"))
+    docs
+      .select(col(shardCol).as("shard"), n.as("__n"))
+      // integer `div`, not `/`: Column./ is double division (the
+      // packSequences 2^53 note applies)
+      .select(col("shard"), (expr(s"__n div ${bucketWidth}L") * bucketWidth).as("bucket_lo"))
+      .groupBy(col("shard"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * Packing-efficiency report over the [[packSequences]] layout — the
    * loader-health numbers an operator watches when choosing `seqLen`:
    * per shard, document/token totals, the sequence count the stream cuts

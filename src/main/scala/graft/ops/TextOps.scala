@@ -720,6 +720,101 @@ object TextOps {
   }
 
   /**
+   * Flesch-Kincaid readability per document — the classic quality
+   * signal (Kincaid et al. 1975): grade level
+   * `0.39·(words/sentences) + 11.8·(syllables/word) − 15.59` and reading
+   * ease `206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)`.
+   * Sentences are non-blank `[.!?]+`-separated segments (min 1);
+   * syllables the vowel-group count per lowercase word (min 1) — the
+   * standard dictionary-free approximation. Documents with zero words
+   * drop out.
+   *
+   * Scale shape: one partition-local kernel pass (two compiled regexes),
+   * zero shuffle. The DuckDB oracle replays the identical counting
+   * conventions, so the row is hash-checked, not heuristic-compared.
+   */
+  def readability(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val sentSplit = java.util.regex.Pattern.compile("[.!?]+")
+        val vowels = java.util.regex.Pattern.compile("[aeiouy]+")
+        it.flatMap { case (id, text) =>
+          val words = text.split(" ", -1).filter(_.nonEmpty)
+          if (words.isEmpty) Iterator.empty
+          else {
+            val sentences =
+              math.max(sentSplit.split(text, -1).count(_.trim.nonEmpty), 1)
+            var syl = 0L
+            words.foreach { w =>
+              val m = vowels.matcher(w.toLowerCase(java.util.Locale.ROOT))
+              var c = 0
+              while (m.find()) c += 1
+              syl += math.max(c, 1)
+            }
+            val nw = words.length.toDouble
+            val ns = sentences.toDouble
+            val sy = syl.toDouble
+            def r4(x: Double): Double =
+              BigDecimal(x + graft.core.NanMath.RoundEps)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single((id, nw, ns, sy,
+              r4(0.39 * nw / ns + 11.8 * sy / nw - 15.59),
+              r4(206.835 - 1.015 * nw / ns - 84.6 * sy / nw)))
+          }
+        }
+      }
+      .toDF(idCol, "n_words", "n_sentences", "n_syllables", "fk_grade", "reading_ease")
+  }
+
+  /**
+   * Zipf rank-frequency fit over the corpus vocabulary — the one-row
+   * corpus-health diagnostic: natural text follows `freq ∝ rank^(-s)`
+   * with s ≈ 1, so the least-squares slope of ln(freq) on ln(rank) over
+   * the top `maxRanks` tokens (and its r²) flags template/boilerplate
+   * corpora (slope far from −1, or r² collapsing) before they reach
+   * training. Ranks tie-break lexicographically, so the fit is
+   * deterministic.
+   *
+   * Scale shape: one map-side-combined token count at vocabulary
+   * cardinality, a TakeOrdered top-`maxRanks` cut (per-partition heaps —
+   * the [[graft.ops.Bpe.wordHistogram]] shape), then the regression
+   * aggregates over `maxRanks` rows. Nothing vocabulary-sized ever
+   * single-partitions except the bounded top cut.
+   */
+  def zipfFit(
+      docs: DataFrame,
+      maxRanks: Int = 1000,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(maxRanks >= 2, "maxRanks must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(maxRanks)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .select(log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_ranks"),
+      round(covar_pop(col("x"), col("y")) / var_pop(col("x"))
+        + graft.core.NanMath.RoundEps, 4).as("slope"),
+      round(avg(col("y")) - covar_pop(col("x"), col("y")) / var_pop(col("x")) * avg(col("x"))
+        + graft.core.NanMath.RoundEps, 4).as("intercept"),
+      round(pow(corr(col("x"), col("y")), 2) + graft.core.NanMath.RoundEps, 4).as("r2"))
+  }
+
+  /**
    * C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics,
    * parameterized): per document, keep only lines that (a) have at least
    * `minWords` space-separated words, (b) if `requireTerminalPunct`, end

@@ -967,6 +967,40 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readability: hand-computed Flesch-Kincaid counts and scores") {
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"),
+      // beautiful = eau/i/u -> 3 vowel groups; rhythm has no aeiouy... the
+      // y counts: rh-y-thm -> 1 group
+      (2L, "beautiful rhythm"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = ops.TextOps.readability(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // doc 1: 5 words, 2 sentences, 5 syllables
+    // fk = .39*2.5 + 11.8*1 - 15.59 = -2.815; ease = 206.835 - 2.5375 - 84.6
+    assert(got(1L) === ((5.0, 2.0, 5.0, -2.815, 119.6975)))
+    // doc 2: 2 words, 1 sentence (no terminal punct -> min 1), 4 syllables
+    // fk = .39*2 + 11.8*2 - 15.59 = 8.79; ease = 206.835 - 2.03 - 169.2
+    assert(got(2L) === ((2.0, 1.0, 4.0, 8.79, 35.605)))
+    assert(!got.contains(3L), "empty doc must drop")
+  }
+
+  test("zipfFit: an exact freq = C/rank corpus fits slope -1 with r2 = 1") {
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val got = ops.TextOps.zipfFit(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getLong(0) === 4L)
+    assert(got.getDouble(1) === -1.0, "slope")
+    assert(got.getDouble(2) === 2.4849, "intercept ln(12)")
+    assert(got.getDouble(3) === 1.0, "r2")
+  }
+
   test("lineFilter: C4-style per-line gates, hand-computed") {
     val docs = Seq(
       (1L, "good line with five words here\nno\nthis has lorem ipsum junk text\nanother decent line of text"),
@@ -1676,6 +1710,18 @@ class CurateSpec extends SparkSpec {
     (3L, base.split(" ").reverse.mkString(" ")),
     (4L, "completely different content about spark query engines and shuffles everywhere")
   ).toDF("doc_id", "text")
+
+  test("lengthHistogram: docs bucket by token count per source") {
+    val d = Seq(
+      (1L, "s0", Seq.fill(3)("w").mkString(" ")),   // 3 tokens  -> bucket 0
+      (2L, "s0", Seq.fill(70)("w").mkString(" ")),  // 70 tokens -> bucket 64
+      (3L, "s0", Seq.fill(64)("w").mkString(" ")),  // 64 tokens -> bucket 64
+      (4L, "s1", Seq.fill(64)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Curate.lengthHistogram(d, bucketWidth = 64L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("s0", 0L) -> 1L, ("s0", 64L) -> 2L, ("s1", 64L) -> 1L))
+  }
 
   test("packingEfficiency: hand-computed fill and boundary-straddle stats") {
     val d = Seq(

@@ -195,6 +195,14 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_bpe_ids_published" -> 0,
     // C4 line cleanup is a pure kernel scan
     "text_line_filter" -> 0,
+    // FK readability is a pure kernel scan
+    "text_readability" -> 0,
+    // the vocab count aggregate is the only exchange: the top-1000 cut
+    // plans as TakeOrdered, and the rank window + one-row regression run
+    // on its already-single-partition result
+    "text_zipf" -> 1,
+    // one (source, bucket) aggregate
+    "pipeline_length_hist" -> 1,
     // paragraph hash window + the doc-id reassembly group: corpus text
     // crosses the wire exactly twice (the documented floor)
     "dedup_paragraphs" -> 2,
