@@ -258,6 +258,14 @@ object SparkEntry {
         // StringBuilder resolves that overload to appending the args
         b.append(sql.substring(i, j))
         i = j
+      } else if (sql.startsWith("--", i)) {
+        // copy `--` line comments verbatim: an apostrophe inside one
+        // ("the engine's ...") must not open a phantom literal that
+        // desynchronizes quote tracking for the rest of the statement
+        // (which silently disabled the rewrite of every later round())
+        val j = sql.indexOf('\n', i) match { case -1 => sql.length; case n => n }
+        b.append(sql.substring(i, j))
+        i = j
       } else if (atCall) {
         val start = i + 6
         var depth = 1
@@ -265,6 +273,8 @@ object SparkEntry {
         while (depth > 0 && j < sql.length) {
           sql.charAt(j) match {
             case '\'' => j = endOfSqlLiteral(sql, j) - 1
+            case '-' if sql.startsWith("--", j) =>
+              j = (sql.indexOf('\n', j) match { case -1 => sql.length; case n => n }) - 1
             case '('  => depth += 1
             case ')'  => depth -= 1
             case _    =>
@@ -1487,7 +1497,8 @@ object SparkEntry {
         """WITH w AS (SELECT doc_id,
           |    list_filter(string_split(text, ' '), x -> x <> '') AS words,
           |    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
-          |                             s -> trim(s) <> '')), 1) AS sentences
+          |                             s -> trim(s, ' ' || chr(9) || chr(10) || chr(13)) <> '')), 1)
+          |      AS sentences
           |  FROM documents),
           |s AS (SELECT doc_id,
           |    CAST(len(words) AS DOUBLE) AS n_words,

@@ -748,8 +748,14 @@ object TextOps {
           val words = text.split(" ", -1).filter(_.nonEmpty)
           if (words.isEmpty) Iterator.empty
           else {
-            val sentences =
-              math.max(sentSplit.split(text, -1).count(_.trim.nonEmpty), 1)
+            // non-blank = contains a char outside the EXPLICIT whitespace
+            // set { space, tab, LF, CR } — the oracle trims exactly that
+            // set (default SQL trim() strips spaces only; Java's
+            // String.trim strips every char <= U+0020 — both would count
+            // sentences differently from the other engine on multi-line
+            // text)
+            val sentences = math.max(sentSplit.split(text, -1)
+              .count(_.exists(c => c != ' ' && c != '\t' && c != '\n' && c != '\r')), 1)
             var syl = 0L
             words.foreach { w =>
               val m = vowels.matcher(w.toLowerCase(java.util.Locale.ROOT))
@@ -760,12 +766,9 @@ object TextOps {
             val nw = words.length.toDouble
             val ns = sentences.toDouble
             val sy = syl.toDouble
-            def r4(x: Double): Double =
-              BigDecimal(x + graft.core.NanMath.RoundEps)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
             Iterator.single((id, nw, ns, sy,
-              r4(0.39 * nw / ns + 11.8 * sy / nw - 15.59),
-              r4(206.835 - 1.015 * nw / ns - 84.6 * sy / nw)))
+              rnd4(0.39 * nw / ns + 11.8 * sy / nw - 15.59),
+              rnd4(206.835 - 1.015 * nw / ns - 84.6 * sy / nw)))
           }
         }
       }

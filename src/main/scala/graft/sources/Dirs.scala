@@ -37,7 +37,7 @@ object Dirs {
     val tmp = new org.apache.hadoop.fs.Path(livePath + "__compacting")
     val bak = new org.apache.hadoop.fs.Path(livePath + "__pre_compact")
     val marker = new org.apache.hadoop.fs.Path(livePath + "__swapping")
-    recoverInterruptedSwap(fs, path, bak, marker)
+    recoverInterruptedSwap(fs, path, bak, marker, tmp)
     write(tmp.toString) // mode("overwrite") clears stale tmp debris
     if (fs.exists(bak)) fs.delete(bak, true) // pre-marker-era debris
     fs.create(marker, true).close() // swap window opens
@@ -71,24 +71,31 @@ object Dirs {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, path,
       new org.apache.hadoop.fs.Path(livePath + "__pre_compact"),
-      new org.apache.hadoop.fs.Path(livePath + "__swapping"))
+      new org.apache.hadoop.fs.Path(livePath + "__swapping"),
+      new org.apache.hadoop.fs.Path(livePath + "__compacting"))
   }
 
-  /** Heal a swap the previous run crashed inside of (marker present):
-    * live absent -> the backup IS the data, rename it back; live present
-    * (an appender re-created it with post-crash batches) -> move the
-    * backup's data files in beside them (names are task-unique, layouts
-    * identical by construction), so nothing is lost and the compaction
-    * about to run folds both. A backup without a marker is debris from a
-    * COMPLETED swap and stays deletable. */
+  /** Heal a swap the previous run crashed inside of (marker present).
+    * The `__compacting` tmp directory is the phase discriminator: the
+    * second rename CONSUMES it, so tmp-present means the crash landed
+    * between the renames (the backup is authoritative — rename it back,
+    * or merge its files in beside an appender's re-created live dir),
+    * while tmp-absent means the swap completed and only the backup
+    * delete was lost (the backup is STALE — merging it would duplicate
+    * every row into the freshly compacted live; just delete it). A
+    * backup without a marker is completed-swap debris either way. */
   private def recoverInterruptedSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path,
       bak: org.apache.hadoop.fs.Path,
-      marker: org.apache.hadoop.fs.Path): Unit = {
+      marker: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(marker)) return
     if (fs.exists(bak)) {
-      if (!fs.exists(live)) {
+      if (!fs.exists(tmp)) {
+        // post-swap crash: live holds the compacted layout already
+        fs.delete(bak, true)
+      } else if (!fs.exists(live)) {
         if (!fs.rename(bak, live))
           throw new java.io.IOException(
             s"recovery rename failed: $bak -> $live — restore it manually")
@@ -136,6 +143,17 @@ object Dirs {
     swapInPlace(spark, dir) { tmp =>
       df.coalesce(files).write.mode("overwrite").parquet(tmp)
     }
+  }
+
+  /** Any data file directly at the directory ROOT (not in a partition
+    * subdirectory)? Layout-migration probe: appending `col=value`
+    * subdirectories beside root-level files leaves a mix Spark's
+    * partition discovery rejects. */
+  def hasRootDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
   def exists(spark: SparkSession, dir: String): Boolean = {

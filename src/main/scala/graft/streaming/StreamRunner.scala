@@ -806,6 +806,20 @@ object StreamRunner {
           // batch/window span at plan time instead of scanning the full
           // retention twice per trigger
           val hasState = graft.sources.Dirs.exists(spark, statePath)
+          // one-time layout migration: a state dir written FLAT (by the
+          // pre-partitioned variant of this sink) must be rewritten into
+          // day partitions BEFORE the first partitioned append lands
+          // beside its root files — that mix trips Spark's partition
+          // discovery ("conflicting directory structures") and kills the
+          // query until the dir is rebuilt by hand
+          if (hasState && graft.sources.Dirs.hasRootDataFiles(spark, statePath)) {
+            val flat = spark.read.parquet(statePath)
+              .select(col("user").cast("long").as("user"), col("day").cast("long").as("day"))
+              .localCheckpoint()
+            graft.sources.Dirs.swapInPlace(spark, statePath) { tmp =>
+              flat.write.mode("overwrite").partitionBy("day").parquet(tmp)
+            }
+          }
           def state(loD: Long, hiD: Long): DataFrame =
             spark.read.parquet(statePath)
               .select(col("user").cast("long").as("user"), col("day").cast("long").as("day"))

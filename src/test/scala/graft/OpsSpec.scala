@@ -987,6 +987,12 @@ class TextOpsSpec extends SparkSpec {
     // fk = .39*2 + 11.8*2 - 15.59 = 8.79; ease = 206.835 - 2.03 - 169.2
     assert(got(2L) === ((2.0, 1.0, 4.0, 8.79, 35.605)))
     assert(!got.contains(3L), "empty doc must drop")
+    // a whitespace-only segment between sentence breaks (space/tab/LF) is
+    // NOT a sentence — the explicit trim-set convention both engines share
+    val ml = ops.TextOps.readability(
+        Seq((9L, "a b. \n\t. c d.")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(4))).head
+    assert(ml === ((5.0, 2.0, -2.815)))
   }
 
   test("zipfFit: an exact freq = C/rank corpus fits slope -1 with r2 = 1") {
@@ -2282,6 +2288,24 @@ class EntrySpec extends SparkSpec {
     // identifier suffix does not match: aground(x) is not a round call
     assert(SparkEntry.symmetricRound("SELECT aground(x) FROM t") ===
       "SELECT aground(x) FROM t")
+    // an apostrophe inside a -- comment must not open a phantom literal
+    // that swallows the rest of the statement (this silently disabled the
+    // rewrite of every round() after such a comment)
+    val commented = "SELECT x -- the engine's anchor\n, round(y, 4) FROM t"
+    assert(SparkEntry.symmetricRound(commented) ===
+      s"SELECT x -- the engine's anchor\n, (round($eps + y, 4) + 0.0) FROM t")
+    // EVERY round( in every EMITTED oracle must be the rewritten form —
+    // the whole-catalog guard that would have caught the phantom-literal
+    // desync (decay's round() shipping without the eps/-0.0 wrap)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      var idx = sql.indexOf("round(")
+      while (idx >= 0) {
+        assert(sql.startsWith(s"round($eps + ", idx),
+          s"oracle $name: unrewritten round( at offset $idx:\n" +
+            sql.substring(idx, math.min(sql.length, idx + 60)))
+        idx = sql.indexOf("round(", idx + 6)
+      }
+    }
   }
 
   test("every query runs on sf0.001") {

@@ -498,13 +498,15 @@ class StoreSpec extends SparkSpec {
     def mk(p: String, vs: Seq[Long]): Unit =
       vs.toDF("v").write.mode("append").parquet(p)
 
-    // scenario 1: crash BETWEEN the two renames, then an appender
-    // re-creates the live path with a new batch before the next
-    // maintenance pass. Pre-fix, that pass deleted the backup (the only
-    // full copy) as debris; now it merges the backup's files back in.
+    // scenario 1: crash BETWEEN the two renames (tmp still present — the
+    // second rename is what consumes it), then an appender re-creates the
+    // live path with a new batch before the next maintenance pass.
+    // Pre-fix, that pass deleted the backup (the only full copy) as
+    // debris; now it merges the backup's files back in.
     mk(live, Seq(1L, 2L, 3L))
     assert(fs.rename(new org.apache.hadoop.fs.Path(live),
       new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+    mk(live + "__compacting", Seq(1L, 2L, 3L)) // the crashed run's aside copy
     fs.create(new org.apache.hadoop.fs.Path(live + "__swapping"), true).close()
     mk(live, Seq(4L, 5L)) // the post-crash append
     Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
@@ -517,9 +519,22 @@ class StoreSpec extends SparkSpec {
     // absent) — the backup renames straight back and compaction proceeds
     assert(fs.rename(new org.apache.hadoop.fs.Path(live),
       new org.apache.hadoop.fs.Path(live + "__pre_compact")))
+    mk(live + "__compacting", Seq(1L, 2L, 3L, 4L, 5L))
     fs.create(new org.apache.hadoop.fs.Path(live + "__swapping"), true).close()
     Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
     assert(rows === Set(1L, 2L, 3L, 4L, 5L), "live-absent recovery lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swapping")))
+
+    // scenario 3: crash AFTER the swap completed but before the backup
+    // delete (tmp consumed by the rename, marker + stale backup left).
+    // Merging the stale backup would duplicate every row into the
+    // compacted live — recovery must DELETE it instead.
+    mk(live + "__pre_compact", Seq(1L, 2L, 3L, 4L, 5L)) // stale full copy
+    fs.create(new org.apache.hadoop.fs.Path(live + "__swapping"), true).close()
+    Dirs.compactFlat(spark, live, rowsPerFile = 1000000L, dedup = false)
+    assert(rows === Set(1L, 2L, 3L, 4L, 5L), "stale backup must not merge back")
+    assert(spark.read.parquet(live).count() === 5L, "post-swap recovery duplicated rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__pre_compact")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__swapping")))
 
     // a backup WITHOUT a marker is completed-swap debris and is cleared

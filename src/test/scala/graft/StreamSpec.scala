@@ -1146,6 +1146,11 @@ class StreamSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_wau").toString
     val (statePath, outPath, ckpt) = (s"$base/state", s"$base/out", s"$base/ckpt")
     val day = 86400000L
+    // pre-seed a FLAT (pre-day-partitioning) state dir: the first trigger
+    // must migrate it into day partitions — a partitioned append landing
+    // beside root-level files would corrupt the layout for every
+    // subsequent read
+    Seq((42L, 0L)).toDF("user", "day").write.parquet(statePath)
     val input = MemoryStream[(Long, Long)]
     val events = input.toDF.toDF("user_id", "tms")
     val query = StreamRunner.streamingActiveUsers(
@@ -1155,6 +1160,7 @@ class StreamSpec extends SparkSpec {
     val b2 = Seq((3L, 2L * day), (2L, 2L * day), (1L, 4L * day)) // days 2,4 (gap at 3)
     val b3 = Seq((4L, 0L), (3L, 4L * day))                       // LATE user-day on day 0
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    seen += ((42L, 0L)) // the migrated pre-existing user-day
     def check(label: String): Unit = {
       val got = StreamRunner.readActiveUsers(spark, outPath)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
