@@ -916,6 +916,12 @@ object SparkEntry {
       "pipeline_mix" -> ((s, d) =>
         Curate.mixtureSample(docs(s, d), Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0))
           .select(col("doc_id"), col("source"), col("copy").cast("double").as("copy_idx"))),
+      // temperature-flattened mixture at alpha = 0.5: weights learned
+      // from the observed domain shares, the full draw replayed by DuckDB
+      "pipeline_mix_temp" -> ((s, d) =>
+        Curate.temperatureMixtureSample(docs(s, d), alpha = 0.5)
+          .select(col("doc_id"), col("source"), col("wt"),
+            col("copy").cast("double").as("copy_idx"))),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
       "pipeline_interleave" -> ((s, d) =>
         Curate.interleave(docs(s, d), Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0))
@@ -1090,6 +1096,14 @@ object SparkEntry {
         Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))),
       "mm_resize" -> ((s, d) =>
         Multimodal.resize(Multimodal.asMedia(docs(s, d)))),
+      // perceptual-hash near-dup pairs over every payload (the synthetic
+      // corpus has no decodable images, so hashes are the stub's
+      // md5-derived 64 bits and the oracle replays them exactly; hamming
+      // <= 2 keeps the md5 near-collision probability ~1e-16/pair, so
+      // pairs are the exact-payload duplicates both engines agree on)
+      "mm_phash_pairs" -> ((s, d) =>
+        Multimodal.phashPairs(Multimodal.asMedia(docs(s, d)),
+          maxHamming = 2, imagesOnly = false)),
       // -- event operators (§2.9), through the ASL front-end --
       // rolling 7-day distinct active users per observed day (WAU)
       "events_wau" -> ((s, d) =>
@@ -1627,6 +1641,24 @@ object SparkEntry {
           |  FROM w)
           |SELECT doc_id, source, CAST(u.i AS DOUBLE) AS copy_idx
           |FROM c, unnest(range(0, n)) AS u(i)""".stripMargin,
+      // w_i = p_i^(alpha-1) / sum_j p_j^alpha at alpha = 0.5, rounded to
+      // 4 decimals BEFORE the copy thresholds (the engine rounds its
+      // driver-side weights identically, so ulp-level pow() differences
+      // cannot move a document across a bucket boundary)
+      "pipeline_mix_temp" ->
+        """WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source),
+          |tot AS (SELECT sum(c) AS n FROM cnt),
+          |z AS (SELECT sum(pow(c / n, 0.5)) AS z FROM cnt, tot),
+          |w AS (SELECT source, round(pow(c / n, -0.5) / z, 4) AS wt FROM cnt, tot, z),
+          |d AS (
+          |  SELECT doc_id, documents.source, wt,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+          |  FROM documents JOIN w ON documents.source = w.source),
+          |c AS (SELECT doc_id, source, wt,
+          |    CAST(floor(wt) AS BIGINT) + CASE WHEN b < (wt - floor(wt)) * 10000 THEN 1 ELSE 0 END AS n
+          |  FROM d)
+          |SELECT doc_id, source, wt, CAST(u.i AS DOUBLE) AS copy_idx
+          |FROM c, unnest(range(0, n)) AS u(i)""".stripMargin,
       "pipeline_pack" ->
         """WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
           |c AS (SELECT doc_id, source, n,
@@ -2158,7 +2190,33 @@ object SparkEntry {
           |       CAST(greatest(1, floor(sw * scale)) AS INT) AS width,
           |       CAST(greatest(1, floor(sh * scale)) AS INT) AS height,
           |       floor(scale * 10000 + 0.5) / 10000 AS scale
-          |FROM s""".stripMargin
+          |FROM s""".stripMargin,
+      // pigeonhole proof mirrored in SQL: 64 bits as three segments
+      // (hi 32 / lo-hi 16 / lo-lo 16) — any pair within hamming 2 agrees
+      // exactly on at least one segment, so the union of three equi-joins
+      // covers every qualifying pair without a cross join; hamming sums
+      // the two 32-bit halves' bit_count(xor)
+      "mm_phash_pairs" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+          |         CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
+          |  FROM documents),
+          |s AS (SELECT doc_id, hi, lo, lo // 65536 AS s1, lo % 65536 AS s2 FROM h),
+          |cand AS (
+          |  SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+          |         a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+          |  FROM s a JOIN s b ON a.hi = b.hi AND a.doc_id < b.doc_id
+          |  UNION
+          |  SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+          |  FROM s a JOIN s b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+          |  UNION
+          |  SELECT a.doc_id, b.doc_id, a.hi, a.lo, b.hi, b.lo
+          |  FROM s a JOIN s b ON a.s2 = b.s2 AND a.doc_id < b.doc_id)
+          |SELECT media_a, media_b,
+          |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin
     )
   }
 

@@ -153,6 +153,55 @@ object Curate {
   }
 
   /**
+   * Temperature-scaled domain weights (the multilingual-mixing knob of
+   * XLM-R / mT5, Conneau et al. 2020 §3.1): sampling share q_i ∝ p_i^alpha
+   * over the observed domain shares p_i = n_i / N, realized as per-document
+   * epoch weights w_i = q_i·N/n_i = p_i^(alpha−1)/Σ_j p_j^alpha, so the
+   * expected total document count is preserved while alpha < 1 upsamples
+   * small domains and downsamples large ones (alpha = 1 is identity,
+   * alpha = 0 is uniform-over-domains). Weights round to 4 decimals under
+   * the [[graft.core.NanMath.RoundEps]] contract BEFORE use — pow() may
+   * differ in the last ulp across libm implementations, and the rounded
+   * weight is what both engines' copy thresholds must agree on.
+   *
+   * Scale shape: one count aggregation at domain cardinality (bounded —
+   * collecting it is k rows, not data) to learn the weights; realization
+   * is [[mixtureSample]]'s zero-shuffle projection + row generator.
+   */
+  def temperatureWeights(
+      docs: DataFrame,
+      alpha: Double,
+      sourceCol: String = "source"
+  ): Map[String, Double] = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    val counts = docs.groupBy(col(sourceCol).cast("string").as("s"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "empty corpus")
+    val n = counts.map(_._2).sum.toDouble
+    val z = counts.map { case (_, c) => math.pow(c / n, alpha) }.sum
+    counts.map { case (s, c) =>
+      s -> BigDecimal(math.pow(c / n, alpha - 1.0) / z + graft.core.NanMath.RoundEps)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** [[temperatureWeights]] realized through [[mixtureSample]] — the full
+    * "flatten the domain distribution at temperature alpha" pass. */
+  def temperatureMixtureSample(
+      docs: DataFrame,
+      alpha: Double,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val w = temperatureWeights(docs, alpha, sourceCol)
+    val wt = w.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    mixtureSample(docs, w, defaultWeight = 0.0, sourceCol, idCol)
+      .withColumn("wt", wt)
+  }
+
+  /**
    * Semantic dedup keep-decision (the SemDeDup shape, Abbas et al. 2023):
    * items whose EMBEDDINGS are near-duplicates (cosine >= threshold)
    * collapse to one representative per connected cluster — the

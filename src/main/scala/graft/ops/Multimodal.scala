@@ -212,10 +212,16 @@ object Multimodal {
    * (segment index, segment value), never a cross join; the exact
    * bit_count(xor) confirm runs on candidates only.
    */
-  def phashPairs(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def phashPairs(
+      media: DataFrame, maxHamming: Int = 8, imagesOnly: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nSeg = maxHamming + 1
-    val hashed = perceptualHash(media).filter(col("is_image"))
+    // imagesOnly=false widens the pass to every payload via the stub's
+    // md5-derived hash — near-dup detection degrades to exact-payload
+    // detection there (md5 bits are independent), which is exactly what a
+    // corpus without decodable images can still support
+    val all = perceptualHash(media)
+    val hashed = if (imagesOnly) all.filter(col("is_image")) else all
     // collapse IDENTICAL hashes first (the [[graft.ops.Dedup]] lesson:
     // duplicate-heavy corpora put byte-identical copies in the same
     // bucket of every segment, making the self-join quadratically skewed

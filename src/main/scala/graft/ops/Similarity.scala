@@ -955,15 +955,32 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    vecs(emb, idCol, vecCol)
+    val assigned = vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
         val cs = bc.value
         it.map(v => (nearestCell(v.vec, cs), v.id, v.vec))
       }
       .toDF("cell", "id", "vec")
-      .write.mode(if (overwrite) "overwrite" else "append")
+    sizedCellWrite(assigned, centroids.length, overwrite, s"$path/cells")
+  }
+
+  /** Cell-partitioned index write. Builds (`overwrite`) hash each cell
+    * into a single task first, so a fresh index starts at ONE file per
+    * cell directory instead of tasks x cells — one exchange on the cell
+    * key, the same shuffle [[compactAnnIndex]] pays, spent once at build
+    * time so the first N appends never need compacting. Appends stay
+    * zero-shuffle kernels (one file per task per cell); the compactor
+    * folds their debris. `maxRecordsPerFile` splits oversized cells on
+    * both paths. */
+  private def sizedCellWrite(
+      assigned: DataFrame, nCells: Int, overwrite: Boolean, dir: String): Unit = {
+    val df =
+      if (overwrite) assigned.repartition(math.max(1, nCells), col("cell"))
+      else assigned
+    df.write.mode(if (overwrite) "overwrite" else "append")
+      .option("maxRecordsPerFile", 4000000L)
       .partitionBy("cell")
-      .parquet(s"$path/cells")
+      .parquet(dir)
   }
 
   /** Stored quantizer, ascending centroid id (doubles round-trip parquet
@@ -1677,7 +1694,7 @@ object Similarity {
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcM = spark.sparkContext.broadcast(model)
-    vecs(emb, idCol, vecCol)
+    val assigned = vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
         val cs = bcC.value
         val mdl = bcM.value
@@ -1687,9 +1704,7 @@ object Similarity {
         }
       }
       .toDF("cell", "id", "code")
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("cell")
-      .parquet(s"$path/cells")
+    sizedCellWrite(assigned, centroids.length, overwrite, s"$path/cells")
   }
 
   /** Stored residual codebooks (doubles round-trip parquet exactly). */

@@ -863,6 +863,23 @@ class SimilaritySpec extends SparkSpec {
     assert(codes1.values.forall(_.length === 8))
   }
 
+  test("sized index builds: a fresh cells/ layout starts at one file per cell") {
+    import graft.sources.Dirs
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // pre-sizing, a build left one file per task per touched cell (up to
+    // 32 x 16 here); the sized build hashes each cell into a single task
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-sized").toString
+    Similarity.ivfBuildIndex(emb, ivfDir)
+    val ivfCells = spark.read.parquet(s"$ivfDir/cells").select("cell").distinct().count()
+    assert(Dirs.dataFileCount(spark, s"$ivfDir/cells") === ivfCells,
+      "IVF build must write exactly one file per non-empty cell")
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-sized").toString
+    Similarity.ivfPqBuildIndex(emb, pqDir)
+    val pqCells = spark.read.parquet(s"$pqDir/cells").select("cell").distinct().count()
+    assert(Dirs.dataFileCount(spark, s"$pqDir/cells") === pqCells,
+      "IVF-PQ build must write exactly one file per non-empty cell")
+  }
+
   test("ANN index compaction: repeated appends fold to a bounded layout, answers byte-identical") {
     import graft.sources.Dirs
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -1639,6 +1656,16 @@ class MultimodalSpec extends SparkSpec {
     val pairs = Multimodal.phashPairs(media, maxHamming = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
+
+    // imagesOnly=false widens the pass to non-image payloads via the stub
+    // hash: identical byte payloads pair at hamming 0, images still pair
+    val withDup = media.unionByName(Seq(
+      (5L, "txt", "not an image at all".getBytes("UTF-8"))
+    ).toDF("media_id", "format", "payload"))
+    val all = Multimodal.phashPairs(withDup, maxHamming = 8, imagesOnly = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all.contains((4L, 5L, 0)), all.toString)
+    assert(all.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
   test("binary payload plumbing: schema and deterministic stub decode") {
@@ -2028,6 +2055,33 @@ class CurateSpec extends SparkSpec {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
     assert(Curate.mixtureSample(mixDocs, Map("w2" -> 0.0))
       .filter(col("source") === "w2").count() == 0)
+  }
+
+  test("temperatureWeights: hand-computed alpha=0.5 weights, identity at alpha=1, count-preserving realization") {
+    val mixDocs = (0L until 10L)
+      .map(i => (i, if (i < 8) "big" else "small")).toDF("doc_id", "source")
+    // p = (0.8, 0.2); z = sqrt(.8) + sqrt(.2) = 1.3416407…
+    // w_big = 0.8^-0.5 / z = 1.1180340 / 1.3416407 = 0.8333… -> 0.8333
+    // w_small = 0.2^-0.5 / z = 2.2360680 / 1.3416407 = 1.6666… -> 1.6667
+    val w = Curate.temperatureWeights(mixDocs, alpha = 0.5)
+    assert(w === Map("big" -> 0.8333, "small" -> 1.6667))
+    // alpha = 1 is the identity mixture
+    assert(Curate.temperatureWeights(mixDocs, alpha = 1.0)
+      === Map("big" -> 1.0, "small" -> 1.0))
+    // alpha = 0 flattens to uniform-over-domains: w_i = 1/(k * p_i)
+    assert(Curate.temperatureWeights(mixDocs, alpha = 0.0)
+      === Map("big" -> 0.625, "small" -> 2.5))
+    // realization: every small doc gets >= 1 copy (floor 1.6667), big
+    // docs at most one, wt column carries the learned weight, runs agree
+    val out = Curate.temperatureMixtureSample(mixDocs, alpha = 0.5)
+    val byDoc = out.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (8L until 10L).foreach(i => assert(byDoc(i) >= 1L && byDoc(i) <= 2L))
+    (0L until 8L).foreach(i => assert(byDoc.getOrElse(i, 0L) <= 1L))
+    assert(out.filter(col("source") === "small").select("wt")
+      .distinct().collect().map(_.getDouble(0)).toSeq === Seq(1.6667))
+    val again = Curate.temperatureMixtureSample(mixDocs, alpha = 0.5)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
 
   test("semanticDedupKeep keeps one representative per embedding cluster") {
