@@ -1103,4 +1103,89 @@ object Curate {
       .limit(n)
       .select(col(idCol), round(col("logw") + graft.core.NanMath.RoundEps, 4).as("logw"))
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): within
+   * each domain, rank documents by a language-model score and cut the
+   * ranking into equal-population buckets — `head` (lowest NLL, most
+   * LM-like), `middle`, `tail`. Real pipelines keep head+middle and drop
+   * or downweight tail; this operator only LABELS so that decision stays
+   * with the caller. `score` is any (id, nll) frame — by default
+   * [[graft.ops.TextOps.unigramNll]] over the corpus itself.
+   *
+   * Determinism: the rank orders by the ROUNDED nll with the doc id as
+   * tiebreak, so bucket boundaries cannot move with float summation order
+   * and the DuckDB oracle replays the exact cut. ntile semantics (larger
+   * leading buckets on non-divisible counts) match DuckDB's.
+   *
+   * Scale shape: the LM score is [[graft.ops.TextOps.unigramNll]]'s
+   * vocabulary-cardinality aggregation; the cut itself is one
+   * domain-keyed exchange + an in-partition rank window. No global sort:
+   * ranking is per-domain, so a skewed giant domain bounds the partition
+   * — at 100 TB shard such a domain by a salt FIRST and bucket per
+   * (domain, salt) if one domain alone exceeds executor memory; the
+   * bucket populations stay equal within each salt.
+   */
+  def ccnetBuckets(
+      docs: DataFrame,
+      score: DataFrame,
+      buckets: Int = 3,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val labels: Column = {
+      val b = col("bucket")
+      when(b === 1, lit("head"))
+        .when(b === buckets, lit("tail"))
+        .otherwise(lit("middle"))
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("nll").asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol))
+      .join(score.select(col(idCol), col("nll")), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(sourceCol), col("nll"),
+        col("bucket"), labels.as("band"))
+  }
+
+  /**
+   * Curriculum training order (Bengio et al. 2009 shape): documents are
+   * staged easiest-first by a difficulty score — stage = global
+   * equal-population ntile over (rounded difficulty, id) — and SHUFFLED
+   * within each stage by the usual md5 key, so a loader reading
+   * (stage, position) ascending sees easy data first but no residual
+   * difficulty ordering inside a stage (the anti-correlation batching
+   * needs). Deterministic end to end; the oracle replays the full order.
+   *
+   * Scale shape: the stage cut reuses the [[ccnetBuckets]] rank shape but
+   * GLOBAL — ntile over one unpartitioned window is a single-partition
+   * sort, fine at catalog scale but a wall at 100 TB, so for corpus-scale
+   * use the cut must come from quantile boundaries instead: compute
+   * approx difficulty quantiles (one pass), broadcast the k−1 cut points,
+   * and assign stages by comparison (zero-shuffle) — the documented
+   * escape hatch, traded here for the oracle-exact equal-population cut.
+   * The within-stage position is a (stage)-keyed window at stage
+   * cardinality.
+   */
+  def curriculumOrder(
+      docs: DataFrame,
+      difficulty: Column,
+      stages: Int = 4,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(stages >= 1, "stages must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val d = round(difficulty + graft.core.NanMath.RoundEps, 4)
+    val wStage = Window.orderBy(col("difficulty").asc, col(idCol).asc)
+    val wPos = Window.partitionBy(col("stage"))
+      .orderBy(col("__k").asc, col(idCol).asc)
+    docs
+      .withColumn("difficulty", d)
+      .withColumn("stage", ntile(stages).over(wStage))
+      .withColumn("__k", md5(concat(col(idCol).cast("string"), lit(":curriculum"))))
+      .withColumn("position", row_number().over(wPos).cast("long") - 1L)
+      .select(col(idCol), col("difficulty"), col("stage"), col("position"))
+  }
 }

@@ -310,4 +310,49 @@ object Multimodal {
       ).as(Seq("frame_idx", "frame_sig"))
     )
   }
+
+  /**
+   * Video-style near-duplicate detection by frame-signature overlap: two
+   * media items are near-dups when the JACCARD similarity of their
+   * DISTINCT frame-signature sets reaches `threshold` — the standard
+   * video-dedup shape (sample frames, hash each, compare as sets), which
+   * catches re-encodes, trims, and concatenations that byte- or
+   * whole-payload-hash dedup misses. Frames come from [[sampleFrames]]
+   * (the deterministic stub signature on this corpus), so the DuckDB
+   * oracle replays the pipeline end to end.
+   *
+   * Scale shape: an inverted-index equi-join on the frame signature —
+   * candidate pairs exist ONLY where a signature is shared (never a cross
+   * join), intersections are counted per pair, and set sizes join in at
+   * media cardinality. Like [[graft.ops.Dedup.ngramContainment]], a
+   * signature shared by df media contributes df² pair rows; the testdata's
+   * stub signatures are unique per 64-char chunk so df stays tiny, and a
+   * real corpus with a pathological stock frame (black frame, station
+   * logo) needs the same documented mitigation — drop signatures with df
+   * above a cap before the join (they carry no discriminative signal).
+   */
+  def frameNearDup(
+      media: DataFrame,
+      threshold: Double = 0.5,
+      everyNChars: Int = 64
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val frames = sampleFrames(media, everyNChars)
+      .select(col("media_id"), col("frame_sig")).distinct()
+    val sizes = frames.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val inter = frames.as("a")
+      .join(frames.as("b"),
+        col("a.frame_sig") === col("b.frame_sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("media_id").as("media_a"), col("n").as("na")), "media_a")
+      .join(sizes.select(col("media_id").as("media_b"), col("n").as("nb")), "media_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common"))
+          + graft.core.NanMath.RoundEps, 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("media_a"), col("media_b"), col("common"), col("jaccard"))
+  }
 }

@@ -1779,4 +1779,144 @@ object Similarity {
       case _ => rankTopK(candidates, k)
     }
   }
+
+  /**
+   * Greedy k-center coreset selection (the farthest-first traversal of
+   * Gonzalez 1985, used for diversity-driven training-data selection by
+   * Sener & Savarese 2018): starting from the smallest vector id
+   * (deterministic), repeatedly add the point FARTHEST (max cosine
+   * distance, 1 − dot on normalized vectors) from the already-chosen set.
+   * The selection 2-approximates the optimal k-center cover, so the k
+   * returned rows are a maximally-spread subset — one representative per
+   * region rather than [[bruteForceTopK]]'s redundant neighborhoods.
+   * Returns (sel_order, vec_id, min_dist) where min_dist is the chosen
+   * point's distance to the prior set — the covering radius the corpus
+   * had BEFORE this pick (descending by construction; row 0 carries null).
+   *
+   * Scale shape: k bounded driver-side iterations (k ≤ 512 enforced; the
+   * chosen set is k×d doubles broadcast each pass). Every iteration is one
+   * zero-shuffle mapPartitions argmax — partitions emit ONE candidate row
+   * each, the driver reduces numPartitions rows. Total work O(n·k²)
+   * because each pass rescans all chosen; for larger k, keep a running
+   * min-dist column (persist + localCheckpoint every ~32 iterations) to
+   * make it O(n·k) — the documented escape hatch, traded away here to
+   * keep the operator stateless between iterations.
+   */
+  def kCenterSelect(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = vecs(emb, idCol, vecCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = ds.reduce((a, b) => if (a.id <= b.id) a else b)
+      val chosen = scala.collection.mutable.ArrayBuffer((first, Double.NaN))
+      while (chosen.length < k) {
+        val bc = spark.sparkContext.broadcast(chosen.map(_._1.vec).toArray)
+        // per-partition farthest point from the chosen set; ties on the
+        // distance break to the smaller id so runs are order-independent
+        val cands = ds.mapPartitions { it =>
+          val cs = bc.value
+          var best: Vec = null
+          var bestD = -1.0
+          it.foreach { v =>
+            var d = Double.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              val dd = 1.0 - dot(v.vec, cs(i)); if (dd < d) d = dd; i += 1
+            }
+            if (d > bestD || (d == bestD && best != null && v.id < best.id)) {
+              best = v; bestD = d
+            }
+          }
+          if (best == null) Iterator.empty else Iterator((best, bestD))
+        }.collect()
+        bc.destroy()
+        val (nv, nd) = cands.maxBy { case (v, d) => (d, -v.id) }
+        if (nd <= 0.0 && chosen.exists(_._1.id == nv.id)) {
+          // fewer distinct points than k: stop rather than loop forever
+          return toSelection(spark, chosen.toSeq)
+        }
+        chosen += ((nv, nd))
+      }
+      toSelection(spark, chosen.toSeq)
+    } finally ds.unpersist(blocking = false)
+  }
+
+  private def toSelection(
+      spark: org.apache.spark.sql.SparkSession,
+      chosen: Seq[(Vec, Double)]
+  ): DataFrame = {
+    import spark.implicits._
+    chosen.zipWithIndex.map { case ((v, d), i) =>
+      (i.toLong, v.id, if (d.isNaN) None else Some(rnd4(d)))
+    }.toDF("sel_order", "vec_id", "min_dist")
+  }
+
+  /**
+   * Maximal-marginal-relevance diverse retrieval (Carbonell & Goldstein
+   * 1998): from a relevance shortlist of `shortlist` exact top neighbors
+   * per query, greedily pick k results maximizing
+   * `lambda·rel(q, c) − (1 − lambda)·max_{s∈selected} sim(c, s)` — the
+   * anti-redundancy reranker that keeps near-duplicate neighbors from
+   * crowding a result page (lambda = 1 reduces to plain top-k). First
+   * pick is pure relevance. Ties break to the smaller candidate id.
+   * Returns (query_id, rank, vec_id, relevance, mmr_score), scores
+   * rounded to 4 decimals.
+   *
+   * Scale shape: the distributed work is exactly one [[bruteForceTopK]]
+   * pass (broadcast queries, per-partition bounded heaps) plus one
+   * broadcast semi-join to fetch shortlist vectors; the greedy rerank
+   * runs driver-side over queries × shortlist rows (bounded by contract —
+   * shortlist ≤ 512 enforced, queries benchmark-sized like
+   * [[contaminatedIds]]'s eval side). Nothing corpus-sized is collected.
+   */
+  def mmrTopK(
+      emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      lambdaParam: Double = 0.7,
+      shortlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(shortlist >= k && shortlist <= 512, "shortlist must be in [k, 512]")
+    require(lambdaParam >= 0.0 && lambdaParam <= 1.0, "lambda must be in [0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val short = bruteForceTopK(emb, queryPred, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("nbr_id"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    val candIds = short.map(_._2).distinct.toSeq.toDF("__cand")
+    val candVecs = vecs(
+      emb.join(broadcast(candIds),
+        col(idCol).cast("long") === col("__cand"), "left_semi"),
+      idCol, vecCol)
+      .collect().map(v => v.id -> v.vec).toMap
+    val rows = short.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      val pool = scala.collection.mutable.LinkedHashMap(
+        cs.sortBy { case (_, id, s) => (-s, id) }.map { case (_, id, s) => id -> s }: _*)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      while (picked.length < k && pool.nonEmpty) {
+        val best = pool.iterator.map { case (id, rel) =>
+          val red =
+            if (picked.isEmpty) 0.0
+            else picked.iterator.map(p => dot(candVecs(id), candVecs(p._1))).max
+          (id, rel, lambdaParam * rel - (1.0 - lambdaParam) * red)
+        }.maxBy { case (id, _, s) => (s, -id) }
+        picked += best
+        pool.remove(best._1)
+      }
+      picked.zipWithIndex.map { case ((id, rel, s), r) =>
+        (qid, r + 1, id, rnd4(rel), rnd4(s))
+      }
+    }
+    rows.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -319,6 +319,42 @@ object TextOps {
   }
 
   /**
+   * Tokenizer-health (fertility) report per domain: corpus-level
+   * `fertility` = BPE tokens per whitespace word and `bytes_per_token` =
+   * UTF-8 bytes per BPE token, the two standard measures of how well a
+   * tokenizer fits each slice of a corpus (Ács 2019 / Rust et al. 2021).
+   * High fertility on a domain means the vocabulary fragments its text —
+   * the signal that drives vocab-size and training-mix decisions. Ratios
+   * are corpus-level (sums before the divide), not averages of per-doc
+   * ratios, so short documents don't dominate; rounded to 4 decimals.
+   *
+   * Scale shape: the tokenizer is a broadcast kernel ([[bpeTokenCounts]]'s
+   * zero-shuffle pass, one count per doc — never materializing token
+   * arrays); the report is one domain-cardinality aggregation exchange.
+   */
+  def bpeFertility(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val perDoc = bpeTokenCounts(docs, bpe, idCol, textCol)
+      .join(docs.select(col(idCol).cast("long").as(idCol),
+        col(sourceCol), octet_length(col(textCol)).cast("double").as("n_bytes")), idCol)
+    perDoc
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).cast("long").as("n_ws_tokens"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")) / sum(col("n_ws_tokens"))
+          + graft.core.NanMath.RoundEps, 4).as("fertility"),
+        round(sum(col("n_bytes")) / sum(col("n_bpe_tokens"))
+          + graft.core.NanMath.RoundEps, 4).as("bytes_per_token"))
+  }
+
+  /**
    * Canonical content fingerprint: md5 of the sorted distinct lowercase
    * token set. Word-order- and duplication-insensitive, so reordered or
    * re-wrapped copies of a document collide (a cheap near-dup prefilter).
