@@ -791,6 +791,17 @@ object SparkEntry {
                 refineFrom = Some(emb(s, d))), exact)
             .withColumn("method", lit("ivfpq_idx")))
       }),
+      // greedy k-center coreset (farthest-first traversal; rows-only —
+      // k driver-bounded iterations are not SQL-expressible; OpsSpec pins
+      // a hand-traced geometry, determinism, the descending-radius
+      // invariant and the fewer-distinct-than-k early stop)
+      "sim_kcenter" -> ((s, d) => Similarity.kCenterSelect(emb(s, d), k = 16)),
+      // MMR diversity rerank over the exact top-32 shortlist (rows-only —
+      // sequential greedy; OpsSpec pins lambda=1 == bruteForceTopK, a
+      // hand-traced redundancy case, and determinism)
+      "sim_mmr" -> ((s, d) =>
+        Similarity.mmrTopK(emb(s, d), col("vec_id") < 5, k = 5,
+          lambdaParam = 0.7, shortlist = 32)),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
       // distributed PCA to 8 dims (rows-only: DuckDB has no eigensolver;
       // SimilaritySpec carries known-axes recovery, orthonormality,
@@ -830,6 +841,15 @@ object SparkEntry {
       // one-row Zipf rank-frequency fit: ln(freq) ~ ln(rank) least
       // squares over the top-1000 vocabulary, the corpus-health alarm
       "text_zipf" -> ((s, d) => TextOps.zipfFit(docs(s, d))),
+      // tokenizer-health report per source, oracle-green over the regex
+      // proxy counts (the DuckDB-replicable denomination)...
+      "text_fertility" -> ((s, d) =>
+        TextOps.fertilityReport(docs(s, d), TextOps.tokenCounts(docs(s, d)))),
+      // ...and the same report under the REAL trained tokenizer (rows-only:
+      // iterative BPE; BpeSpec pins the shared aggregation against the
+      // oracle-green proxy row and hand counts)
+      "text_bpe_fertility" -> ((s, d) =>
+        TextOps.bpeFertility(docs(s, d), corpusBpe(s, d))),
       // the seqLen-choice input: token-length histogram per source
       "pipeline_length_hist" -> ((s, d) => Curate.lengthHistogram(docs(s, d))),
       // C4-style line cleanup: word-count floor + blocklist phrase cut
@@ -922,6 +942,17 @@ object SparkEntry {
         Curate.temperatureMixtureSample(docs(s, d), alpha = 0.5)
           .select(col("doc_id"), col("source"), col("wt"),
             col("copy").cast("double").as("copy_idx"))),
+      // CCNet perplexity bands: equal-population head/middle/tail cut of
+      // the unigram-LM score within each source (Wenzek et al. 2020)
+      "pipeline_ccnet_buckets" -> ((s, d) => {
+        val dd = docs(s, d)
+        Curate.ccnetBuckets(dd, TextOps.unigramNll(dd), buckets = 3)
+      }),
+      // curriculum order: 4 difficulty stages (n_chars as the difficulty
+      // proxy — deterministic and oracle-replayable), shuffled within each
+      // stage; the full (stage, position) order is hash-checked
+      "pipeline_curriculum" -> ((s, d) =>
+        Curate.curriculumOrder(docs(s, d), col("n_chars").cast("double"), stages = 4)),
       "pipeline_pack" -> ((s, d) => Curate.packSequences(docs(s, d))),
       "pipeline_interleave" -> ((s, d) =>
         Curate.interleave(docs(s, d), Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0))
@@ -1100,10 +1131,34 @@ object SparkEntry {
       // corpus has no decodable images, so hashes are the stub's
       // md5-derived 64 bits and the oracle replays them exactly; hamming
       // <= 2 keeps the md5 near-collision probability ~1e-16/pair, so
-      // pairs are the exact-payload duplicates both engines agree on)
-      "mm_phash_pairs" -> ((s, d) =>
-        Multimodal.phashPairs(Multimodal.asMedia(docs(s, d)),
-          maxHamming = 2, imagesOnly = false)),
+      // pairs are the exact-payload duplicates both engines agree on).
+      // The corpus has NO exact-payload dups, so the fixture unions a
+      // byte-identical copy of every payload (id +10^6): the row pins one
+      // hamming-0 pair per doc — the three-segment pigeonhole union and
+      // its oracle correspondence are exercised on NON-empty output
+      // (r8 advisory: both sides returned 0 rows, a vacuous green)
+      "mm_phash_pairs" -> ((s, d) => {
+        val dd = docs(s, d)
+        Multimodal.phashPairs(
+          Multimodal.asMedia(dd).unionByName(
+            Multimodal.asMedia(dd.withColumn("doc_id", col("doc_id") + 1000000L))),
+          maxHamming = 2, imagesOnly = false)
+      }),
+      // video-style near-dup by frame-signature jaccard. The fixture
+      // unions every payload with a tail-extended re-encode (id +10^6) so
+      // the row pins NON-empty pairs — every (doc, variant) pair shares
+      // all whole 64-char frames and differs in the extended last one,
+      // exactly the trim/concat case the operator exists for (and the
+      // vacuous-green trap the phash row fell into is structurally closed)
+      "mm_frame_near_dup" -> ((s, d) => {
+        val dd = docs(s, d)
+        val media = Multimodal.asMedia(dd)
+          .unionByName(Multimodal.asMedia(
+            dd.withColumn("doc_id", col("doc_id") + 1000000L)
+              .withColumn("text",
+                concat(col("text"), lit(" frame near dup tail payload")))))
+        Multimodal.frameNearDup(media, threshold = 0.5)
+      }),
       // -- event operators (§2.9), through the ASL front-end --
       // rolling 7-day distinct active users per observed day (WAU)
       "events_wau" -> ((s, d) =>
@@ -2197,11 +2252,15 @@ object SparkEntry {
       // covers every qualifying pair without a cross join; hamming sums
       // the two 32-bit halves' bit_count(xor)
       "mm_phash_pairs" ->
-        """WITH h AS (
+        """WITH m AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents),
+          |h AS (
           |  SELECT doc_id,
           |         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
           |         CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS lo
-          |  FROM documents),
+          |  FROM m),
           |s AS (SELECT doc_id, hi, lo, lo // 65536 AS s1, lo % 65536 AS s2 FROM h),
           |cand AS (
           |  SELECT a.doc_id AS media_a, b.doc_id AS media_b,
@@ -2216,7 +2275,78 @@ object SparkEntry {
           |SELECT media_a, media_b,
           |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
           |FROM cand
-          |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin
+          |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin,
+      // frame-set jaccard over the doc ∪ tail-extended-variant fixture:
+      // the oracle replays asMedia→sampleFrames→set-jaccard end to end
+      "mm_frame_near_dup" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' frame near dup tail payload' FROM documents),
+          |fr AS (
+          |  SELECT DISTINCT media_id,
+          |         unnest(list_transform(
+          |           range(0, greatest(CAST(floor((len(text) - 1) / 64.0) AS INT), 0) + 1),
+          |           i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT) * 64 + 1, 64)), 1, 15)) AS BIGINT))) AS sig
+          |  FROM m),
+          |sz AS (SELECT media_id, count(*) AS n FROM fr GROUP BY 1),
+          |inter AS (
+          |  SELECT a.media_id AS media_a, b.media_id AS media_b, count(*) AS common
+          |  FROM fr a JOIN fr b ON a.sig = b.sig AND a.media_id < b.media_id
+          |  GROUP BY 1, 2),
+          |j AS (SELECT i.media_a, i.media_b, i.common,
+          |             round(i.common / (sa.n + sb.n - i.common), 4) AS jaccard
+          |      FROM inter i JOIN sz sa ON sa.media_id = i.media_a
+          |                   JOIN sz sb ON sb.media_id = i.media_b)
+          |SELECT media_a, media_b, common, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+      "text_fertility" -> {
+        val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nws,
+           |         CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) AS nbpe,
+           |         CAST(octet_length(encode(text)) AS DOUBLE) AS nb
+           |  FROM documents)
+           |SELECT d.source, count(*) AS n_docs,
+           |       CAST(sum(c.nws) AS BIGINT) AS n_ws_tokens,
+           |       CAST(sum(c.nbpe) AS BIGINT) AS n_bpe_tokens,
+           |       round(sum(c.nbpe) / sum(c.nws), 4) AS fertility,
+           |       round(sum(c.nb) / sum(c.nbpe), 4) AS bytes_per_token
+           |FROM documents d JOIN c USING (doc_id)
+           |GROUP BY 1""".stripMargin
+      },
+      // equal-population ntile over the SAME rounded nll both engines
+      // compute — the closed-form distributed cut must reproduce DuckDB's
+      // ntile exactly
+      "pipeline_ccnet_buckets" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+          |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+          |nll AS (SELECT doc_id, round(-avg(ln(c.c / tot.n)), 4) AS nll
+          |        FROM toks JOIN c USING (tok) CROSS JOIN tot GROUP BY doc_id),
+          |st AS (SELECT d.doc_id, d.source, n.nll,
+          |              ntile(3) OVER (PARTITION BY d.source
+          |                             ORDER BY n.nll ASC, d.doc_id ASC) AS bucket
+          |       FROM documents d JOIN nll n USING (doc_id))
+          |SELECT doc_id, source, nll, bucket,
+          |       CASE WHEN bucket = 1 THEN 'head'
+          |            WHEN bucket = 3 THEN 'tail'
+          |            ELSE 'middle' END AS band
+          |FROM st""".stripMargin,
+      // the oracle's global ntile + per-stage row_number IS the spec the
+      // engine's two-phase distributed rank must match row for row
+      "pipeline_curriculum" ->
+        """WITH base AS (
+          |  SELECT doc_id, round(CAST(n_chars AS DOUBLE), 4) AS difficulty FROM documents),
+          |st AS (SELECT doc_id, difficulty,
+          |              ntile(4) OVER (ORDER BY difficulty ASC, doc_id ASC) AS stage
+          |       FROM base)
+          |SELECT doc_id, difficulty, stage,
+          |       row_number() OVER (PARTITION BY stage
+          |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':curriculum') ASC,
+          |                  doc_id ASC) - 1 AS position
+          |FROM st""".stripMargin
     )
   }
 

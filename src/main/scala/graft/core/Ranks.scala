@@ -1,0 +1,107 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed EXACT global ranking — the scale-safe replacement for
+ * `row_number().over(Window.orderBy(...))`, whose unpartitioned window is a
+ * single-task sort of the whole input (the classic 100 TB wall; AQE cannot
+ * split window partitions). The classic two-phase construction instead:
+ *
+ *  1. `repartitionByRange` on the sort keys — one range exchange; partition
+ *     `i` holds a contiguous, non-overlapping key slice below partition
+ *     `i+1`'s (RangePartitioner samples boundaries with deterministic
+ *     per-partition seeds, so reruns over the same input cut identically —
+ *     and the rank itself is boundary-independent anyway because the key
+ *     tuple is a total order).
+ *  2. a LOCAL `row_number` window keyed by the materialized partition id —
+ *     at most `partitions` rows per window partition, balanced by the range
+ *     partitioner, never a global sort.
+ *  3. per-partition counts (a `partitions`-row aggregate) collected to the
+ *     driver, prefix-summed into offsets, and joined back broadcast-style:
+ *     `rank = offset(pid) + local_row_number`.
+ *
+ * Cost: two exchanges (range + the window's hash on pid) plus one tiny
+ * count job, versus the one-exchange-but-one-task global window. The count
+ * job recomputes the range exchange; both computations cut identical
+ * boundaries (deterministic sampling over identical input lineage), so the
+ * offsets it collects are the offsets the final plan sees.
+ *
+ * Callers pass fully tie-broken sort expressions (include an id column) —
+ * equal key tuples would otherwise rank arbitrarily. For oracle-compared
+ * output over nullable keys, pass `asc_nulls_last` explicitly (Spark ASC
+ * defaults NULLS FIRST, DuckDB NULLS LAST).
+ */
+object Ranks {
+
+  /**
+   * Append 1-based global rank by `keys` as `rankCol`; returns the ranked
+   * frame and the total row count (free — the offset job already counted).
+   */
+  def globalRank(
+      df: DataFrame,
+      keys: Seq[Column],
+      rankCol: String,
+      partitions: Int = 0
+  ): (DataFrame, Long) = {
+    require(keys.nonEmpty, "need at least one sort key")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(p, keys: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val w = Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)
+    val local = ranged.withColumn("__gr_lr", row_number().over(w).cast("long"))
+    val counts = ranged
+      .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }
+    val total = acc
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__gr_pid", "__gr_off")
+    val ranked = local
+      .join(broadcast(offDf), Seq("__gr_pid"))
+      .withColumn(rankCol, col("__gr_lr") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_lr", "__gr_off")
+    (ranked, total)
+  }
+
+  /**
+   * Spark/DuckDB `ntile(buckets)` as a CLOSED FORM over a precomputed
+   * global rank (both engines share the semantics: with `n` rows the first
+   * `n % buckets` buckets hold one extra row). Pure column arithmetic —
+   * zero additional shuffle — so an equal-population cut never needs the
+   * single-task global window `ntile` itself would cost.
+   */
+  def ntileFromRank(rank: Column, n: Long, buckets: Int): Column = {
+    require(buckets >= 1, "buckets must be positive")
+    val q = n / buckets
+    val rem = n % buckets
+    if (q == 0L) rank.cast("int") // more buckets than rows: rank IS the bucket
+    else {
+      val cut = rem * (q + 1) // ranks <= cut land in the first `rem` buckets
+      when(rank <= cut, floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(lit(rem) + floor((rank - 1 - cut) / q) + 1)
+        .cast("int")
+    }
+  }
+
+  /**
+   * Rows BEFORE bucket `bucket` under [[ntileFromRank]]'s cut — the rank
+   * offset where a bucket starts. Lets a per-bucket position be derived
+   * from a global rank without any bucket-keyed window.
+   */
+  def ntileOffset(bucket: Column, n: Long, buckets: Int): Column = {
+    val q = n / buckets
+    val rem = n % buckets
+    (bucket - 1).cast("long") * q + least(bucket.cast("long") - 1, lit(rem))
+  }
+}

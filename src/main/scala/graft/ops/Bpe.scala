@@ -178,6 +178,19 @@ object Bpe {
     require(missing.isEmpty,
       s"vocab.json at $vocabPath is missing ${missing.size} token(s) the merges can emit, " +
         s"e.g. '${missing.take(3).mkString("', '")}' — merges and vocab are from different models?")
+    // ids must be a bijection: a duplicate id would make decodeIds' inverse
+    // map silently drop one token, breaking the encode/decode round-trip
+    // with no error — fail at load like the missing-token check above
+    val dupIds = ids.groupBy(_._2).filter(_._2.size > 1)
+    require(dupIds.isEmpty,
+      s"vocab.json at $vocabPath assigns the same id to multiple tokens, " +
+        s"e.g. id ${dupIds.head._1} -> '${dupIds.head._2.keys.take(3).mkString("', '")}'")
+    val clashes = specialTokens.filter { case (tok, id) =>
+      ids.get(tok).exists(_ != id) || ids.exists { case (t, i) => i == id && t != tok }
+    }
+    require(clashes.isEmpty,
+      s"special token id(s) collide with vocab.json at $vocabPath under a different " +
+        s"literal: ${clashes.take(3).map { case (t, i) => s"'$t'=$i" }.mkString(", ")}")
     new BpeTokenizer(base.merges, pattern, Some(ids), specialTokens)
   }
 

@@ -1141,8 +1141,10 @@ object Curate {
         .when(b === buckets, lit("tail"))
         .otherwise(lit("middle"))
     }
+    // asc_nulls_last: a null score must rank where DuckDB ranks it (ASC
+    // defaults NULLS LAST there, NULLS FIRST here)
     val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("nll").asc, col(idCol).asc)
+      .orderBy(col("nll").asc_nulls_last, col(idCol).asc)
     docs.select(col(idCol), col(sourceCol))
       .join(score.select(col(idCol), col("nll")), Seq(idCol))
       .withColumn("bucket", ntile(buckets).over(w))
@@ -1157,17 +1159,21 @@ object Curate {
    * within each stage by the usual md5 key, so a loader reading
    * (stage, position) ascending sees easy data first but no residual
    * difficulty ordering inside a stage (the anti-correlation batching
-   * needs). Deterministic end to end; the oracle replays the full order.
+   * needs). Deterministic end to end; the oracle replays the full order
+   * (its `ntile`/`row_number` windows and this plan compute the same
+   * function — the engine just computes it distributed).
    *
-   * Scale shape: the stage cut reuses the [[ccnetBuckets]] rank shape but
-   * GLOBAL — ntile over one unpartitioned window is a single-partition
-   * sort, fine at catalog scale but a wall at 100 TB, so for corpus-scale
-   * use the cut must come from quantile boundaries instead: compute
-   * approx difficulty quantiles (one pass), broadcast the k−1 cut points,
-   * and assign stages by comparison (zero-shuffle) — the documented
-   * escape hatch, traded here for the oracle-exact equal-population cut.
-   * The within-stage position is a (stage)-keyed window at stage
-   * cardinality.
+   * Scale shape: NO global window anywhere. Both the stage cut and the
+   * within-stage position come from [[graft.core.Ranks.globalRank]]'s
+   * two-phase distributed rank (range exchange + per-slice local window +
+   * broadcast offsets) — `ntile` itself would be a single-task sort of
+   * the corpus, and a (stage)-keyed position window would put `n/stages`
+   * rows in one task; neither survives 100 TB. The stage label is
+   * [[graft.core.Ranks.ntileFromRank]]'s closed form over the first rank;
+   * the position subtracts the closed-form stage offset from a second
+   * rank over (stage, shuffle-key) — four balanced exchanges total, all
+   * AQE-splittable, nothing wider than a partition slice ever sorted in
+   * one task.
    */
   def curriculumOrder(
       docs: DataFrame,
@@ -1176,16 +1182,19 @@ object Curate {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(stages >= 1, "stages must be positive")
-    import org.apache.spark.sql.expressions.Window
+    import graft.core.Ranks
     val d = round(difficulty + graft.core.NanMath.RoundEps, 4)
-    val wStage = Window.orderBy(col("difficulty").asc, col(idCol).asc)
-    val wPos = Window.partitionBy(col("stage"))
-      .orderBy(col("__k").asc, col(idCol).asc)
-    docs
-      .withColumn("difficulty", d)
-      .withColumn("stage", ntile(stages).over(wStage))
+    val (ranked, n) = Ranks.globalRank(
+      docs.withColumn("difficulty", d),
+      Seq(col("difficulty").asc_nulls_last, col(idCol).asc), "__r")
+    val staged = ranked
+      .withColumn("stage", Ranks.ntileFromRank(col("__r"), n, stages))
       .withColumn("__k", md5(concat(col(idCol).cast("string"), lit(":curriculum"))))
-      .withColumn("position", row_number().over(wPos).cast("long") - 1L)
+    val (positioned, _) = Ranks.globalRank(
+      staged, Seq(col("stage").asc, col("__k").asc, col(idCol).asc), "__r2")
+    positioned
+      .withColumn("position",
+        col("__r2") - Ranks.ntileOffset(col("stage"), n, stages) - 1L)
       .select(col(idCol), col("difficulty"), col("stage"), col("position"))
   }
 }

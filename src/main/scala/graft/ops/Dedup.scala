@@ -413,10 +413,16 @@ object Dedup {
    * participate like any other — the first survives, the rest cut.
    *
    * Scale shape: paragraphs explode in-scan (no shuffle); the keep
-   * decision is one row_number window over md5(paragraph) — paragraph
-   * text rides that single hash exchange — and reassembly is one
-   * exchange on the doc id with an array_sort(collect_list) rebuild, so
-   * corpus text crosses the wire exactly twice (the floor for a global
+   * decision is a `min(struct(doc_id, idx))` aggregate per paragraph hash
+   * — map-side combinable, so the hottest paragraph (the exact boilerplate
+   * this operator targets: cookie banners, nav headers, empty paragraphs,
+   * each repeated across millions of documents) reduces to ONE row per
+   * input partition before the exchange — joined back on the hash to mark
+   * winners (an equi-join AQE splits when a hash is still skewed; a
+   * row_number window over the hash would instead funnel every occurrence
+   * of the hottest paragraph into one unsplittable task). Reassembly is
+   * one exchange on the doc id with an array_sort(collect_list) rebuild,
+   * so corpus text crosses the wire exactly twice (the floor for a global
    * first-occurrence decision plus a positional rebuild).
    */
   def paragraphDedup(
@@ -425,21 +431,28 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = docs
       .select(col(idCol).cast("long").as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__idx", "__para")))
-    val w = Window.partitionBy(md5(col("__para"))).orderBy(col("__id"), col("__idx"))
+      .withColumn("__h", md5(col("__para")))
+    // global first occurrence per paragraph: partial-aggregable min, never
+    // a window (identical semantics to rn=1 under (__id, __idx) order —
+    // struct ordering is lexicographic by field)
+    val firsts = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
     paras
-      .withColumn("__rn", row_number().over(w))
+      .join(firsts, Seq("__h"))
+      .withColumn("__keep",
+        col("__first.__id") === col("__id") && col("__first.__idx") === col("__idx"))
       .groupBy(col("__id"))
       .agg(
         array_join(array_sort(collect_list(
-          when(col("__rn") === 1, struct(col("__idx"), col("__para"))))) // nulls drop
+          when(col("__keep"), struct(col("__idx"), col("__para"))))) // nulls drop
           .getField("__para"), sep).as("text"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_paras_kept"),
-        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_paras_dropped"))
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_paras_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_paras_dropped"))
       .filter(col("n_paras_kept") > 0)
       .select(col("__id").as(idCol), col("text"),
         col("n_paras_kept"), col("n_paras_dropped"))

@@ -1838,8 +1838,11 @@ object Similarity {
         }.collect()
         bc.destroy()
         val (nv, nd) = cands.maxBy { case (v, d) => (d, -v.id) }
-        if (nd <= 0.0 && chosen.exists(_._1.id == nv.id)) {
-          // fewer distinct points than k: stop rather than loop forever
+        if (chosen.exists(_._1.id == nv.id)) {
+          // an already-chosen point is "farthest" only when every remaining
+          // point sits (within float noise — dot(v,v) can land at 1-ulp, so
+          // the distance is not exactly 0.0) on top of the chosen set:
+          // fewer distinct vectors than k. Stop; never emit a duplicate id.
           return toSelection(spark, chosen.toSeq)
         }
         chosen += ((nv, nd))

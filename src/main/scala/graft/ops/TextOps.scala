@@ -338,8 +338,27 @@ object TextOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       sourceCol: String = "source"
+  ): DataFrame =
+    fertilityReport(docs, bpeTokenCounts(docs, bpe, idCol, textCol),
+      idCol, textCol, sourceCol)
+
+  /**
+   * [[bpeFertility]]'s aggregation over ANY per-doc counts frame
+   * (`idCol`, n_ws_tokens, n_bpe_tokens) — [[tokenCounts]]'s regex proxy
+   * makes the report SQL-expressible end to end (the oracle-green catalog
+   * surface), while the real-tokenizer row rides [[bpeTokenCounts]]
+   * through [[bpeFertility]]. One domain-cardinality exchange.
+   */
+  def fertilityReport(
+      docs: DataFrame,
+      counts: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"
   ): DataFrame = {
-    val perDoc = bpeTokenCounts(docs, bpe, idCol, textCol)
+    val perDoc = counts
+      .select(col(idCol).cast("long").as(idCol),
+        col("n_ws_tokens"), col("n_bpe_tokens"))
       .join(docs.select(col(idCol).cast("long").as(idCol),
         col(sourceCol), octet_length(col(textCol)).cast("double").as("n_bytes")), idCol)
     perDoc

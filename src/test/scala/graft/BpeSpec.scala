@@ -305,6 +305,26 @@ class BpeSpec extends SparkSpec {
       Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab_broken.json")
     }
     assert(err.getMessage.contains("missing"))
+
+    // ids must be a BIJECTION: a vocab.json assigning one id to two tokens
+    // would silently corrupt decodeIds' inverse map — rejected at load
+    val firstTok = Bpe.vocab(base).head
+    val dupId = published + (firstTok -> published(Bpe.vocab(base).last))
+    Bpe.saveVocab(spark,
+      new graft.ops.BpeTokenizer(base.merges, base.pattern, Some(dupId), Map.empty),
+      s"$dir/vocab_dup.json")
+    val dupErr = intercept[IllegalArgumentException] {
+      Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab_dup.json")
+    }
+    assert(dupErr.getMessage.contains("same id"))
+
+    // a special token whose id collides with a DIFFERENT vocab literal is
+    // equally corrupt (decode would be ambiguous) — rejected at load
+    val clashErr = intercept[IllegalArgumentException] {
+      Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab.json",
+        Map("<|pad|>" -> published(firstTok)))
+    }
+    assert(clashErr.getMessage.contains("collide"))
   }
 
   test("packTokenIds materializes exact fixed-length sequences per shard") {

@@ -159,3 +159,48 @@ class StringsSpec extends AnyFunSuite {
     assert(Strings.durationAsl(86400000L) == "1d")
   }
 }
+
+class RanksSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("globalRank equals the single-window row_number on a tie-heavy fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows, keys with heavy ties (k has 7 distinct values) so the id
+    // tiebreak and the range-partition boundaries both get exercised
+    val df = (1L to 103L).map(i => (i, (i * 31 % 7).toDouble)).toDF("id", "k")
+      .repartition(5) // scatter input so the range exchange does real work
+    val (ranked, n) = Ranks.globalRank(
+      df, Seq(col("k").asc_nulls_last, col("id").asc), "r")
+    assert(n == 103L)
+    val got = ranked.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap
+    val want = df.withColumn("r", row_number().over(
+        Window.orderBy(col("k").asc_nulls_last, col("id").asc)).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap
+    assert(got == want)
+    // deterministic across runs (range-boundary sampling is seeded)
+    val (again, _) = Ranks.globalRank(
+      df, Seq(col("k").asc_nulls_last, col("id").asc), "r")
+    assert(again.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap == got)
+  }
+
+  test("ntileFromRank/ntileOffset match Spark's ntile for every bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 40L
+    val df = (1L to n).map(i => (i, i)).toDF("id", "r")
+    for (b <- Seq(1, 2, 3, 4, 5, 7, 8, 39, 40, 41)) {
+      val got = df.withColumn("t", Ranks.ntileFromRank(col("r"), n, b))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+      val want = df.withColumn("t", ntile(b).over(Window.orderBy(col("r"))))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+      assert(got == want, s"buckets=$b")
+      // offset(bucket) = how many rows rank before that bucket
+      val starts = want.groupBy(_._2).map { case (t, v) => t -> (v.map(_._1).min - 1) }
+      starts.foreach { case (t, off) =>
+        val gotOff = df.filter(col("id") === 1)
+          .select(Ranks.ntileOffset(lit(t), n, b)).head().getLong(0)
+        assert(gotOff == off, s"buckets=$b bucket=$t")
+      }
+    }
+  }
+}

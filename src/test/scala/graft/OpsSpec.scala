@@ -979,10 +979,128 @@ class SimilaritySpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
     assert(scan.selectedPartitions.partitionCount === 2)
   }
+
+  test("kCenterSelect: hand-traced farthest-first order, descending radius, determinism") {
+    import spark.implicits._
+    // planar unit vectors with a hand-computable farthest-first traversal:
+    // start = min id (0). Cosine distances from (1,0): 3 at 2.0 (opposite),
+    // 2 at 1.0 (orthogonal), 4 at 1-cos45 ~ 0.2929, 1 duplicate at 0.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),                // exact duplicate of 0
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.7071068f, 0.7071068f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toList
+    assert(got.map(_._2) == List(0L, 3L, 2L, 4L),
+      s"traversal order wrong: $got")
+    assert(got.head._3.isNaN) // seed row carries no prior-set distance
+    assert(got(1)._3 == 2.0 && got(2)._3 == 1.0 && got(3)._3 == 0.2929)
+    // covering radius is non-increasing by construction
+    val ds = got.tail.map(_._3)
+    assert(ds == ds.sorted.reverse)
+    // deterministic across runs
+    val again = Similarity.kCenterSelect(e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(again == got.map(t => (t._1, t._2)))
+  }
+
+  test("kCenterSelect stops early (no duplicate ids) when the covering radius hits 0") {
+    import spark.implicits._
+    // 3 distinct directions + 2 exact duplicates; once {0,2,1} are chosen
+    // every point sits at distance 0, the min-id tie lands on a CHOSEN id,
+    // and the loop stops — a duplicate point adds nothing to a coreset,
+    // and a duplicate ID in the output would be a bug
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val ids = Similarity.kCenterSelect(e, k = 5)
+      .collect().map(_.getLong(1)).toList
+    assert(ids == List(0L, 2L, 1L), // spread set only (tie at 2.0 breaks to id 2), then stop
+      s"expected early stop at the distinct spread set: $ids")
+    val tiny = Seq((7L, Array(1.0f, 0.0f)), (9L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(tiny, k = 5)
+      .collect().map(_.getLong(1)).toList
+    assert(got == List(7L), s"early stop broken: $got")
+  }
+
+  test("mmrTopK: lambda=1 is plain top-k; redundancy demotes the near-duplicate neighbor") {
+    import spark.implicits._
+    // query 0 = (1,0); a=(cos10), b=(cos12, a near-dup), c=(cos45).
+    // relevance order a > b > c, but after picking a, b's redundancy
+    // (cos2 ~ 0.9994) crushes its margin at lambda=0.5 while c survives.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.9848078f, 0.1736482f)),  // cos10 = 0.9848
+      (11L, Array(0.9781476f, 0.2079117f)),  // cos12 = 0.9781
+      (12L, Array(0.7071068f, 0.7071068f))   // cos45 = 0.7071
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.mmrTopK(e, col("vec_id") === 0, k = 3,
+        lambdaParam = 1.0, shortlist = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList.sortBy(_._1)
+    val brute = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3)
+      .collect().map(r => (r.getDouble(3).toInt, r.getLong(1))).toList.sortBy(_._1)
+    assert(plain == brute, s"lambda=1 must reduce to exact top-k: $plain vs $brute")
+    val diverse = Similarity.mmrTopK(e, col("vec_id") === 0, k = 2,
+        lambdaParam = 0.5, shortlist = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList.sortBy(_._1)
+    // hand-check: pick1 = 10 (max rel). pick2 scores:
+    //   11: 0.5*0.9781 - 0.5*cos(2 deg)  = 0.4891 - 0.4997 = -0.0106
+    //   12: 0.5*0.7071 - 0.5*cos(35 deg) = 0.3536 - 0.4096 = -0.0560
+    // 11 still wins at lambda=0.5 — so drop lambda to 0.3 where 12 wins:
+    //   11: 0.3*0.9781 - 0.7*0.9994 = -0.4062 ; 12: 0.3*0.7071 - 0.7*0.8192 = -0.3614
+    val diverse3 = Similarity.mmrTopK(e, col("vec_id") === 0, k = 2,
+        lambdaParam = 0.3, shortlist = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(diverse3 == List((1, 10L), (2, 12L)),
+      s"anti-redundancy rerank failed: $diverse3")
+    // at lambda=0.5 relevance still carries 11 past the redundancy penalty
+    assert(diverse == List((1, 10L), (2, 11L)), s"$diverse")
+    // deterministic across runs
+    val again = Similarity.mmrTopK(e, col("vec_id") === 0, k = 2,
+        lambdaParam = 0.3, shortlist = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(again == diverse3)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("fertilityReport: hand-computed corpus-level ratios; bpeFertility shares the aggregation") {
+    // src X: "ab cd" (2 ws, 5 bytes) + "e f g" (3 ws, 5 bytes);
+    // src Y: "hello" (1 ws, 5 bytes). Hand BPE-ish counts via tokenCounts'
+    // regex: letter runs with optional leading space -> "ab cd" = 2,
+    // "e f g" = 3, "hello" = 1 (equal to ws here; the ratio checks the SUMS)
+    val docs = Seq(
+      (1L, "ab cd", "X"), (2L, "e f g", "X"), (3L, "hello", "Y")
+    ).toDF("doc_id", "text", "source")
+    val counts = Seq(
+      (1L, 2.0, 7.0), (2L, 3.0, 3.0), (3L, 1.0, 2.0)
+    ).toDF("doc_id", "n_ws_tokens", "n_bpe_tokens")
+    val got = TextOps.fertilityReport(docs, counts)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // X: 2 docs, ws 5, bpe 10, fertility 10/5 = 2.0, bytes/token 10/10 = 1.0
+    assert(got("X") == ((2L, 5L, 10L, 2.0, 1.0)))
+    // Y: 1 doc, ws 1, bpe 2, fertility 2.0, bytes 5/2 = 2.5
+    assert(got("Y") == ((1L, 1L, 2L, 2.0, 2.5)))
+    // bpeFertility == fertilityReport over bpeTokenCounts (same aggregation)
+    val bpe = Bpe.trainFrom(docs, numMerges = 4)
+    val a = TextOps.bpeFertility(docs, bpe).collect().map(_.toSeq).toSet
+    val b = TextOps.fertilityReport(docs, TextOps.bpeTokenCounts(docs, bpe))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 
   test("readability: hand-computed Flesch-Kincaid counts and scores") {
     val docs = Seq(
@@ -1668,6 +1786,34 @@ class MultimodalSpec extends SparkSpec {
     assert(all.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("frameNearDup: set-jaccard over sampled frames, hand-computed thresholds") {
+    import spark.implicits._
+    // everyNChars=4 => frames are the aligned 4-char chunks. Hand sets:
+    //   1: {aaaa,bbbb,cccc}   2: {aaaa,bbbb,dddd}  -> j = 2/4 = 0.5
+    //   3: {aaaa,eeee,ffff}   -> j(1,3) = 1/5 = 0.2 (below threshold)
+    //   4: {aaaa,bbbb,cccc}   -> j(1,4) = 1.0 (re-encode of 1)
+    // duplicate chunks inside one payload collapse (DISTINCT): 5 repeats
+    // aaaa twice -> set {aaaa,cccc}, j(1,5) = 2/3 = 0.6667
+    val media = Seq(
+      (1L, "aaaabbbbcccc"), (2L, "aaaabbbbdddd"), (3L, "aaaaeeeeffff"),
+      (4L, "aaaabbbbcccc"), (5L, "aaaaaaaacccc")
+    ).toDF("media_id", "text")
+      .select(col("media_id"), lit("fake/t").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.frameNearDup(media, threshold = 0.5, everyNChars = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L), (1L, 5L), (4L, 5L)),
+      s"pair set wrong: ${got.keySet}")
+    assert(got((1L, 2L)) == ((2L, 0.5)))
+    assert(got((1L, 4L)) == ((3L, 1.0)))
+    assert(got((1L, 5L)) == ((2L, 0.6667)))
+    // threshold slides: at 0.2 the (1,3) pair appears with j = 0.2
+    val wide = Multimodal.frameNearDup(media, threshold = 0.2, everyNChars = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(wide((1L, 3L)) == 0.2)
+  }
+
   test("binary payload plumbing: schema and deterministic stub decode") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.asMedia(docs)
@@ -2238,6 +2384,60 @@ class CurateSpec extends SparkSpec {
 
 class DiagSpec extends SparkSpec {
   import spark.implicits._
+
+  test("ccnetBuckets: equal-population per-domain cut with ntile tie semantics") {
+    import spark.implicits._
+    // domain A: 5 docs -> buckets of 2/2/1 (ntile: leading buckets larger);
+    // domain B: 3 docs -> 1/1/1. Scores include a tie (ids 2,3) resolved
+    // by doc id, so the cut is pinned against both engines' conventions.
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "A"),
+      (6L, "B"), (7L, "B"), (8L, "B")
+    ).toDF("doc_id", "source")
+    val score = Seq(
+      (1L, 0.9), (2L, 0.5), (3L, 0.5), (4L, 0.1), (5L, 0.7),
+      (6L, 0.3), (7L, 0.2), (8L, 0.4)
+    ).toDF("doc_id", "nll")
+    val got = Curate.ccnetBuckets(docs, score, buckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getString(4)))).toMap
+    // A order by (nll, id): 4(.1) 2(.5) 3(.5) 5(.7) 1(.9) -> ntile 1,1,2,2,3
+    assert(got(4L) == ((1, "head")) && got(2L) == ((1, "head")))
+    assert(got(3L) == ((2, "middle")) && got(5L) == ((2, "middle")))
+    assert(got(1L) == ((3, "tail")))
+    // B order: 7(.2) 6(.3) 8(.4) -> 1,2,3
+    assert(got(7L) == ((1, "head")) && got(6L) == ((2, "middle")) && got(8L) == ((3, "tail")))
+  }
+
+  test("curriculumOrder: distributed two-phase rank equals the naive global-window reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 37 docs (non-divisible by 4 stages), difficulty with heavy ties —
+    // the distributed rank + closed-form ntile must reproduce the naive
+    // single-window plan row for row
+    val docs = (1L to 37L).map(i => (i, (i % 5).toDouble)).toDF("doc_id", "diff")
+    val got = Curate.curriculumOrder(docs, col("diff"), stages = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    val naive = docs
+      .withColumn("difficulty", round(col("diff") + graft.core.NanMath.RoundEps, 4))
+      .withColumn("stage", ntile(4).over(
+        Window.orderBy(col("difficulty").asc, col("doc_id").asc)))
+      .withColumn("__k", md5(concat(col("doc_id").cast("string"), lit(":curriculum"))))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(col("__k").asc, col("doc_id").asc))
+        .cast("long") - 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("difficulty"), r.getAs[Int]("stage"), r.getAs[Long]("position"))))
+      .toMap
+    assert(got == naive)
+    // stage populations are the ntile split: 37 = 10+9+9+9
+    val sizes = got.values.groupBy(_._2).map { case (s, v) => s -> v.size }
+    assert(sizes == Map(1 -> 10, 2 -> 9, 3 -> 9, 4 -> 9))
+    // positions are dense 0..size-1 within every stage
+    got.values.groupBy(_._2).foreach { case (s, v) =>
+      assert(v.map(_._3).toList.sorted == (0L until v.size).toList, s"stage $s positions")
+    }
+  }
 
   test("keySkew: hand-computed shares and cumulative shares") {
     // a x4, b x2, c x1, d x1

@@ -203,9 +203,15 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_zipf" -> 1,
     // one (source, bucket) aggregate
     "pipeline_length_hist" -> 1,
-    // paragraph hash window + the doc-id reassembly group: corpus text
-    // crosses the wire exactly twice (the documented floor)
-    "dedup_paragraphs" -> 2,
+    // skew-safe keep decision: paragraph-hash min-struct agg (text pruned
+    // off that branch — hash+position only) + the paras side of the
+    // winner join-back + the doc-id reassembly group. One text-free
+    // exchange MORE than the old row_number-window plan, bought
+    // deliberately: the window put every occurrence of the hottest
+    // boilerplate paragraph in one unsplittable task; the agg is
+    // map-side combinable and the join AQE-skew-splittable. Corpus text
+    // still crosses the wire exactly twice (the documented floor)
+    "dedup_paragraphs" -> 3,
     // the pack window's shard exchange; the per-shard aggregate reuses
     // that partitioning
     "pipeline_pack_report" -> 1,
@@ -283,7 +289,43 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // reuses its grouping partitioning) + the per-doc span collect + the
     // docs side of the spans join; the window generator is a kernel,
     // re-run not materialized
-    "dedup_substring_cut" -> 4
+    "dedup_substring_cut" -> 4,
+    // stub-hash kernel (0) + identical-hash collapse agg + the three
+    // segment-keyed self-join passes + the pair-level union dedup — all
+    // at hash/pair cardinality, never payload bytes (r8 verdict item #4)
+    "mm_phash_pairs" -> 0,
+    // source-share agg learns the temperature weights (tiny frame,
+    // broadcast back); the count-preserving realization is a projection
+    // + copy explode like pipeline_mix (r8 verdict item #4)
+    "pipeline_mix_temp" -> 0,
+    // triple duty by construction: two served-index ANN paths (one rank
+    // window each over pruned/broadcast-kernel scans) + the brute-force
+    // truth window + the per-query overlap joins and the mean-row union
+    // (r8 verdict item #4)
+    "sim_ann_recall" -> 11,
+    // frame-set jaccard: distinct-frame agg + the sig-keyed self-join
+    // sides + pair-count agg + two media-cardinality size join-backs
+    "mm_frame_near_dup" -> 7,
+    // regex-count kernel (0) + the counts/docs join + the per-source agg
+    "text_fertility" -> 3,
+    // identical shape under the broadcast tokenizer kernel
+    "text_bpe_fertility" -> 3,
+    // unigramNll's 4 (count agg, token join, reused-total, per-doc avg)
+    // + the docs join-back + the per-source rank window
+    "pipeline_ccnet_buckets" -> 6,
+    // two distributed global ranks (range exchange + pid-keyed local
+    // window each); the offset frames ride explicit broadcast hints and
+    // the stage cut / position are closed-form projections — NO global
+    // window anywhere (the r8 dark-operator scale-killer, fixed)
+    "pipeline_curriculum" -> 4,
+    // farthest-first traversal: k bounded driver-reduced argmax jobs
+    // (broadcast chosen set, one candidate row per partition); the
+    // selection itself is a local frame — nothing shuffles
+    "sim_kcenter" -> 0,
+    // one bruteForceTopK shortlist pass (its rank window) runs as a
+    // bounded side job; the greedy rerank is driver-side over the
+    // <=512-row shortlist and the result is a local frame
+    "sim_mmr" -> 0
   )
 
   for ((name, budget) <- budgets.toSeq.sortBy(_._1)) {
