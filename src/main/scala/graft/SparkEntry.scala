@@ -622,6 +622,26 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The composed FRONT DOOR (line filter -> quality -> dedup ->
+    * decontaminate -> mixture -> pack) run once per sf dir: its audit and
+    * DLQ catalog rows share one execution (the stage frames are
+    * localCheckpointed inside, so nothing recomputes per row). Corpus =
+    * docs with id % 20 != 0; eval (decontamination reference) = the
+    * held-out % 20 == 0 slice — the text_decontaminate split. */
+  private val frontDoorCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Curate.FrontDoorResult]
+  private def frontDoor(s: SparkSession, d: String): graft.ops.Curate.FrontDoorResult =
+    frontDoorCache.getOrElseUpdate(d, {
+      import org.apache.spark.sql.functions.col
+      val dd = docs(s, d)
+      graft.ops.Curate.frontDoor(
+        dd.filter(col("doc_id") % 20 =!= 0),
+        evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
+        lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+        lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+        maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+    })
+
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
     * re-running the histogram pass + merge learn each. */
@@ -921,6 +941,14 @@ object SparkEntry {
           lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02)
           .select(col("doc_id"))
       }),
+      // the composed pipeline, gate-checked through its AUDIT frame: one
+      // row per stage with in/out counts (pack counts sequences) — every
+      // stage count must match the oracle replaying the full chain
+      "pipeline_front_door" -> ((s, d) => frontDoor(s, d).audit),
+      // ...and through its per-doc DLQ: every dropped doc attributed to
+      // the stage that cut it (the streamingCurationIngest reject frame,
+      // batch form, plus the contamination/mixture reasons)
+      "pipeline_front_door_rejects" -> ((s, d) => frontDoor(s, d).rejects),
       // keep-BEST retention: per near-dup cluster keep the longest copy
       // (n_chars), not the smallest id — the policy swap vs dedup_exact
       "dedup_keep_best" -> ((s, d) => {
@@ -1354,8 +1382,9 @@ object SparkEntry {
         |            ELSE 0.0 END AS frac
         |FROM documents d LEFT JOIN hits h USING (doc_id) LEFT JOIN ng USING (doc_id)
         |WHERE d.doc_id % 20 <> 0""".stripMargin
-    // shared by text_langid and the curation-pipeline oracles
-    val langSql =
+    // shared by text_langid and the curation-pipeline oracles; the table
+    // parameter lets the front-door chain run it over CLEANED text
+    def langSqlOn(table: String) =
       """WITH scored AS (
         |  SELECT doc_id, unnest([
         |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is','that'))) AS BIGINT), lang := 'en'),
@@ -1364,12 +1393,77 @@ object SparkEntry {
         |    struct_pack(score := CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS BIGINT), lang := 'de'),
         |    struct_pack(score := CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT), lang := 'zh')
         |  ]) AS sl
-        |  FROM documents)
+        |  FROM """.stripMargin + table + """)
         |SELECT doc_id, lang AS lang_pred FROM (
         |  SELECT doc_id, sl.lang AS lang,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY sl.score DESC, sl.lang DESC) AS rn
         |  FROM scored)
         |WHERE rn = 1""".stripMargin
+    val langSql = langSqlOn("documents")
+    // the front-door stage chain, shared by the audit and DLQ oracles:
+    // every CTE is the SQL replica of one engine stage over the PREVIOUS
+    // stage's survivors (cleaned text included — quality and shingles see
+    // the line-filtered text, exactly like the engine)
+    val fdCtes = {
+      val clusters = graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5, table = "fd_qd")
+      s"""WITH fd_base AS MATERIALIZED (SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 0),
+         |fd_lf AS MATERIALIZED (
+         |  SELECT doc_id, source, array_to_string(kept, chr(10)) AS text
+         |  FROM (SELECT doc_id, source,
+         |          list_filter(string_split(text, chr(10)), l ->
+         |            len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+         |            AND NOT contains(lower(l), 'slow fast slow')) AS kept
+         |        FROM fd_base)
+         |  WHERE len(kept) > 0),
+         |fd_lang AS MATERIALIZED (SELECT * FROM (${langSqlOn("fd_lf")})),
+         |fd_qd AS MATERIALIZED (
+         |  SELECT f.doc_id, f.source, f.text FROM fd_lf f
+         |  JOIN fd_lang lp ON f.doc_id = lp.doc_id
+         |  WHERE lp.lang_pred = 'en'
+         |    AND CAST(len(string_split(f.text, ' ')) AS DOUBLE) >= 20
+         |    AND round(len(list_distinct(string_split(f.text, ' '))) / CAST(len(string_split(f.text, ' ')) AS DOUBLE), 4) >= 0.3
+         |    AND round(len(list_filter(string_split(f.text, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split(f.text, ' ')) AS DOUBLE), 4) >= 0.02),
+         |fd_keep AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS m
+         |    FROM ($clusters))
+         |  WHERE doc_id = m),
+         |fd_dd AS MATERIALIZED (SELECT q.doc_id, q.source, q.text FROM fd_qd q JOIN fd_keep USING (doc_id)),
+         |fd_dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+         |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM fd_dd))),
+         |fd_ev AS MATERIALIZED (SELECT DISTINCT g FROM (
+         |  SELECT unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+         |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
+         |  FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents WHERE doc_id % 20 = 0))),
+         |fd_frac AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |         CASE WHEN COALESCE(ng.n, 0) > 0
+         |              THEN round(CAST(COALESCE(h.n, 0) AS DOUBLE) / ng.n, 4)
+         |              ELSE 0.0 END AS frac
+         |  FROM fd_dd d
+         |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM fd_dg JOIN fd_ev USING (g) GROUP BY 1) h ON d.doc_id = h.doc_id
+         |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM fd_dg GROUP BY 1) ng ON d.doc_id = ng.doc_id),
+         |fd_cl AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM fd_dd d
+         |          JOIN fd_frac fr ON d.doc_id = fr.doc_id WHERE fr.frac <= 0.1),
+         |fd_cnt AS MATERIALIZED (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM fd_cl GROUP BY source),
+         |fd_tot AS (SELECT sum(c) AS n FROM fd_cnt),
+         |fd_z AS (SELECT sum(pow(c / n, 0.5)) AS z FROM fd_cnt, fd_tot),
+         |fd_w AS MATERIALIZED (SELECT source, round(pow(c / n, -0.5) / z, 4) AS wt FROM fd_cnt, fd_tot, fd_z),
+         |fd_mx AS MATERIALIZED (
+         |  SELECT cc.doc_id, cc.source, cc.text, CAST(u.i AS BIGINT) AS copy FROM (
+         |    SELECT c.doc_id, c.source, c.text,
+         |           CAST(floor(c.wt) AS BIGINT) + CASE WHEN c.b < (c.wt - floor(c.wt)) * 10000 THEN 1 ELSE 0 END AS n
+         |    FROM (SELECT fd_cl.doc_id, fd_cl.source, fd_cl.text, w.wt,
+         |                 CAST(('0x' || substr(md5(CAST(fd_cl.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+         |          FROM fd_cl JOIN fd_w w ON fd_cl.source = w.source) c) cc,
+         |    unnest(range(0, cc.n)) AS u(i)),
+         |fd_pk AS MATERIALIZED (
+         |  SELECT source, (sum(nt) OVER (PARTITION BY source ORDER BY rid) - nt) // 512 AS seq
+         |  FROM (SELECT source, doc_id * 1000 + copy AS rid,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM fd_mx))""".stripMargin
+    }
     val cosSql =
       """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
         |(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
@@ -1500,6 +1594,33 @@ object SparkEntry {
            |JOIN lp ON k.doc_id = lp.doc_id
            |JOIN q ON k.doc_id = q.doc_id
            |WHERE lp.lang_pred = 'en' AND q.n_tokens >= 20 AND q.ttr >= 0.3 AND q.stop_ratio >= 0.02""".stripMargin,
+      // per-stage audit of the composed front door: the oracle replays
+      // the entire chain and must land on the same seven counts
+      "pipeline_front_door" ->
+        s"""$fdCtes
+           |SELECT 1 AS stage_order, 'line_filter' AS stage,
+           |       (SELECT count(*) FROM fd_base) AS n_in, (SELECT count(*) FROM fd_lf) AS n_out
+           |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM fd_lf), (SELECT count(*) FROM fd_qd)
+           |UNION ALL SELECT 3, 'classifier', (SELECT count(*) FROM fd_qd), (SELECT count(*) FROM fd_qd)
+           |UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM fd_qd), (SELECT count(*) FROM fd_dd)
+           |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM fd_dd), (SELECT count(*) FROM fd_cl)
+           |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM fd_cl), (SELECT count(*) FROM fd_mx)
+           |UNION ALL SELECT 7, 'pack', (SELECT count(*) FROM fd_mx),
+           |          (SELECT count(*) FROM (SELECT DISTINCT source, seq FROM fd_pk))""".stripMargin,
+      // per-doc DLQ: every drop attributed to its stage (the classifier
+      // gate is off in the catalog config, so it contributes no rows)
+      "pipeline_front_door_rejects" ->
+        s"""$fdCtes
+           |SELECT doc_id, 'line_filter' AS reason FROM fd_base
+           |WHERE doc_id NOT IN (SELECT doc_id FROM fd_lf)
+           |UNION ALL SELECT doc_id, 'quality' FROM fd_lf
+           |WHERE doc_id NOT IN (SELECT doc_id FROM fd_qd)
+           |UNION ALL SELECT doc_id, 'duplicate' FROM fd_qd
+           |WHERE doc_id NOT IN (SELECT doc_id FROM fd_dd)
+           |UNION ALL SELECT doc_id, 'contaminated' FROM fd_dd
+           |WHERE doc_id NOT IN (SELECT doc_id FROM fd_cl)
+           |UNION ALL SELECT doc_id, 'mixture' FROM fd_cl
+           |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM fd_mx)""".stripMargin,
       "dedup_substring" ->
         """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
           |dg AS (SELECT DISTINCT doc_id, g FROM (

@@ -13,6 +13,157 @@ import org.apache.spark.sql.functions._
  */
 object Curate {
 
+  /** The composed batch curation pipeline's four surfaces — see
+    * [[Curate.frontDoor]]. */
+  case class FrontDoorResult(
+      kept: DataFrame,    // curated docs after every doc-level gate
+      packed: DataFrame,  // fixed-length sequence layout of the mixture
+      rejects: DataFrame, // (doc_id, reason) — every drop, attributed
+      audit: DataFrame)   // (stage_order, stage, n_in, n_out) per stage
+
+  /**
+   * The whole training-data FRONT DOOR as one batch operator — the batch
+   * twin of [[graft.streaming.StreamRunner.streamingCurationIngest]]: in
+   * order, (1) C4-style [[graft.ops.TextOps.lineFilter]] line cleanup,
+   * (2) the [[qualityFilter]] lexical gate over the CLEANED text, (3) an
+   * optional [[graft.ops.Classifier]] probability gate, (4) near-dup
+   * removal ([[graft.ops.Dedup.minhashLsh]] pairs -> [[dedupKeep]]),
+   * (5) optional n-gram decontamination against an eval corpus
+   * ([[graft.ops.TextOps.decontaminate]], drop when `frac` exceeds
+   * `maxContamination`), (6) [[temperatureMixtureSample]] mixture
+   * realization, (7) [[packSequences]] into the fixed-length loader
+   * layout. Alongside the data, the two frames a data card needs: a
+   * per-doc DLQ `(doc_id, reason)` attributing EVERY drop
+   * (line_filter / quality / classifier / duplicate / contaminated /
+   * mixture) and a per-stage audit `(stage_order, stage, n_in, n_out)` —
+   * skipped gates (no classifier weights, no eval corpus) still emit
+   * their identity row so the audit schema never shifts. `n_out` of the
+   * pack stage is the SEQUENCE count (distinct (source, seq_id)); every
+   * other count is docs (mixture counts realized rows — upsampling can
+   * raise it above `n_in`).
+   *
+   * Everything is deterministic, so the full audit + DLQ replay in the
+   * DuckDB oracle. Mixture copies get a realized-row key
+   * `rid = doc_id * 1000 + copy` for the pack ordering (weights are
+   * required < 1000 so rid never collides).
+   *
+   * Scale shape: each stage keeps its own audited shape (kernel scans
+   * for the two text gates and the classifier, shingle/bucket exchanges
+   * for dedup at gram cardinality, the zero-shuffle mixture projection,
+   * one shard exchange for packing); rejects are id-only anti joins at
+   * doc cardinality. Stage outputs are localCheckpointed — each is read
+   * 2-3 times (next stage + reject anti-join + audit count) and the
+   * lineage would otherwise re-run every upstream stage per consumer
+   * (the [[graft.streaming.StreamRunner.streamingCurationIngest]]
+   * adjudication: recompute >> lost-lineage restart cost here).
+   */
+  def frontDoor(
+      docs: DataFrame,
+      evalDocs: Option[DataFrame] = None,
+      lineMinWords: Int = 3,
+      lineBlocklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+      lang: String = "en",
+      minTokens: Double = 5.0,
+      minTtr: Double = 0.2,
+      minStopRatio: Double = 0.0,
+      clfWeights: Option[Array[Double]] = None,
+      minProb: Double = 0.5,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      decontamN: Int = 5,
+      maxContamination: Double = 0.1,
+      mixtureAlpha: Double = 1.0,
+      seqLen: Long = 512L
+  ): FrontDoorResult = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def ids(df: DataFrame) = df.select(col("doc_id"))
+
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+
+    // 1. line-level cleanup: downstream stages see the CLEANED text; the
+    // kernel emits (id, text) only, so source joins back on the id
+    val cleaned = TextOps.lineFilter(base, lineMinWords,
+        requireTerminalPunct = false, lineBlocklist)
+      .select(col("doc_id"), col("text"))
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
+    val lineRejects = base.join(ids(cleaned), Seq("doc_id"), "left_anti")
+
+    // 2. lexical quality gate
+    val gated = qualityFilter(cleaned, lang, minTokens, minTtr, minStopRatio)
+      .localCheckpoint()
+    val qualityRejects = cleaned.join(ids(gated), Seq("doc_id"), "left_anti")
+
+    // 3. optional classifier gate (broadcast weights, kernel scan)
+    val scored = clfWeights match {
+      case Some(w) =>
+        val pass = Classifier.score(gated, w)
+          .filter(col("prob") >= minProb)
+          .select(col("id").as("doc_id"))
+        gated.join(pass, Seq("doc_id")).localCheckpoint()
+      case None => gated
+    }
+    val clfRejects = gated.join(ids(scored), Seq("doc_id"), "left_anti")
+
+    // 4. near-dup removal (min-id representative per transitive cluster)
+    val pairs = Dedup.minhashLsh(scored, shingleSize = shingleSize,
+      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+    val deduped = dedupKeep(scored, pairs).localCheckpoint()
+    val dupRejects = scored.join(ids(deduped), Seq("doc_id"), "left_anti")
+
+    // 5. optional eval-set decontamination on the gram-overlap fraction
+    val kept = evalDocs match {
+      case Some(ev) =>
+        val rep = TextOps.decontaminate(deduped, ev, decontamN)
+        deduped.join(
+          rep.filter(col("frac") <= maxContamination).select(col("doc_id")),
+          Seq("doc_id")).localCheckpoint()
+      case None => deduped
+    }
+    val contamRejects = deduped.join(ids(kept), Seq("doc_id"), "left_anti")
+
+    // 6. temperature mixture: realized copies, weight-0/hash-dropped docs
+    // are attributable drops like any gate's
+    val mixed = temperatureMixtureSample(kept, mixtureAlpha).localCheckpoint()
+    val mixRejects = kept.join(ids(mixed).distinct(), Seq("doc_id"), "left_anti")
+
+    // 7. pack the realized rows (unique rid per copy so the in-shard
+    // order is total)
+    val maxW = temperatureWeights(kept, mixtureAlpha).values.foldLeft(0.0)(math.max)
+    require(maxW < 1000.0,
+      s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")
+    val packed = packSequences(
+      mixed.withColumn("rid", col("doc_id") * 1000L + col("copy")),
+      seqLen, idCol = "rid")
+      .localCheckpoint()
+
+    val nSeqs = packed.select(col("source"), col("seq_id")).distinct().count()
+    val counts = Seq(base, cleaned, gated, scored, deduped, kept, mixed).map(_.count())
+    val audit = Seq(
+      (1, "line_filter", counts(0), counts(1)),
+      (2, "quality", counts(1), counts(2)),
+      (3, "classifier", counts(2), counts(3)),
+      (4, "dedup", counts(3), counts(4)),
+      (5, "decontaminate", counts(4), counts(5)),
+      (6, "mixture", counts(5), counts(6)),
+      (7, "pack", counts(6), nSeqs)
+    ).toDF("stage_order", "stage", "n_in", "n_out")
+
+    val rejects = ids(lineRejects).withColumn("reason", lit("line_filter"))
+      .unionByName(ids(qualityRejects).withColumn("reason", lit("quality")))
+      .unionByName(ids(clfRejects).withColumn("reason", lit("classifier")))
+      .unionByName(ids(dupRejects).withColumn("reason", lit("duplicate")))
+      .unionByName(ids(contamRejects).withColumn("reason", lit("contaminated")))
+      .unionByName(ids(mixRejects).withColumn("reason", lit("mixture")))
+
+    FrontDoorResult(kept, packed, rejects, audit)
+  }
+
   /**
    * Near-duplicate removal decision: one representative (the minimum doc
    * id) survives per connected near-duplicate cluster. `pairs` is the

@@ -768,7 +768,8 @@ object Dedup {
   /** The shingle/signature/bucket CTE prefix shared by the minhash oracle
     * replicas; the candidate-pair condition is what varies per variant. */
   private def minhashOraclePrefix(
-      shingleSize: Int, bands: Int, rowsPerBand: Int): String = {
+      shingleSize: Int, bands: Int, rowsPerBand: Int,
+      table: String = "documents"): String = {
     val h = bands * rowsPerBand
     val minExprs = (0 until h).map(i =>
       s"min(((shash % $FamP) * ${famA(i)} + ${famB(i)}) % $FamP) AS m$i").mkString(", ")
@@ -778,7 +779,7 @@ object Dedup {
         .mkString(" || '_' || ")
       s"struct_pack(band := $b, bucket := $cat)"
     }.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $table),
        |sh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS shash FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - ${shingleSize - 1}, 1)),
        |    i -> array_to_string(list_slice(tk, i + 1, i + $shingleSize), ' '))) AS s
@@ -789,8 +790,9 @@ object Dedup {
   }
 
   def minhashOracleSql(
-      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String =
-    s"""${minhashOraclePrefix(shingleSize, bands, rowsPerBand)}
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      table: String = "documents"): String =
+    s"""${minhashOraclePrefix(shingleSize, bands, rowsPerBand, table)}
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |shs AS (SELECT doc_id, list_distinct(list(shash)) AS s FROM sh GROUP BY doc_id)
@@ -825,11 +827,12 @@ object Dedup {
    * = min reachable node, singletons mapped to themselves.
    */
   def clustersOracleSql(
-      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
-    val pairSql = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold)
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      table: String = "documents"): String = {
+    val pairSql = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold, table)
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |walk(node, r) AS (
        |  SELECT u, v FROM edges
@@ -837,7 +840,7 @@ object Dedup {
        |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u),
        |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
        |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
+       |FROM $table d LEFT JOIN labels l ON d.doc_id = l.node""".stripMargin
   }
 
   /**
@@ -851,8 +854,8 @@ object Dedup {
       qualityExpr: String): String = {
     val pairSql = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold)
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM ($pairSql)),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($pairSql)),
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |walk(node, r) AS (
        |  SELECT u, v FROM edges

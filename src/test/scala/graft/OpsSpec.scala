@@ -2380,10 +2380,71 @@ class CurateSpec extends SparkSpec {
     // the grid width changes the plan's inflation factor, never the result
     assert(run(100L) == r && run(100000L) == r)
   }
-}
+  test("frontDoor equals the step-by-step calls; every drop attributed; audit counts exact") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val fd = Curate.frontDoor(corpus, evalDocs = Some(eval),
+      lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+      lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+      maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
 
-class DiagSpec extends SparkSpec {
-  import spark.implicits._
+    // step-by-step reference: the same chain by hand
+    val base = corpus.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("text"))
+    val cleaned = TextOps.lineFilter(base, 5, requireTerminalPunct = false,
+        Seq("slow fast slow"))
+      .select(col("doc_id"), col("text"))
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val gated = Curate.qualityFilter(cleaned, "en", 20.0, 0.3, 0.02)
+    val deduped = Curate.dedupKeep(gated, Dedup.minhashLsh(gated, threshold = 0.5))
+    val kept = deduped.join(
+      TextOps.decontaminate(deduped, eval, 5)
+        .filter(col("frac") <= 0.1).select(col("doc_id")), Seq("doc_id"))
+    val mixed = Curate.temperatureMixtureSample(kept, 0.5)
+    assert(fd.kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // audit counts match the reference stage cardinalities
+    val audit = fd.audit.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(audit("line_filter") == ((base.count(), cleaned.count())))
+    assert(audit("quality") == ((cleaned.count(), gated.count())))
+    assert(audit("classifier")._1 == audit("classifier")._2) // gate off: identity
+    assert(audit("dedup") == ((gated.count(), deduped.count())))
+    assert(audit("decontaminate") == ((deduped.count(), kept.count())))
+    assert(audit("mixture") == ((kept.count(), mixed.count())))
+    assert(audit("pack")._1 == mixed.count())
+    assert(audit("pack")._2 ==
+      fd.packed.select("source", "seq_id").distinct().count())
+
+    // conservation: every input doc is kept (some copy survives) or
+    // attributed to exactly one rejecting stage
+    val rejected = fd.rejects.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rejected.map(_._1).distinct.length == rejected.length,
+      "a doc was rejected by two stages")
+    val keptIds = fd.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixedIds = mixed.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val all = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((mixedIds ++ rejected.map(_._1)) == all)
+    assert(rejected.count(_._2 == "mixture") == (keptIds -- mixedIds).size)
+
+    // the classifier gate drops and attributes when weights are supplied:
+    // train on a planted lexical rule, gate at 0.5
+    val labeled = gated.withColumn("y", col("text").contains("spark").cast("int"))
+    val w = Classifier.fit(labeled, "y", iters = 20)
+    val fdClf = Curate.frontDoor(corpus, evalDocs = Some(eval),
+      lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+      lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+      clfWeights = Some(w), minProb = 0.5,
+      maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+    val clfAudit = fdClf.audit.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val nClfDrops = fdClf.rejects.filter(col("reason") === "classifier").count()
+    assert(clfAudit("classifier")._1 - clfAudit("classifier")._2 == nClfDrops)
+    assert(nClfDrops > 0, "planted gate dropped nothing — test fixture degenerate")
+  }
 
   test("ccnetBuckets: equal-population per-domain cut with ntile tie semantics") {
     import spark.implicits._
@@ -2438,6 +2499,11 @@ class DiagSpec extends SparkSpec {
       assert(v.map(_._3).toList.sorted == (0L until v.size).toList, s"stage $s positions")
     }
   }
+
+}
+
+class DiagSpec extends SparkSpec {
+  import spark.implicits._
 
   test("keySkew: hand-computed shares and cumulative shares") {
     // a x4, b x2, c x1, d x1

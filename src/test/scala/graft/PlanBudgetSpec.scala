@@ -318,6 +318,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the stage cut / position are closed-form projections — NO global
     // window anywhere (the r8 dark-operator scale-killer, fixed)
     "pipeline_curriculum" -> 4,
+    // the audit is a driver-built local frame; every stage runs as its
+    // own budgeted job behind a localCheckpoint (the shapes are the
+    // individual stage budgets above)
+    "pipeline_front_door" -> 0,
+    // six doc-cardinality id-only anti joins over the checkpointed stage
+    // frames, unioned — text bytes never enter these exchanges
+    "pipeline_front_door_rejects" -> 6,
     // farthest-first traversal: k bounded driver-reduced argmax jobs
     // (broadcast chosen set, one candidate row per partition); the
     // selection itself is a local frame — nothing shuffles
