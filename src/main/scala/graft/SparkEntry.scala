@@ -811,6 +811,15 @@ object SparkEntry {
                 refineFrom = Some(emb(s, d))), exact)
             .withColumn("method", lit("ivfpq_idx")))
       }),
+      // the probe auto-tuner AS a catalog row (rows-only — its legs are
+      // the persisted-index ANN paths): the (nProbe, refineFactor) sweep
+      // over the served IVF-PQ index with the cheapest bar-meeting
+      // setting marked. OpsSpec pins report fidelity vs independent
+      // recall runs + exhaustive cost-optimality of the choice.
+      "sim_ann_probe_tune" -> ((s, d) =>
+        Similarity.optimalProbes(s, ivfPqIndexPath(s, d), emb(s, d),
+          col("vec_id") < 10, 5, recallBar = 0.9,
+          nProbes = Seq(1, 2, 4), refineFactors = Seq(1, 8))),
       // greedy k-center coreset (farthest-first traversal; rows-only —
       // k driver-bounded iterations are not SQL-expressible; OpsSpec pins
       // a hand-traced geometry, determinism, the descending-radius

@@ -1386,6 +1386,75 @@ object Similarity {
         .select(lit(-1L).as("query_id"), col("recall")))
   }
 
+  /**
+   * MEASURED probe auto-tuner for the persisted IVF / IVF-PQ indexes —
+   * the [[graft.ops.Dedup.optimalBands]] analog where the objective is a
+   * recall measurement instead of an S-curve model: sweep `nProbe` (and
+   * `refineFactor` when the index is IVF-PQ) through [[recallAtK]]
+   * against brute-force truth on the query sample, and mark the CHEAPEST
+   * setting whose mean recall@k meets `recallBar`. Cost order is nProbe
+   * first (probed cells bound the partitions READ — the I/O axis at
+   * 100 TB), then refineFactor (full-precision fetches, a
+   * shortlist-sized join), then higher recall as the tiebreak. If no
+   * swept setting meets the bar, the max-recall (then cheapest) setting
+   * is marked with `meets_bar = false` — the caller sees the bar is
+   * unreachable at this geometry rather than silently getting the max.
+   * Returns one row per tried setting:
+   * (n_probe, refine_factor, recall, meets_bar, chosen) — the sweep IS
+   * the tuning report (`refine_factor` is 1 on a plain IVF index, where
+   * serving is exact over probed cells and the knob does not exist).
+   *
+   * Deterministic end to end (every leg is the served index path +
+   * [[bruteForceTopK]] truth), so re-runs pick the same setting.
+   *
+   * Scale shape: ONE brute-force truth pass (broadcast query kernel,
+   * localCheckpointed — never recomputed per leg) + |sweep| served-index
+   * queries, each bounded by its own probed-cell partition pruning; the
+   * recall joins run at result-set cardinality. Nothing corpus-sized is
+   * collected.
+   */
+  def optimalProbes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      recallBar: Double = 0.9,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      refineFactors: Seq[Int] = Seq(1, 4, 8),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "nProbes must be >= 1")
+    require(refineFactors.nonEmpty && refineFactors.forall(_ >= 1),
+      "refineFactors must be >= 1")
+    require(recallBar >= 0.0 && recallBar <= 1.0, "recallBar must be in [0, 1]")
+    import spark.implicits._
+    val hasPq = graft.sources.Dirs.exists(spark, s"$path/pq")
+    val hasIvf = graft.sources.Dirs.exists(spark, s"$path/centroids")
+    require(hasPq || hasIvf,
+      s"no IVF/IVF-PQ index at $path — LSH geometry is tuned by optimalBands")
+    val exact = bruteForceTopK(emb, queryPred, k, idCol, vecCol).localCheckpoint()
+    val queries = emb.filter(queryPred)
+    val rfs = if (hasPq) refineFactors.distinct.sorted else Seq(1)
+    val sweep = for (np <- nProbes.distinct.sorted; rf <- rfs) yield {
+      val approx =
+        if (hasPq) ivfPqTopKIndexed(spark, path, queries, k, np,
+          refineFrom = Some(emb), refineFactor = rf, idCol = idCol, vecCol = vecCol)
+        else ivfTopKIndexed(spark, path, queries, k, np, idCol, vecCol)
+      val recall = recallAtK(approx, exact)
+        .filter(col("query_id") === -1L).head().getDouble(1)
+      (np, rf, recall)
+    }
+    val meeting = sweep.filter(_._3 >= recallBar)
+    val chosen =
+      if (meeting.nonEmpty) meeting.minBy { case (np, rf, r) => (np, rf, -r) }
+      else sweep.maxBy { case (np, rf, r) => (r, -np, -rf) }
+    sweep.map { case (np, rf, r) =>
+      (np, rf, r, r >= recallBar, np == chosen._1 && rf == chosen._2)
+    }.toDF("n_probe", "refine_factor", "recall", "meets_bar", "chosen")
+  }
+
   // --- product quantization (PQ / IVF-PQ) ----------------------------------
 
   /** Trained product quantizer: `m` subspaces of `dsub` dims each,

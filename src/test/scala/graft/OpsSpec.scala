@@ -980,6 +980,57 @@ class SimilaritySpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount === 2)
   }
 
+  test("optimalProbes: report rows match independent recall; chosen is cost-minimal; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-tune").toString
+    Similarity.ivfPqBuildIndex(emb, dir)
+    val bar = 0.9
+    val nps = Seq(1, 2, 4)
+    val rfs = Seq(1, 8)
+    val got = Similarity.optimalProbes(spark, dir, emb, col("vec_id") < 10, 5,
+        recallBar = bar, nProbes = nps, refineFactors = rfs)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == nps.size * rfs.size)
+    // every reported recall matches an INDEPENDENT measurement of that leg
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+    val independent = (for (np <- nps; rf <- rfs) yield {
+      val approx = Similarity.ivfPqTopKIndexed(spark, dir,
+        emb.filter(col("vec_id") < 10), 5, np, refineFrom = Some(emb), refineFactor = rf)
+      (np, rf) -> Similarity.recallAtK(approx, exact)
+        .filter(col("query_id") === -1L).head().getDouble(1)
+    }).toMap
+    independent.foreach { case (key, r) =>
+      assert(got(key)._1 == r, s"report recall for $key diverged")
+      assert(got(key)._2 == (r >= bar))
+    }
+    // the chosen row is exhaustively cost-optimal under the documented
+    // order: min nProbe, then min refineFactor, among bar-meeting legs
+    val meeting = independent.filter(_._2 >= bar).keys
+    assert(meeting.nonEmpty, "fixture degenerate: no setting meets the bar")
+    val want = meeting.minBy { case (np, rf) => (np, rf) }
+    val chosenRows = got.filter(_._2._3).keys.toList
+    assert(chosenRows == List(want), s"chosen $chosenRows, want $want")
+    // the max setting should comfortably meet the bar on this fixture
+    assert(independent((4, 8)) >= bar)
+    // deterministic
+    val again = Similarity.optimalProbes(spark, dir, emb, col("vec_id") < 10, 5,
+        recallBar = bar, nProbes = nps, refineFactors = rfs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(again == got)
+
+    // plain IVF index: the refineFactor axis collapses to 1
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-tune").toString
+    Similarity.ivfBuildIndex(emb, ivfDir)
+    val ivf = Similarity.optimalProbes(spark, ivfDir, emb, col("vec_id") < 10, 5,
+        recallBar = bar, nProbes = Seq(1, 4), refineFactors = rfs)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(4)))
+    assert(ivf.length == 2 && ivf.forall(_._2 == 1))
+    assert(ivf.count(_._3) == 1)
+  }
+
   test("kCenterSelect: hand-traced farthest-first order, descending radius, determinism") {
     import spark.implicits._
     // planar unit vectors with a hand-computable farthest-first traversal:

@@ -329,6 +329,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // (broadcast chosen set, one candidate row per partition); the
     // selection itself is a local frame — nothing shuffles
     "sim_kcenter" -> 0,
+    // the sweep legs (6 served-index queries + one checkpointed truth
+    // pass) run as their own bounded jobs; the report is a local frame
+    "sim_ann_probe_tune" -> 0,
     // one bruteForceTopK shortlist pass (its rank window) runs as a
     // bounded side job; the greedy rerank is driver-side over the
     // <=512-row shortlist and the result is a local frame
