@@ -11,22 +11,33 @@ import org.apache.spark.sql.functions._
  *
  *  1. `repartitionByRange` on the sort keys — one range exchange; partition
  *     `i` holds a contiguous, non-overlapping key slice below partition
- *     `i+1`'s (RangePartitioner samples boundaries with deterministic
- *     per-partition seeds, so reruns over the same input cut identically —
- *     and the rank itself is boundary-independent anyway because the key
- *     tuple is a total order).
+ *     `i+1`'s. The rank itself is boundary-independent (the key tuple is a
+ *     total order); only the offset bookkeeping cares where the cuts fell.
  *  2. a LOCAL `row_number` window keyed by the materialized partition id —
  *     at most `partitions` rows per window partition, balanced by the range
  *     partitioner, never a global sort.
- *  3. per-partition counts (a `partitions`-row aggregate) collected to the
- *     driver, prefix-summed into offsets, and joined back broadcast-style:
+ *  3. the locally-ranked frame is MATERIALIZED (localCheckpoint), then its
+ *     per-partition counts (a `partitions`-row aggregate) are collected,
+ *     prefix-summed into offsets, and joined back broadcast-style:
  *     `rank = offset(pid) + local_row_number`.
  *
- * Cost: two exchanges (range + the window's hash on pid) plus one tiny
- * count job, versus the one-exchange-but-one-task global window. The count
- * job recomputes the range exchange; both computations cut identical
- * boundaries (deterministic sampling over identical input lineage), so the
- * offsets it collects are the offsets the final plan sees.
+ * The checkpoint in step 3 is correctness, not convenience: the offsets
+ * and the final plan MUST observe the same partition cut, but
+ * RangePartitioner's reservoir sampling depends on the upstream's
+ * intra-partition row ORDER, which Spark does not stabilize across
+ * separate executions when the input comes out of a join or an AQE-planned
+ * shuffle — a count job and a consumer job can legitimately cut different
+ * boundaries over identical data (observed: positions off by dozens at
+ * sf0.1 when this helper's rank-2 input was a join output; a raw scan
+ * upstream masked it at smaller scales). Freezing the ranked blocks makes
+ * both reads see one partitioning, and as a bonus the range exchange runs
+ * once instead of twice.
+ *
+ * Cost: two exchanges (range + the window's hash on pid) + the checkpoint
+ * materialization + one tiny count job, versus the
+ * one-exchange-but-one-task global window. localCheckpoint trades lineage
+ * fault tolerance for the guarantee (the adjudicated dedup-index trade);
+ * blocks free via the ContextCleaner when the frame goes unreachable.
  *
  * Callers pass fully tie-broken sort expressions (include an id column) —
  * equal key tuples would otherwise rank arbitrarily. For oracle-compared
@@ -55,8 +66,13 @@ object Ranks {
       .repartitionByRange(p, keys: _*)
       .withColumn("__gr_pid", spark_partition_id())
     val w = Window.partitionBy(col("__gr_pid")).orderBy(keys: _*)
-    val local = ranged.withColumn("__gr_lr", row_number().over(w).cast("long"))
-    val counts = ranged
+    // materialize BEFORE reading twice: the offsets and the final plan
+    // must see the same range cut (see the scaladoc — re-executing the
+    // range exchange can sample different boundaries)
+    val local = ranged
+      .withColumn("__gr_lr", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    val counts = local
       .groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_c"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))

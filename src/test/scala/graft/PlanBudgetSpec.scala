@@ -313,11 +313,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // unigramNll's 4 (count agg, token join, reused-total, per-doc avg)
     // + the docs join-back + the per-source rank window
     "pipeline_ccnet_buckets" -> 6,
-    // two distributed global ranks (range exchange + pid-keyed local
-    // window each); the offset frames ride explicit broadcast hints and
-    // the stage cut / position are closed-form projections — NO global
-    // window anywhere (the r8 dark-operator scale-killer, fixed)
-    "pipeline_curriculum" -> 4,
+    // FINAL stitched plan only (the pipeline_semdedup precedent): the two
+    // distributed global ranks (range exchange + pid-keyed local window
+    // each, 4 exchanges of real work) run behind Ranks.globalRank's
+    // correctness checkpoints; the stage cut and position are closed-form
+    // projections over the frozen blocks — NO global window anywhere (the
+    // r8 dark-operator scale-killer, fixed)
+    "pipeline_curriculum" -> 0,
     // the audit is a driver-built local frame; every stage runs as its
     // own budgeted job behind a localCheckpoint (the shapes are the
     // individual stage budgets above)
