@@ -1170,28 +1170,32 @@ object SparkEntry {
       // <= 2 keeps the md5 near-collision probability ~1e-16/pair, so
       // pairs are the exact-payload duplicates both engines agree on).
       // The corpus has NO exact-payload dups, so the fixture unions a
-      // byte-identical copy of every payload (id +10^6): the row pins one
-      // hamming-0 pair per doc — the three-segment pigeonhole union and
-      // its oracle correspondence are exercised on NON-empty output
-      // (r8 advisory: both sides returned 0 rows, a vacuous green)
+      // byte-identical copy of every payload (variant id = doc_id +
+      // max(doc_id)+1, collision-proof at any corpus id range): the row
+      // pins one hamming-0 pair per doc — the three-segment pigeonhole
+      // union and its oracle correspondence are exercised on NON-empty
+      // output (r8 advisory: both sides returned 0 rows, a vacuous green)
       "mm_phash_pairs" -> ((s, d) => {
         val dd = docs(s, d)
+        val off = dd.agg(max(col("doc_id"))).head().getLong(0) + 1L
         Multimodal.phashPairs(
           Multimodal.asMedia(dd).unionByName(
-            Multimodal.asMedia(dd.withColumn("doc_id", col("doc_id") + 1000000L))),
+            Multimodal.asMedia(dd.withColumn("doc_id", col("doc_id") + off))),
           maxHamming = 2, imagesOnly = false)
       }),
       // video-style near-dup by frame-signature jaccard. The fixture
-      // unions every payload with a tail-extended re-encode (id +10^6) so
-      // the row pins NON-empty pairs — every (doc, variant) pair shares
-      // all whole 64-char frames and differs in the extended last one,
-      // exactly the trim/concat case the operator exists for (and the
-      // vacuous-green trap the phash row fell into is structurally closed)
+      // unions every payload with a tail-extended re-encode (variant id =
+      // doc_id + max(doc_id)+1, collision-proof at any corpus id range)
+      // so the row pins NON-empty pairs — every (doc, variant) pair
+      // shares all whole 64-char frames and differs in the extended last
+      // one, exactly the trim/concat case the operator exists for (and
+      // the vacuous-green trap the phash row fell into is closed)
       "mm_frame_near_dup" -> ((s, d) => {
         val dd = docs(s, d)
+        val off = dd.agg(max(col("doc_id"))).head().getLong(0) + 1L
         val media = Multimodal.asMedia(dd)
           .unionByName(Multimodal.asMedia(
-            dd.withColumn("doc_id", col("doc_id") + 1000000L)
+            dd.withColumn("doc_id", col("doc_id") + off)
               .withColumn("text",
                 concat(col("text"), lit(" frame near dup tail payload")))))
         Multimodal.frameNearDup(media, threshold = 0.5)
@@ -1341,6 +1345,32 @@ object SparkEntry {
   }
 
   private def opsOracles: Map[String, String] = {
+    // ---- shared oracle fragments (one copy of each engine convention; a
+    // threshold or hash change edits ONE string and every composed oracle
+    // — standalone row and front-door stage alike — moves together) ----
+    // qualityFilter's three lexical thresholds over a text expression
+    def qualityCondSql(t: String): String =
+      s"""CAST(len(string_split($t, ' ')) AS DOUBLE) >= 20
+         |    AND round(len(list_distinct(string_split($t, ' '))) / CAST(len(string_split($t, ' ')) AS DOUBLE), 4) >= 0.3
+         |    AND round(len(list_filter(string_split($t, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split($t, ' ')) AS DOUBLE), 4) >= 0.02""".stripMargin
+    // all n-gram window rows (doc_id, g) of a table's lowercased text
+    def ngramRowsSql(table: String, n: Int): String =
+      s"""SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - ${n - 1}, 0)),
+         |    i -> array_to_string(list_slice(tk, i + 1, i + $n), ' '))) AS g
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $table)""".stripMargin
+    // the 60-bit md5 bucket mixtureSample thresholds copies against
+    def md5BucketSql(id: String): String =
+      s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+    // realized copy count for weight wt under bucket b (floor + fraction)
+    def copyCountSql(wt: String, b: String): String =
+      s"CAST(floor($wt) AS BIGINT) + CASE WHEN $b < ($wt - floor($wt)) * 10000 THEN 1 ELSE 0 END"
+    // temperatureWeights' learned per-source wt over a table, as CTEs
+    // named $p{cnt,tot,z,w} (alpha baked in per call site)
+    def tempWeightCtes(table: String, alpha: Double, p: String): String =
+      s"""${p}cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM $table GROUP BY source),
+         |${p}tot AS (SELECT sum(c) AS n FROM ${p}cnt),
+         |${p}z AS (SELECT sum(pow(c / n, $alpha)) AS z FROM ${p}cnt, ${p}tot),
+         |${p}w AS (SELECT source, round(pow(c / n, ${alpha - 1.0}) / z, 4) AS wt FROM ${p}cnt, ${p}tot, ${p}z)""".stripMargin
     // shared by events_sessionize and (as a CTE) join_interval
     val sessionizeSql =
       """WITH e AS (
@@ -1374,11 +1404,7 @@ object SparkEntry {
     // shared verbatim by text_decontaminate and text_decontaminate_bloom
     // (the Bloom path must reproduce the plain path bit-for-bit)
     val decontaminateSql =
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-        |dg AS (SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
-        |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
-        |  FROM toks)),
+      s"""WITH dg AS (SELECT DISTINCT doc_id, g FROM (${ngramRowsSql("documents", 5)})),
         |ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0),
         |hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN ev USING (g)
         |         WHERE dg.doc_id % 20 <> 0 GROUP BY 1),
@@ -1429,23 +1455,16 @@ object SparkEntry {
          |  SELECT f.doc_id, f.source, f.text FROM fd_lf f
          |  JOIN fd_lang lp ON f.doc_id = lp.doc_id
          |  WHERE lp.lang_pred = 'en'
-         |    AND CAST(len(string_split(f.text, ' ')) AS DOUBLE) >= 20
-         |    AND round(len(list_distinct(string_split(f.text, ' '))) / CAST(len(string_split(f.text, ' ')) AS DOUBLE), 4) >= 0.3
-         |    AND round(len(list_filter(string_split(f.text, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split(f.text, ' ')) AS DOUBLE), 4) >= 0.02),
+         |    AND ${qualityCondSql("f.text")}),
          |fd_keep AS MATERIALIZED (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS m
          |    FROM ($clusters))
          |  WHERE doc_id = m),
          |fd_dd AS MATERIALIZED (SELECT q.doc_id, q.source, q.text FROM fd_qd q JOIN fd_keep USING (doc_id)),
-         |fd_dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (
-         |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
-         |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM fd_dd))),
+         |fd_dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM (${ngramRowsSql("fd_dd", 5)})),
          |fd_ev AS MATERIALIZED (SELECT DISTINCT g FROM (
-         |  SELECT unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
-         |    i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS g
-         |  FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents WHERE doc_id % 20 = 0))),
+         |  ${ngramRowsSql("(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)", 5)})),
          |fd_frac AS MATERIALIZED (
          |  SELECT d.doc_id,
          |         CASE WHEN COALESCE(ng.n, 0) > 0
@@ -1456,16 +1475,13 @@ object SparkEntry {
          |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM fd_dg GROUP BY 1) ng ON d.doc_id = ng.doc_id),
          |fd_cl AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM fd_dd d
          |          JOIN fd_frac fr ON d.doc_id = fr.doc_id WHERE fr.frac <= 0.1),
-         |fd_cnt AS MATERIALIZED (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM fd_cl GROUP BY source),
-         |fd_tot AS (SELECT sum(c) AS n FROM fd_cnt),
-         |fd_z AS (SELECT sum(pow(c / n, 0.5)) AS z FROM fd_cnt, fd_tot),
-         |fd_w AS MATERIALIZED (SELECT source, round(pow(c / n, -0.5) / z, 4) AS wt FROM fd_cnt, fd_tot, fd_z),
+         |${tempWeightCtes("fd_cl", 0.5, "fd_")},
          |fd_mx AS MATERIALIZED (
          |  SELECT cc.doc_id, cc.source, cc.text, CAST(u.i AS BIGINT) AS copy FROM (
          |    SELECT c.doc_id, c.source, c.text,
-         |           CAST(floor(c.wt) AS BIGINT) + CASE WHEN c.b < (c.wt - floor(c.wt)) * 10000 THEN 1 ELSE 0 END AS n
+         |           ${copyCountSql("c.wt", "c.b")} AS n
          |    FROM (SELECT fd_cl.doc_id, fd_cl.source, fd_cl.text, w.wt,
-         |                 CAST(('0x' || substr(md5(CAST(fd_cl.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+         |                 ${md5BucketSql("fd_cl.doc_id")} AS b
          |          FROM fd_cl JOIN fd_w w ON fd_cl.source = w.source) c) cc,
          |    unnest(range(0, cc.n)) AS u(i)),
          |fd_pk AS MATERIALIZED (
@@ -1592,17 +1608,11 @@ object SparkEntry {
            |    SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS m
            |    FROM (${graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5)}))
            |  WHERE doc_id = m),
-           |lp AS ($langSql),
-           |q AS (
-           |  SELECT doc_id,
-           |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-           |         round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
-           |         round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','and','of','to','in','is'))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
-           |  FROM documents)
+           |lp AS ($langSql)
            |SELECT k.doc_id FROM keep k
            |JOIN lp ON k.doc_id = lp.doc_id
-           |JOIN q ON k.doc_id = q.doc_id
-           |WHERE lp.lang_pred = 'en' AND q.n_tokens >= 20 AND q.ttr >= 0.3 AND q.stop_ratio >= 0.02""".stripMargin,
+           |JOIN documents d ON k.doc_id = d.doc_id
+           |WHERE lp.lang_pred = 'en' AND ${qualityCondSql("d.text")}""".stripMargin,
       // per-stage audit of the composed front door: the oracle replays
       // the entire chain and must land on the same seven counts
       "pipeline_front_door" ->
@@ -1631,11 +1641,7 @@ object SparkEntry {
            |UNION ALL SELECT doc_id, 'mixture' FROM fd_cl
            |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM fd_mx)""".stripMargin,
       "dedup_substring" ->
-        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-          |dg AS (SELECT DISTINCT doc_id, g FROM (
-          |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk) - 9, 0)),
-          |    i -> array_to_string(list_slice(tk, i + 1, i + 10), ' '))) AS g
-          |  FROM toks)),
+        s"""WITH dg AS (SELECT DISTINCT doc_id, g FROM (${ngramRowsSql("documents", 10)})),
           |sh AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
           |hits AS (SELECT dg.doc_id, count(*) AS n_shared FROM dg JOIN sh USING (g) GROUP BY 1),
           |ng AS (SELECT doc_id, count(*) AS n_windows FROM dg GROUP BY 1)
@@ -1831,16 +1837,13 @@ object SparkEntry {
       // driver-side weights identically, so ulp-level pow() differences
       // cannot move a document across a bucket boundary)
       "pipeline_mix_temp" ->
-        """WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source),
-          |tot AS (SELECT sum(c) AS n FROM cnt),
-          |z AS (SELECT sum(pow(c / n, 0.5)) AS z FROM cnt, tot),
-          |w AS (SELECT source, round(pow(c / n, -0.5) / z, 4) AS wt FROM cnt, tot, z),
+        s"""WITH ${tempWeightCtes("documents", 0.5, "")},
           |d AS (
           |  SELECT doc_id, documents.source, wt,
-          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+          |    ${md5BucketSql("doc_id")} AS b
           |  FROM documents JOIN w ON documents.source = w.source),
           |c AS (SELECT doc_id, source, wt,
-          |    CAST(floor(wt) AS BIGINT) + CASE WHEN b < (wt - floor(wt)) * 10000 THEN 1 ELSE 0 END AS n
+          |    ${copyCountSql("wt", "b")} AS n
           |  FROM d)
           |SELECT doc_id, source, wt, CAST(u.i AS DOUBLE) AS copy_idx
           |FROM c, unnest(range(0, n)) AS u(i)""".stripMargin,
@@ -2385,7 +2388,7 @@ object SparkEntry {
         """WITH m AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, text FROM documents),
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents),
           |h AS (
           |  SELECT doc_id,
           |         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hi,
@@ -2412,7 +2415,8 @@ object SparkEntry {
         """WITH m AS (
           |  SELECT doc_id AS media_id, text FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, text || ' frame near dup tail payload' FROM documents),
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+          |         text || ' frame near dup tail payload' FROM documents),
           |fr AS (
           |  SELECT DISTINCT media_id,
           |         unnest(list_transform(

@@ -104,8 +104,10 @@ object Ranks {
     if (q == 0L) rank.cast("int") // more buckets than rows: rank IS the bucket
     else {
       val cut = rem * (q + 1) // ranks <= cut land in the first `rem` buckets
-      when(rank <= cut, floor((rank - 1) / (q + 1)) + 1)
-        .otherwise(lit(rem) + floor((rank - 1 - cut) / q) + 1)
+      // integer `div`, not `/`: Column./ is double division, which loses
+      // exactness once the rank passes 2^53 (the packSequences convention)
+      when(rank <= cut, call_function("div", rank - 1, lit(q + 1)) + 1)
+        .otherwise(lit(rem) + call_function("div", rank - 1 - cut, lit(q)) + 1)
         .cast("int")
     }
   }

@@ -191,6 +191,13 @@ object Bpe {
     require(clashes.isEmpty,
       s"special token id(s) collide with vocab.json at $vocabPath under a different " +
         s"literal: ${clashes.take(3).map { case (t, i) => s"'$t'=$i" }.mkString(", ")}")
+    // ...and the special table must be id-distinct WITHIN itself: two
+    // specials sharing an id pass both checks above (neither literal in
+    // vocab.json, no vocab id collision) yet make decode ambiguous
+    val dupSpecial = specialTokens.groupBy(_._2).filter(_._2.size > 1)
+    require(dupSpecial.isEmpty,
+      s"special tokens share id ${dupSpecial.headOption.map(_._1).getOrElse(-1)}: " +
+        s"'${dupSpecial.headOption.map(_._2.keys.mkString("', '")).getOrElse("")}'")
     new BpeTokenizer(base.merges, pattern, Some(ids), specialTokens)
   }
 

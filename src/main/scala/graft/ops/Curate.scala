@@ -127,16 +127,20 @@ object Curate {
     }
     val contamRejects = deduped.join(ids(kept), Seq("doc_id"), "left_anti")
 
-    // 6. temperature mixture: realized copies, weight-0/hash-dropped docs
-    // are attributable drops like any gate's
-    val mixed = temperatureMixtureSample(kept, mixtureAlpha).localCheckpoint()
+    // 6. temperature mixture: weights learned ONCE (the realization
+    // overload skips the second domain-count job), rid-collision guard
+    // checked before any mixture work is spent; weight-0/hash-dropped
+    // docs are attributable drops like any gate's
+    val weights = temperatureWeights(kept, mixtureAlpha)
+    val maxW = weights.values.foldLeft(0.0)(math.max)
+    require(maxW < 1000.0,
+      s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")
+    val mixed = temperatureMixtureSample(kept, weights, "source", "doc_id")
+      .localCheckpoint()
     val mixRejects = kept.join(ids(mixed).distinct(), Seq("doc_id"), "left_anti")
 
     // 7. pack the realized rows (unique rid per copy so the in-shard
     // order is total)
-    val maxW = temperatureWeights(kept, mixtureAlpha).values.foldLeft(0.0)(math.max)
-    require(maxW < 1000.0,
-      s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")
     val packed = packSequences(
       mixed.withColumn("rid", col("doc_id") * 1000L + col("copy")),
       seqLen, idCol = "rid")
@@ -343,12 +347,23 @@ object Curate {
       alpha: Double,
       sourceCol: String = "source",
       idCol: String = "doc_id"
+  ): DataFrame =
+    temperatureMixtureSample(docs,
+      temperatureWeights(docs, alpha, sourceCol), sourceCol, idCol)
+
+  /** [[temperatureMixtureSample]] under PRECOMPUTED weights — lets a
+    * caller that already learned (or validated) the weight map realize
+    * the mixture without re-running the domain-count job. */
+  def temperatureMixtureSample(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      sourceCol: String,
+      idCol: String
   ): DataFrame = {
-    val w = temperatureWeights(docs, alpha, sourceCol)
-    val wt = w.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+    val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
       when(col(sourceCol) === k, lit(v)).otherwise(acc)
     }
-    mixtureSample(docs, w, defaultWeight = 0.0, sourceCol, idCol)
+    mixtureSample(docs, weights, defaultWeight = 0.0, sourceCol, idCol)
       .withColumn("wt", wt)
   }
 

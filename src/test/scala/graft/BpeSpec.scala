@@ -325,6 +325,14 @@ class BpeSpec extends SparkSpec {
         Map("<|pad|>" -> published(firstTok)))
     }
     assert(clashErr.getMessage.contains("collide"))
+
+    // two SPECIALS sharing an id pass both vocab checks (neither literal
+    // in vocab.json, no vocab id collision) yet corrupt decode — rejected
+    val dupSpecialErr = intercept[IllegalArgumentException] {
+      Bpe.loadPublished(spark, s"$dir/merges.txt", s"$dir/vocab.json",
+        Map("<|pad|>" -> 70001, "<|eos|>" -> 70001))
+    }
+    assert(dupSpecialErr.getMessage.contains("share id"))
   }
 
   test("packTokenIds materializes exact fixed-length sequences per shard") {
