@@ -91,6 +91,71 @@ object Ranks {
   }
 
   /**
+   * Distributed exact rank WITHIN groups — `row_number().over(
+   * Window.partitionBy(groups).orderBy(keys))` without the per-group
+   * window task, which is a wall whenever one group dominates (the CCNet
+   * giant-domain case: a group's whole population sorts in ONE task, and
+   * AQE cannot split window partitions). Same construction as
+   * [[globalRank]] with the group columns leading the range keys, plus:
+   * the per-(pid, group) counts stay a DATAFRAME (group-cardinality x
+   * partitions rows — never collected to the driver), offsets come from a
+   * prefix-sum window over that tiny frame (<= `partitions` rows per
+   * window partition, safe at any group cardinality), and the per-group
+   * total rides along as `totalCol` (what a closed-form ntile needs). The
+   * offset join-back carries an explicit broadcast hint — the offsets
+   * frame is group-cardinality-sized, tiny next to the data; at an
+   * extreme group cardinality where even that outgrows a broadcast, drop
+   * the hint and pay one more data exchange. The same
+   * materialize-before-reading-twice checkpoint guarantees offsets and
+   * consumers observe one range cut.
+   */
+  def groupedRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keys: Seq[Column],
+      rankCol: String,
+      totalCol: Option[String] = None,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(keys.nonEmpty, "need at least one sort key")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rangeKeys = groupCols.map(col) ++ keys
+    val ranged = df
+      .repartitionByRange(p, rangeKeys: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val w = Window
+      .partitionBy((col("__gr_pid") +: groupCols.map(col)): _*)
+      .orderBy(keys: _*)
+    val local = ranged
+      .withColumn("__gr_lr", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    val counts = local
+      .groupBy((col("__gr_pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("__gr_c"))
+    // a range partition holds one contiguous key slice, so within a group
+    // the pids appear in key order: the group-prefix sum over pid IS the
+    // rank offset
+    val wOff = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__gr_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val offs = counts
+      .withColumn("__gr_off", coalesce(sum(col("__gr_c")).over(wOff), lit(0L)))
+      .withColumn("__gr_tot", sum(col("__gr_c")).over(wTot))
+      .drop("__gr_c")
+    val joined = local
+      .join(broadcast(offs), "__gr_pid" +: groupCols)
+      .withColumn(rankCol, col("__gr_lr") + col("__gr_off"))
+    totalCol.fold(joined.drop("__gr_tot"))(t => joined.withColumnRenamed("__gr_tot", t))
+      .drop("__gr_pid", "__gr_lr", "__gr_off")
+  }
+
+  /**
    * Spark/DuckDB `ntile(buckets)` as a CLOSED FORM over a precomputed
    * global rank (both engines share the semantics: with `n` rows the first
    * `n % buckets` buckets hold one extra row). Pure column arithmetic —
@@ -110,6 +175,24 @@ object Ranks {
         .otherwise(lit(rem) + call_function("div", rank - 1 - cut, lit(q)) + 1)
         .cast("int")
     }
+  }
+
+  /**
+   * [[ntileFromRank]] with a PER-ROW total — the form a grouped cut needs
+   * (`n` = [[groupedRank]]'s `totalCol`, different per group). Lazy
+   * CaseWhen evaluation guards the `div` legs: the q-is-0 branch
+   * (more buckets than rows: rank IS the bucket) is decided first, so
+   * the integral divisions never see a zero divisor under ANSI.
+   */
+  def ntileFromRankCol(rank: Column, n: Column, buckets: Int): Column = {
+    require(buckets >= 1, "buckets must be positive")
+    val q = call_function("div", n, lit(buckets.toLong))
+    val rem = n % buckets
+    val cut = rem * (q + 1)
+    when(q === 0L, rank)
+      .when(rank <= cut, call_function("div", rank - 1, q + 1) + 1)
+      .otherwise(rem + call_function("div", rank - 1 - cut, q) + 1)
+      .cast("int")
   }
 
   /**

@@ -1285,12 +1285,16 @@ object Curate {
    * leading buckets on non-divisible counts) match DuckDB's.
    *
    * Scale shape: the LM score is [[graft.ops.TextOps.unigramNll]]'s
-   * vocabulary-cardinality aggregation; the cut itself is one
-   * domain-keyed exchange + an in-partition rank window. No global sort:
-   * ranking is per-domain, so a skewed giant domain bounds the partition
-   * — at 100 TB shard such a domain by a salt FIRST and bucket per
-   * (domain, salt) if one domain alone exceeds executor memory; the
-   * bucket populations stay equal within each salt.
+   * vocabulary-cardinality aggregation; the cut is
+   * [[graft.core.Ranks.groupedRank]]'s distributed per-domain rank (range
+   * exchange + pid-sliced local windows + a broadcast offsets/totals
+   * join) with the bucket label from
+   * [[graft.core.Ranks.ntileFromRankCol]]'s closed form over the
+   * per-domain total — NO domain-keyed window anywhere, so the
+   * boilerplate-web giant domain that dominates a real crawl never
+   * funnels into one task (a per-domain ntile window would put that
+   * domain's whole population in one unsplittable sort; AQE cannot split
+   * window partitions).
    */
   def ccnetBuckets(
       docs: DataFrame,
@@ -1300,7 +1304,7 @@ object Curate {
       sourceCol: String = "source"
   ): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
-    import org.apache.spark.sql.expressions.Window
+    import graft.core.Ranks
     val labels: Column = {
       val b = col("bucket")
       when(b === 1, lit("head"))
@@ -1309,11 +1313,11 @@ object Curate {
     }
     // asc_nulls_last: a null score must rank where DuckDB ranks it (ASC
     // defaults NULLS LAST there, NULLS FIRST here)
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("nll").asc_nulls_last, col(idCol).asc)
-    docs.select(col(idCol), col(sourceCol))
+    val joined = docs.select(col(idCol), col(sourceCol))
       .join(score.select(col(idCol), col("nll")), Seq(idCol))
-      .withColumn("bucket", ntile(buckets).over(w))
+    Ranks.groupedRank(joined, Seq(sourceCol),
+        Seq(col("nll").asc_nulls_last, col(idCol).asc), "__r", totalCol = Some("__n"))
+      .withColumn("bucket", Ranks.ntileFromRankCol(col("__r"), col("__n"), buckets))
       .select(col(idCol), col(sourceCol), col("nll"),
         col("bucket"), labels.as("band"))
   }

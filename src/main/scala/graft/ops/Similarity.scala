@@ -1871,11 +1871,17 @@ object Similarity {
    * Scale shape: k bounded driver-side iterations (k ≤ 512 enforced; the
    * chosen set is k×d doubles broadcast each pass). Every iteration is one
    * zero-shuffle mapPartitions argmax — partitions emit ONE candidate row
-   * each, the driver reduces numPartitions rows. Total work O(n·k²)
-   * because each pass rescans all chosen; for larger k, keep a running
-   * min-dist column (persist + localCheckpoint every ~32 iterations) to
-   * make it O(n·k) — the documented escape hatch, traded away here to
-   * keep the operator stateless between iterations.
+   * each, the driver reduces numPartitions rows. Total dot-product work is
+   * O(n·k²) because each pass rescans all chosen — a MEASURED trade, not
+   * an oversight: a running min-dist column (O(n·k) dots, state persisted
+   * per iteration, lineage cut every 32) was implemented and benchmarked
+   * SLOWER at the catalog scale (sf0.1, k = 16: ~1.5 s vs the rescan's
+   * 0.7-1.0 s steady-state in the same harness) because rewriting the
+   * vector-bearing state rows to the cache every iteration costs more
+   * than the saved dots. The crossover needs k >> 64 AND a compact zipped
+   * (id, dist)-only state kept apart from the static vector cache — the
+   * right design if the k ≤ 512 bound is ever lifted; below it, the
+   * stateless rescan wins.
    */
   def kCenterSelect(
       emb: DataFrame,

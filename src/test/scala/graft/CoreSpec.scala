@@ -184,6 +184,34 @@ class RanksSpec extends SparkSpec {
     assert(again.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap == got)
   }
 
+  test("groupedRank equals the per-group window row_number; totals exact") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups of very different sizes (the skew case), tie-heavy keys
+    val df = (1L to 90L).map { i =>
+      val g = if (i <= 60) "big" else if (i <= 80) "mid" else "sml"
+      (i, g, (i * 17 % 5).toDouble)
+    }.toDF("id", "g", "k").repartition(7)
+    val got = Ranks.groupedRank(df, Seq("g"),
+        Seq(col("k").asc_nulls_last, col("id").asc), "r", totalCol = Some("n"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("r"), r.getAs[Long]("n")))).toMap
+    val want = df.withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("k").asc_nulls_last, col("id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("r"), r.getAs[Long]("n")))).toMap
+    assert(got == want)
+    // ntileFromRankCol over the carried totals == per-group ntile window
+    val gotT = Ranks.groupedRank(df, Seq("g"),
+        Seq(col("k").asc_nulls_last, col("id").asc), "r", totalCol = Some("n"))
+      .withColumn("t", Ranks.ntileFromRankCol(col("r"), col("n"), 4))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+    val wantT = df.withColumn("t", ntile(4).over(
+        Window.partitionBy(col("g")).orderBy(col("k").asc_nulls_last, col("id").asc)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+    assert(gotT == wantT)
+  }
+
   test("ntileFromRank/ntileOffset match Spark's ntile for every bucket count") {
     import org.apache.spark.sql.expressions.Window
     val n = 40L

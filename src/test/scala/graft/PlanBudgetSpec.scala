@@ -310,9 +310,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_fertility" -> 3,
     // identical shape under the broadcast tokenizer kernel
     "text_bpe_fertility" -> 3,
-    // unigramNll's 4 (count agg, token join, reused-total, per-doc avg)
-    // + the docs join-back + the per-source rank window
-    "pipeline_ccnet_buckets" -> 6,
+    // FINAL stitched plan (the distributed per-domain rank runs behind
+    // Ranks.groupedRank's correctness checkpoint): the docs/score
+    // join-back sides; unigramNll's 4 and the rank's range+window
+    // exchanges are in the checkpointed jobs, and the offsets/totals
+    // frame rides its broadcast hint — NO domain-keyed window anywhere
+    "pipeline_ccnet_buckets" -> 2,
     // FINAL stitched plan only (the pipeline_semdedup precedent): the two
     // distributed global ranks (range exchange + pid-keyed local window
     // each, 4 exchanges of real work) run behind Ranks.globalRank's
