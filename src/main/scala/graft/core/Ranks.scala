@@ -116,6 +116,34 @@ object Ranks {
       rankCol: String,
       totalCol: Option[String] = None,
       partitions: Int = 0
+  ): DataFrame =
+    // rank = exclusive prefix COUNT + 1; the per-group total of lit(1L)
+    // is the group row count
+    groupedPrefixSum(df, groupCols, keys, lit(1L), rankCol, totalCol, partitions)
+      .withColumn(rankCol, col(rankCol) + 1L)
+
+  /**
+   * Distributed exclusive PREFIX SUM of `value` within groups —
+   * `sum(value).over(Window.partitionBy(groups).orderBy(keys)
+   * .rowsBetween(unboundedPreceding, -1))` without the per-group window
+   * task: the running-offset engine behind sequence packing and budget
+   * fills, where a dominant shard/source would otherwise sort its whole
+   * population in ONE task. Same two-phase construction as [[globalRank]]
+   * with group columns leading the range keys; per-(pid, group) value
+   * sums stay a DataFrame, offsets come from a prefix window over that
+   * tiny frame, and the per-group value total rides along as `totalCol`.
+   * ROWS-frame semantics: every physical row gets its own prefix (ties on
+   * the full key tuple are interchangeable, exactly like the single
+   * window). The checkpoint freezes the range cut for both reads.
+   */
+  def groupedPrefixSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keys: Seq[Column],
+      value: Column,
+      sumCol: String,
+      totalCol: Option[String] = None,
+      partitions: Int = 0
   ): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(keys.nonEmpty, "need at least one sort key")
@@ -126,20 +154,22 @@ object Ranks {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val rangeKeys = groupCols.map(col) ++ keys
     val ranged = df
+      .withColumn("__gr_v", value.cast("long"))
       .repartitionByRange(p, rangeKeys: _*)
       .withColumn("__gr_pid", spark_partition_id())
     val w = Window
       .partitionBy((col("__gr_pid") +: groupCols.map(col)): _*)
       .orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged
-      .withColumn("__gr_lr", row_number().over(w).cast("long"))
+      .withColumn("__gr_ps", coalesce(sum(col("__gr_v")).over(w), lit(0L)))
       .localCheckpoint()
     val counts = local
       .groupBy((col("__gr_pid") +: groupCols.map(col)): _*)
-      .agg(count(lit(1)).as("__gr_c"))
+      .agg(sum(col("__gr_v")).as("__gr_c"))
     // a range partition holds one contiguous key slice, so within a group
     // the pids appear in key order: the group-prefix sum over pid IS the
-    // rank offset
+    // offset of this partition's local prefixes
     val wOff = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__gr_pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -150,9 +180,9 @@ object Ranks {
       .drop("__gr_c")
     val joined = local
       .join(broadcast(offs), "__gr_pid" +: groupCols)
-      .withColumn(rankCol, col("__gr_lr") + col("__gr_off"))
+      .withColumn(sumCol, col("__gr_ps") + col("__gr_off"))
     totalCol.fold(joined.drop("__gr_tot"))(t => joined.withColumnRenamed("__gr_tot", t))
-      .drop("__gr_pid", "__gr_lr", "__gr_off")
+      .drop("__gr_pid", "__gr_ps", "__gr_off", "__gr_v")
   }
 
   /**

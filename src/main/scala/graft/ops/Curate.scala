@@ -520,22 +520,19 @@ object Curate {
     val n = tokenCountCol
       .map(c => col(c).cast("long"))
       .getOrElse(size(split(col(textCol), " ")).cast("long"))
-    // ROWS frame, not the default RANGE: under RANGE, duplicate (shard,
-    // id) rows would receive IDENTICAL cumulative sums and therefore
-    // overlapping stream positions (silent corruption). ROWS over the
-    // (id, n_tok) order gives every physical row its own prefix sum —
-    // duplicates pack consecutively; rows tying on both id and n_tok are
-    // interchangeable in the output multiset, so the result stays
-    // deterministic. The window partitions on the OUTPUT column names
-    // (no internal rename below it) so a downstream shard-keyed
-    // aggregate ([[packingEfficiency]]) reuses the exchange.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol), col("n_tok"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol), col(shardCol), n.as("n_tok"))
-      .select(col(idCol), col(shardCol), col("n_tok"),
-        coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_tok"))
+    // Running offsets via the DISTRIBUTED grouped prefix sum, not a
+    // shard-keyed window: a dominant shard/source (the web slice of any
+    // real mixture) would put its whole population in ONE window task —
+    // Ranks.groupedPrefixSum range-slices the shard across partitions and
+    // stitches local prefixes with broadcast offsets. ROWS semantics
+    // hold: every physical row gets its own prefix over the (id, n_tok)
+    // order, so duplicate (shard, id) rows still pack consecutively and
+    // never overlap stream positions; rows tying on both id and n_tok
+    // are interchangeable in the output multiset.
+    graft.core.Ranks.groupedPrefixSum(
+      docs.select(col(idCol), col(shardCol), n.as("n_tok")),
+      Seq(shardCol), Seq(col(idCol).asc, col("n_tok").asc),
+      col("n_tok"), "start_tok")
       .select(
         col(idCol),
         col(shardCol),
@@ -715,13 +712,15 @@ object Curate {
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val shard = (conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
       % numShards).cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
-    docs
-      .withColumn("__h", h)
-      .withColumn("shard", shard)
-      .withColumn("pos", row_number().over(w).cast("long") - 1)
-      .drop("__h")
+    // dense per-shard positions from the distributed grouped rank (a
+    // shard-keyed window would single-task each shard's whole population;
+    // with FEW shards — the whole point of file-sized shards — that is
+    // every row through numShards tasks)
+    graft.core.Ranks.groupedRank(
+      docs.withColumn("__h", h).withColumn("shard", shard),
+      Seq("shard"), Seq(col("__h").asc, col(idCol).asc), "__r")
+      .withColumn("pos", col("__r") - 1L)
+      .drop("__h", "__r")
   }
 
   /**
@@ -812,9 +811,6 @@ object Curate {
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val budget = budgets.toSeq.sortBy(_._1)
       .foldLeft(lit(Long.MaxValue): Column) { case (acc, (k, b)) =>
         when(col(sourceCol) === k, lit(b)).otherwise(acc)
@@ -826,10 +822,11 @@ object Curate {
     val n = tokenCountCol
       .map(c => col(c).cast("long"))
       .getOrElse(size(split(col(textCol), " ")).cast("long"))
-    docs
-      .withColumn("__h", h)
-      .withColumn("__n", n)
-      .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // running spend via the distributed grouped prefix sum — a
+    // source-keyed window would single-task the dominant source
+    graft.core.Ranks.groupedPrefixSum(
+      docs.withColumn("__h", h).withColumn("__n", n),
+      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), col("__n"), "__prior")
       .filter(col("__prior") < budget)
       .drop("__h", "__n", "__prior")
   }
@@ -882,19 +879,17 @@ object Curate {
   ): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
     val weight = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(1.0): Column) { case (acc, (k, v)) =>
         when(col(sourceCol) === k, lit(v)).otherwise(acc)
       }
-    docs
-      .withColumn("__h", h)
-      .withColumn("__w", weight)
-      .filter(col("__w") > 0.0)
-      .withColumn("pos_key",
-        (row_number().over(w).cast("double") - 0.5) / col("__w"))
-      .drop("__h", "__w")
+    // per-source rank via the distributed grouped rank — a source-keyed
+    // window would single-task the dominant source
+    graft.core.Ranks.groupedRank(
+      docs.withColumn("__h", h).withColumn("__w", weight).filter(col("__w") > 0.0),
+      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), "__r")
+      .withColumn("pos_key", (col("__r").cast("double") - 0.5) / col("__w"))
+      .drop("__h", "__w", "__r")
   }
 
   def chunk(
@@ -990,20 +985,19 @@ object Curate {
         }
       }
       .toDF("__id", "__shard", "__ids")
-    // ROWS frame with a content tiebreak, not the default RANGE: RANGE
-    // hands duplicate (shard, id) rows the same cumulative sum, producing
-    // overlapping slices and sequences with n_tokens > seqLen after the
-    // flatten. ROWS gives each physical row its own prefix; ordering ties
-    // by (n, hash(ids)) so two docs sharing an id still place
-    // deterministically (rows tying on all three carry identical id
-    // streams, so either order yields the same packed stream).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard"))
-      .orderBy(col("__id"), col("__n"), hash(col("__ids")))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val slices = enc
-      .withColumn("__n", size(col("__ids")).cast("long"))
-      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // Distributed grouped prefix sum, not a shard-keyed window (the
+    // dominant-shard wall), with ROWS semantics and a content tiebreak:
+    // each physical row gets its own prefix over (id, n, hash(ids)), so
+    // duplicate (shard, id) rows never produce overlapping slices or
+    // sequences with n_tokens > seqLen after the flatten (rows tying on
+    // all three carry identical id streams — either order yields the
+    // same packed stream).
+    val slices = graft.core.Ranks.groupedPrefixSum(
+      enc.withColumn("__n", size(col("__ids")).cast("long")),
+      Seq("__shard"),
+      Seq(col("__id").asc, col("__n").asc, hash(col("__ids")).asc),
+      col("__n"), "__start")
+      .select(col("__id"), col("__shard"), col("__ids"), col("__n"), col("__start"))
       .as[(Long, String, Array[Int], Long, Long)]
       .flatMap { case (_, shard, ids, _, start) =>
         // cut the doc's ids at seqLen boundaries of the shard stream
@@ -1045,17 +1039,15 @@ object Curate {
       textCol: String = "text"
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    // same ROWS-frame + content-tiebreak contract as [[packTokenIds]]:
-    // duplicate (shard, id) rows must not share a stream position
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard"))
-      .orderBy(col("__id"), size(col("__toks")), hash(col("__toks")))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol).as("__id"), col(shardCol).as("__shard"),
-        split(col(textCol), " ").as("__toks"))
-      .select(col("__shard"), col("__toks"),
-        coalesce(sum(size(col("__toks")).cast("long")).over(w), lit(0L)).as("__start"))
+    // same distributed-prefix + content-tiebreak contract as
+    // [[packTokenIds]]: duplicate (shard, id) rows must not share a
+    // stream position, and no shard-keyed window anywhere
+    graft.core.Ranks.groupedPrefixSum(
+      docs.select(col(idCol).as("__id"), col(shardCol).as("__shard"),
+        split(col(textCol), " ").as("__toks")),
+      Seq("__shard"),
+      Seq(col("__id").asc, size(col("__toks")).asc, hash(col("__toks")).asc),
+      size(col("__toks")).cast("long"), "__start")
       .select(col("__shard").as("shard"), col("__start"),
         posexplode(col("__toks")).as(Seq("__idx", "tok")))
       .select(col("shard"),
@@ -1139,8 +1131,13 @@ object Curate {
    * `weight` must be strictly positive where sampled; temperature -> 0
    * degrades to per-stratum top-n by weight, large T -> uniform.
    *
-   * Scale shape: one projection for the key + one stratum-keyed rank
-   * window — a single exchange; no per-stratum collect, no RNG state.
+   * Scale shape: the [[perSourceCap]] bounded-heap prune — each partition
+   * keeps its own top-nPer per stratum in a tight kernel (zero shuffle),
+   * so the exact rank window that follows sees at most
+   * nPer × partitions candidate rows, never the corpus (a stratum-keyed
+   * window over the raw corpus would single-task the dominant stratum).
+   * Any row outside its partition's per-stratum top-nPer cannot be in the
+   * global top-nPer, so the prune is lossless.
    */
   def weightedStratifiedSample(
       docs: DataFrame,
@@ -1152,13 +1149,44 @@ object Curate {
   ): DataFrame = {
     require(nPer > 0, "nPer must be positive")
     require(temperature > 0, "temperature must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val key = gumbelKey(idCol, log(weight), temperature)
-    val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol).asc)
-    docs
+    // log(weight) is null at weight 0 (Spark's Log) and the window sorted
+    // desc NULLS LAST — coalescing the key to -inf preserves that exact
+    // placement through the kernel (a genuine -inf key cannot occur)
+    val key = coalesce(gumbelKey(idCol, log(weight), temperature),
+      lit(Double.NegativeInfinity))
+    val cap = nPer
+    val cands = docs
+      .select(col(strataCol).cast("string").as("__s"), key.as("__key"),
+        col(idCol).cast("long").as("__id"))
+      .as[(String, Double, Long)]
+      .mapPartitions { it =>
+        // (key desc, id asc) best-first; heap head = current worst
+        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+          case (k, id) => (k, -id)
+        }
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (s, k, id) =>
+          val h = heaps.getOrElseUpdate(s,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst.reverse))
+          if (h.size < cap) h.enqueue((k, id))
+          else if (worstFirst.reverse.lt((k, id), h.head)) {
+            h.dequeue(); h.enqueue((k, id))
+          }
+        }
+        heaps.iterator.flatMap { case (s, h) =>
+          h.iterator.map { case (k, id) => (s, k, id) }
+        }
+      }
+      .toDF("__s", "__key", "__id")
+    val w = Window.partitionBy(col("__s")).orderBy(col("__key").desc, col("__id").asc)
+    cands
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= nPer)
-      .select(col(idCol), col(strataCol))
+      .select(col("__id").as(idCol), col("__s").as(strataCol))
   }
 
   /**

@@ -80,7 +80,13 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_gopher" -> 0, // partition-local kernel, pure scan
     "text_top_ngrams" -> 1, // df aggregate; the top-k cut is TakeOrdered, not a sort
     "pipeline_mix" -> 0, // weight projection + copy explode, no exchange
-    "pipeline_pack" -> 1, // shard-partitioned running-offset window
+    // FINAL stitched plan: the corpus-sized range+window exchanges run
+    // behind Ranks.groupedPrefixSum's correctness checkpoint; the two
+    // visible exchanges carry the (shard x partition)-cardinality offsets
+    // frame only (counts agg + its prefix window) — corpus bytes never
+    // re-shuffle, and no shard-keyed window can single-task a dominant
+    // shard anymore
+    "pipeline_pack" -> 2,
     "text_pii_redact" -> 0, // regexp projection, pure scan
     // window kernel (no shuffle) + gram df agg + shared join-back + per-doc
     // agg + counts join
@@ -140,15 +146,16 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "corpus_profile" -> 7,
     // token-window explode is a pure generator over the scan
     "pipeline_chunk" -> 0,
-    // the terasort floor for a global shuffle: ONE exchange hashed on
-    // shard, positions from a sort + row_number inside each shard
-    "pipeline_shuffle" -> 1,
-    // one exchange on source; the running token sum is a within-partition
-    // window (the packSequences shape)
-    "pipeline_token_budget" -> 1,
-    // one exchange on source for the rank window; the stride key is a
-    // projection
-    "pipeline_interleave" -> 1,
+    // positions from the distributed grouped rank (no per-shard window
+    // task): visible exchanges are the tiny offsets frame's agg + prefix
+    // window; the range exchange runs behind the checkpoint
+    "pipeline_shuffle" -> 2,
+    // running spend via groupedPrefixSum (offsets-frame exchanges only,
+    // the packSequences shape)
+    "pipeline_token_budget" -> 2,
+    // per-source rank via groupedRank (offsets-frame exchanges only);
+    // the stride key is a projection
+    "pipeline_interleave" -> 2,
     // candidate window (cap x partitions rows) + the two sides of the
     // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
     // the corpus-cardinality prune itself is a zero-shuffle kernel
@@ -212,18 +219,17 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // map-side combinable and the join AQE-skew-splittable. Corpus text
     // still crosses the wire exactly twice (the documented floor)
     "dedup_paragraphs" -> 3,
-    // the pack window's shard exchange; the per-shard aggregate reuses
-    // that partitioning
-    "pipeline_pack_report" -> 1,
+    // the pack offsets-frame exchanges + the per-shard report aggregate
+    "pipeline_pack_report" -> 3,
     // piece-window kernel, chunk fan-out stays in the producing partition
     "pipeline_chunk_bpe" -> 0,
-    // docs + count-kernel sides of the unhinted join (distinct frames, no
-    // ReusedExchange) + the per-source budget window
-    "pipeline_token_budget_bpe" -> 3,
+    // docs + count-kernel sides of the unhinted join land behind the
+    // grouped-prefix checkpoint; visible: the offsets-frame exchanges
+    "pipeline_token_budget_bpe" -> 2,
     // same shapes as their whitespace twins — the count column is a
     // projection swap, not a plan change
-    "pipeline_token_budget_col" -> 1,
-    "pipeline_pack_col" -> 1,
+    "pipeline_token_budget_col" -> 2,
+    "pipeline_pack_col" -> 2,
     // partition-pruned cells scan + broadcast-query score kernel (no
     // shuffle) + the per-query top-k rank window
     "sim_ann_ivf_idx" -> 1,
@@ -254,7 +260,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
     "pipeline_dsir_weights" -> 6,
-    // one stratum-keyed rank window over a key projection
+    // bounded-heap kernel prune (zero shuffle) + ONE exchange for the
+    // exact rank window over <= nPer x partitions candidate rows — the
+    // stratum window never sees the corpus
     "pipeline_weighted_sample" -> 1,
     // the dsir front half without the corpus join-back: two count aggs +
     // the vocab full-outer join + the scalar divergence reduce
@@ -268,11 +276,14 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "sim_ann_pq" -> 2,
     // same tail as sim_ann_pq over the partition-pruned cells scan
     "sim_ann_pq_idx" -> 2,
-    // shard-offset window + the (shard, seq) slice assembly — documents
-    // never explode to per-token rows, slices carry the ids
-    "pipeline_pack_ids" -> 2,
-    // placement arithmetic is a projection over the offset window
-    "pipeline_pack_tokens" -> 1,
+    // offsets-frame exchanges + the (shard, seq) slice assembly —
+    // documents never explode to per-token rows, slices carry the ids,
+    // and the shard stream offsets come from the checkpointed grouped
+    // prefix sum
+    "pipeline_pack_ids" -> 3,
+    // placement arithmetic is a projection over the checkpointed grouped
+    // prefix sum; visible: the offsets-frame exchanges
+    "pipeline_pack_tokens" -> 2,
     // broadcast-eval contamination kernel (0 exchanges) + the distinct
     // on the tiny contaminated-id set; the anti join's id side reuses
     // that grouping and the corpus side is the scan
