@@ -115,11 +115,13 @@ object Ranks {
       keys: Seq[Column],
       rankCol: String,
       totalCol: Option[String] = None,
-      partitions: Int = 0
+      partitions: Int = 0,
+      broadcastOffsets: Boolean = true
   ): DataFrame =
     // rank = exclusive prefix COUNT + 1; the per-group total of lit(1L)
     // is the group row count
-    groupedPrefixSum(df, groupCols, keys, lit(1L), rankCol, totalCol, partitions)
+    groupedPrefixSum(df, groupCols, keys, lit(1L), rankCol, totalCol,
+      partitions, broadcastOffsets)
       .withColumn(rankCol, col(rankCol) + 1L)
 
   /**
@@ -143,7 +145,13 @@ object Ranks {
       value: Column,
       sumCol: String,
       totalCol: Option[String] = None,
-      partitions: Int = 0
+      partitions: Int = 0,
+      // the offsets frame is (group-cardinality x partitions) rows — tiny
+      // for shard/source groups; set false at extreme group cardinality
+      // (millions of groups) where even that outgrows a broadcast and one
+      // more data exchange is the right price (the scaladoc hatch, as a
+      // real parameter)
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(keys.nonEmpty, "need at least one sort key")
@@ -174,15 +182,27 @@ object Ranks {
       .orderBy(col("__gr_pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(groupCols.map(col): _*)
-    val offs = counts
+    // null-SAFE join-back: a null group value is a regular group (exactly
+    // like Window.partitionBy treats it) — Seq-keyed equi-joins would
+    // silently DROP null-group rows, so the condition uses <=> on every
+    // group column (pid is never null; === keeps it codegen-simple)
+    val offs0 = counts
       .withColumn("__gr_off", coalesce(sum(col("__gr_c")).over(wOff), lit(0L)))
       .withColumn("__gr_tot", sum(col("__gr_c")).over(wTot))
       .drop("__gr_c")
+      .withColumnRenamed("__gr_pid", "__gr_pid2")
+    val offs = groupCols.zipWithIndex.foldLeft(offs0) { case (f, (g, i)) =>
+      f.withColumnRenamed(g, s"__gr_g$i")
+    }
+    val cond = groupCols.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"__gr_g$i") }
+      .foldLeft(col("__gr_pid") === col("__gr_pid2"))(_ && _)
     val joined = local
-      .join(broadcast(offs), "__gr_pid" +: groupCols)
+      .join(if (broadcastOffsets) broadcast(offs) else offs, cond)
       .withColumn(sumCol, col("__gr_ps") + col("__gr_off"))
+      .drop(groupCols.indices.map(i => s"__gr_g$i"): _*)
     totalCol.fold(joined.drop("__gr_tot"))(t => joined.withColumnRenamed("__gr_tot", t))
-      .drop("__gr_pid", "__gr_ps", "__gr_off", "__gr_v")
+      .drop("__gr_pid", "__gr_pid2", "__gr_ps", "__gr_off", "__gr_v")
   }
 
   /**

@@ -715,12 +715,14 @@ object Curate {
     // dense per-shard positions from the distributed grouped rank (a
     // shard-keyed window would single-task each shard's whole population;
     // with FEW shards — the whole point of file-sized shards — that is
-    // every row through numShards tasks)
-    graft.core.Ranks.groupedRank(
-      docs.withColumn("__h", h).withColumn("shard", shard),
+    // every row through numShards tasks); positions computed on the
+    // key-sized (id, hash, shard) projection and joined back by id, so
+    // text never rides the two-phase checkpoint
+    val positions = graft.core.Ranks.groupedRank(
+      docs.select(col(idCol)).withColumn("__h", h).withColumn("shard", shard),
       Seq("shard"), Seq(col("__h").asc, col(idCol).asc), "__r")
-      .withColumn("pos", col("__r") - 1L)
-      .drop("__h", "__r")
+      .select(col(idCol), col("shard"), (col("__r") - 1L).as("pos"))
+    docs.join(positions, Seq(idCol))
   }
 
   /**
@@ -823,12 +825,17 @@ object Curate {
       .map(c => col(c).cast("long"))
       .getOrElse(size(split(col(textCol), " ")).cast("long"))
     // running spend via the distributed grouped prefix sum — a
-    // source-keyed window would single-task the dominant source
-    graft.core.Ranks.groupedPrefixSum(
-      docs.withColumn("__h", h).withColumn("__n", n),
+    // source-keyed window would single-task the dominant source. The
+    // two-phase pass (and its checkpoint) sees only the KEY-SIZED
+    // (id, source, hash, count) projection, never text bytes; the kept
+    // ids semi-join back into the corpus (id-keyed, AQE-broadcastable
+    // when the kept set is small)
+    val keep = graft.core.Ranks.groupedPrefixSum(
+      docs.select(col(idCol), col(sourceCol), h.as("__h"), n.as("__n")),
       Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), col("__n"), "__prior")
       .filter(col("__prior") < budget)
-      .drop("__h", "__n", "__prior")
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /**
@@ -884,12 +891,16 @@ object Curate {
         when(col(sourceCol) === k, lit(v)).otherwise(acc)
       }
     // per-source rank via the distributed grouped rank — a source-keyed
-    // window would single-task the dominant source
-    graft.core.Ranks.groupedRank(
-      docs.withColumn("__h", h).withColumn("__w", weight).filter(col("__w") > 0.0),
+    // window would single-task the dominant source; ranked on the
+    // key-sized (id, source, hash) projection (no text through the
+    // checkpoint), keys join back by id
+    val keyed = graft.core.Ranks.groupedRank(
+      docs.select(col(idCol), col(sourceCol), h.as("__h"), weight.as("__w"))
+        .filter(col("__w") > 0.0),
       Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), "__r")
-      .withColumn("pos_key", (col("__r").cast("double") - 0.5) / col("__w"))
-      .drop("__h", "__w", "__r")
+      .select(col(idCol),
+        ((col("__r").cast("double") - 0.5) / col("__w")).as("pos_key"))
+    docs.join(keyed, Seq(idCol))
   }
 
   def chunk(
@@ -1131,13 +1142,12 @@ object Curate {
    * `weight` must be strictly positive where sampled; temperature -> 0
    * degrades to per-stratum top-n by weight, large T -> uniform.
    *
-   * Scale shape: the [[perSourceCap]] bounded-heap prune — each partition
-   * keeps its own top-nPer per stratum in a tight kernel (zero shuffle),
-   * so the exact rank window that follows sees at most
-   * nPer × partitions candidate rows, never the corpus (a stratum-keyed
-   * window over the raw corpus would single-task the dominant stratum).
-   * Any row outside its partition's per-stratum top-nPer cannot be in the
-   * global top-nPer, so the prune is lossless.
+   * Scale shape: per-stratum ranks via [[graft.core.Ranks.groupedRank]]
+   * over the key-sized (id, stratum, gumbel-key) projection — no
+   * stratum-keyed window (the dominant stratum would single-task), no
+   * text bytes through the rank, original column types preserved. A null
+   * gumbel key (weight 0 under Spark's null-returning log) sorts last
+   * under the same desc NULLS LAST placement the window form used.
    */
   def weightedStratifiedSample(
       docs: DataFrame,
@@ -1149,44 +1159,12 @@ object Curate {
   ): DataFrame = {
     require(nPer > 0, "nPer must be positive")
     require(temperature > 0, "temperature must be positive")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // log(weight) is null at weight 0 (Spark's Log) and the window sorted
-    // desc NULLS LAST — coalescing the key to -inf preserves that exact
-    // placement through the kernel (a genuine -inf key cannot occur)
-    val key = coalesce(gumbelKey(idCol, log(weight), temperature),
-      lit(Double.NegativeInfinity))
-    val cap = nPer
-    val cands = docs
-      .select(col(strataCol).cast("string").as("__s"), key.as("__key"),
-        col(idCol).cast("long").as("__id"))
-      .as[(String, Double, Long)]
-      .mapPartitions { it =>
-        // (key desc, id asc) best-first; heap head = current worst
-        val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-          case (k, id) => (k, -id)
-        }
-        val heaps = scala.collection.mutable.Map
-          .empty[String, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (s, k, id) =>
-          val h = heaps.getOrElseUpdate(s,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst.reverse))
-          if (h.size < cap) h.enqueue((k, id))
-          else if (worstFirst.reverse.lt((k, id), h.head)) {
-            h.dequeue(); h.enqueue((k, id))
-          }
-        }
-        heaps.iterator.flatMap { case (s, h) =>
-          h.iterator.map { case (k, id) => (s, k, id) }
-        }
-      }
-      .toDF("__s", "__key", "__id")
-    val w = Window.partitionBy(col("__s")).orderBy(col("__key").desc, col("__id").asc)
-    cands
-      .withColumn("__rk", row_number().over(w))
+    val key = gumbelKey(idCol, log(weight), temperature)
+    graft.core.Ranks.groupedRank(
+      docs.select(col(idCol), col(strataCol), key.as("__key")),
+      Seq(strataCol), Seq(col("__key").desc, col(idCol).asc), "__rk")
       .filter(col("__rk") <= nPer)
-      .select(col("__id").as(idCol), col("__s").as(strataCol))
+      .select(col(idCol), col(strataCol))
   }
 
   /**

@@ -186,9 +186,13 @@ class RanksSpec extends SparkSpec {
 
   test("groupedRank equals the per-group window row_number; totals exact") {
     import org.apache.spark.sql.expressions.Window
-    // 3 groups of very different sizes (the skew case), tie-heavy keys
+    // 3 groups of very different sizes (the skew case) PLUS a null group
+    // (Window.partitionBy treats null as a regular partition — a
+    // null-unsafe offsets join would silently drop those rows), tie-heavy
+    // keys
     val df = (1L to 90L).map { i =>
-      val g = if (i <= 60) "big" else if (i <= 80) "mid" else "sml"
+      val g = if (i <= 60) "big" else if (i <= 75) "mid"
+              else if (i <= 83) "sml" else null
       (i, g, (i * 17 % 5).toDouble)
     }.toDF("id", "g", "k").repartition(7)
     val got = Ranks.groupedRank(df, Seq("g"),

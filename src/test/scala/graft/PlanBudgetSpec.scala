@@ -146,16 +146,18 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "corpus_profile" -> 7,
     // token-window explode is a pure generator over the scan
     "pipeline_chunk" -> 0,
-    // positions from the distributed grouped rank (no per-shard window
-    // task): visible exchanges are the tiny offsets frame's agg + prefix
-    // window; the range exchange runs behind the checkpoint
-    "pipeline_shuffle" -> 2,
-    // running spend via groupedPrefixSum (offsets-frame exchanges only,
-    // the packSequences shape)
-    "pipeline_token_budget" -> 2,
-    // per-source rank via groupedRank (offsets-frame exchanges only);
-    // the stride key is a projection
-    "pipeline_interleave" -> 2,
+    // positions from the distributed grouped rank over the KEY-SIZED
+    // (id, hash, shard) projection (no per-shard window task, no text
+    // through the checkpoint): offsets-frame exchanges + the two sides of
+    // the unhinted id join-back — text crosses the wire once, as before
+    "pipeline_shuffle" -> 4,
+    // running spend via groupedPrefixSum over the key-sized projection +
+    // the two sides of the unhinted kept-ids semi-join back into the
+    // corpus (AQE broadcasts the kept side when budgets bite)
+    "pipeline_token_budget" -> 4,
+    // per-source rank via groupedRank over the key-sized projection +
+    // the two sides of the unhinted id join-back for the stride keys
+    "pipeline_interleave" -> 4,
     // candidate window (cap x partitions rows) + the two sides of the
     // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
     // the corpus-cardinality prune itself is a zero-shuffle kernel
@@ -223,12 +225,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "pipeline_pack_report" -> 3,
     // piece-window kernel, chunk fan-out stays in the producing partition
     "pipeline_chunk_bpe" -> 0,
-    // docs + count-kernel sides of the unhinted join land behind the
-    // grouped-prefix checkpoint; visible: the offsets-frame exchanges
-    "pipeline_token_budget_bpe" -> 2,
+    // the whitespace twin's 4 + the count-kernel join side (the BPE
+    // counts frame joins into the key-sized projection pre-checkpoint)
+    "pipeline_token_budget_bpe" -> 5,
     // same shapes as their whitespace twins — the count column is a
     // projection swap, not a plan change
-    "pipeline_token_budget_col" -> 2,
+    "pipeline_token_budget_col" -> 4,
     "pipeline_pack_col" -> 2,
     // partition-pruned cells scan + broadcast-query score kernel (no
     // shuffle) + the per-query top-k rank window
@@ -260,10 +262,9 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
     "pipeline_dsir_weights" -> 6,
-    // bounded-heap kernel prune (zero shuffle) + ONE exchange for the
-    // exact rank window over <= nPer x partitions candidate rows — the
-    // stratum window never sees the corpus
-    "pipeline_weighted_sample" -> 1,
+    // per-stratum ranks via groupedRank over the key-sized projection:
+    // the visible exchanges carry the offsets frame only
+    "pipeline_weighted_sample" -> 2,
     // the dsir front half without the corpus join-back: two count aggs +
     // the vocab full-outer join + the scalar divergence reduce
     "pipeline_vocab_drift" -> 4,
