@@ -695,12 +695,13 @@ object Curate {
    * adding documents never reorders existing shards' relative order
    * (existing docs keep their hash rank).
    *
-   * Scale shape: the terasort plan, which is the floor for any global
-   * shuffle — ONE exchange hash-partitioned on `shard` (md5 avalanche
-   * keeps shards balanced within sampling noise, no skew handling needed),
-   * then a sort + running row_number inside each shard. Nothing is
-   * collected; shard count is the only knob (size it so a shard fits an
-   * output file target, e.g. corpus_bytes / 1 GB).
+   * Scale shape: positions come from [[graft.core.Ranks.groupedRank]]'s
+   * two-phase distributed rank (range exchange + pid-sliced local windows
+   * + broadcast offsets), NOT a shard-keyed window — shards are FEW by
+   * design (sized to output files), so a per-shard window would push the
+   * whole corpus through numShards tasks. Nothing is collected; shard
+   * count is the only knob (size it so a shard fits an output file
+   * target, e.g. corpus_bytes / 1 GB).
    */
   def shuffleShards(
       docs: DataFrame,
@@ -715,14 +716,16 @@ object Curate {
     // dense per-shard positions from the distributed grouped rank (a
     // shard-keyed window would single-task each shard's whole population;
     // with FEW shards — the whole point of file-sized shards — that is
-    // every row through numShards tasks); positions computed on the
-    // key-sized (id, hash, shard) projection and joined back by id, so
-    // text never rides the two-phase checkpoint
-    val positions = graft.core.Ranks.groupedRank(
-      docs.select(col(idCol)).withColumn("__h", h).withColumn("shard", shard),
+    // every row through numShards tasks). In place over the full rows:
+    // a join-back-by-id variant would fan out duplicate ids (every
+    // physical row must get its own dense position — the pack-family
+    // contract) and drop null ids; the checkpoint carrying row payloads
+    // is the documented trade (see tokenBudgetSample)
+    graft.core.Ranks.groupedRank(
+      docs.withColumn("__h", h).withColumn("shard", shard),
       Seq("shard"), Seq(col("__h").asc, col(idCol).asc), "__r")
-      .select(col(idCol), col("shard"), (col("__r") - 1L).as("pos"))
-    docs.join(positions, Seq(idCol))
+      .withColumn("pos", col("__r") - 1L)
+      .drop("__h", "__r")
   }
 
   /**
@@ -797,10 +800,10 @@ object Curate {
    * documents, re-running reproduces the same sample, and the overshoot
    * is at most one document. Sources without a budget keep everything.
    *
-   * Scale shape: one exchange on source; the running token sum is a
-   * within-partition window (the same sequential-per-group shape as
-   * [[packSequences]] — a pathologically large single source serializes
-   * only its own partition's scan).
+   * Scale shape: the running token sum is
+   * [[graft.core.Ranks.groupedPrefixSum]]'s two-phase distributed prefix
+   * (the [[packSequences]] shape) — a source-keyed window would serialize
+   * a pathologically large single source through one task.
    */
   def tokenBudgetSample(
       docs: DataFrame,
@@ -824,18 +827,19 @@ object Curate {
     val n = tokenCountCol
       .map(c => col(c).cast("long"))
       .getOrElse(size(split(col(textCol), " ")).cast("long"))
-    // running spend via the distributed grouped prefix sum — a
+    // Running spend via the distributed grouped prefix sum — a
     // source-keyed window would single-task the dominant source. The
-    // two-phase pass (and its checkpoint) sees only the KEY-SIZED
-    // (id, source, hash, count) projection, never text bytes; the kept
-    // ids semi-join back into the corpus (id-keyed, AQE-broadcastable
-    // when the kept set is small)
-    val keep = graft.core.Ranks.groupedPrefixSum(
-      docs.select(col(idCol), col(sourceCol), h.as("__h"), n.as("__n")),
+    // two-phase pass runs IN PLACE over the full rows (null or duplicate
+    // ids behave exactly like the window form — a prune-to-keys +
+    // join-back-by-id variant would silently drop null ids and fan out
+    // duplicates); the price is that the correctness checkpoint
+    // materializes row payloads — a caller with UNIQUE non-null ids at
+    // extreme scale can pre-project and semi-join back itself.
+    graft.core.Ranks.groupedPrefixSum(
+      docs.withColumn("__h", h).withColumn("__n", n),
       Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), col("__n"), "__prior")
       .filter(col("__prior") < budget)
-      .select(col(idCol))
-    docs.join(keep, Seq(idCol), "left_semi")
+      .drop("__h", "__n", "__prior")
   }
 
   /**
@@ -872,10 +876,11 @@ object Curate {
    * reproducible across runs. Sources with weight 0 drop; unlisted
    * sources default to weight 1.
    *
-   * Scale shape: one exchange on source for the per-source rank window;
-   * the key is a projection. The global order itself is realized by
-   * whatever consumes it (a sort-on-write ranges-partitions at scale —
-   * the same economics as [[shuffleShards]]' terasort floor).
+   * Scale shape: the per-source rank is
+   * [[graft.core.Ranks.groupedRank]]'s two-phase distributed rank (no
+   * source-keyed window to single-task a dominant source); the stride key
+   * is a projection. The global order itself is realized by whatever
+   * consumes it (a sort-on-write range-partitions at scale).
    */
   def interleave(
       docs: DataFrame,
@@ -891,16 +896,15 @@ object Curate {
         when(col(sourceCol) === k, lit(v)).otherwise(acc)
       }
     // per-source rank via the distributed grouped rank — a source-keyed
-    // window would single-task the dominant source; ranked on the
-    // key-sized (id, source, hash) projection (no text through the
-    // checkpoint), keys join back by id
-    val keyed = graft.core.Ranks.groupedRank(
-      docs.select(col(idCol), col(sourceCol), h.as("__h"), weight.as("__w"))
-        .filter(col("__w") > 0.0),
+    // window would single-task the dominant source. In place over the
+    // full rows (null/duplicate ids keep window-form semantics; the
+    // checkpoint carries row payloads — the documented trade, see
+    // tokenBudgetSample)
+    graft.core.Ranks.groupedRank(
+      docs.withColumn("__h", h).withColumn("__w", weight).filter(col("__w") > 0.0),
       Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), "__r")
-      .select(col(idCol),
-        ((col("__r").cast("double") - 0.5) / col("__w")).as("pos_key"))
-    docs.join(keyed, Seq(idCol))
+      .withColumn("pos_key", (col("__r").cast("double") - 0.5) / col("__w"))
+      .drop("__h", "__w", "__r")
   }
 
   def chunk(
@@ -1147,7 +1151,12 @@ object Curate {
    * stratum-keyed window (the dominant stratum would single-task), no
    * text bytes through the rank, original column types preserved. A null
    * gumbel key (weight 0 under Spark's null-returning log) sorts last
-   * under the same desc NULLS LAST placement the window form used.
+   * under the same desc NULLS LAST placement the window form used. The
+   * key projection (tens of bytes/row) range-exchanges once; a
+   * zero-shuffle per-partition bounded-heap prune would beat that at
+   * extreme corpus cardinality but requires type-erasing the id column
+   * into the kernel (the previous long-cast crashed string ids) — the
+   * typed, null-safe shape is the deliberate choice at this bound.
    */
   def weightedStratifiedSample(
       docs: DataFrame,

@@ -146,18 +146,16 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "corpus_profile" -> 7,
     // token-window explode is a pure generator over the scan
     "pipeline_chunk" -> 0,
-    // positions from the distributed grouped rank over the KEY-SIZED
-    // (id, hash, shard) projection (no per-shard window task, no text
-    // through the checkpoint): offsets-frame exchanges + the two sides of
-    // the unhinted id join-back — text crosses the wire once, as before
-    "pipeline_shuffle" -> 4,
-    // running spend via groupedPrefixSum over the key-sized projection +
-    // the two sides of the unhinted kept-ids semi-join back into the
-    // corpus (AQE broadcasts the kept side when budgets bite)
-    "pipeline_token_budget" -> 4,
-    // per-source rank via groupedRank over the key-sized projection +
-    // the two sides of the unhinted id join-back for the stride keys
-    "pipeline_interleave" -> 4,
+    // positions from the distributed grouped rank IN PLACE (no per-shard
+    // window task; duplicate/null ids keep window semantics): the visible
+    // exchanges carry the tiny offsets frame only
+    "pipeline_shuffle" -> 2,
+    // running spend via groupedPrefixSum in place (the packSequences
+    // shape): offsets-frame exchanges only
+    "pipeline_token_budget" -> 2,
+    // per-source rank via groupedRank in place; the stride key is a
+    // projection — offsets-frame exchanges only
+    "pipeline_interleave" -> 2,
     // candidate window (cap x partitions rows) + the two sides of the
     // unhinted corpus semi-join (with broadcasts on, AQE collapses it);
     // the corpus-cardinality prune itself is a zero-shuffle kernel
@@ -225,12 +223,12 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "pipeline_pack_report" -> 3,
     // piece-window kernel, chunk fan-out stays in the producing partition
     "pipeline_chunk_bpe" -> 0,
-    // the whitespace twin's 4 + the count-kernel join side (the BPE
-    // counts frame joins into the key-sized projection pre-checkpoint)
-    "pipeline_token_budget_bpe" -> 5,
+    // the whitespace twin's 2 — the count-kernel join lands behind the
+    // grouped-prefix checkpoint
+    "pipeline_token_budget_bpe" -> 2,
     // same shapes as their whitespace twins — the count column is a
     // projection swap, not a plan change
-    "pipeline_token_budget_col" -> 4,
+    "pipeline_token_budget_col" -> 2,
     "pipeline_pack_col" -> 2,
     // partition-pruned cells scan + broadcast-query score kernel (no
     // shuffle) + the per-query top-k rank window
