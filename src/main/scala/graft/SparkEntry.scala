@@ -731,8 +731,15 @@ object SparkEntry {
       "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), maxHamming = 3)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), n = 3, threshold = 0.3)),
       // asymmetric containment |AnB|/|A|: catches short-doc-quoted-by-long
-      // pairs whose jaccard is near zero (LSH structurally misses them)
-      "dedup_containment" -> ((s, d) => Dedup.ngramContainment(docs(s, d), n = 3, threshold = 0.5)),
+      // pairs whose jaccard is near zero (LSH structurally misses them).
+      // maxGramDf = 0.4% of the corpus exercises the boilerplate-gram
+      // ceiling at BOTH gate scales (max df is 7/500 docs at sf0.01 and
+      // 25/5000 at sf0.1, so an absolute cap can trip at only one scale):
+      // grams above the ceiling are dropped before the self-join and the
+      // dropped_a/dropped_b + exact columns carry the lower-bound
+      // annotation end to end through the oracle
+      "dedup_containment" -> ((s, d) =>
+        Dedup.ngramContainment(docs(s, d), n = 3, threshold = 0.5, maxGramDf = 0.004)),
       "dedup_clusters" -> ((s, d) => {
         val dd = docs(s, d)
         val cc = Dedup.connectedComponents(Dedup.minhashLsh(dd, threshold = 0.5))
@@ -1189,16 +1196,25 @@ object SparkEntry {
       // so the row pins NON-empty pairs — every (doc, variant) pair
       // shares all whole 64-char frames and differs in the extended last
       // one, exactly the trim/concat case the operator exists for (and
-      // the vacuous-green trap the phash row fell into is closed)
+      // the vacuous-green trap the phash row fell into is closed).
+      // Every payload additionally opens with the SAME 64-char stock
+      // frame (exactly one signature with df = corpus size), which trips
+      // the maxSigDf=100 ceiling at both gate scales: the stock frame is
+      // removed from every set (dropped_a = dropped_b = 1 on every pair)
+      // and the jaccard is computed over the informative frames only —
+      // chunk boundaries stay aligned because the header is exactly one
+      // frame long
       "mm_frame_near_dup" -> ((s, d) => {
         val dd = docs(s, d)
         val off = dd.agg(max(col("doc_id"))).head().getLong(0) + 1L
-        val media = Multimodal.asMedia(dd)
+        val stock = lit("x" * 64)
+        val media = Multimodal.asMedia(
+          dd.withColumn("text", concat(stock, col("text"))))
           .unionByName(Multimodal.asMedia(
             dd.withColumn("doc_id", col("doc_id") + off)
               .withColumn("text",
-                concat(col("text"), lit(" frame near dup tail payload")))))
-        Multimodal.frameNearDup(media, threshold = 0.5)
+                concat(stock, col("text"), lit(" frame near dup tail payload")))))
+        Multimodal.frameNearDup(media, threshold = 0.5, maxSigDf = 100L)
       }),
       // -- event operators (§2.9), through the ASL front-end --
       // rolling 7-day distinct active users per observed day (WAU)
@@ -1511,7 +1527,7 @@ object SparkEntry {
            |JOIN lab b ON p.doc_b = b.doc_id
            |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
-      "dedup_containment" -> graft.ops.Dedup.containmentOracleSql(3, 0.5),
+      "dedup_containment" -> graft.ops.Dedup.containmentOracleSql(3, 0.5, 0.004),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
       "dedup_keep_best" -> graft.ops.Dedup.keepBestOracleSql(3, 16, 4, 0.5, "d.n_chars"),
       "dedup_cluster_sizes" ->
@@ -2409,30 +2425,40 @@ object SparkEntry {
           |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
           |FROM cand
           |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin,
-      // frame-set jaccard over the doc ∪ tail-extended-variant fixture:
-      // the oracle replays asMedia→sampleFrames→set-jaccard end to end
+      // frame-set jaccard over the doc ∪ tail-extended-variant fixture
+      // (both sides opening with the shared 64-char stock frame): the
+      // oracle replays asMedia→sampleFrames→df-cap→set-jaccard end to end,
+      // including the maxSigDf=100 stop-frame removal and dropped counts
       "mm_frame_near_dup" ->
         """WITH m AS (
-          |  SELECT doc_id AS media_id, text FROM documents
+          |  SELECT doc_id AS media_id, repeat('x', 64) || text AS text FROM documents
           |  UNION ALL
           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-          |         text || ' frame near dup tail payload' FROM documents),
-          |fr AS (
+          |         repeat('x', 64) || text || ' frame near dup tail payload' FROM documents),
+          |fr AS MATERIALIZED (
           |  SELECT DISTINCT media_id,
           |         unnest(list_transform(
           |           range(0, greatest(CAST(floor((len(text) - 1) / 64.0) AS INT), 0) + 1),
           |           i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT) * 64 + 1, 64)), 1, 15)) AS BIGINT))) AS sig
           |  FROM m),
-          |sz AS (SELECT media_id, count(*) AS n FROM fr GROUP BY 1),
+          |sdf AS MATERIALIZED (SELECT sig, count(*) AS df FROM fr GROUP BY 1),
+          |kept AS MATERIALIZED (SELECT fr.media_id, fr.sig FROM fr JOIN sdf USING (sig) WHERE df <= 100),
+          |dropped AS (SELECT fr.media_id, count(*) AS nd FROM fr JOIN sdf USING (sig) WHERE df > 100 GROUP BY 1),
+          |sz AS (SELECT media_id, count(*) AS n FROM kept GROUP BY 1),
           |inter AS (
           |  SELECT a.media_id AS media_a, b.media_id AS media_b, count(*) AS common
-          |  FROM fr a JOIN fr b ON a.sig = b.sig AND a.media_id < b.media_id
+          |  FROM kept a JOIN kept b ON a.sig = b.sig AND a.media_id < b.media_id
           |  GROUP BY 1, 2),
           |j AS (SELECT i.media_a, i.media_b, i.common,
-          |             round(i.common / (sa.n + sb.n - i.common), 4) AS jaccard
+          |             round(i.common / (sa.n + sb.n - i.common), 4) AS jaccard,
+          |             CAST(coalesce(da.nd, 0) AS BIGINT) AS dropped_a,
+          |             CAST(coalesce(db.nd, 0) AS BIGINT) AS dropped_b
           |      FROM inter i JOIN sz sa ON sa.media_id = i.media_a
-          |                   JOIN sz sb ON sb.media_id = i.media_b)
-          |SELECT media_a, media_b, common, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+          |                   JOIN sz sb ON sb.media_id = i.media_b
+          |                   LEFT JOIN dropped da ON da.media_id = i.media_a
+          |                   LEFT JOIN dropped db ON db.media_id = i.media_b)
+          |SELECT media_a, media_b, common, jaccard, dropped_a, dropped_b
+          |FROM j WHERE jaccard >= 0.5""".stripMargin,
       "text_fertility" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""WITH c AS (

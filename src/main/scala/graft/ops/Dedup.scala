@@ -342,11 +342,23 @@ object Dedup {
    * Scale shape: distinct (doc, gram) rows from the partition-local kernel
    * ([[TextOps.ngramRows]]), one gram-keyed self-join producing only
    * co-occurring pairs, then pair-count + two size join-backs — exchanges
-   * at gram/pair cardinality. The honest caveat: a gram shared by df docs
-   * contributes df^2/2 candidate rows, so a stopword-like n-gram is a
-   * skew hotspot; at corpus scale run it on gram frequencies first
-   * ([[TextOps.topNgrams]]) and strip df-pathological grams explicitly, or
-   * raise `n` — both documented trades, not silent caps. Docs shorter than
+   * at gram/pair cardinality. A gram shared by df docs contributes df^2/2
+   * candidate rows, so a stopword-like n-gram is a skew hotspot; the join
+   * input is therefore BOUNDED by `maxGramDf`: grams with document
+   * frequency above the ceiling are dropped before the self-join (the
+   * spot-signature convention — a gram in that many documents is
+   * boilerplate, not evidence of quotation), which caps the worst single
+   * gram's join contribution at maxGramDf^2/2 rows. `maxGramDf <= 1.0` is
+   * read as a FRACTION of the corpus document count (sklearn's `max_df`
+   * convention; the corpus count is the docs-with->=n-tokens count, one
+   * cheap count over the checkpointed gram frame), values > 1 as an
+   * absolute ceiling. The trade is explicit in the output: `|A|` (the
+   * containment denominator) stays exact over ALL grams, so capped
+   * containments are LOWER BOUNDS; `dropped_a`/`dropped_b` carry each
+   * doc's count of over-ceiling grams and `exact` is true iff both are 0
+   * (no hot gram touched either doc, so the pair's containment is the
+   * uncapped value). A pair whose overlap is ONLY boilerplate grams does
+   * not appear at all — that is the point of the cap. Docs shorter than
    * `n` tokens have NO grams (the [[TextOps.ngramSet]] convention) and
    * never pair.
    */
@@ -354,36 +366,52 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       n: Int = 3,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxGramDf: Double = 10000.0
   ): DataFrame = {
-    // materialize the tokenization kernel once: three consumers (both
-    // self-join sides + sizes) would otherwise re-scan and re-shingle the
-    // text three times
-    val grams = TextOps.ngramRows(docs, n, textCol).localCheckpoint()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    require(maxGramDf > 0, s"maxGramDf $maxGramDf must be positive")
+    // materialize the tokenization kernel once (every downstream consumer
+    // would otherwise re-scan and re-shingle the text), spread first so a
+    // single-split local file doesn't serialize the whole join DAG behind
+    // one-partition stages (a lazy checkpoint here measured SLOWER: the
+    // main DAG's consumers race to materialize the blocks)
+    val grams = TextOps.ngramRows(spread(docs), n, textCol).localCheckpoint()
+    val cap: Long =
+      if (maxGramDf <= 1.0)
+        math.ceil(maxGramDf * grams.select(col("doc_id")).distinct().count()).toLong
+      else maxGramDf.toLong
+    // one gram-keyed df join-back: (doc_id, gram, df) is the single frame
+    // every downstream consumer derives from — per-doc stats (|A| over ALL
+    // grams + over-ceiling count) come from ONE doc-keyed agg, and the
+    // self-join input is a filter of it (the previous shape re-aggregated
+    // the df frame per consumer: measured ~30% slower at sf0.1 with 4
+    // redundant exchanges)
+    val gdf = grams
+      .join(grams.groupBy(col("gram")).agg(count(lit(1)).as("df")), Seq("gram"))
+    val docStats = gdf.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("df") > cap, 1L).otherwise(0L)).as("nd"))
     // df >= 2 prune BEFORE the self-join: a gram appearing in one document
     // pairs with nobody, and on a Zipfian corpus hapax grams are ~half the
-    // distinct grams — the sizes above are taken from the UNPRUNED rows,
-    // so |A| stays exact while the join input shrinks to the co-occurring
-    // tail (the sharedSubstrings df>=2 precedent). Exactness unchanged:
-    // every surviving pair's intersection grams have df >= 2 by
-    // definition. Honest measurement note: flat on the 31-token synthetic
-    // fixtures (almost no df=1 grams there) — the prune is for the real-
-    // corpus distribution, and its df aggregate rides the join's own
-    // gram exchange.
-    val shared = grams
-      .join(grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("gram")), Seq("gram"))
-    val inter = shared.toDF("gram", "doc_a")
-      .join(shared.toDF("gram_b", "doc_b"), col("gram") === col("gram_b"))
+    // distinct grams — |A| (the containment denominator) is taken from the
+    // UNPRUNED rows, so it stays exact while the join input shrinks to the
+    // co-occurring tail below the boilerplate ceiling. Exactness of the
+    // lower bound is unchanged; the df <= cap drop is surfaced per-pair
+    // via dropped_a/dropped_b and the exact flag.
+    val kept = gdf.filter(col("df") >= 2 && col("df") <= cap)
+      .select(col("gram"), col("doc_id"))
+    val inter = kept.toDF("gram", "doc_a")
+      .join(kept.toDF("gram_b", "doc_b"), col("gram") === col("gram_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .join(docStats.toDF("doc_a", "sz_a", "nd_a"), Seq("doc_a"))
+      .join(docStats.toDF("doc_b", "sz_b", "nd_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / col("sz_a") + graft.core.NanMath.RoundEps, 4).as("cont_a"),
-        round(col("inter") / col("sz_b") + graft.core.NanMath.RoundEps, 4).as("cont_b"))
+        round(col("inter") / col("sz_b") + graft.core.NanMath.RoundEps, 4).as("cont_b"),
+        col("nd_a").as("dropped_a"), col("nd_b").as("dropped_b"))
+      .withColumn("exact", col("dropped_a") === 0L && col("dropped_b") === 0L)
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
@@ -492,19 +520,32 @@ object Dedup {
   }
 
   /** DuckDB replica of [[ngramContainment]] over the `documents` table. */
-  def containmentOracleSql(n: Int, threshold: Double): String =
+  def containmentOracleSql(n: Int, threshold: Double, maxGramDf: Double = 10000.0): String =
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - ${n - 1}),
        |    i -> array_to_string(list_slice(tk, i + 1, i + $n), ' '))) AS gram
        |  FROM toks WHERE len(tk) >= $n)),
+       |dfr AS MATERIALIZED (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+       |cap AS MATERIALIZED (SELECT CASE WHEN $maxGramDf <= 1.0
+       |  THEN CAST(ceil($maxGramDf * (SELECT count(DISTINCT doc_id) FROM g)) AS BIGINT)
+       |  ELSE CAST($maxGramDf AS BIGINT) END AS c),
+       |kept AS MATERIALIZED (SELECT g.doc_id, g.gram FROM g JOIN dfr USING (gram)
+       |  WHERE df >= 2 AND df <= (SELECT c FROM cap)),
+       |dropped AS MATERIALIZED (SELECT g.doc_id, count(*) AS nd FROM g JOIN dfr USING (gram)
+       |  WHERE df > (SELECT c FROM cap) GROUP BY 1),
        |sz AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS sz FROM g GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS DOUBLE) AS c
-       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, cont_a, cont_b FROM (
-       |  SELECT doc_a, doc_b, round(c / sa.sz, 4) AS cont_a, round(c / sb.sz, 4) AS cont_b
-       |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id JOIN sz sb ON inter.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, cont_a, cont_b, dropped_a, dropped_b,
+       |       (dropped_a = 0 AND dropped_b = 0) AS exact FROM (
+       |  SELECT doc_a, doc_b, round(c / sa.sz, 4) AS cont_a, round(c / sb.sz, 4) AS cont_b,
+       |         CAST(coalesce(da.nd, 0) AS BIGINT) AS dropped_a,
+       |         CAST(coalesce(db.nd, 0) AS BIGINT) AS dropped_b
+       |  FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id JOIN sz sb ON inter.doc_b = sb.doc_id
+       |  LEFT JOIN dropped da ON inter.doc_a = da.doc_id
+       |  LEFT JOIN dropped db ON inter.doc_b = db.doc_id)
        |WHERE greatest(cont_a, cont_b) >= $threshold""".stripMargin
 
   /** SimHash signature width: 60 bits (the md5-derived base hash width),

@@ -325,34 +325,61 @@ object Multimodal {
    * candidate pairs exist ONLY where a signature is shared (never a cross
    * join), intersections are counted per pair, and set sizes join in at
    * media cardinality. Like [[graft.ops.Dedup.ngramContainment]], a
-   * signature shared by df media contributes df² pair rows; the testdata's
-   * stub signatures are unique per 64-char chunk so df stays tiny, and a
-   * real corpus with a pathological stock frame (black frame, station
-   * logo) needs the same documented mitigation — drop signatures with df
-   * above a cap before the join (they carry no discriminative signal).
+   * signature shared by df media contributes df² pair rows, and a real
+   * corpus has pathological stock frames (black frame, station logo) with
+   * corpus-scale df — so signatures with df > `maxSigDf` are DROPPED
+   * before the join, bounding the worst signature's contribution at
+   * maxSigDf²/2 rows. Unlike the containment cap, the drop applies to
+   * sizes too: the jaccard is computed over each medium's INFORMATIVE
+   * signature set (stop-frame removal, the standard video-dedup practice —
+   * a ubiquitous frame would otherwise inflate similarity between
+   * unrelated media, so removing it from numerator AND denominator is the
+   * semantically right measure, not just an efficiency trade).
+   * `dropped_a`/`dropped_b` report how many hot signatures each medium
+   * lost; media whose EVERY signature is hot carry no discriminative
+   * signal and exit the pair set entirely.
    */
   def frameNearDup(
       media: DataFrame,
       threshold: Double = 0.5,
-      everyNChars: Int = 64
+      everyNChars: Int = 64,
+      maxSigDf: Long = 10000L
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val frames = sampleFrames(media, everyNChars)
+    require(maxSigDf >= 2, s"maxSigDf $maxSigDf must be >= 2 (below 2 nothing can pair)")
+    val all = sampleFrames(media, everyNChars)
       .select(col("media_id"), col("frame_sig")).distinct()
-    val sizes = frames.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val inter = frames.as("a")
-      .join(frames.as("b"),
+      // one materialization: every downstream consumer would otherwise
+      // re-decode the payloads
+      .localCheckpoint()
+    // one sig-keyed df join-back: (media_id, frame_sig, df) is the single
+    // frame everything derives from — per-media stats (informative-set
+    // size + hot-frame count) come from ONE media-keyed agg, and the
+    // self-join input is a filter of it (the same shape as
+    // [[graft.ops.Dedup.ngramContainment]]'s gdf; a per-consumer df
+    // re-aggregation costs 2 extra exchanges)
+    val adf = all.join(
+      all.groupBy(col("frame_sig")).agg(count(lit(1)).as("df")), Seq("frame_sig"))
+    val mediaStats = adf.groupBy(col("media_id")).agg(
+      sum(when(col("df") <= maxSigDf, 1L).otherwise(0L)).as("n"),
+      sum(when(col("df") > maxSigDf, 1L).otherwise(0L)).as("nd"))
+      .filter(col("n") > 0) // media with ONLY hot frames exit the pair set
+    val kept = adf.filter(col("df") <= maxSigDf)
+      .select(col("media_id"), col("frame_sig"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.frame_sig") === col("b.frame_sig") &&
           col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
       .agg(count(lit(1)).as("common"))
     inter
-      .join(sizes.select(col("media_id").as("media_a"), col("n").as("na")), "media_a")
-      .join(sizes.select(col("media_id").as("media_b"), col("n").as("nb")), "media_b")
+      .join(mediaStats.toDF("media_a", "na", "nd_a"), Seq("media_a"))
+      .join(mediaStats.toDF("media_b", "nb", "nd_b"), Seq("media_b"))
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common"))
           + graft.core.NanMath.RoundEps, 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("media_a"), col("media_b"), col("common"), col("jaccard"))
+      .select(col("media_a"), col("media_b"), col("common"), col("jaccard"),
+        col("nd_a").as("dropped_a"), col("nd_b").as("dropped_b"))
   }
 }

@@ -89,6 +89,41 @@ class DedupSpec extends SparkSpec {
       .filter(col("cont_a") >= 0.8 && col("cont_b") >= 0.8).count() == 0)
   }
 
+  test("ngramContainment: boilerplate gram-df ceiling, hand-traced") {
+    // hot gram "h h h" opens every doc (df = 4); pairwise signal grams
+    // have df = 2. Corpus count for fraction mode = docs WITH grams (4 —
+    // doc 5 is shorter than n and must not count).
+    val dd = Seq(
+      (1L, "h h h a b c d"), // grams: hhh,hha,hab,abc,bcd  (5)
+      (2L, "h h h a b c"),   // grams: hhh,hha,hab,abc      (4)
+      (3L, "h h h x y z"),   // grams: hhh,hhx,hxy,xyz      (4)
+      (4L, "h h h p q r"),   // grams: hhh,hhp,hpq,pqr      (4)
+      (5L, "q r")            // no grams
+    ).toDF("doc_id", "text")
+    // uncapped (default ceiling never trips here): (1,2) keeps the hot
+    // gram -> cont 4/5, 4/4; exact = true everywhere
+    val un = Dedup.ngramContainment(dd, n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(un.keySet == Set((1L, 2L)))
+    assert(un((1L, 2L)) == ((0.8, 1.0, 0L, 0L, true)))
+    // absolute cap 3: "h h h" (df 4) dropped. (1,2) intersection loses it
+    // -> 3/5, 3/4 lower bounds, dropped = 1 on both sides, exact = false;
+    // pairs overlapping ONLY via the hot gram ((1,3),(3,4),...) vanish
+    val capped = Dedup.ngramContainment(dd, n = 3, threshold = 0.5, maxGramDf = 3.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == ((0.6, 0.75, 1L, 1L, false)))
+    // fraction mode: 0.7 of 4 gram-bearing docs -> ceil(2.8) = 3, the
+    // same ceiling as absolute 3 (a 5-doc count would give 4 and keep
+    // the hot gram — pinning that doc 5's gramless row is excluded)
+    val frac = Dedup.ngramContainment(dd, n = 3, threshold = 0.5, maxGramDf = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(frac == capped)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1863,6 +1898,36 @@ class MultimodalSpec extends SparkSpec {
     val wide = Multimodal.frameNearDup(media, threshold = 0.2, everyNChars = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(wide((1L, 3L)) == 0.2)
+  }
+
+  test("frameNearDup: stock-frame df ceiling removes the hot signature, hand-traced") {
+    import spark.implicits._
+    // every payload opens with the stock chunk "ssss" (df = 5 media);
+    // informative chunks have df <= 2. maxSigDf = 3 drops the stock frame
+    // from numerator AND denominator (stop-frame removal semantics).
+    val media = Seq(
+      (1L, "ssssaaaabbbbcccc"), // kept set {aaaa,bbbb,cccc}
+      (2L, "ssssaaaabbbbdddd"), // kept set {aaaa,bbbb,dddd}
+      (3L, "ssssxxxxyyyyzzzz"), // kept set {xxxx,yyyy,zzzz}
+      (4L, "sssswwww"),         // kept set {wwww}
+      (5L, "ssss")              // ONLY the stock frame: exits the pair set
+    ).toDF("media_id", "text")
+      .select(col("media_id"), lit("fake/t").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.frameNearDup(media, threshold = 0.5, everyNChars = 4, maxSigDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // (1,2): common {aaaa,bbbb} = 2, j = 2/(3+3-2) = 0.5, one dropped
+    // stock frame on each side; every other pair shares ONLY the stock
+    // frame and vanishes (uncapped they'd all pair at j >= 0.2)
+    assert(got.keySet == Set((1L, 2L)), s"pair set wrong: ${got.keySet}")
+    assert(got((1L, 2L)) == ((2L, 0.5, 1L, 1L)))
+    // uncapped contrast: the stock frame inflates (1,2) to 3/5 and drags
+    // unrelated media into candidate pairs
+    val un = Multimodal.frameNearDup(media, threshold = 0.2, everyNChars = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(un((1L, 2L)) == 0.6)
+    assert(un.contains((3L, 4L)) && un.contains((4L, 5L)))
   }
 
   test("binary payload plumbing: schema and deterministic stub decode") {

@@ -248,13 +248,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // pipeline_semdedup precedent): the clustered-nodes join sides + the
     // per-cluster argmax window + the drop-list anti join side
     "dedup_keep_best" -> 5,
-    // gram self-join sides (one exchange each over the distinct-gram
-    // kernel rows) + pair-count agg + the two size join-backs — all at
-    // gram/pair cardinality. 6 (not 5): the grams kernel is materialized
-    // behind a localCheckpoint so the text is tokenized ONCE instead of
-    // three times; the checkpoint boundary costs the identical-subplan
-    // ReusedExchange one extra gram-cardinality exchange — tokenized
-    // text bytes >> gram rows, the documented trade
+    // df join-back (agg + join exchanges over the checkpointed gram
+    // kernel) + the capped self-join sides + pair-count agg + the single
+    // per-doc stats agg joined to both pair sides — all at gram/pair
+    // cardinality, with the boilerplate gram-df ceiling bounding the
+    // worst gram's join contribution at cap^2/2 rows
     "dedup_containment" -> 6,
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
@@ -313,9 +311,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // truth window + the per-query overlap joins and the mean-row union
     // (r8 verdict item #4)
     "sim_ann_recall" -> 11,
-    // frame-set jaccard: distinct-frame agg + the sig-keyed self-join
-    // sides + pair-count agg + two media-cardinality size join-backs
-    "mm_frame_near_dup" -> 7,
+    // frame-set jaccard with the stop-frame df ceiling: sig-df join-back
+    // (agg + join over the checkpointed distinct-frame kernel) + capped
+    // self-join sides + pair-count agg + ONE media-stats agg joined to
+    // both pair sides — tightened 7 -> 6 by the single-join restructure
+    "mm_frame_near_dup" -> 6,
     // regex-count kernel (0) + the counts/docs join + the per-source agg
     "text_fertility" -> 3,
     // identical shape under the broadcast tokenizer kernel
