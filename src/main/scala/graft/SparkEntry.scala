@@ -630,17 +630,25 @@ object SparkEntry {
     * held-out % 20 == 0 slice — the text_decontaminate split. */
   private val frontDoorCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.ops.Curate.FrontDoorResult]
-  private def frontDoor(s: SparkSession, d: String): graft.ops.Curate.FrontDoorResult =
-    frontDoorCache.getOrElseUpdate(d, {
+  private def frontDoor(s: SparkSession, d: String): graft.ops.Curate.FrontDoorResult = {
+    // the cached frames are SESSION-BOUND (localCheckpoint blocks live in
+    // the session's block manager): a driver that stops and recreates the
+    // SparkSession in one JVM would otherwise serve dead checkpoint
+    // blocks — unlike bpeCache, whose tokenizer is session-independent.
+    // Validate and recompute on session mismatch.
+    frontDoorCache.get(d).filter(_.kept.sparkSession eq s).getOrElse {
       import org.apache.spark.sql.functions.col
       val dd = docs(s, d)
-      graft.ops.Curate.frontDoor(
+      val fresh = graft.ops.Curate.frontDoor(
         dd.filter(col("doc_id") % 20 =!= 0),
         evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
         lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
         lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
         maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
-    })
+      frontDoorCache.put(d, fresh)
+      fresh
+    }
+  }
 
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
@@ -1499,11 +1507,7 @@ object SparkEntry {
          |    FROM (SELECT fd_cl.doc_id, fd_cl.source, fd_cl.text, w.wt,
          |                 ${md5BucketSql("fd_cl.doc_id")} AS b
          |          FROM fd_cl JOIN fd_w w ON fd_cl.source = w.source) c) cc,
-         |    unnest(range(0, cc.n)) AS u(i)),
-         |fd_pk AS MATERIALIZED (
-         |  SELECT source, (sum(nt) OVER (PARTITION BY source ORDER BY rid) - nt) // 512 AS seq
-         |  FROM (SELECT source, doc_id * 1000 + copy AS rid,
-         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM fd_mx))""".stripMargin
+         |    unnest(range(0, cc.n)) AS u(i))""".stripMargin
     }
     val cosSql =
       """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -1641,7 +1645,9 @@ object SparkEntry {
            |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM fd_dd), (SELECT count(*) FROM fd_cl)
            |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM fd_cl), (SELECT count(*) FROM fd_mx)
            |UNION ALL SELECT 7, 'pack', (SELECT count(*) FROM fd_mx),
-           |          (SELECT count(*) FROM (SELECT DISTINCT source, seq FROM fd_pk))""".stripMargin,
+           |          (SELECT CAST(sum((tot + 511) // 512) AS BIGINT) FROM (
+           |             SELECT sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot
+           |             FROM fd_mx GROUP BY source))""".stripMargin,
       // per-doc DLQ: every drop attributed to its stage (the classifier
       // gate is off in the catalog config, so it contributes no rows)
       "pipeline_front_door_rejects" ->

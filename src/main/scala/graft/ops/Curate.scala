@@ -146,7 +146,15 @@ object Curate {
       seqLen, idCol = "rid")
       .localCheckpoint()
 
-    val nSeqs = packed.select(col("source"), col("seq_id")).distinct().count()
+    // TRUE loader example count: per shard, ceil(total tokens / seqLen)
+    // from the prefix totals — counting distinct (source, seq_id) would
+    // miss sequences fully INTERIOR to a document longer than ~2x seqLen
+    // (seq_id is only where a doc's FIRST token lands), and a data-card
+    // reader takes this row as the example count
+    val nSeqs = packed.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("__tot"))
+      .agg(sum(expr(s"(__tot + ${seqLen - 1}) div $seqLen")).cast("long"))
+      .head().getLong(0)
     val counts = Seq(base, cleaned, gated, scored, deduped, kept, mixed).map(_.count())
     val audit = Seq(
       (1, "line_filter", counts(0), counts(1)),
@@ -511,7 +519,12 @@ object Curate {
       shardCol: String = "source",
       idCol: String = "doc_id",
       textCol: String = "text",
-      tokenCountCol: Option[String] = None
+      tokenCountCol: Option[String] = None,
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     // `tokenCountCol` swaps the whitespace proxy for a real token count
@@ -532,7 +545,7 @@ object Curate {
     graft.core.Ranks.groupedPrefixSum(
       docs.select(col(idCol), col(shardCol), n.as("n_tok")),
       Seq(shardCol), Seq(col(idCol).asc, col("n_tok").asc),
-      col("n_tok"), "start_tok")
+      col("n_tok"), "start_tok", broadcastOffsets = broadcastOffsets)
       .select(
         col(idCol),
         col(shardCol),
@@ -707,7 +720,12 @@ object Curate {
       docs: DataFrame,
       numShards: Int,
       seed: String = "42",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -723,7 +741,8 @@ object Curate {
     // is the documented trade (see tokenBudgetSample)
     graft.core.Ranks.groupedRank(
       docs.withColumn("__h", h).withColumn("shard", shard),
-      Seq("shard"), Seq(col("__h").asc, col(idCol).asc), "__r")
+      Seq("shard"), Seq(col("__h").asc, col(idCol).asc), "__r",
+      broadcastOffsets = broadcastOffsets)
       .withColumn("pos", col("__r") - 1L)
       .drop("__h", "__r")
   }
@@ -812,7 +831,12 @@ object Curate {
       sourceCol: String = "source",
       idCol: String = "doc_id",
       textCol: String = "text",
-      tokenCountCol: Option[String] = None
+      tokenCountCol: Option[String] = None,
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -837,7 +861,8 @@ object Curate {
     // extreme scale can pre-project and semi-join back itself.
     graft.core.Ranks.groupedPrefixSum(
       docs.withColumn("__h", h).withColumn("__n", n),
-      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), col("__n"), "__prior")
+      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), col("__n"), "__prior",
+      broadcastOffsets = broadcastOffsets)
       .filter(col("__prior") < budget)
       .drop("__h", "__n", "__prior")
   }
@@ -887,7 +912,12 @@ object Curate {
       weights: Map[String, Double],
       seed: String = "42",
       sourceCol: String = "source",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -902,7 +932,8 @@ object Curate {
     // tokenBudgetSample)
     graft.core.Ranks.groupedRank(
       docs.withColumn("__h", h).withColumn("__w", weight).filter(col("__w") > 0.0),
-      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), "__r")
+      Seq(sourceCol), Seq(col("__h").asc, col(idCol).asc), "__r",
+      broadcastOffsets = broadcastOffsets)
       .withColumn("pos_key", (col("__r").cast("double") - 0.5) / col("__w"))
       .drop("__h", "__w", "__r")
   }
@@ -1164,14 +1195,20 @@ object Curate {
       nPer: Int,
       strataCol: String = "source",
       temperature: Double = 1.0,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(nPer > 0, "nPer must be positive")
     require(temperature > 0, "temperature must be positive")
     val key = gumbelKey(idCol, log(weight), temperature)
     graft.core.Ranks.groupedRank(
       docs.select(col(idCol), col(strataCol), key.as("__key")),
-      Seq(strataCol), Seq(col("__key").desc, col(idCol).asc), "__rk")
+      Seq(strataCol), Seq(col("__key").desc, col(idCol).asc), "__rk",
+      broadcastOffsets = broadcastOffsets)
       .filter(col("__rk") <= nPer)
       .select(col(idCol), col(strataCol))
   }
@@ -1316,7 +1353,12 @@ object Curate {
       score: DataFrame,
       buckets: Int = 3,
       idCol: String = "doc_id",
-      sourceCol: String = "source"
+      sourceCol: String = "source",
+      // escape hatch for EXTREME group cardinality (millions of
+      // groups, e.g. per-domain strata): false drops the offsets-frame
+      // broadcast hint and pays one more data exchange instead of an
+      // executor-wide broadcast of a group-cardinality frame
+      broadcastOffsets: Boolean = true
   ): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     import graft.core.Ranks
@@ -1331,7 +1373,8 @@ object Curate {
     val joined = docs.select(col(idCol), col(sourceCol))
       .join(score.select(col(idCol), col("nll")), Seq(idCol))
     Ranks.groupedRank(joined, Seq(sourceCol),
-        Seq(col("nll").asc_nulls_last, col(idCol).asc), "__r", totalCol = Some("__n"))
+        Seq(col("nll").asc_nulls_last, col(idCol).asc), "__r", totalCol = Some("__n"),
+        broadcastOffsets = broadcastOffsets)
       .withColumn("bucket", Ranks.ntileFromRankCol(col("__r"), col("__n"), buckets))
       .select(col(idCol), col(sourceCol), col("nll"),
         col("bucket"), labels.as("band"))

@@ -472,8 +472,13 @@ object Dedup {
       .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
     paras
       .join(firsts, Seq("__h"))
+      // null-SAFE winner match: a null doc id (idCol cast failure, null
+      // source id) is a real group member under min(struct(...)) ordering
+      // — === would evaluate null for the winner's own row and silently
+      // drop the paragraph from EVERY document; <=> keeps the rn=1-window
+      // semantics the agg/join plan replaced
       .withColumn("__keep",
-        col("__first.__id") === col("__id") && col("__first.__idx") === col("__idx"))
+        col("__first.__id") <=> col("__id") && col("__first.__idx") <=> col("__idx"))
       .groupBy(col("__id"))
       .agg(
         array_join(array_sort(collect_list(

@@ -1438,6 +1438,11 @@ object Similarity {
     val hasIvf = graft.sources.Dirs.exists(spark, s"$path/centroids")
     require(hasPq || hasIvf,
       s"no IVF/IVF-PQ index at $path — LSH geometry is tuned by optimalBands")
+    // fail FAST on an empty query set: an unmatched predicate otherwise
+    // surfaces as an opaque NPE inside a parallel sweep leg (recallAtK's
+    // mean row averages over nothing and carries a null recall)
+    require(emb.filter(queryPred).limit(1).count() > 0,
+      "queryPred matches no vectors — nothing to tune against")
     val exact = bruteForceTopK(emb, queryPred, k, idCol, vecCol).localCheckpoint()
     val queries = emb.filter(queryPred)
     val rfs = if (hasPq) refineFactors.distinct.sorted else Seq(1)

@@ -38,6 +38,23 @@ class DedupSpec extends SparkSpec {
       2L -> (("unique two", 1L, 0L))))
   }
 
+  test("paragraphDedup: null doc id survives the null-safe winner match") {
+    // a null doc id (idCol cast failure / null source id) is a real row:
+    // the === winner match evaluated null for its own first-occurrence
+    // copy and silently cut the paragraph from EVERY document
+    val pdocs = Seq(
+      (None: Option[Long], "shared para\nnull unique"),
+      (Some(5L), "shared para\nfive unique")
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.paragraphDedup(pdocs)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // null sorts first in the min(struct) ordering, so the null-id doc
+    // OWNS the shared paragraph's first occurrence and must keep it
+    assert(got(-1L) == (("shared para\nnull unique", 2L, 0L)), got.toString)
+    assert(got(5L) == (("five unique", 1L, 1L)), got.toString)
+  }
+
   test("exact dedup groups identical texts") {
     val got = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     assert(got(0L) == 2.0) // docs 0 and 1 collapse, keep_id = 0
@@ -2080,6 +2097,23 @@ class CurateSpec extends SparkSpec {
     assert(kept.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
   }
 
+  test("broadcastOffsets hatch: output identical with the offsets broadcast disabled") {
+    // the escape hatch for millions-of-groups cardinality must be
+    // output-IDENTICAL — it only changes how the tiny offsets frame joins
+    // back (shuffle join instead of an executor-wide broadcast)
+    val many = (0L until 500L).map(i => (i, s"s${i % 7}", s"d$i word " * (i.toInt % 5 + 1)))
+      .toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Curate.shuffleShards(many, numShards = 4)) ==
+      rows(Curate.shuffleShards(many, numShards = 4, broadcastOffsets = false)))
+    assert(rows(Curate.packSequences(many, seqLen = 16L)) ==
+      rows(Curate.packSequences(many, seqLen = 16L, broadcastOffsets = false)))
+    val score = many.select(col("doc_id"), (col("doc_id") % 13).cast("double").as("nll"))
+    assert(rows(Curate.ccnetBuckets(many, score, buckets = 3)) ==
+      rows(Curate.ccnetBuckets(many, score, buckets = 3, broadcastOffsets = false)))
+  }
+
   test("shuffleShards: dense positions, balanced shards, seed-independent permutations") {
     val many = (0L until 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val r = Curate.shuffleShards(many, numShards = 8).cache()
@@ -2532,7 +2566,14 @@ class CurateSpec extends SparkSpec {
     assert(audit("decontaminate") == ((deduped.count(), kept.count())))
     assert(audit("mixture") == ((kept.count(), mixed.count())))
     assert(audit("pack")._1 == mixed.count())
-    assert(audit("pack")._2 ==
+    // pack n_out is the TRUE loader example count: per shard
+    // ceil(total_tokens / seqLen) — NOT distinct (source, seq_id), which
+    // misses sequences fully interior to a doc longer than ~2x seqLen
+    val trueSeqs = fd.packed.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("t")).collect()
+      .map(r => (r.getLong(1) + 511L) / 512L).sum
+    assert(audit("pack")._2 == trueSeqs)
+    assert(audit("pack")._2 >=
       fd.packed.select("source", "seq_id").distinct().count())
 
     // conservation: every input doc is kept (some copy survives) or
