@@ -26,6 +26,9 @@ final case class CustomVocabulary(macros: List[CustomVocabulary.Macro]) {
       def execute(ctx: Context, in: Interpreter): Context =
         in.execute(m.program, ctx)
       override def examples: List[String] = m.examples
+      // config-declared stability (reference TypedMacro.scala:51): an
+      // experimental macro ships gated behind unstable features
+      override def isStable: Boolean = m.stable
     }
   }
 
@@ -44,5 +47,9 @@ final case class CustomVocabulary(macros: List[CustomVocabulary.Macro]) {
 }
 
 object CustomVocabulary {
-  final case class Macro(name: String, program: List[String], examples: List[String] = Nil)
+  final case class Macro(
+      name: String,
+      program: List[String],
+      examples: List[String] = Nil,
+      stable: Boolean = true)
 }

@@ -14,7 +14,12 @@ final case class Context(
     stack: List[Any],
     variables: Map[String, Any] = Map.empty,
     frozen: List[Any] = Nil,
-    callDepth: Int = 0
+    callDepth: Int = 0,
+    // API-governance gate (reference stacklang Word.isStable +
+    // Features.UNSTABLE check, Interpreter.scala:45-47): words marked
+    // unstable execute only when the caller opts in — the boolean is
+    // graft's form of the reference's STABLE/UNSTABLE Features enum
+    unstableFeatures: Boolean = false
 )
 
 trait Word {
@@ -25,6 +30,11 @@ trait Word {
 
   /** Example programs, executed and round-tripped by the example suite. */
   def examples: List[String] = Nil
+
+  /** False marks a word still subject to change (reference
+    * stacklang/Word.scala:41): the interpreter refuses it unless the
+    * context enables unstable features. */
+  def isStable: Boolean = true
 }
 
 final case class Interpreter(vocabulary: List[Word], maxStackSize: Int = 1024) {
@@ -225,7 +235,11 @@ final case class Interpreter(vocabulary: List[Word], maxStackSize: Int = 1024) {
     words.get(name) match {
       case Some(ws) =>
         ws.find(_.matches(ctx.stack)) match {
-          case Some(w) => w.execute(ctx, this)
+          case Some(w) =>
+            if (!w.isStable && !ctx.unstableFeatures)
+              throw new IllegalStateException(
+                s"to use :${w.name} enable unstable features")
+            w.execute(ctx, this)
           case None =>
             val summary = ctx.stack.take(3).map(Interpreter.typeName).mkString(",")
             val sigs = ws.map(_.signature).mkString("[", "], [", "]")

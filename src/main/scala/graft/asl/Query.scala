@@ -13,6 +13,42 @@ sealed trait Query extends Product with Serializable {
   /** In-memory evaluation, used for tests and small-side matching. */
   def matches(tags: Map[String, String]): Boolean
 
+  /**
+   * True if the query COULD match once additional tags are added — the
+   * cheap pre-filter over a PARTIAL set of common tags (reference
+   * Query.couldMatch, model/Query.scala:33-37 with the per-type
+   * implementations at 242-508): a missing key is indeterminate (true), a
+   * present key must pass the value check, `:has` is always possible, and
+   * `:not` inverts full `matches` (its sub-query failing on the partial
+   * tags does NOT mean it fails on the full set, so only a definite match
+   * refutes the negation).
+   */
+  def couldMatch(tags: Map[String, String]): Boolean = this match {
+    case Query.True              => true
+    case Query.False             => false
+    case Query.HasKey(_)         => true
+    case kv: Query.KeyValueQuery => tags.get(kv.k).forall(Query.valueCheck(kv, _))
+    case Query.And(a, b)         => a.couldMatch(tags) && b.couldMatch(tags)
+    case Query.Or(a, b)          => a.couldMatch(tags) || b.couldMatch(tags)
+    case Query.Not(q)            => !q.matches(tags)
+  }
+
+  /**
+   * Match against tags carrying a LIST of candidate values per key
+   * (reference Query.matchesAny, model/Query.scala:30-31): a key-value
+   * clause succeeds if ANY candidate value passes its check; `:not`
+   * negates the any-match.
+   */
+  def matchesAny(tags: Map[String, List[String]]): Boolean = this match {
+    case Query.True              => true
+    case Query.False             => false
+    case Query.HasKey(k)         => tags.contains(k)
+    case kv: Query.KeyValueQuery => tags.get(kv.k).exists(_.exists(Query.valueCheck(kv, _)))
+    case Query.And(a, b)         => a.matchesAny(tags) && b.matchesAny(tags)
+    case Query.Or(a, b)          => a.matchesAny(tags) || b.matchesAny(tags)
+    case Query.Not(q)            => !q.matchesAny(tags)
+  }
+
   def and(q: Query): Query = Query.And(this, q).simplified
   def or(q: Query): Query = Query.Or(this, q).simplified
   def not: Query = this match {
@@ -119,6 +155,20 @@ object Query {
   sealed trait KeyQuery extends Query { def k: String }
   sealed trait KeyValueQuery extends KeyQuery
 
+  /** The per-type VALUE check shared by couldMatch/matchesAny (the
+    * reference factors this as KeyValueQuery.check; graft keeps the
+    * single-pattern-match idiom). */
+  private[asl] def valueCheck(q: KeyValueQuery, s: String): Boolean = q match {
+    case Equal(_, v)            => s == v
+    case LessThan(_, v)         => s < v
+    case LessThanEqual(_, v)    => s <= v
+    case GreaterThan(_, v)      => s > v
+    case GreaterThanEqual(_, v) => s >= v
+    case r: Regex               => r.checkValue(s)
+    case r: RegexIgnoreCase     => r.checkValue(s)
+    case In(_, vs)              => vs.contains(s)
+  }
+
   case object True extends Query {
     def matches(tags: Map[String, String]): Boolean = true
     def asl = ":true"
@@ -162,15 +212,17 @@ object Query {
   /** Regex anchored at the start (Query.scala:410-421). */
   final case class Regex(k: String, v: String) extends KeyValueQuery {
     private lazy val p = Pattern.compile("^" + v)
+    private[asl] def checkValue(s: String): Boolean = p.matcher(s).find()
     def matches(tags: Map[String, String]): Boolean =
-      tags.get(k).exists(s => p.matcher(s).find())
+      tags.get(k).exists(checkValue)
     def asl = s"$k,$v,:re"
   }
 
   final case class RegexIgnoreCase(k: String, v: String) extends KeyValueQuery {
     private lazy val p = Pattern.compile("^" + v, Pattern.CASE_INSENSITIVE)
+    private[asl] def checkValue(s: String): Boolean = p.matcher(s).find()
     def matches(tags: Map[String, String]): Boolean =
-      tags.get(k).exists(s => p.matcher(s).find())
+      tags.get(k).exists(checkValue)
     def asl = s"$k,$v,:reic"
   }
 

@@ -134,7 +134,22 @@ object Evaluator {
     norm.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val subs = parsed()
+        // cheap subscription pre-filter (the reference's couldMatch use in
+        // its LWC event client, lwc-events AbstractLwcEventClient): every
+        // series the scope admits carries the scope's exact tags, so a
+        // subscription whose data queries could NOT match that partial tag
+        // set can never match any admitted series — skip its whole
+        // per-interval eval instead of running the batch planner to
+        // produce nothing. Conservative by construction: couldMatch treats
+        // missing keys as indeterminate, and an Or-shaped scope has no
+        // exact tags (nothing is pruned).
+        val scopeTags = scope.exactTags
+        val subs = parsed().filter { case (_, styled) =>
+          styled.flatMap(se => dataExprs(se.expr)).map(_.query).distinct
+            .reduceOption((a, b) => Query.Or(a, b): Query)
+            .getOrElse(Query.True: Query)
+            .couldMatch(scopeTags)
+        }
         val slots = batch.select(col("tags"), col("t").as("ts"), col("value"))
         val range = slots.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
         if (!range.isNullAt(0) && subs.nonEmpty) {

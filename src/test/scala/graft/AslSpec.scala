@@ -33,6 +33,88 @@ class AslSpec extends AnyFunSuite {
       List("cluster")))
   }
 
+  test("matchesAny: reference QuerySuite truth table (any candidate value passes)") {
+    import Query._
+    val tags = Map("foo" -> List("bar"), "bar" -> List("foo"))
+    val multi = Map("foo" -> List("foo", "bar"), "bar" -> List("foo"))
+    val multi2 = Map("foo" -> List("bar", "baz"), "bar" -> List("foo"))
+    assert(True.matchesAny(tags) && !False.matchesAny(tags))
+    // eq: any candidate equal
+    assert(Equal("foo", "bar").matchesAny(tags))
+    assert(Equal("foo", "bar").matchesAny(multi) && Equal("foo", "bar").matchesAny(multi2))
+    assert(!Equal("foo", "baz").matchesAny(tags) && !Equal("foo", "baz").matchesAny(multi))
+    assert(!Equal("foo2", "bar").matchesAny(tags)) // missing key never matches
+    // ordering words over candidates
+    assert(!GreaterThan("foo", "bar").matchesAny(tags))
+    assert(GreaterThan("foo", "bar").matchesAny(multi) && GreaterThan("foo", "bar").matchesAny(multi2))
+    assert(!GreaterThan("foo2", "bar").matchesAny(tags))
+    assert(GreaterThanEqual("foo", "bar").matchesAny(tags))
+    assert(!LessThan("foo", "bar").matchesAny(tags))
+    assert(LessThan("foo", "bar").matchesAny(Map("foo" -> List("bah", "bar"))))
+    assert(!LessThan("foo", "bar").matchesAny(multi2))
+    assert(LessThanEqual("foo", "bar").matchesAny(tags))
+    // regex / has / not
+    assert(Regex("foo", "b").matchesAny(tags) && Regex("foo", "b").matchesAny(multi))
+    assert(!Regex("foo", "z").matchesAny(tags) && !Regex("foo2", "bar").matchesAny(tags))
+    assert(HasKey("foo").matchesAny(tags))
+    assert(!Not(True).matchesAny(tags) && Not(False).matchesAny(tags))
+    // composite: and needs both sides, or needs either
+    assert(And(Equal("foo", "bar"), HasKey("bar")).matchesAny(tags))
+    assert(!And(Equal("foo", "baz"), HasKey("bar")).matchesAny(tags))
+    assert(Or(Equal("foo", "baz"), HasKey("bar")).matchesAny(tags))
+  }
+
+  test("couldMatch: reference QuerySuite truth table (missing key is indeterminate)") {
+    import Query._
+    val tags = Map("foo" -> "bar", "bar" -> "foo")
+    assert(True.couldMatch(tags) && !False.couldMatch(tags))
+    // present key must pass its check; a MISSING key could still match
+    assert(Equal("foo", "bar").couldMatch(tags))
+    assert(!Equal("foo", "baz").couldMatch(tags))
+    assert(Equal("foo2", "bar").couldMatch(tags))
+    assert(GreaterThan("foo", "bar").couldMatch(Map("foo" -> "baz")))
+    assert(!GreaterThan("foo", "bar").couldMatch(tags))
+    assert(GreaterThan("foo2", "bar").couldMatch(tags))
+    assert(LessThan("foo", "bar").couldMatch(Map("foo" -> "bah")))
+    assert(!LessThan("foo", "bar").couldMatch(tags))
+    assert(LessThan("foo2", "bar").couldMatch(tags))
+    assert(Regex("foo", "b").couldMatch(tags))
+    assert(!Regex("foo", "z").couldMatch(tags))
+    assert(Regex("foo2", "bar").couldMatch(tags))
+    // :has could always match (the key may arrive with the full tag set)
+    assert(HasKey("foo").couldMatch(tags) && HasKey("zzz").couldMatch(tags))
+    // :not flips full matches, NOT couldMatch: a definite sub-match
+    // refutes it, a missing key keeps it possible
+    assert(!Not(True).couldMatch(tags) && Not(False).couldMatch(tags))
+    assert(!Not(Equal("foo", "bar")).couldMatch(tags))
+    assert(Not(Equal("a", "b")).couldMatch(tags))
+    // composite
+    assert(And(Equal("foo", "bar"), Equal("later", "x")).couldMatch(tags))
+    assert(!And(Equal("foo", "baz"), Equal("later", "x")).couldMatch(tags))
+    assert(Or(Equal("foo", "baz"), Equal("later", "x")).couldMatch(tags))
+  }
+
+  test("word stability gating: unstable word refused unless features enabled") {
+    // reference semantics (stacklang Interpreter.scala:45-47): a word with
+    // isStable = false throws unless the context opts into unstable
+    // features; stable words are unaffected either way
+    val vocab = CustomVocabulary(List(
+      CustomVocabulary.Macro("exp-clamp", List("0", ":clamp-min"), stable = false),
+      CustomVocabulary.Macro("ok-clamp", List("0", ":clamp-min"))
+    ))
+    val in = vocab.interpreter
+    val base = "name,sps,:eq,:sum"
+    val e = intercept[IllegalStateException] {
+      in.execute(Interpreter.tokenize(s"$base,:exp-clamp"), Context(Nil))
+    }
+    assert(e.getMessage == "to use :exp-clamp enable unstable features")
+    // same program succeeds with the flag; the stable macro needs nothing
+    val ok = in.execute(Interpreter.tokenize(s"$base,:exp-clamp"),
+      Context(Nil, unstableFeatures = true))
+    assert(ok.stack.size == 1)
+    assert(in.execute(Interpreter.tokenize(s"$base,:ok-clamp"), Context(Nil)).stack.size == 1)
+  }
+
   test("query vs math word dispatch for shared names") {
     // two plain strings -> query :gt
     assert(Asl.parse("name,sps,:gt") == DataExpr.Sum(Query.GreaterThan("name", "sps")))
