@@ -1010,13 +1010,18 @@ object Similarity {
       path: String,
       queries: DataFrame,
       k: Int,
-      nProbe: Int = 4,
+      // default = the index's persisted tuning (maintenance-chosen via
+      // [[retuneIfStale]]); 4 when none is stored, explicit value wins
+      nProbe: Int = UseTuned,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     import spark.implicits._
+    val resolvedNp =
+      if (nProbe == UseTuned) readProbeTuning(spark, path).map(_.nProbe).getOrElse(4)
+      else nProbe
     val centroids = readIvfCentroids(spark, path)
-    val np = math.min(nProbe, centroids.length)
+    val np = math.min(resolvedNp, centroids.length)
     val qs = vecs(queries, idCol, vecCol).collect()
       .map(q => (q, probeCells(q.vec, centroids, np).toSet))
     val probed = qs.flatMap(_._2).distinct.toSeq
@@ -1159,6 +1164,73 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").select("tables", "planes").head()
     (r.getInt(0), r.getInt(1))
+  }
+
+  // --- persisted probe tuning ---------------------------------------------
+
+  /** Sentinel default for [[ivfTopKIndexed]]/[[ivfPqTopKIndexed]]: resolve
+    * the serving setting from the index's persisted `tuning/` artifact
+    * (falling back to the historical defaults when none is stored). */
+  val UseTuned: Int = -1
+
+  /** The probe tuner's persisted choice. `nRows` is the index row count at
+    * tune time — the GENERATION key [[retuneIfStale]] compares, so appends
+    * (and replay-debris dedup in compaction) mark the tuning stale. */
+  final case class ProbeTuning(nProbe: Int, refineFactor: Int, recall: Double, nRows: Long)
+
+  def writeProbeTuning(
+      spark: org.apache.spark.sql.SparkSession, path: String, t: ProbeTuning): Unit = {
+    import spark.implicits._
+    Seq((t.nProbe, t.refineFactor, t.recall, t.nRows))
+      .toDF("n_probe", "refine_factor", "recall", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tuning")
+  }
+
+  def readProbeTuning(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[ProbeTuning] =
+    if (!graft.sources.Dirs.exists(spark, s"$path/tuning")) None
+    else {
+      val r = spark.read.parquet(s"$path/tuning")
+        .select("n_probe", "refine_factor", "recall", "n_rows").head()
+      Some(ProbeTuning(r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    }
+
+  /**
+   * The maintenance entry for probe tuning: run [[optimalProbes]] against
+   * an IVF/IVF-PQ index ONLY when its generation moved (row count differs
+   * from the persisted tuning's), and persist the chosen
+   * (nProbe, refineFactor) beside the index so the serving paths pick it
+   * up by default ([[UseTuned]]). Returns whether a tune ran. LSH indexes
+   * return false — their geometry is sized up front by [[Dedup.optimalBands]].
+   * The sweep is the once-per-generation lifecycle cost documented on
+   * [[optimalProbes]]; the staleness probe itself is one metadata-cheap
+   * count of the cell files.
+   */
+  def retuneIfStale(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      recallBar: Double = 0.9,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      refineFactors: Seq[Int] = Seq(1, 4, 8),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Boolean = {
+    if (!graft.sources.Dirs.exists(spark, s"$path/centroids")) false
+    else {
+      val n = spark.read.parquet(s"$path/cells").count()
+      if (readProbeTuning(spark, path).exists(_.nRows == n)) false
+      else {
+        val sweep = optimalProbes(spark, path, emb, queryPred, k, recallBar,
+          nProbes, refineFactors, idCol, vecCol)
+        val c = sweep.filter(col("chosen"))
+          .select(col("n_probe"), col("refine_factor"), col("recall")).head()
+        writeProbeTuning(spark, path, ProbeTuning(c.getInt(0), c.getInt(1), c.getDouble(2), n))
+        true
+      }
+    }
   }
 
   /**
@@ -1821,16 +1893,23 @@ object Similarity {
       path: String,
       queries: DataFrame,
       k: Int,
-      nProbe: Int = 4,
+      // defaults = the index's persisted tuning (maintenance-chosen via
+      // [[retuneIfStale]]); (4, 8) when none is stored, explicit wins
+      nProbe: Int = UseTuned,
       refineFrom: Option[DataFrame] = None,
-      refineFactor: Int = 8,
+      refineFactor: Int = UseTuned,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     import spark.implicits._
+    val tuned = if (nProbe == UseTuned || refineFactor == UseTuned)
+      readProbeTuning(spark, path) else None
+    val resolvedNp = if (nProbe == UseTuned) tuned.map(_.nProbe).getOrElse(4) else nProbe
+    val resolvedRf =
+      if (refineFactor == UseTuned) tuned.map(_.refineFactor).getOrElse(8) else refineFactor
     val centroids = readIvfCentroids(spark, path)
     val model = readPqModel(spark, path)
-    val np = math.min(nProbe, centroids.length)
+    val np = math.min(resolvedNp, centroids.length)
     val qs = vecs(queries, idCol, vecCol).collect().map { q =>
       val probes = probeCells(q.vec, centroids, np)
       // exact dot(q, centroid) per probed cell; residual table shared across cells
@@ -1854,8 +1933,8 @@ object Similarity {
       }
       .toDF("query_id", "nbr_id", "score")
     refineFrom match {
-      case Some(emb) if refineFactor > 0 =>
-        refineShortlist(rankTopK(candidates, refineFactor * k), emb, queries, k, idCol, vecCol)
+      case Some(emb) if resolvedRf > 0 =>
+        refineShortlist(rankTopK(candidates, resolvedRf * k), emb, queries, k, idCol, vecCol)
       case _ => rankTopK(candidates, k)
     }
   }

@@ -42,7 +42,24 @@ object Maintenance {
   final case class Report(
       expiredDays: Seq[String],
       rollups: Map[String, Long],
-      compactedIndexes: Seq[String] = Nil)
+      compactedIndexes: Seq[String] = Nil,
+      retunedIndexes: Seq[String] = Nil)
+
+  /** Probe-tuning configuration for the maintained ANN indexes: the
+    * corpus frame + query predicate [[graft.ops.Similarity.optimalProbes]]
+    * sweeps against. Tuning runs AFTER compaction and only for indexes
+    * whose generation moved ([[graft.ops.Similarity.retuneIfStale]]); the
+    * chosen (nProbe, refineFactor) persists beside the index and the
+    * serving paths use it by default. */
+  final case class AnnTune(
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int,
+      recallBar: Double = 0.9,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      refineFactors: Seq[Int] = Seq(1, 4, 8),
+      idCol: String = "vec_id",
+      vecCol: String = "embedding")
 
   /** Naming convention for maintained rollup tables. */
   def rollupTable(table: String, stepMs: Long): String = s"${table}_rollup_$stepMs"
@@ -59,7 +76,8 @@ object Maintenance {
       buckets: Int = 64,
       partitioned: Boolean = true,
       dedupIndexes: Seq[String] = Nil,
-      annIndexes: Seq[String] = Nil
+      annIndexes: Seq[String] = Nil,
+      annTune: Option[AnnTune] = None
   ): (StoreBackend, Report) = {
     // a forgotten nowMs would silently expire nothing (cutoff lands in
     // 1969) — retention misconfiguration must fail loudly, not accumulate
@@ -86,7 +104,15 @@ object Maintenance {
       else Nil
     dedupIndexes.foreach(p => graft.streaming.StreamRunner.compactDedupIndex(spark, p))
     annIndexes.foreach(p => graft.ops.Similarity.compactAnnIndex(spark, p))
+    // 6. probe retuning, AFTER compaction (the tune stamps the compacted
+    //    generation's row count): once per index generation, persisted
+    //    beside the index, served by default
+    val retuned = annTune.toSeq.flatMap { t =>
+      annIndexes.filter(p => graft.ops.Similarity.retuneIfStale(
+        spark, p, t.emb, t.queryPred, t.k, t.recallBar,
+        t.nProbes, t.refineFactors, t.idCol, t.vecCol))
+    }
     (StoreBackend(spark, table, rollups.toMap),
-      Report(expired, rollups.toMap, dedupIndexes ++ annIndexes))
+      Report(expired, rollups.toMap, dedupIndexes ++ annIndexes, retuned))
   }
 }

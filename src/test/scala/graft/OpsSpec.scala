@@ -915,6 +915,43 @@ class SimilaritySpec extends SparkSpec {
     assert(codes1.values.forall(_.length === 8))
   }
 
+  test("maintenance probe retuning: once per generation, persisted, served by default") {
+    import graft.sources.Maintenance
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val built = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tune").toString
+    Similarity.ivfPqBuildIndex(built, dir)
+    val pred = col("vec_id") < 10
+    def maintain() = Maintenance.run(spark, "graft_tune_unused",
+      annIndexes = Seq(dir),
+      annTune = Some(Maintenance.AnnTune(emb, pred, 5,
+        nProbes = Seq(1, 4), refineFactors = Seq(1, 8))))._2
+    // first maintenance pass: no tuning stored yet -> the sweep runs and
+    // persists the chosen (nProbe, refineFactor) stamped with the
+    // compacted generation's row count
+    assert(maintain().retunedIndexes == Seq(dir))
+    val t1 = Similarity.readProbeTuning(spark, dir).get
+    assert(t1.nRows == built.count())
+    // same generation: the second pass SKIPS the sweep entirely
+    assert(maintain().retunedIndexes.isEmpty)
+    assert(Similarity.readProbeTuning(spark, dir).get == t1)
+    // default serving resolves the persisted setting: byte-identical to
+    // passing the tuned knobs explicitly
+    val q = emb.filter(pred)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dflt = rows(Similarity.ivfPqTopKIndexed(spark, dir, q, 5, refineFrom = Some(emb)))
+    val expl = rows(Similarity.ivfPqTopKIndexed(spark, dir, q, 5,
+      nProbe = t1.nProbe, refineFrom = Some(emb), refineFactor = t1.refineFactor))
+    assert(dflt === expl)
+    // an append moves the generation -> the next maintenance pass
+    // compacts AND retunes, restamping the new row count
+    Similarity.ivfPqAppendIndex(batch, dir)
+    assert(maintain().retunedIndexes == Seq(dir))
+    assert(Similarity.readProbeTuning(spark, dir).get.nRows == emb.count())
+  }
+
   test("sized index builds: a fresh cells/ layout starts at one file per cell") {
     import graft.sources.Dirs
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
