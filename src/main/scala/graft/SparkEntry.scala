@@ -894,6 +894,22 @@ object SparkEntry {
       // oracle-green proxy row and hand counts)
       "text_bpe_fertility" -> ((s, d) =>
         TextOps.bpeFertility(docs(s, d), corpusBpe(s, d))),
+      // the real-BPE report's hash-green twin AT THE REPORT LEVEL: the
+      // SAME bpeTokenCounts kernel (tokenizer trained, broadcast, every
+      // row's bpe count computed) threaded through the SAME
+      // fertilityReport join/agg as text_bpe_fertility, projected to the
+      // columns DuckDB can replicate — n_docs and the ws-token sums the
+      // count-column contract carries alongside the bpe counts. Contract
+      // (fertilityReport scaladoc): a counts frame is (idCol,
+      // n_ws_tokens, n_bpe_tokens); this row oracle-checks the report's
+      // threading (id casts, join, grouping, sums) and the kernel's ws
+      // side, BpeSpec's hand merges pin the bpe side — together the
+      // rows-only real-BPE row reduces to a verified aggregation over a
+      // verified kernel
+      "text_bpe_fertility_ws" -> ((s, d) =>
+        TextOps.fertilityReport(docs(s, d),
+            TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d)))
+          .select(col("source"), col("n_docs"), col("n_ws_tokens"))),
       // the seqLen-choice input: token-length histogram per source
       "pipeline_length_hist" -> ((s, d) => Curate.lengthHistogram(docs(s, d))),
       // C4-style line cleanup: word-count floor + blocklist phrase cut
@@ -2465,6 +2481,13 @@ object SparkEntry {
           |                   LEFT JOIN dropped db ON db.media_id = i.media_b)
           |SELECT media_a, media_b, common, jaccard, dropped_a, dropped_b
           |FROM j WHERE jaccard >= 0.5""".stripMargin,
+      // the ws-side projection of the REAL-tokenizer report: the kernel's
+      // whitespace column is SQL-replicable even though its bpe column is
+      // not (the count-column contract, TextOps.fertilityReport scaladoc)
+      "text_bpe_fertility_ws" ->
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens
+          |FROM documents GROUP BY 1""".stripMargin,
       "text_fertility" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""WITH c AS (

@@ -348,6 +348,15 @@ object TextOps {
    * makes the report SQL-expressible end to end (the oracle-green catalog
    * surface), while the real-tokenizer row rides [[bpeTokenCounts]]
    * through [[bpeFertility]]. One domain-cardinality exchange.
+   *
+   * The COUNT-COLUMN CONTRACT this report (and every token-denominated
+   * curation hook) consumes: a counts frame carries, per `idCol` row,
+   * BOTH `n_ws_tokens` (whitespace words — SQL-replicable, so an oracle
+   * can hash-check the threading: id casts, the docs join, grouping and
+   * sums) and `n_bpe_tokens` (the model denomination — kernel-computed,
+   * pinned by BpeSpec where no SQL twin exists). The catalog's
+   * `text_bpe_fertility_ws` row exercises the REAL tokenizer kernel
+   * through this report and oracle-checks its ws-side projection.
    */
   def fertilityReport(
       docs: DataFrame,
