@@ -108,7 +108,17 @@ object Bench {
     // rarer still). An explicit GC every few queries drives the cleaner
     // and keeps the session state flat — its pause is billed to the
     // timing gap between queries, not to any query.
+    // Interleaved contention sentinels: the same fixed spin, re-timed
+    // every `segmentEvery` queries BETWEEN timings (never inside one), so
+    // a mid-run contention burst is attributable to a ~20-query segment
+    // instead of hiding between endpoint-only probes (the round-9
+    // artifact's three out-of-band rows were unadjudicable for exactly
+    // that reason). Each entry is (1-based index of the last completed
+    // query, spin seconds); query names recover from the sorted catalog.
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val segmentEvery = 20
     var sinceGc = 0
+    var done = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
@@ -123,6 +133,12 @@ object Bench {
         System.gc()
         Thread.sleep(100) // let trailing concurrent GC work settle off the next timing
         sinceGc = 0
+      }
+      done += 1
+      if (done % segmentEvery == 0) {
+        val s = sentinel()
+        segments += ((done, s))
+        System.err.println(f"BENCH segment after=$done ($name) sentinel=$s%.3f")
       }
       (name, cold, warm)
     }
@@ -153,8 +169,9 @@ object Bench {
     val sentinelEnd = sentinel()
     val sentinelMtEnd = sentinelMt()
     System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f mt_start=$sentinelMtStart%.3f mt_end=$sentinelMtEnd%.3f")
+    val segs = segments.map { case (i, s) => f"[$i,$s%.2f]" }.mkString("[", ",", "]")
     val line =
-      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir"}"""
     println(line)
   }
 }
