@@ -650,6 +650,48 @@ object SparkEntry {
     }
   }
 
+  /** The STREAMING front door's audit over the same corpus/config as
+    * [[frontDoor]], fed as ONE micro-batch through
+    * [[graft.streaming.StreamRunner.streamingFrontDoor]] — the
+    * batch-replayable audit contract: single-corpus streaming equals the
+    * batch operator (StreamSpec pins all four frames), so the DuckDB
+    * replay of the BATCH chain is this row's oracle. The MemoryStream
+    * feed collects the corpus driver-side — a test-harness source shape
+    * (a deployment reads a real stream source), cached per
+    * (session, sf dir) like [[frontDoor]]. */
+  private val streamFrontDoorCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def streamFrontDoorAudit(s: SparkSession, d: String): DataFrame =
+    streamFrontDoorCache.get(d).filter(_.sparkSession eq s).getOrElse {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_fd_stream").toString
+      def p(x: String) = s"$base/$x"
+      val dd = docs(s, d)
+      val corpus = dd.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      val input = MemoryStream[(Long, String, String)]
+      val query = graft.streaming.StreamRunner.streamingFrontDoor(
+        input.toDF.toDF("doc_id", "source", "text"),
+        p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"), p("ckpt"),
+        evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
+        lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+        lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+        maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+      try {
+        input.addData(corpus)
+        query.processAllAvailable()
+      } finally query.stop()
+      val audit = graft.streaming.StreamRunner.readFrontDoorAudit(s, p("audit"))
+        .select(col("stage_order"), col("stage"), col("n_in"), col("n_out"))
+        .localCheckpoint()
+      streamFrontDoorCache.put(d, audit)
+      audit
+    }
+
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
     * re-running the histogram pass + merge learn each. */
@@ -985,6 +1027,10 @@ object SparkEntry {
       // row per stage with in/out counts (pack counts sequences) — every
       // stage count must match the oracle replaying the full chain
       "pipeline_front_door" -> ((s, d) => frontDoor(s, d).audit),
+      // the STREAMING front door's audit, single-corpus-fed: equality
+      // with the batch chain is the operator's parity contract, so the
+      // same DuckDB replay oracles the streaming path end to end
+      "pipeline_front_door_stream" -> ((s, d) => streamFrontDoorAudit(s, d)),
       // ...and through its per-doc DLQ: every dropped doc attributed to
       // the stage that cut it (the streamingCurationIngest reject frame,
       // batch form, plus the contamination/mixture reasons)
@@ -1652,6 +1698,21 @@ object SparkEntry {
       // per-stage audit of the composed front door: the oracle replays
       // the entire chain and must land on the same seven counts
       "pipeline_front_door" ->
+        s"""$fdCtes
+           |SELECT 1 AS stage_order, 'line_filter' AS stage,
+           |       (SELECT count(*) FROM fd_base) AS n_in, (SELECT count(*) FROM fd_lf) AS n_out
+           |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM fd_lf), (SELECT count(*) FROM fd_qd)
+           |UNION ALL SELECT 3, 'classifier', (SELECT count(*) FROM fd_qd), (SELECT count(*) FROM fd_qd)
+           |UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM fd_qd), (SELECT count(*) FROM fd_dd)
+           |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM fd_dd), (SELECT count(*) FROM fd_cl)
+           |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM fd_cl), (SELECT count(*) FROM fd_mx)
+           |UNION ALL SELECT 7, 'pack', (SELECT count(*) FROM fd_mx),
+           |          (SELECT CAST(sum((tot + 511) // 512) AS BIGINT) FROM (
+           |             SELECT sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot
+           |             FROM fd_mx GROUP BY source))""".stripMargin,
+      // the streaming twin replays the SAME batch chain (single-corpus
+      // streaming == batch is the StreamSpec-pinned parity contract)
+      "pipeline_front_door_stream" ->
         s"""$fdCtes
            |SELECT 1 AS stage_order, 'line_filter' AS stage,
            |       (SELECT count(*) FROM fd_base) AS n_in, (SELECT count(*) FROM fd_lf) AS n_out

@@ -1009,6 +1009,221 @@ object StreamRunner {
       .start()
 
   /**
+   * The STREAMING front door — [[graft.ops.Curate.frontDoor]]'s full
+   * stage chain (line filter -> quality -> optional classifier -> near-dup
+   * removal -> optional decontamination -> temperature mixture -> pack) as
+   * a continuous pipeline with the SAME DLQ/audit contract: every dropped
+   * doc lands in `rejectPath` as (batch_id, doc_id, reason), every batch
+   * appends its (batch_id, stage_order, stage, n_in, n_out) audit frame,
+   * and the packed layout continues ACROSS batches through per-shard
+   * carried token offsets. Fed a whole corpus as one batch, kept / packed
+   * / rejects / audit equal the batch operator's frames exactly (StreamSpec
+   * pins it) — the established parity contract of this module.
+   *
+   * Streaming-specific semantics, each the honest per-batch reading of its
+   * batch stage:
+   *  - **dedup** removes intra-batch near-dups first (min-id
+   *    representative, exactly the batch stage), then drops docs matching
+   *    the PERSISTED signature index of prior batches' stage-4 survivors
+   *    (the [[streamingCurationIngest]] machinery) — "seen corpus" means
+   *    everything that ever passed the dedup gate, whether or not a later
+   *    gate dropped it.
+   *  - **mixture weights** are learned per micro-batch over that batch's
+   *    kept slice unless `fixedWeights` pins them — a deployment wanting
+   *    corpus-stable proportions passes the map it learned offline.
+   *  - **pack offsets** carry per shard: batch b's layout starts at the
+   *    cumulative token total of batches < b (state rows keyed
+   *    (source, batch_id), so an at-least-once REPLAY recomputes the same
+   *    base — the additive-statistic replay rule). The per-batch audit
+   *    `pack` row counts the loader examples the batch COMPLETED:
+   *    ceil(cum_after/seqLen) − ceil(cum_before/seqLen) per shard, which
+   *    telescopes to the batch operator's total over any prefix.
+   *
+   * Crash story: kept-before-index ordering per [[streamingCurationIngest]];
+   * row-set sinks (kept/packed/rejects) tolerate replay duplication, the
+   * two statistic sinks (audit, offset state) dedup on read by batch_id.
+   */
+  def streamingFrontDoor(
+      docs: DataFrame,
+      indexPath: String,
+      keptPath: String,
+      packedPath: String,
+      rejectPath: String,
+      auditPath: String,
+      statePath: String,
+      checkpointPath: String,
+      evalDocs: Option[DataFrame] = None,
+      lineMinWords: Int = 3,
+      lineBlocklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+      lang: String = "en",
+      minTokens: Double = 5.0,
+      minTtr: Double = 0.2,
+      minStopRatio: Double = 0.0,
+      clfWeights: Option[Array[Double]] = None,
+      minProb: Double = 0.5,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      decontamN: Int = 5,
+      maxContamination: Double = 0.1,
+      mixtureAlpha: Double = 1.0,
+      fixedWeights: Option[Map[String, Double]] = None,
+      seqLen: Long = 512L
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        import spark.implicits._
+        import graft.ops.{Classifier, Curate, Dedup, TextOps}
+        def idsOf(df: DataFrame) = df.select(col("doc_id"))
+        val base = rawBatch
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+          .localCheckpoint()
+
+        // 1-2: line cleanup (downstream sees the CLEANED text) + quality
+        val cleaned = TextOps.lineFilter(base, lineMinWords,
+            requireTerminalPunct = false, lineBlocklist)
+          .select(col("doc_id"), col("text"))
+          .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .localCheckpoint()
+        val lineRejects = base.join(idsOf(cleaned), Seq("doc_id"), "left_anti")
+        val gated = Curate.qualityFilter(cleaned, lang, minTokens, minTtr, minStopRatio)
+          .localCheckpoint()
+        val qualityRejects = cleaned.join(idsOf(gated), Seq("doc_id"), "left_anti")
+
+        // 3: optional classifier gate
+        val scored = clfWeights match {
+          case Some(w) =>
+            val pass = Classifier.score(gated, w)
+              .filter(col("prob") >= minProb)
+              .select(col("id").as("doc_id"))
+            gated.join(pass, Seq("doc_id")).localCheckpoint()
+          case None => gated
+        }
+        val clfRejects = gated.join(idsOf(scored), Seq("doc_id"), "left_anti")
+
+        // 4: intra-batch near-dup removal, then vs the persisted index
+        val intraPairs = Dedup.minhashLsh(scored, shingleSize = shingleSize,
+          bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+        val intraKept = Curate.dedupKeep(scored, intraPairs).localCheckpoint()
+        val deduped =
+          if (!graft.sources.Dirs.exists(spark, indexPath)) intraKept
+          else {
+            val index = spark.read.parquet(indexPath)
+            val dupIds = Dedup.minhashPairsVsIndex(index, intraKept,
+                "text", shingleSize, bands, rowsPerBand, threshold)
+              .select(col("batch_id").as("doc_id")).distinct()
+            intraKept.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+          }
+        val dupRejects = scored.join(idsOf(deduped), Seq("doc_id"), "left_anti")
+
+        // 5: optional eval-set decontamination
+        val kept = evalDocs match {
+          case Some(ev) =>
+            val rep = TextOps.decontaminate(deduped, ev, decontamN)
+            deduped.join(
+              rep.filter(col("frac") <= maxContamination).select(col("doc_id")),
+              Seq("doc_id")).localCheckpoint()
+          case None => deduped
+        }
+        val contamRejects = deduped.join(idsOf(kept), Seq("doc_id"), "left_anti")
+
+        // 6: temperature mixture (per-batch weights unless pinned)
+        val weights = fixedWeights.getOrElse(Curate.temperatureWeights(kept, mixtureAlpha))
+        val maxW = weights.values.foldLeft(0.0)(math.max)
+        require(maxW < 1000.0,
+          s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")
+        val mixed = Curate.temperatureMixtureSample(kept, weights, "source", "doc_id")
+          .localCheckpoint()
+        val mixRejects = kept.join(idsOf(mixed).distinct(), Seq("doc_id"), "left_anti")
+
+        // 7: pack with per-shard CARRIED offsets — the batch layout shifts
+        // by the shard's cumulative token total from prior batches; the
+        // shifted columns recompute from start = seq_id*seqLen + seq_offset
+        val packed0 = Curate.packSequences(
+          mixed.withColumn("rid", col("doc_id") * 1000L + col("copy")),
+          seqLen, idCol = "rid")
+        val bases: DataFrame =
+          if (!graft.sources.Dirs.exists(spark, statePath))
+            Seq.empty[(String, Long)].toDF("source", "base_tok")
+          else
+            spark.read.parquet(statePath)
+              .filter(col("batch_id") < batchId)
+              // replay dedup: a re-appended (source, batch_id) row is
+              // byte-identical, first() collapses it
+              .groupBy(col("source"), col("batch_id"))
+              .agg(first(col("n_tok")).as("n_tok"))
+              .groupBy(col("source")).agg(sum(col("n_tok")).as("base_tok"))
+        val packed = packed0
+          .join(broadcast(bases), packed0("source") <=> bases("source"), "left")
+          .drop(bases("source"))
+          .withColumn("__start",
+            coalesce(col("base_tok"), lit(0L)) +
+              col("seq_id").cast("long") * seqLen + col("seq_offset").cast("long"))
+          .select(col("rid"), packed0("source"), col("n_tokens"),
+            expr(s"__start div $seqLen").cast("double").as("seq_id"),
+            (col("__start") % seqLen).cast("double").as("seq_offset"),
+            when(col("__start") % seqLen + col("n_tokens") > seqLen, 1.0)
+              .otherwise(0.0).as("spans_boundary"))
+          .localCheckpoint()
+
+        // audit pack n_out: loader examples COMPLETED by this batch
+        val batchTotals = packed0.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).cast("long").as("n_tok"))
+          .localCheckpoint()
+        val nSeqs = batchTotals
+          .join(broadcast(bases), batchTotals("source") <=> bases("source"), "left")
+          .drop(bases("source"))
+          .select((
+            ceil((coalesce(col("base_tok"), lit(0L)) + col("n_tok")).cast("double") / seqLen) -
+              ceil(coalesce(col("base_tok"), lit(0L)).cast("double") / seqLen)).cast("long").as("d"))
+          .agg(coalesce(sum(col("d")), lit(0L))).head().getLong(0)
+
+        val counts = Seq(base, cleaned, gated, scored, deduped, kept, mixed).map(_.count())
+        val audit = Seq(
+          (batchId, 1, "line_filter", counts(0), counts(1)),
+          (batchId, 2, "quality", counts(1), counts(2)),
+          (batchId, 3, "classifier", counts(2), counts(3)),
+          (batchId, 4, "dedup", counts(3), counts(4)),
+          (batchId, 5, "decontaminate", counts(4), counts(5)),
+          (batchId, 6, "mixture", counts(5), counts(6)),
+          (batchId, 7, "pack", counts(6), nSeqs)
+        ).toDF("batch_id", "stage_order", "stage", "n_in", "n_out")
+
+        val rejects = idsOf(lineRejects).withColumn("reason", lit("line_filter"))
+          .unionByName(idsOf(qualityRejects).withColumn("reason", lit("quality")))
+          .unionByName(idsOf(clfRejects).withColumn("reason", lit("classifier")))
+          .unionByName(idsOf(dupRejects).withColumn("reason", lit("duplicate")))
+          .unionByName(idsOf(contamRejects).withColumn("reason", lit("contaminated")))
+          .unionByName(idsOf(mixRejects).withColumn("reason", lit("mixture")))
+          .withColumn("batch_id", lit(batchId))
+
+        // kept before index (replay duplicates, never drops); statistic
+        // sinks last so a crash before them replays the whole batch
+        kept.write.mode("append").parquet(keptPath)
+        Dedup.minhashIndex(deduped, "text", shingleSize, bands, rowsPerBand)
+          .write.mode("append").parquet(indexPath)
+        packed.write.mode("append").parquet(packedPath)
+        rejects.write.mode("append").parquet(rejectPath)
+        audit.write.mode("append").parquet(auditPath)
+        batchTotals.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(statePath)
+      }
+      .start()
+
+  /** Replay-safe reader for [[streamingFrontDoor]]'s audit sink: an
+    * at-least-once re-append writes byte-identical rows per
+    * (batch_id, stage_order), collapsed here (the statistic-sink rule). */
+  def readFrontDoorAudit(spark: SparkSession, auditPath: String): DataFrame =
+    spark.read.parquet(auditPath)
+      .groupBy(col("batch_id"), col("stage_order"))
+      .agg(first(col("stage")).as("stage"),
+        first(col("n_in")).as("n_in"), first(col("n_out")).as("n_out"))
+
+  /**
    * Streaming PCA maintenance: each micro-batch of vectors appends ONE
    * additive moment row ([[graft.ops.Pca.appendMoments]], seq = the
    * micro-batch id), so an up-to-date basis is always

@@ -1140,6 +1140,125 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming front door: single-corpus kept/packed/rejects/audit equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fd_stream").toString
+    def p(s: String) = s"$base/$s"
+    val corpusDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = corpusDf.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val evalDf = corpusDf.filter(col("doc_id") % 20 === 0)
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamRunner.streamingFrontDoor(
+      input.toDF.toDF("doc_id", "source", "text"),
+      p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"), p("ckpt"),
+      evalDocs = Some(evalDf),
+      lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+      lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+      maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+    try {
+      input.addData(corpus) // the WHOLE corpus as one micro-batch
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val fd = graft.ops.Curate.frontDoor(
+      corpusDf.filter(col("doc_id") % 20 =!= 0),
+      evalDocs = Some(evalDf),
+      lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+      lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+      maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+
+    val keptS = spark.read.parquet(p("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptB = fd.kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptS == keptB && keptS.nonEmpty, s"kept: stream $keptS vs batch $keptB")
+
+    def packRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("rid"), col("source"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"), col("spans_boundary"))
+      .collect().map(_.toSeq).toSet
+    assert(packRows(spark.read.parquet(p("packed"))) == packRows(fd.packed))
+
+    def rejRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("reason")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rejRows(spark.read.parquet(p("rejects"))) == rejRows(fd.rejects))
+
+    def auditRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("stage_order"), col("stage"), col("n_in"), col("n_out"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(auditRows(StreamRunner.readFrontDoorAudit(spark, p("audit"))) ==
+      auditRows(fd.audit))
+  }
+
+  test("streaming front door: pack offsets carry across batches; cross-batch dup attributed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fd_carry").toString
+    def p(s: String) = s"$base/$s"
+    // english-looking docs that pass every gate and share NO phrasing
+    // (each would otherwise minhash-pair with its siblings); ascending
+    // ids so the stream's batch1-then-batch2 shard order IS the batch
+    // operator's ascending-rid order (what makes layout equality
+    // meaningful)
+    val bodies = Seq(
+      "the quick brown fox jumps over the lazy dog and then walks through the long quiet field before it rests",
+      "a completely different report describes the bucketed parquet layout with its catalog and the compaction pass it needs",
+      "this third entry discusses watermark driven state eviction for streams and why bounded state survives an endless firehose",
+      "another text explains how broadcast joins avoid the shuffle when one side is small enough to ship to every executor",
+      "the final piece covers adaptive query execution and the way skewed partitions split into parallel tasks at runtime")
+    val b1 = bodies.take(3).zipWithIndex.map { case (t, i) => ((i + 1).toLong, "s0", t) }
+    val b2 = bodies.drop(3).zipWithIndex.map { case (t, i) => ((i + 4).toLong, "s0", t) } :+
+      // near-dup of doc 1 arriving a batch later: the persisted index
+      // must reject it as a duplicate (the batch operator, fed batch 2
+      // alone, could never see it)
+      ((6L, "s0", bodies.head.replace("quiet", "silent")))
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamRunner.streamingFrontDoor(
+      input.toDF.toDF("doc_id", "source", "text"),
+      p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"), p("ckpt"),
+      lineMinWords = 3, lang = "en", minTokens = 10.0, minTtr = 0.2,
+      fixedWeights = Some(Map("s0" -> 1.0)), seqLen = 16L)
+    try {
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rejects = spark.read.parquet(p("rejects"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejects == Map(6L -> "duplicate"), s"rejects $rejects")
+
+    // layout equality with the batch operator over the full corpus (docs
+    // 1-5; the weights are pinned so per-batch learning can't diverge)
+    val batchPacked = graft.ops.Curate.packSequences(
+      (b1 ++ b2.take(2)).toDF("doc_id", "source", "text")
+        .withColumn("rid", col("doc_id") * 1000L),
+      seqLen = 16L, idCol = "rid")
+      .select(col("rid"), col("source"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"), col("spans_boundary"))
+      .collect().map(_.toSeq).toSet
+    val streamPacked = spark.read.parquet(p("packed"))
+      .select(col("rid"), col("source"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"), col("spans_boundary"))
+      .collect().map(_.toSeq).toSet
+    assert(streamPacked == batchPacked,
+      s"stream $streamPacked vs batch $batchPacked")
+
+    // the audit's pack rows telescope: completed examples across batches
+    // equal the whole-corpus count
+    val packOut = StreamRunner.readFrontDoorAudit(spark, p("audit"))
+      .filter(col("stage") === "pack").agg(sum(col("n_out")))
+      .head().getLong(0)
+    val totTok = spark.read.parquet(p("packed")).agg(sum(col("n_tokens")))
+      .head().getDouble(0).toLong
+    assert(packOut == (totTok + 15L) / 16L, s"pack audit $packOut vs tokens $totTok")
+  }
+
   test("streaming active users: latest-seq view equals the batch operator after every prefix, late data included") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
