@@ -635,18 +635,25 @@ object SparkEntry {
     // the session's block manager): a driver that stops and recreates the
     // SparkSession in one JVM would otherwise serve dead checkpoint
     // blocks — unlike bpeCache, whose tokenizer is session-independent.
-    // Validate and recompute on session mismatch.
-    frontDoorCache.get(d).filter(_.kept.sparkSession eq s).getOrElse {
+    // synchronized compute-once (the TrieMap's getOrElseUpdate guarantee,
+    // kept through the session-validation path): two threads racing a
+    // miss would otherwise BOTH run the multi-stage chain.
+    def compute() = {
       import org.apache.spark.sql.functions.col
       val dd = docs(s, d)
-      val fresh = graft.ops.Curate.frontDoor(
+      graft.ops.Curate.frontDoor(
         dd.filter(col("doc_id") % 20 =!= 0),
         evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
         lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
         lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
         maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
-      frontDoorCache.put(d, fresh)
-      fresh
+    }
+    frontDoorCache.synchronized {
+      frontDoorCache.get(d).filter(_.kept.sparkSession eq s).getOrElse {
+        val fresh = compute()
+        frontDoorCache.put(d, fresh)
+        fresh
+      }
     }
   }
 
@@ -661,13 +668,13 @@ object SparkEntry {
     * (session, sf dir) like [[frontDoor]]. */
   private val streamFrontDoorCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def streamFrontDoorAudit(s: SparkSession, d: String): DataFrame =
-    streamFrontDoorCache.get(d).filter(_.sparkSession eq s).getOrElse {
+  private def streamFrontDoorAudit(s: SparkSession, d: String): DataFrame = {
+    def compute(): DataFrame = {
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_fd_stream").toString
+      val base = java.nio.file.Files.createTempDirectory("graft_fd_stream")
       def p(x: String) = s"$base/$x"
       val dd = docs(s, d)
       val corpus = dd.filter(col("doc_id") % 20 =!= 0)
@@ -688,9 +695,28 @@ object SparkEntry {
       val audit = graft.streaming.StreamRunner.readFrontDoorAudit(s, p("audit"))
         .select(col("stage_order"), col("stage"), col("n_in"), col("n_out"))
         .localCheckpoint()
-      streamFrontDoorCache.put(d, audit)
+      // the audit is checkpointed — the corpus-scale sink layout under the
+      // temp dir (index/kept/packed/...) is garbage the moment it's read;
+      // delete it or a driver cycling sessions accumulates it unboundedly
+      import scala.util.Using
+      def rm(dir: java.nio.file.Path): Unit = {
+        Using.resource(java.nio.file.Files.walk(dir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      rm(base)
       audit
     }
+    // synchronized compute-once with session validation (see frontDoor)
+    streamFrontDoorCache.synchronized {
+      streamFrontDoorCache.get(d).filter(_.sparkSession eq s).getOrElse {
+        val fresh = compute()
+        streamFrontDoorCache.put(d, fresh)
+        fresh
+      }
+    }
+  }
 
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of

@@ -135,11 +135,13 @@ object StressGen {
       .option("parquet.block.size", 2 * 1024 * 1024)
       .parquet(s"$outDir/_documents_tmp")
     val fs = java.nio.file.Paths.get(outDir, "_documents_tmp")
-    val part = java.nio.file.Files.list(fs).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    import scala.util.Using
+    val part = Using.resource(java.nio.file.Files.list(fs))(
+      _.filter(_.toString.endsWith(".parquet")).findFirst().get())
     java.nio.file.Files.move(part, java.nio.file.Paths.get(outDir, "documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.list(fs).forEach(p => java.nio.file.Files.delete(p))
+    Using.resource(java.nio.file.Files.list(fs))(
+      _.forEach(p => java.nio.file.Files.delete(p)))
     java.nio.file.Files.delete(fs)
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"STRESS generated $n rows at $outDir")

@@ -58,17 +58,23 @@ object StressProof {
     println("| query | rows | wall s | worst-stage tasks | max task ms | median task ms | max/med |")
     println("|---|---|---|---|---|---|---|")
     Family.foreach { name =>
+      // measure the FIRST full execution (the noop write) so the
+      // checkpoint-building kernel/window stages are in the profile; the
+      // stats snapshot is taken after an async-listener settle pause and
+      // BEFORE df.count() — the count re-executes the (post-checkpoint)
+      // plan and its tasks must not pollute the measured distribution
       durations.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      val rows = df.count()
+      Thread.sleep(300) // listener events deliver asynchronously
       import scala.jdk.CollectionConverters._
       val stats = durations.asScala.toSeq.map { case (sid, v) =>
         val ds = v.asScala.map(_.longValue).toSeq.sorted
         StageStat(sid, ds.size, ds.last, ds(ds.size / 2), ds.sum)
       }
+      val rows = df.count()
       // the stage holding the LONGEST task is where a skew funnel would
       // live; ignore trivial stages (every task under 50 ms) whose
       // max/median ratio is pure scheduling noise

@@ -151,9 +151,11 @@ object Curate {
     // miss sequences fully INTERIOR to a document longer than ~2x seqLen
     // (seq_id is only where a doc's FIRST token lands), and a data-card
     // reader takes this row as the example count
+    // coalesce: an all-rejected corpus packs ZERO rows and the sum-of-sums
+    // is null — the audit must report 0, not NPE
     val nSeqs = packed.groupBy(col("source"))
       .agg(sum(col("n_tokens")).cast("long").as("__tot"))
-      .agg(sum(expr(s"(__tot + ${seqLen - 1}) div $seqLen")).cast("long"))
+      .agg(coalesce(sum(expr(s"(__tot + ${seqLen - 1}) div $seqLen")), lit(0L)).cast("long"))
       .head().getLong(0)
     val counts = Seq(base, cleaned, gated, scored, deduped, kept, mixed).map(_.count())
     val audit = Seq(

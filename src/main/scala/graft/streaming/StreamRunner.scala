@@ -1174,12 +1174,15 @@ object StreamRunner {
         val batchTotals = packed0.groupBy(col("source"))
           .agg(sum(col("n_tokens")).cast("long").as("n_tok"))
           .localCheckpoint()
+        // integer div, not double ceil: cumulative token totals past 2^53
+        // would round a double across a seqLen multiple and break the
+        // telescoping parity with the batch chain's (tot + L-1) div L
         val nSeqs = batchTotals
           .join(broadcast(bases), batchTotals("source") <=> bases("source"), "left")
           .drop(bases("source"))
-          .select((
-            ceil((coalesce(col("base_tok"), lit(0L)) + col("n_tok")).cast("double") / seqLen) -
-              ceil(coalesce(col("base_tok"), lit(0L)).cast("double") / seqLen)).cast("long").as("d"))
+          .withColumn("__b", coalesce(col("base_tok"), lit(0L)))
+          .select((expr(s"(__b + n_tok + ${seqLen - 1}) div $seqLen") -
+            expr(s"(__b + ${seqLen - 1}) div $seqLen")).as("d"))
           .agg(coalesce(sum(col("d")), lit(0L))).head().getLong(0)
 
         val counts = Seq(base, cleaned, gated, scored, deduped, kept, mixed).map(_.count())
