@@ -628,6 +628,11 @@ object SparkEntry {
     * localCheckpointed inside, so nothing recomputes per row). Corpus =
     * docs with id % 20 != 0; eval (decontamination reference) = the
     * held-out % 20 == 0 slice — the text_decontaminate split. */
+  // per-sf-dir lock objects: compute-once WITHOUT serializing unrelated
+  // dirs (or warm hits) behind another dir's multi-second cold compute
+  private val fdLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def fdLock(key: String): Object = fdLocks.getOrElseUpdate(key, new Object)
+
   private val frontDoorCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.ops.Curate.FrontDoorResult]
   private def frontDoor(s: SparkSession, d: String): graft.ops.Curate.FrontDoorResult = {
@@ -648,7 +653,7 @@ object SparkEntry {
         lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
         maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
     }
-    frontDoorCache.synchronized {
+    fdLock("batch:" + d).synchronized {
       frontDoorCache.get(d).filter(_.kept.sparkSession eq s).getOrElse {
         val fresh = compute()
         frontDoorCache.put(d, fresh)
@@ -676,28 +681,11 @@ object SparkEntry {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_fd_stream")
       def p(x: String) = s"$base/$x"
-      val dd = docs(s, d)
-      val corpus = dd.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id"), col("source"), col("text"))
-        .as[(Long, String, String)].collect().toSeq
-      val input = MemoryStream[(Long, String, String)]
-      val query = graft.streaming.StreamRunner.streamingFrontDoor(
-        input.toDF.toDF("doc_id", "source", "text"),
-        p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"), p("ckpt"),
-        evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
-        lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
-        lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
-        maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
-      try {
-        input.addData(corpus)
-        query.processAllAvailable()
-      } finally query.stop()
-      val audit = graft.streaming.StreamRunner.readFrontDoorAudit(s, p("audit"))
-        .select(col("stage_order"), col("stage"), col("n_in"), col("n_out"))
-        .localCheckpoint()
-      // the audit is checkpointed — the corpus-scale sink layout under the
-      // temp dir (index/kept/packed/...) is garbage the moment it's read;
-      // delete it or a driver cycling sessions accumulates it unboundedly
+      // the audit is checkpointed before return — the corpus-scale sink
+      // layout under the temp dir (index/kept/packed/...) is garbage the
+      // moment it's read; delete it in a FINALLY (a transient stream
+      // failure retried by the driver would otherwise leave one
+      // corpus-scale dir per attempt — the accumulation this exists to stop)
       import scala.util.Using
       def rm(dir: java.nio.file.Path): Unit = {
         Using.resource(java.nio.file.Files.walk(dir)) { st =>
@@ -705,11 +693,30 @@ object SparkEntry {
             .forEach(f => java.nio.file.Files.deleteIfExists(f))
         }
       }
-      rm(base)
-      audit
+      try {
+        val dd = docs(s, d)
+        val corpus = dd.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)].collect().toSeq
+        val input = MemoryStream[(Long, String, String)]
+        val query = graft.streaming.StreamRunner.streamingFrontDoor(
+          input.toDF.toDF("doc_id", "source", "text"),
+          p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"), p("ckpt"),
+          evalDocs = Some(dd.filter(col("doc_id") % 20 === 0)),
+          lineMinWords = 5, lineBlocklist = Seq("slow fast slow"),
+          lang = "en", minTokens = 20.0, minTtr = 0.3, minStopRatio = 0.02,
+          maxContamination = 0.1, mixtureAlpha = 0.5, seqLen = 512L)
+        try {
+          input.addData(corpus)
+          query.processAllAvailable()
+        } finally query.stop()
+        graft.streaming.StreamRunner.readFrontDoorAudit(s, p("audit"))
+          .select(col("stage_order"), col("stage"), col("n_in"), col("n_out"))
+          .localCheckpoint()
+      } finally rm(base)
     }
-    // synchronized compute-once with session validation (see frontDoor)
-    streamFrontDoorCache.synchronized {
+    // per-dir compute-once with session validation (see frontDoor)
+    fdLock("stream:" + d).synchronized {
       streamFrontDoorCache.get(d).filter(_.sparkSession eq s).getOrElse {
         val fresh = compute()
         streamFrontDoorCache.put(d, fresh)

@@ -70,19 +70,27 @@ object StressProof {
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // listener events deliver asynchronously
       import scala.jdk.CollectionConverters._
+      // snapshot via Vector.toArray (synchronized) — iterating the live
+      // vector races a straggling onTaskEnd add (fail-fast CME)
       val stats = durations.asScala.toSeq.map { case (sid, v) =>
-        val ds = v.asScala.map(_.longValue).toSeq.sorted
+        val ds = v.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted.toSeq
         StageStat(sid, ds.size, ds.last, ds(ds.size / 2), ds.sum)
-      }
+      }.filter(_.tasks > 0)
       val rows = df.count()
+      Thread.sleep(300) // the count's own events must not leak into the NEXT query's window
       // the stage holding the LONGEST task is where a skew funnel would
       // live; ignore trivial stages (every task under 50 ms) whose
       // max/median ratio is pure scheduling noise
       val worst = stats.filter(_.maxMs >= 50)
         .sortBy(-_.maxMs).headOption
-        .getOrElse(stats.sortBy(-_.maxMs).head)
-      val ratio = worst.maxMs.toDouble / math.max(1L, worst.medMs)
-      println(f"| $name | $rows | $wall%.2f | ${worst.tasks} | ${worst.maxMs} | ${worst.medMs} | $ratio%.1f |")
+        .orElse(stats.sortBy(-_.maxMs).headOption)
+      worst match {
+        case Some(w) =>
+          val ratio = w.maxMs.toDouble / math.max(1L, w.medMs)
+          println(f"| $name | $rows | $wall%.2f | ${w.tasks} | ${w.maxMs} | ${w.medMs} | $ratio%.1f |")
+        case None =>
+          println(s"| $name | $rows | - | - | - | - | - (no task events delivered) |")
+      }
       if (verbose) stats.sortBy(_.stageId).foreach { s =>
         val n = Option(stageNames.get(s.stageId)).getOrElse("?")
         println(f"    stage ${s.stageId}%4d ${s.tasks}%4d tasks max=${s.maxMs}%6d med=${s.medMs}%6d sum=${s.sumMs}%7d  $n")
