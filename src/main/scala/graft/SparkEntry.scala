@@ -327,6 +327,28 @@ object SparkEntry {
     "store_data_by" -> ((s, d) =>
       Planner.output(Planner.eval(
         Asl.parse("name,click,:eq,:sum,(,usr,),:by"), storeEvents(s, d), ctx), Seq("usr"), 4)),
+    // -- SQL-backed store (§2.1's last backend: the reference's
+    // atlas-postgres surface, on the embedded Derby that ships with
+    // Spark): same ASL programs, same oracles as the raw/parquet paths —
+    // a storage-backend swap must not change a single answer. The fetch
+    // pushes the tag predicate + ts bounds into the database, prunes
+    // block-suffix tables against the eval window, reads each table over
+    // 4 parallel ts-range predicates, and feeds the same planner --
+    "store_jdbc_sum" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum"),
+        graft.sources.JdbcStore.fetch(s, jdbcEventsUrl(s, d), JdbcEventsDef,
+          Query.Equal("name", "click"), ctx.start, ctx.end, JdbcBlockMs,
+          readPartitions = 4),
+        ctx), Nil, 4)),
+    "store_jdbc_by" -> ((s, d) =>
+      Planner.output(Planner.eval(
+        Asl.parse("name,click,:eq,:sum,(,usr,),:by"),
+        // single-partition reads here (the _sum row exercises the
+        // 4-way ts-range predicate path)
+        graft.sources.JdbcStore.fetch(s, jdbcEventsUrl(s, d), JdbcEventsDef,
+          Query.Equal("name", "click"), ctx.start, ctx.end, JdbcBlockMs),
+        ctx), Seq("usr"), 4)),
     // index-driven fetch: the :re predicate resolves on the series catalog
     // (once per series), matching keys semi-join the bucketed store, and
     // the planner evaluates the pre-filtered frame with :true
@@ -788,6 +810,32 @@ object SparkEntry {
         graft.ops.Similarity.ivfPqBuildIndex(emb(s, d), path)
     }
     path
+  }
+
+  /** The SQL-backed store's schema over the events tag space: every tag
+    * key split into a pushable column ([[graft.sources.JdbcStore]]). */
+  private val JdbcEventsDef =
+    graft.sources.JdbcStore.TableDef("events", Seq("name", "usr", "grp", "hi"))
+
+  /** One suffix table per UTC day over the testdata window (~30 tables —
+    * the block-pruning unit). */
+  private val JdbcBlockMs = 86400000L
+
+  /** Embedded-Derby store per sf dir, loaded once from the events
+    * datapoints (the reference's "data loading is managed separately"
+    * note, PostgresDatabase.scala:38-40 — here the loader is one
+    * [[graft.sources.JdbcStore.write]] pass). */
+  private def jdbcEventsUrl(s: SparkSession, d: String): String = {
+    // the warehouse conf may carry a file: scheme; Derby wants a bare path
+    val dir = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      "/graft_derby_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    this.synchronized {
+      if (!new java.io.File(s"$dir/db").exists())
+        graft.sources.JdbcStore.write(
+          Datapoints.events(s, d), url, JdbcEventsDef, JdbcBlockMs)
+    }
+    url
   }
 
   /** Persisted LSH signature index, same lifecycle as [[ivfIndexPath]]. */
@@ -2702,6 +2750,12 @@ object SparkEntry {
     "store_data_sum" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
     "store_data_by" -> base(
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+    // the SQL-backed (Derby) store serves the SAME oracles again: a
+    // backend swap, not a semantics change
+    "store_jdbc_sum" -> base(
+      "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
+    "store_jdbc_by" -> base(
       "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
     "store_query_re_idx" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE regexp_matches(name, '^p.*') GROUP BY t"),

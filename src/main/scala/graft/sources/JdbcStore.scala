@@ -1,0 +1,333 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.asl.Query
+
+/**
+ * SQL-backed datapoint store — the Spark-first analog of the reference's
+ * Postgres database module (atlas-postgres: `PostgresDatabase.scala:40`
+ * time-based tables + `SqlUtils.scala` query translation): datapoints live
+ * in TIME-SUFFIXED tables (`<base>_yyyyMMddHHmm`, one per block interval,
+ * retention = drop whole tables) in any JDBC database, tag predicates
+ * translate to SQL and run inside the database, and whatever SQL cannot
+ * express exactly comes back as a RESIDUAL `Query` evaluated by Spark —
+ * the pushed-filters-plus-residual division every Spark datasource uses,
+ * instead of the reference's PL/pgSQL helper functions.
+ *
+ * Differences from the reference, by design:
+ *  - **Layout**: narrow (tag columns…, ts, value) rows instead of
+ *    per-block float8[] arrays + hstore — portable SQL (tested on the
+ *    EMBEDDED Derby that ships with Spark; a deployment points the same
+ *    code at Postgres/MySQL by URL), and Spark's slotting/grid machinery
+ *    replaces the block-buffer merge.
+ *  - **Tags**: the [[TableDef]] enumerates the tag keys split into real
+ *    columns (the reference's TableDefinition.columns); keys outside the
+ *    schema are not pushable and their predicates ride the residual.
+ *    NaN values store as SQL NULL (the reference's null-for-NaN
+ *    convention) and absent tags as NULL columns, reconstructed as
+ *    null-valued map entries (the [[Datapoints.events]] convention the
+ *    query compiler treats as absent).
+ *  - **Aggregation pushdown**: [[dataQuerySql]]/[[fetchAggregated]] push
+ *    GROUP BY (cols, ts) SUM/COUNT/MIN/MAX into the database (the
+ *    reference's atlas_aggr_* path) when the WHOLE predicate pushed;
+ *    otherwise [[fetch]] returns filtered datapoints and Spark aggregates
+ *    — both paths produce identical frames (JdbcStoreSpec pins it).
+ *
+ * Scale shape: the suffix tables are the partition-pruning unit (only
+ * block intervals overlapping the eval window are queried — the
+ * reference's `overlappingTimes`); per-table reads parallelize across
+ * `readPartitions` ts-range predicates (Spark's JDBC predicate-partition
+ * form); `couldMatch` prunes metric-specific tables before any SQL runs
+ * (the reference's table filter, via the round-10 Query.couldMatch).
+ * A JDBC database is the OPERATIONAL store surface — corpus-scale data
+ * belongs in the bucketed parquet store; this module exists so a user of
+ * the reference's SQL backend can keep that deployment shape.
+ */
+object JdbcStore {
+
+  /** Table schema: which tag keys are real columns (pushable); a
+    * metric-specific table carries its name tag for couldMatch pruning
+    * (reference TableDefinition.scala:28-52). */
+  final case class TableDef(
+      tableName: String,
+      columns: Seq[String],
+      metricName: String = "*"
+  ) {
+    def tags: Map[String, String] =
+      if (metricName != "*") Map("name" -> metricName) else Map.empty
+  }
+
+  private val SuffixFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMddHHmm").withZone(java.time.ZoneOffset.UTC)
+  private val TableNamePattern = "^.*_([0-9]{12})$".r
+
+  /** Block-start time -> table suffix (reference SqlUtils.toSuffix). */
+  def toSuffix(ms: Long): String =
+    SuffixFmt.format(java.time.Instant.ofEpochMilli(ms))
+
+  /** Table name -> block-start time, when it carries a valid suffix. */
+  def extractTime(table: String): Option[Long] = table match {
+    case TableNamePattern(s) =>
+      Some(java.time.LocalDateTime.parse(s, SuffixFmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case _ => None
+  }
+
+  /** SQL single-quote literal escape (doubling — the portable form). */
+  private def lit_(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Double-quoted identifier (tag keys are caller data, not trusted). */
+  private def ident(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** Regex values that are plain literals (no metacharacters) — the only
+    * regexes pushed down, as anchored LIKE prefix matches. */
+  private def literalPrefix(v: String): Option[String] =
+    if (v.nonEmpty && v.forall(c => c.isLetterOrDigit || c == ' ' || c == '-')) Some(v)
+    else None
+
+  /**
+   * Translate a query to ONE SQL boolean expression, or None if any part
+   * cannot be expressed exactly. Null semantics match the Spark compiler
+   * leaf-for-leaf (absent tag = NULL column; a null comparison filters the
+   * row under the same three-valued AND/OR both engines share). `:not` is
+   * never pushed: the engine keeps rows whose inner predicate is null
+   * (absent key matches the negation), which SQL's NOT(NULL) drops.
+   */
+  private def toWhere(columns: Seq[String], q: Query): Option[String] = q match {
+    case Query.True        => Some("(1=1)")
+    case Query.False       => Some("(1=0)")
+    case Query.HasKey(k) if columns.contains(k) =>
+      Some(s"${ident(k)} IS NOT NULL")
+    case Query.Equal(k, v) if columns.contains(k) =>
+      Some(s"${ident(k)} = ${lit_(v)}")
+    case Query.LessThan(k, v) if columns.contains(k) =>
+      Some(s"${ident(k)} < ${lit_(v)}")
+    case Query.LessThanEqual(k, v) if columns.contains(k) =>
+      Some(s"${ident(k)} <= ${lit_(v)}")
+    case Query.GreaterThan(k, v) if columns.contains(k) =>
+      Some(s"${ident(k)} > ${lit_(v)}")
+    case Query.GreaterThanEqual(k, v) if columns.contains(k) =>
+      Some(s"${ident(k)} >= ${lit_(v)}")
+    case Query.In(k, vs) if columns.contains(k) && vs.nonEmpty =>
+      Some(s"${ident(k)} IN (${vs.map(lit_).mkString(", ")})")
+    case Query.Regex(k, v) if columns.contains(k) =>
+      literalPrefix(v).map(p => s"${ident(k)} LIKE ${lit_(p + "%")}")
+    case Query.And(a, b) =>
+      for (x <- toWhere(columns, a); y <- toWhere(columns, b)) yield s"($x AND $y)"
+    case Query.Or(a, b) =>
+      for (x <- toWhere(columns, a); y <- toWhere(columns, b)) yield s"($x OR $y)"
+    case _ => None
+  }
+
+  /**
+   * Split a query into (pushed SQL conjuncts, residual query): each CNF
+   * conjunct either translates fully to SQL or stays in the residual the
+   * Spark side evaluates after the read — never both, never neither, so
+   * pushed AND residual together are exactly the original predicate.
+   */
+  def split(columns: Seq[String], q: Query): (Seq[String], Query) = {
+    val (pushed, rest) = q.cnfList.partitionMap { c =>
+      toWhere(columns, c).toLeft(c)
+    }
+    val residual = rest.foldLeft(Query.True: Query)((a, b) => a.and(b))
+    (pushed, residual)
+  }
+
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which poisons
+    * BOTH sides: a null tag written via setNull(Types.CLOB) into a VARCHAR
+    * column throws, and CLOB columns reject comparison predicates. This
+    * dialect pins strings to VARCHAR; registered dialects take precedence
+    * over the built-ins. */
+  private object VarcharDerbyDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(255)", java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  private lazy val dialectRegistered: Unit =
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(VarcharDerbyDialect)
+
+  private def props(): java.util.Properties = {
+    dialectRegistered
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** Reader options common to every path; Derby's dialect would map the
+    * tag strings to CLOB on write, which its own comparisons reject —
+    * createTableColumnTypes pins VARCHAR. */
+  private def tagColumnTypes(tdef: TableDef): String =
+    tdef.columns.map(c => s"$c VARCHAR(255)").mkString(", ")
+
+  /**
+   * Load a canonical datapoint frame (tags map, ts, value) into the
+   * suffix-table layout: rows route to the table of their containing
+   * block interval; NaN values store as NULL. One JDBC append per
+   * overlapped block table — table count is window/blockMs (bounded by
+   * retention), rows stream through Spark's JDBC batch writer.
+   */
+  def write(
+      datapoints: DataFrame,
+      url: String,
+      tdef: TableDef,
+      blockMs: Long
+  ): Unit = {
+    require(blockMs > 0, "blockMs must be positive")
+    val flat = datapoints.select(
+      tdef.columns.map(k => col("tags").getItem(k).as(k)) ++
+        Seq(col("ts").cast("long").as("ts"),
+          when(isnan(col("value")), lit(null)).otherwise(col("value")).as("value")): _*)
+      .withColumn("__blk", (col("ts") - pmod(col("ts"), lit(blockMs))).cast("long"))
+    val blocks = flat.select(col("__blk")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: window / blockMs tables
+    blocks.foreach { b =>
+      flat.filter(col("__blk") === b).drop("__blk")
+        .write.mode("append")
+        .option("createTableColumnTypes", tagColumnTypes(tdef))
+        .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", props())
+    }
+  }
+
+  /** The database's suffix tables for `tdef`, as (table, blockStart) —
+    * the reference's listTables + extractTime pass, via JDBC metadata. */
+  def listTables(url: String, tdef: TableDef): Seq[(String, Long)] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val out = Seq.newBuilder[(String, Long)]
+      while (rs.next()) {
+        val name = rs.getString("TABLE_NAME")
+        if (name.toUpperCase.startsWith(tdef.tableName.toUpperCase + "_"))
+          extractTime(name).foreach(t => out += ((name, t)))
+      }
+      out.result().sortBy(_._2)
+    } finally conn.close()
+  }
+
+  /** Block [t, t+blockMs) overlaps the closed eval window [s, e]
+    * (reference Interval.overlaps semantics). */
+  private def overlapping(
+      tables: Seq[(String, Long)], blockMs: Long, startMs: Long, endMs: Long
+  ): Seq[String] =
+    tables.collect {
+      case (name, t) if t <= endMs && (t + blockMs) > startMs => name
+    }
+
+  private def tagsMap(tdef: TableDef): Column =
+    map(tdef.columns.flatMap(k => Seq(lit(k), col(k))): _*)
+
+  private def emptyFrame(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("tags", MapType(StringType, StringType)),
+        StructField("ts", LongType),
+        StructField("value", DoubleType))))
+  }
+
+  /**
+   * Fetch the canonical datapoint frame for a query over an eval window:
+   * suffix-table pruning, pushed WHERE + ts bounds inside the database,
+   * per-table reads parallelized over `readPartitions` ts-range
+   * predicates, residual predicates evaluated by the Spark compiler on
+   * the reconstructed tag map. The result feeds [[graft.planner.Planner]]
+   * exactly like [[Datapoints.events]] — a backend swap, not a semantics
+   * change (the catalog rows pin hash equality with the parquet path).
+   */
+  def fetch(
+      spark: SparkSession,
+      url: String,
+      tdef: TableDef,
+      query: Query,
+      startMs: Long,
+      endMs: Long,
+      blockMs: Long,
+      readPartitions: Int = 1
+  ): DataFrame = {
+    if (!query.couldMatch(tdef.tags)) return emptyFrame(spark)
+    val (pushed, residual) = split(tdef.columns, query)
+    val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
+    if (tables.isEmpty) return emptyFrame(spark)
+    // Spark's JDBC writer creates QUOTED (case-sensitive) column names —
+    // every generated reference must quote identically
+    val where = (pushed :+ s"\"ts\" >= $startMs" :+ s"\"ts\" <= $endMs").mkString(" AND ")
+    val parts = tables.map { t =>
+      val cols = (tdef.columns.map(ident) :+ "\"ts\"" :+ "\"value\"").mkString(", ")
+      if (readPartitions <= 1)
+        spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", props())
+      else {
+        val span = math.max(1L, (endMs - startMs + 1) / readPartitions)
+        val preds = (0 until readPartitions).map { i =>
+          val lo = startMs + i * span
+          val hi = if (i == readPartitions - 1) endMs + 1 else lo + span
+          s"\"ts\" >= $lo AND \"ts\" < $hi"
+        }.toArray
+        spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", preds, props())
+      }
+    }
+    val union = parts.reduce(_ unionByName _)
+    union
+      .select(tagsMap(tdef).as("tags"), col("ts"), col("value").cast("double").as("value"))
+      .filter(graft.planner.QueryCompiler.compile(residual, col("tags")))
+  }
+
+  /**
+   * The reference's pushed-aggregation path (SqlUtils.dataQueries +
+   * atlas_aggr_*): when the WHOLE predicate translates, SUM/COUNT/MIN/MAX
+   * grouped by (grouping columns, ts) runs inside the database and only
+   * series-cardinality rows cross the wire. Null-for-NaN semantics carry
+   * through SQL's null-skipping aggregates (SUM/MIN/MAX of all-null =
+   * NULL = NaN; COUNT uses NULLIF(...,0) so an all-null slot is NaN like
+   * the engine's all-absent aggregate, not 0). Returns the same canonical
+   * frame as [[fetch]] + a Spark-side aggregate would — JdbcStoreSpec
+   * pins the equality — with one row per (group, ts).
+   */
+  def fetchAggregated(
+      spark: SparkSession,
+      url: String,
+      tdef: TableDef,
+      query: Query,
+      af: String,
+      groupBy: Seq[String],
+      startMs: Long,
+      endMs: Long,
+      blockMs: Long
+  ): DataFrame = {
+    require(Seq("sum", "count", "min", "max").contains(af), s"unsupported aggregate $af")
+    require(groupBy.forall(tdef.columns.contains),
+      s"grouping keys ${groupBy.filterNot(tdef.columns.contains)} are not table columns")
+    if (!query.couldMatch(tdef.tags)) return emptyFrame(spark)
+    val (pushed, residual) = split(tdef.columns, query)
+    require(residual == Query.True,
+      s"predicate does not fully push down (residual: ${residual.asl}) — use fetch()")
+    val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
+    if (tables.isEmpty) return emptyFrame(spark)
+    val where = (pushed :+ s"\"ts\" >= $startMs" :+ s"\"ts\" <= $endMs").mkString(" AND ")
+    val aggSql = af match {
+      case "count" => "CAST(NULLIF(COUNT(\"value\"), 0) AS DOUBLE)"
+      case a       => s"${a.toUpperCase}(\"value\")"
+    }
+    val gcols = groupBy.map(ident)
+    val sel = (gcols :+ "\"ts\"" :+ s"$aggSql AS \"value\"").mkString(", ")
+    val grp = (gcols :+ "\"ts\"").mkString(", ")
+    val parts = tables.map { t =>
+      spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url, s"(SELECT $sel FROM $t WHERE $where GROUP BY $grp) sub", props())
+    }
+    val perBlock = parts.reduce(_ unionByName _)
+    // a (group, ts) never spans two block tables (ts routes to one block),
+    // so the union IS the final aggregate — no re-merge needed
+    perBlock.select(
+      map(groupBy.flatMap(k => Seq(lit(k), col(k))): _*).as("tags"),
+      col("ts"), col("value").cast("double").as("value"))
+  }
+}

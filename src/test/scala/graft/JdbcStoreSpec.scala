@@ -1,0 +1,156 @@
+package graft
+
+import graft.asl.Query
+import graft.sources.JdbcStore
+import org.apache.spark.sql.functions._
+
+/** SQL-backed store (the reference's atlas-postgres surface) on the
+  * embedded Derby that ships with Spark: suffix math, pushdown/residual
+  * split, write -> fetch round-trip equality with the Spark-side filter,
+  * block-table pruning, pushed-aggregation equality, couldMatch pruning. */
+class JdbcStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private val tdef = JdbcStore.TableDef("events", Seq("name", "usr", "hi"))
+  private val H = 3600000L
+  private val Block = 4 * H
+
+  // two block intervals; a NaN value (stored as NULL); an absent `hi` tag
+  private lazy val dps = Seq(
+    (Map("name" -> "click", "usr" -> "u1", "hi" -> "y"), 0L * H, 1.0),
+    (Map("name" -> "click", "usr" -> "u2"), 1L * H, 2.0),
+    (Map("name" -> "view", "usr" -> "u1"), 2L * H, 3.0),
+    (Map("name" -> "click", "usr" -> "u1"), 5L * H, Double.NaN),
+    (Map("name" -> "click", "usr" -> "u3"), 6L * H, 5.0),
+    (Map("name" -> "o'mal", "usr" -> "u1"), 6L * H, 6.0) // literal-escape probe
+  ).toDF("tags", "ts", "value")
+
+  test("suffix round-trips and non-suffixed tables are ignored") {
+    val t = 1704067200000L // 2024-01-01T00:00Z
+    assert(JdbcStore.toSuffix(t) == "202401010000")
+    assert(JdbcStore.extractTime("events_202401010000").contains(t))
+    assert(JdbcStore.extractTime("EVENTS_202401010000").contains(t))
+    assert(JdbcStore.extractTime("events").isEmpty)
+    assert(JdbcStore.extractTime("events_2024").isEmpty)
+  }
+
+  test("pushdown/residual split: SQL-exact conjuncts push, the rest stay residual") {
+    import Query._
+    val cols = Seq("name", "usr")
+    def s(q: Query) = JdbcStore.split(cols, q)
+    // fully pushable
+    assert(s(And(Equal("name", "click"), LessThan("usr", "u3")))._2 == True)
+    // :not never pushes (absent-key rows must match the negation)
+    val (p1, r1) = s(And(Equal("name", "click"), Not(Equal("usr", "u1"))))
+    assert(p1.size == 1 && r1 == Not(Equal("usr", "u1")))
+    // non-column key rides the residual
+    val (p2, r2) = s(And(HasKey("grp"), Equal("name", "click")))
+    assert(p2.size == 1 && r2 == HasKey("grp"))
+    // Or pushes only when BOTH sides do
+    assert(s(Or(Equal("name", "a"), Equal("usr", "b")))._2 == True)
+    val (p3, r3) = s(Or(Equal("name", "a"), HasKey("grp")))
+    assert(p3.isEmpty && r3 == Or(Equal("name", "a"), HasKey("grp")))
+    // literal-prefix regex pushes as LIKE, metacharacter regex does not
+    assert(s(Regex("usr", "u1"))._2 == True)
+    assert(s(Regex("usr", "u.*"))._2 == Regex("usr", "u.*"))
+  }
+
+  test("write -> fetch equals the Spark-side filter of the source frame") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    // one table per touched block interval
+    val tables = JdbcStore.listTables(url, tdef)
+    assert(tables.map(_._2) == Seq(0L, Block))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(to_json(map_filter(col("tags"), (_, v) => v.isNotNull)).as("t"),
+        col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        // stringified: NaN == NaN is false in tuple equality
+        if (r.isNullAt(2)) "NaN" else r.getDouble(2).toString))
+      .toSet
+
+    for (q <- Seq(
+        Query.Equal("name", "click"),
+        Query.And(Query.Equal("name", "click"), Query.Not(Query.Equal("usr", "u1"))),
+        Query.HasKey("hi"),
+        Query.Regex("name", "o'm"), // residual (quote is not a literal char)
+        Query.In("usr", List("u1", "u3")),
+        Query.True: Query)) {
+      val got = canon(JdbcStore.fetch(spark, url, tdef, q, 0L, 7 * H, Block))
+      val want = canon(dps
+        .filter(graft.planner.QueryCompiler.compile(q, col("tags")))
+        // the store writes NaN as NULL; mirror for the comparison
+        .select(col("tags"), col("ts"),
+          when(isnan(col("value")), lit(null)).otherwise(col("value")).as("value")))
+      assert(got == want, s"mismatch for ${q.asl}: $got vs $want")
+    }
+  }
+
+  test("block-table pruning: a narrowed window reads only overlapping tables") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    // window entirely inside the second block: first block's rows absent
+    val got = JdbcStore.fetch(spark, url, tdef, Query.True, 5 * H, 7 * H, Block)
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(5 * H, 6 * H))
+    // window before all data: empty, no failure
+    assert(JdbcStore.fetch(spark, url, tdef, Query.True, 100 * H, 101 * H, Block).isEmpty)
+  }
+
+  test("pushed aggregation equals fetch + Spark aggregation, NaN slots stay NaN") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    val q = Query.Equal("name", "click")
+    for (af <- Seq("sum", "count", "min", "max")) {
+      val pushed = JdbcStore.fetchAggregated(spark, url, tdef, q, af,
+          groupBy = Seq("name"), 0L, 7 * H, Block)
+        .select(col("tags").getItem("name"), col("ts"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) "NaN" else r.getDouble(2).toString)).toSet
+      val sparkSide = JdbcStore.fetch(spark, url, tdef, q, 0L, 7 * H, Block)
+        .groupBy(col("tags").getItem("name").as("n"), col("ts"))
+        .agg((af match {
+          case "sum"   => sum(col("value"))
+          case "count" => count(col("value")).cast("double")
+          case "min"   => min(col("value"))
+          case "max"   => max(col("value"))
+        }).as("value"))
+        .select(col("n"), col("ts"),
+          // Spark count of an all-null slot is 0; the store's contract
+          // (and the engine's all-absent aggregate) is NaN
+          when(col("value") === 0.0 && lit(af == "count"), lit(null)).otherwise(col("value")))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) "NaN" else r.getDouble(2).toString)).toSet
+      assert(pushed == sparkSide, s"$af: $pushed vs $sparkSide")
+    }
+    // the all-NaN click slot at 5h must surface as NaN (present row), not 0
+    val counts = JdbcStore.fetchAggregated(spark, url, tdef, q, "count",
+        Seq("name"), 0L, 7 * H, Block)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(counts(5 * H).isNaN)
+    assert(counts(6 * H) == 1.0)
+    // a residual-bearing predicate refuses the pushed path loudly
+    val e = intercept[IllegalArgumentException] {
+      JdbcStore.fetchAggregated(spark, url, tdef,
+        Query.Not(Query.Equal("usr", "u1")), "sum", Seq("name"), 0L, 7 * H, Block)
+    }
+    assert(e.getMessage.contains("does not fully push down"))
+  }
+
+  test("couldMatch prunes metric-specific tables before any SQL runs") {
+    val url = tmpUrl()
+    val specific = JdbcStore.TableDef("clicks", Seq("name", "usr"), metricName = "click")
+    JdbcStore.write(dps.filter(col("tags.name") === "click"), url, specific, Block)
+    assert(JdbcStore.fetch(spark, url, specific,
+      Query.Equal("name", "view"), 0L, 7 * H, Block).isEmpty)
+    assert(!JdbcStore.fetch(spark, url, specific,
+      Query.Equal("name", "click"), 0L, 7 * H, Block).isEmpty)
+  }
+}

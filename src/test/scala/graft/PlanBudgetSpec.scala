@@ -54,6 +54,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "data_by_sum" -> 2, // normalization agg + cross-series agg
     "store_data_sum" -> 1, // bucketed scan: only the cross-series agg
     "rollup_sum" -> 1, // bucketed rollup scan: only the cross-series agg
+    // SQL-backed (Derby) store: ~30 pruned block-table JDBC scans union
+    // into the same normalization + cross-series aggregates as the raw
+    // path — the union is partition-concatenation, never an exchange
+    "store_jdbc_sum" -> 2,
+    "store_jdbc_by" -> 2,
     // default store routing: the gated key broadcast rides the bucketed
     // scan (selective predicate -> hinted semi-join, no key-side shuffle),
     // so the only exchange is still the cross-series aggregate
