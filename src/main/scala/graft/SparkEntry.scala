@@ -1419,6 +1419,15 @@ object SparkEntry {
         Datapoints.events(s, d).select(col("tags").getItem("name").as("value")).distinct()),
       // same API entry points served from the series-catalog index (§1.3):
       // metadata queries run on series cardinality, not datapoint cardinality
+      // the same tags API served by the SQL-backed store's PUSHED key and
+      // value queries (the reference's PostgresTagIndex surface): the
+      // distinct/paging cut runs inside the database
+      "tags_keys_jdbc" -> ((s, d) =>
+        graft.sources.JdbcStore.tagKeys(s, jdbcEventsUrl(s, d), JdbcEventsDef,
+          Query.True, ctx.start, ctx.end, JdbcBlockMs)),
+      "tags_values_jdbc" -> ((s, d) =>
+        graft.sources.JdbcStore.tagValues(s, jdbcEventsUrl(s, d), JdbcEventsDef,
+          "name", Query.True, ctx.start, ctx.end, JdbcBlockMs)),
       "tags_keys_idx" -> ((s, d) =>
         graft.api.Api.tagKeys(
           graft.sources.TagIndex.seriesCatalog(Datapoints.events(s, d)), Query.True)),
@@ -2482,6 +2491,11 @@ object SparkEntry {
           |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key
           |  FROM events)""".stripMargin,
       "tags_values" -> "SELECT DISTINCT event_type AS value FROM events",
+      "tags_keys_jdbc" ->
+        """SELECT DISTINCT key FROM (
+          |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key
+          |  FROM events)""".stripMargin,
+      "tags_values_jdbc" -> "SELECT DISTINCT event_type AS value FROM events",
       "tags_keys_idx" ->
         """SELECT DISTINCT key FROM (
           |  SELECT unnest(CASE WHEN value > 300 THEN ['name','usr','grp','hi'] ELSE ['name','usr','grp'] END) AS key

@@ -281,6 +281,97 @@ object JdbcStore {
   }
 
   /**
+   * Distinct tag KEYS present under a query — the reference's
+   * PostgresTagIndex.keys path (SqlUtils.keyQueries): in the narrow
+   * layout a key "exists" when its column holds a non-null value on some
+   * matching row, so ONE aggregate row per block table answers all keys
+   * (`MAX(CASE WHEN c IS NOT NULL ...)` per column — no per-key scans).
+   * Requires a fully-pushable predicate (the paging cut below the
+   * distinct cannot see residual columns); callers with residual
+   * predicates go through [[fetch]] + [[graft.api.Api.tagKeys]].
+   * Paging follows the tags API contract: keys strictly after `offset`,
+   * ascending, at most `limit`.
+   */
+  def tagKeys(
+      spark: SparkSession,
+      url: String,
+      tdef: TableDef,
+      query: Query,
+      startMs: Long,
+      endMs: Long,
+      blockMs: Long,
+      limit: Int = 1000,
+      offset: String = ""
+  ): DataFrame = {
+    import spark.implicits._
+    if (!query.couldMatch(tdef.tags))
+      return Seq.empty[String].toDF("key")
+    val (pushed, residual) = split(tdef.columns, query)
+    require(residual == Query.True,
+      s"predicate does not fully push down (residual: ${residual.asl}) — use fetch + Api.tagKeys")
+    val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
+    if (tables.isEmpty) return Seq.empty[String].toDF("key")
+    val where = (pushed :+ s""""ts" >= $startMs""" :+ s""""ts" <= $endMs""").mkString(" AND ")
+    val present = scala.collection.mutable.LinkedHashSet.empty[String]
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val stmt = conn.createStatement()
+      tables.foreach { t =>
+        val sel = tdef.columns.map(c =>
+          s"MAX(CASE WHEN ${ident(c)} IS NOT NULL THEN 1 ELSE 0 END)").mkString(", ")
+        val rs = stmt.executeQuery(s"SELECT $sel FROM $t WHERE $where")
+        if (rs.next()) tdef.columns.zipWithIndex.foreach { case (c, i) =>
+          if (rs.getInt(i + 1) == 1) present += c
+        }
+        rs.close()
+      }
+    } finally conn.close()
+    present.toSeq.filter(_ > offset).sorted.take(limit).toDF("key")
+  }
+
+  /**
+   * Distinct VALUES of a tag key under a query — the reference's
+   * PostgresTagIndex.values path (SqlUtils.valueQueries): the DISTINCT,
+   * the offset cut and a per-table limit bound all run inside the
+   * database; the cross-table union re-distincts and applies the final
+   * page in Spark. Same full-pushdown requirement as [[tagKeys]].
+   */
+  def tagValues(
+      spark: SparkSession,
+      url: String,
+      tdef: TableDef,
+      key: String,
+      query: Query,
+      startMs: Long,
+      endMs: Long,
+      blockMs: Long,
+      limit: Int = 1000,
+      offset: String = ""
+  ): DataFrame = {
+    import spark.implicits._
+    require(tdef.columns.contains(key), s"'$key' is not a table column")
+    if (!query.couldMatch(tdef.tags))
+      return Seq.empty[String].toDF("value")
+    val (pushed, residual) = split(tdef.columns, query)
+    require(residual == Query.True,
+      s"predicate does not fully push down (residual: ${residual.asl}) — use fetch + Api.tagValues")
+    val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
+    if (tables.isEmpty) return Seq.empty[String].toDF("value")
+    val where = (pushed :+ s"${ident(key)} IS NOT NULL" :+
+      s"${ident(key)} > ${lit_(offset)}" :+
+      s""""ts" >= $startMs""" :+ s""""ts" <= $endMs""").mkString(" AND ")
+    val parts = tables.map { t =>
+      spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url,
+          s"""(SELECT DISTINCT ${ident(key)} AS "value" FROM $t WHERE $where
+             | ORDER BY ${ident(key)} FETCH FIRST $limit ROWS ONLY) sub""".stripMargin,
+          props())
+    }
+    parts.reduce(_ unionByName _)
+      .distinct().orderBy(col("value")).limit(limit)
+  }
+
+  /**
    * The reference's pushed-aggregation path (SqlUtils.dataQueries +
    * atlas_aggr_*): when the WHOLE predicate translates, SUM/COUNT/MIN/MAX
    * grouped by (grouping columns, ts) runs inside the database and only

@@ -144,6 +144,39 @@ class JdbcStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("does not fully push down"))
   }
 
+  test("tag index: pushed keys/values match the Api over fetch, with paging") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    // keys present under True: every column that holds a value somewhere
+    val keys = JdbcStore.tagKeys(spark, url, tdef, Query.True, 0L, 7 * H, Block)
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("hi", "name", "usr"))
+    // under a filter the `hi` key disappears (only the filtered-out row has it)
+    val keysView = JdbcStore.tagKeys(spark, url, tdef,
+        Query.Equal("name", "view"), 0L, 7 * H, Block)
+      .collect().map(_.getString(0)).toSeq
+    assert(keysView == Seq("name", "usr"))
+    // paging: strictly-after offset + limit
+    assert(JdbcStore.tagKeys(spark, url, tdef, Query.True, 0L, 7 * H, Block,
+      limit = 1, offset = "hi").collect().map(_.getString(0)).toSeq == Seq("name"))
+    // values equal the Api over the fetched frame, and page the same way
+    val apiVals = graft.api.Api.tagValues(
+        JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block), "usr", Query.True)
+      .collect().map(_.getString(0)).toSeq
+    val pushedVals = JdbcStore.tagValues(spark, url, tdef, "usr", Query.True,
+        0L, 7 * H, Block)
+      .collect().map(_.getString(0)).toSeq
+    assert(pushedVals == apiVals && pushedVals == Seq("u1", "u2", "u3"))
+    assert(JdbcStore.tagValues(spark, url, tdef, "usr", Query.Equal("name", "click"),
+        0L, 7 * H, Block, limit = 2, offset = "u1")
+      .collect().map(_.getString(0)).toSeq == Seq("u2", "u3"))
+    // residual predicates refuse the pushed paths loudly
+    intercept[IllegalArgumentException] {
+      JdbcStore.tagKeys(spark, url, tdef, Query.Not(Query.Equal("usr", "u1")),
+        0L, 7 * H, Block)
+    }
+  }
+
   test("couldMatch prunes metric-specific tables before any SQL runs") {
     val url = tmpUrl()
     val specific = JdbcStore.TableDef("clicks", Seq("name", "usr"), metricName = "click")
