@@ -1033,6 +1033,24 @@ object SparkEntry {
         TextOps.fertilityReport(docs(s, d),
             TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d)))
           .select(col("source"), col("n_docs"), col("n_ws_tokens"))),
+      // threshold-selection + calibration reports over a SQL-expressible
+      // relevance score ('spark'-term frequency) vs a planted lexical
+      // label — the oracle replays confusion cells, guarded
+      // precision/recall/F1 and reliability bins end to end; the REAL
+      // trained classifier's PR bars live in ClassifierSpec (its scores
+      // are an iterative fit, not SQL)
+      "clf_pr_curve" -> ((s, d) => {
+        val toks = split(col("text"), " ")
+        Diag.prCurve(docs(s, d), col("text").contains("query"),
+          size(filter(toks, w => w === "spark")).cast("double") / size(toks),
+          Seq(0.0, 0.02, 0.05, 0.1))
+      }),
+      "clf_calibration" -> ((s, d) => {
+        val toks = split(col("text"), " ")
+        val tf = size(filter(toks, w => w === "spark")).cast("double") / size(toks)
+        Diag.calibration(docs(s, d), col("text").contains("query"),
+          least(tf * 5.0, lit(1.0)), bins = 4)
+      }),
       // the seqLen-choice input: token-length histogram per source
       "pipeline_length_hist" -> ((s, d) => Curate.lengthHistogram(docs(s, d))),
       // C4-style line cleanup: word-count floor + blocklist phrase cut
@@ -2644,6 +2662,43 @@ object SparkEntry {
         """SELECT source, count(*) AS n_docs,
           |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens
           |FROM documents GROUP BY 1""".stripMargin,
+      "clf_pr_curve" ->
+        """WITH s AS (
+          |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE)
+          |           / len(string_split(text, ' ')) AS score,
+          |         contains(text, 'query') AS label
+          |  FROM documents),
+          |t(threshold) AS (VALUES (0.0), (0.02), (0.05), (0.1)),
+          |c AS (SELECT threshold,
+          |        sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS tp,
+          |        sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS fp,
+          |        sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS fn,
+          |        sum(CASE WHEN score < threshold AND NOT label THEN 1 ELSE 0 END) AS tn
+          |      FROM s, t GROUP BY 1),
+          |pr AS (SELECT threshold,
+          |        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          |        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+          |        CASE WHEN tp + fp = 0 THEN NULL
+          |             ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS "precision",
+          |        CASE WHEN tp + fn = 0 THEN NULL
+          |             ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall
+          |      FROM c)
+          |SELECT threshold, tp, fp, fn, tn, "precision", recall,
+          |       CASE WHEN "precision" IS NULL OR recall IS NULL
+          |              OR "precision" + recall = 0 THEN NULL
+          |            ELSE round(2 * "precision" * recall / ("precision" + recall), 4)
+          |       END AS f1
+          |FROM pr""".stripMargin,
+      "clf_calibration" ->
+        """WITH s AS (
+          |  SELECT least(5 * CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE)
+          |           / len(string_split(text, ' ')), 1.0) AS p,
+          |         contains(text, 'query') AS label
+          |  FROM documents)
+          |SELECT CAST(least(floor(p * 4), 3) AS BIGINT) AS bin, count(*) AS n,
+          |       round(avg(p), 4) AS mean_pred,
+          |       round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END), 4) AS frac_pos
+          |FROM s GROUP BY 1""".stripMargin,
       "text_fertility" -> {
         val pat = graft.ops.TextOps.bpePattern.replace("'", "''")
         s"""WITH c AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.NanMath
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -78,5 +78,91 @@ object Diag {
         round(col("max_cnt") / col("n_rows") + NanMath.RoundEps, 4).as("max_share"),
         round((lit(2) * col("sic") - (col("n_keys") + 1) * col("n_rows"))
           / (col("n_keys") * col("n_rows")) + NanMath.RoundEps, 4).as("gini"))
+  }
+
+  /**
+   * Precision/recall curve over a scored, binary-labeled frame — the
+   * THRESHOLD-SELECTION report for a quality-classifier gate (the
+   * FineWeb/DCLM practice: the keep threshold is read off exactly this
+   * table). Per threshold t, predicted-positive = `score >= t`; emits the
+   * confusion counts plus precision/recall/F1, with 0/0 cells as NULL
+   * (an undefined precision must not masquerade as a real 0). Rows with
+   * a null score or label are excluded (they belong to neither side of
+   * any threshold).
+   *
+   * Scale shape: ONE global aggregate of 4x|thresholds| conditional sums
+   * over a two-column projection — no threshold crossJoin amplifying the
+   * corpus, no shuffle beyond the single reduce (|thresholds| is
+   * report-sized by contract); the per-threshold rows explode from the
+   * one aggregate row.
+   */
+  def prCurve(
+      df: DataFrame,
+      label: Column,
+      score: Column,
+      thresholds: Seq[Double]
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size, "duplicate thresholds")
+    val base = df.select(label.as("__y"), score.cast("double").as("__s"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("__s") >= t && col("__y"), 1L).otherwise(0L)).as(s"tp$i"),
+        sum(when(col("__s") >= t && !col("__y"), 1L).otherwise(0L)).as(s"fp$i"),
+        sum(when(col("__s") < t && col("__y"), 1L).otherwise(0L)).as(s"fn$i"),
+        sum(when(col("__s") < t && !col("__y"), 1L).otherwise(0L)).as(s"tn$i"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"tp$i"), lit(0L)).as("tp"),
+        coalesce(col(s"fp$i"), lit(0L)).as("fp"),
+        coalesce(col(s"fn$i"), lit(0L)).as("fn"),
+        coalesce(col(s"tn$i"), lit(0L)).as("tn"))
+    }: _*)).as("r")).select(col("r.*"))
+    val p = when(col("tp") + col("fp") === 0L, lit(null))
+      .otherwise(round(col("tp") / (col("tp") + col("fp")) + NanMath.RoundEps, 4))
+    val r = when(col("tp") + col("fn") === 0L, lit(null))
+      .otherwise(round(col("tp") / (col("tp") + col("fn")) + NanMath.RoundEps, 4))
+    rows
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      // F1 from the ROUNDED precision/recall (both engines mirror the
+      // same two-step rounding; null when either side is undefined or
+      // the pair sums to zero)
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull ||
+          col("precision") + col("recall") === 0.0, lit(null))
+          .otherwise(round(lit(2) * col("precision") * col("recall")
+            / (col("precision") + col("recall")) + NanMath.RoundEps, 4)))
+  }
+
+  /**
+   * Reliability diagram (calibration report) for a probabilistic quality
+   * classifier: probabilities bucket into `bins` equal-width bins
+   * (probability 1.0 folds into the last), and each bin reports its row
+   * count, mean predicted probability, and empirical positive rate — a
+   * well-calibrated gate has mean_pred ~ frac_pos per bin, and a
+   * data-card quotes this table next to the chosen threshold. One
+   * bin-cardinality aggregate; null probabilities/labels are excluded.
+   */
+  def calibration(
+      df: DataFrame,
+      label: Column,
+      prob: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    df.select(label.as("__y"), prob.cast("double").as("__p"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__p")) + NanMath.RoundEps, 4).as("mean_pred"),
+        round(avg(when(col("__y"), 1.0).otherwise(0.0)) + NanMath.RoundEps, 4)
+          .as("frac_pos"))
   }
 }

@@ -2309,6 +2309,20 @@ class CurateSpec extends SparkSpec {
     val acc = joined.count { case (y, p) => (p >= 0.5) == (y == 1) }.toDouble / joined.length
     info(f"train accuracy on the planted rule at sf0.01: $acc%.3f")
     assert(acc >= 0.99) // measured 1.000 at lr=0.5, 50 iters
+
+    // the REAL classifier's PR bars through Diag.prCurve (the trained
+    // scores are an iterative fit, so this is the spec-side twin of the
+    // oracle-green clf_pr_curve row): a separable planted rule gives a
+    // perfect point at 0.5, and the curve's recall is monotone
+    // non-increasing in the threshold
+    val scored = docs.select(col("doc_id").cast("long").as("id"), col("y"))
+      .join(probs, "id")
+    val curve = Diag.prCurve(scored, col("y") === 1, col("prob"), Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        ((if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))).toMap
+    assert(curve(0.5) == ((1.0, 1.0)), s"separable rule not perfect at 0.5: $curve")
+    assert(curve(0.1)._2 >= curve(0.5)._2 && curve(0.5)._2 >= curve(0.9)._2)
   }
 
   test("weightedStratifiedSample: per-stratum counts exact, T -> 0 is top-n by weight") {
@@ -2717,6 +2731,48 @@ class DiagSpec extends SparkSpec {
     val s = Diag.skewStats(skewed, "k").collect().head
     assert(s.getDouble(0) == 4.0 && s.getDouble(1) == 8.0)
     assert(s.getDouble(2) == 0.5 && s.getDouble(3) == 0.3125)
+  }
+}
+
+class PrCurveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prCurve: hand-computed confusion cells, undefined cells are NULL, null rows excluded") {
+    val scored = Seq(
+      (Some(true), Some(0.9)), (Some(true), Some(0.8)), (Some(false), Some(0.7)),
+      (Some(true), Some(0.6)), (Some(false), Some(0.4)), (Some(false), Some(0.3)),
+      (Some(true), Some(0.2)), (Some(false), Some(0.1)),
+      (None, Some(0.5)), (Some(true), None) // excluded: null label / null score
+    ).toDF("y", "s")
+    val got = Diag.prCurve(scored, col("y"), col("s"), Seq(0.0, 0.5, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          if (r.isNullAt(6)) null else r.getDouble(6),
+          if (r.isNullAt(7)) null else r.getDouble(7)))).toMap
+    // t=0.0: everything predicted positive
+    assert(got(0.0) == ((4L, 4L, 0L, 0L, 0.5, 1.0, 0.6667)))
+    // t=0.5: {.9T,.8T,.7F,.6T} positive
+    assert(got(0.5) == ((3L, 1L, 1L, 3L, 0.75, 0.75, 0.75)))
+    // t=0.95: nothing predicted positive -> precision undefined (NULL,
+    // never a fake 0), recall 0, f1 undefined
+    assert(got(0.95) == ((0L, 0L, 4L, 4L, null, 0.0, null)))
+  }
+
+  test("calibration: equal-width bins, prob 1.0 folds into the last") {
+    val scored = Seq(
+      (false, 0.1), (true, 0.2),  // bin 0
+      (false, 0.3),               // bin 1
+      (true, 0.6),                // bin 2
+      (false, 0.8), (true, 1.0)   // bin 3 (1.0 folds down)
+    ).toDF("y", "p")
+    val got = Diag.calibration(scored, col("y"), col("p"), bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 0.15, 0.5)))
+    assert(got(1L) == ((1L, 0.3, 0.0)))
+    assert(got(2L) == ((1L, 0.6, 1.0)))
+    assert(got(3L) == ((2L, 0.9, 0.5)))
   }
 }
 

@@ -75,6 +75,11 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the sketched knob: ONE mergeable-sketch hash aggregate — the whole
     // point of the row next to the exact 5-exchange plan
     "rel_pct_price_approx" -> 1,
+    // ONE global conditional-sum aggregate over a 2-column projection
+    // (4 x |thresholds| cells in a single reduce, rows exploded after)
+    "clf_pr_curve" -> 1,
+    // one bin-cardinality aggregate
+    "clf_calibration" -> 1,
     // key-count agg + the global top-k/cum window at key cardinality
     "diag_key_skew" -> 2,
     // key-count agg + the ascending-index window + the final reduce
