@@ -22,6 +22,16 @@ sealed trait Query extends Product with Serializable {
    * `:not` inverts full `matches` (its sub-query failing on the partial
    * tags does NOT mean it fails on the full set, so only a definite match
    * refutes the negation).
+   *
+   * APPROXIMATION CONTRACT (the reference's, kept for parity): the
+   * `:not` reading is sound only when the negated body is itself
+   * `:not`-free — `matches` of a `:not`-free query is MONOTONE under
+   * adding tags, so a definite match refutes the negation for every
+   * extension. A `:not` over a body containing `:not` (e.g. a double
+   * negation) can refute a query that a fuller tag set satisfies —
+   * pinned by AslSpec's soundness property. Callers using this as a
+   * correctness-bearing filter must guard that fragment (the streaming
+   * evaluator's [[graft.streaming.Evaluator]] does).
    */
   def couldMatch(tags: Map[String, String]): Boolean = this match {
     case Query.True              => true

@@ -71,6 +71,32 @@ object Evaluator {
   val droppedDatapointsLimitExceeded = new java.util.concurrent.atomic.AtomicLong
 
   /**
+   * The SOUND form of the couldMatch pre-filter: prune only queries in
+   * couldMatch's sound fragment (every `:not` body `:not`-free — there
+   * `matches` is monotone under added tags, so a definite sub-match
+   * refutes the negation for EVERY extension); anything outside the
+   * fragment passes unpruned. AslSpec's ScalaCheck property pins
+   * soundness over random query trees: a subscription that matches any
+   * admitted series is never dropped — the failure mode that matters;
+   * an unprunable nested-`:not` query just gets evaluated.
+   */
+  private[graft] def soundPreFilter(q: Query, tags: Map[String, String]): Boolean = {
+    def notFree(x: Query): Boolean = x match {
+      case Query.Not(_)    => false
+      case Query.And(a, b) => notFree(a) && notFree(b)
+      case Query.Or(a, b)  => notFree(a) && notFree(b)
+      case _               => true
+    }
+    def safe(x: Query): Boolean = x match {
+      case Query.Not(s)    => notFree(s)
+      case Query.And(a, b) => safe(a) && safe(b)
+      case Query.Or(a, b)  => safe(a) && safe(b)
+      case _               => true
+    }
+    !safe(q) || q.couldMatch(tags)
+  }
+
+  /**
    * Attach a FIXED set of subscriptions to a datapoint stream. The shared
    * normalize pass is scoped to the OR of their data queries. `sink`
    * receives, per micro-batch with finalized slots, a DataFrame of
@@ -141,14 +167,17 @@ object Evaluator {
         // set can never match any admitted series — skip its whole
         // per-interval eval instead of running the batch planner to
         // produce nothing. Conservative by construction: couldMatch treats
-        // missing keys as indeterminate, and an Or-shaped scope has no
-        // exact tags (nothing is pruned).
+        // missing keys as indeterminate, an Or-shaped scope has no exact
+        // tags (nothing is pruned), and queries OUTSIDE couldMatch's sound
+        // fragment are never pruned (see soundPreFilter — a dropped live
+        // subscription is a correctness bug, a wasted eval is not).
         val scopeTags = scope.exactTags
         val subs = parsed().filter { case (_, styled) =>
-          styled.flatMap(se => dataExprs(se.expr)).map(_.query).distinct
-            .reduceOption((a, b) => Query.Or(a, b): Query)
-            .getOrElse(Query.True: Query)
-            .couldMatch(scopeTags)
+          Evaluator.soundPreFilter(
+            styled.flatMap(se => dataExprs(se.expr)).map(_.query).distinct
+              .reduceOption((a, b) => Query.Or(a, b): Query)
+              .getOrElse(Query.True: Query),
+            scopeTags)
         }
         val slots = batch.select(col("tags"), col("t").as("ts"), col("value"))
         val range = slots.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)

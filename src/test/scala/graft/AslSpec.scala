@@ -94,6 +94,98 @@ class AslSpec extends AnyFunSuite {
     assert(Or(Equal("foo", "baz"), Equal("later", "x")).couldMatch(tags))
   }
 
+  test("property: couldMatch is a SOUND pre-filter — a match on any extension implies couldMatch on the partial tags") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import Query._
+    val keys = Seq("a", "b", "c", "name")
+    val vals = Seq("x", "y", "z", "1", "2")
+    val genLeaf: Gen[Query] = Gen.oneOf(
+      Gen.const(True: Query),
+      Gen.const(False: Query),
+      for (k <- Gen.oneOf(keys)) yield HasKey(k): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield Equal(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield LessThan(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield GreaterThanEqual(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield Regex(k, v): Query,
+      for (k <- Gen.oneOf(keys); vs <- Gen.nonEmptyListOf(Gen.oneOf(vals)))
+        yield In(k, vs.distinct): Query)
+    def genQ(depth: Int): Gen[Query] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield And(a, b): Query),
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield Or(a, b): Query),
+        1 -> genQ(depth - 1).map(q => Not(q): Query))
+    val genTags: Gen[Map[String, String]] =
+      Gen.mapOf(for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield k -> v)
+    // m' = the partial (common) tags; m = m' extended with more tags,
+    // never overriding a common key (the evaluator pre-filter's exact
+    // situation: every admitted series CARRIES the scope's exact tags).
+    // Soundness: if the full map matches, the pre-filter must keep the
+    // query — violating this silently drops live subscriptions.
+    //
+    // (1) raw couldMatch is sound on its documented fragment: every
+    // :not body :not-free (matches of a :not-free query is monotone
+    // under added tags). This generator nests Not only over leaves.
+    def safeQ(depth: Int): Gen[Query] =
+      if (depth == 0) Gen.oneOf(genLeaf, genLeaf.map(q => Not(q): Query))
+      else Gen.frequency(
+        3 -> Gen.oneOf(genLeaf, genLeaf.map(q => Not(q): Query)),
+        2 -> (for (a <- safeQ(depth - 1); b <- safeQ(depth - 1)) yield And(a, b): Query),
+        2 -> (for (a <- safeQ(depth - 1); b <- safeQ(depth - 1)) yield Or(a, b): Query))
+    val propSafe = Prop.forAll(safeQ(3), genTags, genTags) { (q, partial, extraRaw) =>
+      val full = partial ++ (extraRaw -- partial.keySet)
+      !q.matches(full) || q.couldMatch(partial)
+    }
+    val r1 = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2000), propSafe)
+    assert(r1.passed, s"couldMatch unsound on its safe fragment: ${r1.status}")
+    // (2) the EVALUATOR's guarded pre-filter is sound on ARBITRARY trees
+    // (outside the fragment it never prunes): this is the form wired into
+    // the subscription fan-out. The raw couldMatch is NOT sound there —
+    // e.g. Not(Not(GreaterThanEqual(b,1))) on empty partial tags refutes
+    // a query that {b -> 2} satisfies (the reference's documented
+    // approximation) — which is exactly why the guard exists.
+    val propGuarded = Prop.forAll(genQ(3), genTags, genTags) { (q, partial, extraRaw) =>
+      val full = partial ++ (extraRaw -- partial.keySet)
+      !q.matches(full) || graft.streaming.Evaluator.soundPreFilter(q, partial)
+    }
+    val r2 = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2000), propGuarded)
+    assert(r2.passed, s"guarded pre-filter unsound: ${r2.status}")
+    // the reference counterexample stays pinned explicitly
+    val dblNeg = Not(Not(GreaterThanEqual("b", "1")))
+    assert(!dblNeg.couldMatch(Map.empty)) // the approximation refutes it...
+    assert(dblNeg.matches(Map("b" -> "2"))) // ...though an extension matches
+    assert(graft.streaming.Evaluator.soundPreFilter(dblNeg, Map.empty)) // guard keeps it
+  }
+
+  test("property: matchesAny agrees with matches on singleton candidate lists") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import Query._
+    val keys = Seq("a", "b", "c")
+    val vals = Seq("x", "y", "z")
+    val genLeaf: Gen[Query] = Gen.oneOf(
+      for (k <- Gen.oneOf(keys)) yield HasKey(k): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield Equal(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield LessThanEqual(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield RegexIgnoreCase(k, v): Query)
+    def genQ(depth: Int): Gen[Query] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield And(a, b): Query),
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield Or(a, b): Query),
+        1 -> genQ(depth - 1).map(q => Not(q): Query))
+    val genTags: Gen[Map[String, String]] =
+      Gen.mapOf(for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield k -> v)
+    // singleton lists degenerate matchesAny to matches EXACTLY (incl.
+    // through :not) — the reference's contract, pinned over random trees
+    val prop = Prop.forAll(genQ(3), genTags) { (q, m) =>
+      q.matchesAny(m.view.mapValues(List(_)).toMap) == q.matches(m)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("word stability gating: unstable word refused unless features enabled") {
     // reference semantics (stacklang Interpreter.scala:45-47): a word with
     // isStable = false throws unless the context opts into unstable
