@@ -210,6 +210,26 @@ object JdbcStore {
     } finally conn.close()
   }
 
+  /**
+   * Retention expiry: DROP every block table whose interval ends at or
+   * before the horizon — the reference's retention model verbatim
+   * ("tables will be used for a range of time and then deleted entirely
+   * when past the retention window", SqlUtils.createTable scaladoc), and
+   * the SQL twin of [[Store.expireDays]]'s whole-day partition drops.
+   * Metadata-only per table; returns the dropped table names.
+   */
+  def expire(url: String, tdef: TableDef, beforeMs: Long, blockMs: Long): Seq[String] = {
+    val old = listTables(url, tdef).filter { case (_, t) => t + blockMs <= beforeMs }
+    if (old.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val stmt = conn.createStatement()
+        old.foreach { case (name, _) => stmt.executeUpdate(s"DROP TABLE $name") }
+      } finally conn.close()
+    }
+    old.map(_._1)
+  }
+
   /** Block [t, t+blockMs) overlaps the closed eval window [s, e]
     * (reference Interval.overlaps semantics). */
   private def overlapping(

@@ -177,6 +177,21 @@ class JdbcStoreSpec extends SparkSpec {
     }
   }
 
+  test("retention: whole block tables past the horizon drop; the rest still serve") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    assert(JdbcStore.listTables(url, tdef).size == 2)
+    // horizon inside the second block: only the first block expires
+    val dropped = JdbcStore.expire(url, tdef, beforeMs = Block + 1, blockMs = Block)
+    assert(dropped.map(_.toLowerCase) == Seq(s"events_${JdbcStore.toSuffix(0L)}"))
+    assert(JdbcStore.listTables(url, tdef).map(_._2) == Seq(Block))
+    val left = JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block)
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    assert(left == Set(5 * H, 6 * H))
+    // idempotent: nothing else to drop at the same horizon
+    assert(JdbcStore.expire(url, tdef, Block + 1, Block).isEmpty)
+  }
+
   test("couldMatch prunes metric-specific tables before any SQL runs") {
     val url = tmpUrl()
     val specific = JdbcStore.TableDef("clicks", Seq("name", "usr"), metricName = "click")
