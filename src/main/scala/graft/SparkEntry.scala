@@ -830,10 +830,19 @@ object SparkEntry {
     val dir = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
       "/graft_derby_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val url = s"jdbc:derby:$dir/db;create=true"
+    // completion MARKER, not the db dir: Derby creates the dir on the
+    // first connection, so a loader killed mid-way (10 of ~30 block
+    // tables in) would otherwise be mistaken for a complete store and
+    // silently serve a truncated corpus forever
+    val marker = java.nio.file.Paths.get(dir, "_loaded")
     this.synchronized {
-      if (!new java.io.File(s"$dir/db").exists())
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.sources.JdbcStore.expire(url, JdbcEventsDef,
+          beforeMs = Long.MaxValue, blockMs = JdbcBlockMs) // clear partial debris
         graft.sources.JdbcStore.write(
           Datapoints.events(s, d), url, JdbcEventsDef, JdbcBlockMs)
+        java.nio.file.Files.createFile(marker)
+      }
     }
     url
   }

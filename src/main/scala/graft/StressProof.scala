@@ -71,11 +71,14 @@ object StressProof {
       Thread.sleep(300) // listener events deliver asynchronously
       import scala.jdk.CollectionConverters._
       // snapshot via Vector.toArray (synchronized) — iterating the live
-      // vector races a straggling onTaskEnd add (fail-fast CME)
-      val stats = durations.asScala.toSeq.map { case (sid, v) =>
+      // vector races a straggling onTaskEnd add (fail-fast CME); the
+      // emptiness check runs BEFORE ds.last (computeIfAbsent can insert
+      // an empty vector a beat before the add lands)
+      val stats = durations.asScala.toSeq.flatMap { case (sid, v) =>
         val ds = v.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted.toSeq
-        StageStat(sid, ds.size, ds.last, ds(ds.size / 2), ds.sum)
-      }.filter(_.tasks > 0)
+        if (ds.isEmpty) None
+        else Some(StageStat(sid, ds.size, ds.last, ds(ds.size / 2), ds.sum))
+      }
       val rows = df.count()
       Thread.sleep(300) // the count's own events must not leak into the NEXT query's window
       // the stage holding the LONGEST task is where a skew funnel would

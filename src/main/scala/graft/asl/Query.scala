@@ -43,6 +43,32 @@ sealed trait Query extends Product with Serializable {
     case Query.Not(q)            => !q.matches(tags)
   }
 
+  /** True when this query sits in [[couldMatch]]'s SOUND fragment: every
+    * `:not` body is `:not`-free, so the negated `matches` is monotone
+    * under added tags and a definite sub-match refutes the negation for
+    * every extension (the approximation contract above). */
+  def couldMatchIsSound: Boolean = {
+    def notFree(x: Query): Boolean = x match {
+      case Query.Not(_)    => false
+      case Query.And(a, b) => notFree(a) && notFree(b)
+      case Query.Or(a, b)  => notFree(a) && notFree(b)
+      case _               => true
+    }
+    this match {
+      case Query.Not(s)    => notFree(s)
+      case Query.And(a, b) => a.couldMatchIsSound && b.couldMatchIsSound
+      case Query.Or(a, b)  => a.couldMatchIsSound && b.couldMatchIsSound
+      case _               => true
+    }
+  }
+
+  /** [[couldMatch]] as a CORRECTNESS-BEARING filter: outside the sound
+    * fragment it never prunes (true), so a caller can never drop
+    * something a fuller tag set satisfies — AslSpec's ScalaCheck property
+    * pins this over random query trees. */
+  def couldMatchSound(tags: Map[String, String]): Boolean =
+    !couldMatchIsSound || couldMatch(tags)
+
   /**
    * Match against tags carrying a LIST of candidate values per key
    * (reference Query.matchesAny, model/Query.scala:30-31): a key-value

@@ -126,6 +126,11 @@ object Diag {
     val r = when(col("tp") + col("fn") === 0L, lit(null))
       .otherwise(round(col("tp") / (col("tp") + col("fn")) + NanMath.RoundEps, 4))
     rows
+      // an EMPTY (or all-null) input yields an empty report, not
+      // |thresholds| zero rows — the SQL replay (thresholds cross-joined
+      // against an empty scored set) has no rows to group, and a report
+      // over nothing should say nothing
+      .filter(col("tp") + col("fp") + col("fn") + col("tn") > 0L)
       .withColumn("precision", p)
       .withColumn("recall", r)
       // F1 from the ROUNDED precision/recall (both engines mirror the

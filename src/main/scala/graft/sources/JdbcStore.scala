@@ -200,10 +200,15 @@ object JdbcStore {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      // EXACT base-name match: a prefix test would absorb a sibling
+      // store's tables ('events_hourly_...' under base 'events')
+      val exact = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(tdef.tableName) + "_[0-9]{12}",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
       val out = Seq.newBuilder[(String, Long)]
       while (rs.next()) {
         val name = rs.getString("TABLE_NAME")
-        if (name.toUpperCase.startsWith(tdef.tableName.toUpperCase + "_"))
+        if (exact.matcher(name).matches())
           extractTime(name).foreach(t => out += ((name, t)))
       }
       out.result().sortBy(_._2)
@@ -234,10 +239,8 @@ object JdbcStore {
     * (reference Interval.overlaps semantics). */
   private def overlapping(
       tables: Seq[(String, Long)], blockMs: Long, startMs: Long, endMs: Long
-  ): Seq[String] =
-    tables.collect {
-      case (name, t) if t <= endMs && (t + blockMs) > startMs => name
-    }
+  ): Seq[(String, Long)] =
+    tables.filter { case (_, t) => t <= endMs && (t + blockMs) > startMs }
 
   private def tagsMap(tdef: TableDef): Column =
     map(tdef.columns.flatMap(k => Seq(lit(k), col(k))): _*)
@@ -271,23 +274,30 @@ object JdbcStore {
       blockMs: Long,
       readPartitions: Int = 1
   ): DataFrame = {
-    if (!query.couldMatch(tdef.tags)) return emptyFrame(spark)
+    // couldMatchSound: raw couldMatch can wrongly refute outside its
+    // sound fragment (nested :not) — pruning here is correctness-bearing
+    if (!query.couldMatchSound(tdef.tags)) return emptyFrame(spark)
     val (pushed, residual) = split(tdef.columns, query)
     val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
     if (tables.isEmpty) return emptyFrame(spark)
     // Spark's JDBC writer creates QUOTED (case-sensitive) column names —
     // every generated reference must quote identically
     val where = (pushed :+ s"\"ts\" >= $startMs" :+ s"\"ts\" <= $endMs").mkString(" AND ")
-    val parts = tables.map { t =>
+    val parts = tables.map { case (t, blockStart) =>
       val cols = (tdef.columns.map(ident) :+ "\"ts\"" :+ "\"value\"").mkString(", ")
       if (readPartitions <= 1)
         spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
           .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", props())
       else {
-        val span = math.max(1L, (endMs - startMs + 1) / readPartitions)
+        // split THIS TABLE's slice of the window, not the whole window:
+        // window-wide spans leave every table's rows in one partition and
+        // the other readPartitions-1 queries as guaranteed-empty scans
+        val lo0 = math.max(startMs, blockStart)
+        val hi0 = math.min(endMs, blockStart + blockMs - 1)
+        val span = math.max(1L, (hi0 - lo0 + 1) / readPartitions)
         val preds = (0 until readPartitions).map { i =>
-          val lo = startMs + i * span
-          val hi = if (i == readPartitions - 1) endMs + 1 else lo + span
+          val lo = lo0 + i * span
+          val hi = if (i == readPartitions - 1) hi0 + 1 else lo + span
           s"\"ts\" >= $lo AND \"ts\" < $hi"
         }.toArray
         spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -324,7 +334,7 @@ object JdbcStore {
       offset: String = ""
   ): DataFrame = {
     import spark.implicits._
-    if (!query.couldMatch(tdef.tags))
+    if (!query.couldMatchSound(tdef.tags))
       return Seq.empty[String].toDF("key")
     val (pushed, residual) = split(tdef.columns, query)
     require(residual == Query.True,
@@ -336,7 +346,7 @@ object JdbcStore {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val stmt = conn.createStatement()
-      tables.foreach { t =>
+      tables.foreach { case (t, _) =>
         val sel = tdef.columns.map(c =>
           s"MAX(CASE WHEN ${ident(c)} IS NOT NULL THEN 1 ELSE 0 END)").mkString(", ")
         val rs = stmt.executeQuery(s"SELECT $sel FROM $t WHERE $where")
@@ -370,7 +380,7 @@ object JdbcStore {
   ): DataFrame = {
     import spark.implicits._
     require(tdef.columns.contains(key), s"'$key' is not a table column")
-    if (!query.couldMatch(tdef.tags))
+    if (!query.couldMatchSound(tdef.tags))
       return Seq.empty[String].toDF("value")
     val (pushed, residual) = split(tdef.columns, query)
     require(residual == Query.True,
@@ -380,7 +390,7 @@ object JdbcStore {
     val where = (pushed :+ s"${ident(key)} IS NOT NULL" :+
       s"${ident(key)} > ${lit_(offset)}" :+
       s""""ts" >= $startMs""" :+ s""""ts" <= $endMs""").mkString(" AND ")
-    val parts = tables.map { t =>
+    val parts = tables.map { case (t, _) =>
       spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .jdbc(url,
           s"""(SELECT DISTINCT ${ident(key)} AS "value" FROM $t WHERE $where
@@ -416,7 +426,7 @@ object JdbcStore {
     require(Seq("sum", "count", "min", "max").contains(af), s"unsupported aggregate $af")
     require(groupBy.forall(tdef.columns.contains),
       s"grouping keys ${groupBy.filterNot(tdef.columns.contains)} are not table columns")
-    if (!query.couldMatch(tdef.tags)) return emptyFrame(spark)
+    if (!query.couldMatchSound(tdef.tags)) return emptyFrame(spark)
     val (pushed, residual) = split(tdef.columns, query)
     require(residual == Query.True,
       s"predicate does not fully push down (residual: ${residual.asl}) — use fetch()")
@@ -430,7 +440,7 @@ object JdbcStore {
     val gcols = groupBy.map(ident)
     val sel = (gcols :+ "\"ts\"" :+ s"$aggSql AS \"value\"").mkString(", ")
     val grp = (gcols :+ "\"ts\"").mkString(", ")
-    val parts = tables.map { t =>
+    val parts = tables.map { case (t, _) =>
       spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .jdbc(url, s"(SELECT $sel FROM $t WHERE $where GROUP BY $grp) sub", props())
     }

@@ -80,21 +80,8 @@ object Evaluator {
    * admitted series is never dropped — the failure mode that matters;
    * an unprunable nested-`:not` query just gets evaluated.
    */
-  private[graft] def soundPreFilter(q: Query, tags: Map[String, String]): Boolean = {
-    def notFree(x: Query): Boolean = x match {
-      case Query.Not(_)    => false
-      case Query.And(a, b) => notFree(a) && notFree(b)
-      case Query.Or(a, b)  => notFree(a) && notFree(b)
-      case _               => true
-    }
-    def safe(x: Query): Boolean = x match {
-      case Query.Not(s)    => notFree(s)
-      case Query.And(a, b) => safe(a) && safe(b)
-      case Query.Or(a, b)  => safe(a) && safe(b)
-      case _               => true
-    }
-    !safe(q) || q.couldMatch(tags)
-  }
+  private[graft] def soundPreFilter(q: Query, tags: Map[String, String]): Boolean =
+    q.couldMatchSound(tags)
 
   /**
    * Attach a FIXED set of subscriptions to a datapoint stream. The shared

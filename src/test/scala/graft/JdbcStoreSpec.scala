@@ -81,6 +81,11 @@ class JdbcStoreSpec extends SparkSpec {
         Query.HasKey("hi"),
         Query.Regex("name", "o'm"), // residual (quote is not a literal char)
         Query.In("usr", List("u1", "u3")),
+        // nested :not sits OUTSIDE couldMatch's sound fragment: raw
+        // couldMatch on a metric table's tags could wrongly refute it —
+        // the couldMatchSound guard must keep it and the residual path
+        // must evaluate it (equivalent to Equal here)
+        Query.Not(Query.Not(Query.Equal("usr", "u1"))),
         Query.True: Query)) {
       val got = canon(JdbcStore.fetch(spark, url, tdef, q, 0L, 7 * H, Block))
       val want = canon(dps

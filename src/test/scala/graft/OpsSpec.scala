@@ -2757,6 +2757,10 @@ class PrCurveSpec extends SparkSpec {
     // t=0.95: nothing predicted positive -> precision undefined (NULL,
     // never a fake 0), recall 0, f1 undefined
     assert(got(0.95) == ((0L, 0L, 4L, 4L, null, 0.0, null)))
+    // an EMPTY input (or one that is all-null) reports NOTHING — matching
+    // the SQL replay, where the threshold cross join has no rows to group
+    assert(Diag.prCurve(scored.filter(col("s") > 2.0), col("y"), col("s"),
+      Seq(0.0, 0.5)).isEmpty)
   }
 
   test("calibration: equal-width bins, prob 1.0 folds into the last") {
