@@ -75,6 +75,17 @@ object JdbcStore {
     case _ => None
   }
 
+  /** The table suffix is MINUTE-resolution (yyyyMMddHHmm) by the
+    * reference's convention: a block size that is not a whole number of
+    * minutes cannot round-trip through the suffix (a recovered block
+    * start would under-state the block's true range — partitioned reads
+    * would silently drop tail rows — and sub-minute blocks would collide
+    * whole tables). Enforced at every entry point. */
+  private def checkBlock(blockMs: Long): Unit =
+    require(blockMs > 0 && blockMs % 60000L == 0,
+      s"blockMs $blockMs must be a positive whole number of minutes " +
+        "(the table suffix is minute-resolution)")
+
   /** SQL single-quote literal escape (doubling — the portable form). */
   private def lit_(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -178,7 +189,7 @@ object JdbcStore {
       tdef: TableDef,
       blockMs: Long
   ): Unit = {
-    require(blockMs > 0, "blockMs must be positive")
+    checkBlock(blockMs)
     val flat = datapoints.select(
       tdef.columns.map(k => col("tags").getItem(k).as(k)) ++
         Seq(col("ts").cast("long").as("ts"),
@@ -224,6 +235,7 @@ object JdbcStore {
    * Metadata-only per table; returns the dropped table names.
    */
   def expire(url: String, tdef: TableDef, beforeMs: Long, blockMs: Long): Seq[String] = {
+    checkBlock(blockMs)
     val old = listTables(url, tdef).filter { case (_, t) => t + blockMs <= beforeMs }
     if (old.nonEmpty) {
       val conn = java.sql.DriverManager.getConnection(url)
@@ -274,6 +286,7 @@ object JdbcStore {
       blockMs: Long,
       readPartitions: Int = 1
   ): DataFrame = {
+    checkBlock(blockMs)
     // couldMatchSound: raw couldMatch can wrongly refute outside its
     // sound fragment (nested :not) — pruning here is correctness-bearing
     if (!query.couldMatchSound(tdef.tags)) return emptyFrame(spark)
@@ -334,6 +347,7 @@ object JdbcStore {
       offset: String = ""
   ): DataFrame = {
     import spark.implicits._
+    checkBlock(blockMs)
     if (!query.couldMatchSound(tdef.tags))
       return Seq.empty[String].toDF("key")
     val (pushed, residual) = split(tdef.columns, query)
@@ -379,6 +393,7 @@ object JdbcStore {
       offset: String = ""
   ): DataFrame = {
     import spark.implicits._
+    checkBlock(blockMs)
     require(tdef.columns.contains(key), s"'$key' is not a table column")
     if (!query.couldMatchSound(tdef.tags))
       return Seq.empty[String].toDF("value")
@@ -424,6 +439,7 @@ object JdbcStore {
       blockMs: Long
   ): DataFrame = {
     require(Seq("sum", "count", "min", "max").contains(af), s"unsupported aggregate $af")
+    checkBlock(blockMs)
     require(groupBy.forall(tdef.columns.contains),
       s"grouping keys ${groupBy.filterNot(tdef.columns.contains)} are not table columns")
     if (!query.couldMatchSound(tdef.tags)) return emptyFrame(spark)

@@ -182,6 +182,20 @@ class JdbcStoreSpec extends SparkSpec {
     }
   }
 
+  test("block size must be a whole number of minutes (the suffix resolution)") {
+    // a 90 s block cannot round-trip the yyyyMMddHHmm suffix: the
+    // recovered block start would under-state the range (partitioned
+    // reads would silently drop tail rows) and sub-minute blocks would
+    // collide whole tables
+    val e = intercept[IllegalArgumentException] {
+      JdbcStore.write(dps, tmpUrl(), tdef, blockMs = 90000L)
+    }
+    assert(e.getMessage.contains("whole number of minutes"))
+    intercept[IllegalArgumentException] {
+      JdbcStore.fetch(spark, tmpUrl(), tdef, Query.True, 0L, 1L, blockMs = 30000L)
+    }
+  }
+
   test("retention: whole block tables past the horizon drop; the rest still serve") {
     val url = tmpUrl()
     JdbcStore.write(dps, url, tdef, Block)
