@@ -227,6 +227,53 @@ object JdbcStore {
   }
 
   /**
+   * One micro-batch's IDEMPOTENT load for the streaming ingest: rows land
+   * with a `batch_id` column, and any prior rows of the SAME batch id are
+   * deleted first — so an at-least-once foreachBatch replay re-produces
+   * the store byte-identically instead of double-counting (datapoint rows
+   * re-aggregate at read: duplicated rows would corrupt every sum/count —
+   * the additive-statistic replay rule). The extra column is transparent
+   * to every read path (they select explicit columns).
+   */
+  def writeBatch(
+      datapoints: DataFrame,
+      url: String,
+      tdef: TableDef,
+      blockMs: Long,
+      batchId: Long
+  ): Unit = {
+    checkBlock(blockMs)
+    val existing = listTables(url, tdef).map(_._1.toUpperCase).toSet
+    val flat = datapoints.select(
+      tdef.columns.map(k => col("tags").getItem(k).as(k)) ++
+        Seq(col("ts").cast("long").as("ts"),
+          when(isnan(col("value")), lit(null)).otherwise(col("value")).as("value"),
+          lit(batchId).as("batch_id")): _*)
+      .withColumn("__blk", (col("ts") - pmod(col("ts"), lit(blockMs))).cast("long"))
+    val blocks = flat.select(col("__blk")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (blocks.nonEmpty) {
+      // replay hygiene FIRST: clear this batch's prior rows from every
+      // touched table (driver-side, one DELETE per block table)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val stmt = conn.createStatement()
+        blocks.foreach { b =>
+          val t = s"${tdef.tableName}_${toSuffix(b)}"
+          if (existing.contains(t.toUpperCase))
+            stmt.executeUpdate(s"""DELETE FROM $t WHERE "batch_id" = $batchId""")
+        }
+      } finally conn.close()
+    }
+    blocks.foreach { b =>
+      flat.filter(col("__blk") === b).drop("__blk")
+        .write.mode("append")
+        .option("createTableColumnTypes", tagColumnTypes(tdef))
+        .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", props())
+    }
+  }
+
+  /**
    * Retention expiry: DROP every block table whose interval ends at or
    * before the horizon — the reference's retention model verbatim
    * ("tables will be used for a range of time and then deleted entirely

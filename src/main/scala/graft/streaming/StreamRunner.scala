@@ -1227,6 +1227,34 @@ object StreamRunner {
         first(col("n_in")).as("n_in"), first(col("n_out")).as("n_out"))
 
   /**
+   * Streaming loader for the SQL-backed store — the "data loading is
+   * managed separately" half of the reference's Postgres backend
+   * (PostgresDatabase.scala:38-40) as a continuous pipeline: each
+   * micro-batch of canonical datapoints lands in its block-suffix tables
+   * through [[graft.sources.JdbcStore.writeBatch]], which keys rows by
+   * batch id and deletes-then-inserts so an at-least-once replay
+   * reproduces the store EXACTLY (duplicated datapoint rows would
+   * double-count every sum at read — the additive-statistic replay
+   * rule). Serving continues through [[graft.sources.JdbcStore.fetch]]
+   * with no coordination: a block table only ever grows by whole
+   * batches.
+   */
+  def streamingJdbcIngest(
+      datapoints: DataFrame,
+      url: String,
+      tdef: graft.sources.JdbcStore.TableDef,
+      blockMs: Long,
+      checkpointPath: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    datapoints.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.JdbcStore.writeBatch(batch, url, tdef, blockMs, batchId)
+      }
+      .start()
+
+  /**
    * Streaming PCA maintenance: each micro-batch of vectors appends ONE
    * additive moment row ([[graft.ops.Pca.appendMoments]], seq = the
    * micro-batch id), so an up-to-date basis is always

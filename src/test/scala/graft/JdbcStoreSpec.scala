@@ -211,6 +211,42 @@ class JdbcStoreSpec extends SparkSpec {
     assert(JdbcStore.expire(url, tdef, Block + 1, Block).isEmpty)
   }
 
+  test("streaming ingest: batches accumulate, replay is idempotent, serving agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val url = tmpUrl()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt").toString
+    val rows = dps.select(col("tags"), col("ts"), col("value"))
+      .as[(Map[String, String], Long, Double)].collect().toSeq
+    val input = MemoryStream[(Map[String, String], Long, Double)]
+    val query = graft.streaming.StreamRunner.streamingJdbcIngest(
+      input.toDF.toDF("tags", "ts", "value"), url, tdef, Block, ckpt)
+    try {
+      input.addData(rows.take(3))
+      query.processAllAvailable()
+      input.addData(rows.drop(3))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(to_json(map_filter(col("tags"), (_, v) => v.isNotNull)),
+        col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) "NaN" else r.getDouble(2).toString)).toSet
+    val streamed = canon(JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block))
+    // equality with the BATCH loader over the same corpus
+    val url2 = tmpUrl()
+    JdbcStore.write(dps, url2, tdef, Block)
+    assert(streamed == canon(JdbcStore.fetch(spark, url2, tdef, Query.True, 0L, 7 * H, Block)))
+
+    // replay idempotency: re-running a batch id reproduces the store
+    // EXACTLY (delete-then-insert — duplicated rows would double-count
+    // every read-side sum)
+    JdbcStore.writeBatch(rows.take(3).toDF("tags", "ts", "value"),
+      url, tdef, Block, batchId = 0L)
+    assert(canon(JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block)) == streamed)
+  }
+
   test("couldMatch prunes metric-specific tables before any SQL runs") {
     val url = tmpUrl()
     val specific = JdbcStore.TableDef("clicks", Seq("name", "usr"), metricName = "click")
