@@ -163,10 +163,23 @@ object JdbcStore {
   private lazy val dialectRegistered: Unit =
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(VarcharDerbyDialect)
 
-  private def props(): java.util.Properties = {
+  /** The embedded Derby driver class is named explicitly ONLY for Derby
+    * URLs: Spark resolves the `driver` option by loading that exact class,
+    * so pinning it unconditionally would make every non-Derby URL
+    * (`jdbc:postgresql:`…) fail to connect — the deployment-by-URL
+    * portability this module claims. Other databases resolve their own
+    * driver through DriverManager from the classpath. */
+  private def driverFor(url: String): Option[String] =
+    if (url.startsWith("jdbc:derby")) Some("org.apache.derby.jdbc.EmbeddedDriver")
+    else None
+
+  /** Connection properties for every read/write path — URL-gated driver,
+    * never a hardcoded class (package-visible so the spec can assert the
+    * non-Derby shape without a live non-Derby database). */
+  private[graft] def connectionProps(url: String): java.util.Properties = {
     dialectRegistered
     val p = new java.util.Properties()
-    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    driverFor(url).foreach(p.setProperty("driver", _))
     p
   }
 
@@ -181,7 +194,9 @@ object JdbcStore {
    * suffix-table layout: rows route to the table of their containing
    * block interval; NaN values store as NULL. One JDBC append per
    * overlapped block table — table count is window/blockMs (bounded by
-   * retention), rows stream through Spark's JDBC batch writer.
+   * retention), rows stream through Spark's JDBC batch writer. The
+   * projected input is cached (memory-and-disk, spill-safe) for the loop,
+   * so an N-block backfill evaluates the upstream ONCE, not N times.
    */
   def write(
       datapoints: DataFrame,
@@ -195,14 +210,18 @@ object JdbcStore {
         Seq(col("ts").cast("long").as("ts"),
           when(isnan(col("value")), lit(null)).otherwise(col("value")).as("value")): _*)
       .withColumn("__blk", (col("ts") - pmod(col("ts"), lit(blockMs))).cast("long"))
-    val blocks = flat.select(col("__blk")).distinct()
-      .collect().map(_.getLong(0)).sorted // bounded: window / blockMs tables
-    blocks.foreach { b =>
-      flat.filter(col("__blk") === b).drop("__blk")
-        .write.mode("append")
-        .option("createTableColumnTypes", tagColumnTypes(tdef))
-        .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", props())
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val blocks = flat.select(col("__blk")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: window / blockMs tables
+      checkLoaderCompat(url, tdef, blocks, streaming = false)
+      blocks.foreach { b =>
+        flat.filter(col("__blk") === b).drop("__blk")
+          .write.mode("append")
+          .option("createTableColumnTypes", tagColumnTypes(tdef))
+          .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", connectionProps(url))
+      }
+    } finally flat.unpersist()
   }
 
   /** The database's suffix tables for `tdef`, as (table, blockStart) —
@@ -224,6 +243,49 @@ object JdbcStore {
       }
       out.result().sortBy(_._2)
     } finally conn.close()
+  }
+
+  /** Column presence via JDBC metadata; name compared case-insensitively
+    * (Derby stores unquoted identifiers uppercase, Spark creates quoted
+    * lowercase). */
+  private def tableHasColumn(
+      conn: java.sql.Connection, table: String, column: String): Boolean = {
+    val rs = conn.getMetaData.getColumns(null, null, table, "%")
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
+      found
+    } finally rs.close()
+  }
+
+  /** A store is EITHER batch-loaded ([[write]]: no batch_id column) or
+    * stream-loaded ([[writeBatch]]: batch_id column) — mixing the loaders
+    * on one store would otherwise throw MID-LOAD (a DELETE on a missing
+    * column, or an append with an extra column), leaving some block tables
+    * written and others not. Checked against every about-to-be-touched
+    * existing table BEFORE any table is modified, so a mismatch fails the
+    * whole load cleanly. Bounded: one metadata lookup per overlapped block
+    * table (window / blockMs). */
+  private def checkLoaderCompat(
+      url: String, tdef: TableDef, blocks: Seq[Long], streaming: Boolean): Unit = {
+    val byBlock = listTables(url, tdef).map { case (n, t) => t -> n }.toMap
+    val touched = blocks.flatMap(byBlock.get)
+    if (touched.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try touched.foreach { t =>
+        val hasBatchId = tableHasColumn(conn, t, "batch_id")
+        if (streaming) require(hasBatchId,
+          s"table $t was created by the batch loader (no batch_id column); " +
+            "a store is either batch-loaded (write) or stream-loaded " +
+            "(writeBatch), never both — use a separate base table name")
+        else require(!hasBatchId,
+          s"table $t was created by the streaming loader (has a batch_id " +
+            "column); a store is either batch-loaded (write) or " +
+            "stream-loaded (writeBatch), never both — use a separate base " +
+            "table name")
+      } finally conn.close()
+    }
   }
 
   /**
@@ -250,27 +312,31 @@ object JdbcStore {
           when(isnan(col("value")), lit(null)).otherwise(col("value")).as("value"),
           lit(batchId).as("batch_id")): _*)
       .withColumn("__blk", (col("ts") - pmod(col("ts"), lit(blockMs))).cast("long"))
-    val blocks = flat.select(col("__blk")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (blocks.nonEmpty) {
-      // replay hygiene FIRST: clear this batch's prior rows from every
-      // touched table (driver-side, one DELETE per block table)
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        val stmt = conn.createStatement()
-        blocks.foreach { b =>
-          val t = s"${tdef.tableName}_${toSuffix(b)}"
-          if (existing.contains(t.toUpperCase))
-            stmt.executeUpdate(s"""DELETE FROM $t WHERE "batch_id" = $batchId""")
-        }
-      } finally conn.close()
-    }
-    blocks.foreach { b =>
-      flat.filter(col("__blk") === b).drop("__blk")
-        .write.mode("append")
-        .option("createTableColumnTypes", tagColumnTypes(tdef))
-        .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", props())
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val blocks = flat.select(col("__blk")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      checkLoaderCompat(url, tdef, blocks, streaming = true)
+      if (blocks.nonEmpty) {
+        // replay hygiene FIRST: clear this batch's prior rows from every
+        // touched table (driver-side, one DELETE per block table)
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val stmt = conn.createStatement()
+          blocks.foreach { b =>
+            val t = s"${tdef.tableName}_${toSuffix(b)}"
+            if (existing.contains(t.toUpperCase))
+              stmt.executeUpdate(s"""DELETE FROM $t WHERE "batch_id" = $batchId""")
+          }
+        } finally conn.close()
+      }
+      blocks.foreach { b =>
+        flat.filter(col("__blk") === b).drop("__blk")
+          .write.mode("append")
+          .option("createTableColumnTypes", tagColumnTypes(tdef))
+          .jdbc(url, s"${tdef.tableName}_${toSuffix(b)}", connectionProps(url))
+      }
+    } finally flat.unpersist()
   }
 
   /**
@@ -346,8 +412,8 @@ object JdbcStore {
     val parts = tables.map { case (t, blockStart) =>
       val cols = (tdef.columns.map(ident) :+ "\"ts\"" :+ "\"value\"").mkString(", ")
       if (readPartitions <= 1)
-        spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", props())
+        spark.read
+          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", connectionProps(url))
       else {
         // split THIS TABLE's slice of the window, not the whole window:
         // window-wide spans leave every table's rows in one partition and
@@ -360,8 +426,8 @@ object JdbcStore {
           val hi = if (i == readPartitions - 1) hi0 + 1 else lo + span
           s"\"ts\" >= $lo AND \"ts\" < $hi"
         }.toArray
-        spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", preds, props())
+        spark.read
+          .jdbc(url, s"(SELECT $cols FROM $t WHERE $where) sub", preds, connectionProps(url))
       }
     }
     val union = parts.reduce(_ unionByName _)
@@ -403,20 +469,28 @@ object JdbcStore {
     val tables = overlapping(listTables(url, tdef), blockMs, startMs, endMs)
     if (tables.isEmpty) return Seq.empty[String].toDF("key")
     val where = (pushed :+ s""""ts" >= $startMs""" :+ s""""ts" <= $endMs""").mkString(" AND ")
-    val present = scala.collection.mutable.LinkedHashSet.empty[String]
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val stmt = conn.createStatement()
-      tables.foreach { case (t, _) =>
+    // one aggregate row per block table, issued CONCURRENTLY (per-thread
+    // connections — the tables are independent and the database does the
+    // work; a serial loop would pay window/blockMs round-trip latencies)
+    import scala.collection.parallel.CollectionConverters._
+    val perTable: Seq[Set[String]] = tables.par.map { case (t, _) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val stmt = conn.createStatement()
         val sel = tdef.columns.map(c =>
           s"MAX(CASE WHEN ${ident(c)} IS NOT NULL THEN 1 ELSE 0 END)").mkString(", ")
         val rs = stmt.executeQuery(s"SELECT $sel FROM $t WHERE $where")
-        if (rs.next()) tdef.columns.zipWithIndex.foreach { case (c, i) =>
-          if (rs.getInt(i + 1) == 1) present += c
-        }
+        val found =
+          if (rs.next())
+            tdef.columns.zipWithIndex.collect {
+              case (c, i) if rs.getInt(i + 1) == 1 => c
+            }.toSet
+          else Set.empty[String]
         rs.close()
-      }
-    } finally conn.close()
+        found
+      } finally conn.close()
+    }.seq
+    val present = perTable.foldLeft(Set.empty[String])(_ ++ _)
     present.toSeq.filter(_ > offset).sorted.take(limit).toDF("key")
   }
 
@@ -453,11 +527,11 @@ object JdbcStore {
       s"${ident(key)} > ${lit_(offset)}" :+
       s""""ts" >= $startMs""" :+ s""""ts" <= $endMs""").mkString(" AND ")
     val parts = tables.map { case (t, _) =>
-      spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      spark.read
         .jdbc(url,
           s"""(SELECT DISTINCT ${ident(key)} AS "value" FROM $t WHERE $where
              | ORDER BY ${ident(key)} FETCH FIRST $limit ROWS ONLY) sub""".stripMargin,
-          props())
+          connectionProps(url))
     }
     parts.reduce(_ unionByName _)
       .distinct().orderBy(col("value")).limit(limit)
@@ -504,8 +578,8 @@ object JdbcStore {
     val sel = (gcols :+ "\"ts\"" :+ s"$aggSql AS \"value\"").mkString(", ")
     val grp = (gcols :+ "\"ts\"").mkString(", ")
     val parts = tables.map { case (t, _) =>
-      spark.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        .jdbc(url, s"(SELECT $sel FROM $t WHERE $where GROUP BY $grp) sub", props())
+      spark.read
+        .jdbc(url, s"(SELECT $sel FROM $t WHERE $where GROUP BY $grp) sub", connectionProps(url))
     }
     val perBlock = parts.reduce(_ unionByName _)
     // a (group, ts) never spans two block tables (ts routes to one block),

@@ -247,6 +247,156 @@ class JdbcStoreSpec extends SparkSpec {
     assert(canon(JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block)) == streamed)
   }
 
+  test("driver option is URL-gated: non-Derby URLs carry no Derby class") {
+    // the scaladoc portability claim: a deployment points the same code at
+    // Postgres/MySQL by URL — a hardcoded Derby driver class would make
+    // Spark force-load Derby for a jdbc:postgresql: URL and fail to connect
+    val derby = JdbcStore.connectionProps("jdbc:derby:/tmp/x;create=true")
+    assert(derby.getProperty("driver") == "org.apache.derby.jdbc.EmbeddedDriver")
+    for (u <- Seq("jdbc:postgresql://host:5432/atlas", "jdbc:mysql://host/atlas"))
+      assert(JdbcStore.connectionProps(u).getProperty("driver") == null,
+        s"non-Derby URL $u must not pin the Derby driver class")
+  }
+
+  test("batch and streaming loaders refuse to mix on one store, before any write") {
+    // write() tables have no batch_id; writeBatch() tables do — mixing
+    // would throw MID-load (DELETE on a missing column / append with an
+    // extra column), leaving a torn store. Must fail fast instead.
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    val tablesBefore = JdbcStore.listTables(url, tdef)
+    val e1 = intercept[IllegalArgumentException] {
+      JdbcStore.writeBatch(dps, url, tdef, Block, batchId = 7L)
+    }
+    assert(e1.getMessage.contains("batch loader"))
+    // no table was touched: same tables, same row count as before
+    assert(JdbcStore.listTables(url, tdef) == tablesBefore)
+    assert(JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block).count() == 6)
+
+    val url2 = tmpUrl()
+    JdbcStore.writeBatch(dps, url2, tdef, Block, batchId = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      JdbcStore.write(dps, url2, tdef, Block)
+    }
+    assert(e2.getMessage.contains("streaming loader"))
+    assert(JdbcStore.fetch(spark, url2, tdef, Query.True, 0L, 7 * H, Block).count() == 6)
+  }
+
+  test("a multi-block backfill evaluates the input projection exactly once") {
+    // the per-block loop must read the cached projection, not recompute
+    // the upstream once per overlapped block table
+    val acc = spark.sparkContext.longAccumulator("write-evals")
+    // nondeterministic so Catalyst cannot collapse/duplicate it into the
+    // downstream isnan/otherwise branches — exactly one call per input row
+    val counting = udf { (v: Double) => acc.add(1L); v }.asNondeterministic()
+    val src = dps.withColumn("value", counting(col("value")))
+    JdbcStore.write(src, tmpUrl(), tdef, Block) // 2 block tables
+    assert(acc.value == 6L, s"expected one evaluation per row, got ${acc.value}")
+  }
+
+  test("readPartitions > 1: per-table ts-range splits, identical results") {
+    val url = tmpUrl()
+    JdbcStore.write(dps, url, tdef, Block)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(to_json(map_filter(col("tags"), (_, v) => v.isNotNull)),
+        col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) "NaN" else r.getDouble(2).toString)).toSet
+    val p1 = JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block)
+    val p4 = JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 7 * H, Block,
+      readPartitions = 4)
+    // each of the 2 overlapped block tables splits into 4 ts-range
+    // predicate partitions (the split covers THAT table's window slice)
+    assert(p4.rdd.getNumPartitions == 2 * 4)
+    assert(canon(p4) == canon(p1))
+    // window end exactly on a row's ts: the last range predicate is
+    // half-open at hi0+1, so the boundary row must still arrive
+    val tail = JdbcStore.fetch(spark, url, tdef, Query.True, 0L, 6 * H, Block,
+      readPartitions = 3)
+    assert(canon(tail).map(_._2).contains(6 * H))
+    // and a pushed predicate composes with the range partitioning
+    val filt = JdbcStore.fetch(spark, url, tdef, Query.Equal("name", "click"),
+      0L, 7 * H, Block, readPartitions = 4)
+    assert(canon(filt) == canon(
+      JdbcStore.fetch(spark, url, tdef, Query.Equal("name", "click"), 0L, 7 * H, Block)))
+  }
+
+  test("property: pushed SQL ∧ residual ≡ original, over random query trees × every tag row") {
+    // The split contract (JdbcStore.split): for EVERY row, under the
+    // three-valued NULL semantics both engines share,
+    //   original.matches(row) ⟺ row passes the pushed SQL (run by the
+    //                            DATABASE, not a model of it)
+    //                          ∧ residual.matches(row).
+    // The row universe is exhaustive per query: every (a,b,c) combo over
+    // the value alphabet incl. ABSENT (SQL NULL), crossed with a `d` tag
+    // the table does not carry (so `d` predicates must ride the residual).
+    // Value alphabet probes the quote escape; query values add a regex
+    // metacharacter (not pushable) and a dash (pushable literal prefix).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import Query._
+    val cols = Seq("a", "b", "c")
+    val keys = cols :+ "d"
+    val rowVals = Seq("x", "y", "1", "o'm")
+    val qVals = Seq("x", "y", "1", "o'", "x.*", "x-1")
+    val opts: Seq[Option[String]] = rowVals.map(Option(_)) :+ None
+    val abcRows = (for (a <- opts; b <- opts; c <- opts) yield Seq(a, b, c)).zipWithIndex
+
+    val url = tmpUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE propsplit ("id" INT, "a" VARCHAR(16), "b" VARCHAR(16), "c" VARCHAR(16))""")
+      val ps = conn.prepareStatement("INSERT INTO propsplit VALUES (?, ?, ?, ?)")
+      abcRows.foreach { case (r, i) =>
+        ps.setInt(1, i)
+        r.zipWithIndex.foreach {
+          case (Some(s), j) => ps.setString(j + 2, s)
+          case (None, j)    => ps.setNull(j + 2, java.sql.Types.VARCHAR)
+        }
+        ps.executeUpdate()
+      }
+
+      val genLeaf: Gen[Query] = Gen.oneOf(
+        Gen.const(True: Query),
+        Gen.const(False: Query),
+        for (k <- Gen.oneOf(keys)) yield HasKey(k): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield Equal(k, v): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield LessThan(k, v): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield LessThanEqual(k, v): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield GreaterThan(k, v): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield GreaterThanEqual(k, v): Query,
+        for (k <- Gen.oneOf(keys); v <- Gen.oneOf(qVals)) yield Regex(k, v): Query,
+        for (k <- Gen.oneOf(keys); vs <- Gen.nonEmptyListOf(Gen.oneOf(qVals)))
+          yield In(k, vs.distinct): Query)
+      def genQ(depth: Int): Gen[Query] =
+        if (depth == 0) genLeaf
+        else Gen.frequency(
+          3 -> genLeaf,
+          2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield And(a, b): Query),
+          2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield Or(a, b): Query),
+          1 -> genQ(depth - 1).map(q => Not(q): Query))
+
+      val prop = Prop.forAll(genQ(4)) { q =>
+        val (pushed, residual) = JdbcStore.split(cols, q)
+        val where = if (pushed.isEmpty) "(1=1)" else pushed.mkString(" AND ")
+        val rs = st.executeQuery(s"""SELECT "id" FROM propsplit WHERE $where""")
+        val sqlPass = scala.collection.mutable.Set.empty[Int]
+        while (rs.next()) sqlPass += rs.getInt(1)
+        rs.close()
+        abcRows.forall { case (r, i) =>
+          (None +: rowVals.map(Option(_))).forall { dOpt =>
+            val tags = cols.zip(r).collect { case (k, Some(v)) => k -> v }.toMap ++
+              dOpt.map("d" -> _)
+            q.matches(tags) == (sqlPass.contains(i) && residual.matches(tags))
+          }
+        }
+      }
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(400), prop)
+      assert(res.passed, s"split violates pushed ∧ residual ≡ original: ${res.status}")
+    } finally conn.close()
+  }
+
   test("couldMatch prunes metric-specific tables before any SQL runs") {
     val url = tmpUrl()
     val specific = JdbcStore.TableDef("clicks", Seq("name", "usr"), metricName = "click")
