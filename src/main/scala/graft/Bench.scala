@@ -170,8 +170,68 @@ object Bench {
     val sentinelMtEnd = sentinelMt()
     System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f mt_start=$sentinelMtStart%.3f mt_end=$sentinelMtEnd%.3f")
     val segs = segments.map { case (i, s) => f"[$i,$s%.2f]" }.mkString("[", ",", "]")
+
+    // ---- mechanical drift gate -------------------------------------------
+    // Compare every query's warm time against the last ACCEPTED round's
+    // full per-query record (bench_ref.json, committed at round close from
+    // bench_last_full.json — never auto-overwritten, so a noisy local run
+    // can't poison the reference). A row flags when BOTH hold:
+    //   ratio > 1.3  AND  absolute growth > 0.15 s
+    // (sub-second rows jitter 1.3x on pure noise; the absolute floor keeps
+    // the gate about real seconds). Each flagged row carries the NEAREST
+    // following sentinel-segment spin so contention-vs-regression
+    // adjudication is in the artifact itself: a flat ~0.8 s segment means
+    // the drift is a plan change; an inflated segment means the machine
+    // was contended around that query. The block is capped at the 8 worst
+    // rows to keep the stdout line inside the driver's tail window.
+    val sortedNames = results.map(_._1)
+    def segmentFor(name: String): Double = {
+      val idx = sortedNames.indexOf(name) + 1 // 1-based catalog position
+      segments.find(_._1 >= idx).map(_._2).getOrElse(sentinelEnd)
+    }
+    val driftJson = {
+      val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+      val f = new java.io.File(refPath)
+      if (!f.exists()) s"""{"ref":null,"checked":0,"n_flagged":0,"flagged":[]}"""
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val prevQ = root.get("queries")
+        val ref = root.path("label").asText(refPath)
+        val checked = results.count { case (k, _, _) => prevQ.has(k) }
+        val flagged = results.flatMap { case (k, _, w) =>
+          Option(prevQ.get(k)).map(_.asDouble()).collect {
+            case p if p > 0 && w / p > 1.3 && w - p > 0.15 =>
+              (k, p, w, w / p, segmentFor(k))
+          }
+        }.sortBy(-_._4)
+        val items = flagged.take(8).map { case (k, p, w, r, s) =>
+          f"""{"q":"$k","prev":$p%.3f,"now":$w%.3f,"ratio":$r%.2f,"seg":$s%.2f}"""
+        }.mkString("[", ",", "]")
+        s"""{"ref":"$ref","checked":$checked,"n_flagged":${flagged.size},"flagged":$items}"""
+      } catch {
+        case e: Exception =>
+          System.err.println(s"BENCH drift-ref unreadable: $e")
+          s"""{"ref":"unreadable","checked":0,"n_flagged":0,"flagged":[]}"""
+      }
+    }
+
+    // Full per-query record (every catalog row, not just the headline set)
+    // for the NEXT round's reference: promoted to bench_ref.json by hand at
+    // round close, from an attested-quiet run.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT", "bench_last_full.json")
+    try {
+      val allQ = results.map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }
+        .mkString("{", ",", "}")
+      val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "last_full")
+      val fullLine =
+        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir","queries":$allQ}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"BENCH full-out write failed: $e") }
+
     val line =
-      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir"}"""
+      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"drift":$driftJson,"sf":"$sfDir"}"""
     println(line)
   }
 }

@@ -102,12 +102,14 @@ object Ranks {
    * prefix-sum window over that tiny frame (<= `partitions` rows per
    * window partition, safe at any group cardinality), and the per-group
    * total rides along as `totalCol` (what a closed-form ntile needs). The
-   * offset join-back carries an explicit broadcast hint — the offsets
-   * frame is group-cardinality-sized, tiny next to the data; at an
-   * extreme group cardinality where even that outgrows a broadcast, drop
-   * the hint and pay one more data exchange. The same
-   * materialize-before-reading-twice checkpoint guarantees offsets and
-   * consumers observe one range cut.
+   * offset join-back AUTO-SELECTS broadcast vs shuffle: the offsets frame
+   * is group-cardinality-sized — tiny next to the data for shard/source
+   * groups, but past millions of groups it outgrows a broadcast, so a
+   * cheap count of that frame picks the join (threshold
+   * `graft.ranks.offsets.broadcastMaxRows`, override via
+   * `broadcastOffsets = Some(_)`). The same materialize-before-
+   * reading-twice checkpoint guarantees offsets and consumers observe one
+   * range cut.
    */
   def groupedRank(
       df: DataFrame,
@@ -116,7 +118,7 @@ object Ranks {
       rankCol: String,
       totalCol: Option[String] = None,
       partitions: Int = 0,
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame =
     // rank = exclusive prefix COUNT + 1; the per-group total of lit(1L)
     // is the group row count
@@ -147,11 +149,15 @@ object Ranks {
       totalCol: Option[String] = None,
       partitions: Int = 0,
       // the offsets frame is (group-cardinality x partitions) rows — tiny
-      // for shard/source groups; set false at extreme group cardinality
-      // (millions of groups) where even that outgrows a broadcast and one
-      // more data exchange is the right price (the scaladoc hatch, as a
-      // real parameter)
-      broadcastOffsets: Boolean = true
+      // for shard/source groups, but at extreme group cardinality
+      // (millions of groups) it outgrows a broadcast and one more data
+      // exchange is the right price. None (the default) CHOOSES: one cheap
+      // count of the offsets frame (a small aggregate over the already-
+      // checkpointed blocks) picks broadcast iff it holds at most
+      // `graft.ranks.offsets.broadcastMaxRows` rows (default 1e6 — tens of
+      // MB of (group, pid, 3 longs) rows). Some(true)/Some(false) force a
+      // regime; output is identical either way (OpsSpec/CoreSpec pin it).
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(keys.nonEmpty, "need at least one sort key")
@@ -197,8 +203,16 @@ object Ranks {
     val cond = groupCols.zipWithIndex
       .map { case (g, i) => col(g) <=> col(s"__gr_g$i") }
       .foldLeft(col("__gr_pid") === col("__gr_pid2"))(_ && _)
+    val useBroadcast = broadcastOffsets.getOrElse {
+      val maxRows = spark.conf.getOption("graft.ranks.offsets.broadcastMaxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      // decision job over the checkpointed blocks: counting the tiny
+      // (pid x group) aggregate, not the data — the one number that
+      // actually bounds the broadcast
+      counts.count() <= maxRows
+    }
     val joined = local
-      .join(if (broadcastOffsets) broadcast(offs) else offs, cond)
+      .join(if (useBroadcast) broadcast(offs) else offs, cond)
       .withColumn(sumCol, col("__gr_ps") + col("__gr_off"))
       .drop(groupCols.indices.map(i => s"__gr_g$i"): _*)
     totalCol.fold(joined.drop("__gr_tot"))(t => joined.withColumnRenamed("__gr_tot", t))

@@ -526,7 +526,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     // `tokenCountCol` swaps the whitespace proxy for a real token count
@@ -727,7 +727,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -838,7 +838,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -919,7 +919,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
@@ -1202,7 +1202,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(nPer > 0, "nPer must be positive")
     require(temperature > 0, "temperature must be positive")
@@ -1360,7 +1360,7 @@ object Curate {
       // groups, e.g. per-domain strata): false drops the offsets-frame
       // broadcast hint and pays one more data exchange instead of an
       // executor-wide broadcast of a group-cardinality frame
-      broadcastOffsets: Boolean = true
+      broadcastOffsets: Option[Boolean] = None
   ): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     import graft.core.Ranks

@@ -348,11 +348,15 @@ object Dedup {
    * frequency above the ceiling are dropped before the self-join (the
    * spot-signature convention — a gram in that many documents is
    * boilerplate, not evidence of quotation), which caps the worst single
-   * gram's join contribution at maxGramDf^2/2 rows. `maxGramDf <= 1.0` is
+   * gram's join contribution at maxGramDf^2/2 rows. `maxGramDf < 1.0` is
    * read as a FRACTION of the corpus document count (sklearn's `max_df`
    * convention; the corpus count is the docs-with->=n-tokens count, one
-   * cheap count over the checkpointed gram frame), values > 1 as an
-   * absolute ceiling. The trade is explicit in the output: `|A|` (the
+   * cheap count over the checkpointed gram frame), values >= 2 as an
+   * absolute ceiling. The zone [1.0, 2.0) is REJECTED: 1.0 is ambiguous
+   * by construction (100% of the corpus vs an absolute cap of 1 — and an
+   * absolute 1 is inexpressible nonsense anyway, since a df-1 gram pairs
+   * with nobody), so the boundary is an error, not a silent
+   * reinterpretation. The trade is explicit in the output: `|A|` (the
    * containment denominator) stays exact over ALL grams, so capped
    * containments are LOWER BOUNDS; `dropped_a`/`dropped_b` carry each
    * doc's count of over-ceiling grams and `exact` is true iff both are 0
@@ -369,7 +373,11 @@ object Dedup {
       threshold: Double = 0.8,
       maxGramDf: Double = 10000.0
   ): DataFrame = {
-    require(maxGramDf > 0, s"maxGramDf $maxGramDf must be positive")
+    require(maxGramDf > 0 && (maxGramDf < 1.0 || maxGramDf >= 2.0),
+      s"maxGramDf $maxGramDf is ambiguous: values in (0, 1) read as a " +
+        "corpus FRACTION (sklearn max_df), values >= 2 as an ABSOLUTE " +
+        "ceiling; [1.0, 2.0) is rejected because 1.0 could mean either " +
+        "(and an absolute cap of 1 can never pair)")
     // materialize the tokenization kernel once (every downstream consumer
     // would otherwise re-scan and re-shingle the text), spread first so a
     // single-split local file doesn't serialize the whole join DAG behind
@@ -524,8 +532,11 @@ object Dedup {
     (best._2, best._3)
   }
 
-  /** DuckDB replica of [[ngramContainment]] over the `documents` table. */
-  def containmentOracleSql(n: Int, threshold: Double, maxGramDf: Double = 10000.0): String =
+  /** DuckDB replica of [[ngramContainment]] over the `documents` table
+    * (same fraction-vs-absolute cap reading, same rejected boundary). */
+  def containmentOracleSql(n: Int, threshold: Double, maxGramDf: Double = 10000.0): String = {
+    require(maxGramDf > 0 && (maxGramDf < 1.0 || maxGramDf >= 2.0),
+      s"maxGramDf $maxGramDf is ambiguous — see ngramContainment")
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
        |g AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - ${n - 1}),
@@ -552,6 +563,7 @@ object Dedup {
        |  LEFT JOIN dropped da ON inter.doc_a = da.doc_id
        |  LEFT JOIN dropped db ON inter.doc_b = db.doc_id)
        |WHERE greatest(cont_a, cont_b) >= $threshold""".stripMargin
+  }
 
   /** SimHash signature width: 60 bits (the md5-derived base hash width),
     * packed into one long. */

@@ -216,6 +216,41 @@ class RanksSpec extends SparkSpec {
     assert(gotT == wantT)
   }
 
+  test("broadcastOffsets auto-selection: regime follows the offsets-frame size, output invariant") {
+    // None (the default) picks the offsets join by COUNTING the tiny
+    // (pid x group) frame: under the threshold it broadcasts, over it the
+    // offsets ride a shuffle join — and the output is identical in every
+    // regime (the join strategy is pure physics, never semantics)
+    val df = (1L to 200L).map(i => (i, s"g${i % 5}", (i * 13 % 7).toDouble))
+      .toDF("id", "g", "k").repartition(5)
+    def run(bo: Option[Boolean]) = Ranks.groupedRank(
+      df, Seq("g"), Seq(col("k").asc, col("id").asc), "r", broadcastOffsets = bo)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap
+    def hasBcast(d: org.apache.spark.sql.DataFrame) = {
+      val s = d.queryExecution.executedPlan.toString
+      s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // only the hint decides
+    try {
+      val auto = run(None)
+      val autoRows = m(auto) // execute, then read the FINAL adaptive plan
+      assert(hasBcast(auto), "small offsets frame must auto-broadcast")
+      spark.conf.set("graft.ranks.offsets.broadcastMaxRows", "0")
+      val shuf = run(None)
+      val shufRows = m(shuf)
+      assert(!hasBcast(shuf), "over-threshold offsets frame must shuffle-join")
+      val forced = m(run(Some(true)))
+      spark.conf.unset("graft.ranks.offsets.broadcastMaxRows")
+      val forcedOff = m(run(Some(false)))
+      assert(autoRows == shufRows && shufRows == forced && forced == forcedOff)
+    } finally {
+      spark.conf.unset("graft.ranks.offsets.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("ntileFromRank/ntileOffset match Spark's ntile for every bucket count") {
     import org.apache.spark.sql.expressions.Window
     val n = 40L

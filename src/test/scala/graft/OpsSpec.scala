@@ -139,6 +139,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
     assert(frac == capped)
+    // the ambiguous boundary zone is an ERROR, not a silent
+    // reinterpretation: 1.0 could mean 100%-of-corpus OR an absolute cap
+    // of 1 (which can never pair) — both readings rejected loudly
+    for (bad <- Seq(1.0, 1.5, 0.0, -2.0)) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ngramContainment(dd, n = 3, threshold = 0.5, maxGramDf = bad)
+      }
+      assert(e.getMessage.contains("ambiguous") || e.getMessage.contains("maxGramDf"))
+      intercept[IllegalArgumentException] {
+        Dedup.containmentOracleSql(3, 0.5, maxGramDf = bad)
+      }
+    }
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated") {
@@ -2143,12 +2155,12 @@ class CurateSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
     assert(rows(Curate.shuffleShards(many, numShards = 4)) ==
-      rows(Curate.shuffleShards(many, numShards = 4, broadcastOffsets = false)))
+      rows(Curate.shuffleShards(many, numShards = 4, broadcastOffsets = Some(false))))
     assert(rows(Curate.packSequences(many, seqLen = 16L)) ==
-      rows(Curate.packSequences(many, seqLen = 16L, broadcastOffsets = false)))
+      rows(Curate.packSequences(many, seqLen = 16L, broadcastOffsets = Some(false))))
     val score = many.select(col("doc_id"), (col("doc_id") % 13).cast("double").as("nll"))
     assert(rows(Curate.ccnetBuckets(many, score, buckets = 3)) ==
-      rows(Curate.ccnetBuckets(many, score, buckets = 3, broadcastOffsets = false)))
+      rows(Curate.ccnetBuckets(many, score, buckets = 3, broadcastOffsets = Some(false))))
   }
 
   test("shuffleShards: dense positions, balanced shards, seed-independent permutations") {
