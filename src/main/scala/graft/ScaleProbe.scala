@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Absolute-scaling probe (round-11): times the most expensive catalog rows
+ * on the sf0.1 corpus AND on [[ScaleGen]]'s 10x uniform corpus in ONE JVM
+ * (same session, same codegen state, run1/run2 per (query, dir) so warm
+ * numbers compare like-for-like), printing a wall-vs-rows table. The
+ * companion analysis lives in BASELINE.md's scale-probe section.
+ *
+ * Per row, `run2` (warm) is the comparison number; `run1` additionally
+ * carries one-time costs worth seeing separately (the Derby store load for
+ * store_jdbc_sum, the front-door chain compute for pipeline_front_door —
+ * which is cache-keyed per dir, so run1 IS its cold number and run2 only
+ * re-reads the checkpointed audit).
+ *
+ * Usage: runMain graft.ScaleProbe [baseDir=/root/testdata/sf0.1] [scaleDir=/tmp/graft_scale10] [names...]
+ */
+object ScaleProbe {
+
+  private val DefaultNames = Seq(
+    "rel_pct_price", "dedup_containment", "pipeline_split",
+    "dedup_incremental", "dedup_minhash", "text_quality_clf", "sim_ann_pq",
+    "pipeline_front_door", "store_jdbc_sum", "events_funnel")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaled = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val names = if (args.length > 2) args.drop(2).toSeq else DefaultNames
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (secs, df.count())
+    }
+
+    println(f"${"query"}%-22s ${"dir"}%-8s ${"run1"}%8s ${"run2"}%8s ${"out_rows"}%10s")
+    names.foreach { name =>
+      Seq("base" -> base, "10x" -> scaled).foreach { case (tag, dir) =>
+        val (r1, _) = timed(name, dir)
+        val (r2, rows) = timed(name, dir)
+        println(f"PROBE $name%-22s $tag%-8s $r1%8.2f $r2%8.2f $rows%10d")
+        System.gc(); Thread.sleep(100)
+      }
+    }
+    spark.stop()
+  }
+}
