@@ -39,9 +39,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // extra probe-only variants (not catalog rows): the containment row
+    // with a FIXED absolute df ceiling (20 = the sf0.1-equivalent cap), to
+    // isolate pure-rows growth from the fraction cap's corpus-proportional
+    // ceiling — on a fixed-vocabulary corpus the fraction cap admits
+    // quadratic candidate volume by design (df scales with the corpus)
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "containment_abscap20" -> ((s, d) => graft.ops.Dedup.ngramContainment(
+        s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5, maxGramDf = 20.0)))
+
     def timed(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = extras.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
       (secs, df.count())
