@@ -274,7 +274,7 @@ object Curate {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % 10000
     val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (k, r)) =>
-      when(stratum === k, lit(r)).otherwise(acc)
+      when(stratum <=> lit(k).cast("string"), lit(r)).otherwise(acc)
     }
     docs.filter(bucket < rate * 10000)
   }
@@ -306,8 +306,12 @@ object Curate {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0), "weights must be >= 0")
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % 10000
+    // null-SAFE weight match: a null source is a regular domain (exactly
+    // like Window.partitionBy treats it), so a learned weight map may
+    // legitimately carry a null key — `===` would silently drop the whole
+    // null stratum to defaultWeight
     val wt = weights.foldLeft(lit(defaultWeight): Column) { case (acc, (k, w)) =>
-      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+      when(col(sourceCol) <=> lit(k).cast("string"), lit(w)).otherwise(acc)
     }
     val copies = (floor(wt) + when(bucket < (wt - floor(wt)) * 10000, 1).otherwise(0))
       .cast("long")
@@ -370,9 +374,13 @@ object Curate {
       sourceCol: String,
       idCol: String
   ): DataFrame = {
-    val wt = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
-      when(col(sourceCol) === k, lit(v)).otherwise(acc)
-    }
+    // Option-keyed sort + <=> match: the weight map can carry a NULL
+    // domain (learned from a corpus with null sources — StressReplay found
+    // the plain sortBy NPE and the `===` silently zero-weighting it)
+    val wt = weights.toSeq.sortBy(kv => Option(kv._1))
+      .foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+        when(col(sourceCol) <=> lit(k).cast("string"), lit(v)).otherwise(acc)
+      }
     mixtureSample(docs, weights, defaultWeight = 0.0, sourceCol, idCol)
       .withColumn("wt", wt)
   }
@@ -842,9 +850,9 @@ object Curate {
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val budget = budgets.toSeq.sortBy(_._1)
+    val budget = budgets.toSeq.sortBy(kv => Option(kv._1))
       .foldLeft(lit(Long.MaxValue): Column) { case (acc, (k, b)) =>
-        when(col(sourceCol) === k, lit(b)).otherwise(acc)
+        when(col(sourceCol) <=> lit(k).cast("string"), lit(b)).otherwise(acc)
       }
     // with `tokenCountCol` the budget spends REAL tokenizer tokens
     // ([[TextOps.bpeTokenCounts]]) instead of the whitespace proxy — the
@@ -923,9 +931,9 @@ object Curate {
   ): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val weight = weights.toSeq.sortBy(_._1)
+    val weight = weights.toSeq.sortBy(kv => Option(kv._1))
       .foldLeft(lit(1.0): Column) { case (acc, (k, v)) =>
-        when(col(sourceCol) === k, lit(v)).otherwise(acc)
+        when(col(sourceCol) <=> lit(k).cast("string"), lit(v)).otherwise(acc)
       }
     // per-source rank via the distributed grouped rank — a source-keyed
     // window would single-task the dominant source. In place over the

@@ -1075,6 +1075,56 @@ object StreamRunner {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        frontDoorBatch(rawBatch, batchId, indexPath, keptPath, packedPath,
+          rejectPath, auditPath, statePath, evalDocs, lineMinWords,
+          lineBlocklist, lang, minTokens, minTtr, minStopRatio, clfWeights,
+          minProb, shingleSize, bands, rowsPerBand, threshold, decontamN,
+          maxContamination, mixtureAlpha, fixedWeights, seqLen)
+      }
+      .start()
+
+  /**
+   * The per-trigger unit of [[streamingFrontDoor]], exposed so replay /
+   * stress harnesses can RE-DELIVER a batch (same data, same `batchId`)
+   * outside a streaming query — exactly what an at-least-once foreachBatch
+   * does after a crash between the sink writes and the checkpoint commit.
+   * The replay contract it must (and does) satisfy: row-set sinks
+   * (kept/packed/rejects) at worst duplicate rows (distinct-set
+   * invariant), the statistic sinks (audit, pack-offset state) re-append
+   * byte-identical rows collapsed on read by (batch_id, …) keys, the
+   * signature index tolerates duplicated groups (the pairGroups
+   * self-pair guard keeps a replayed batch from matching its own
+   * signatures), and a LATER batch packs at identical offsets either way.
+   * [[graft.StressReplay]] pins all four at skewed-corpus volume.
+   */
+  def frontDoorBatch(
+      rawBatch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      keptPath: String,
+      packedPath: String,
+      rejectPath: String,
+      auditPath: String,
+      statePath: String,
+      evalDocs: Option[DataFrame] = None,
+      lineMinWords: Int = 3,
+      lineBlocklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+      lang: String = "en",
+      minTokens: Double = 5.0,
+      minTtr: Double = 0.2,
+      minStopRatio: Double = 0.0,
+      clfWeights: Option[Array[Double]] = None,
+      minProb: Double = 0.5,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      decontamN: Int = 5,
+      maxContamination: Double = 0.1,
+      mixtureAlpha: Double = 1.0,
+      fixedWeights: Option[Map[String, Double]] = None,
+      seqLen: Long = 512L
+  ): Unit = {
         val spark = rawBatch.sparkSession
         import spark.implicits._
         import graft.ops.{Classifier, Curate, Dedup, TextOps}
@@ -1214,8 +1264,7 @@ object StreamRunner {
         audit.write.mode("append").parquet(auditPath)
         batchTotals.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(statePath)
-      }
-      .start()
+  }
 
   /** Replay-safe reader for [[streamingFrontDoor]]'s audit sink: an
     * at-least-once re-append writes byte-identical rows per

@@ -2443,6 +2443,32 @@ class CurateSpec extends SparkSpec {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
 
+  test("mixture family treats a NULL source as a regular domain (no NPE, no silent drop)") {
+    // Window.partitionBy semantics: null is a domain like any other. The
+    // learned weight map legitimately carries a null key; the realization
+    // must keep the null stratum (a === match silently zero-weights it,
+    // and sorting the keys NPEs — both found by StressReplay on the
+    // skewed corpus's null-source slice).
+    val mixDocs = (0L until 12L)
+      .map(i => (i, if (i < 8) "big" else null)).toDF("doc_id", "source")
+    val w = Curate.temperatureWeights(mixDocs, alpha = 1.0)
+    assert(w.size == 2 && w.contains(null) && w(null) == 1.0)
+    val out = Curate.temperatureMixtureSample(mixDocs, alpha = 1.0)
+    // identity mixture: every doc exactly once, null rows included with wt 1
+    assert(out.count() == 12L)
+    assert(out.filter(col("source").isNull).count() == 4L)
+    assert(out.filter(col("source").isNull).select("wt")
+      .distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    // explicit null-keyed weight through mixtureSample: 2 copies per null doc
+    val dup = Curate.mixtureSample(mixDocs, Map((null: String) -> 2.0),
+      defaultWeight = 1.0)
+    assert(dup.filter(col("source").isNull).count() == 8L)
+    assert(dup.filter(col("source").isNotNull).count() == 8L)
+    // stratifiedSample / weighted paths accept null-keyed maps without NPE
+    assert(Curate.stratifiedSample(mixDocs, col("source"),
+      Map((null: String) -> 1.0), defaultRate = 1.0).count() == 12L)
+  }
+
   test("semanticDedupKeep keeps one representative per embedding cluster") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
