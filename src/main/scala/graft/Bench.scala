@@ -66,6 +66,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every number below lands in MACHINE-PARSED JSON via f-interpolators,
+    // which format with the JVM default locale — a comma-decimal locale
+    // would emit {"total":95,990} and silently disable the next round's
+    // drift gate (Jackson parse failure -> "unreadable"). Pin ROOT.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sentinelStart = sentinel()
     val sentinelMtStart = sentinelMt()

@@ -48,12 +48,17 @@ object ScaleProbe {
       "containment_abscap20" -> ((s, d) => graft.ops.Dedup.ngramContainment(
         s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5, maxGramDf = 20.0)))
 
+    // out_rows rides an Observation on the run-2 execution — a separate
+    // df.count() would re-run the whole query a third time per (query, dir)
     def timed(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val df = extras.getOrElse(name, SparkEntry.queries(name))(spark, dir)
-      df.write.mode("overwrite").format("noop").save()
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      (secs, df.count())
+      (secs, obs.get("n").asInstanceOf[Long])
     }
 
     println(f"${"query"}%-22s ${"dir"}%-8s ${"run1"}%8s ${"run2"}%8s ${"out_rows"}%10s")

@@ -178,9 +178,16 @@ object Ranks {
     val local = ranged
       .withColumn("__gr_ps", coalesce(sum(col("__gr_v")).over(w), lit(0L)))
       .localCheckpoint()
-    val counts = local
+    val counts0 = local
       .groupBy((col("__gr_pid") +: groupCols.map(col)): _*)
       .agg(sum(col("__gr_v")).as("__gr_c"))
+    // auto mode needs the frame's row count BEFORE building the join; a
+    // bare count() would run the aggregation once for the decision and
+    // AGAIN inside the final plan — checkpointing the tiny (pid x group)
+    // frame makes both reads one materialization (blocks free via the
+    // ContextCleaner, like the `local` checkpoint above)
+    val counts =
+      if (broadcastOffsets.isEmpty) counts0.localCheckpoint() else counts0
     // a range partition holds one contiguous key slice, so within a group
     // the pids appear in key order: the group-prefix sum over pid IS the
     // offset of this partition's local prefixes

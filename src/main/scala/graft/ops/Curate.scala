@@ -256,6 +256,20 @@ object Curate {
       else base && TextOps.dup2FracCol(t) <= maxDup2gram)
   }
 
+  /** Null-safe per-domain CASE chain: maps a string domain column through
+    * a (domain -> value) table with a default for unlisted domains. A null
+    * key is a regular domain (the Window.partitionBy reading of a null
+    * source/stratum): matching uses `<=>` — `===` would silently send the
+    * whole null stratum to the default — and the deterministic fold order
+    * sorts keys null-first via Option (a bare string sort NPEs on the null
+    * key). One definition for every weight/rate/budget map in this module;
+    * StressReplay found both failure modes live at five copy-pasted sites. */
+  private def domainCase[T](src: Column, entries: Map[String, T], default: Column)
+      (litOf: T => Column): Column =
+    entries.toSeq.sortBy(kv => Option(kv._1)).foldLeft(default) { case (acc, (k, v)) =>
+      when(src <=> lit(k).cast("string"), litOf(v)).otherwise(acc)
+    }
+
   /**
    * Deterministic stratified sampling: a document is kept when the 60-bit
    * md5 prefix of its id, modulo 10^4, falls under the stratum's rate.
@@ -273,9 +287,7 @@ object Curate {
   ): DataFrame = {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % 10000
-    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (k, r)) =>
-      when(stratum <=> lit(k).cast("string"), lit(r)).otherwise(acc)
-    }
+    val rate = domainCase(stratum, rates, lit(defaultRate))(lit(_))
     docs.filter(bucket < rate * 10000)
   }
 
@@ -306,13 +318,7 @@ object Curate {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0), "weights must be >= 0")
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % 10000
-    // null-SAFE weight match: a null source is a regular domain (exactly
-    // like Window.partitionBy treats it), so a learned weight map may
-    // legitimately carry a null key — `===` would silently drop the whole
-    // null stratum to defaultWeight
-    val wt = weights.foldLeft(lit(defaultWeight): Column) { case (acc, (k, w)) =>
-      when(col(sourceCol) <=> lit(k).cast("string"), lit(w)).otherwise(acc)
-    }
+    val wt = domainCase(col(sourceCol), weights, lit(defaultWeight))(lit(_))
     val copies = (floor(wt) + when(bucket < (wt - floor(wt)) * 10000, 1).otherwise(0))
       .cast("long")
     docs.withColumn("n_copies", copies)
@@ -374,13 +380,7 @@ object Curate {
       sourceCol: String,
       idCol: String
   ): DataFrame = {
-    // Option-keyed sort + <=> match: the weight map can carry a NULL
-    // domain (learned from a corpus with null sources — StressReplay found
-    // the plain sortBy NPE and the `===` silently zero-weighting it)
-    val wt = weights.toSeq.sortBy(kv => Option(kv._1))
-      .foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
-        when(col(sourceCol) <=> lit(k).cast("string"), lit(v)).otherwise(acc)
-      }
+    val wt = domainCase(col(sourceCol), weights, lit(0.0))(lit(_))
     mixtureSample(docs, weights, defaultWeight = 0.0, sourceCol, idCol)
       .withColumn("wt", wt)
   }
@@ -850,10 +850,7 @@ object Curate {
   ): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val budget = budgets.toSeq.sortBy(kv => Option(kv._1))
-      .foldLeft(lit(Long.MaxValue): Column) { case (acc, (k, b)) =>
-        when(col(sourceCol) <=> lit(k).cast("string"), lit(b)).otherwise(acc)
-      }
+    val budget = domainCase(col(sourceCol), budgets, lit(Long.MaxValue))(lit(_))
     // with `tokenCountCol` the budget spends REAL tokenizer tokens
     // ([[TextOps.bpeTokenCounts]]) instead of the whitespace proxy — the
     // per-source 30-60% whitespace/BPE divergence is exactly what a
@@ -931,10 +928,7 @@ object Curate {
   ): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val weight = weights.toSeq.sortBy(kv => Option(kv._1))
-      .foldLeft(lit(1.0): Column) { case (acc, (k, v)) =>
-        when(col(sourceCol) <=> lit(k).cast("string"), lit(v)).otherwise(acc)
-      }
+    val weight = domainCase(col(sourceCol), weights, lit(1.0))(lit(_))
     // per-source rank via the distributed grouped rank — a source-keyed
     // window would single-task the dominant source. In place over the
     // full rows (null/duplicate ids keep window-form semantics; the

@@ -163,14 +163,17 @@ object JdbcStore {
   private lazy val dialectRegistered: Unit =
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(VarcharDerbyDialect)
 
-  /** The embedded Derby driver class is named explicitly ONLY for Derby
-    * URLs: Spark resolves the `driver` option by loading that exact class,
-    * so pinning it unconditionally would make every non-Derby URL
-    * (`jdbc:postgresql:`…) fail to connect — the deployment-by-URL
-    * portability this module claims. Other databases resolve their own
-    * driver through DriverManager from the classpath. */
+  /** The embedded Derby driver class is named explicitly ONLY for
+    * EMBEDDED Derby URLs: Spark resolves the `driver` option by loading
+    * that exact class, so pinning it unconditionally would make every
+    * non-Derby URL (`jdbc:postgresql:`…) fail to connect — the
+    * deployment-by-URL portability this module claims. `jdbc:derby://`
+    * (the Derby NETWORK client) is excluded too: it needs ClientDriver,
+    * which DriverManager resolves from the classpath like any other
+    * remote database. */
   private def driverFor(url: String): Option[String] =
-    if (url.startsWith("jdbc:derby")) Some("org.apache.derby.jdbc.EmbeddedDriver")
+    if (url.startsWith("jdbc:derby:") && !url.startsWith("jdbc:derby://"))
+      Some("org.apache.derby.jdbc.EmbeddedDriver")
     else None
 
   /** Connection properties for every read/write path — URL-gated driver,
@@ -214,7 +217,8 @@ object JdbcStore {
     try {
       val blocks = flat.select(col("__blk")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded: window / blockMs tables
-      checkLoaderCompat(url, tdef, blocks, streaming = false)
+      if (blocks.nonEmpty)
+        checkLoaderCompat(listTables(url, tdef), url, streaming = false)
       blocks.foreach { b =>
         flat.filter(col("__blk") === b).drop("__blk")
           .write.mode("append")
@@ -247,14 +251,18 @@ object JdbcStore {
 
   /** Column presence via JDBC metadata; name compared case-insensitively
     * (Derby stores unquoted identifiers uppercase, Spark creates quoted
-    * lowercase). */
+    * lowercase). The suffix underscore in every block-table name is a
+    * LIKE wildcard in getColumns' tableNamePattern, so each result row's
+    * TABLE_NAME is re-checked exactly — a sibling table matching the
+    * pattern must not answer for this one. */
   private def tableHasColumn(
       conn: java.sql.Connection, table: String, column: String): Boolean = {
     val rs = conn.getMetaData.getColumns(null, null, table, "%")
     try {
       var found = false
       while (!found && rs.next())
-        found = rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table) &&
+          rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
       found
     } finally rs.close()
   }
@@ -263,17 +271,16 @@ object JdbcStore {
     * stream-loaded ([[writeBatch]]: batch_id column) — mixing the loaders
     * on one store would otherwise throw MID-LOAD (a DELETE on a missing
     * column, or an append with an extra column), leaving some block tables
-    * written and others not. Checked against every about-to-be-touched
-    * existing table BEFORE any table is modified, so a mismatch fails the
-    * whole load cleanly. Bounded: one metadata lookup per overlapped block
-    * table (window / blockMs). */
+    * written and others not. The invariant is STORE-WIDE, so EVERY
+    * existing suffix table of this store is checked (not just the blocks
+    * this load touches — a disjoint-window load would otherwise create a
+    * mixed store without error), BEFORE any table is modified. Bounded:
+    * one metadata lookup per existing block table (retention / blockMs). */
   private def checkLoaderCompat(
-      url: String, tdef: TableDef, blocks: Seq[Long], streaming: Boolean): Unit = {
-    val byBlock = listTables(url, tdef).map { case (n, t) => t -> n }.toMap
-    val touched = blocks.flatMap(byBlock.get)
-    if (touched.nonEmpty) {
+      tables: Seq[(String, Long)], url: String, streaming: Boolean): Unit =
+    if (tables.nonEmpty) {
       val conn = java.sql.DriverManager.getConnection(url)
-      try touched.foreach { t =>
+      try tables.foreach { case (t, _) =>
         val hasBatchId = tableHasColumn(conn, t, "batch_id")
         if (streaming) require(hasBatchId,
           s"table $t was created by the batch loader (no batch_id column); " +
@@ -286,7 +293,6 @@ object JdbcStore {
             "table name")
       } finally conn.close()
     }
-  }
 
   /**
    * One micro-batch's IDEMPOTENT load for the streaming ingest: rows land
@@ -305,7 +311,11 @@ object JdbcStore {
       batchId: Long
   ): Unit = {
     checkBlock(blockMs)
-    val existing = listTables(url, tdef).map(_._1.toUpperCase).toSet
+    // ONE metadata listing serves both the replay DELETE set and the
+    // loader-compat check (two scans would double per-trigger latency on
+    // the ingest hot path and could read inconsistent snapshots)
+    val listed = listTables(url, tdef)
+    val existing = listed.map(_._1.toUpperCase).toSet
     val flat = datapoints.select(
       tdef.columns.map(k => col("tags").getItem(k).as(k)) ++
         Seq(col("ts").cast("long").as("ts"),
@@ -316,7 +326,7 @@ object JdbcStore {
     try {
       val blocks = flat.select(col("__blk")).distinct()
         .collect().map(_.getLong(0)).sorted
-      checkLoaderCompat(url, tdef, blocks, streaming = true)
+      if (blocks.nonEmpty) checkLoaderCompat(listed, url, streaming = true)
       if (blocks.nonEmpty) {
         // replay hygiene FIRST: clear this batch's prior rows from every
         // touched table (driver-side, one DELETE per block table)

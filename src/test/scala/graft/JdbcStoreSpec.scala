@@ -253,9 +253,13 @@ class JdbcStoreSpec extends SparkSpec {
     // Spark force-load Derby for a jdbc:postgresql: URL and fail to connect
     val derby = JdbcStore.connectionProps("jdbc:derby:/tmp/x;create=true")
     assert(derby.getProperty("driver") == "org.apache.derby.jdbc.EmbeddedDriver")
-    for (u <- Seq("jdbc:postgresql://host:5432/atlas", "jdbc:mysql://host/atlas"))
+    // the Derby NETWORK client (jdbc:derby://host...) needs ClientDriver,
+    // not the embedded class — it resolves from the classpath like any
+    // other remote database
+    for (u <- Seq("jdbc:postgresql://host:5432/atlas", "jdbc:mysql://host/atlas",
+        "jdbc:derby://db-host:1527/atlas"))
       assert(JdbcStore.connectionProps(u).getProperty("driver") == null,
-        s"non-Derby URL $u must not pin the Derby driver class")
+        s"URL $u must not pin the embedded Derby driver class")
   }
 
   test("batch and streaming loaders refuse to mix on one store, before any write") {
@@ -280,6 +284,18 @@ class JdbcStoreSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("streaming loader"))
     assert(JdbcStore.fetch(spark, url2, tdef, Query.True, 0L, 7 * H, Block).count() == 6)
+
+    // the invariant is STORE-wide: a load whose window is DISJOINT from
+    // every existing table must still refuse — otherwise it creates the
+    // mixed store the guard exists to prevent
+    val disjoint = Seq((Map("name" -> "click", "usr" -> "u9"), 100L * H, 1.0))
+      .toDF("tags", "ts", "value")
+    intercept[IllegalArgumentException] {
+      JdbcStore.writeBatch(disjoint, url, tdef, Block, batchId = 9L) // url is batch-loaded
+    }
+    intercept[IllegalArgumentException] {
+      JdbcStore.write(disjoint, url2, tdef, Block) // url2 is stream-loaded
+    }
   }
 
   test("a multi-block backfill evaluates the input projection exactly once") {
