@@ -69,8 +69,11 @@ object Bench {
     // every number below lands in MACHINE-PARSED JSON via f-interpolators,
     // which format with the JVM default locale — a comma-decimal locale
     // would emit {"total":95,990} and silently disable the next round's
-    // drift gate (Jackson parse failure -> "unreadable"). Pin ROOT.
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // drift gate (Jackson parse failure -> "unreadable"). Pin US, NOT
+    // ROOT: embedded Derby rejects database creation under Locale.ROOT
+    // ("Supplied locale description '' is invalid"), which a ROOT pin
+    // here turned into BENCH FAIL on every store_jdbc_*/tags_*_jdbc row.
+    java.util.Locale.setDefault(java.util.Locale.US)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sentinelStart = sentinel()
     val sentinelMtStart = sentinelMt()
@@ -128,7 +131,21 @@ object Bench {
       def timed(): Double = {
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"BENCH FAIL $name: $e") }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e")
+            // SQLExceptions chain the real cause via getNextException,
+            // which toString/printStackTrace both hide
+            var sql: Throwable = e
+            while (sql != null) {
+              sql match {
+                case s: java.sql.SQLException if s.getNextException != null =>
+                  System.err.println(s"BENCH FAIL $name (next): ${s.getNextException}")
+                case _ =>
+              }
+              sql = sql.getCause
+            }
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = timed()
