@@ -278,4 +278,67 @@ class PlannerSpec extends SparkSpec {
     assert(s(slot(3)) == 0.0)                      // no data on any leaf
     assert(s(slot(2)) == 0.0 && s(slot(4)) == 0.0 && s(slot(5)) == 0.0) // one side missing
   }
+
+  test("property: QueryCompiler.compile agrees with Query.matches on every row, null-valued entries absent") {
+    // THE bridge every fetch path leans on (parquet residuals, JdbcStore
+    // residuals, the store index): the compiled Column predicate over a
+    // tags MAP must agree with the model's matches() on arbitrary trees.
+    // Rows include NULL-VALUED map entries — the Datapoints.events
+    // convention for an absent optional tag, which compile() must treat
+    // exactly as a missing key (getItem -> null) and the model sees as
+    // absent after the null-strip.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import Query._
+    import spark.implicits._
+    val keys = Seq("a", "b", "c")
+    val vals = Seq("x", "y", "1", "x.*", "o'm")
+    val rnd = new scala.util.Random(20260815)
+    val rawRows: Seq[(Long, Map[String, String])] = (0L until 200L).map { i =>
+      val m = keys.flatMap { k =>
+        rnd.nextInt(4) match {
+          case 0 => None                                   // key absent
+          case 1 => Some(k -> (null: String))              // null-valued entry
+          case _ => Some(k -> vals(rnd.nextInt(vals.length)))
+        }
+      }.toMap
+      (i, m)
+    }
+    val df = rawRows.toDF("id", "tags").cache()
+    df.count()
+    // the model's view: null-valued entries are ABSENT
+    val modelRows = rawRows.map { case (i, m) => (i, m.filter(_._2 != null)) }
+
+    val genLeaf: Gen[Query] = Gen.oneOf(
+      Gen.const(True: Query),
+      Gen.const(False: Query),
+      for (k <- Gen.oneOf(keys)) yield HasKey(k): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield Equal(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield LessThan(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield LessThanEqual(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield GreaterThan(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield GreaterThanEqual(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield Regex(k, v): Query,
+      for (k <- Gen.oneOf(keys); v <- Gen.oneOf(vals)) yield RegexIgnoreCase(k, v): Query,
+      for (k <- Gen.oneOf(keys); vs <- Gen.nonEmptyListOf(Gen.oneOf(vals)))
+        yield In(k, vs.distinct): Query)
+    def genQ(depth: Int): Gen[Query] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield And(a, b): Query),
+        2 -> (for (a <- genQ(depth - 1); b <- genQ(depth - 1)) yield Or(a, b): Query),
+        1 -> genQ(depth - 1).map(q => Not(q): Query))
+
+    val prop = Prop.forAll(genQ(4)) { q =>
+      // filter semantics: a row passes iff the compiled predicate is TRUE
+      // (null filters out) — one pass over all 200 rows per sample
+      val pass = df.select(col("id"),
+          graft.planner.QueryCompiler.compile(q, col("tags")).as("p"))
+        .collect().map(r => r.getLong(0) -> (!r.isNullAt(1) && r.getBoolean(1))).toMap
+      modelRows.forall { case (i, m) => q.matches(m) == pass(i) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"compile/matches divergence: ${res.status}")
+    df.unpersist()
+  }
 }

@@ -1259,6 +1259,55 @@ class StreamSpec extends SparkSpec {
     assert(packOut == (totTok + 15L) / 16L, s"pack audit $packOut vs tokens $totTok")
   }
 
+  test("front door replay: duplicated and reordered deliveries leave every frame byte-identical") {
+    // the in-gate twin of graft.StressReplay's leg 1: frontDoorBatch is
+    // exactly what an at-least-once foreachBatch re-delivers after a crash
+    // between sink writes and the checkpoint commit — possibly AFTER later
+    // batches already ran on the recovered query. Replayed world:
+    // b0, b1, b1-again, b2, b0-again (late reordered), b3; clean world:
+    // b0..b3 once each. Contract: audit (collapse-on-read) equal,
+    // row-set sinks equal as DISTINCT sets, and the post-disorder batch 3
+    // packs at identical carried offsets.
+    import spark.implicits._
+    val bodies = (1 to 9).map(i =>
+      s"entry number $i talks about a completely different topic " +
+        s"using its own private words like token$i word${i * 7} and item${i * 13}")
+    def batchDf(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, if (i % 3 == 0) null else s"s${i % 2}", bodies(i - 1)))
+        .toDF("doc_id", "source", "text") // a null-source slice rides along
+    val b = Seq(batchDf(Seq(1, 2, 3)), batchDf(Seq(4, 5, 6)), batchDf(Seq(7, 8)))
+    val b3 = batchDf(Seq(9))
+    val base = java.nio.file.Files.createTempDirectory("graft_fd_replay").toString
+    def run(world: String, deliveries: Seq[(org.apache.spark.sql.DataFrame, Long)]) = {
+      val root = s"$base/$world"
+      deliveries.foreach { case (df, id) =>
+        StreamRunner.frontDoorBatch(df, id,
+          s"$root/index", s"$root/kept", s"$root/packed", s"$root/rejects",
+          s"$root/audit", s"$root/state",
+          lineMinWords = 3, lang = "en", minTokens = 5.0, minTtr = 0.2,
+          minStopRatio = 0.0, seqLen = 16L)
+      }
+      (s: String) => s"$root/$s"
+    }
+    val rep = run("replayed", Seq(b(0) -> 0L, b(1) -> 1L, b(1) -> 1L,
+      b(2) -> 2L, b(0) -> 0L, b3 -> 3L))
+    val cln = run("clean", Seq(b(0) -> 0L, b(1) -> 1L, b(2) -> 2L, b3 -> 3L))
+    def auditSet(p: String => String) =
+      StreamRunner.readFrontDoorAudit(spark, p("audit")).collect().map(_.toSeq).toSet
+    assert(auditSet(rep) == auditSet(cln))
+    def d(p: String => String, sink: String, cols: Seq[String]) =
+      spark.read.parquet(p(sink)).select(cols.map(col): _*)
+        .distinct().collect().map(_.toSeq).toSet
+    for ((sink, cols) <- Seq(
+        "kept" -> Seq("doc_id", "source"),
+        "packed" -> Seq("rid", "source", "n_tokens", "seq_id", "seq_offset", "spans_boundary"),
+        "rejects" -> Seq("batch_id", "doc_id", "reason")))
+      assert(d(rep, sink, cols) == d(cln, sink, cols), s"$sink diverged under replay")
+    // something actually flowed (the contract must not hold vacuously)
+    assert(spark.read.parquet(cln("kept")).count() > 0)
+    assert(d(cln, "packed", Seq("rid")).exists(_.head == 9000L)) // batch-3 doc packed
+  }
+
   test("streaming active users: latest-seq view equals the batch operator after every prefix, late data included") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
