@@ -1685,7 +1685,7 @@ object SparkEntry {
          |           ${copyCountSql("c.wt", "c.b")} AS n
          |    FROM (SELECT fd_cl.doc_id, fd_cl.source, fd_cl.text, w.wt,
          |                 ${md5BucketSql("fd_cl.doc_id")} AS b
-         |          FROM fd_cl JOIN fd_w w ON fd_cl.source = w.source) c) cc,
+         |          FROM fd_cl JOIN fd_w w ON fd_cl.source IS NOT DISTINCT FROM w.source) c) cc,
          |    unnest(range(0, cc.n)) AS u(i))""".stripMargin
     }
     val cosSql =
@@ -2057,7 +2057,7 @@ object SparkEntry {
           |d AS (
           |  SELECT doc_id, documents.source, wt,
           |    ${md5BucketSql("doc_id")} AS b
-          |  FROM documents JOIN w ON documents.source = w.source),
+          |  FROM documents JOIN w ON documents.source IS NOT DISTINCT FROM w.source),
           |c AS (SELECT doc_id, source, wt,
           |    ${copyCountSql("wt", "b")} AS n
           |  FROM d)
