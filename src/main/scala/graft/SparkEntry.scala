@@ -1824,7 +1824,9 @@ object SparkEntry {
            |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM fd_dd), (SELECT count(*) FROM fd_cl)
            |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM fd_cl), (SELECT count(*) FROM fd_mx)
            |UNION ALL SELECT 7, 'pack', (SELECT count(*) FROM fd_mx),
-           |          (SELECT CAST(sum((tot + 511) // 512) AS BIGINT) FROM (
+           |          -- coalesce: on an all-rejected corpus fd_mx is empty and
+           |          -- sum() is NULL; the engine's audit reports 0 sequences
+           |          (SELECT CAST(coalesce(sum((tot + 511) // 512), 0) AS BIGINT) FROM (
            |             SELECT sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot
            |             FROM fd_mx GROUP BY source))""".stripMargin,
       // the streaming twin replays the SAME batch chain (single-corpus
@@ -1839,7 +1841,9 @@ object SparkEntry {
            |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM fd_dd), (SELECT count(*) FROM fd_cl)
            |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM fd_cl), (SELECT count(*) FROM fd_mx)
            |UNION ALL SELECT 7, 'pack', (SELECT count(*) FROM fd_mx),
-           |          (SELECT CAST(sum((tot + 511) // 512) AS BIGINT) FROM (
+           |          -- coalesce: on an all-rejected corpus fd_mx is empty and
+           |          -- sum() is NULL; the engine's audit reports 0 sequences
+           |          (SELECT CAST(coalesce(sum((tot + 511) // 512), 0) AS BIGINT) FROM (
            |             SELECT sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tot
            |             FROM fd_mx GROUP BY source))""".stripMargin,
       // per-doc DLQ: every drop attributed to its stage (the classifier

@@ -130,8 +130,14 @@ object Curate {
     // 6. temperature mixture: weights learned ONCE (the realization
     // overload skips the second domain-count job), rid-collision guard
     // checked before any mixture work is spent; weight-0/hash-dropped
-    // docs are attributable drops like any gate's
-    val weights = temperatureWeights(kept, mixtureAlpha)
+    // docs are attributable drops like any gate's. An ALL-REJECTED corpus
+    // (every doc dropped by stages 1-5 — a real shape: the skewed stress
+    // corpus fails the stopword gate wholesale) must flow through as
+    // empty frames with a complete zero-count audit, not crash here: an
+    // empty domain set simply weights nothing
+    val weights =
+      if (kept.isEmpty) Map.empty[String, Double]
+      else temperatureWeights(kept, mixtureAlpha)
     val maxW = weights.values.foldLeft(0.0)(math.max)
     require(maxW < 1000.0,
       s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")

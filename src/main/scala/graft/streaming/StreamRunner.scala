@@ -1182,7 +1182,12 @@ object StreamRunner {
         val contamRejects = deduped.join(idsOf(kept), Seq("doc_id"), "left_anti")
 
         // 6: temperature mixture (per-batch weights unless pinned)
-        val weights = fixedWeights.getOrElse(Curate.temperatureWeights(kept, mixtureAlpha))
+        // an ALL-REJECTED micro-batch (every doc dropped by stages 1-5)
+        // must not kill the STREAM: learn no weights, emit empty
+        // mixed/packed frames and a zero-count audit like any other batch
+        val weights = fixedWeights.getOrElse(
+          if (kept.isEmpty) Map.empty[String, Double]
+          else Curate.temperatureWeights(kept, mixtureAlpha))
         val maxW = weights.values.foldLeft(0.0)(math.max)
         require(maxW < 1000.0,
           s"mixture weight $maxW >= 1000 would collide rid = doc_id*1000 + copy")

@@ -2469,6 +2469,27 @@ class CurateSpec extends SparkSpec {
       Map((null: String) -> 1.0), defaultRate = 1.0).count() == 12L)
   }
 
+  test("front door: an all-rejected corpus flows through as empty frames with a zero-count audit") {
+    // a bad batch (every doc fails a gate — the skewed stress corpus
+    // fails the stopword gate wholesale) must produce a COMPLETE audit
+    // and full reject attribution, never crash at the mixture stage
+    val junk = (0L until 20L)
+      .map(i => (i, s"s${i % 3}", s"zz$i yy$i xx$i ww$i vv$i uu$i tt$i ss$i"))
+      .toDF("doc_id", "source", "text")
+    val fd = Curate.frontDoor(junk, lang = "en", minTokens = 5.0,
+      minTtr = 0.2, minStopRatio = 0.5) // stopword gate rejects everything
+    assert(fd.kept.isEmpty && fd.packed.isEmpty)
+    val audit = fd.audit.collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_in"), r.getAs[Long]("n_out")))).toMap
+    assert(audit.size == 7)
+    assert(audit("line_filter")._1 == 20L)
+    assert(audit("quality") == ((20L, 0L)))
+    assert(audit("pack") == ((0L, 0L)))
+    val rejects = fd.rejects.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejects.size == 20 && rejects.values.forall(_ == "quality"))
+  }
+
   test("semanticDedupKeep keeps one representative per embedding cluster") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -1308,6 +1308,35 @@ class StreamSpec extends SparkSpec {
     assert(d(cln, "packed", Seq("rid")).exists(_.head == 9000L)) // batch-3 doc packed
   }
 
+  test("front door: an all-rejected micro-batch does not kill the stream; the next batch recovers") {
+    // one bad batch (every doc gate-rejected) must write its zero-count
+    // audit and keep the query alive — a crash here takes the whole
+    // pipeline down on the first spam burst
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_fd_empty").toString
+    def p(s: String) = s"$base/$s"
+    val junk = (0L until 5L)
+      .map(i => (i, "s0", s"zz$i yy$i xx$i"))
+      .toDF("doc_id", "source", "text")
+    val good = Seq((10L, "s0",
+      "the quick brown fox jumps over the lazy dog in a quiet field of words"))
+      .toDF("doc_id", "source", "text")
+    StreamRunner.frontDoorBatch(junk, 0L,
+      p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"),
+      lineMinWords = 2, lang = "en", minTokens = 3.0, minTtr = 0.1,
+      minStopRatio = 0.5, seqLen = 16L) // stopword gate rejects the junk batch
+    StreamRunner.frontDoorBatch(good, 1L,
+      p("index"), p("kept"), p("packed"), p("rejects"), p("audit"), p("state"),
+      lineMinWords = 2, lang = "en", minTokens = 3.0, minTtr = 0.1,
+      minStopRatio = 0.1, seqLen = 16L)
+    val audit = StreamRunner.readFrontDoorAudit(spark, p("audit"))
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(4)).toMap
+    assert(audit((0L, "pack")) == 0L) // zero-count audit for the bad batch
+    assert(audit((1L, "pack")) == 1L) // the stream recovered
+    assert(spark.read.parquet(p("kept")).count() == 1L)
+    assert(spark.read.parquet(p("rejects")).filter(col("batch_id") === 0L).count() == 5L)
+  }
+
   test("streaming active users: latest-seq view equals the batch operator after every prefix, late data included") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
