@@ -1529,10 +1529,13 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"),
           round(avg(col("n_chars")) + NanMath.RoundEps, 4).as("mean_chars"),
           countDistinct(col("lang")).cast("double").as("n_langs"))
-        stats.join(
-          Quantiles.groupedExact(dd, "source", "n_chars",
-            Seq(0.5, 0.9, 0.99), Seq("p50_chars", "p90_chars", "p99_chars")),
-          "source")
+        // null-SAFE group join: a null source is a regular group on both
+        // sides (the stress corpus carries one); a string-keyed equi-join
+        // would silently drop its profile row
+        val q = Quantiles.groupedExact(dd, "source", "n_chars",
+            Seq(0.5, 0.9, 0.99), Seq("p50_chars", "p90_chars", "p99_chars"))
+          .withColumnRenamed("source", "__qsrc")
+        stats.join(q, stats("source") <=> q("__qsrc")).drop("__qsrc")
       }),
       "rel_distinct_users_daily" -> ((s, d) => {
         val ev = EventOps.events(s, d)

@@ -88,10 +88,13 @@ object Quantiles {
         (col("k") - col("cumBefore")).as("kin"))
 
     // 3. rank within the marker bucket only: the window partitions by
-    //    (group, q, k) over a 1/#buckets slice — bounded work per marker
+    //    (group, q, k) over a 1/#buckets slice — bounded work per marker.
+    //    <=> on the group key: a NULL group is a regular group everywhere
+    //    else in this plan (groupBy and Window.partitionBy both keep it),
+    //    and an === here silently dropped its quantile row entirely
     val mv = vc.join(
       broadcast(markers),
-      g === col("mg") && floor(col("v")).cast("long") === col("mb"))
+      (g <=> col("mg")) && floor(col("v")).cast("long") === col("mb"))
       .select(g, col("q"), col("r"), col("k"), col("kin"), col("v"), col("c"))
     val wIn = Window.partitionBy(g, col("q"), col("k")).orderBy(col("v"))
     val sel = mv

@@ -2858,6 +2858,30 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("groupedExact keeps a NULL group: its quantile row exists and matches the window form") {
+    // groupBy and Window.partitionBy both treat null as a regular group;
+    // the marker broadcast-join's former === silently dropped the null
+    // group's quantile row (found by the widened stress gate via
+    // corpus_profile on the null-source corpus)
+    val rows = (1 to 90).map { i =>
+      val g = if (i % 4 == 0) null else "a"
+      (g, (i % 13).toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    val got = ops.Quantiles.groupedExact(df, "g", "v", Seq(0.5), Seq("p50"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got.size == 2 && got.contains(None), s"null group missing: $got")
+    // hand value: null group's sorted values via the definition
+    def q50(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val r = 0.5 * (s.size - 1)
+      val lo = s(r.toInt); val hi = s(math.ceil(r).toInt)
+      BigDecimal(lo + (r - math.floor(r)) * (hi - lo))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(None) == q50(rows.filter(_._1 == null).map(_._2)))
+    assert(got(Some("a")) == q50(rows.filter(_._1 != null).map(_._2)))
+  }
+
   test("groupedExact matches the quantile_cont definition (single-task reference)") {
     // deterministic synthetic data: 2-decimal values, two groups, with ties
     val rnd = new scala.util.Random(7)
