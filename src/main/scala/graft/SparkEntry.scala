@@ -1531,11 +1531,14 @@ object SparkEntry {
           countDistinct(col("lang")).cast("double").as("n_langs"))
         // null-SAFE group join: a null source is a regular group on both
         // sides (the stress corpus carries one); a string-keyed equi-join
-        // would silently drop its profile row
+        // would silently drop its profile row. Broadcast by declaration:
+        // both sides are group-cardinality (sources), tiny next to the
+        // corpus — the hint keeps the join one-exchange under the 100 TB
+        // no-auto-broadcast budget shape
         val q = Quantiles.groupedExact(dd, "source", "n_chars",
             Seq(0.5, 0.9, 0.99), Seq("p50_chars", "p90_chars", "p99_chars"))
           .withColumnRenamed("source", "__qsrc")
-        stats.join(q, stats("source") <=> q("__qsrc")).drop("__qsrc")
+        stats.join(broadcast(q), stats("source") <=> q("__qsrc")).drop("__qsrc")
       }),
       "rel_distinct_users_daily" -> ((s, d) => {
         val ev = EventOps.events(s, d)
