@@ -135,15 +135,22 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: $e")
             // SQLExceptions chain the real cause via getNextException,
-            // which toString/printStackTrace both hide
-            var sql: Throwable = e
-            while (sql != null) {
-              sql match {
-                case s: java.sql.SQLException if s.getNextException != null =>
-                  System.err.println(s"BENCH FAIL $name (next): ${s.getNextException}")
+            // which toString/printStackTrace both hide — and the root is
+            // often SEVERAL links deep (Derby batch failures chain
+            // BatchUpdate -> statement-aborted -> the actual error), so
+            // walk the FULL next chain at every level of the cause chain
+            var cause: Throwable = e
+            while (cause != null) {
+              cause match {
+                case s: java.sql.SQLException =>
+                  var n = s.getNextException
+                  while (n != null) {
+                    System.err.println(s"BENCH FAIL $name (next): $n")
+                    n = n.getNextException
+                  }
                 case _ =>
               }
-              sql = sql.getCause
+              cause = cause.getCause
             }
         }
         (System.nanoTime() - t0) / 1e9

@@ -58,6 +58,12 @@ object Quantiles {
     //    ContextCleaner.
     val vc = df
       .select(g, col(valueCol).cast("double").as("v"))
+      // quantile_cont semantics: NULL values are IGNORED (they are not
+      // order statistics). Without this filter a null value forms a
+      // floor(null)=null bucket that sorts first, inflates n, and the
+      // marker join's === on the bucket key silently loses the whole
+      // group's output row when a quantile rank lands in it.
+      .filter(col("v").isNotNull)
       .groupBy(g, col("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()

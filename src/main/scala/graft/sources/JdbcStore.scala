@@ -228,12 +228,22 @@ object JdbcStore {
     } finally flat.unpersist()
   }
 
+  /** The connection's CURRENT schema, used to scope every metadata query:
+    * with schemaPattern=null a same-named table in ANOTHER schema (two
+    * deployments sharing one Postgres, 'app' vs 'staging') would answer
+    * for this store's tables. The store reads/writes through unqualified
+    * names, i.e. the connection's current schema — so that is the one
+    * metadata scope that matches the data path. Drivers without
+    * getSchema support fall back to the old unscoped behavior. */
+  private def currentSchema(conn: java.sql.Connection): String =
+    try conn.getSchema catch { case _: Throwable => null }
+
   /** The database's suffix tables for `tdef`, as (table, blockStart) —
     * the reference's listTables + extractTime pass, via JDBC metadata. */
   def listTables(url: String, tdef: TableDef): Seq[(String, Long)] = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val rs = conn.getMetaData.getTables(null, currentSchema(conn), "%", Array("TABLE"))
       // EXACT base-name match: a prefix test would absorb a sibling
       // store's tables ('events_hourly_...' under base 'events')
       val exact = java.util.regex.Pattern.compile(
@@ -249,15 +259,16 @@ object JdbcStore {
     } finally conn.close()
   }
 
-  /** Column presence via JDBC metadata; name compared case-insensitively
-    * (Derby stores unquoted identifiers uppercase, Spark creates quoted
-    * lowercase). The suffix underscore in every block-table name is a
-    * LIKE wildcard in getColumns' tableNamePattern, so each result row's
-    * TABLE_NAME is re-checked exactly — a sibling table matching the
-    * pattern must not answer for this one. */
+  /** Column presence via JDBC metadata, scoped to the connection's
+    * current schema; name compared case-insensitively (Derby stores
+    * unquoted identifiers uppercase, Spark creates quoted lowercase). The
+    * suffix underscore in every block-table name is a LIKE wildcard in
+    * getColumns' tableNamePattern, so each result row's TABLE_NAME is
+    * re-checked exactly — a sibling table matching the pattern must not
+    * answer for this one. */
   private def tableHasColumn(
       conn: java.sql.Connection, table: String, column: String): Boolean = {
-    val rs = conn.getMetaData.getColumns(null, null, table, "%")
+    val rs = conn.getMetaData.getColumns(null, currentSchema(conn), table, "%")
     try {
       var found = false
       while (!found && rs.next())
@@ -267,6 +278,14 @@ object JdbcStore {
     } finally rs.close()
   }
 
+  /** Loader-compat verdicts already proven this session: a block table's
+    * loader kind is fixed at creation (only an external writer could
+    * change it), so one getColumns per (url, table, loader) is enough for
+    * a process lifetime — without this a long streaming ingest would pay
+    * retention/blockMs metadata round trips on EVERY micro-batch. */
+  private val loaderVerified =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), Unit]
+
   /** A store is EITHER batch-loaded ([[write]]: no batch_id column) or
     * stream-loaded ([[writeBatch]]: batch_id column) — mixing the loaders
     * on one store would otherwise throw MID-LOAD (a DELETE on a missing
@@ -275,12 +294,14 @@ object JdbcStore {
     * existing suffix table of this store is checked (not just the blocks
     * this load touches — a disjoint-window load would otherwise create a
     * mixed store without error), BEFORE any table is modified. Bounded:
-    * one metadata lookup per existing block table (retention / blockMs). */
+    * one metadata lookup per existing block table on FIRST sight
+    * (memoized after — see [[loaderVerified]]). */
   private def checkLoaderCompat(
-      tables: Seq[(String, Long)], url: String, streaming: Boolean): Unit =
-    if (tables.nonEmpty) {
+      tables: Seq[(String, Long)], url: String, streaming: Boolean): Unit = {
+    val unchecked = tables.filterNot(t => loaderVerified.contains((url, t._1, streaming)))
+    if (unchecked.nonEmpty) {
       val conn = java.sql.DriverManager.getConnection(url)
-      try tables.foreach { case (t, _) =>
+      try unchecked.foreach { case (t, _) =>
         val hasBatchId = tableHasColumn(conn, t, "batch_id")
         if (streaming) require(hasBatchId,
           s"table $t was created by the batch loader (no batch_id column); " +
@@ -291,8 +312,10 @@ object JdbcStore {
             "column); a store is either batch-loaded (write) or " +
             "stream-loaded (writeBatch), never both — use a separate base " +
             "table name")
+        loaderVerified.update((url, t, streaming), ())
       } finally conn.close()
     }
+  }
 
   /**
    * One micro-batch's IDEMPOTENT load for the streaming ingest: rows land
@@ -326,10 +349,11 @@ object JdbcStore {
     try {
       val blocks = flat.select(col("__blk")).distinct()
         .collect().map(_.getLong(0)).sorted
-      if (blocks.nonEmpty) checkLoaderCompat(listed, url, streaming = true)
       if (blocks.nonEmpty) {
-        // replay hygiene FIRST: clear this batch's prior rows from every
-        // touched table (driver-side, one DELETE per block table)
+        // compat BEFORE any modification, then replay hygiene: clear this
+        // batch's prior rows from every touched table (driver-side, one
+        // DELETE per block table) — one block so the ordering is structural
+        checkLoaderCompat(listed, url, streaming = true)
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val stmt = conn.createStatement()
@@ -364,7 +388,13 @@ object JdbcStore {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         val stmt = conn.createStatement()
-        old.foreach { case (name, _) => stmt.executeUpdate(s"DROP TABLE $name") }
+        old.foreach { case (name, _) =>
+          stmt.executeUpdate(s"DROP TABLE $name")
+          // a dropped table may be RECREATED by the other loader — the
+          // memoized compat verdict must not outlive the table
+          loaderVerified -= ((url, name, true))
+          loaderVerified -= ((url, name, false))
+        }
       } finally conn.close()
     }
     old.map(_._1)

@@ -2880,6 +2880,18 @@ class QuantilesSpec extends SparkSpec {
     }
     assert(got(None) == q50(rows.filter(_._1 == null).map(_._2)))
     assert(got(Some("a")) == q50(rows.filter(_._1 != null).map(_._2)))
+
+    // null VALUES are ignored (quantile_cont semantics) — they are not
+    // order statistics; a null-bearing group must still produce its row,
+    // computed over the non-null values only (a null floor-bucket used to
+    // swallow the whole group when a quantile rank landed in it)
+    val withNullVals = Seq(("a", null), ("a", null), ("a", null),
+        ("a", java.lang.Double.valueOf(1.0)), ("a", java.lang.Double.valueOf(2.0)),
+        ("b", java.lang.Double.valueOf(5.0)))
+      .toDF("g", "v")
+    val gotNv = ops.Quantiles.groupedExact(withNullVals, "g", "v", Seq(0.5), Seq("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotNv == Map("a" -> 1.5, "b" -> 5.0), s"null values mishandled: $gotNv")
   }
 
   test("groupedExact matches the quantile_cont definition (single-task reference)") {
