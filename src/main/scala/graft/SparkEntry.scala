@@ -880,6 +880,15 @@ object SparkEntry {
       // annotation end to end through the oracle
       "dedup_containment" -> ((s, d) =>
         Dedup.ngramContainment(docs(s, d), n = 3, threshold = 0.5, maxGramDf = 0.004)),
+      // the ABSOLUTE-ceiling twin — the 100 TB setting (the round-11 scale
+      // probe showed the fraction cap admits quadratic candidate volume on
+      // a fixed-vocabulary corpus because its ceiling grows with the data;
+      // a fixed ceiling keeps the join volume linear). Cap 20 sits between
+      // the two gate scales' max dfs (7 at sf0.01, 25 at sf0.1), so the
+      // ceiling TRIPS at sf0.1 and passes everything through at sf0.01 —
+      // both states oracle-replayed
+      "dedup_containment_abs" -> ((s, d) =>
+        Dedup.ngramContainment(docs(s, d), n = 3, threshold = 0.5, maxGramDf = 20.0)),
       "dedup_clusters" -> ((s, d) => {
         val dd = docs(s, d)
         val cc = Dedup.connectedComponents(Dedup.minhashLsh(dd, threshold = 0.5))
@@ -1717,6 +1726,7 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
       "dedup_ngram_jaccard" -> graft.ops.Dedup.minhashOracleSql(3, 32, 2, 0.3),
       "dedup_containment" -> graft.ops.Dedup.containmentOracleSql(3, 0.5, 0.004),
+      "dedup_containment_abs" -> graft.ops.Dedup.containmentOracleSql(3, 0.5, 20.0),
       "dedup_clusters" -> graft.ops.Dedup.clustersOracleSql(3, 16, 4, 0.5),
       "dedup_keep_best" -> graft.ops.Dedup.keepBestOracleSql(3, 16, 4, 0.5, "d.n_chars"),
       "dedup_cluster_sizes" ->

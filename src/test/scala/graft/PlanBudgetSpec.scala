@@ -267,6 +267,7 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // cardinality, with the boilerplate gram-df ceiling bounding the
     // worst gram's join contribution at cap^2/2 rows
     "dedup_containment" -> 6,
+    "dedup_containment_abs" -> 6, // same plan, fixed ceiling (no corpus-count job in fraction mode only)
     // two unigram-count aggs + the vocab full-outer join + the corpus
     // token join + per-doc avg — vocabulary/doc cardinality only; the
     // joint-vocab stats reduce rides the broadcast
