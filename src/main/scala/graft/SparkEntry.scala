@@ -976,14 +976,16 @@ object SparkEntry {
         Similarity.optimalProbes(s, ivfPqIndexPath(s, d), emb(s, d),
           col("vec_id") < 10, 5, recallBar = 0.9,
           nProbes = Seq(1, 2, 4), refineFactors = Seq(1, 8))),
-      // greedy k-center coreset (farthest-first traversal; rows-only —
-      // k driver-bounded iterations are not SQL-expressible; OpsSpec pins
-      // a hand-traced geometry, determinism, the descending-radius
-      // invariant and the fewer-distinct-than-k early stop)
+      // greedy k-center coreset (farthest-first traversal) — oracle-green
+      // since r11: the k driver-bounded iterations replay as a recursive
+      // CTE (Similarity.kCenterOracleSql); OpsSpec keeps the hand-traced
+      // geometry, determinism, the descending-radius invariant and the
+      // fewer-distinct-than-k early stop the oracle doesn't exercise
       "sim_kcenter" -> ((s, d) => Similarity.kCenterSelect(emb(s, d), k = 16)),
-      // MMR diversity rerank over the exact top-32 shortlist (rows-only —
-      // sequential greedy; OpsSpec pins lambda=1 == bruteForceTopK, a
-      // hand-traced redundancy case, and determinism)
+      // MMR diversity rerank over the exact top-32 shortlist — oracle-green
+      // since r11 (recursive-CTE greedy replay, Similarity.mmrOracleSql);
+      // OpsSpec keeps lambda=1 == bruteForceTopK, a hand-traced redundancy
+      // case, and determinism
       "sim_mmr" -> ((s, d) =>
         Similarity.mmrTopK(emb(s, d), col("vec_id") < 5, k = 5,
           lambdaParam = 0.7, shortlist = 32)),
@@ -998,10 +1000,11 @@ object SparkEntry {
       "emb_pca" -> ((s, d) =>
         Pca.fitProject(emb(s, d), r = 8)
           .select(col("id"), posexplode(col("proj")).as(Seq("dim", "v")))),
-      // JL random projection (rows-only): data-independent dim cut with a
-      // hash-regenerated Rademacher matrix — zero training, zero shuffle;
-      // SimilaritySpec pins bit-identical re-runs + the distance band.
-      // Exploded to scalar cells for the same driver-sortability reason
+      // JL random projection — oracle-green since r11 (Pca.jlOracleSql:
+      // the splitmix-derived sign matrix embedded as literals, projection
+      // arithmetic hash-checked cell by cell); SimilaritySpec keeps the
+      // bit-identical re-run + distance-band bars that cover the sign
+      // derivation itself. Exploded to scalar cells for driver sortability
       "emb_jl" -> ((s, d) =>
         Pca.randomProject(emb(s, d), r = 16)
           .select(col("id"), posexplode(col("proj")).as(Seq("dim", "v")))
@@ -1760,6 +1763,16 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
            |) WHERE rank <= 5""".stripMargin,
+      // the two greedy selections, replayed step-for-step as recursive
+      // CTEs (each iteration's row carries the chosen-id list; a LATERAL
+      // argmax with ties-to-smaller-id is the kernel's selection rule) —
+      // parameters must mirror the `queries` entries above
+      // JL projection: r=16 over the 64-lane embeddings (d is pinned by
+      // the testdata schema; the builder embeds the r*d sign literals)
+      "emb_jl" -> graft.ops.Pca.jlOracleSql(r = 16, d = 64),
+      "sim_kcenter" -> graft.ops.Similarity.kCenterOracleSql(k = 16),
+      "sim_mmr" -> graft.ops.Similarity.mmrOracleSql(
+        queryIdBelow = 5, k = 5, lambdaParam = 0.7, shortlist = 32),
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid
       // strict-> scan)

@@ -348,14 +348,7 @@ object Pca {
         var signs: Array[Array[Boolean]] = null
         it.map { case (id, vec) =>
           if (signs == null) {
-            signs = Array.tabulate(r, vec.length) { (i, j) =>
-              // splitmix64 of (seed, i, j): sign = top bit
-              var z = seed + (i.toLong * 0x100000001L) + (j.toLong * 0xda942042e4dd58b5L)
-              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-              z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-              z = z ^ (z >>> 31)
-              z < 0
-            }
+            signs = Array.tabulate(r, vec.length)(jlSign(seed, _, _))
           }
           val proj = new Array[Double](r)
           var i = 0
@@ -387,5 +380,45 @@ object Pca {
     project(emb, model, idCol, vecCol)
       .select(col("id"),
         transform(col("proj"), x => round(x + graft.core.NanMath.RoundEps, 4)).as("proj"))
+  }
+
+  /** The [[randomProject]] sign for projection row `i`, input lane `j`:
+    * splitmix64 of (seed, i, j), sign = top bit. Shared by the kernel and
+    * [[jlOracleSql]] so the derivation exists in exactly one place. */
+  private[ops] def jlSign(seed: Long, i: Int, j: Int): Boolean = {
+    var z = seed + (i.toLong * 0x100000001L) + (j.toLong * 0xda942042e4dd58b5L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z < 0
+  }
+
+  /**
+   * DuckDB replica of the exploded [[randomProject]] catalog surface for a
+   * KNOWN input dimensionality `d`. DuckDB has no splitmix64 (and no
+   * wrapping 64-bit multiply to build one from), so the +-1/sqrt(r) sign
+   * matrix — a pure (seed, i, j) constant, r*d entries — is EMBEDDED as
+   * literals computed by [[jlSign]]. Scope is therefore explicit: the hash
+   * check covers the projection arithmetic end-to-end (lane sum order,
+   * the exact power-of-two 1/sqrt(r) scaling when r is a square of a
+   * power of two, rounding convention, explode shape, schema), while the
+   * sign DERIVATION is self-confirmed and stays pinned by
+   * SimilaritySpec's bit-identical-re-run and distance-band bars. A +-1.0
+   * multiply is IEEE-exact, so `list_dot_product(v, signs)` accumulates
+   * the same bits as the kernel's conditional add, in the same lane order.
+   */
+  def jlOracleSql(r: Int, d: Int, seed: Long = 0x9e3779b97f4a7c15L): String = {
+    require(r >= 1 && d >= 1, "r and d must be positive")
+    val scale = 1.0 / math.sqrt(r)
+    val rows = (0 until r).map { i =>
+      val sgn = (0 until d)
+        .map(j => if (jlSign(seed, i, j)) "-1.0" else "1.0").mkString(", ")
+      s"($i, [$sgn])"
+    }.mkString(",\n")
+    s"""WITH signs(dim, sgn) AS (VALUES
+       |$rows)
+       |SELECT e.vec_id AS id, CAST(s.dim AS INTEGER) AS dim,
+       |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.sgn) * $scale, 4) AS v
+       |FROM embeddings e, signs s""".stripMargin
   }
 }

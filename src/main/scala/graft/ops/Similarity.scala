@@ -2087,4 +2087,118 @@ object Similarity {
     }
     rows.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
   }
+
+  /** DuckDB cosine between two `embeddings` row aliases — the same
+    * formulation every hash-green similarity oracle uses (dot over
+    * double-cast lanes divided by the two norms; the kernels
+    * normalize-then-dot, equal to within ulps that the 4-decimal
+    * rounding and the random-data score gaps absorb). */
+  private def cosOracle(a: String, b: String): String =
+    s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) /
+       |(sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[]))) *
+       | sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))""".stripMargin
+
+  /**
+   * DuckDB replica of [[kCenterSelect]] over the `embeddings` table — the
+   * farthest-first traversal replayed as a RECURSIVE CTE: each iteration's
+   * single row carries the chosen-id list, a LATERAL argmax picks the point
+   * whose min-distance-to-chosen is largest (ties to the smaller id, the
+   * kernel's rule); SparkEntry's symmetricRound rewrite gives every
+   * `round()` here the kernel's rnd4 eps shift + -0.0 canonicalization.
+   * k driver-bounded iterations are exactly k recursive steps, so
+   * the "not SQL-expressible" exclusion this row used to carry was wrong —
+   * greedy selection IS expressible once the state (the chosen list) rides
+   * the recursive row. The early-stop branch (fewer distinct vectors than
+   * k) is not replicated: the oracle excludes chosen ids outright, which
+   * is equivalent on any corpus with >= k distinct vectors (the gate
+   * tables; OpsSpec keeps the duplicate-corpus behavior pinned JVM-side).
+   */
+  def kCenterOracleSql(k: Int): String = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512]")
+    s"""WITH RECURSIVE
+       |ne AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |       FROM embeddings),
+       |sel(sel_order, vec_id, min_dist, chosen) AS (
+       |  SELECT CAST(0 AS BIGINT), vec_id, CAST(NULL AS DOUBLE), [vec_id]
+       |  FROM (SELECT vec_id FROM ne ORDER BY vec_id LIMIT 1)
+       |  UNION ALL
+       |  SELECT s.sel_order + 1, p.vec_id, round(p.d, 4),
+       |         list_append(s.chosen, p.vec_id)
+       |  FROM sel s, LATERAL (
+       |    SELECT c.vec_id,
+       |           (SELECT min(1.0 - list_dot_product(c.v, ch.v) / (c.nrm * ch.nrm))
+       |            FROM ne ch WHERE list_contains(s.chosen, ch.vec_id)) AS d
+       |    FROM ne c
+       |    WHERE NOT list_contains(s.chosen, c.vec_id)
+       |    ORDER BY d DESC, c.vec_id ASC
+       |    LIMIT 1) p
+       |  WHERE s.sel_order < ${k - 1})
+       |SELECT sel_order, vec_id, min_dist FROM sel""".stripMargin
+  }
+
+  /**
+   * DuckDB replica of [[mmrTopK]] for an id-threshold query predicate
+   * (`vec_id < queryIdBelow`) — the greedy rerank as a RECURSIVE CTE over
+   * one row per query per iteration: `rel` is the exact top-`shortlist`
+   * (scores rounded to 4 decimals BEFORE the greedy loop, exactly as the
+   * kernel consumes [[bruteForceTopK]] output), `sim` the
+   * candidate-candidate cosines the redundancy term draws from, and each
+   * recursive step's LATERAL argmax picks
+   * `lambda*rel - (1-lambda)*max_sim_to_picked` with ties to the smaller
+   * id. `(1.0 - $lambdaParam)` is emitted as the SUBTRACTION, not a
+   * pre-computed literal, so both engines evaluate the identical IEEE
+   * expression (1-0.7 is NOT the double nearest 0.3). The symmetricRound
+   * eps shift matters here more than anywhere: the first pick's score is
+   * lambda times a 4-decimal value, which lands EXACTLY on rounding
+   * boundaries (0.7*0.3985 = 0.27895) where unshifted round() splits
+   * between the engines — caught live while building this oracle.
+   */
+  def mmrOracleSql(
+      queryIdBelow: Long,
+      k: Int,
+      lambdaParam: Double,
+      shortlist: Int
+  ): String = {
+    require(k >= 1 && shortlist >= k && shortlist <= 512, "bad k/shortlist")
+    require(lambdaParam >= 0.0 && lambdaParam <= 1.0, "lambda must be in [0, 1]")
+    val lam = lambdaParam.toString
+    s"""WITH RECURSIVE
+       |rel AS (
+       |  SELECT query_id, nbr_id, score FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+       |           round(${cosOracle("a", "b")}, 4) AS score,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |                              ORDER BY ${cosOracle("a", "b")} DESC, b.vec_id ASC) AS rn
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < $queryIdBelow)
+       |  WHERE rn <= $shortlist),
+       |sim AS (
+       |  SELECT r1.query_id, r1.nbr_id AS ia, r2.nbr_id AS ib, ${cosOracle("a", "b")} AS s
+       |  FROM rel r1 JOIN rel r2 ON r1.query_id = r2.query_id AND r1.nbr_id <> r2.nbr_id
+       |  JOIN embeddings a ON a.vec_id = r1.nbr_id
+       |  JOIN embeddings b ON b.vec_id = r2.nbr_id),
+       |step(query_id, rank, vec_id, relevance, mmr_score, picked) AS (
+       |  SELECT query_id, 1, nbr_id, score, round($lam * score, 4),
+       |         [nbr_id] FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY $lam * score DESC, nbr_id ASC) AS rn2
+       |    FROM rel)
+       |  WHERE rn2 = 1
+       |  UNION ALL
+       |  SELECT st.query_id, st.rank + 1, p.nbr_id, p.score,
+       |         round(p.m, 4), list_append(st.picked, p.nbr_id)
+       |  FROM step st, LATERAL (
+       |    SELECT r.nbr_id, r.score,
+       |           $lam * r.score - (1.0 - $lam) *
+       |             (SELECT max(s.s) FROM sim s
+       |              WHERE s.query_id = st.query_id AND s.ia = r.nbr_id
+       |                AND list_contains(st.picked, s.ib)) AS m
+       |    FROM rel r
+       |    WHERE r.query_id = st.query_id AND NOT list_contains(st.picked, r.nbr_id)
+       |    ORDER BY m DESC, r.nbr_id ASC LIMIT 1) p
+       |  WHERE st.rank < $k)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, relevance, mmr_score
+       |FROM step""".stripMargin
+  }
 }
