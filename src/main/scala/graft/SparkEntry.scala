@@ -747,6 +747,68 @@ object SparkEntry {
     }
   }
 
+  private val streamSessionsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** The events corpus through [[graft.ops.EventOps.sessionize]]'s
+    * STREAMING path (watermarked session_window, append mode, parquet
+    * sink) — gate-checked against the exact batch oracle: a far-future
+    * sentinel event advances the watermark past every real session's
+    * close so append mode finalizes them all, then the sentinel user is
+    * filtered back out. Same compute-once-per-dir session-bound cache as
+    * the streaming front door. */
+  private def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.EventOps
+    import org.apache.spark.sql.functions.col
+    def compute(): DataFrame = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+      import scala.util.Using
+      def rm(dir: java.nio.file.Path): Unit = {
+        Using.resource(java.nio.file.Files.walk(dir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      try {
+        val gapMs = 21600000L
+        val evts = EventOps.events(s, d)
+          .select(col("user_id").cast("long"), col("tms"), col("value"))
+          .as[(Long, Long, Double)].collect().toSeq
+        val maxTms = evts.iterator.map(_._2).max
+        val input = MemoryStream[(Long, Long, Double)]
+        val out = EventOps.sessionize(
+          input.toDF.toDF("user_id", "tms", "value"), gapMs,
+          watermark = Some("1 minute"))
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          input.addData(evts)
+          query.processAllAvailable()
+          // sentinel past every session close + the watermark delay:
+          // append mode only emits a session once the watermark passes it
+          input.addData(Seq((-1L, maxTms + gapMs + 600000L, 0.0)))
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("sum_value"))
+          .localCheckpoint()
+      } finally rm(base)
+    }
+    fdLock("sessions:" + d).synchronized {
+      streamSessionsCache.get(d).filter(_.sparkSession eq s).getOrElse {
+        val fresh = compute()
+        streamSessionsCache.put(d, fresh)
+        fresh
+      }
+    }
+  }
+
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
     * re-running the histogram pass + merge learn each. */
@@ -1114,6 +1176,10 @@ object SparkEntry {
       // -- event sessionization (gap-based, Spark native session windows) --
       "events_sessionize" -> ((s, d) =>
         EventOps.sessionize(EventOps.events(s, d), gapMs = 21600000L)),
+      // the SAME sessionization through the streaming engine (watermark +
+      // append mode + sentinel-driven finalization) against the batch
+      // oracle — the session_window merge bound must agree end to end
+      "events_sessionize_stream" -> ((s, d) => streamSessionize(s, d)),
       "events_funnel" -> ((s, d) =>
         EventOps.funnel(EventOps.events(s, d),
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
@@ -1182,6 +1248,11 @@ object SparkEntry {
         val dd = docs(s, d)
         Curate.ccnetBuckets(dd, TextOps.unigramNll(dd), buckets = 3)
       }),
+      // per-source percentile calibration of the TTR quality signal: one
+      // keep-threshold ("top X% of each source") transfers across sources
+      // with different raw-score distributions
+      "pipeline_quality_calibrate" -> ((s, d) =>
+        Curate.qualityCalibrate(docs(s, d), TextOps.ttrCol(col("text")))),
       // curriculum order: 4 difficulty stages (n_chars as the difficulty
       // proxy — deterministic and oracle-replayable), shuffled within each
       // stage; the full (stage, position) order is hash-checked
@@ -1445,6 +1516,17 @@ object SparkEntry {
         Diag.keySkew(s.read.parquet(s"$d/events.parquet"), "user_id", k = 10)),
       "diag_skew_stats" -> ((s, d) =>
         Diag.skewStats(s.read.parquet(s"$d/events.parquet"), "user_id")),
+      // batch-vs-reference drift monitor: PSI of the document-length
+      // distribution between two corpus slices (fixed declared edges, a
+      // null bin, floored fractions — sum(psi_term) is the headline)
+      "diag_psi" -> ((s, d) => {
+        val dd = docs(s, d)
+        Diag.psi(
+          dd.filter(col("doc_id") % 2 === 0),
+          dd.filter(col("doc_id") % 2 === 1),
+          col("n_chars").cast("double"),
+          edges = Seq(150.0, 250.0, 350.0, 450.0))
+      }),
       "events_table" -> ((s, d) => EventOps.eval(
         Asl.parseEvent("name,error,:eq,usr,u100,:ge,:and,(,event_id,tms,user_id,value,),:table"),
         EventOps.events(s, d), stepMs = 86400000L)),
@@ -2361,6 +2443,8 @@ object SparkEntry {
       // exact confirm join makes the output identical to the plain variant
       "text_decontaminate_bloom" -> decontaminateSql,
       "events_sessionize" -> sessionizeSql,
+      // the streaming path must finalize EXACTLY the batch sessions
+      "events_sessionize_stream" -> sessionizeSql,
       // greedy-earliest chain anchored at the first step-0 event; each
       // step strictly later and within the window of the anchor — the
       // chained-min CTEs are the same recurrence the kernel runs
@@ -2539,6 +2623,36 @@ object SparkEntry {
           |             CAST(max(cnt) AS DOUBLE) AS m, CAST(sum(i * cnt) AS DOUBLE) AS sic FROM i)
           |SELECT n AS n_keys, s AS n_rows, round(m / s, 4) AS max_share,
           |       round((2 * sic - (n + 1) * s) / (n * s), 4) AS gini FROM a""".stripMargin,
+      // PSI drift: same bin arithmetic (count of exceeded edges, -1 for
+      // NULL), fractions as 0-coalesced-count over the side total, and
+      // ONE declared IEEE term expression shared with the engine
+      "diag_psi" -> {
+        def binSql = Seq(150.0, 250.0, 350.0, 450.0)
+          .map(e => s"CASE WHEN CAST(n_chars AS DOUBLE) > $e THEN 1 ELSE 0 END")
+          .mkString("\n            + ")
+        def sideCtes(p: String, parity: Int, nCol: String) =
+          s"""${p}b AS (
+             |  SELECT CASE WHEN n_chars IS NULL THEN -1 ELSE
+             |           $binSql END AS bin
+             |  FROM documents WHERE doc_id % 2 = $parity),
+             |${p}g AS (SELECT bin, count(*) AS $nCol FROM ${p}b GROUP BY bin),
+             |${p}t AS (SELECT CAST(sum($nCol) AS DOUBLE) AS t FROM ${p}g)""".stripMargin
+        val rf = "CAST(n_ref AS DOUBLE) / rt.t"
+        val cf = "CAST(n_cur AS DOUBLE) / ct.t"
+        val rfF = s"greatest($rf, 1.0E-6)"
+        val cfF = s"greatest($cf, 1.0E-6)"
+        s"""WITH ${sideCtes("r", 0, "n_ref")},
+           |${sideCtes("c", 1, "n_cur")},
+           |j AS (SELECT coalesce(rg.bin, cg.bin) AS bin,
+           |             coalesce(rg.n_ref, 0) AS n_ref,
+           |             coalesce(cg.n_cur, 0) AS n_cur
+           |      FROM rg FULL OUTER JOIN cg ON rg.bin = cg.bin)
+           |SELECT bin, n_ref, n_cur,
+           |       round($rf, 4) AS ref_frac,
+           |       round($cf, 4) AS cur_frac,
+           |       round(($cfF - $rfF) * ln($cfF / $rfF), 4) AS psi_term
+           |FROM j CROSS JOIN rt CROSS JOIN ct""".stripMargin
+      },
       "events_table" ->
         """SELECT event_id, epoch_ms(ts) AS tms, user_id, value FROM events
           |WHERE event_type = 'error' AND 'u' || lpad(CAST(user_id AS VARCHAR), 3, '0') >= 'u100'""".stripMargin,
@@ -2776,6 +2890,22 @@ object SparkEntry {
           |            WHEN bucket = 3 THEN 'tail'
           |            ELSE 'middle' END AS band
           |FROM st""".stripMargin,
+      // row-number percent-rank over the SAME rounded TTR both engines
+      // compute; a single-doc source takes the n=1 branch
+      "pipeline_quality_calibrate" ->
+        """WITH sc AS (
+          |  SELECT doc_id, source,
+          |         round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score
+          |  FROM documents),
+          |r AS (SELECT doc_id, source, score,
+          |             row_number() OVER (PARTITION BY source
+          |                                ORDER BY score ASC, doc_id ASC) AS rn,
+          |             count(*) OVER (PARTITION BY source) AS n
+          |      FROM sc)
+          |SELECT doc_id, source, score,
+          |       CASE WHEN n > 1 THEN round((rn - 1) / CAST(n - 1 AS DOUBLE), 4)
+          |            ELSE 0.0 END AS cal_pct
+          |FROM r""".stripMargin,
       // the oracle's global ntile + per-stage row_number IS the spec the
       // engine's two-phase distributed rank must match row for row
       "pipeline_curriculum" ->

@@ -26,6 +26,7 @@ object StressProof {
     "pipeline_pack_report", "pipeline_token_budget", "pipeline_token_budget_col",
     "pipeline_interleave", "pipeline_shuffle", "pipeline_weighted_sample",
     "pipeline_ccnet_buckets", "pipeline_curriculum",
+    "pipeline_quality_calibrate",
     "dedup_containment", "mm_frame_near_dup")
 
   def main(args: Array[String]): Unit = {

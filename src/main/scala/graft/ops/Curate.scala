@@ -1391,6 +1391,56 @@ object Curate {
   }
 
   /**
+   * Per-source PERCENTILE CALIBRATION of a quality score — the step that
+   * makes one keep-threshold transfer across heterogeneous sources. Raw
+   * lexical/model scores have per-source distributions (encyclopedic text
+   * scores systematically higher than forum text), so "keep score >= 0.6"
+   * silently skews the mixture toward whichever source the scorer likes;
+   * calibrating each document to its WITHIN-SOURCE percentile
+   * (`cal_pct` in [0, 1]: 0 = the source's worst, 1 = its best) turns the
+   * same policy into "keep each source's top 40%", the distribution-free
+   * form real curation pipelines actually run. Labeling only, like
+   * [[ccnetBuckets]] — the keep decision stays with the caller.
+   *
+   * Determinism: ranks order by the ROUNDED score with the doc id as
+   * tiebreak, so the calibrated percentile cannot move with float
+   * summation order and DuckDB replays the exact cut.
+   * `cal_pct = (rank - 1) / (n - 1)` (row-number percent-rank; 0.0 for a
+   * single-document source), rounded to 4 decimals.
+   *
+   * Scale shape: the score is computed IN the initial projection, so text
+   * bytes never ride an exchange — only (id, source, score) enters
+   * [[graft.core.Ranks.groupedRank]]'s distributed per-source rank (range
+   * exchange + pid-sliced local windows + the auto-selected offsets
+   * join); NO source-keyed window anywhere, so a 90%-one-source crawl
+   * never funnels into one unsplittable window task.
+   */
+  def qualityCalibrate(
+      docs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      broadcastOffsets: Option[Boolean] = None
+  ): DataFrame = {
+    import graft.core.{NanMath, Ranks}
+    // re-rounding an already-4-decimal score is a no-op, so callers can
+    // pass either a raw expression or a pre-rounded column like ttrCol
+    val scored = docs.select(
+      col(idCol), col(sourceCol),
+      round(score + NanMath.RoundEps, 4).as("score"))
+    Ranks.groupedRank(scored, Seq(sourceCol),
+        Seq(col("score").asc_nulls_last, col(idCol).asc), "__r",
+        totalCol = Some("__n"), broadcastOffsets = broadcastOffsets)
+      .withColumn(
+        "cal_pct",
+        when(col("__n") > 1L,
+          round((col("__r") - 1L).cast("double") / (col("__n") - 1L)
+            + NanMath.RoundEps, 4))
+          .otherwise(0.0))
+      .select(col(idCol), col(sourceCol), col("score"), col("cal_pct"))
+  }
+
+  /**
    * Curriculum training order (Bengio et al. 2009 shape): documents are
    * staged easiest-first by a difficulty score — stage = global
    * equal-population ntile over (rounded difficulty, id) — and SHUFFLED

@@ -170,4 +170,67 @@ object Diag {
         round(avg(when(col("__y"), 1.0).otherwise(0.0)) + NanMath.RoundEps, 4)
           .as("frac_pos"))
   }
+
+  /**
+   * Population Stability Index between a REFERENCE slice and a CURRENT
+   * slice of a numeric feature — the standard drift monitor a continuous
+   * ingestion pipeline runs per batch ("is today's crawl still shaped
+   * like the corpus we tuned the gates on?"). The caller supplies
+   * explicit ascending bin `edges`; bin `b` = number of edges the value
+   * exceeds (so edges `[e1..ek]` define `(-inf,e1], (e1,e2], .., (ek,inf)`
+   * — k+1 bins), and NULL values land in their own bin `-1` because drift
+   * in nullness is drift. One row per bin observed on either side:
+   * `(bin, n_ref, n_cur, ref_frac, cur_frac, psi_term)`; the headline PSI
+   * is `sum(psi_term)` (common reading: < 0.1 stable, 0.1-0.25 moderate
+   * shift, > 0.25 investigate). `psi_term = (c - r) * ln(c / r)` over
+   * fractions floored at `floorFrac` so an empty bin contributes a large
+   * finite term instead of an infinity.
+   *
+   * Determinism: fixed caller-declared edges (no quantile estimation
+   * job), exact integer bin counts, one declared IEEE expression for the
+   * term — DuckDB replays it bit for bit.
+   *
+   * Scale shape: each side is ONE map-side-combined count aggregate at
+   * bin cardinality (k+2 rows max); the join/fraction arithmetic runs on
+   * those tiny frames. No windows over data, no driver collect.
+   */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      value: Column,
+      edges: Seq[Double],
+      floorFrac: Double = 1e-6
+  ): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    require(edges.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      "edges must be strictly increasing")
+    require(floorFrac > 0.0 && floorFrac < 1.0, "floorFrac must be in (0, 1)")
+    def binCounts(df: DataFrame, nCol: String): DataFrame = {
+      val b = edges.foldLeft(lit(0L)) { (acc, e) =>
+        acc + when(value > lit(e), 1L).otherwise(0L)
+      }
+      df.select(when(value.isNull, lit(-1L)).otherwise(b).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as(nCol))
+    }
+    val rc = binCounts(ref, "n_ref")
+    val cc = binCounts(cur, "n_cur")
+    val rt = rc.agg(sum(col("n_ref")).as("__tr"))
+    val ct = cc.agg(sum(col("n_cur")).as("__tc"))
+    // fractions AFTER the join so an absent bin is exactly 0/t = 0.0 on
+    // its missing side — the same arithmetic the oracle's coalesce does
+    val rf = col("n_ref").cast("double") / col("__tr").cast("double")
+    val cf = col("n_cur").cast("double") / col("__tc").cast("double")
+    val rfF = greatest(rf, lit(floorFrac))
+    val cfF = greatest(cf, lit(floorFrac))
+    rc.join(cc, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(rt)
+      .crossJoin(ct)
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        round(rf + NanMath.RoundEps, 4).as("ref_frac"),
+        round(cf + NanMath.RoundEps, 4).as("cur_frac"),
+        round((cfF - rfF) * log(cfF / rfF) + NanMath.RoundEps, 4).as("psi_term"))
+  }
 }

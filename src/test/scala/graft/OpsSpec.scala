@@ -2736,6 +2736,29 @@ class CurateSpec extends SparkSpec {
     assert(got(7L) == ((1, "head")) && got(6L) == ((2, "middle")) && got(8L) == ((3, "tail")))
   }
 
+  test("qualityCalibrate: per-source percent rank, ties by id, degenerate and null sources") {
+    import spark.implicits._
+    val docs = Seq(
+      // source a: tie on score (ids 1,2) resolves by id; 3 docs span [0,1]
+      (1L, Some("a"), 0.5), (2L, Some("a"), 0.5), (3L, Some("a"), 0.2),
+      // single-doc source: cal_pct is 0.0, not 0/0
+      (4L, Some("b"), 0.9),
+      // null source is a REGULAR group (the window-partition semantics)
+      (5L, None, 0.3), (6L, None, 0.7)
+    ).toDF("doc_id", "source", "sc")
+    val got = Curate.qualityCalibrate(docs, col("sc"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(3L) == ((0.2, 0.0)) && got(1L) == ((0.5, 0.5)) && got(2L) == ((0.5, 1.0)))
+    assert(got(4L) == ((0.9, 0.0)))
+    assert(got(5L) == ((0.3, 0.0)) && got(6L) == ((0.7, 1.0)))
+    assert(got.size == 6)
+    // output identity across the offsets-join regimes (the auto hatch)
+    val forced = Curate.qualityCalibrate(docs, col("sc"),
+      broadcastOffsets = Some(false))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(forced == got)
+  }
+
   test("curriculumOrder: distributed two-phase rank equals the naive global-window reference") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2820,6 +2843,30 @@ class PrCurveSpec extends SparkSpec {
     // the SQL replay, where the threshold cross join has no rows to group
     assert(Diag.prCurve(scored.filter(col("s") > 2.0), col("y"), col("s"),
       Seq(0.0, 0.5)).isEmpty)
+  }
+
+  test("psi: hand-computed bins, null bin, floored empty-side terms") {
+    val ref = Seq(Some(1.0), Some(1.0), Some(3.0), Some(5.0), None).toDF("v")
+    val cur = Seq(Some(1.0), Some(3.0), Some(3.0), Some(3.0)).toDF("v")
+    val got = Diag.psi(ref, cur, col("v"), edges = Seq(2.0, 4.0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // ref bins: null->-1, {1,1}->0, {3}->1, {5}->2 of t=5
+    // cur bins: {1}->0, {3,3,3}->1 of t=4
+    // empty-side fractions floor at 1e-6: (1e-6 - .2) * ln(1e-6 / .2)
+    assert(got(-1L) == ((1L, 0L, 0.2, 0.0, 2.4412)))
+    assert(got(0L) == ((2L, 1L, 0.4, 0.25, 0.0705)))
+    assert(got(1L) == ((1L, 3L, 0.2, 0.75, 0.727)))
+    assert(got(2L) == ((1L, 0L, 0.2, 0.0, 2.4412)))
+    assert(got.size == 4)
+    // declared-edge misuse fails loudly, never mis-bins
+    intercept[IllegalArgumentException] {
+      Diag.psi(ref, cur, col("v"), edges = Seq(4.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Diag.psi(ref, cur, col("v"), edges = Seq(2.0), floorFrac = 0.0)
+    }
   }
 
   test("calibration: equal-width bins, prob 1.0 folds into the last") {

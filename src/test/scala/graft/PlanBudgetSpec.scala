@@ -340,6 +340,18 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // exchanges are in the checkpointed jobs, and the offsets/totals
     // frame rides its broadcast hint — NO domain-keyed window anywhere
     "pipeline_ccnet_buckets" -> 1,
+    // same stitched-rank shape minus the score join-back (the TTR score
+    // is computed in the initial projection): checkpointed blocks joined
+    // to the hinted offsets frame; the one exchange is the offsets
+    // frame's own prefix window — (pid x source)-sized, never data
+    "pipeline_quality_calibrate" -> 1,
+    // two bin-cardinality count aggregates whose hash partitioning the
+    // full-outer bin join REUSES, plus the two single-row side totals;
+    // the cross joins are nested-loop, never an exchange
+    "diag_psi" -> 4,
+    // the streaming path lands behind its localCheckpoint: reading the
+    // finalized sessions is exchange-free
+    "events_sessionize_stream" -> 0,
     // FINAL stitched plan only (the pipeline_semdedup precedent): the two
     // distributed global ranks (range exchange + pid-keyed local window
     // each, 4 exchanges of real work) run behind Ranks.globalRank's
