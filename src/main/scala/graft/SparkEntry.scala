@@ -809,6 +809,56 @@ object SparkEntry {
     }
   }
 
+  /** Hand-pinned WELL-FORMED merge list (every operand a single char or
+    * an earlier merge's product — the invariant published merges.txt
+    * files carry, frozen here from one sf0.01 training run so the pieces
+    * genuinely merge on this vocabulary). The `text_bpe_tokens_fixed`
+    * row and its oracle both read THIS constant, making the encode
+    * kernel (pretokenize regex -> byte-unicode -> merge loop)
+    * hash-checked against DuckDB's independent recursive replay — the
+    * kernel every trained-tokenizer rows-only row runs. */
+  private[graft] val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("Ġ", "s"),
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("Ġ", "c"),
+    ("a", "s"),
+    ("Ġ", "b"),
+    ("Ġ", "v"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("Ġ", "f"),
+    ("Ġ", "a"),
+    ("Ġ", "t"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("Ġ", "join"),
+    ("s", "t"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("a", "n"),
+    ("c", "an"),
+    ("lu", "m"),
+    ("lum", "n"),
+    ("o", "lumn"),
+    ("o", "mer"),
+    ("st", "omer"),
+    ("u", "stomer"),
+    ("i", "l"),
+    ("il", "t"),
+    ("ilt", "er"),
+    ("Ġ", "hash"),
+    ("a", "l"),
+    ("al", "l"))
+
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
     * re-running the histogram pass + merge learn each. */
@@ -1305,6 +1355,11 @@ object SparkEntry {
       // counts, and the budget/pack/chunk integration
       "text_bpe_tokens" -> ((s, d) =>
         TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d))),
+      // the encode KERNEL hash-checked: the exploded piece stream under
+      // the fixed well-formed merge list, vs DuckDB's recursive replay
+      // of the same pretokenize -> byte-unicode -> merge loop
+      "text_bpe_tokens_fixed" -> ((s, d) =>
+        TextOps.bpePieces(docs(s, d), Bpe.fromMerges(FixedBpeMerges))),
       // id-FIDELITY row (rows-only): the published-tokenizer path end to
       // end — merges.txt + vocab.json (non-rank ids) + special token
       // loaded from storage, every doc's id stream pinned as a scalar
@@ -2818,6 +2873,9 @@ object SparkEntry {
         """SELECT source, count(*) AS n_docs,
           |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens
           |FROM documents GROUP BY 1""".stripMargin,
+      // the encode kernel's recursive replay under the shared fixed
+      // merge constant (see FixedBpeMerges / Bpe.encodeOracleSql)
+      "text_bpe_tokens_fixed" -> graft.ops.Bpe.encodeOracleSql(FixedBpeMerges),
       "clf_pr_curve" ->
         """WITH s AS (
           |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE)

@@ -356,6 +356,80 @@ object Bpe {
     (0 until 256).map(b => String.valueOf(ByteToChar(b))) ++
       bpe.merges.map { case (a, b) => a + b }
 
+  /**
+   * DuckDB replica of [[BpeTokenizer.encode]]'s exploded piece stream
+   * `(doc_id, pos, piece)` for a FIXED merge list — the hash-green twin
+   * of the trained-tokenizer rows: pretokenize with the same regex
+   * (RE2 runs [[DefaultPattern]] — no lookarounds — with the same
+   * leftmost-first alternation as java.util.regex), map to the
+   * byte-unicode alphabet, then replay the merge loop as a RECURSIVE CTE
+   * over the distinct pretokens: each step's LATERAL argmin picks the
+   * LOWEST-rank adjacent pair (leftmost on rank ties, which cannot occur
+   * — ranks are unique) and merges ONE occurrence.
+   *
+   * One-at-a-time-leftmost equals the kernel's merge-ALL-occurrences
+   * loop ONLY for a well-formed list — every operand is a single char or
+   * the product of an EARLIER merge — because then a merge can never
+   * create a pair that outranks the pair just applied. That is exactly
+   * the invariant BPE training guarantees and published merges.txt files
+   * carry; this builder VALIDATES it and refuses otherwise, so the
+   * equivalence is a checked precondition, not an assumption.
+   *
+   * Scope: corpora whose text bytes are printable ASCII + space, where
+   * [[toByteUnicode]] is `replace(' ', 'Ġ')` (the testdata and stress
+   * corpora; anything else diverges at the gate rather than silently).
+   */
+  def encodeOracleSql(merges: Seq[(String, String)], table: String = "documents"): String = {
+    require(merges.nonEmpty, "need at least one merge")
+    val formed = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require(a.codePointCount(0, a.length) == 1 || formed.contains(a),
+        s"merge $i: left operand '$a' is not a single char or an earlier merge's product")
+      require(b.codePointCount(0, b.length) == 1 || formed.contains(b),
+        s"merge $i: right operand '$b' is not a single char or an earlier merge's product")
+      formed += (a + b)
+    }
+    def q(s: String) = s.replace("'", "''")
+    val g = "Ġ" // the byte-unicode image of a space
+    val mRows = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '${q(a)}', '${q(b)}')" }
+      .mkString(",\n  ")
+    val pat = q(DefaultPattern)
+    s"""WITH RECURSIVE
+       |m(rank, a, b) AS (SELECT * FROM (VALUES
+       |  $mRows) v),
+       |pre AS (
+       |  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS l FROM $table) q),
+       |words AS (SELECT DISTINCT replace(tok, ' ', '$g') AS w FROM pre),
+       |enc(w, parts) AS (
+       |  SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) FROM words
+       |  UNION ALL
+       |  SELECT e.w,
+       |         list_concat(list_concat(list_slice(e.parts, 1, p.i - 1),
+       |                                 [e.parts[p.i] || e.parts[p.i + 1]]),
+       |                     list_slice(e.parts, p.i + 2, len(e.parts)))
+       |  FROM enc e, LATERAL (
+       |    SELECT i FROM (
+       |      SELECT gs.i AS i, m.rank AS r
+       |      FROM (SELECT unnest(range(1, len(e.parts))) AS i) gs
+       |      JOIN m ON m.a = e.parts[gs.i] AND m.b = e.parts[gs.i + 1]) c
+       |    ORDER BY r ASC, i ASC LIMIT 1) p),
+       |final AS (
+       |  SELECT w, parts FROM enc e
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM (SELECT unnest(range(1, len(e.parts))) AS i) gs
+       |    JOIN m ON m.a = e.parts[gs.i] AND m.b = e.parts[gs.i + 1])),
+       |pieces AS (
+       |  SELECT pre.doc_id, pre.i AS ti, unnest(f.parts) AS piece,
+       |         unnest(range(1, len(f.parts) + 1)) AS pi
+       |  FROM pre JOIN final f ON f.w = replace(pre.tok, ' ', '$g'))
+       |SELECT doc_id,
+       |       row_number() OVER (PARTITION BY doc_id ORDER BY ti, pi) - 1 AS pos,
+       |       piece
+       |FROM pieces""".stripMargin
+  }
+
   /** Inverse of [[BpeTokenizer.encodeIds]]: ids -> pieces -> text.
     * Published-vocab tokenizers invert their id override; special-token
     * ids decode to their literal text. */

@@ -284,6 +284,30 @@ object TextOps {
       .toDF(idCol, "n_ws_tokens", "n_bpe_tokens")
   }
 
+  /** The exploded BPE piece stream `(doc_id, pos, piece)` — one row per
+    * emitted token in document order, the surface
+    * [[graft.ops.Bpe.encodeOracleSql]] hash-checks for a fixed merge
+    * list. Partition-local kernel (broadcast tokenizer, zero shuffle). */
+  def bpePieces(
+      docs: DataFrame,
+      bpe: BpeTokenizer,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpe)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val tok = bc.value
+        it.flatMap { case (id, text) =>
+          tok.encode(text).iterator.zipWithIndex
+            .map { case (p, i) => (id, i.toLong, p) }
+        }
+      }
+      .toDF(idCol, "pos", "piece")
+  }
+
   /**
    * Model token IDS per document, in DIGEST form — one scalar row per doc
    * (count + md5 of the comma-joined id stream) so the full id sequence

@@ -443,4 +443,33 @@ class BpeSpec extends SparkSpec {
       bpe.countTokens("widest  newest").toDouble,
       0.0))
   }
+
+  test("bpePieces emits every encode piece at its document position") {
+    import spark.implicits._
+    val bpe = Bpe.fromMerges(Seq(("l", "o"), ("lo", "w"), ("Ġ", "low")))
+    val docs = Seq((1L, "low slow low"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpePieces(docs, bpe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = Seq(1L -> "low slow low", 2L -> "").flatMap { case (id, t) =>
+      bpe.encode(t).zipWithIndex.map { case (p, i) => (id, i.toLong, p) }
+    }.toSet
+    assert(got == expect)
+    // the merged forms actually appear (the fixture merges are exercised)
+    assert(got.contains((1L, 0L, "low")) && got.contains((1L, 4L, "Ġlow")))
+  }
+
+  test("encodeOracleSql validates well-formedness (the one-at-a-time equivalence precondition)") {
+    // well-formed: every operand a single char or an earlier product
+    Bpe.encodeOracleSql(Seq(("l", "o"), ("lo", "w"), ("Ġ", "low")))
+    // 'le' is never formed before it is used -> the replay could diverge
+    // from the kernel's merge-all loop, so the builder must refuse
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeOracleSql(Seq(("a", "b"), ("ab", "le")))
+    }
+    assert(e.getMessage.contains("le"))
+    intercept[IllegalArgumentException] { Bpe.encodeOracleSql(Nil) }
+    // the shipped fixed list is itself well-formed (training guarantees
+    // it; this pins the constant against a careless future edit)
+    Bpe.encodeOracleSql(SparkEntry.FixedBpeMerges)
+  }
 }
