@@ -773,11 +773,13 @@ object SparkEntry {
       }
       try {
         val gapMs = 21600000L
+        // Option user: NULL user_id (anonymous events) must ride the
+        // stream as its own session group, exactly like the batch path
         val evts = EventOps.events(s, d)
           .select(col("user_id").cast("long"), col("tms"), col("value"))
-          .as[(Long, Long, Double)].collect().toSeq
+          .as[(Option[Long], Long, Double)].collect().toSeq
         val maxTms = evts.iterator.map(_._2).max
-        val input = MemoryStream[(Long, Long, Double)]
+        val input = MemoryStream[(Option[Long], Long, Double)]
         val out = EventOps.sessionize(
           input.toDF.toDF("user_id", "tms", "value"), gapMs,
           watermark = Some("1 minute"))
@@ -790,11 +792,12 @@ object SparkEntry {
           query.processAllAvailable()
           // sentinel past every session close + the watermark delay:
           // append mode only emits a session once the watermark passes it
-          input.addData(Seq((-1L, maxTms + gapMs + 600000L, 0.0)))
+          input.addData(Seq((Some(-1L), maxTms + gapMs + 600000L, 0.0)))
           query.processAllAvailable()
         } finally query.stop()
         s.read.parquet(s"$base/out")
-          .filter(col("user_id") =!= -1L)
+          // null-SAFE: =!= would also drop the NULL-user session row
+          .filter(!(col("user_id") <=> -1L))
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"), col("sum_value"))
           .localCheckpoint()
@@ -858,6 +861,14 @@ object SparkEntry {
     ("Ġ", "hash"),
     ("a", "l"),
     ("al", "l"))
+
+  /** Hand-pinned 64-bucket weight vector (bias last) for the scoring-
+    * kernel twin `clf_score_fixed` — a published-gate stand-in whose
+    * values both the kernel call and the oracle literals derive from
+    * this one array (the integer formula keeps every value an exact
+    * short double). */
+  private[graft] val FixedClfWeights: Array[Double] =
+    Array.tabulate(65)(i => ((i * 37 % 21) - 10) / 10.0)
 
   /** Corpus-trained BPE tokenizer, one training per sf dir (deterministic,
     * so the cache is safe): the three BPE catalog rows share it instead of
@@ -1209,6 +1220,11 @@ object SparkEntry {
         val labeled = dd.withColumn("y", col("text").contains("spark").cast("int"))
         Classifier.score(dd, Classifier.fit(labeled, "y", iters = 20))
       }),
+      // the scoring KERNEL hash-checked under fixed weights: hashing,
+      // bucketing, fold order and sigmoid replayed in DuckDB — only the
+      // Adagrad training keeps the trained row rows-only
+      "clf_score_fixed" -> ((s, d) =>
+        Classifier.score(docs(s, d), FixedClfWeights)),
       "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), k = 3)),
       "text_bm25" -> ((s, d) => TextOps.bm25(docs(s, d), "spark join merge")),
       "text_decontaminate" -> ((s, d) => {
@@ -1756,7 +1772,8 @@ object SparkEntry {
         |         WHERE event_type = 'purchase'),
         |tch AS (SELECT user_id, event_id AS tid, t AS tt, event_type AS ty FROM ev
         |        WHERE event_type <> 'purchase'),
-        |pr AS (SELECT cid, tc, ty, tt, tid FROM conv c JOIN tch USING (user_id)
+        |pr AS (SELECT cid, tc, ty, tt, tid
+        |       FROM conv c JOIN tch ON c.user_id IS NOT DISTINCT FROM tch.user_id
         |       WHERE (tt < tc OR (tt = tc AND tid < cid)) AND tc - tt <= 604800000),
         |""".stripMargin
     // shared verbatim by text_decontaminate and text_decontaminate_bloom
@@ -2504,7 +2521,8 @@ object SparkEntry {
       // step strictly later and within the window of the anchor — the
       // chained-min CTEs are the same recurrence the kernel runs
       "events_funnel" ->
-        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+          |            WHERE user_id IS NOT NULL),
           |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
           |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
           |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
@@ -2546,7 +2564,7 @@ object SparkEntry {
           |          WHERE event_type <> 'purchase'),
           |j AS (SELECT c.event_id AS cid, tch.event_type AS ty, tch.t AS tt,
           |             tch.event_id AS tid
-          |      FROM conv c JOIN touch tch ON c.user_id = tch.user_id
+          |      FROM conv c JOIN touch tch ON c.user_id IS NOT DISTINCT FROM tch.user_id
           |        AND (tch.t < c.t OR (tch.t = c.t AND tch.event_id < c.event_id))
           |        AND c.t - tch.t <= 604800000),
           |best AS (SELECT cid, ty,
@@ -2596,7 +2614,8 @@ object SparkEntry {
       // the chained-min recurrence extended with per-user conversion
       // delays; quantile_cont matches the engine's groupedExact exactly
       "events_funnel_times" ->
-        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+          |            WHERE user_id IS NOT NULL),
           |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
           |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
           |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
@@ -2613,7 +2632,8 @@ object SparkEntry {
       // same chained-min recurrence with the step type repeated: the
       // second click must be strictly later than the anchor click
       "events_funnel_rep" ->
-        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+          |            WHERE user_id IS NOT NULL),
           |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'click' GROUP BY 1),
           |s2 AS (SELECT ev.user_id, s1.t1, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
           |       WHERE event_type = 'click' AND t > s1.t1 AND t - s1.t1 <= 604800000
@@ -2876,6 +2896,8 @@ object SparkEntry {
       // the encode kernel's recursive replay under the shared fixed
       // merge constant (see FixedBpeMerges / Bpe.encodeOracleSql)
       "text_bpe_tokens_fixed" -> graft.ops.Bpe.encodeOracleSql(FixedBpeMerges),
+      // the scoring kernel's replay under the shared fixed weights
+      "clf_score_fixed" -> graft.ops.Classifier.scoreOracleSql(FixedClfWeights),
       "clf_pr_curve" ->
         """WITH s AS (
           |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE)

@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
  *    window->join rewrites must keep them (the round-9 null-safety
  *    lesson, asserted here at volume through the oracle gate).
  *
+ * Round 11 adds a skewed EVENTS table (2x the document rows) for the
+ * events/diag family — the clickstream version of the same adversarial
+ * shapes:
+ *
+ *  - **hot user**: 90% of events belong to user 7 (the bot/monitor key of
+ *    a real interaction log) — the shape every user-keyed
+ *    sessionize/funnel/attribution group must survive, and exactly what
+ *    the diag_* skew reports exist to flag.
+ *  - **null-user slice**: ~0.5% NULL user_id — anonymous events; a
+ *    user-keyed group/window must keep them as a regular group in BOTH
+ *    engines or the gate hash-fails.
+ *  - 500 cold users with ~95-minute base spacing plus a 0-6h
+ *    deterministic jitter, so session-gap splits actually occur (the hot
+ *    user's 12-second spacing keeps it one giant session — the bound the
+ *    sessionize scaladoc documents, exercised at volume).
+ *
  * Everything derives from the row index through md5/fixed mixing — no RNG
  * state, so any two runs (and the DuckDB oracle's replay of the engine's
  * md5 arithmetic) see byte-identical data.
@@ -104,6 +120,44 @@ object StressGen {
     (id, source, lang, sb.toString)
   }
 
+  /** Pure per-row event on the 2024-01 grid the oracles share:
+    * (event_id, tms, user_id, event_type, value, props). */
+  private def makeEvent(row: Long): (Long, Long, Option[Long], String, Double, String) = {
+    val user: Option[Long] =
+      if (row % 200 == 199) None                  // null-user slice
+      else if (row % 10 != 0) Some(7L)            // the hot user
+      else Some(1000L + java.lang.Long.remainderUnsigned(mix(row), 500L))
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    // dense global spread (~11 s) + 0-6 h jitter: cold users (~95 min base
+    // spacing) split into real sessions; the hot user stays one island
+    val tms = base + row * (2592000000L / 240000L) +
+      java.lang.Long.remainderUnsigned(mix(row * 31L + 5L), 21600000L)
+    val types = Array("signup", "click", "purchase", "error", "view")
+    val tpe = types(java.lang.Long.remainderUnsigned(mix(row * 7L + 1L), 5L).toInt)
+    val value = java.lang.Long.remainderUnsigned(mix(row * 13L + 2L), 100000L) / 100.0
+    (row, tms, user, tpe, value, s"""{"k": ${row % 100}}""")
+  }
+
+  /** Funnel the frame into ONE parquet file named `$outDir/$name.parquet`
+    * (DuckDB's oracle view globs a file path) with 2 MB row groups so the
+    * byte-range splits don't read as input skew in task profiles. */
+  private def writeSingleFile(
+      df: org.apache.spark.sql.DataFrame, outDir: String, name: String): Unit = {
+    df.repartition(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 2 * 1024 * 1024)
+      .parquet(s"$outDir/_${name}_tmp")
+    val fs = java.nio.file.Paths.get(outDir, s"_${name}_tmp")
+    import scala.util.Using
+    val part = Using.resource(java.nio.file.Files.list(fs))(
+      _.filter(_.toString.endsWith(".parquet")).findFirst().get())
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(outDir, s"$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Using.resource(java.nio.file.Files.list(fs))(
+      _.forEach(p => java.nio.file.Files.delete(p)))
+    java.nio.file.Files.delete(fs)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.length > 0) args(0) else "/tmp/graft_stress"
     val nRows = if (args.length > 1) args(1).toLong else 120000L
@@ -115,36 +169,28 @@ object StressGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    spark.range(0, nRows, 1, 32)
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map(row => makeRow(row, md))
-      }
-      .map { case (id, source, lang, text) =>
-        (id, text, lang, source, text.length.toLong)
-      }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      // the oracle layout: one FILE named documents.parquet (DuckDB views
-      // glob a file path, not a Spark part-file directory) — generation
-      // stays 32-way parallel, the repartition(1) only funnels the write.
-      // SMALL row groups (2 MB): a single-row-group file puts every row in
-      // ONE of the byte-range scan splits, which reads as input skew in
-      // task profiles that has nothing to do with the operators under test
-      .repartition(1)
-      .write.mode("overwrite")
-      .option("parquet.block.size", 2 * 1024 * 1024)
-      .parquet(s"$outDir/_documents_tmp")
-    val fs = java.nio.file.Paths.get(outDir, "_documents_tmp")
-    import scala.util.Using
-    val part = Using.resource(java.nio.file.Files.list(fs))(
-      _.filter(_.toString.endsWith(".parquet")).findFirst().get())
-    java.nio.file.Files.move(part, java.nio.file.Paths.get(outDir, "documents.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Using.resource(java.nio.file.Files.list(fs))(
-      _.forEach(p => java.nio.file.Files.delete(p)))
-    java.nio.file.Files.delete(fs)
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    writeSingleFile(
+      spark.range(0, nRows, 1, 32)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map(row => makeRow(row, md))
+        }
+        .map { case (id, source, lang, text) =>
+          (id, text, lang, source, text.length.toLong)
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      outDir, "documents")
+    writeSingleFile(
+      spark.range(0, nRows * 2L, 1, 32)
+        .map(row => makeEvent(row))
+        .toDF("event_id", "tms", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_millis(col("tms")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")),
+      outDir, "events")
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
-    println(s"STRESS generated $n rows at $outDir")
+    val ne = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"STRESS generated $n doc rows + $ne event rows at $outDir")
     spark.stop()
   }
 }

@@ -189,6 +189,46 @@ object Classifier {
 
   /** Score documents with fitted weights: `(id, prob)` rounded to 4
     * decimals — one broadcast-weights kernel scan, zero shuffle. */
+  /**
+   * DuckDB replica of [[score]] for FIXED weights — the hash-green twin
+   * of the trained-classifier row: the TRAINING (full-batch Adagrad,
+   * driver-reduced float partials) is legitimately not SQL-replayable,
+   * but the SCORING kernel — tokenize, Java `String.hashCode` bucket,
+   * distinct-presence features, ascending-bucket weight fold, sigmoid —
+   * is, bit for bit: the 32-bit hash replays as a BIGINT fold mod 2^32
+   * with the sign/`%` conventions matched (UTF-16 units == codepoints on
+   * ASCII corpora), the weight sum folds in the same ascending bucket
+   * order as the kernel's TreeSet loop (list_sort + list_reduce from the
+   * bias), and the one libm divergence risk (exp vs Math.exp) is ulp-
+   * scale, absorbed by the engine-wide 4-decimal rounding exactly like
+   * the cosine oracles. Weights embed as literals from the SAME array
+   * the catalog row passes to [[score]].
+   */
+  def scoreOracleSql(weights: Array[Double], table: String = "documents"): String = {
+    require(weights.length >= 2, "need at least one feature weight + bias")
+    val dim = weights.length - 1
+    val lits = weights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
+    s"""WITH wt(w) AS (SELECT [$lits]),
+       |tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+       |        FROM $table),
+       |h0 AS (SELECT doc_id, t,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, len(t) + 1), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+       |           (a, c) -> (31 * a + c) % 4294967296) AS hm
+       |       FROM tok),
+       |b AS (SELECT DISTINCT doc_id,
+       |        CASE WHEN m < 0 THEN m + $dim ELSE m END AS bkt
+       |      FROM (SELECT doc_id,
+       |              (CASE WHEN hm >= 2147483648 THEN hm - 4294967296 ELSE hm END) % $dim AS m
+       |            FROM h0) q),
+       |bl AS (SELECT doc_id, list_sort(list(DISTINCT bkt)) AS bks FROM b GROUP BY doc_id),
+       |z AS (SELECT doc_id,
+       |        list_reduce(list_prepend(wt.w[${dim + 1}], list_transform(bks, k -> wt.w[k + 1])),
+       |          (a, x) -> a + x) AS z
+       |      FROM bl, wt)
+       |SELECT doc_id AS id, round(1.0 / (1.0 + exp(-z)), 4) AS prob FROM z""".stripMargin
+  }
+
   def score(
       docs: DataFrame,
       weights: Array[Double],

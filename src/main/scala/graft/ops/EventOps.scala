@@ -190,8 +190,12 @@ object EventOps {
     val spark = events.sparkSession
     import spark.implicits._
     val stepsArr = steps.toArray
+    // a funnel is a per-IDENTITY chain: NULL users (anonymous events)
+    // have no identity to chain, so they are excluded outright — the
+    // same WHERE user_id IS NOT NULL the oracle applies; pooling them as
+    // one pseudo-user would chain unrelated anonymous events
     val reached = events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
       .select(col(userCol).cast("long"), col(tsCol).cast("long"), col(typeCol))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
@@ -252,8 +256,9 @@ object EventOps {
     val spark = events.sparkSession
     import spark.implicits._
     val stepsArr = steps.toArray
+    // NULL users excluded — the per-identity chain rule (see funnel)
     val dts = events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
       .select(col(userCol).cast("long"), col(tsCol).cast("long"), col(typeCol))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
@@ -300,7 +305,11 @@ object EventOps {
       tsCol: String = "tms"
   ): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
+    // count(DISTINCT user_id) semantics: NULL users (anonymous events)
+    // are not countable identities and are excluded — exactly what the
+    // oracle's count(DISTINCT) does with NULL
     val ud = events
+      .filter(col(userCol).isNotNull)
       .select(col(userCol).cast("long").as("user"),
         floor(col(tsCol).cast("long") / lit(86400000L)).as("day"))
       .distinct()
@@ -385,7 +394,7 @@ object EventOps {
       .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
       .select(col(userCol).cast("long"), col(tsCol).cast("long"),
         col(idCol).cast("long"), col(typeCol))
-      .as[(Long, Long, Long, String)]
+      .as[(Option[Long], Long, Long, String)] // NULL user = ONE anonymous group
       .groupByKey(_._1)
       .flatMapSortedGroups(col(tsCol), col(idCol)) { (_, it) =>
         val touches = new java.util.ArrayDeque[(Long, String)]()
@@ -459,7 +468,7 @@ object EventOps {
       .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
       .select(col(userCol).cast("long"), col(tsCol).cast("long"),
         col(idCol).cast("long"), col(typeCol))
-      .as[(Long, Long, Long, String)]
+      .as[(Option[Long], Long, Long, String)] // NULL user = ONE anonymous group
       .groupByKey(_._1)
       .flatMapSortedGroups(col(tsCol), col(idCol)) { (_, it) =>
         val touches = new java.util.ArrayDeque[(Long, String)]()
@@ -558,7 +567,10 @@ object EventOps {
       userCol: String = "user_id",
       tsCol: String = "tms"
   ): DataFrame = {
+    // a NULL user has no identity to retain across days — excluded, the
+    // same answer the oracle's USING(user_id) cohort join gives NULL
     val userDays = events
+      .filter(col(userCol).isNotNull)
       .select(col(userCol).as("user"), floor(col(tsCol) / 86400000L).cast("long").as("day"))
       .groupBy("user")
       .agg(collect_set(col("day")).as("days"))

@@ -794,7 +794,12 @@ object StreamRunner {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // NULL users excluded — the batch twin's count(DISTINCT)
+        // semantics, and a null key would also never match the
+        // novelty anti-join, re-counting the same anonymous rows
+        // every batch
         val ud = batch
+          .filter(col(userCol).isNotNull)
           .select(col(userCol).cast("long").as("user"),
             floor(col(tsCol).cast("long") / lit(86400000L)).as("day"))
           .distinct()

@@ -835,6 +835,21 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("fixed-weights scoring twin: hand-computed hash buckets and fold") {
+    // pins the shared constant's shape and one hand-traced score so the
+    // oracle's embedded literals cannot drift from the kernel's array
+    val w = SparkEntry.FixedClfWeights
+    assert(w.length == 65 && w(0) == -1.0 && w(64) == ((64 * 37 % 21) - 10) / 10.0)
+    // "a".hashCode = 97 -> bucket 97 % 64 = 33; z = bias + w(33)
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val got = Classifier.score(docs, w).collect().head.getDouble(1)
+    val z = w(64) + w(33)
+    val expect = BigDecimal(1.0 / (1.0 + math.exp(-z)) + graft.core.NanMath.RoundEps)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == expect)
+    intercept[IllegalArgumentException] { Classifier.scoreOracleSql(Array(1.0)) }
+  }
+
   test("PCA at full rank reconstructs the input exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val m = Pca.fit(emb, 64)
@@ -1829,6 +1844,43 @@ class SessionizeSpec extends SparkSpec {
     val zeroTail = ops.EventOps.funnel(events, Seq("signup", "click", "refund"), 100L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(zeroTail(3L) == 0L, zeroTail.toString)
+  }
+
+  test("null users: funnels exclude them, attribution pools them as one anonymous group, counts skip them") {
+    // the stress-events axis found all four crash/diverge modes here
+    // (NOT_NULL encoder violations + silent count drift) — this pins the
+    // chosen semantics: identity chains (funnel/retention/active-users)
+    // EXCLUDE anonymous events; attribution groups them as ONE pseudo-
+    // user (the window-based last-touch already did, by PARTITION BY)
+    val events = Seq(
+      (Option(1L), 10L, "signup", 0L), (Option(1L), 20L, "click", 1L),
+      (None: Option[Long], 10L, "signup", 2L), (None: Option[Long], 20L, "click", 3L),
+      (None: Option[Long], 30L, "purchase", 4L)
+    ).toDF("user_id", "tms", "event_type", "event_id")
+    // funnel: the anonymous chain does NOT count (else steps 1-3 would
+    // read 2/2/1 from pooling the None rows)
+    val f = ops.EventOps.funnel(events, Seq("signup", "click", "purchase"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+    // funnelTimes: no anonymous delays either (u1 reaches step 2 at dt=10)
+    val ft = ops.EventOps.funnelTimes(events, Seq("signup", "click", "purchase"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ft == Map(2L -> 1L))
+    // attribution: the anonymous purchase credits the anonymous click —
+    // null user is ONE group, not 'direct' and not a crash
+    val at = ops.EventOps.firstTouchAttribution(events, "purchase", Seq("click"), 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at == Map("click" -> 1L))
+    val mt = ops.EventOps.multiTouchAttribution(events, "purchase", Seq("click"), 100L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mt == Map("click" -> 1.0))
+    // distinct-identity counts: the None rows contribute nothing
+    val wau = ops.EventOps.rollingActiveUsers(events, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wau == Map(0L -> 1L))
+    val ret = ops.EventOps.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret == Map((0L, 0L) -> 1L))
   }
 
   test("extractProps: declared fields become typed columns, malformed JSON yields null") {

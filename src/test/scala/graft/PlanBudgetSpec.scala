@@ -336,6 +336,8 @@ class PlanBudgetSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "text_bpe_fertility" -> 3,
     // fixed-merges encode kernel: broadcast tokenizer, pure scan
     "text_bpe_tokens_fixed" -> 0,
+    // fixed-weights scoring kernel: broadcast weights, pure scan
+    "clf_score_fixed" -> 0,
     // FINAL stitched plan (the distributed per-domain rank runs behind
     // Ranks.groupedRank's correctness checkpoint): the docs/score
     // join-back sides; unigramNll's 4 and the rank's range+window
