@@ -1860,10 +1860,25 @@ object SparkEntry {
          |          FROM fd_cl JOIN fd_w w ON fd_cl.source IS NOT DISTINCT FROM w.source) c) cc,
          |    unnest(range(0, cc.n)) AS u(i))""".stripMargin
     }
+    // zero- AND null-GUARDED cosine: a zero-norm vector has no direction,
+    // and DuckDB 1.0's vectorized list_dot_product THROWS on a NULL list
+    // argument when subquery decorrelation evaluates it before the
+    // non-null filter — the leading NULL arm keeps the expression total
+    // under any plan the optimizer picks. Zero side: the
+    // kernels' normalize() leaves it all-zero so every dot with it is
+    // exactly 0 — the CASE reproduces that (an unguarded 0/0 is NaN here,
+    // which would sort arbitrarily in the rank windows)
     val cosSql =
-      """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      """CASE WHEN a.embedding IS NULL OR b.embedding IS NULL THEN 0.0
+        |     WHEN list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) = 0
+        |       OR list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) = 0
+        |     THEN 0.0
+        |     ELSE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
         |(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-        | sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
+        | sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) END""".stripMargin
+    // every embeddings oracle scans through the same non-null view the
+    // kernels enforce: a failed-encoder row has no representation
+    val embNN = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
     Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS DOUBLE) AS n_dups
@@ -1902,20 +1917,20 @@ object SparkEntry {
       "dedup_embedding" ->
         s"""SELECT id_a, id_b, score FROM (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 4) AS score
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  FROM $embNN a JOIN $embNN b ON a.vec_id < b.vec_id
            |) WHERE score >= 0.9""".stripMargin,
       "sim_topk" ->
         s"""SELECT query_id, nbr_id, round(score, 4) AS score, CAST(rank AS DOUBLE) AS rank FROM (
            |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosSql AS score,
            |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  FROM $embNN a JOIN $embNN b ON a.vec_id <> b.vec_id
            |  WHERE a.vec_id < 10
            |) WHERE rank <= 5""".stripMargin,
       "sim_knn_graph" ->
         s"""SELECT query_id, nbr_id, round(score, 4) AS score, CAST(rank AS DOUBLE) AS rank FROM (
            |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id, $cosSql AS score,
            |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  FROM $embNN a JOIN $embNN b ON a.vec_id <> b.vec_id
            |) WHERE rank <= 5""".stripMargin,
       // the two greedy selections, replayed step-for-step as recursive
       // CTEs (each iteration's row carries the chosen-id list; a LATERAL
@@ -1933,7 +1948,7 @@ object SparkEntry {
       "cluster_assign" ->
         s"""WITH s AS (
            |  SELECT a.vec_id, b.vec_id AS cid, round($cosSql, 4) AS score
-           |  FROM embeddings a CROSS JOIN embeddings b
+           |  FROM $embNN a CROSS JOIN $embNN b
            |  WHERE b.vec_id < 4)
            |SELECT vec_id, cid AS centroid_id, score
            |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1945,7 +1960,8 @@ object SparkEntry {
       // halves); scale is single-op IEEE arithmetic, bit-identical
       "emb_quantize" ->
         """WITH v AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |  WHERE embedding IS NOT NULL),
           |s AS (
           |  SELECT vec_id, e,
           |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
@@ -2302,7 +2318,7 @@ object SparkEntry {
         s"""WITH RECURSIVE
            |pairs AS (
            |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  FROM $embNN a JOIN $embNN b ON a.vec_id < b.vec_id
            |  WHERE round($cosSql, 4) >= 0.9),
            |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
            |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -2311,7 +2327,7 @@ object SparkEntry {
            |  UNION
            |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.r = e.u),
            |labels AS (SELECT node, least(node, min(r)) AS cluster_id FROM walk GROUP BY node)
-           |SELECT e2.vec_id FROM embeddings e2 LEFT JOIN labels l ON e2.vec_id = l.node
+           |SELECT e2.vec_id FROM $embNN e2 LEFT JOIN labels l ON e2.vec_id = l.node
            |WHERE l.cluster_id IS NULL OR l.cluster_id = e2.vec_id""".stripMargin,
       "text_normalize" ->
         """SELECT doc_id,
@@ -2350,10 +2366,15 @@ object SparkEntry {
           |         / len(list_distinct(string_split(ot, ' ') || string_split(nt, ' '))), 4)
           |       ELSE 0.0 END AS similarity
           |FROM d""".stripMargin,
+      // MATERIALIZED: DuckDB 1.0's NOT EXISTS decorrelation computes the
+      // join-side dot product over UNFILTERED rows (even inside a lazy
+      // CASE arm), which throws on a NULL list — materializing the
+      // non-null view forces filter-before-expression
       "pipeline_semdecontam" ->
-        s"""SELECT a.vec_id FROM embeddings a
+        s"""WITH nn AS MATERIALIZED (SELECT * FROM embeddings WHERE embedding IS NOT NULL)
+           |SELECT a.vec_id FROM nn a
            |WHERE a.vec_id % 10 <> 0 AND NOT EXISTS (
-           |  SELECT 1 FROM embeddings b
+           |  SELECT 1 FROM nn b
            |  WHERE b.vec_id % 10 = 0 AND round($cosSql, 4) >= 0.9)""".stripMargin,
       "text_pii_redact" -> {
         val eP = graft.ops.TextOps.EmailPattern

@@ -138,6 +138,31 @@ object StressGen {
     (row, tms, user, tpe, value, s"""{"k": ${row % 100}}""")
   }
 
+  /** Pure per-row embedding over the adversarial-geometry layout:
+    * row 0 = the ZERO vector (no direction — the degenerate cosine),
+    * row 1 = a NULL embedding (a failed encoder row),
+    * rows 2..1001 = 500 planted near-dup pairs (one lane perturbed),
+    * rows 1002..2201 = a 1200-strong BYTE-IDENTICAL hot cluster (the
+    * mega-duplicate every dedup/index bucket must not funnel on),
+    * rest = deterministic pseudo-random lanes in [-1, 1]. */
+  private def makeEmb(row: Long, d: Int): (Long, Array[Float], Int) = {
+    def lanes(seed: Long): Array[Float] =
+      Array.tabulate(d) { j =>
+        (java.lang.Long.remainderUnsigned(mix(seed * 64L + j), 2001L) - 1000L) / 1000.0f
+      }
+    val vec: Array[Float] =
+      if (row == 0L) new Array[Float](d)
+      else if (row == 1L) null
+      else if (row < 1002L) {
+        val base = lanes(5000000L + (row - 2L) / 2L)
+        if (row % 2L == 1L) base(0) = base(0) + 0.001f
+        base
+      }
+      else if (row < 2202L) lanes(4242424L)
+      else lanes(row)
+    (row, vec, (row % 5L).toInt)
+  }
+
   /** Funnel the frame into ONE parquet file named `$outDir/$name.parquet`
     * (DuckDB's oracle view globs a file path) with 2 MB row groups so the
     * byte-range splits don't read as input skew in task profiles. */
@@ -188,9 +213,15 @@ object StressGen {
         .select(col("event_id"), timestamp_millis(col("tms")).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props")),
       outDir, "events")
+    writeSingleFile(
+      spark.range(0, 4000L, 1, 8)
+        .map(row => makeEmb(row, 64))
+        .toDF("vec_id", "embedding", "label"),
+      outDir, "embeddings")
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/events.parquet").count()
-    println(s"STRESS generated $n doc rows + $ne event rows at $outDir")
+    val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"STRESS generated $n doc rows + $ne event rows + $nv embedding rows at $outDir")
     spark.stop()
   }
 }

@@ -409,9 +409,13 @@ object Curate {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val pairs = Similarity.cosinePairs(emb, threshold, idCol = idCol, vecCol = vecCol)
+    // the keep set is computed over the NON-NULL view: a failed-encoder
+    // row has no representation to adjudicate, so it is not "kept" — it
+    // belongs in a DLQ/fallback lane, not the semantically-deduped corpus
+    val nn = emb.filter(col(vecCol).isNotNull)
+    val pairs = Similarity.cosinePairs(nn, threshold, idCol = idCol, vecCol = vecCol)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    dedupKeep(emb, pairs, idCol = idCol)
+    dedupKeep(nn, pairs, idCol = idCol)
   }
 
   /**
@@ -509,7 +513,10 @@ object Curate {
         idCol = idCol, vecCol = vecCol)
       .select(col("vec_id").as("__contaminated"))
       .distinct()
-    emb.join(hits, emb(idCol).cast("long") === col("__contaminated"), "left_anti")
+    // null-embedding candidates cannot be adjudicated against the eval
+    // set — excluded from the cleared corpus (same policy as the keep set)
+    val nn = emb.filter(col(vecCol).isNotNull)
+    nn.join(hits, nn(idCol).cast("long") === col("__contaminated"), "left_anti")
   }
 
   /**

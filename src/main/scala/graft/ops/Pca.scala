@@ -64,7 +64,8 @@ object Pca {
   private def moments(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Double]) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = emb.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+    val rows = emb.filter(col(vecCol).isNotNull) // failed-encoder rows are skipped
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[Array[Double]]
     val partials: Array[Partial] = rows
       .mapPartitions { it =>
@@ -293,7 +294,8 @@ object Pca {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    emb.select(col(idCol).cast("long").as("id"),
+    emb.filter(col(vecCol).isNotNull) // failed-encoder rows are skipped
+      .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -337,7 +339,8 @@ object Pca {
     require(r >= 1, s"rank $r < 1")
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col(idCol).cast("long").as("id"),
+    emb.filter(col(vecCol).isNotNull) // failed-encoder rows are skipped
+      .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -418,7 +421,8 @@ object Pca {
     s"""WITH signs(dim, sgn) AS (VALUES
        |$rows)
        |SELECT e.vec_id AS id, CAST(s.dim AS INTEGER) AS dim,
-       |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.sgn) * $scale, 4) AS v
-       |FROM embeddings e, signs s""".stripMargin
+       |       round(CASE WHEN e.embedding IS NULL THEN 0.0
+       |                  ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), s.sgn) END * $scale, 4) AS v
+       |FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, signs s""".stripMargin
   }
 }

@@ -53,6 +53,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
+      .filter(col(vecCol).isNotNull) // a failed-encoder row has no representation
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
@@ -137,7 +138,7 @@ object Similarity {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = emb.filter(centroidPred)
+    val centroids = emb.filter(centroidPred && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"),
         transform(col(vecCol), x => x.cast("double")))
       .as[(Long, Array[Double])]
@@ -164,6 +165,7 @@ object Similarity {
       centroids.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) })
 
     emb
+      .filter(col(vecCol).isNotNull) // a failed-encoder row has no representation
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
@@ -176,8 +178,10 @@ object Similarity {
           var i = 0
           while (i < cs.length) {
             val (cid, cv, cn) = cs(i)
-            // ascending-cid iteration + strict > : smallest id wins ties
-            val s = rnd4(dot(v.vec, cv) / (vn * cn))
+            // ascending-cid iteration + strict > : smallest id wins ties;
+            // a zero-norm side (no direction) scores the neutral 0, never
+            // the 0/0 NaN that would crash the rounding
+            val s = rnd4(if (vn * cn == 0.0) 0.0 else dot(v.vec, cv) / (vn * cn))
             if (s > best) { best = s; bestId = cid }
             i += 1
           }
@@ -222,6 +226,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val data = emb
+      .filter(col(vecCol).isNotNull) // null embeddings carry no representation
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
@@ -442,6 +447,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
+      .filter(col(vecCol).isNotNull) // a failed-encoder row has no representation
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
@@ -484,6 +490,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
+      .filter(col(vecCol).isNotNull) // a failed-encoder row has no representation
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
@@ -1976,8 +1983,14 @@ object Similarity {
     require(k >= 1 && k <= 512, "k must be in [1, 512]")
     val spark = emb.sparkSession
     import spark.implicits._
-    val ds = vecs(emb, idCol, vecCol).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // zero-norm vectors have NO direction: their cosine distance to
+    // anything (including themselves) is 1, which breaks farthest-first's
+    // "chosen points are at distance 0" stop invariant (the zero vector
+    // re-wins every round and the loop stops at one center) — excluded,
+    // like the null rows vecs() already drops
+    val ds = vecs(emb, idCol, vecCol)
+      .filter(v => v.vec.exists(_ != 0.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = ds.reduce((a, b) => if (a.id <= b.id) a else b)
       val chosen = scala.collection.mutable.ArrayBuffer((first, Double.NaN))
@@ -2094,9 +2107,13 @@ object Similarity {
     * normalize-then-dot, equal to within ulps that the 4-decimal
     * rounding and the random-data score gaps absorb). */
   private def cosOracle(a: String, b: String): String =
-    s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) /
+    s"""CASE WHEN $a.embedding IS NULL OR $b.embedding IS NULL THEN 0.0
+       |     WHEN list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])) = 0
+       |       OR list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) = 0
+       |     THEN 0.0
+       |     ELSE list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) /
        |(sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[]))) *
-       | sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))""".stripMargin
+       | sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])))) END""".stripMargin
 
   /**
    * DuckDB replica of [[kCenterSelect]] over the `embeddings` table — the
@@ -2116,20 +2133,22 @@ object Similarity {
   def kCenterOracleSql(k: Int): String = {
     require(k >= 1 && k <= 512, "k must be in [1, 512]")
     s"""WITH RECURSIVE
-       |ne AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |       FROM embeddings),
+       |ne AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |              CASE WHEN embedding IS NULL THEN 0.0
+       |                   ELSE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) END AS nrm
+       |       FROM embeddings WHERE embedding IS NOT NULL),
+       |nz AS (SELECT * FROM ne WHERE nrm > 0),
        |sel(sel_order, vec_id, min_dist, chosen) AS (
        |  SELECT CAST(0 AS BIGINT), vec_id, CAST(NULL AS DOUBLE), [vec_id]
-       |  FROM (SELECT vec_id FROM ne ORDER BY vec_id LIMIT 1)
+       |  FROM (SELECT vec_id FROM nz ORDER BY vec_id LIMIT 1)
        |  UNION ALL
        |  SELECT s.sel_order + 1, p.vec_id, round(p.d, 4),
        |         list_append(s.chosen, p.vec_id)
        |  FROM sel s, LATERAL (
        |    SELECT c.vec_id,
-       |           (SELECT min(1.0 - list_dot_product(c.v, ch.v) / (c.nrm * ch.nrm))
-       |            FROM ne ch WHERE list_contains(s.chosen, ch.vec_id)) AS d
-       |    FROM ne c
+       |           (SELECT min(1.0 - CASE WHEN c.v IS NULL OR ch.v IS NULL OR c.nrm * ch.nrm = 0 THEN 0.0 ELSE list_dot_product(c.v, ch.v) / (c.nrm * ch.nrm) END)
+       |            FROM nz ch WHERE list_contains(s.chosen, ch.vec_id)) AS d
+       |    FROM nz c
        |    WHERE NOT list_contains(s.chosen, c.vec_id)
        |    ORDER BY d DESC, c.vec_id ASC
        |    LIMIT 1) p
@@ -2170,7 +2189,8 @@ object Similarity {
        |           round(${cosOracle("a", "b")}, 4) AS score,
        |           row_number() OVER (PARTITION BY a.vec_id
        |                              ORDER BY ${cosOracle("a", "b")} DESC, b.vec_id ASC) AS rn
-       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+       |         JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id <> b.vec_id
        |    WHERE a.vec_id < $queryIdBelow)
        |  WHERE rn <= $shortlist),
        |sim AS (

@@ -267,6 +267,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1) == List(1L, 2L)) // 1 closest, then 2 (cos 0) over 3 (cos -1)
   }
 
+  test("degenerate embeddings: null rows drop everywhere, zero vectors score the neutral 0") {
+    // the stress-embeddings axis found the whole family NPE'ing on one
+    // null-embedding row and k-center stopping at ONE center on a zero
+    // vector (its cosine self-distance is 1, not 0) — this pins the
+    // policy: null = no representation (dropped by every reader); zero =
+    // no direction (neutral-0 cosine; excluded from farthest-first)
+    val deg = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),          // zero vector
+      (1L, null.asInstanceOf[Array[Float]]),  // failed-encoder row
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // quantize: null dropped, zero kept (valid storage content)
+    val q = Similarity.quantize(deg).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(q == Set(0L, 2L, 3L))
+    // assignment: zero-norm input scores 0 to every centroid and ties to
+    // the smallest centroid id instead of crashing the rounding on NaN
+    val a = Similarity.nearestCentroid(deg, col("vec_id") >= 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(a(0L) == ((2L, 0.0)) && a.size == 3 && !a.contains(1L))
+    // k-center: zero and null excluded; both real directions selected
+    val kc = Similarity.kCenterSelect(deg, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(kc == Set(2L, 3L))
+    // semantic keep: the null row is not silently "kept"
+    val keep = graft.ops.Curate.semanticDedupKeep(deg, 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(0L, 2L, 3L))
+  }
+
   test("cosinePairs finds the near-duplicate pair only") {
     val got = Similarity.cosinePairs(vecs, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
