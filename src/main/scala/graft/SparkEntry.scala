@@ -73,8 +73,13 @@ object SparkEntry {
   private def dense(src: String, alias: String) =
     s"$alias AS (SELECT grid.t AS t, $src.v AS v FROM grid LEFT JOIN $src USING (t))"
 
+  // `usr IS NOT NULL`: `:by` drops series missing the group key (a null
+  // tag value is an absent tag — Planner.evalData's `present` filter,
+  // PlannerSpec ":by drops series missing the group key"); SQL GROUP BY
+  // would otherwise keep a null-key group the engine never emits. The
+  // testdata has no null users, so only the stress-events gate sees this.
   private def byUsr(name: String, alias: String) =
-    s"$alias AS (SELECT usr, t, sum(v) AS v FROM norm WHERE name = '$name' GROUP BY 1, 2)"
+    s"$alias AS (SELECT usr, t, sum(v) AS v FROM norm WHERE name = '$name' AND usr IS NOT NULL GROUP BY 1, 2)"
 
   private def sql(ctes: Seq[String], body: String): String =
     s"WITH ${ctes.mkString(",\n")}\n$body"
@@ -127,7 +132,8 @@ object SparkEntry {
        |pieces AS (
        |  SELECT mk.name, mk.grp, u.b AS b,
        |         mk.v * (least(mk.tm, u.b) - greatest(mk.cov, u.b - $step)) / $step.0 AS piece
-       |  FROM mk JOIN sok USING (name, grp, ceilb),
+       |  FROM mk JOIN sok ON mk.name = sok.name
+       |    AND mk.grp IS NOT DISTINCT FROM sok.grp AND mk.ceilb = sok.ceilb,
        |       unnest(generate_series(mk.cov - mk.cov % $step + $step, mk.ceilb, $step)) AS u(b)
        |  WHERE u.b <= mk.tm OR sok.ok = 1),
        |rnorm AS (
@@ -2307,13 +2313,18 @@ object SparkEntry {
           |       least(32, n - chunk_idx * 24) AS n_tok,
           |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text
           |FROM x""".stripMargin,
+      // coalesced key: the engine's union-carry partitions by the key
+      // WINDOW-style, so NULL users form one anonymous group that as-of
+      // matches its own clicks (the attribution-family convention); a
+      // plain = here would silently never match them
       "join_asof" ->
         """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS tms, p.value,
           |       c.value AS asof_value, c.tms AS asof_tms
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           |ASOF LEFT JOIN (SELECT *, epoch_ms(ts) AS tms FROM events
           |                WHERE event_type = 'click') c
-          |  ON p.user_id = c.user_id AND epoch_ms(p.ts) >= c.tms""".stripMargin,
+          |  ON coalesce(p.user_id, -909090909) = coalesce(c.user_id, -909090909)
+          |     AND epoch_ms(p.ts) >= c.tms""".stripMargin,
       "pipeline_semdedup" ->
         s"""WITH RECURSIVE
            |pairs AS (
@@ -2773,8 +2784,8 @@ object SparkEntry {
       "tags_values_idx" -> "SELECT DISTINCT event_type AS value FROM events",
       "tags_index_counts" -> base(
         """SELECT 'name' AS key, name AS value, CAST(count(*) AS DOUBLE) AS n_series FROM series GROUP BY 2
-          |UNION ALL SELECT 'usr', usr, CAST(count(*) AS DOUBLE) FROM series GROUP BY 2
-          |UNION ALL SELECT 'grp', grp, CAST(count(*) AS DOUBLE) FROM series GROUP BY 2
+          |UNION ALL SELECT 'usr', usr, CAST(count(*) AS DOUBLE) FROM series WHERE usr IS NOT NULL GROUP BY 2
+          |UNION ALL SELECT 'grp', grp, CAST(count(*) AS DOUBLE) FROM series WHERE grp IS NOT NULL GROUP BY 2
           |UNION ALL SELECT 'hi', 'y', CAST(count(*) AS DOUBLE) FROM series WHERE hi""".stripMargin,
         "series AS (SELECT DISTINCT name, usr, grp, hi FROM dp)"),
       "rel_q1_pricing" ->
@@ -3042,10 +3053,12 @@ object SparkEntry {
     val bounds = PercentileBuckets.boundariesSqlList
     val g = if (grouped) "grp, " else ""
     val gSel = if (grouped) "'g' || CAST(user_id % 5 AS VARCHAR) AS grp, " else ""
+    // grouped :by drops keyless series (null user -> null grp tag)
+    val gFilter = if (grouped) " AND user_id IS NOT NULL" else ""
     s"""WITH bucketed AS (
        |  SELECT $gSel(epoch_ms(ts) // $stepMs) * $stepMs AS t,
        |         ${PercentileBuckets.indexOfSql("CAST(floor(value) AS BIGINT)")} AS i
-       |  FROM events WHERE event_type = '$name'),
+       |  FROM events WHERE event_type = '$name'$gFilter),
        |counts AS (SELECT ${g}t, i, CAST(count(*) AS DOUBLE) AS c FROM bucketed GROUP BY ALL),
        |cum AS (
        |  SELECT ${g}t, i, c,
@@ -3077,9 +3090,9 @@ object SparkEntry {
     "data_max" -> base(
       "SELECT t, round(CAST(max(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'view' GROUP BY t"),
     "data_by_sum" -> base(
-      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr IS NOT NULL GROUP BY 1, 2"),
     "data_by2_max" -> base(
-      "SELECT usr, grp, t, round(CAST(max(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'view' GROUP BY 1, 2, 3"),
+      "SELECT usr, grp, t, round(CAST(max(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'view' AND usr IS NOT NULL AND grp IS NOT NULL GROUP BY 1, 2, 3"),
     "data_all" -> base(
       "SELECT usr, grp, t, round(CAST(v AS DOUBLE), 4) AS value FROM norm WHERE name = 'signup' AND usr < 'u003'"),
     "data_offset" -> base(
@@ -3092,13 +3105,13 @@ object SparkEntry {
     "store_data_sum" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
     "store_data_by" -> base(
-      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr IS NOT NULL GROUP BY 1, 2"),
     // the SQL-backed (Derby) store serves the SAME oracles again: a
     // backend swap, not a semantics change
     "store_jdbc_sum" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY t"),
     "store_jdbc_by" -> base(
-      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+      "SELECT usr, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr IS NOT NULL GROUP BY 1, 2"),
     "store_query_re_idx" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE regexp_matches(name, '^p.*') GROUP BY t"),
     // rollup-backed fetches: the oracle computes straight from raw events
@@ -3109,7 +3122,7 @@ object SparkEntry {
         "FROM dp WHERE name = 'click' GROUP BY 1"),
     "rollup_by_sum" -> sql(Seq(DP),
       "SELECT usr, (t // 21600000) * 21600000 AS t, round(CAST(sum(v) AS DOUBLE), 4) AS value " +
-        "FROM dp WHERE name = 'click' GROUP BY 1, 2"),
+        "FROM dp WHERE name = 'click' AND usr IS NOT NULL GROUP BY 1, 2"),
     "rollup_cf_max" -> sql(
       Seq(DP, "norm6 AS (SELECT name, usr, grp, hi, (t // 21600000) * 21600000 AS t, max(v) AS v FROM dp GROUP BY 1, 2, 3, 4, 5)"),
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm6 WHERE name = 'click' GROUP BY t"),
@@ -3133,7 +3146,7 @@ object SparkEntry {
         "WHERE name = 'click' AND t >= 1704067200000 AND t < 1706659200000 GROUP BY t"),
     "data_rate_by" -> rateSql(
       "SELECT grp, t, round(sum(v), 4) AS value FROM rnorm " +
-        "WHERE name = 'click' AND t >= 1704067200000 AND t < 1706659200000 GROUP BY 1, 2"),
+        "WHERE name = 'click' AND grp IS NOT NULL AND t >= 1704067200000 AND t < 1706659200000 GROUP BY 1, 2"),
     // rate consolidation: per-second average over the FULL 6h interval
     "consolidate_rate_avg" -> base(
       "SELECT 1704067200000 + (t - 1704067200000) // 21600000 * 21600000 AS t, " +
@@ -3230,7 +3243,7 @@ object SparkEntry {
       byUsr("click", "bu")),
     "math_regroup" -> base(
       "SELECT grp, t, round(sum(v), 4) AS value FROM " +
-        "(SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'click' GROUP BY 1, 2, 3) GROUP BY 1, 2"),
+        "(SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'click' AND usr IS NOT NULL AND grp IS NOT NULL GROUP BY 1, 2, 3) GROUP BY 1, 2"),
     "math_div_grouped_scalar" -> base(
       """SELECT bud.usr, bud.t, round(CASE WHEN tot.v = 0 AND bud.v = 0 THEN 0 WHEN tot.v = 0 THEN NULL ELSE bud.v / tot.v END, 4) AS value
         |FROM bud JOIN tot ON bud.t = tot.t
@@ -3244,7 +3257,7 @@ object SparkEntry {
         |FROM pud JOIN cud ON pud.usr = cud.usr AND pud.t = cud.t
         |WHERE pud.v IS NOT NULL AND cud.v IS NOT NULL
         |  AND CASE WHEN cud.v = 0 AND pud.v = 0 THEN 0 WHEN cud.v = 0 THEN NULL ELSE pud.v / cud.v END IS NOT NULL""".stripMargin,
-      "pu AS (SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'purchase' GROUP BY 1, 2, 3)",
+      "pu AS (SELECT usr, grp, t, sum(v) AS v FROM norm WHERE name = 'purchase' AND usr IS NOT NULL AND grp IS NOT NULL GROUP BY 1, 2, 3)",
       "puk AS (SELECT DISTINCT usr, grp FROM pu)",
       "pud AS (SELECT puk.usr, puk.grp, grid.t, pu.v FROM puk CROSS JOIN grid LEFT JOIN pu ON pu.usr = puk.usr AND pu.grp = puk.grp AND pu.t = grid.t)",
       byUsr("click", "cu"),
@@ -3296,13 +3309,15 @@ object SparkEntry {
       byUsr("click", "bu"),
       "uk AS (SELECT DISTINCT usr FROM bu)",
       "bud AS (SELECT uk.usr, grid.t, bu.v FROM uk CROSS JOIN grid LEFT JOIN bu ON bu.usr = uk.usr AND bu.t = grid.t)",
-      sumSeries("click", "tot")),
+      // :pct divides by Aggr(Sum) over the GROUPED lines — which exclude
+      // keyless series — not by the all-series :sum
+      "tot AS (SELECT t, sum(v) AS v FROM bu GROUP BY t)"),
     "asl_cq" -> base(
       "SELECT t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr < 'u010' GROUP BY t"),
     "asl_cg" -> base(
-      "SELECT grp, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY 1, 2"),
+      "SELECT grp, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND grp IS NOT NULL GROUP BY 1, 2"),
     "asl_as" -> base(
-      "SELECT usr AS u, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' GROUP BY usr, t"),
+      "SELECT usr AS u, t, round(CAST(sum(v) AS DOUBLE), 4) AS value FROM norm WHERE name = 'click' AND usr IS NOT NULL GROUP BY usr, t"),
     "asl_cos" -> base(
       "SELECT t, round(cos(CAST(EXTRACT(hour FROM make_timestamp(t * 1000)) AS DOUBLE)), 4) AS value FROM grid"),
     "asl_tan" -> base(

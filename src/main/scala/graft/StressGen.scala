@@ -128,10 +128,14 @@ object StressGen {
       else if (row % 10 != 0) Some(7L)            // the hot user
       else Some(1000L + java.lang.Long.remainderUnsigned(mix(row), 500L))
     val base = 1704067200000L // 2024-01-01T00:00:00Z
-    // dense global spread (~11 s) + 0-6 h jitter: cold users (~95 min base
-    // spacing) split into real sessions; the hot user stays one island
-    val tms = base + row * (2592000000L / 240000L) +
-      java.lang.Long.remainderUnsigned(mix(row * 31L + 5L), 21600000L)
+    // dense global spread (~10.7 s) + 0-6 h jitter: cold users (~95 min
+    // base spacing) split into real sessions; the hot user stays one
+    // island. Spread + jitter stay STRICTLY inside the 30-day 2024-01
+    // eval window (the testdata contract the planner oracles assume —
+    // the engine clips fetches to the eval window, the oracles replay
+    // raw events, so a spilled event would diverge them by design)
+    val tms = base + (row * 10709L) % 2570400000L +
+      java.lang.Long.remainderUnsigned(mix(row * 31L + 5L), 21599999L)
     val types = Array("signup", "click", "purchase", "error", "view")
     val tpe = types(java.lang.Long.remainderUnsigned(mix(row * 7L + 1L), 5L).toInt)
     val value = java.lang.Long.remainderUnsigned(mix(row * 13L + 2L), 100000L) / 100.0
