@@ -785,6 +785,10 @@ object SparkEntry {
           .select(col("user_id").cast("long"), col("tms"), col("value"))
           .as[(Option[Long], Long, Double)].collect().toSeq
         val maxTms = evts.iterator.map(_._2).max
+        // watermark-advancing sentinel user: max(user_id)+1 BY DERIVATION
+        // (a fixed constant like -1 could collide with a legitimate user,
+        // silently dropping that user's real sessions at the filter below)
+        val sentinelUser = evts.iterator.flatMap(_._1).foldLeft(0L)(math.max) + 1L
         val input = MemoryStream[(Option[Long], Long, Double)]
         val out = EventOps.sessionize(
           input.toDF.toDF("user_id", "tms", "value"), gapMs,
@@ -798,12 +802,12 @@ object SparkEntry {
           query.processAllAvailable()
           // sentinel past every session close + the watermark delay:
           // append mode only emits a session once the watermark passes it
-          input.addData(Seq((Some(-1L), maxTms + gapMs + 600000L, 0.0)))
+          input.addData(Seq((Some(sentinelUser), maxTms + gapMs + 600000L, 0.0)))
           query.processAllAvailable()
         } finally query.stop()
         s.read.parquet(s"$base/out")
           // null-SAFE: =!= would also drop the NULL-user session row
-          .filter(!(col("user_id") <=> -1L))
+          .filter(!(col("user_id") <=> sentinelUser))
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"), col("sum_value"))
           .localCheckpoint()
@@ -1948,6 +1952,13 @@ object SparkEntry {
       "sim_kcenter" -> graft.ops.Similarity.kCenterOracleSql(k = 16),
       "sim_mmr" -> graft.ops.Similarity.mmrOracleSql(
         queryIdBelow = 5, k = 5, lambdaParam = 0.7, shortlist = 32),
+      // LSH ANN, converted from rows-only (the emb_jl precedent): the
+      // splitmix64 hyperplanes are deterministic constants, so the DuckDB
+      // side embeds them as literal DOUBLE[] lists and replays signature,
+      // bucket condition and exact re-rank. Both serving paths share the
+      // oracle — the persisted index stores this exact geometry.
+      "sim_ann_lsh" -> graft.ops.Similarity.lshOracleSql(dim = 64, k = 5),
+      "sim_ann_lsh_idx" -> graft.ops.Similarity.lshOracleSql(dim = 64, k = 5),
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid
       // strict-> scan)
@@ -2316,14 +2327,17 @@ object SparkEntry {
       // coalesced key: the engine's union-carry partitions by the key
       // WINDOW-style, so NULL users form one anonymous group that as-of
       // matches its own clicks (the attribution-family convention); a
-      // plain = here would silently never match them
+      // plain = here would silently never match them. The NULL stand-in
+      // is collision-proof by construction (not a magic sentinel): real
+      // users map injectively onto EVEN numbers (user_id * 2), NULL maps
+      // to the odd constant 1 — no corpus value can ever alias it
       "join_asof" ->
         """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS tms, p.value,
           |       c.value AS asof_value, c.tms AS asof_tms
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
           |ASOF LEFT JOIN (SELECT *, epoch_ms(ts) AS tms FROM events
           |                WHERE event_type = 'click') c
-          |  ON coalesce(p.user_id, -909090909) = coalesce(c.user_id, -909090909)
+          |  ON coalesce(p.user_id * 2, 1) = coalesce(c.user_id * 2, 1)
           |     AND epoch_ms(p.ts) >= c.tms""".stripMargin,
       "pipeline_semdedup" ->
         s"""WITH RECURSIVE

@@ -32,7 +32,9 @@ import org.apache.spark.sql.SparkSession
  * events/diag family — the clickstream version of the same adversarial
  * shapes:
  *
- *  - **hot user**: 90% of events belong to user 7 (the bot/monitor key of
+ *  - **hot user**: ~89.5% of events belong to user 7 (the null-user slice
+ *    below is carved out of rows that would otherwise be hot, so the hot
+ *    share is 90% minus that carve-out — the bot/monitor key of
  *    a real interaction log) — the shape every user-keyed
  *    sessionize/funnel/attribution group must survive, and exactly what
  *    the diag_* skew reports exist to flag.

@@ -402,6 +402,13 @@ object Curate {
    * ([[Similarity.cosinePairs]] — never all-pairs, volume output-bound),
    * clustering runs on the pair list (edge cardinality), and the corpus
    * is touched once by the left_anti drop join.
+   *
+   * NULL-embedding policy (public contract): rows whose `vecCol` is NULL
+   * (failed encoder) are NOT in the returned keep set — they have no
+   * representation to adjudicate, so they are neither "kept" nor
+   * "duplicate". They belong in a DLQ/re-encode lane; route them with
+   * [[unrepresentedIds]] BEFORE calling this, or they silently vanish
+   * from the corpus.
    */
   def semanticDedupKeep(
       emb: DataFrame,
@@ -501,6 +508,12 @@ object Curate {
    * zero-shuffle kernel); the drop is one left_anti join against the
    * (tiny) contaminated-id set — AQE broadcasts it, the corpus never
    * shuffles.
+   *
+   * NULL-embedding policy (public contract): rows whose `vecCol` is NULL
+   * cannot be adjudicated against the eval set and are NOT in the cleared
+   * corpus — same policy as [[semanticDedupKeep]]. Route them to a
+   * DLQ/re-encode lane with [[unrepresentedIds]] first; otherwise
+   * "cleared" and "unrepresentable" are indistinguishable downstream.
    */
   def semanticDecontaminate(
       emb: DataFrame,
@@ -518,6 +531,22 @@ object Curate {
     val nn = emb.filter(col(vecCol).isNotNull)
     nn.join(hits, nn(idCol).cast("long") === col("__contaminated"), "left_anti")
   }
+
+  /**
+   * The DLQ lane for the semantic keep decisions: ids whose embedding
+   * column is NULL (failed encoder — no representation). Both
+   * [[semanticDedupKeep]] and [[semanticDecontaminate]] exclude these rows
+   * from their output by contract; run this first and route the result to
+   * re-encode/quarantine so "dropped as duplicate/contaminated" and
+   * "never adjudicated" stay distinguishable. One projected scan, no
+   * shuffle.
+   */
+  def unrepresentedIds(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    emb.filter(col(vecCol).isNull).select(col(idCol).cast("long").as(idCol))
 
   /**
    * Sequence packing (concat-then-chunk): lay the corpus out as fixed-

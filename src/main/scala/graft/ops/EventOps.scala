@@ -334,6 +334,16 @@ object EventOps {
    * a within-partition `last(_, ignoreNulls)` window (the join_asof
    * union-carry shape — no touches-x-conversions range join), and the
    * final count aggregates into at most |touchTypes| + 1 cells.
+   *
+   * Anonymous traffic (public contract, all three attribution kernels):
+   * NULL-user events pool into ONE pseudo-identity — an anonymous
+   * conversion can credit a DIFFERENT visitor's anonymous touch. That is
+   * deliberate (the funnel family instead excludes NULL users, because a
+   * funnel asserts one identity's ordered journey; attribution only
+   * distributes credit), but it means meaningful per-visitor anonymous
+   * attribution requires resolving an upstream session/device key into
+   * `userCol` BEFORE calling — or pre-filtering `userCol IS NOT NULL` to
+   * get the funnel family's exclusion semantics.
    */
   def lastTouchAttribution(
       events: DataFrame,
@@ -373,7 +383,8 @@ object EventOps {
    * time), so this is a sorted-group kernel: per user, touches enter a
    * time-ordered deque, each conversion evicts expired entries from the
    * front and credits the head — O(events) per user, same single
-   * user-keyed exchange.
+   * user-keyed exchange. Anonymous traffic pools into one pseudo-identity
+   * — see the contract note on [[lastTouchAttribution]].
    */
   def firstTouchAttribution(
       events: DataFrame,
@@ -441,6 +452,9 @@ object EventOps {
    * cardinality per user, never per-pair rows. The join-shaped
    * formulation (conversions × in-window touches) that the DuckDB oracle
    * replays would shuffle the full pair set.
+   *
+   * Anonymous traffic pools into one pseudo-identity — see the contract
+   * note on [[lastTouchAttribution]].
    */
   def multiTouchAttribution(
       events: DataFrame,

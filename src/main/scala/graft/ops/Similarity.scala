@@ -48,6 +48,31 @@ object Similarity {
     if (n == 0.0) v else v.map(_ / n)
   }
 
+  /**
+   * Driver-side collect of the QUERY side of a similarity kernel, gated:
+   * the fetch goes through `limit(max + 1)` so at most `max + 1` rows ever
+   * reach the driver, and the call fails fast with guidance when the query
+   * set exceeds `graft.similarity.queryMaxRows` (default 65536). Every
+   * kernel in this module broadcasts its query set — at 100 TB an
+   * unbounded `queryPred` (say, `lit(true)`) would otherwise OOM the
+   * driver long after the job was accepted; this turns caller discipline
+   * into an enforced contract, mirroring `graft.ranks.offsets.broadcastMaxRows`.
+   */
+  private def boundedCollect(
+      ds: org.apache.spark.sql.Dataset[Vec], what: String): Array[Vec] = {
+    val spark = ds.sparkSession
+    val max = spark.conf.getOption("graft.similarity.queryMaxRows")
+      .map(_.toInt).getOrElse(65536)
+    val rows = ds.limit(max + 1).collect()
+    if (rows.length > max)
+      throw new IllegalArgumentException(
+        s"$what selects more than $max query rows; similarity kernels collect " +
+          "and broadcast the query side, so an unbounded query set would OOM the " +
+          "driver at corpus scale. Narrow the query predicate (or raise " +
+          "spark.conf graft.similarity.queryMaxRows if the driver can hold it).")
+    rows
+  }
+
   /** Normalized typed view of (id, vec). */
   private def vecs(emb: DataFrame, idCol: String, vecCol: String) = {
     val spark = emb.sparkSession
@@ -75,7 +100,8 @@ object Similarity {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+    val queries = boundedCollect(
+      vecs(emb.filter(queryPred), idCol, vecCol), "bruteForceTopK queryPred")
     val bc = spark.sparkContext.broadcast(queries)
 
     val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
@@ -857,7 +883,8 @@ object Similarity {
 
     val sample = vecs(emb, idCol, vecCol).orderBy("id").limit(sampleSize).collect()
     val centroids = kmeans(sample.map(_.vec), nCells, iters)
-    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+    val queries = boundedCollect(
+      vecs(emb.filter(queryPred), idCol, vecCol), "ivfTopK queryPred")
       .map(q => (q, probeCells(q.vec, centroids, nProbe).toSet))
     val bcQ = spark.sparkContext.broadcast(queries)
     val bcC = spark.sparkContext.broadcast(centroids)
@@ -1029,7 +1056,7 @@ object Similarity {
       else nProbe
     val centroids = readIvfCentroids(spark, path)
     val np = math.min(resolvedNp, centroids.length)
-    val qs = vecs(queries, idCol, vecCol).collect()
+    val qs = boundedCollect(vecs(queries, idCol, vecCol), "ivfTopKIndexed queries")
       .map(q => (q, probeCells(q.vec, centroids, np).toSet))
     val probed = qs.flatMap(_._2).distinct.toSeq
     val bcQ = spark.sparkContext.broadcast(qs)
@@ -1093,7 +1120,7 @@ object Similarity {
     // regime; below 0.9 (or at tables = 0) fall back to exact scoring of
     // every pair rather than silently losing true contamination hits
     val exact = tables <= 0 || threshold < 0.9
-    val evals = vecs(evalEmb, idCol, vecCol).collect()
+    val evals = boundedCollect(vecs(evalEmb, idCol, vecCol), "contaminatedIds evalEmb")
       .map(q => (q, if (exact) Array.empty[Int] else signatures(q.vec, tables, planes)))
     val bc = spark.sparkContext.broadcast(evals)
     val maxHam = probeHamming
@@ -1336,7 +1363,7 @@ object Similarity {
   ): DataFrame = {
     import spark.implicits._
     val (tables, planes) = readLshMeta(spark, path)
-    val qs = vecs(queries, idCol, vecCol).collect()
+    val qs = boundedCollect(vecs(queries, idCol, vecCol), "lshTopKIndexed queries")
       .map(q => (q, signatures(q.vec, tables, planes)))
     val bc = spark.sparkContext.broadcast(qs)
     val maxHam = probeHamming
@@ -1354,6 +1381,58 @@ object Similarity {
       }
       .toDF("query_id", "nbr_id", "score")
     rankTopK(candidates, k)
+  }
+
+  /**
+   * DuckDB replay of [[lshTopK]] / [[lshTopKIndexed]] — the `emb_jl`
+   * literal-constant oracle precedent applied to the LSH family: the
+   * deterministic splitmix64 hyperplanes are embedded as literal
+   * `DOUBLE[]` lists, so the oracle computes the same L2 normalization,
+   * the same `tables x planes` sign signatures, the same per-table
+   * Hamming-`probeHamming` bucket condition, and the same exact cosine
+   * re-rank as the engine. Sign decisions are bit-identical because both
+   * engines run the identical sequential dot product over identical
+   * doubles (the literals round-trip exactly); the 4-decimal rounding of
+   * the emitted score absorbs any final-ulp drift in the re-rank value.
+   * Both serving paths (fresh hash and persisted index) share one oracle
+   * because the stored geometry IS this geometry.
+   */
+  def lshOracleSql(
+      dim: Int,
+      k: Int,
+      queryPredSql: String = "a.vec_id < 10",
+      tables: Int = 8,
+      planes: Int = 5,
+      probeHamming: Int = 1): String = {
+    def planeList(t: Int, p: Int): String =
+      (0 until dim).map(d => planeComponent(t * planes + p, d).toString)
+        .mkString("[", ", ", "]")
+    def sigCol(t: Int): String =
+      (0 until planes).map { p =>
+        s"(CASE WHEN list_dot_product(nvec, ${planeList(t, p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val sigCols = (0 until tables).map(t => s"${sigCol(t)} AS s$t").mkString(",\n    ")
+    val hamCond = (0 until tables)
+      .map(t => s"bit_count(xor(a.s$t, b.s$t)) <= $probeHamming").mkString(" OR ")
+    s"""WITH nv AS (
+       |  SELECT vec_id,
+       |         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS nvec
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                     CAST(embedding AS DOUBLE[]))) AS n
+       |        FROM embeddings WHERE embedding IS NOT NULL)),
+       |sig AS (
+       |  SELECT vec_id, nvec,
+       |    $sigCols
+       |  FROM nv)
+       |SELECT query_id, nbr_id, round(score + ${graft.core.NanMath.RoundEps}, 4) AS score FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+       |         list_dot_product(a.nvec, b.nvec) AS score,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY list_dot_product(a.nvec, b.nvec) DESC, b.vec_id ASC) AS rank
+       |  FROM sig a JOIN sig b ON a.vec_id <> b.vec_id
+       |  WHERE $queryPredSql AND ($hamCond)
+       |) WHERE rank <= $k""".stripMargin
   }
 
   /**
@@ -1419,7 +1498,8 @@ object Similarity {
 
     val nt = tables
     val np = planes
-    val queries = vecs(emb.filter(queryPred), idCol, vecCol).collect()
+    val queries = boundedCollect(
+      vecs(emb.filter(queryPred), idCol, vecCol), "lshTopK queryPred")
       .map(q => (q, signatures(q.vec, nt, np)))
     val bc = spark.sparkContext.broadcast(queries)
 
@@ -1675,7 +1755,7 @@ object Similarity {
   ): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val qs = vecs(queries, idCol, vecCol).collect()
+    val qs = boundedCollect(vecs(queries, idCol, vecCol), "pqTopKEncoded queries")
       .map(q => (q.id, adcTable(q.vec, model)))
     val bcQ = spark.sparkContext.broadcast(qs)
     val candidates = codes
@@ -1711,7 +1791,8 @@ object Similarity {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qVecs = vecs(queries, idCol, vecCol).collect().map(q => q.id -> q.vec).toMap
+    val qVecs = boundedCollect(vecs(queries, idCol, vecCol), "refineShortlist queries")
+      .map(q => q.id -> q.vec).toMap
     val bcQ = spark.sparkContext.broadcast(qVecs)
     val candidates = vecs(emb, idCol, vecCol)
       .join(broadcast(shortlist.select(col("query_id"), col("nbr_id"))),
@@ -1917,7 +1998,8 @@ object Similarity {
     val centroids = readIvfCentroids(spark, path)
     val model = readPqModel(spark, path)
     val np = math.min(resolvedNp, centroids.length)
-    val qs = vecs(queries, idCol, vecCol).collect().map { q =>
+    val qs = boundedCollect(vecs(queries, idCol, vecCol), "ivfPqTopKIndexed queries")
+      .map { q =>
       val probes = probeCells(q.vec, centroids, np)
       // exact dot(q, centroid) per probed cell; residual table shared across cells
       (q.id, probes.map(c => (c, dot(q.vec, centroids(c)))).toMap, adcTable(q.vec, model))

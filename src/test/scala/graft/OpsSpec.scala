@@ -267,6 +267,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1) == List(1L, 2L)) // 1 closest, then 2 (cos 0) over 3 (cos -1)
   }
 
+  test("query-side collect is bounded: an oversized query set fails fast, not OOM") {
+    // every kernel broadcasts its query set; graft.similarity.queryMaxRows
+    // turns the 100 TB driver-OOM class into a loud pre-flight failure
+    spark.conf.set("graft.similarity.queryMaxRows", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(vecs, lit(true), 2).collect()
+      }
+      assert(e.getMessage.contains("queryMaxRows"))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.lshTopK(vecs, lit(true), 2).collect()
+      }
+      assert(e2.getMessage.contains("lshTopK"))
+      // within the bound everything still runs (and the limit(max+1) fetch
+      // returns the identical query set)
+      val ok = Similarity.bruteForceTopK(vecs, col("vec_id") < 2, 2)
+      assert(ok.count() == 4L)
+    } finally spark.conf.unset("graft.similarity.queryMaxRows")
+  }
+
   test("degenerate embeddings: null rows drop everywhere, zero vectors score the neutral 0") {
     // the stress-embeddings axis found the whole family NPE'ing on one
     // null-embedding row and k-center stopping at ONE center on a zero
@@ -296,6 +316,11 @@ class SimilaritySpec extends SparkSpec {
     val keep = graft.ops.Curate.semanticDedupKeep(deg, 0.9)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(keep == Set(0L, 2L, 3L))
+    // ...and the DLQ helper surfaces exactly the unadjudicated ids, so
+    // "dropped as duplicate" vs "no representation" stays distinguishable
+    val dlq = graft.ops.Curate.unrepresentedIds(deg)
+      .collect().map(_.getLong(0)).toSet
+    assert(dlq == Set(1L))
   }
 
   test("cosinePairs finds the near-duplicate pair only") {
