@@ -65,6 +65,43 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Everything one catalog pass produced, for the quiet judgment and the
+    * final JSON line. */
+  private final case class BenchRun(
+      qs: String,
+      total: Double,
+      coldTotal: Double,
+      sentinelStart: Double,
+      sentinelEnd: Double,
+      sentinelMtStart: Double,
+      sentinelMtEnd: Double,
+      segs: String,
+      segMax: Double,
+      driftJson: String,
+      nFlagged: Int)
+
+  /**
+   * Contention adjudication for one run — `None` means quiet (publishable
+   * as a reference), `Some(reason)` names the evidence. Bands are the
+   * measured quiet envelope of this box (single-thread spin ~0.76-0.82 s,
+   * all-core spin ~0.21 s), env-overridable for other hosts. The flag-count
+   * criterion catches the round-11 artifact shape: flat sentinels but a
+   * broad drift set from contention that hit between probes.
+   */
+  private def quietReason(r: BenchRun): Option[String] = {
+    val band = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_QUIET", "0.92").toDouble
+    val mtBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_MT_QUIET", "0.30").toDouble
+    val maxFlags = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MAX_FLAGS", "8").toInt
+    val mtMax = math.max(r.sentinelMtStart, r.sentinelMtEnd)
+    if (r.segMax > band)
+      Some(f"single-thread sentinel ${r.segMax}%.2f past quiet band $band%.2f")
+    else if (mtMax > mtBand)
+      Some(f"all-core sentinel $mtMax%.2f past quiet band $mtBand%.2f")
+    else if (r.nFlagged > maxFlags)
+      Some(s"${r.nFlagged} drift flags span more rows than one round touches")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     // every number below lands in MACHINE-PARSED JSON via f-interpolators,
     // which format with the JVM default locale — a comma-decimal locale
@@ -75,6 +112,30 @@ object Bench {
     // here turned into BENCH FAIL on every store_jdbc_*/tags_*_jdbc row.
     java.util.Locale.setDefault(java.util.Locale.US)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Retry-until-quiet (judge r11 item #4): a contended host produces an
+    // artifact whose regressions are machine noise, not plan changes —
+    // re-run the whole catalog (max SPARK_GRAFT_BENCH_ATTEMPTS, default 3)
+    // until the run self-attests quiet; the LAST run is kept regardless,
+    // with its adjudication (attempts, quiet, quiet_reason) in the JSON so
+    // a never-quiet artifact says so instead of reading as a regression.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    var attempt = 0
+    var run: BenchRun = null
+    var reason: Option[String] = None
+    while (attempt < maxAttempts && (run == null || reason.isDefined)) {
+      attempt += 1
+      run = runAttempt(sfDir)
+      reason = quietReason(run)
+      reason.foreach(r => System.err.println(s"BENCH attempt $attempt not quiet: $r"))
+    }
+    val quiet = reason.isEmpty
+    val reasonJson = reason.map(r => "\"" + r.replace("\"", "'") + "\"").getOrElse("null")
+    val line =
+      f"""{"metric":"catalog_total","value":${run.total}%.3f,"unit":"sec","queries":${run.qs},"cold_total":${run.coldTotal}%.3f,"sentinel_start":${run.sentinelStart}%.3f,"sentinel_end":${run.sentinelEnd}%.3f,"sentinel_mt_start":${run.sentinelMtStart}%.3f,"sentinel_mt_end":${run.sentinelMtEnd}%.3f,"sentinel_segments":${run.segs},"attempts":$attempt,"quiet":$quiet,"quiet_reason":$reasonJson,"drift":${run.driftJson},"sf":"$sfDir"}"""
+    println(line)
+  }
+
+  private def runAttempt(sfDir: String): BenchRun = {
     val sentinelStart = sentinel()
     val sentinelMtStart = sentinelMt()
     val spark = SparkSession.builder()
@@ -218,10 +279,10 @@ object Bench {
       val idx = sortedNames.indexOf(name) + 1 // 1-based catalog position
       segments.find(_._1 >= idx).map(_._2).getOrElse(sentinelEnd)
     }
-    val driftJson = {
+    val (driftJson, nFlagged) = {
       val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
       val f = new java.io.File(refPath)
-      if (!f.exists()) s"""{"ref":null,"checked":0,"n_flagged":0,"flagged":[]}"""
+      if (!f.exists()) (s"""{"ref":null,"checked":0,"n_flagged":0,"flagged":[]}""", 0)
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(f)
@@ -237,11 +298,12 @@ object Bench {
         val items = flagged.take(8).map { case (k, p, w, r, s) =>
           f"""{"q":"$k","prev":$p%.3f,"now":$w%.3f,"ratio":$r%.2f,"seg":$s%.2f}"""
         }.mkString("[", ",", "]")
-        s"""{"ref":"$ref","checked":$checked,"n_flagged":${flagged.size},"flagged":$items}"""
+        (s"""{"ref":"$ref","checked":$checked,"n_flagged":${flagged.size},"flagged":$items}""",
+          flagged.size)
       } catch {
         case e: Exception =>
           System.err.println(s"BENCH drift-ref unreadable: $e")
-          s"""{"ref":"unreadable","checked":0,"n_flagged":0,"flagged":[]}"""
+          (s"""{"ref":"unreadable","checked":0,"n_flagged":0,"flagged":[]}""", 0)
       }
     }
 
@@ -259,8 +321,8 @@ object Bench {
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"BENCH full-out write failed: $e") }
 
-    val line =
-      f"""{"metric":"catalog_total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"drift":$driftJson,"sf":"$sfDir"}"""
-    println(line)
+    val segMax = (segments.map(_._2) :+ sentinelStart :+ sentinelEnd).max
+    BenchRun(qs, total, coldTotal, sentinelStart, sentinelEnd,
+      sentinelMtStart, sentinelMtEnd, segs, segMax, driftJson, nFlagged)
   }
 }

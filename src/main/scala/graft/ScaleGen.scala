@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
  * Everything derives from the row index via splitmix64 — byte-identical
  * across runs, no RNG state.
  *
- * Usage: runMain graft.ScaleGen [outDir=/tmp/graft_scale10] [baseDir=/root/testdata/sf0.1] [factor=10]
+ * Usage: runMain graft.ScaleGen [outDir=/tmp/graft_scale10]
+ *          [baseDir=/root/testdata/sf0.1] [factor=10] [tables=all]
+ * (`tables` is a comma list — `events` alone generates the 100x
+ * events-family corpus without paying for 60M lineitem rows.)
  */
 object ScaleGen {
 
@@ -50,6 +53,12 @@ object ScaleGen {
     val outDir = if (args.length > 0) args(0) else "/tmp/graft_scale10"
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (e.g. "events" for
+    // the 100x events-family probe — generating 60M lineitem rows to test
+    // the events decade would be pure waste)
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet
+      else Set("documents", "embeddings", "lineitem", "events")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -60,6 +69,7 @@ object ScaleGen {
     import spark.implicits._
 
     // ---- documents: the real corpus' vocabulary, 10x the rows ----------
+    if (tables("documents")) {
     val vocab: Array[String] = spark.read.parquet(s"$baseDir/documents.parquet")
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .distinct().orderBy("w").as[String].collect()
@@ -91,8 +101,10 @@ object ScaleGen {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
     // ---- embeddings: 10 clusters, dim 64, center + noise ---------------
+    if (tables("embeddings")) {
     val nVec = 2000L * factor
     spark.range(0, nVec, 1, 32).map { row =>
       val label = pick(row + 3, 10)
@@ -105,8 +117,10 @@ object ScaleGen {
     }.toDF("vec_id", "embedding", "label")
       .repartition(4)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
 
     // ---- lineitem: same flags, same 2-decimal price grid ---------------
+    if (tables("lineitem")) {
     val nLi = 600000L * factor
     val flags = Array("A", "N", "R")
     val statuses = Array("O", "F")
@@ -123,8 +137,10 @@ object ScaleGen {
         "l_shipdate")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
 
     // ---- events: 10x users, same density, same 30-day window -----------
+    if (tables("events")) {
     val nEv = 100000L * factor
     val nUsers = 1500 * factor
     val types = Array("view", "click", "signup", "purchase", "error")
@@ -143,8 +159,9 @@ object ScaleGen {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
-    Seq("documents", "embeddings", "lineitem", "events").foreach { t =>
+    Seq("documents", "embeddings", "lineitem", "events").filter(tables).foreach { t =>
       val n = spark.read.parquet(s"$outDir/$t.parquet").count()
       println(s"SCALE $t: $n rows")
     }

@@ -243,8 +243,16 @@ object SparkEntry {
    * the r7 gate on pipeline_dsir_weights (one doc's logw rounded to -0.0
    * in DuckDB, +0.0 in Spark).
    */
-  def oracleSql: Map[String, String] =
-    (engineOracles ++ opsOracles).map { case (k, sql) => k -> symmetricRound(sql) }
+  def oracleSql: Map[String, String] = {
+    val base =
+      (engineOracles ++ opsOracles).map { case (k, sql) => k -> symmetricRound(sql) }
+    // the streaming-parity rows are judged by the BATCH oracles verbatim:
+    // same rows out of the streaming path or the row fails
+    base ++ Map(
+      "join_asof_stream" -> base("join_asof"),
+      "join_interval_stream" -> base("join_interval"),
+      "events_wau_stream" -> base("events_wau"))
+  }
 
   /** Rewrite every `round(args)` call in an oracle SQL string (balanced-
    *  paren aware, nested calls handled) to `(round(EPS + args) + 0.0)` —
@@ -822,6 +830,171 @@ object SparkEntry {
     }
   }
 
+  /** Shared session-bound compute-once for the streaming gate rows (the
+    * [[streamSessionize]] cache shape, factored for the r12 additions). */
+  private val streamRowCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def streamRow(key: String, s: SparkSession)(compute: () => DataFrame): DataFrame =
+    fdLock(key).synchronized {
+      streamRowCache.get(key).filter(_.sparkSession eq s).getOrElse {
+        val fresh = compute()
+        streamRowCache.put(key, fresh)
+        fresh
+      }
+    }
+
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    import scala.util.Using
+    Using.resource(java.nio.file.Files.walk(dir)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** The join_asof row through [[graft.ops.Joins.streamingAsof]]: both
+    * event slices ride MemoryStreams, far-future sentinel rows advance
+    * both watermarks past every real left and fire the event-time
+    * timeouts that finalize carried lefts (two rounds, as StreamSpec
+    * does), then the sentinel user filters back out — the BATCH oracle
+    * judges the streamed result. Sentinel user = max(user_id)+1 by
+    * derivation (collision-proof). */
+  private def streamAsof(s: SparkSession, d: String): DataFrame =
+    streamRow("asof:" + d, s) { () =>
+      import graft.ops.{EventOps, Joins}
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+      try {
+        val evts = EventOps.events(s, d)
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("event_type"), col("tms"), col("value"))
+          .as[(Long, Option[Long], String, Long, Double)].collect().toSeq
+        val maxTms = evts.iterator.map(_._4).max
+        val sentinelUser = evts.iterator.flatMap(_._2).foldLeft(0L)(math.max) + 1L
+        def slice(t: String) =
+          evts.filter(_._3 == t).map(e => (e._1, e._2, e._4, e._5))
+        val pIn = MemoryStream[(Long, Option[Long], Long, Double)]
+        val cIn = MemoryStream[(Long, Option[Long], Long, Double)]
+        val out = Joins.streamingAsof(
+          pIn.toDF.toDF("event_id", "user_id", "tms", "value"),
+          cIn.toDF.toDF("event_id", "user_id", "tms", "value"),
+          Seq("user_id"), "tms", "tms", Seq("value"), watermark = "1 minute")
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          pIn.addData(slice("purchase"))
+          cIn.addData(slice("click"))
+          query.processAllAvailable()
+          // round 1 advances both watermarks past every real left; round 2
+          // triggers the event-time timeouts that flush carried state
+          Seq(3600000L, 7200000L).foreach { adv =>
+            pIn.addData(Seq((-1L, Some(sentinelUser), maxTms + adv, 0.0)))
+            cIn.addData(Seq((-2L, Some(sentinelUser), maxTms + adv, 0.0)))
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .filter(!(col("user_id") <=> sentinelUser))
+          .select(col("event_id"), col("user_id"), col("tms"), col("value"),
+            col("asof_value"), col("asof_tms"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The join_interval row through [[graft.ops.Joins.streamingIntervalJoin]]:
+    * error events and the (batch-derived) session intervals ride two
+    * MemoryStreams into the watermarked stream-stream inner join; the
+    * interval-length cap — the operator's bounded-state data contract —
+    * is derived from the corpus (longest session + 1) so no real row is
+    * excluded, and the batch oracle judges the result. */
+  private def streamIntervalJoin(s: SparkSession, d: String): DataFrame =
+    streamRow("ivjoin:" + d, s) { () =>
+      import graft.ops.{EventOps, Joins}
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_iv_stream")
+      try {
+        val ev = EventOps.events(s, d)
+        val pts = ev.filter(col("event_type") === "error")
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("tms"), col("value"))
+          .as[(Long, Option[Long], Long, Double)].collect().toSeq
+        val ivs = EventOps.sessionize(ev, gapMs = 21600000L)
+          .select(col("user_id").cast("long"), col("session_start"),
+            col("session_end"), col("n_events"))
+          .as[(Option[Long], Long, Long, Double)].collect().toSeq
+        val maxT = (pts.iterator.map(_._3) ++ ivs.iterator.map(_._3)).max
+        val sentinelUser =
+          (pts.iterator.flatMap(_._2) ++ ivs.iterator.flatMap(_._1))
+            .foldLeft(0L)(math.max) + 1L
+        val maxIv = ivs.iterator.map(i => i._3 - i._2).foldLeft(0L)(math.max) + 1L
+        val pIn = MemoryStream[(Long, Option[Long], Long, Double)]
+        val iIn = MemoryStream[(Option[Long], Long, Long, Double)]
+        val out = Joins.streamingIntervalJoin(
+          pIn.toDF.toDF("event_id", "user_id", "tms", "value"),
+          iIn.toDF.toDF("user_id", "session_start", "session_end", "n_events"),
+          Seq("user_id"), "tms", "session_start", "session_end",
+          Seq("n_events"), maxIntervalMs = maxIv, watermark = "1 minute")
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          pIn.addData(pts)
+          iIn.addData(ivs)
+          query.processAllAvailable()
+          // advance both watermarks so every pending match finalizes
+          pIn.addData(Seq((-1L, Some(sentinelUser), maxT + 3600000L, 0.0)))
+          iIn.addData(Seq((Some(sentinelUser), maxT + 3600000L, maxT + 3600001L, 1.0)))
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .filter(!(col("user_id") <=> sentinelUser))
+          .select(col("event_id"), col("user_id"), col("tms"), col("value"),
+            col("iv_session_start"), col("iv_session_end"), col("iv_n_events"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The events_wau row through [[graft.streaming.StreamRunner
+    * .streamingActiveUsers]]: the corpus arrives in TWO micro-batches
+    * (split by event id parity) so the persisted-state novelty anti-join
+    * and the affected-day recount genuinely run, then [[graft.streaming
+    * .StreamRunner.readActiveUsers]]' latest-per-day view is judged by
+    * the batch oracle. */
+  private def streamWau(s: SparkSession, d: String): DataFrame =
+    streamRow("wau:" + d, s) { () =>
+      import graft.ops.EventOps
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_wau_stream")
+      try {
+        val evts = EventOps.events(s, d)
+          .select(col("event_id").cast("long"), col("user_id").cast("long"), col("tms"))
+          .as[(Long, Option[Long], Long)].collect().toSeq
+        val input = MemoryStream[(Option[Long], Long)]
+        val query = graft.streaming.StreamRunner.streamingActiveUsers(
+          input.toDF.toDF("user_id", "tms"),
+          s"$base/state", s"$base/out", s"$base/ckpt", windowDays = 7)
+        try {
+          input.addData(evts.filter(_._1 % 2 == 0L).map(e => (e._2, e._3)))
+          query.processAllAvailable()
+          input.addData(evts.filter(_._1 % 2 != 0L).map(e => (e._2, e._3)))
+          query.processAllAvailable()
+        } finally query.stop()
+        graft.streaming.StreamRunner.readActiveUsers(s, s"$base/out")
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
   /** Hand-pinned WELL-FORMED merge list (every operand a single char or
     * an earlier merge's product — the invariant published merges.txt
     * files carry, frozen here from one sf0.01 training run so the pieces
@@ -1256,6 +1429,13 @@ object SparkEntry {
       // append mode + sentinel-driven finalization) against the batch
       // oracle — the session_window merge bound must agree end to end
       "events_sessionize_stream" -> ((s, d) => streamSessionize(s, d)),
+      // r12 streaming-parity promotions: the sessionize-stream pattern
+      // (MemoryStream feed, sentinel finalization, BATCH oracle judges the
+      // streamed rows) generalized to the as-of join, the interval join
+      // and the stateful rolling-active-users sink
+      "join_asof_stream" -> ((s, d) => streamAsof(s, d)),
+      "join_interval_stream" -> ((s, d) => streamIntervalJoin(s, d)),
+      "events_wau_stream" -> ((s, d) => streamWau(s, d)),
       "events_funnel" -> ((s, d) =>
         EventOps.funnel(EventOps.events(s, d),
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
@@ -1343,9 +1523,8 @@ object SparkEntry {
         Curate.tokenBudgetSample(docs(s, d), Map("src0" -> 3000L, "src1" -> 800L))
           .select(col("doc_id"), col("source"))),
       // the tokenCountCol hook, oracle-green: the budget spends a count
-      // COLUMN (n_chars here) instead of the whitespace proxy — proves
-      // the threading end-to-end where DuckDB can replicate it; the BPE
-      // denomination itself is the rows-only *_bpe rows + BpeSpec bars
+      // COLUMN (n_chars here) instead of the whitespace proxy; since r12
+      // the BPE denomination itself is ALSO hash-green (trained replay)
       "pipeline_token_budget_col" -> ((s, d) =>
         Curate.tokenBudgetSample(docs(s, d), Map("src0" -> 50000L, "src1" -> 15000L),
           tokenCountCol = Some("n_chars"))
@@ -1376,9 +1555,10 @@ object SparkEntry {
       }),
       // -- model-faithful BPE token counts (judge r6 item #1): tokenizer
       // trained on the corpus itself (one histogram pass + driver learn),
-      // counts from the real byte-level merge loop. Iterative BPE is not
-      // SQL-expressible -> rows-only; BpeSpec pins hand-computed merges,
-      // counts, and the budget/pack/chunk integration
+      // counts from the real byte-level merge loop. HASH-GREEN since r12:
+      // the "iterative BPE is not SQL-expressible" exclusion was wrong —
+      // Bpe.trainedCtes replays the training itself as a recursive CTE
+      // (histogram -> argmax merge rounds -> shared encode replay)
       "text_bpe_tokens" -> ((s, d) =>
         TextOps.bpeTokenCounts(docs(s, d), corpusBpe(s, d))),
       // the encode KERNEL hash-checked: the exploded piece stream under
@@ -1386,11 +1566,12 @@ object SparkEntry {
       // of the same pretokenize -> byte-unicode -> merge loop
       "text_bpe_tokens_fixed" -> ((s, d) =>
         TextOps.bpePieces(docs(s, d), Bpe.fromMerges(FixedBpeMerges))),
-      // id-FIDELITY row (rows-only): the published-tokenizer path end to
-      // end — merges.txt + vocab.json (non-rank ids) + special token
-      // loaded from storage, every doc's id stream pinned as a scalar
-      // digest. BpeSpec pins that loaded ids == direct-override ids and
-      // differ from the merge-rank enumeration
+      // id-FIDELITY row (hash-green since r12): the published-tokenizer
+      // path end to end — merges.txt + vocab.json (non-rank ids) +
+      // special token loaded from storage, every doc's id stream pinned
+      // as a scalar digest against DuckDB's trained replay under the
+      // SORTED-token id assignment. BpeSpec additionally pins that loaded
+      // ids == direct-override ids and differ from the rank enumeration
       "text_bpe_ids_published" -> ((s, d) =>
         TextOps.bpeTokenIdDigests(docs(s, d), publishedBpe(s, d))),
       "pipeline_token_budget_bpe" -> ((s, d) => {
@@ -1404,9 +1585,10 @@ object SparkEntry {
       }),
       "pipeline_chunk_bpe" -> ((s, d) =>
         Curate.chunkBpe(docs(s, d), corpusBpe(s, d))),
-      // the MATERIALIZED packed layout: real token-id sequences (rows-only
-      // — BPE ids; BpeSpec pins exact stream reconstruction). Exploded to
-      // one (shard, seq_id, slot, token_id) scalar cell per token so the
+      // the MATERIALIZED packed layout: real token-id sequences,
+      // hash-green since r12 (trained replay + rank-id vocab CTE; BpeSpec
+      // also pins exact stream reconstruction). Exploded to one
+      // (shard, seq_id, slot, token_id) scalar cell per token so the
       // driver can sort/hash the frame (array<int> crashed its checker in
       // r7); the operator API (packTokenIds) keeps the array layout
       "pipeline_pack_ids" -> ((s, d) =>
@@ -2942,6 +3124,96 @@ object SparkEntry {
       // the encode kernel's recursive replay under the shared fixed
       // merge constant (see FixedBpeMerges / Bpe.encodeOracleSql)
       "text_bpe_tokens_fixed" -> graft.ops.Bpe.encodeOracleSql(FixedBpeMerges),
+      // the five TRAINED-tokenizer rows, converted from rows-only (judge
+      // r11 item #3): Bpe.trainedCtes replays the training itself in
+      // DuckDB — histogram -> 100 argmax merge rounds -> the shared
+      // encode replay — so each oracle verifies the learned merges AND
+      // the row's own downstream arithmetic. corpusBpe params pinned
+      // here: numMerges=100, maxWords=8000, minPairCount=2
+      "text_bpe_tokens" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |bpn AS (SELECT doc_id, count(*) AS nb FROM pieces GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_ws_tokens,
+           |       CAST(coalesce(b.nb, 0) AS DOUBLE) AS n_bpe_tokens
+           |FROM documents d LEFT JOIN bpn b ON d.doc_id = b.doc_id""".stripMargin,
+      // published-id fidelity: ids under the SORTED-token vocab.json
+      // assignment (not the merge-rank enumeration); digest = md5 of the
+      // comma-joined id stream, empty stream = md5('')
+      "text_bpe_ids_published" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |${graft.ops.Bpe.publishedVocabCte},
+           |dig AS (
+           |  SELECT p.doc_id, count(*) AS n_tokens,
+           |         md5(string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY p.pos)) AS ids_md5
+           |  FROM pieces p JOIN vocab v ON v.t = p.piece
+           |  GROUP BY p.doc_id)
+           |SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+           |       coalesce(g.ids_md5, md5('')) AS ids_md5
+           |FROM documents d LEFT JOIN dig g ON d.doc_id = g.doc_id""".stripMargin,
+      // the whitespace pipeline_token_budget oracle with the trained-BPE
+      // denomination threaded through the same hash-order prefix spend
+      "pipeline_token_budget_bpe" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |bpn AS (SELECT doc_id, count(*) AS nb FROM pieces GROUP BY doc_id),
+           |t AS (
+           |  SELECT d.doc_id, d.source, coalesce(b.nb, 0) AS n,
+           |         md5('42:' || CAST(d.doc_id AS VARCHAR)) AS h
+           |  FROM documents d LEFT JOIN bpn b ON d.doc_id = b.doc_id),
+           |c AS (SELECT doc_id, source, n,
+           |        coalesce(sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+           |      FROM t)
+           |SELECT doc_id, source, CAST(n AS DOUBLE) AS n_bpe_tokens FROM c
+           |WHERE prior < (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
+           |               ELSE 9223372036854775807 END)""".stripMargin,
+      // the pipeline_chunk window/stride arithmetic over TRAINED-BPE
+      // pieces; chunk_text decodes the piece slice (Ġ -> space under the
+      // printable-ASCII corpus scope the BPE oracles share)
+      "pipeline_chunk_bpe" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |pl AS (SELECT doc_id, list(piece ORDER BY pos) AS toks FROM pieces GROUP BY doc_id),
+           |pall AS (
+           |  SELECT d.doc_id, coalesce(p.toks, CAST([] AS VARCHAR[])) AS toks
+           |  FROM documents d LEFT JOIN pl p ON d.doc_id = p.doc_id),
+           |c AS (
+           |  SELECT doc_id, toks, len(toks) AS n,
+           |         CASE WHEN len(toks) <= 32 THEN 1
+           |              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+           |  FROM pall),
+           |x AS (
+           |  SELECT doc_id, n, toks,
+           |         unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+           |SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_start,
+           |       least(32, n - chunk_idx * 24) AS n_tok,
+           |       replace(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ''), 'Ġ', ' ') AS chunk_text
+           |FROM x""".stripMargin,
+      // the pipeline_pack_tokens placement arithmetic over TRAINED-BPE
+      // token ids (merge-rank enumeration), seqLen=128
+      "pipeline_pack_ids" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |${graft.ops.Bpe.rankVocabCte},
+           |ti AS (
+           |  SELECT p.doc_id, d.source, p.pos, v.id
+           |  FROM pieces p JOIN documents d ON p.doc_id = d.doc_id
+           |  JOIN vocab v ON v.t = p.piece),
+           |-- one window, no re-join: docs concatenate in (doc_id, pos)
+           |-- order within each shard, and a NULL shard is a regular
+           |-- window partition (an equi-join back on source would silently
+           |-- drop NULL-source docs — the stress corpus caught exactly that)
+           |x AS (SELECT source AS shard,
+           |             row_number() OVER (PARTITION BY source
+           |                                ORDER BY doc_id, pos) - 1 AS gpos,
+           |             id
+           |      FROM ti)
+           |SELECT shard, gpos // 128 AS seq_id, CAST(gpos % 128 AS INT) AS slot,
+           |       id AS token_id
+           |FROM x""".stripMargin,
       // the scoring kernel's replay under the shared fixed weights
       "clf_score_fixed" -> graft.ops.Classifier.scoreOracleSql(FixedClfWeights),
       "clf_pr_curve" ->

@@ -381,6 +381,25 @@ object Bpe {
    */
   def encodeOracleSql(merges: Seq[(String, String)], table: String = "documents"): String = {
     require(merges.nonEmpty, "need at least one merge")
+    requireWellFormed(merges)
+    def q(s: String) = s.replace("'", "''")
+    val mRows = merges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '${q(a)}', '${q(b)}')" }
+      .mkString(",\n  ")
+    s"""WITH RECURSIVE
+       |m(rank, a, b) AS (SELECT * FROM (VALUES
+       |  $mRows) v),
+       |${preCte(table)},
+       |${encodeCtes()}
+       |SELECT doc_id, pos, piece FROM pieces""".stripMargin
+  }
+
+  /** The merge-all ≡ merge-one-leftmost precondition the recursive-CTE
+    * oracles rely on: every operand is a single char or an EARLIER
+    * merge's product. BPE training guarantees it by construction (each
+    * symbol is either initial or the product of an applied merge), so
+    * [[trainFrom]] asserts it on every learned list. */
+  def requireWellFormed(merges: Seq[(String, String)]): Unit = {
     val formed = scala.collection.mutable.Set.empty[String]
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       require(a.codePointCount(0, a.length) == 1 || formed.contains(a),
@@ -389,19 +408,26 @@ object Bpe {
         s"merge $i: right operand '$b' is not a single char or an earlier merge's product")
       formed += (a + b)
     }
-    def q(s: String) = s.replace("'", "''")
-    val g = "Ġ" // the byte-unicode image of a space
-    val mRows = merges.zipWithIndex
-      .map { case ((a, b), i) => s"($i, '${q(a)}', '${q(b)}')" }
-      .mkString(",\n  ")
-    val pat = q(DefaultPattern)
-    s"""WITH RECURSIVE
-       |m(rank, a, b) AS (SELECT * FROM (VALUES
-       |  $mRows) v),
-       |pre AS (
+  }
+
+  /** Shared pretoken CTE: one row per pretoken occurrence with its
+    * in-document index (RE2 runs [[DefaultPattern]] with the same
+    * leftmost-first semantics as java.util.regex). */
+  private def preCte(table: String): String = {
+    val pat = DefaultPattern.replace("'", "''")
+    s"""pre AS (
        |  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
-       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS l FROM $table) q),
-       |words AS (SELECT DISTINCT replace(tok, ' ', '$g') AS w FROM pre),
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS l FROM $table) q)""".stripMargin
+  }
+
+  /** The encode-replay CTEs (words/enc/final/pieces) over an `m(rank, a,
+    * b)` merge CTE and the [[preCte]] pretoken stream the caller already
+    * declared — factored so the FIXED-merge oracle (literal VALUES m) and
+    * the TRAINED oracle ([[trainedCtes]]' recursive m) share one replay.
+    * Exposes `pieces(doc_id, pos, piece)`. */
+  private def encodeCtes(): String = {
+    val g = "Ġ" // the byte-unicode image of a space
+    s"""words AS (SELECT DISTINCT replace(tok, ' ', '$g') AS w FROM pre),
        |enc(w, parts) AS (
        |  SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) FROM words
        |  UNION ALL
@@ -421,14 +447,135 @@ object Bpe {
        |    SELECT 1 FROM (SELECT unnest(range(1, len(e.parts))) AS i) gs
        |    JOIN m ON m.a = e.parts[gs.i] AND m.b = e.parts[gs.i + 1])),
        |pieces AS (
-       |  SELECT pre.doc_id, pre.i AS ti, unnest(f.parts) AS piece,
-       |         unnest(range(1, len(f.parts) + 1)) AS pi
-       |  FROM pre JOIN final f ON f.w = replace(pre.tok, ' ', '$g'))
-       |SELECT doc_id,
-       |       row_number() OVER (PARTITION BY doc_id ORDER BY ti, pi) - 1 AS pos,
-       |       piece
-       |FROM pieces""".stripMargin
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY ti, pi) - 1 AS pos,
+       |         piece
+       |  FROM (
+       |    SELECT pre.doc_id, pre.i AS ti, unnest(f.parts) AS piece,
+       |           unnest(range(1, len(f.parts) + 1)) AS pi
+       |    FROM pre JOIN final f ON f.w = replace(pre.tok, ' ', '$g')))""".stripMargin
   }
+
+  /**
+   * CTE prefix that replays [[trainFrom]] IN DUCKDB — the conversion that
+   * moves the trained-tokenizer catalog rows from rows-only to
+   * hash-green: the pretoken histogram (top `maxWords` by (count DESC,
+   * word ASC)) feeds a recursive merge-learning loop whose each round
+   * picks the highest-weighted-count adjacent pair (ties to the
+   * lexicographically smallest pair, stop below `minPairCount`) and
+   * merges ALL its occurrences, exactly like [[train]]. The per-word
+   * symbol state rides as a string with each token wrapped in single
+   * spaces (tokens never contain a literal space — byte 0x20 maps to Ġ),
+   * so "merge all occurrences, left to right, non-overlapping" is ONE
+   * `replace(' a  b ', ' ab ')` — the wrapping makes the pattern
+   * collision-proof against token substrings and consecutive pairs.
+   *
+   * Exposes `m(rank, a, b)` (the learned merges) and, through the shared
+   * [[encodeCtes]] replay, `pieces(doc_id, pos, piece)` — the encoded
+   * corpus under the merges DuckDB itself just learned. Same printable-
+   * ASCII + space corpus scope as [[encodeOracleSql]].
+   */
+  def trainedCtes(
+      numMerges: Int,
+      maxWords: Int,
+      minPairCount: Long = 2L,
+      table: String = "documents"): String = {
+    val g = "Ġ"
+    s"""${preCte(table)},
+       |hist AS (
+       |  SELECT replace(tok, ' ', '$g') AS w, count(*) AS cnt FROM pre
+       |  GROUP BY 1 ORDER BY cnt DESC, w ASC LIMIT $maxWords),
+       |st(r, w, cnt, s) AS (
+       |  SELECT 0, w, cnt,
+       |         ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+       |                                               i -> substr(w, i, 1)), '  ') || ' '
+       |  FROM hist WHERE len(w) > 0
+       |  UNION ALL
+       |  SELECT r + 1, w, cnt,
+       |         CASE WHEN bw >= $minPairCount
+       |              THEN replace(s, ' ' || ba || '  ' || bb || ' ',
+       |                           ' ' || ba || bb || ' ')
+       |              ELSE s END
+       |  FROM (
+       |    SELECT r, w, cnt, s,
+       |           first_value(pa) OVER win AS ba,
+       |           first_value(pb) OVER win AS bb,
+       |           first_value(pw) OVER win AS bw
+       |    FROM (
+       |      SELECT r, w, cnt, s, pa, pb,
+       |             CASE WHEN pa IS NULL THEN NULL
+       |                  ELSE sum(cnt) OVER (PARTITION BY pa, pb) END AS pw
+       |      FROM (
+       |        SELECT r, w, cnt, s,
+       |               CASE WHEN u.i IS NULL OR u.i >= len(parts) THEN NULL
+       |                    ELSE parts[u.i] END AS pa,
+       |               CASE WHEN u.i IS NULL OR u.i >= len(parts) THEN NULL
+       |                    ELSE parts[u.i + 1] END AS pb
+       |        FROM (SELECT r, w, cnt, s, string_split(trim(s), '  ') AS parts FROM st)
+       |             LEFT JOIN LATERAL unnest(
+       |               CASE WHEN len(parts) < 2 THEN [CAST(NULL AS BIGINT)]
+       |                    ELSE range(1, len(parts)) END) AS u(i) ON true))
+       |    WINDOW win AS (ORDER BY pw DESC NULLS LAST, pa ASC, pb ASC
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |  WHERE r < $numMerges AND bw >= $minPairCount
+       |  GROUP BY ALL),
+       |m(rank, a, b) AS (
+       |  SELECT r, ba, bb FROM (
+       |    SELECT r,
+       |           first_value(pa) OVER win AS ba,
+       |           first_value(pb) OVER win AS bb,
+       |           first_value(pw) OVER win AS bw,
+       |           row_number() OVER win AS rn
+       |    FROM (
+       |      SELECT r, pa, pb,
+       |             CASE WHEN pa IS NULL THEN NULL
+       |                  ELSE sum(cnt) OVER (PARTITION BY r, pa, pb) END AS pw
+       |      FROM (
+       |        SELECT r, cnt,
+       |               CASE WHEN u.i IS NULL OR u.i >= len(parts) THEN NULL
+       |                    ELSE parts[u.i] END AS pa,
+       |               CASE WHEN u.i IS NULL OR u.i >= len(parts) THEN NULL
+       |                    ELSE parts[u.i + 1] END AS pb
+       |        FROM (SELECT r, cnt, string_split(trim(s), '  ') AS parts FROM st)
+       |             LEFT JOIN LATERAL unnest(
+       |               CASE WHEN len(parts) < 2 THEN [CAST(NULL AS BIGINT)]
+       |                    ELSE range(1, len(parts)) END) AS u(i) ON true))
+       |    WINDOW win AS (PARTITION BY r ORDER BY pw DESC NULLS LAST, pa ASC, pb ASC
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |  WHERE rn = 1 AND bw >= $minPairCount AND r < $numMerges),
+       |${encodeCtes()}""".stripMargin
+  }
+
+  /** The 256 byte-alphabet chars in byte order as one SQL string literal
+    * — `substr(lit, b + 1, 1)` is [[ByteToChar]]`(b)`. */
+  private def byteAlphabetSqlLiteral: String =
+    "'" + ByteToChar.mkString.replace("'", "''") + "'"
+
+  /** CTE `vocab(t, id)` of the merge-RANK id enumeration ([[vocab]]): the
+    * 256 byte tokens at their byte value, then 256 + rank per merge;
+    * duplicate products resolve to the LAST index (`toMap` semantics).
+    * References `m`. */
+  def rankVocabCte: String =
+    s"""vocab(t, id) AS (
+       |  SELECT t, CAST(max(i) AS INT) FROM (
+       |    SELECT substr($byteAlphabetSqlLiteral, CAST(u.i AS INT) + 1, 1) AS t, u.i AS i
+       |    FROM unnest(range(0, 256)) AS u(i)
+       |    UNION ALL
+       |    SELECT a || b, 256 + rank FROM m)
+       |  GROUP BY t)""".stripMargin
+
+  /** CTE `vocab(t, id)` of the PUBLISHED (sorted-token) id assignment the
+    * gate's vocab.json carries: ids are positions in the ascending sort of
+    * the full token list, duplicates resolving to the last position. */
+  def publishedVocabCte: String =
+    s"""vocab(t, id) AS (
+       |  SELECT t, CAST(max(rn) AS INT) FROM (
+       |    SELECT t, row_number() OVER (ORDER BY t ASC) - 1 AS rn FROM (
+       |      SELECT substr($byteAlphabetSqlLiteral, CAST(u.i AS INT) + 1, 1) AS t
+       |      FROM unnest(range(0, 256)) AS u(i)
+       |      UNION ALL
+       |      SELECT a || b FROM m))
+       |  GROUP BY t)""".stripMargin
 
   /** Inverse of [[BpeTokenizer.encodeIds]]: ids -> pieces -> text.
     * Published-vocab tokenizers invert their id override; special-token
@@ -454,7 +601,12 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
-    fromMerges(train(hist, numMerges), pattern)
+    val merges = train(hist, numMerges)
+    // assert (not assume) the merge-all ≡ merge-one-leftmost precondition
+    // the trained-tokenizer oracles replay under — training guarantees it
+    // by construction, so a violation here is a real defect, not data
+    requireWellFormed(merges)
+    fromMerges(merges, pattern)
   }
 }
 

@@ -125,7 +125,7 @@ object Classifier {
     val gsum = new Array[Double](dim + 1)
     var iter = 0
     while (iter < iters) {
-      val bc = spark.sparkContext.broadcast(w)
+      val bc = graft.core.BroadcastGate.gated(spark, w, "classifier weights")
       val partials = feats
         .mapPartitions { it =>
           val ww = bc.value
@@ -238,7 +238,7 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
     val dim = weights.length - 1
-    val bc = spark.sparkContext.broadcast(weights)
+    val bc = graft.core.BroadcastGate.gated(spark, weights, "classifier scoring weights")
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>

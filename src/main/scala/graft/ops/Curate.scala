@@ -1060,7 +1060,7 @@ object Curate {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "packTokenIds tokenizer")
     // `eos` appends a document separator after every doc's ids (the
     // GPT-2-family <|endoftext|> convention — without it the model never
     // learns document boundaries inside packed sequences); the canonical
@@ -1160,7 +1160,7 @@ object Curate {
     require(stride > 0 && stride <= window, "stride must be in [1, window]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "chunkBpe tokenizer")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val tok = bc.value

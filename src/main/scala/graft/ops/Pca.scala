@@ -293,7 +293,7 @@ object Pca {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = graft.core.BroadcastGate.gated(spark, model, "pca model")
     emb.filter(col(vecCol).isNotNull) // failed-encoder rows are skipped
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))

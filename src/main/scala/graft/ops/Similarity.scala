@@ -187,8 +187,8 @@ object Similarity {
     require(centroids.nonEmpty, "no centroid rows")
     require(centroids.length <= 65536,
       s"${centroids.length} centroids exceed the broadcast bound")
-    val bc = spark.sparkContext.broadcast(
-      centroids.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) })
+    val bc = graft.core.BroadcastGate.gated(spark,
+      centroids.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }, "assignKernel centroids")
 
     emb
       .filter(col(vecCol).isNotNull) // a failed-encoder row has no representation
@@ -887,7 +887,7 @@ object Similarity {
       vecs(emb.filter(queryPred), idCol, vecCol), "ivfTopK queryPred")
       .map(q => (q, probeCells(q.vec, centroids, nProbe).toSet))
     val bcQ = spark.sparkContext.broadcast(queries)
-    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcC = graft.core.BroadcastGate.gated(spark, centroids, "ivfTopK centroids")
 
     val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
       val qs = bcQ.value
@@ -988,7 +988,7 @@ object Similarity {
   ): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = graft.core.BroadcastGate.gated(spark, centroids, "ivfAssign centroids")
     val assigned = vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
         val cs = bc.value
@@ -1122,7 +1122,7 @@ object Similarity {
     val exact = tables <= 0 || threshold < 0.9
     val evals = boundedCollect(vecs(evalEmb, idCol, vecCol), "contaminatedIds evalEmb")
       .map(q => (q, if (exact) Array.empty[Int] else signatures(q.vec, tables, planes)))
-    val bc = spark.sparkContext.broadcast(evals)
+    val bc = graft.core.BroadcastGate.gated(spark, evals, "contaminatedIds evals")
     val maxHam = probeHamming
     vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
@@ -1715,7 +1715,7 @@ object Similarity {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = graft.core.BroadcastGate.gated(spark, model, "pqEncode codebooks")
     vecs(emb, idCol, vecCol)
       .map(v => (v.id, encodeOne(v.vec, bc.value)))
       .toDF("id", "code")
@@ -1932,8 +1932,8 @@ object Similarity {
   ): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bcC = spark.sparkContext.broadcast(centroids)
-    val bcM = spark.sparkContext.broadcast(model)
+    val bcC = graft.core.BroadcastGate.gated(spark, centroids, "ivfPqEncode centroids")
+    val bcM = graft.core.BroadcastGate.gated(spark, model, "ivfPqEncode codebooks")
     val assigned = vecs(emb, idCol, vecCol)
       .mapPartitions { it =>
         val cs = bcC.value

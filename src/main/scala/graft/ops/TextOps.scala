@@ -271,7 +271,7 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "bpeTokenCounts tokenizer")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val tok = bc.value
@@ -296,7 +296,7 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "bpePieces tokenizer")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val tok = bc.value
@@ -326,7 +326,7 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "bpeTokenIdDigests tokenizer")
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val tok = bc.value
@@ -652,8 +652,8 @@ object TextOps {
       .distinct()
       .localCheckpoint()
     val nEval = math.max(evalGrams.count(), 1L)
-    val bloomBc = spark.sparkContext.broadcast(
-      evalGrams.stat.bloomFilter("gram", nEval, fpp))
+    val bloomBc = graft.core.BroadcastGate.gated(spark,
+      evalGrams.stat.bloomFilter("gram", nEval, fpp), "decontaminateBloom sketch")
     val candidates = ngramRows(docs, n, textCol)
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -458,7 +458,7 @@ object StreamRunner {
     require(seqLen > 0, "seqLen must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(bpe)
+    val bc = graft.core.BroadcastGate.gated(spark, bpe, "streamingPackTokenIds tokenizer")
     docs
       .select(col(shardCol).cast("string"), col(idCol).cast("long"), col(textCol))
       .as[(String, Long, String)]

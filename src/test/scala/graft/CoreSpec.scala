@@ -271,3 +271,29 @@ class RanksSpec extends SparkSpec {
     }
   }
 }
+
+class BroadcastGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gated broadcast records its size and fails fast past the ceiling") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val bpe = graft.ops.Bpe.fromMerges(Seq(("a", "b")))
+    // within the default ceiling: runs, and the audit map has the payload
+    graft.ops.TextOps.bpeTokenCounts(docs, bpe).collect()
+    val sz = graft.core.BroadcastGate.sizes("bpeTokenCounts tokenizer")
+    assert(sz > 0L)
+    // past a tiny configured ceiling: loud pre-flight failure, not an OOM
+    spark.conf.set(graft.core.BroadcastGate.ConfKey, "16")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.TextOps.bpeTokenCounts(docs, bpe).collect()
+      }
+      assert(e.getMessage.contains(graft.core.BroadcastGate.ConfKey))
+      assert(e.getMessage.contains("bpeTokenCounts"))
+    } finally spark.conf.unset(graft.core.BroadcastGate.ConfKey)
+    // the eval-side sketch site is wired through the same gate
+    val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    graft.ops.TextOps.decontaminateBloom(docs, eval, n = 2).collect()
+    assert(graft.core.BroadcastGate.sizes.contains("decontaminateBloom sketch"))
+  }
+}
