@@ -77,28 +77,38 @@ object Bench {
       sentinelMtEnd: Double,
       segs: String,
       segMax: Double,
+      segMedian: Double,
       driftJson: String,
       nFlagged: Int)
 
   /**
    * Contention adjudication for one run — `None` means quiet (publishable
-   * as a reference), `Some(reason)` names the evidence. Bands are the
-   * measured quiet envelope of this box (single-thread spin ~0.76-0.82 s,
-   * all-core spin ~0.21 s), env-overridable for other hosts. The flag-count
-   * criterion catches the round-11 artifact shape: flat sentinels but a
-   * broad drift set from contention that hit between probes.
+   * as a reference), `Some(reason)` names the evidence. The criteria are
+   * about BURSTS and breadth, not absolute speed: a host that runs a
+   * stable 15% slower than the day the reference was taken (hypervisor
+   * steal / frequency drift — measured across rounds on this box) is
+   * still perfectly comparable after sentinel NORMALIZATION (the drift
+   * gate divides current times by the sentinel-derived host factor), so
+   * the quiet judgment looks at the segment SPREAD (a mid-run burst shows
+   * as one inflated segment against its own run's median), an absolute
+   * catastrophic ceiling, the all-core spin, and the normalized
+   * flag breadth. All bands env-overridable.
    */
   private def quietReason(r: BenchRun): Option[String] = {
-    val band = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_QUIET", "0.92").toDouble
-    val mtBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_MT_QUIET", "0.30").toDouble
+    val spreadBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_SPREAD", "1.25").toDouble
+    val hardBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_QUIET", "1.25").toDouble
+    val mtBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_MT_QUIET", "0.38").toDouble
     val maxFlags = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MAX_FLAGS", "8").toInt
     val mtMax = math.max(r.sentinelMtStart, r.sentinelMtEnd)
-    if (r.segMax > band)
-      Some(f"single-thread sentinel ${r.segMax}%.2f past quiet band $band%.2f")
+    if (r.segMax > hardBand)
+      Some(f"single-thread sentinel ${r.segMax}%.2f past the hard ceiling $hardBand%.2f")
+    else if (r.segMedian > 0 && r.segMax / r.segMedian > spreadBand)
+      Some(f"sentinel burst: max segment ${r.segMax}%.2f is " +
+        f"${r.segMax / r.segMedian}%.2fx the run's own median ${r.segMedian}%.2f")
     else if (mtMax > mtBand)
       Some(f"all-core sentinel $mtMax%.2f past quiet band $mtBand%.2f")
     else if (r.nFlagged > maxFlags)
-      Some(s"${r.nFlagged} drift flags span more rows than one round touches")
+      Some(s"${r.nFlagged} normalized drift flags span more rows than one round touches")
     else None
   }
 
@@ -279,6 +289,8 @@ object Bench {
       val idx = sortedNames.indexOf(name) + 1 // 1-based catalog position
       segments.find(_._1 >= idx).map(_._2).getOrElse(sentinelEnd)
     }
+    val allSegs = (segments.map(_._2) :+ sentinelStart :+ sentinelEnd).sorted
+    val segMedian = allSegs(allSegs.length / 2)
     val (driftJson, nFlagged) = {
       val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
       val f = new java.io.File(refPath)
@@ -288,17 +300,46 @@ object Bench {
         val root = om.readTree(f)
         val prevQ = root.get("queries")
         val ref = root.path("label").asText(refPath)
+        // HOST-SPEED NORMALIZATION: the reference run carries its own
+        // sentinel endpoints; dividing current times by (our median spin /
+        // the ref's spin) removes stable host drift (hypervisor steal,
+        // frequency) from the comparison, so the gate flags PLAN changes,
+        // not slow days. Clamped — a factor outside [0.75, 1.6] means the
+        // hosts aren't meaningfully comparable and normalization should
+        // not manufacture confidence either way.
+        val refSent = {
+          val s0 = root.path("sentinel_start").asDouble(0.0)
+          val s1 = root.path("sentinel_end").asDouble(0.0)
+          if (s0 > 0 && s1 > 0) (s0 + s1) / 2.0 else 0.0
+        }
+        // prefer the ALL-CORE spin ratio when the ref carries it: the
+        // catalog runs 32-way parallel, so aggregate-throughput drift
+        // (co-tenant load, all-core frequency caps) inflates query times
+        // the single-thread spin cannot see (measured: mt 0.21 -> 0.36
+        // with single-thread flat — and the catalog ~1.4x with it)
+        val refMt = {
+          val s0 = root.path("sentinel_mt_start").asDouble(0.0)
+          val s1 = root.path("sentinel_mt_end").asDouble(0.0)
+          if (s0 > 0 && s1 > 0) (s0 + s1) / 2.0 else 0.0
+        }
+        val curMt = (sentinelMtStart + sentinelMtEnd) / 2.0
+        val rawFactor =
+          if (refMt > 0 && curMt > 0) curMt / refMt
+          else if (refSent > 0) segMedian / refSent
+          else 1.0
+        val hostFactor = math.min(1.8, math.max(0.75, rawFactor))
         val checked = results.count { case (k, _, _) => prevQ.has(k) }
         val flagged = results.flatMap { case (k, _, w) =>
+          val wn = w / hostFactor
           Option(prevQ.get(k)).map(_.asDouble()).collect {
-            case p if p > 0 && w / p > 1.3 && w - p > 0.15 =>
-              (k, p, w, w / p, segmentFor(k))
+            case p if p > 0 && wn / p > 1.3 && wn - p > 0.15 =>
+              (k, p, wn, wn / p, segmentFor(k))
           }
         }.sortBy(-_._4)
         val items = flagged.take(8).map { case (k, p, w, r, s) =>
-          f"""{"q":"$k","prev":$p%.3f,"now":$w%.3f,"ratio":$r%.2f,"seg":$s%.2f}"""
+          f"""{"q":"$k","prev":$p%.3f,"now_norm":$w%.3f,"ratio":$r%.2f,"seg":$s%.2f}"""
         }.mkString("[", ",", "]")
-        (s"""{"ref":"$ref","checked":$checked,"n_flagged":${flagged.size},"flagged":$items}""",
+        (f"""{"ref":"$ref","host_factor":$hostFactor%.3f,"checked":$checked,"n_flagged":${flagged.size},"flagged":$items}""",
           flagged.size)
       } catch {
         case e: Exception =>
@@ -316,13 +357,13 @@ object Bench {
         .mkString("{", ",", "}")
       val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "last_full")
       val fullLine =
-        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir","queries":$allQ}"""
+        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir","queries":$allQ}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"BENCH full-out write failed: $e") }
 
-    val segMax = (segments.map(_._2) :+ sentinelStart :+ sentinelEnd).max
+    val segMax = allSegs.max
     BenchRun(qs, total, coldTotal, sentinelStart, sentinelEnd,
-      sentinelMtStart, sentinelMtEnd, segs, segMax, driftJson, nFlagged)
+      sentinelMtStart, sentinelMtEnd, segs, segMax, segMedian, driftJson, nFlagged)
   }
 }

@@ -1339,9 +1339,9 @@ object SparkEntry {
       // proxy counts (the DuckDB-replicable denomination)...
       "text_fertility" -> ((s, d) =>
         TextOps.fertilityReport(docs(s, d), TextOps.tokenCounts(docs(s, d)))),
-      // ...and the same report under the REAL trained tokenizer (rows-only:
-      // iterative BPE; BpeSpec pins the shared aggregation against the
-      // oracle-green proxy row and hand counts)
+      // ...and the same report under the REAL trained tokenizer —
+      // hash-green since r12 via the trained-replay oracle (BpeSpec still
+      // pins the shared aggregation against hand counts)
       "text_bpe_fertility" -> ((s, d) =>
         TextOps.bpeFertility(docs(s, d), corpusBpe(s, d))),
       // the real-BPE report's hash-green twin AT THE REPORT LEVEL: the
@@ -2141,6 +2141,13 @@ object SparkEntry {
       // oracle — the persisted index stores this exact geometry.
       "sim_ann_lsh" -> graft.ops.Similarity.lshOracleSql(dim = 64, k = 5),
       "sim_ann_lsh_idx" -> graft.ops.Similarity.lshOracleSql(dim = 64, k = 5),
+      // IVF ANN, converted from rows-only (r12): the coarse quantizer's
+      // Lloyd TRAINING replays as a recursive CTE (sequential per-cell
+      // member sums in sample order — the engine's exact FP addition
+      // order), then corpus assignment, probe selection and the exact
+      // re-rank mirror the serving path. Both serving paths share it.
+      "sim_ann_ivf" -> graft.ops.Similarity.ivfOracleSql(dim = 64, k = 5),
+      "sim_ann_ivf_idx" -> graft.ops.Similarity.ivfOracleSql(dim = 64, k = 5),
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid
       // strict-> scan)
@@ -3138,6 +3145,26 @@ object SparkEntry {
            |       CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_ws_tokens,
            |       CAST(coalesce(b.nb, 0) AS DOUBLE) AS n_bpe_tokens
            |FROM documents d LEFT JOIN bpn b ON d.doc_id = b.doc_id""".stripMargin,
+      // the fertility report under the TRAINED tokenizer: same per-source
+      // aggregation as text_fertility, bpe counts from the trained replay
+      // (integer-valued double sums are order-exact, so the divides match)
+      "text_bpe_fertility" ->
+        s"""WITH RECURSIVE
+           |${graft.ops.Bpe.trainedCtes(100, 8000)},
+           |bpn AS (SELECT doc_id, count(*) AS nb FROM pieces GROUP BY doc_id),
+           |c AS (
+           |  SELECT d.doc_id,
+           |         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS nws,
+           |         CAST(coalesce(b.nb, 0) AS DOUBLE) AS nbpe,
+           |         CAST(octet_length(encode(d.text)) AS DOUBLE) AS nb
+           |  FROM documents d LEFT JOIN bpn b ON d.doc_id = b.doc_id)
+           |SELECT d.source, count(*) AS n_docs,
+           |       CAST(sum(c.nws) AS BIGINT) AS n_ws_tokens,
+           |       CAST(sum(c.nbpe) AS BIGINT) AS n_bpe_tokens,
+           |       round(sum(c.nbpe) / sum(c.nws), 4) AS fertility,
+           |       round(sum(c.nb) / sum(c.nbpe), 4) AS bytes_per_token
+           |FROM documents d JOIN c USING (doc_id)
+           |GROUP BY 1""".stripMargin,
       // published-id fidelity: ids under the SORTED-token vocab.json
       // assignment (not the merge-rank enumeration); digest = md5 of the
       // comma-joined id stream, empty stream = md5('')

@@ -1436,6 +1436,109 @@ object Similarity {
   }
 
   /**
+   * DuckDB replay of [[ivfTopK]] / [[ivfTopKIndexed]] — the conversion
+   * that moves the IVF ANN rows from rows-only to hash-green: the coarse
+   * quantizer's TRAINING itself runs in SQL. The driver-side [[lloyd]]
+   * loop is fully deterministic (sample = the `sampleSize` smallest-id
+   * normalized vectors; init = their first `nCells` distinct contents in
+   * id order; each round assigns every sample to its nearest centroid by
+   * squared Euclidean with ties to the lower cell index, then re-centers
+   * with a SEQUENTIAL per-cell sum in sample order and a spherical
+   * normalize, empty cells carrying their previous centroid), so a
+   * recursive CTE replays it bit-for-bit: the per-cell member sum runs as
+   * `list_reduce` over a sample-ordered list — the same FP addition order
+   * as the Scala loop — and every distance/normalize expression is the
+   * identical sequential kernel. Corpus assignment, `nProbe` probe
+   * selection and the exact re-rank then mirror the serving path. Both
+   * serving paths (fresh train and persisted index) share the oracle
+   * because the stored quantizer IS this training's output (OpsSpec pins
+   * byte-equality).
+   */
+  def ivfOracleSql(
+      dim: Int,
+      k: Int,
+      queryPredSql: String = "n.vec_id < 10",
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 1024,
+      iters: Int = 20): String = {
+    val d1 = dim + 1
+    def sqDist(v: String, c: String) =
+      s"""list_dot_product(
+         |                        list_transform(range(1, $d1), i -> $v[i] - $c[i]),
+         |                        list_transform(range(1, $d1), i -> $v[i] - $c[i]))""".stripMargin
+    s"""WITH RECURSIVE
+       |nv AS (
+       |  SELECT vec_id,
+       |         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS nvec
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                     CAST(embedding AS DOUBLE[]))) AS n
+       |        FROM embeddings WHERE embedding IS NOT NULL)),
+       |samp AS (
+       |  SELECT nvec, row_number() OVER (ORDER BY vec_id) AS sid
+       |  FROM (SELECT vec_id, nvec FROM nv ORDER BY vec_id LIMIT $sampleSize)),
+       |init AS (
+       |  SELECT vec, CAST(row_number() OVER (ORDER BY fid) - 1 AS INT) AS cell FROM (
+       |    SELECT nvec AS vec, min(sid) AS fid FROM samp GROUP BY nvec)
+       |  ORDER BY fid LIMIT $nCells),
+       |cent(it, cell, vec) AS (
+       |  SELECT 0, cell, vec FROM init
+       |  UNION ALL
+       |  SELECT it + 1, cell,
+       |         CASE WHEN cnt = 0 THEN prev
+       |              ELSE CASE WHEN nrm > 0
+       |                        THEN list_transform(mean, x -> x / nrm)
+       |                        ELSE mean END
+       |         END
+       |  FROM (
+       |    SELECT it, cell, prev, cnt, mean, sqrt(list_dot_product(mean, mean)) AS nrm
+       |    FROM (
+       |      SELECT it, cell, prev, cnt,
+       |             CASE WHEN cnt = 0 THEN prev
+       |                  ELSE list_transform(
+       |                         list_reduce(members,
+       |                           (a, b) -> list_transform(range(1, $d1), i -> a[i] + b[i])),
+       |                         x -> x / cnt) END AS mean
+       |      FROM (
+       |        SELECT it, cell, any_value(cvec) AS prev,
+       |               list(svec ORDER BY sid) FILTER (WHERE rn = 1) AS members,
+       |               count(*) FILTER (WHERE rn = 1) AS cnt
+       |        FROM (
+       |          SELECT c.it, c.cell, c.vec AS cvec, s.sid, s.nvec AS svec,
+       |                 row_number() OVER (PARTITION BY s.sid
+       |                   ORDER BY ${sqDist("s.nvec", "c.vec")} ASC,
+       |                            c.cell ASC) AS rn
+       |          FROM cent c, samp s)
+       |        GROUP BY it, cell)))
+       |  WHERE it < $iters),
+       |cfin AS (SELECT cell, vec FROM cent WHERE it = $iters),
+       |corp AS (
+       |  SELECT vec_id, nvec, cell FROM (
+       |    SELECT n.vec_id, n.nvec, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqDist("n.nvec", "c.vec")} ASC,
+       |                      c.cell ASC) AS rn
+       |    FROM nv n, cfin c)
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT qid, nvec, cell FROM (
+       |    SELECT n.vec_id AS qid, n.nvec, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqDist("n.nvec", "c.vec")} ASC,
+       |                      c.cell ASC) AS pr
+       |    FROM nv n, cfin c WHERE $queryPredSql)
+       |  WHERE pr <= $nProbe)
+       |SELECT query_id, nbr_id, round(score + ${graft.core.NanMath.RoundEps}, 4) AS score FROM (
+       |  SELECT q.qid AS query_id, co.vec_id AS nbr_id,
+       |         list_dot_product(q.nvec, co.nvec) AS score,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY list_dot_product(q.nvec, co.nvec) DESC, co.vec_id ASC) AS rank
+       |  FROM qprobe q JOIN corp co ON co.cell = q.cell AND co.vec_id <> q.qid
+       |) WHERE rank <= $k""".stripMargin
+  }
+
+  /**
    * Deterministic pseudo-random hyperplane component for (plane p, dim d):
    * a value in [-1, 1) derived from a 64-bit mix of (p, d) — the same
    * splitmix64-style finalizer everywhere, no RNG state.
