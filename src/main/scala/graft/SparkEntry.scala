@@ -2148,6 +2148,15 @@ object SparkEntry {
       // re-rank mirror the serving path. Both serving paths share it.
       "sim_ann_ivf" -> graft.ops.Similarity.ivfOracleSql(dim = 64, k = 5),
       "sim_ann_ivf_idx" -> graft.ops.Similarity.ivfOracleSql(dim = 64, k = 5),
+      // PQ + residual IVF-PQ, converted from rows-only (r12): the
+      // per-subspace codebook TRAINING replays too (plain Lloyd per
+      // subspace), the ADC shortlist folds its per-subspace sum in the
+      // engine's sequential order, and the exact refine emits the rows
+      "sim_ann_pq" -> graft.ops.Similarity.pqOracleSql(dim = 64, k = 5),
+      "sim_ann_pq_idx" -> graft.ops.Similarity.ivfPqOracleSql(dim = 64, k = 5),
+      // ...and the recall MEASUREMENT row composes the per-leg oracles
+      // with a brute-force-truth CTE — the whole tuning report hash-green
+      "sim_ann_recall" -> graft.ops.Similarity.recallOracleSql(dim = 64, k = 5),
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid
       // strict-> scan)

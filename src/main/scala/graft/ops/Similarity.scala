@@ -1454,21 +1454,19 @@ object Similarity {
    * because the stored quantizer IS this training's output (OpsSpec pins
    * byte-equality).
    */
-  def ivfOracleSql(
-      dim: Int,
-      k: Int,
-      queryPredSql: String = "n.vec_id < 10",
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      sampleSize: Int = 1024,
-      iters: Int = 20): String = {
-    val d1 = dim + 1
-    def sqDist(v: String, c: String) =
-      s"""list_dot_product(
-         |                        list_transform(range(1, $d1), i -> $v[i] - $c[i]),
-         |                        list_transform(range(1, $d1), i -> $v[i] - $c[i]))""".stripMargin
-    s"""WITH RECURSIVE
-       |nv AS (
+  // --- shared SQL fragments for the ANN training-replay oracles ----------
+
+  /** Squared-Euclidean distance expression over the first `dim` lanes —
+    * the sequential kernel [[nearestCell]]/[[nearestCode]] run. */
+  private def sqDistSql(v: String, c: String, dim: Int) =
+    s"""list_dot_product(
+       |                        list_transform(range(1, ${dim + 1}), i -> $v[i] - $c[i]),
+       |                        list_transform(range(1, ${dim + 1}), i -> $v[i] - $c[i]))""".stripMargin
+
+  /** `nv` (normalized non-null vectors) + `samp` (the `sampleSize`
+    * smallest-id rows with a 1-based sample index) — [[trainingSample]]. */
+  private def nvSampCtes(sampleSize: Int): String =
+    s"""nv AS (
        |  SELECT vec_id,
        |         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS nvec
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1477,8 +1475,16 @@ object Similarity {
        |        FROM embeddings WHERE embedding IS NOT NULL)),
        |samp AS (
        |  SELECT nvec, row_number() OVER (ORDER BY vec_id) AS sid
-       |  FROM (SELECT vec_id, nvec FROM nv ORDER BY vec_id LIMIT $sampleSize)),
-       |init AS (
+       |  FROM (SELECT vec_id, nvec FROM nv ORDER BY vec_id LIMIT $sampleSize))""".stripMargin
+
+  /** The SPHERICAL coarse-quantizer Lloyd loop ([[kmeans]]) as recursive
+    * CTEs `init`/`cent`/`cfin` over `samp`: init = first `nCells` distinct
+    * sample vectors in id order, per round argmin assignment (ties to the
+    * lower cell), SEQUENTIAL per-cell member sums via ordered
+    * `list_reduce` — the engine's exact FP addition order — mean, then
+    * unit-normalize; empty cells carry their previous centroid. */
+  private def coarseLloydCtes(nCells: Int, iters: Int, dim: Int): String =
+    s"""init AS (
        |  SELECT vec, CAST(row_number() OVER (ORDER BY fid) - 1 AS INT) AS cell FROM (
        |    SELECT nvec AS vec, min(sid) AS fid FROM samp GROUP BY nvec)
        |  ORDER BY fid LIMIT $nCells),
@@ -1498,7 +1504,7 @@ object Similarity {
        |             CASE WHEN cnt = 0 THEN prev
        |                  ELSE list_transform(
        |                         list_reduce(members,
-       |                           (a, b) -> list_transform(range(1, $d1), i -> a[i] + b[i])),
+       |                           (a, b) -> list_transform(range(1, ${dim + 1}), i -> a[i] + b[i])),
        |                         x -> x / cnt) END AS mean
        |      FROM (
        |        SELECT it, cell, any_value(cvec) AS prev,
@@ -1507,17 +1513,74 @@ object Similarity {
        |        FROM (
        |          SELECT c.it, c.cell, c.vec AS cvec, s.sid, s.nvec AS svec,
        |                 row_number() OVER (PARTITION BY s.sid
-       |                   ORDER BY ${sqDist("s.nvec", "c.vec")} ASC,
+       |                   ORDER BY ${sqDistSql("s.nvec", "c.vec", dim)} ASC,
        |                            c.cell ASC) AS rn
        |          FROM cent c, samp s)
        |        GROUP BY it, cell)))
        |  WHERE it < $iters),
-       |cfin AS (SELECT cell, vec FROM cent WHERE it = $iters),
+       |cfin AS (SELECT cell, vec FROM cent WHERE it = $iters)""".stripMargin
+
+  /** The PLAIN per-subspace Lloyd loops ([[kmeansPlain]], one independent
+    * quantizer per subspace j) as recursive CTEs `pinit`/`pcent`/`pcb`
+    * over a `(sid, j, sub)` subvector CTE named `srcCte`. Identical
+    * mechanics to [[coarseLloydCtes]] minus the spherical normalize. */
+  private def pqLloydCtes(srcCte: String, codebookSize: Int, iters: Int, dsub: Int): String =
+    s"""pinit AS (
+       |  SELECT j, vec, cell FROM (
+       |    SELECT j, sub AS vec, min(sid) AS fid,
+       |           CAST(row_number() OVER (PARTITION BY j ORDER BY min(sid)) - 1 AS INT) AS cell
+       |    FROM $srcCte GROUP BY j, sub)
+       |  WHERE cell < $codebookSize),
+       |pcent(it, j, cell, vec) AS (
+       |  SELECT 0, j, cell, vec FROM pinit
+       |  UNION ALL
+       |  SELECT it + 1, j, cell,
+       |         CASE WHEN cnt = 0 THEN prev
+       |              ELSE list_transform(
+       |                     list_reduce(members,
+       |                       (a, b) -> list_transform(range(1, ${dsub + 1}), i -> a[i] + b[i])),
+       |                     x -> x / cnt) END
+       |  FROM (
+       |    SELECT it, j, cell, any_value(cvec) AS prev,
+       |           list(svec ORDER BY sid) FILTER (WHERE rn = 1) AS members,
+       |           count(*) FILTER (WHERE rn = 1) AS cnt
+       |    FROM (
+       |      SELECT c.it, c.j, c.cell, c.vec AS cvec, s.sid, s.sub AS svec,
+       |             row_number() OVER (PARTITION BY s.sid, c.j
+       |               ORDER BY ${sqDistSql("s.sub", "c.vec", dsub)} ASC, c.cell ASC) AS rn
+       |      FROM pcent c JOIN $srcCte s ON s.j = c.j)
+       |    GROUP BY it, j, cell)
+       |  WHERE it < $iters),
+       |pcb AS (SELECT j, cell, vec FROM pcent WHERE it = $iters)""".stripMargin
+
+  /** Exact re-rank tail shared by the ANN oracles: top-`k` of a
+    * `(qid, nbr_id)` shortlist CTE by true cosine, 4-decimal rounding —
+    * [[refineShortlist]] + [[rankTopK]]. */
+  private def refineTailSql(k: Int): String =
+    s"""SELECT query_id, nbr_id, round(score + ${graft.core.NanMath.RoundEps}, 4) AS score FROM (
+       |  SELECT s.qid AS query_id, s.nbr_id,
+       |         list_dot_product(q.nvec, v.nvec) AS score,
+       |         row_number() OVER (PARTITION BY s.qid
+       |           ORDER BY list_dot_product(q.nvec, v.nvec) DESC, s.nbr_id ASC) AS rank
+       |  FROM short s JOIN nv q ON q.vec_id = s.qid JOIN nv v ON v.vec_id = s.nbr_id
+       |) WHERE rank <= $k""".stripMargin
+
+  def ivfOracleSql(
+      dim: Int,
+      k: Int,
+      queryPredSql: String = "n.vec_id < 10",
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 1024,
+      iters: Int = 20): String = {
+    s"""WITH RECURSIVE
+       |${nvSampCtes(sampleSize)},
+       |${coarseLloydCtes(nCells, iters, dim)},
        |corp AS (
        |  SELECT vec_id, nvec, cell FROM (
        |    SELECT n.vec_id, n.nvec, c.cell,
        |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY ${sqDist("n.nvec", "c.vec")} ASC,
+       |             ORDER BY ${sqDistSql("n.nvec", "c.vec", dim)} ASC,
        |                      c.cell ASC) AS rn
        |    FROM nv n, cfin c)
        |  WHERE rn = 1),
@@ -1525,7 +1588,7 @@ object Similarity {
        |  SELECT qid, nvec, cell FROM (
        |    SELECT n.vec_id AS qid, n.nvec, c.cell,
        |           row_number() OVER (PARTITION BY n.vec_id
-       |             ORDER BY ${sqDist("n.nvec", "c.vec")} ASC,
+       |             ORDER BY ${sqDistSql("n.nvec", "c.vec", dim)} ASC,
        |                      c.cell ASC) AS pr
        |    FROM nv n, cfin c WHERE $queryPredSql)
        |  WHERE pr <= $nProbe)
@@ -1536,6 +1599,195 @@ object Similarity {
        |           ORDER BY list_dot_product(q.nvec, co.nvec) DESC, co.vec_id ASC) AS rank
        |  FROM qprobe q JOIN corp co ON co.cell = q.cell AND co.vec_id <> q.qid
        |) WHERE rank <= $k""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of [[pqTopK]] — plain product quantization with exact
+   * refine, training included: per-subspace [[kmeansPlain]] codebooks
+   * learn in recursive CTEs (the [[ivfOracleSql]] technique, one
+   * independent quantizer per subspace), the corpus encodes by argmin
+   * codeword, queries build their ADC tables, the ADC shortlist of
+   * `refineFactor * k` ranks by raw asymmetric score with a
+   * SEQUENTIALLY-FOLDED per-subspace sum (ordered `list_reduce` — the
+   * engine's addition order), and the exact cosine re-rank of the
+   * shortlist emits the final rows.
+   */
+  def pqOracleSql(
+      dim: Int,
+      k: Int,
+      queryPredSql: String = "q.vec_id < 10",
+      m: Int = 8,
+      codebookSize: Int = 256,
+      refineFactor: Int = 8,
+      sampleSize: Int = 1024,
+      iters: Int = 20): String = {
+    val dsub = dim / m
+    s"""WITH RECURSIVE
+       |${nvSampCtes(sampleSize)},
+       |ssub AS (
+       |  SELECT s.sid, u.j, list_slice(s.nvec, u.j * $dsub + 1, u.j * $dsub + $dsub) AS sub
+       |  FROM samp s, unnest(range(0, $m)) AS u(j)),
+       |${pqLloydCtes("ssub", codebookSize, iters, dsub)},
+       |codes AS (
+       |  SELECT vec_id, j, cell FROM (
+       |    SELECT n.vec_id, b.j, b.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id, b.j
+       |             ORDER BY ${sqDistSql(s"list_slice(n.nvec, b.j * $dsub + 1, b.j * $dsub + $dsub)", "b.vec", dsub)} ASC,
+       |                      b.cell ASC) AS rn
+       |    FROM nv n, pcb b)
+       |  WHERE rn = 1),
+       |adctab AS (
+       |  SELECT q.vec_id AS qid, b.j, b.cell,
+       |         list_dot_product(list_slice(q.nvec, b.j * $dsub + 1, b.j * $dsub + $dsub), b.vec) AS val
+       |  FROM nv q, pcb b WHERE $queryPredSql),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id AS nbr_id,
+       |         list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b) AS score
+       |  FROM codes c JOIN adctab t ON t.j = c.j AND t.cell = c.cell
+       |  WHERE c.vec_id <> t.qid
+       |  GROUP BY t.qid, c.vec_id),
+       |short AS (
+       |  SELECT qid, nbr_id FROM (
+       |    SELECT qid, nbr_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr_id ASC) AS rank
+       |    FROM adc)
+       |  WHERE rank <= ${refineFactor * k})
+       |${refineTailSql(k)}""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of [[ivfPqBuildIndex]] + [[ivfPqTopKIndexed]] — the
+   * full residual IVF-PQ serve: the spherical coarse quantizer trains
+   * first ([[coarseLloydCtes]]), the per-subspace codebooks then learn on
+   * the sample's RESIDUALS against their assigned cells, the corpus
+   * stores (cell, residual code), and each query probes its `nProbe`
+   * nearest cells scoring `dot(q, centroid_cell) + residual ADC` before
+   * the exact shortlist refine. Default (nProbe, refineFactor) = (4, 8),
+   * the untuned-index serving defaults the gate's index carries.
+   */
+  def ivfPqOracleSql(
+      dim: Int,
+      k: Int,
+      queryPredSql: String = "q.vec_id < 10",
+      nCells: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      nProbe: Int = 4,
+      refineFactor: Int = 8,
+      sampleSize: Int = 1024,
+      iters: Int = 20): String = {
+    val dsub = dim / m
+    s"""WITH RECURSIVE
+       |${nvSampCtes(sampleSize)},
+       |${coarseLloydCtes(nCells, iters, dim)},
+       |sres AS (
+       |  SELECT sid, list_transform(range(1, ${dim + 1}), i -> svec[i] - cvec[i]) AS rvec FROM (
+       |    SELECT s.sid, s.nvec AS svec, c.vec AS cvec,
+       |           row_number() OVER (PARTITION BY s.sid
+       |             ORDER BY ${sqDistSql("s.nvec", "c.vec", dim)} ASC, c.cell ASC) AS rn
+       |    FROM samp s, cfin c)
+       |  WHERE rn = 1),
+       |rsub AS (
+       |  SELECT s.sid, u.j, list_slice(s.rvec, u.j * $dsub + 1, u.j * $dsub + $dsub) AS sub
+       |  FROM sres s, unnest(range(0, $m)) AS u(j)),
+       |${pqLloydCtes("rsub", codebookSize, iters, dsub)},
+       |corp AS (
+       |  SELECT vec_id, nvec, ccell,
+       |         list_transform(range(1, ${dim + 1}), i -> nvec[i] - cvec[i]) AS rvec FROM (
+       |    SELECT n.vec_id, n.nvec, c.cell AS ccell, c.vec AS cvec,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqDistSql("n.nvec", "c.vec", dim)} ASC, c.cell ASC) AS rn
+       |    FROM nv n, cfin c)
+       |  WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, ccell, j, cell FROM (
+       |    SELECT co.vec_id, co.ccell, b.j, b.cell,
+       |           row_number() OVER (PARTITION BY co.vec_id, b.j
+       |             ORDER BY ${sqDistSql(s"list_slice(co.rvec, b.j * $dsub + 1, b.j * $dsub + $dsub)", "b.vec", dsub)} ASC,
+       |                      b.cell ASC) AS rn
+       |    FROM corp co, pcb b)
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT qid, ccell, cdot FROM (
+       |    SELECT q.vec_id AS qid, c.cell AS ccell,
+       |           list_dot_product(q.nvec, c.vec) AS cdot,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sqDistSql("q.nvec", "c.vec", dim)} ASC, c.cell ASC) AS pr
+       |    FROM nv q, cfin c WHERE $queryPredSql)
+       |  WHERE pr <= $nProbe),
+       |adctab AS (
+       |  SELECT q.vec_id AS qid, b.j, b.cell,
+       |         list_dot_product(list_slice(q.nvec, b.j * $dsub + 1, b.j * $dsub + $dsub), b.vec) AS val
+       |  FROM nv q, pcb b WHERE $queryPredSql),
+       |adc AS (
+       |  SELECT qp.qid, c.vec_id AS nbr_id,
+       |         any_value(qp.cdot) + list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b) AS score
+       |  FROM codes c
+       |  JOIN qprobe qp ON qp.ccell = c.ccell
+       |  JOIN adctab t ON t.qid = qp.qid AND t.j = c.j AND t.cell = c.cell
+       |  WHERE c.vec_id <> qp.qid
+       |  GROUP BY qp.qid, c.vec_id),
+       |short AS (
+       |  SELECT qid, nbr_id FROM (
+       |    SELECT qid, nbr_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr_id ASC) AS rank
+       |    FROM adc)
+       |  WHERE rank <= ${refineFactor * k})
+       |${refineTailSql(k)}""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of the [[recallAtK]] measurement row — composable now
+   * that every serving leg has its own training-replay oracle: the LSH
+   * and residual IVF-PQ results come from [[lshOracleSql]] /
+   * [[ivfPqOracleSql]] as nested CTE subqueries, exact truth is the
+   * brute-force rank window, and the per-query + mean(-1) recall rows
+   * aggregate exactly like the engine (mean over UNROUNDED per-query
+   * fractions).
+   */
+  def recallOracleSql(dim: Int, k: Int): String = {
+    def recallBlock(src: String, method: String): String =
+      s"""SELECT query_id, round(recall + ${graft.core.NanMath.RoundEps}, 4) AS recall,
+         |       '$method' AS method
+         |FROM ${src}_r
+         |UNION ALL
+         |SELECT -1, round((SELECT avg(recall) FROM ${src}_r) + ${graft.core.NanMath.RoundEps}, 4),
+         |       '$method'""".stripMargin
+    s"""WITH
+       |lshres AS (${lshOracleSql(dim, k)}),
+       |pqres AS (${ivfPqOracleSql(dim, k)}),
+       |nve AS (
+       |  SELECT vec_id,
+       |         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS nvec
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                     CAST(embedding AS DOUBLE[]))) AS n
+       |        FROM embeddings WHERE embedding IS NOT NULL)),
+       |exactr AS (
+       |  -- brute-force truth with the kernels' OWN normalized-dot
+       |  -- formulation, so the rank cut agrees bit-for-bit
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             list_dot_product(a.nvec, b.nvec) DESC, b.vec_id ASC) AS rank
+       |    FROM nve a JOIN nve b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 10)
+       |  WHERE rank <= $k),
+       |lsh_r AS (
+       |  SELECT e.query_id,
+       |         sum(CASE WHEN l.nbr_id IS NULL THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM exactr e LEFT JOIN lshres l
+       |    ON l.query_id = e.query_id AND l.nbr_id = e.nbr_id
+       |  GROUP BY e.query_id),
+       |pq_r AS (
+       |  SELECT e.query_id,
+       |         sum(CASE WHEN p.nbr_id IS NULL THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM exactr e LEFT JOIN pqres p
+       |    ON p.query_id = e.query_id AND p.nbr_id = e.nbr_id
+       |  GROUP BY e.query_id)
+       |${recallBlock("lsh", "lsh_idx")}
+       |UNION ALL
+       |${recallBlock("pq", "ivfpq_idx")}""".stripMargin
   }
 
   /**
