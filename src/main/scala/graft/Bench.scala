@@ -129,10 +129,18 @@ object Bench {
     // with its adjudication (attempts, quiet, quiet_reason) in the JSON so
     // a never-quiet artifact says so instead of reading as a regression.
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    // wall budget for RETRIES (not the first attempt): a driver harness
+    // with its own timeout must always receive the JSON line, so no new
+    // attempt STARTS once the budget is spent — worst case is budget +
+    // one attempt, bounded regardless of how noisy the host is
+    val retryBudgetSecs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_SECS", "1100").toLong
+    val t0 = System.nanoTime()
     var attempt = 0
     var run: BenchRun = null
     var reason: Option[String] = None
-    while (attempt < maxAttempts && (run == null || reason.isDefined)) {
+    while (attempt < maxAttempts && (run == null || reason.isDefined) &&
+        (attempt == 0 || (System.nanoTime() - t0) / 1e9 < retryBudgetSecs)) {
       attempt += 1
       run = runAttempt(sfDir)
       reason = quietReason(run)
