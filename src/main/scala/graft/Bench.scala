@@ -10,8 +10,21 @@ import org.apache.spark.sql.SparkSession
  * materialization of every output row on the executors, nothing collected
  * to the driver). A small warmup runs first so JVM/codegen startup isn't
  * billed to the first query.
+ *
+ * ARTIFACT LINE BUDGET: the driver captures only the TAIL (~2000 chars) of
+ * stdout, so the single JSON line must stay under [[MaxLineChars]] or the
+ * round's bench record is cut mid-JSON and unparseable (this happened in
+ * round 12). Everything that can grow is bounded here — headline query set
+ * fixed at 20 rows, drift block capped at 3 entries + counts, quiet_reason
+ * truncated — and BenchSpec pins the worst-case serialized length.
+ * Full per-query detail goes to stderr and bench_last_full.json instead.
  */
 object Bench {
+
+  /** Hard budget for the stdout artifact line; the driver's tail window is
+    * ~2000 chars, kept with margin. BenchSpec asserts a synthetic
+    * worst-case line stays under this. */
+  val MaxLineChars = 1900
 
   /**
    * Deterministic single-thread spin calibration — the contention
@@ -65,9 +78,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One drift-flagged row: first-pass normalized time plus the in-run
+    * re-measurement that adjudicates it (a host burst self-refutes on the
+    * rerun; a plan regression reproduces). */
+  private[graft] final case class DriftFlag(
+      q: String,
+      prev: Double,
+      nowNorm: Double,
+      rerunNorm: Double,
+      seg: Double) {
+    def firstRatio: Double = nowNorm / prev
+    def rerunRatio: Double = rerunNorm / prev
+    /** confirmed = the RERUN still trips the same (ratio, absolute) gate
+      * the first pass tripped — the quiet judgment counts only these. */
+    def confirmed: Boolean = rerunRatio > 1.3 && rerunNorm - prev > 0.15
+  }
+
   /** Everything one catalog pass produced, for the quiet judgment and the
     * final JSON line. */
-  private final case class BenchRun(
+  private[graft] final case class BenchRun(
       qs: String,
       total: Double,
       coldTotal: Double,
@@ -79,7 +108,7 @@ object Bench {
       segMax: Double,
       segMedian: Double,
       driftJson: String,
-      nFlagged: Int)
+      nConfirmed: Int)
 
   /**
    * Contention adjudication for one run — `None` means quiet (publishable
@@ -91,8 +120,11 @@ object Bench {
    * gate divides current times by the sentinel-derived host factor), so
    * the quiet judgment looks at the segment SPREAD (a mid-run burst shows
    * as one inflated segment against its own run's median), an absolute
-   * catastrophic ceiling, the all-core spin, and the normalized
-   * flag breadth. All bands env-overridable.
+   * catastrophic ceiling, the all-core spin, and the CONFIRMED flag
+   * breadth — flags are re-measured in-run before they count, so a
+   * transient burst the 20-query sentinel cadence straddled no longer
+   * poisons the judgment (round-12's 59x query_contains flag was exactly
+   * that). All bands env-overridable.
    */
   private def quietReason(r: BenchRun): Option[String] = {
     val spreadBand = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_SPREAD", "1.25").toDouble
@@ -101,15 +133,60 @@ object Bench {
     val maxFlags = sys.env.getOrElse("SPARK_GRAFT_DRIFT_MAX_FLAGS", "8").toInt
     val mtMax = math.max(r.sentinelMtStart, r.sentinelMtEnd)
     if (r.segMax > hardBand)
-      Some(f"single-thread sentinel ${r.segMax}%.2f past the hard ceiling $hardBand%.2f")
+      Some(f"single-thread sentinel ${r.segMax}%.2f past hard ceiling $hardBand%.2f")
     else if (r.segMedian > 0 && r.segMax / r.segMedian > spreadBand)
       Some(f"sentinel burst: max segment ${r.segMax}%.2f is " +
-        f"${r.segMax / r.segMedian}%.2fx the run's own median ${r.segMedian}%.2f")
+        f"${r.segMax / r.segMedian}%.2fx run median ${r.segMedian}%.2f")
     else if (mtMax > mtBand)
       Some(f"all-core sentinel $mtMax%.2f past quiet band $mtBand%.2f")
-    else if (r.nFlagged > maxFlags)
-      Some(s"${r.nFlagged} normalized drift flags span more rows than one round touches")
+    else if (r.nConfirmed > maxFlags)
+      Some(s"${r.nConfirmed} rerun-confirmed drift flags")
     else None
+  }
+
+  /** The fixed headline set for the stdout line: 20 rows spanning every
+    * family (metrics agg/math/stateful/filter/query/sketch, relational,
+    * dedup, ANN, text, joins, pipeline). Full per-query record goes to
+    * bench_last_full.json. Fixed size keeps the line inside the budget. */
+  private[graft] val headline: Set[String] = Set(
+    "data_sum", "data_by_sum", "math_add", "asl_pct",
+    "sketch_percentiles", "stateful_des", "filter_topk", "query_re",
+    "events_table", "rel_q1_pricing", "rel_pct_price",
+    "dedup_exact", "dedup_minhash", "dedup_containment",
+    "sim_topk", "sim_ann_pq", "text_tokens", "text_quality",
+    "join_asof", "pipeline_chunk")
+
+  /** Serialize the drift block, capped: at most 3 flagged entries (worst
+    * rerun ratio first) + counts, so the artifact line can't regrow past
+    * the driver's tail window however noisy the run. `comparable=false`
+    * means the host factor fell outside the trust band and NO flags were
+    * computed — normalization must not manufacture confidence either way. */
+  private[graft] def driftBlock(
+      ref: String,
+      hostFactor: Double,
+      comparable: Boolean,
+      checked: Int,
+      flags: Seq[DriftFlag]): String = {
+    val items = flags.sortBy(f => -f.rerunRatio).take(3).map { f =>
+      f"""{"q":"${f.q}","prev":${f.prev}%.2f,"now":${f.nowNorm}%.2f,"rerun":${f.rerunNorm}%.2f,"seg":${f.seg}%.2f}"""
+    }.mkString("[", ",", "]")
+    f"""{"ref":"${ref.take(40)}","host_factor":$hostFactor%.2f,"comparable":$comparable,"checked":$checked,"n_flagged":${flags.size},"n_confirmed":${flags.count(_.confirmed)},"flagged":$items}"""
+  }
+
+  /** Build the single stdout artifact line. Everything variable-length is
+    * bounded: headline qs (20 entries), segs (one per 20 catalog rows),
+    * drift (3 entries), reason (truncated). BenchSpec pins the worst case
+    * under [[MaxLineChars]]. */
+  private[graft] def artifactLine(
+      run: BenchRun,
+      attempts: Int,
+      quiet: Boolean,
+      reason: Option[String],
+      sfDir: String): String = {
+    val reasonJson = reason
+      .map(r => "\"" + r.replace("\"", "'").take(110) + "\"")
+      .getOrElse("null")
+    f"""{"metric":"catalog_total","value":${run.total}%.3f,"unit":"sec","queries":${run.qs},"cold_total":${run.coldTotal}%.3f,"sentinel_start":${run.sentinelStart}%.3f,"sentinel_end":${run.sentinelEnd}%.3f,"sentinel_mt_start":${run.sentinelMtStart}%.3f,"sentinel_mt_end":${run.sentinelMtEnd}%.3f,"sentinel_segments":${run.segs},"attempts":$attempts,"quiet":$quiet,"quiet_reason":$reasonJson,"drift":${run.driftJson},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,32 +201,40 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Retry-until-quiet (judge r11 item #4): a contended host produces an
     // artifact whose regressions are machine noise, not plan changes —
-    // re-run the whole catalog (max SPARK_GRAFT_BENCH_ATTEMPTS, default 3)
-    // until the run self-attests quiet; the LAST run is kept regardless,
-    // with its adjudication (attempts, quiet, quiet_reason) in the JSON so
-    // a never-quiet artifact says so instead of reading as a regression.
-    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
-    // wall budget for RETRIES (not the first attempt): a driver harness
-    // with its own timeout must always receive the JSON line, so no new
-    // attempt STARTS once the budget is spent — worst case is budget +
-    // one attempt, bounded regardless of how noisy the host is
+    // re-run the whole catalog (max SPARK_GRAFT_BENCH_ATTEMPTS, default 3,
+    // floored at 1) until the run self-attests quiet; the LAST run is kept
+    // regardless, with its adjudication (attempts, quiet, quiet_reason) in
+    // the JSON so a never-quiet artifact says so instead of reading as a
+    // regression. Retries reuse the JVM, so for attempts > 1 the kept
+    // run's cold_total is JIT-warm — a lower bound on true cold cost, not
+    // a measurement of it (the warm total is the headline metric either
+    // way).
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    // wall budget for RETRIES only: a driver harness with its own timeout
+    // must always receive the JSON line, so no new attempt STARTS once the
+    // budget is spent — worst case is budget + one attempt, bounded
+    // regardless of how noisy the host is. The clock starts AFTER the
+    // first attempt (a slow first attempt must not consume the retry
+    // budget — it IS the thing retries exist to re-adjudicate).
     val retryBudgetSecs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_SECS", "1100").toLong
-    val t0 = System.nanoTime()
+    var retryClockStart = 0L // set after attempt 1
     var attempt = 0
     var run: BenchRun = null
     var reason: Option[String] = None
     while (attempt < maxAttempts && (run == null || reason.isDefined) &&
-        (attempt == 0 || (System.nanoTime() - t0) / 1e9 < retryBudgetSecs)) {
+        (attempt == 0 || (System.nanoTime() - retryClockStart) / 1e9 < retryBudgetSecs)) {
       attempt += 1
       run = runAttempt(sfDir)
+      if (attempt == 1) retryClockStart = System.nanoTime()
       reason = quietReason(run)
       reason.foreach(r => System.err.println(s"BENCH attempt $attempt not quiet: $r"))
     }
-    val quiet = reason.isEmpty
-    val reasonJson = reason.map(r => "\"" + r.replace("\"", "'") + "\"").getOrElse("null")
-    val line =
-      f"""{"metric":"catalog_total","value":${run.total}%.3f,"unit":"sec","queries":${run.qs},"cold_total":${run.coldTotal}%.3f,"sentinel_start":${run.sentinelStart}%.3f,"sentinel_end":${run.sentinelEnd}%.3f,"sentinel_mt_start":${run.sentinelMtStart}%.3f,"sentinel_mt_end":${run.sentinelMtEnd}%.3f,"sentinel_segments":${run.segs},"attempts":$attempt,"quiet":$quiet,"quiet_reason":$reasonJson,"drift":${run.driftJson},"sf":"$sfDir"}"""
+    val line = artifactLine(run, attempt, reason.isEmpty, reason, sfDir)
+    if (line.length >= MaxLineChars)
+      System.err.println(s"BENCH WARNING artifact line ${line.length} chars " +
+        s">= budget $MaxLineChars — driver tail may truncate it")
     println(line)
   }
 
@@ -206,36 +291,36 @@ object Bench {
     val segmentEvery = 20
     var sinceGc = 0
     var done = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: $e")
-            // SQLExceptions chain the real cause via getNextException,
-            // which toString/printStackTrace both hide — and the root is
-            // often SEVERAL links deep (Derby batch failures chain
-            // BatchUpdate -> statement-aborted -> the actual error), so
-            // walk the FULL next chain at every level of the cause chain
-            var cause: Throwable = e
-            while (cause != null) {
-              cause match {
-                case s: java.sql.SQLException =>
-                  var n = s.getNextException
-                  while (n != null) {
-                    System.err.println(s"BENCH FAIL $name (next): $n")
-                    n = n.getNextException
-                  }
-                case _ =>
-              }
-              cause = cause.getCause
+    def timedForce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try force(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e")
+          // SQLExceptions chain the real cause via getNextException,
+          // which toString/printStackTrace both hide — and the root is
+          // often SEVERAL links deep (Derby batch failures chain
+          // BatchUpdate -> statement-aborted -> the actual error), so
+          // walk the FULL next chain at every level of the cause chain
+          var cause: Throwable = e
+          while (cause != null) {
+            cause match {
+              case s: java.sql.SQLException =>
+                var n = s.getNextException
+                while (n != null) {
+                  System.err.println(s"BENCH FAIL $name (next): $n")
+                  n = n.getNextException
+                }
+              case _ =>
             }
-        }
-        (System.nanoTime() - t0) / 1e9
+            cause = cause.getCause
+          }
       }
-      val cold = timed()
-      val warm = timed()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timedForce(name, fn)
+      val warm = timedForce(name, fn)
       sinceGc += 1
       if (sinceGc >= 8) {
         System.gc()
@@ -256,28 +341,28 @@ object Bench {
     // well under the driver's 2000-char output-tail window.
     results.foreach { case (k, c, w) => System.err.println(f"BENCH $k cold=$c%.3f warm=$w%.3f") }
 
-    val headline = Set(
-      "data_sum", "data_by_sum", "data_all", "math_add", "math_div_subset",
-      "asl_pct", "asl_avg", "sketch_percentiles", "sketch_approx_distinct",
-      "sketch_median", "stateful_des", "stateful_rolling_mean", "filter_topk",
-      "filter_topk_others", "filter_having", "query_re", "events_table",
-      "rel_revenue_by_nation", "rel_q1_pricing", "rel_pct_price",
-      "dedup_exact", "dedup_minhash", "sim_topk", "sim_ann_lsh",
-      "text_tokens", "text_quality", "mm_features",
-      "join_asof", "join_interval", "pipeline_chunk", "cluster_assign",
-      "text_bm25", "text_unigram_nll", "dedup_incremental", "pipeline_split",
-      "sim_ann_pq", "dedup_containment", "text_quality_clf", "pipeline_dsir_sample")
     val qs = results
       .filter { case (k, _, _) => headline.contains(k) }
       .map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    spark.stop()
+
+    // End sentinels BEFORE the drift reruns (all catalog work is done and
+    // the session is idle — parked executor threads don't perturb a
+    // CPU-bound spin), so the reruns can execute on the live session and
+    // be normalized by the same host factor as the first pass.
     val sentinelEnd = sentinel()
     val sentinelMtEnd = sentinelMt()
     System.err.println(f"BENCH sentinel start=$sentinelStart%.3f end=$sentinelEnd%.3f mt_start=$sentinelMtStart%.3f mt_end=$sentinelMtEnd%.3f")
     val segs = segments.map { case (i, s) => f"[$i,$s%.2f]" }.mkString("[", ",", "]")
+    val sortedNames = results.map(_._1)
+    def segmentFor(name: String): Double = {
+      val idx = sortedNames.indexOf(name) + 1 // 1-based catalog position
+      segments.find(_._1 >= idx).map(_._2).getOrElse(sentinelEnd)
+    }
+    val allSegs = (segments.map(_._2) :+ sentinelStart :+ sentinelEnd).sorted
+    val segMedian = allSegs(allSegs.length / 2)
 
     // ---- mechanical drift gate -------------------------------------------
     // Compare every query's warm time against the last ACCEPTED round's
@@ -286,35 +371,29 @@ object Bench {
     // can't poison the reference). A row flags when BOTH hold:
     //   ratio > 1.3  AND  absolute growth > 0.15 s
     // (sub-second rows jitter 1.3x on pure noise; the absolute floor keeps
-    // the gate about real seconds). Each flagged row carries the NEAREST
-    // following sentinel-segment spin so contention-vs-regression
-    // adjudication is in the artifact itself: a flat ~0.8 s segment means
-    // the drift is a plan change; an inflated segment means the machine
-    // was contended around that query. The block is capped at the 8 worst
-    // rows to keep the stdout line inside the driver's tail window.
-    val sortedNames = results.map(_._1)
-    def segmentFor(name: String): Double = {
-      val idx = sortedNames.indexOf(name) + 1 // 1-based catalog position
-      segments.find(_._1 >= idx).map(_._2).getOrElse(sentinelEnd)
-    }
-    val allSegs = (segments.map(_._2) :+ sentinelStart :+ sentinelEnd).sorted
-    val segMedian = allSegs(allSegs.length / 2)
-    val (driftJson, nFlagged) = {
+    // the gate about real seconds). Every flagged row is then RE-RUN once
+    // on the still-live session and the artifact records (first, rerun):
+    // a genuine plan regression reproduces on the rerun, a transient host
+    // burst self-refutes — the BenchOne A/B the round-12 judge ran by
+    // hand, now mechanical and in-run. The quiet judgment counts only
+    // rerun-CONFIRMED flags.
+    val (driftJson, nConfirmed) = {
       val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
       val f = new java.io.File(refPath)
-      if (!f.exists()) (s"""{"ref":null,"checked":0,"n_flagged":0,"flagged":[]}""", 0)
+      if (!f.exists()) (driftBlock("none", 1.0, comparable = false, 0, Nil), 0)
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(f)
         val prevQ = root.get("queries")
         val ref = root.path("label").asText(refPath)
         // HOST-SPEED NORMALIZATION: the reference run carries its own
-        // sentinel endpoints; dividing current times by (our median spin /
-        // the ref's spin) removes stable host drift (hypervisor steal,
+        // sentinel endpoints; dividing current times by (our spin / the
+        // ref's spin) removes stable host drift (hypervisor steal,
         // frequency) from the comparison, so the gate flags PLAN changes,
-        // not slow days. Clamped — a factor outside [0.75, 1.6] means the
-        // hosts aren't meaningfully comparable and normalization should
-        // not manufacture confidence either way.
+        // not slow days. A factor outside [0.75, 1.6] means the hosts
+        // aren't meaningfully comparable — the artifact then says so
+        // (comparable:false) and computes NO flags, instead of clamping
+        // and manufacturing confidence either way.
         val refSent = {
           val s0 = root.path("sentinel_start").asDouble(0.0)
           val s1 = root.path("sentinel_end").asDouble(0.0)
@@ -335,26 +414,41 @@ object Bench {
           if (refMt > 0 && curMt > 0) curMt / refMt
           else if (refSent > 0) segMedian / refSent
           else 1.0
-        val hostFactor = math.min(1.8, math.max(0.75, rawFactor))
+        val comparable = rawFactor >= 0.75 && rawFactor <= 1.6
         val checked = results.count { case (k, _, _) => prevQ.has(k) }
-        val flagged = results.flatMap { case (k, _, w) =>
-          val wn = w / hostFactor
-          Option(prevQ.get(k)).map(_.asDouble()).collect {
-            case p if p > 0 && wn / p > 1.3 && wn - p > 0.15 =>
-              (k, p, wn, wn / p, segmentFor(k))
+        if (!comparable) {
+          System.err.println(f"BENCH drift: host factor $rawFactor%.2f outside " +
+            "[0.75,1.6] — hosts not comparable, no flags computed")
+          (driftBlock(ref, rawFactor, comparable = false, checked, Nil), 0)
+        } else {
+          val hostFactor = rawFactor
+          val firstPass = results.flatMap { case (k, _, w) =>
+            val wn = w / hostFactor
+            Option(prevQ.get(k)).map(_.asDouble()).collect {
+              case p if p > 0 && wn / p > 1.3 && wn - p > 0.15 =>
+                (k, p, wn, segmentFor(k))
+            }
+          }.sortBy { case (_, p, wn, _) => -(wn / p) }
+          // Re-measure the worst 8 flags in-run (flags are few and cheap
+          // by construction — they flagged against sub-second references).
+          val flags = firstPass.take(8).map { case (k, p, wn, seg) =>
+            val rerun = timedForce(k, SparkEntry.queries(k)) / hostFactor
+            System.err.println(f"BENCH drift rerun $k prev=$p%.3f first=$wn%.3f rerun=$rerun%.3f")
+            DriftFlag(k, p, wn, rerun, seg)
+          } ++ firstPass.drop(8).map { case (k, p, wn, seg) =>
+            DriftFlag(k, p, wn, wn, seg) // beyond the rerun cap: first pass stands
           }
-        }.sortBy(-_._4)
-        val items = flagged.take(8).map { case (k, p, w, r, s) =>
-          f"""{"q":"$k","prev":$p%.3f,"now_norm":$w%.3f,"ratio":$r%.2f,"seg":$s%.2f}"""
-        }.mkString("[", ",", "]")
-        (f"""{"ref":"$ref","host_factor":$hostFactor%.3f,"checked":$checked,"n_flagged":${flagged.size},"flagged":$items}""",
-          flagged.size)
+          (driftBlock(ref, hostFactor, comparable = true, checked, flags),
+            flags.count(_.confirmed))
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"BENCH drift-ref unreadable: $e")
-          (s"""{"ref":"unreadable","checked":0,"n_flagged":0,"flagged":[]}""", 0)
+          (driftBlock("unreadable", 1.0, comparable = false, 0, Nil), 0)
       }
     }
+
+    spark.stop()
 
     // Full per-query record (every catalog row, not just the headline set)
     // for the NEXT round's reference: promoted to bench_ref.json by hand at
@@ -365,13 +459,13 @@ object Bench {
         .mkString("{", ",", "}")
       val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "last_full")
       val fullLine =
-        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"sf":"$sfDir","queries":$allQ}"""
+        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"drift":$driftJson,"sf":"$sfDir","queries":$allQ}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"BENCH full-out write failed: $e") }
 
     val segMax = allSegs.max
     BenchRun(qs, total, coldTotal, sentinelStart, sentinelEnd,
-      sentinelMtStart, sentinelMtEnd, segs, segMax, segMedian, driftJson, nFlagged)
+      sentinelMtStart, sentinelMtEnd, segs, segMax, segMedian, driftJson, nConfirmed)
   }
 }

@@ -251,8 +251,54 @@ object SparkEntry {
     base ++ Map(
       "join_asof_stream" -> base("join_asof"),
       "join_interval_stream" -> base("join_interval"),
-      "events_wau_stream" -> base("events_wau"))
+      "events_wau_stream" -> base("events_wau"),
+      // r13: four more continuous operators under the batch oracles.
+      // Full sequences only — the per-shard short tail stays in streaming
+      // state by contract (a stream has no end), so the batch replay is
+      // filtered to sequences with all 128 slots
+      "pipeline_pack_ids_stream" ->
+        s"""SELECT shard, seq_id, slot, token_id FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY shard, seq_id) AS nslot
+           |  FROM (${base("pipeline_pack_ids")}))
+           |WHERE nslot = 128""".stripMargin,
+      // per-micro-batch drift rows: the batch vocabDrift replay, once per
+      // arriving slice (even then odd non-English doc ids)
+      "pipeline_vocab_drift_stream" -> symmetricRound(
+        driftSliceSql(0, "lang <> 'en' AND doc_id % 2 = 0") +
+          "\nUNION ALL\n" +
+          driftSliceSql(1, "lang <> 'en' AND doc_id % 2 = 1")),
+      // both ingest rounds (intra-batch keep + vs-index cross-batch drop)
+      // replayed end to end
+      "dedup_ingest_stream" -> symmetricRound(
+        graft.ops.Dedup.ingestStreamOracleSql(3, 16, 4, 0.5,
+          "doc_id % 2 = 0", "doc_id % 2 = 1")),
+      // index built on the smallest-256-id slice + streamed appends must
+      // serve the same answers as a fresh full-corpus build: the IVF
+      // training-replay oracle at the matching sample size
+      "sim_ann_ivf_ingest_stream" -> symmetricRound(
+        graft.ops.Similarity.ivfOracleSql(dim = 64, k = 5, sampleSize = 256)))
   }
+
+  /** One [[graft.ops.Curate.vocabDrift]] replay — English reference vs the
+    * `bPred` slice — shaped as a [[graft.streaming.StreamRunner
+    * .streamingDriftMonitor]] drift-log row (batch_id, n_docs, kls, jsd). */
+  private def driftSliceSql(batchId: Int, bPred: String): String =
+    s"""SELECT CAST($batchId AS BIGINT) AS batch_id,
+       |       (SELECT count(*) FROM documents WHERE $bPred) AS n_docs,
+       |       kl_ab, kl_ba, jsd FROM (
+       |WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE lang = 'en'),
+       |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents WHERE $bPred),
+       |ca AS (SELECT tok, CAST(count(*) AS DOUBLE) AS ca FROM ta GROUP BY tok),
+       |cb AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cb FROM tb GROUP BY tok),
+       |v AS (SELECT coalesce(ca.ca, 0.0) AS ca, coalesce(cb.cb, 0.0) AS cb
+       |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS vocab, sum(ca) AS na, sum(cb) AS nb FROM v),
+       |d AS (SELECT (ca + 1) / (na + vocab) AS p, (cb + 1) / (nb + vocab) AS q
+       |      FROM v CROSS JOIN s)
+       |SELECT round(sum(p * ln(p / q)), 4) AS kl_ab,
+       |       round(sum(q * ln(q / p)), 4) AS kl_ba,
+       |       round((sum(p * ln(2 * p / (p + q))) + sum(q * ln(2 * q / (p + q)))) / 2, 4) AS jsd
+       |FROM d)""".stripMargin
 
   /** Rewrite every `round(args)` call in an oracle SQL string (balanced-
    *  paren aware, nested calls handled) to `(round(EPS + args) + 0.0)` —
@@ -995,6 +1041,161 @@ object SparkEntry {
       } finally rmTree(base)
     }
 
+  /** The pipeline_pack_ids row through [[graft.streaming.StreamRunner
+    * .streamingPackTokenIds]]: the corpus arrives in TWO micro-batches
+    * split at the median doc id (per shard the stream order equals the
+    * batch operator's id order, so the packing arithmetic is identical),
+    * and every FULL sequence must match the batch operator row-for-row —
+    * the batch oracle filtered to full sequences judges it. The final
+    * short tail per shard stays in streaming state by contract (a stream
+    * has no end), which is exactly what the oracle's full-sequence filter
+    * expresses. */
+  private def streamPackIds(s: SparkSession, d: String): DataFrame =
+    streamRow("packids:" + d, s) { () =>
+      import org.apache.spark.sql.functions.{col, posexplode}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_pack_stream")
+      try {
+        val dd = docs(s, d)
+          .select(col("doc_id").cast("long"), col("text"), col("source"))
+          .as[(Long, String, Option[String])].collect().sortBy(_._1)
+        val mid = dd(dd.length / 2)._1
+        val input = MemoryStream[(Long, String, Option[String])]
+        val out = graft.streaming.StreamRunner.streamingPackTokenIds(
+          input.toDF.toDF("doc_id", "text", "source"), corpusBpe(s, d), seqLen = 128)
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          input.addData(dd.filter(_._1 < mid).toSeq)
+          query.processAllAvailable()
+          input.addData(dd.filter(_._1 >= mid).toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .select(col("shard"), col("seq_id"),
+            posexplode(col("token_ids")).as(Seq("slot", "token_id")))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The pipeline_vocab_drift row through [[graft.streaming.StreamRunner
+    * .streamingDriftMonitor]]: the non-English slice arrives in TWO
+    * micro-batches (even then odd doc ids) against the English reference,
+    * and each batch's appended drift row — KL both ways + JSD over the
+    * joint vocab — is judged by the batch oracle replayed per slice. */
+  private def streamDrift(s: SparkSession, d: String): DataFrame =
+    streamRow("drift:" + d, s) { () =>
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_drift_stream")
+      try {
+        val dd = docs(s, d)
+        val reference = dd.filter(col("lang") === "en")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val rest = dd.filter(col("lang") =!= "en")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val input = MemoryStream[(Long, String)]
+        val query = graft.streaming.StreamRunner.streamingDriftMonitor(
+          input.toDF.toDF("doc_id", "text"), reference,
+          s"$base/drift", s"$base/ckpt")
+        try {
+          input.addData(rest.filter(_._1 % 2 == 0).toSeq)
+          query.processAllAvailable()
+          input.addData(rest.filter(_._1 % 2 == 1).toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/drift")
+          .select(col("batch_id"), col("n_docs"),
+            col("kl_ab"), col("kl_ba"), col("jsd"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The dedup front-door ingest through [[graft.streaming.StreamRunner
+    * .streamingDedupIngest]]: even doc ids arrive as batch 1 (intra-batch
+    * near-dup removal seeds the persisted signature index), odd ids as
+    * batch 2 (intra-batch removal, then the vs-index match drops
+    * cross-batch dups) — the kept corpus is judged by a DuckDB replay of
+    * both rounds ([[graft.ops.Dedup.ingestStreamOracleSql]]). */
+  private def streamDedupIngest(s: SparkSession, d: String): DataFrame =
+    streamRow("dedupingest:" + d, s) { () =>
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      try {
+        val dd = docs(s, d)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val input = MemoryStream[(Long, String)]
+        val query = graft.streaming.StreamRunner.streamingDedupIngest(
+          input.toDF.toDF("doc_id", "text"),
+          s"$base/index", s"$base/kept", s"$base/ckpt")
+        try {
+          input.addData(dd.filter(_._1 % 2 == 0).toSeq)
+          query.processAllAvailable()
+          input.addData(dd.filter(_._1 % 2 == 1).toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/kept").select(col("doc_id"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** ANN ingest through [[graft.streaming.StreamRunner.streamingAnnIngest]]:
+    * the IVF index is BUILT on the smallest-256-id slice (so its trained
+    * sample is byte-identical to what a full-corpus build with
+    * sampleSize=256 would draw — the training-replay oracle's sample),
+    * the REST of the corpus arrives as two streaming append batches
+    * (geometry read from the index, never re-trained), and the served
+    * top-k answers must equal a fresh full-corpus index — judged by
+    * [[graft.ops.Similarity.ivfOracleSql]] at sampleSize=256. */
+  private def streamAnnIngest(s: SparkSession, d: String): DataFrame =
+    streamRow("annin:" + d, s) { () =>
+      import graft.ops.Similarity
+      import org.apache.spark.sql.functions.{col, max}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+      try {
+        val e = emb(s, d)
+        // the cut id bounding the smallest 256 NON-NULL embedding rows —
+        // null rows carry no representation, so counting raw ids would
+        // shrink the trained sample under the oracle's on a gappy corpus
+        val cut = e.filter(col("embedding").isNotNull)
+          .select(col("vec_id").cast("long"))
+          .orderBy(col("vec_id")).limit(256)
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val idx = s"$base/idx"
+        Similarity.ivfBuildIndex(e.filter(col("vec_id") <= cut), idx,
+          sampleSize = 256)
+        val rest = e.filter(col("vec_id") > cut)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Option[Array[Float]])].collect().sortBy(_._1)
+        val mid = if (rest.isEmpty) 0L else rest(rest.length / 2)._1
+        val input = MemoryStream[(Long, Option[Array[Float]])]
+        val query = graft.streaming.StreamRunner.streamingAnnIngest(
+          input.toDF.toDF("vec_id", "embedding"), idx, s"$base/ckpt")
+        try {
+          input.addData(rest.filter(_._1 < mid).toSeq)
+          query.processAllAvailable()
+          input.addData(rest.filter(_._1 >= mid).toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        Similarity.ivfTopKIndexed(s, idx, e.filter(col("vec_id") < 10), 5)
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
   /** Hand-pinned WELL-FORMED merge list (every operand a single char or
     * an earlier merge's product — the invariant published merges.txt
     * files carry, frozen here from one sf0.01 training run so the pieces
@@ -1223,8 +1424,10 @@ object SparkEntry {
       // (candidate recall traded for the broadcast)
       "sim_knn_graph" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), lit(true), 5)),
       "cluster_assign" -> ((s, d) => Similarity.nearestCentroid(emb(s, d), col("vec_id") < 4)),
-      // full Lloyd loop + assignment; iterative, so rows-only for the
-      // driver — SimilaritySpec carries the determinism + recovery bars
+      // full distributed Lloyd loop + assignment, oracle-replayed since
+      // r13: the quantized-integer M-step makes per-cell sums exact and
+      // partition-order-free, so DuckDB replays the whole training loop
+      // (kmeansOracleSql) — SimilaritySpec keeps the recovery bars
       "cluster_kmeans" -> ((s, d) => {
         val e = emb(s, d)
         Similarity.kmeansAssign(e, Similarity.kmeansFit(e, k = 8, maxIters = 8))
@@ -1436,6 +1639,12 @@ object SparkEntry {
       "join_asof_stream" -> ((s, d) => streamAsof(s, d)),
       "join_interval_stream" -> ((s, d) => streamIntervalJoin(s, d)),
       "events_wau_stream" -> ((s, d) => streamWau(s, d)),
+      // r13 streaming-parity rows: four more continuous operators judged
+      // by batch-oracle replays (the r12 MemoryStream pattern)
+      "pipeline_pack_ids_stream" -> ((s, d) => streamPackIds(s, d)),
+      "pipeline_vocab_drift_stream" -> ((s, d) => streamDrift(s, d)),
+      "dedup_ingest_stream" -> ((s, d) => streamDedupIngest(s, d)),
+      "sim_ann_ivf_ingest_stream" -> ((s, d) => streamAnnIngest(s, d)),
       "events_funnel" -> ((s, d) =>
         EventOps.funnel(EventOps.events(s, d),
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),
@@ -2157,6 +2366,12 @@ object SparkEntry {
       // ...and the recall MEASUREMENT row composes the per-leg oracles
       // with a brute-force-truth CTE — the whole tuning report hash-green
       "sim_ann_recall" -> graft.ops.Similarity.recallOracleSql(dim = 64, k = 5),
+      // the probe-tuning SWEEP replays too (r13): the trained quantizer /
+      // codebooks / codes / truth are MATERIALIZED once and the 6
+      // (nProbe, refineFactor) legs query them — no per-leg re-training
+      "sim_ann_probe_tune" -> graft.ops.Similarity.probeTuneOracleSql(
+        dim = 64, k = 5, recallBar = 0.9,
+        nProbes = Seq(1, 2, 4), refineFactors = Seq(1, 8)),
       // ties on the ROUNDED score break to the smallest centroid id in
       // both engines (row_number ties mirror the kernel's ascending-cid
       // strict-> scan)
@@ -2170,6 +2385,11 @@ object SparkEntry {
            |                                   ORDER BY score DESC, cid ASC) AS rn
            |      FROM s)
            |WHERE rn = 1""".stripMargin,
+      // the full distributed Lloyd loop replays in DuckDB (r13): the
+      // engine's integer-quantized M-step sums are exact and order-free,
+      // so the oracle folds the identical BIGINTs — training included
+      "cluster_kmeans" ->
+        graft.ops.Similarity.kmeansOracleSql(dim = 64, k = 8, maxIters = 8),
       // int8 quantization: floor(v/scale + 0.5) — half-up-toward-+inf is
       // identical in the JVM and DuckDB (round() is not, on negative
       // halves); scale is single-op IEEE arithmetic, bit-identical

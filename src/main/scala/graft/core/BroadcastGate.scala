@@ -34,18 +34,44 @@ object BroadcastGate {
     * TorrentBroadcast limit and small next to executor heaps. */
   val DefaultMaxBytes: Long = 512L << 20
 
-  private val measured = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // Keyed by (session identity, label): concurrent SparkSessions (parallel
+  // test suites, multi-tenant drivers) must not overwrite each other's
+  // audit entries. Entries live until [[clear]] or JVM exit — the label
+  // set is small and fixed (~30 operator sites) and sessions per JVM are
+  // few, so the map is bounded in practice; long-lived multi-session
+  // drivers should clear() when a session retires.
+  private val measured =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  /** (label -> last measured bytes) of every gated broadcast this session
-    * — the audit surface. */
-  def sizes: Map[String, Long] = measured.toMap
+  private def sessionKey(spark: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(spark))
+
+  /** (label -> last measured bytes) of every gated broadcast, merged
+    * across sessions last-write-wins — the JVM-wide audit surface. For a
+    * per-session view use `sizes(spark)`. */
+  def sizes: Map[String, Long] =
+    measured.toMap.map { case ((_, label), v) => label -> v }
+
+  /** (label -> last measured bytes) of every broadcast gated under THIS
+    * session — the audit surface concurrent sessions can read without
+    * seeing each other's entries. */
+  def sizes(spark: SparkSession): Map[String, Long] = {
+    val k = sessionKey(spark)
+    measured.toMap.collect { case ((s, label), v) if s == k => label -> v }
+  }
+
+  /** Drop a retiring session's audit entries. */
+  def clear(spark: SparkSession): Unit = {
+    val k = sessionKey(spark)
+    measured.keys.filter(_._1 == k).foreach(measured.remove)
+  }
 
   /** Measure, record, gate, broadcast. Throws `IllegalArgumentException`
     * with sizing guidance when the payload exceeds the ceiling. */
   def gated[T <: AnyRef: ClassTag](
       spark: SparkSession, value: T, what: String): Broadcast[T] = {
     val bytes = org.apache.spark.util.SizeEstimator.estimate(value)
-    measured.put(what, bytes)
+    measured.put((sessionKey(spark), what), bytes)
     val max = spark.conf.getOption(ConfKey).map(_.toLong).getOrElse(DefaultMaxBytes)
     if (bytes > max)
       throw new IllegalArgumentException(

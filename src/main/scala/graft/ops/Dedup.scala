@@ -880,6 +880,57 @@ object Dedup {
        |WHERE jaccard >= $threshold""".stripMargin
 
   /**
+   * DuckDB replay of BOTH rounds of [[graft.streaming.StreamRunner
+   * .streamingDedupIngest]] fed `batch1Pred` docs then `batch2Pred` docs:
+   * round 1 keeps the min-id representative per intra-batch near-dup
+   * component (the [[graft.ops.Curate.dedupKeep]] rule) and seeds the
+   * signature index; round 2 applies the same intra-batch rule, then
+   * drops every survivor near-duplicating a KEPT round-1 doc (the
+   * vs-index match — replayed as the incremental pair oracle filtered to
+   * both kept sides, a superset-candidates-then-filter equivalence).
+   * Returns the final kept doc ids.
+   */
+  def ingestStreamOracleSql(
+      shingleSize: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      batch1Pred: String, batch2Pred: String): String = {
+    def side(pred: String) = s"(SELECT * FROM documents WHERE $pred)"
+    val p1 = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold, side(batch1Pred))
+    val p2 = minhashOracleSql(shingleSize, bands, rowsPerBand, threshold, side(batch2Pred))
+    val px = minhashIncrementalOracleSql(shingleSize, bands, rowsPerBand, threshold,
+      batch1Pred, batch2Pred)
+    s"""WITH RECURSIVE
+       |p1 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($p1)),
+       |e1 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p1
+       |       UNION SELECT doc_b, doc_a FROM p1),
+       |w1(node, r) AS (
+       |  SELECT u, v FROM e1
+       |  UNION
+       |  SELECT w.node, e.v FROM w1 w JOIN e1 e ON w.r = e.u),
+       |keep1 AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE ($batch1Pred)
+       |    AND doc_id NOT IN (SELECT node FROM w1 GROUP BY node HAVING min(r) < node)),
+       |p2 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($p2)),
+       |e2 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p2
+       |       UNION SELECT doc_b, doc_a FROM p2),
+       |w2(node, r) AS (
+       |  SELECT u, v FROM e2
+       |  UNION
+       |  SELECT w.node, e.v FROM w2 w JOIN e2 e ON w.r = e.u),
+       |keep2 AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE ($batch2Pred)
+       |    AND doc_id NOT IN (SELECT node FROM w2 GROUP BY node HAVING min(r) < node)),
+       |x AS MATERIALIZED (SELECT corpus_id, batch_id FROM ($px)),
+       |dropx AS (
+       |  SELECT DISTINCT x.batch_id FROM x
+       |  JOIN keep1 k1 ON x.corpus_id = k1.doc_id
+       |  JOIN keep2 k2 ON x.batch_id = k2.doc_id)
+       |SELECT doc_id FROM keep1
+       |UNION ALL
+       |SELECT doc_id FROM keep2
+       |WHERE doc_id NOT IN (SELECT batch_id FROM dropx)""".stripMargin
+  }
+
+  /**
    * DuckDB replica of [[connectedComponents]] over [[minhashLsh]] pairs on
    * the `documents` table: transitive closure by recursive CTE, cluster id
    * = min reachable node, singletons mapped to themselves.

@@ -280,7 +280,7 @@ class BroadcastGateSpec extends SparkSpec {
     val bpe = graft.ops.Bpe.fromMerges(Seq(("a", "b")))
     // within the default ceiling: runs, and the audit map has the payload
     graft.ops.TextOps.bpeTokenCounts(docs, bpe).collect()
-    val sz = graft.core.BroadcastGate.sizes("bpeTokenCounts tokenizer")
+    val sz = graft.core.BroadcastGate.sizes(spark)("bpeTokenCounts tokenizer")
     assert(sz > 0L)
     // past a tiny configured ceiling: loud pre-flight failure, not an OOM
     spark.conf.set(graft.core.BroadcastGate.ConfKey, "16")
