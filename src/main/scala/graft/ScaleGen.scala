@@ -59,6 +59,14 @@ object ScaleGen {
     val tables: Set[String] =
       if (args.length > 3) args(3).split(",").toSet
       else Set("documents", "embeddings", "lineitem", "events")
+    // optional 5th arg: vocabulary mode for documents — "fixed" (default,
+    // the base corpus' ~31-word vocabulary at every scale) or "heaps"
+    // (words drawn log-uniformly — Zipf s~1 — from a 2^21-word potential
+    // vocabulary, so the OBSERVED vocabulary grows with the corpus the
+    // way real text does, Heaps' law V(n) ~ K*n^b; the fixed-vocab decade
+    // probes pure row growth, this one probes the realistic shape where
+    // shingle/gram distinctness and LSH bucket spread grow with n)
+    val vocabMode = if (args.length > 4) args(4) else "fixed"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -68,38 +76,58 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ---- documents: the real corpus' vocabulary, 10x the rows ----------
+    // ---- documents: 10x the rows; vocabulary per vocabMode -------------
     if (tables("documents")) {
-    val vocab: Array[String] = spark.read.parquet(s"$baseDir/documents.parquet")
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .distinct().orderBy("w").as[String].collect()
-    require(vocab.nonEmpty, s"no vocabulary in $baseDir/documents.parquet")
+    val vocab: Array[String] =
+      if (vocabMode == "heaps") Array.empty
+      else {
+        val v = spark.read.parquet(s"$baseDir/documents.parquet")
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .distinct().orderBy("w").as[String].collect()
+        require(v.nonEmpty, s"no vocabulary in $baseDir/documents.parquet")
+        v
+      }
     val nDocs = 5000L * factor
     val langs = Array("en", "en", "en", "en", "en", "en", "en", "en",
       "zh", "zh", "zh", "fr", "fr", "fr", "es", "es", "es", "de", "de", "de")
     val bcVocab = spark.sparkContext.broadcast(vocab)
+    val heaps = vocabMode == "heaps"
     val pairDocs = nDocs / 100 // ~0.5% of docs paired = the sf0.1 rate
     spark.range(0, nDocs, 1, 32).map { row =>
       val v = bcVocab.value
+      // heaps mode: rank log-uniform in [1, 2^21) — Zipf-shaped frequency
+      // (P(rank r) ~ 1/r), so the observed vocabulary grows with token
+      // count like real text instead of saturating at a fixed word list.
+      // The 8 head ranks map to REAL function words (~14% of tokens —
+      // the Zipf head IS the stopword class in natural text), so langid /
+      // stop-ratio quality gates see an English-shaped corpus and the
+      // front-door probe exercises its full chain, not an all-reject path
+      val stops = Array("the", "a", "and", "of", "to", "in", "is", "on")
+      def word(seed: Long): String =
+        if (heaps) {
+          val u = (java.lang.Long.remainderUnsigned(mix(seed), 1L << 40) + 0.5) / (1L << 40).toDouble
+          val r = math.exp(u * math.log((1L << 21).toDouble)).toLong
+          if (r <= 8) stops((r - 1).toInt) else "w" + r
+        } else v(pick(seed, v.length))
       val sb = new StringBuilder
       if (row < pairDocs) {
         // planted near-dup pair (2i, 2i+1): 35 shared + 10 unique words
         val cluster = row / 2
         var p = 0
-        while (p < 35) { sb.append(v(pick(900001L * cluster + p, v.length))); sb.append(' '); p += 1 }
+        while (p < 35) { sb.append(word(900001L * cluster + p)); sb.append(' '); p += 1 }
         p = 0
-        while (p < 10) { sb.append(v(pick(700003L * row + 777 + p, v.length))); sb.append(' '); p += 1 }
+        while (p < 10) { sb.append(word(700003L * row + 777 + p)); sb.append(' '); p += 1 }
       } else {
         val len = 8 + pick(row * 31L + 5, 89) // 8..96 words, the sf0.1 span
         var p = 0
-        while (p < len) { sb.append(v(pick(row * 131L + p, v.length))); sb.append(' '); p += 1 }
+        while (p < len) { sb.append(word(row * 131L + p)); sb.append(' '); p += 1 }
       }
       sb.setLength(sb.length - 1)
       val text = sb.toString
       (row, text, langs(pick(row + 17, langs.length)),
         "src" + pick(row + 41, 20), text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .repartition(8)
+      .repartition(if (factor >= 100) 32 else 8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
 

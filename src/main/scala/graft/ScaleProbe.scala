@@ -58,7 +58,16 @@ object ScaleProbe {
     val peakTask = new java.util.concurrent.atomic.AtomicLong(0)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    // started/ended task counts give a DETERMINISTIC drain signal: listener
+    // events post async, and a fixed sleep on a loaded host could read the
+    // metrics before the last task-end lands, silently undercounting the
+    // published peaks — instead we poll until every started task has
+    // reported its end (bounded fallback below)
+    val tasksStarted = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasksEnded = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        tasksStarted.incrementAndGet()
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -67,8 +76,16 @@ object ScaleProbe {
           shuffleBytes.addAndGet(
             m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
         }
+        tasksEnded.incrementAndGet()
       }
     })
+    // poll the started==ended invariant (all tasks of the just-finished
+    // query have posted their end events) with a 3 s bounded fallback
+    def drainListener(): Unit = {
+      val deadline = System.nanoTime() + 3000000000L
+      while (tasksStarted.get() != tasksEnded.get() && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
 
     // out_rows rides an Observation on the run-2 execution — a separate
     // df.count() would re-run the whole query a third time per (query, dir)
@@ -88,13 +105,13 @@ object ScaleProbe {
     names.foreach { name =>
       Seq("base" -> base, "10x" -> scaled).foreach { case (tag, dir) =>
         val (r1, _) = timed(name, dir)
-        // reset AFTER run1 so the reported memory profile is the warm
-        // run's — like the wall numbers, steady-state not JIT/setup
+        // drain, then reset AFTER run1 so the reported memory profile is
+        // the warm run's — like the wall numbers, steady-state not
+        // JIT/setup — and no run-1 straggler event leaks into the window
+        drainListener()
         peakTask.set(0); spillBytes.set(0); shuffleBytes.set(0)
         val (r2, rows) = timed(name, dir)
-        // listener events are posted async (the drain API is
-        // private[spark]); a short settle covers the per-task tail
-        Thread.sleep(300)
+        drainListener()
         println(f"PROBE $name%-22s $tag%-8s $r1%8.2f $r2%8.2f $rows%10d ${mb(peakTask.get)}%12.1f ${mb(spillBytes.get)}%9.1f ${mb(shuffleBytes.get)}%10.1f")
         System.gc(); Thread.sleep(100)
       }
