@@ -1601,6 +1601,8 @@ object SparkEntry {
       // planted-rule accuracy = 1.0 bar, bit-identical refits, and the
       // pretokenized-path equivalence). 20 Adagrad passes on a planted
       // lexical label, then one kernel scoring scan over the corpus.
+      // HASH-GREEN since r13: the quantized-integer gradient merge makes
+      // the training loop itself replayable (Classifier.fitOracleSql).
       "text_quality_clf" -> ((s, d) => {
         val dd = docs(s, d)
         val labeled = dd.withColumn("y", col("text").contains("spark").cast("int"))
@@ -3472,6 +3474,12 @@ object SparkEntry {
            |FROM x""".stripMargin,
       // the scoring kernel's replay under the shared fixed weights
       "clf_score_fixed" -> graft.ops.Classifier.scoreOracleSql(FixedClfWeights),
+      // the TRAINED classifier row, hash-green since r13: the engine's
+      // quantized-integer gradient merge makes the 20-iteration full-batch
+      // Adagrad loop exactly replayable (Classifier.fitOracleSql); the
+      // label derivation below must stay in lockstep with the catalog row
+      "text_quality_clf" -> graft.ops.Classifier.fitOracleSql(
+        "CASE WHEN strpos(text, 'spark') > 0 THEN 1 ELSE 0 END", iters = 20),
       "clf_pr_curve" ->
         """WITH s AS (
           |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE)

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
  *
  * Training: full-batch Adagrad on the logistic loss with L2 — per-
  * feature adaptive steps (rare informative buckets take large updates,
- * ubiquitous ones small), still fully deterministic: the accumulator is
- * a pure function of the gradient history, no RNG, zero init, fixed
- * schedule. Each iteration is ONE corpus pass: every partition folds its documents
- * into a dense gradient partial (`dim+1` doubles, ~256 KB at the 2^15
- * default), the bounded partials collect and reduce driver-side in
- * partition-index order (bit-stable, the [[Pca.fit]] precedent), and the
- * updated weights re-broadcast.
+ * ubiquitous ones small), fully deterministic AND partition-layout-
+ * independent: per-document gradient contributions are QUANTIZED to
+ * integers (`floor(err * value * 2^34 + 0.5)` per active bucket — the
+ * [[Similarity.kmeansFit]] M-step trick) and summed as Longs, so the
+ * merged gradient is bit-identical whatever order partials arrive in,
+ * and the whole training loop replays in DuckDB ([[fitOracleSql]]).
+ * The 2^-34 per-contribution quantization is noise relative to the
+ * learning dynamics (err is in (-1,1)); ClassifierSpec's planted-rule
+ * and refit bars are unchanged. Each iteration is ONE corpus pass:
+ * every partition folds its documents into a dense quantized partial
+ * (`dim+1` longs, ~256 KB at the 2^15 default), the bounded partials
+ * collect and reduce driver-side, and the updated weights re-broadcast.
  *
  * Scale notes (100 TB): per-iteration cost is one scan + partitions x dim
  * doubles to the driver — no shuffle at all; the corpus is re-tokenized
@@ -50,6 +55,13 @@ object Classifier {
   }
 
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Gradient-contribution quantizer: 2^34, a power of two so `x * GradScale`
+    * is a pure exponent shift (exact for every normal double) — the
+    * quantized Longs are identical in the JVM and DuckDB, and Long sums
+    * are exact and order-free. Headroom: |err*value| < 1, so a per-bucket
+    * sum overflows only past ~5e8 contributing documents per bucket. */
+  private val GradScale = 17179869184.0 // 2^34
 
   /** Hash a document into its sparse binary-presence feature row. */
   private def featurizeOne(id: Long, label: Double, text: String, dim: Int): FeatRow = {
@@ -129,7 +141,10 @@ object Classifier {
       val partials = feats
         .mapPartitions { it =>
           val ww = bc.value
-          val g = new Array[Double](ww.length)
+          // quantized Long partial: exact, associative, order-free — the
+          // merged gradient is independent of partition layout, and the
+          // identical floor(x * 2^34 + 0.5) replays in DuckDB
+          val g = new Array[Long](ww.length)
           var any = false
           it.foreach { r =>
             any = true
@@ -138,8 +153,11 @@ object Classifier {
             while (i < r.idx.length) { z += ww(r.idx(i)) * r.value(i); i += 1 }
             val err = sigmoid(z) - r.label
             i = 0
-            while (i < r.idx.length) { g(r.idx(i)) += err * r.value(i); i += 1 }
-            g(ww.length - 1) += err
+            while (i < r.idx.length) {
+              g(r.idx(i)) += math.floor(err * r.value(i) * GradScale + 0.5).toLong
+              i += 1
+            }
+            g(ww.length - 1) += math.floor(err * GradScale + 0.5).toLong
           }
           if (any)
             Iterator.single((org.apache.spark.TaskContext.getPartitionId(), g))
@@ -147,15 +165,15 @@ object Classifier {
         }
         .collect()
       bc.unpersist(blocking = false)
-      val grad = new Array[Double](w.length)
-      partials.sortBy(_._1).foreach { case (_, g) =>
+      val grad = new Array[Long](w.length)
+      partials.foreach { case (_, g) =>
         var i = 0
         while (i < grad.length) { grad(i) += g(i); i += 1 }
       }
       val next = new Array[Double](w.length)
       var i = 0
       while (i < w.length) {
-        val g = grad(i) / n + l2 * w(i)
+        val g = grad(i).toDouble / GradScale / n + l2 * w(i)
         gsum(i) += g * g
         next(i) = w(i) - learningRate * g / (math.sqrt(gsum(i)) + 1e-10)
         i += 1
@@ -204,12 +222,12 @@ object Classifier {
    * the cosine oracles. Weights embed as literals from the SAME array
    * the catalog row passes to [[score]].
    */
-  def scoreOracleSql(weights: Array[Double], table: String = "documents"): String = {
-    require(weights.length >= 2, "need at least one feature weight + bias")
-    val dim = weights.length - 1
-    val lits = weights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
-    s"""WITH wt(w) AS (SELECT [$lits]),
-       |tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  /** The hashing-trick feature CTEs shared by [[scoreOracleSql]] and
+    * [[fitOracleSql]]: `bl(doc_id, bks)` — each document's SORTED distinct
+    * bucket indices under the Java `String.hashCode` fold (BIGINT mod 2^32
+    * with the sign/`%` conventions matched). */
+  private def featureCtes(dim: Int, table: String): String =
+    s"""tok AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
        |        FROM $table),
        |h0 AS (SELECT doc_id, t,
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -221,12 +239,85 @@ object Classifier {
        |      FROM (SELECT doc_id,
        |              (CASE WHEN hm >= 2147483648 THEN hm - 4294967296 ELSE hm END) % $dim AS m
        |            FROM h0) q),
-       |bl AS (SELECT doc_id, list_sort(list(DISTINCT bkt)) AS bks FROM b GROUP BY doc_id),
+       |bl AS (SELECT doc_id, list_sort(list(DISTINCT bkt)) AS bks FROM b GROUP BY doc_id)""".stripMargin
+
+  def scoreOracleSql(weights: Array[Double], table: String = "documents"): String = {
+    require(weights.length >= 2, "need at least one feature weight + bias")
+    val dim = weights.length - 1
+    val lits = weights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
+    s"""WITH wt(w) AS (SELECT [$lits]),
+       |${featureCtes(dim, table)},
        |z AS (SELECT doc_id,
        |        list_reduce(list_prepend(wt.w[${dim + 1}], list_transform(bks, k -> wt.w[k + 1])),
        |          (a, x) -> a + x) AS z
        |      FROM bl, wt)
        |SELECT doc_id AS id, round(1.0 / (1.0 + exp(-z)), 4) AS prob FROM z""".stripMargin
+  }
+
+  /**
+   * DuckDB replay of [[fit]] + [[score]] — the TRAINED-classifier oracle,
+   * training included. Replayable because the engine's gradient merge is
+   * quantized-integer ([[GradScale]]): per (doc, cell) contributions
+   * `floor(err * 2^34 + 0.5)` fold as exact BIGINTs whatever partition
+   * layout the engine ran with, and every other step (the bias-first
+   * ascending-bucket z fold, sigmoid, the Adagrad scalar update chain) is
+   * straight-line double arithmetic both engines execute identically.
+   * Only ACTIVE cells (buckets present in the corpus, plus the bias)
+   * carry state — untouched weights stay exactly 0 through every
+   * iteration (g = 0/n + l2*0 = 0), so the recursive CTE's working set
+   * is vocabulary-sized, not dim-sized. `labelExprSql` is the 0/1 label
+   * as a SQL expression over the `$table` row (the engine side must
+   * derive the label the same way).
+   */
+  def fitOracleSql(
+      labelExprSql: String,
+      dim: Int = 1 << 15,
+      iters: Int = 50,
+      learningRate: Double = 0.5,
+      l2: Double = 1e-6,
+      table: String = "documents"): String = {
+    val s = GradScale
+    s"""WITH RECURSIVE
+       |${featureCtes(dim, table)},
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CAST(($labelExprSql) AS DOUBLE) AS y FROM $table),
+       |fxb AS MATERIALIZED (
+       |  SELECT doc_id, unnest(bks) AS k FROM bl
+       |  UNION ALL
+       |  SELECT doc_id, $dim AS k FROM bl),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM bl),
+       |tr(it, k, w, gsum) AS (
+       |  SELECT 0, k, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM (SELECT DISTINCT k FROM fxb)
+       |  UNION ALL
+       |  SELECT it + 1, k,
+       |         w - $learningRate * g / (sqrt(gsum + g * g) + 1e-10),
+       |         gsum + g * g
+       |  FROM (
+       |    SELECT t.it, t.k, t.w, t.gsum,
+       |           CAST(q.qs AS DOUBLE) / $s / (SELECT n FROM nn) + $l2 * t.w AS g
+       |    FROM tr t
+       |    JOIN (
+       |      SELECT f2.k, sum(CAST(floor(e.err * $s + 0.5) AS BIGINT)) AS qs
+       |      FROM (
+       |        SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - z.y AS err
+       |        FROM (
+       |          SELECT f.doc_id, any_value(l.y) AS y,
+       |                 list_reduce(
+       |                   list(t2.w ORDER BY (f.k = $dim) DESC, f.k ASC),
+       |                   (a, x) -> a + x) AS z
+       |          FROM fxb f JOIN tr t2 ON t2.k = f.k
+       |          JOIN lab l ON l.doc_id = f.doc_id
+       |          GROUP BY f.doc_id) z) e
+       |      JOIN fxb f2 ON f2.doc_id = e.doc_id
+       |      GROUP BY f2.k) q ON q.k = t.k)
+       |  WHERE it < $iters),
+       |wfin AS (SELECT k, w FROM tr WHERE it = $iters)
+       |SELECT f.doc_id AS id,
+       |       round(1.0 / (1.0 + exp(-list_reduce(
+       |         list(t.w ORDER BY (f.k = $dim) DESC, f.k ASC),
+       |         (a, x) -> a + x))), 4) AS prob
+       |FROM fxb f JOIN wfin t ON t.k = f.k
+       |GROUP BY f.doc_id""".stripMargin
   }
 
   def score(

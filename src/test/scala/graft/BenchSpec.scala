@@ -29,7 +29,8 @@ class BenchSpec extends AnyFunSuite {
     val segs = (1 to 16).map(i => f"[${i * 20},99.99]").mkString("[", ",", "]")
     val drift = Bench.driftBlock(
       "a-very-long-reference-label-that-gets-truncated-here",
-      hostFactor = 99.999, comparable = true, checked = 320, worstFlags(8))
+      hostFactor = 99.999, catalogShift = 99.999,
+      comparable = true, checked = 320, worstFlags(8))
     Bench.BenchRun(qs, 99999.999, 99999.999, 99.999, 99.999, 99.999, 99.999,
       segs, 99.999, 99.999, drift, 8)
   }
@@ -66,7 +67,7 @@ class BenchSpec extends AnyFunSuite {
       Bench.DriftFlag("r5", 0.5, 1.0, 1.0, 0.8))
     assert(!flags(0).confirmed)
     assert(flags(1).confirmed)
-    val js = Bench.driftBlock("ref", 1.0, comparable = true, 200, flags)
+    val js = Bench.driftBlock("ref", 1.0, 1.0, comparable = true, 200, flags)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(js)
     assert(root.get("n_flagged").asInt() == 5)
