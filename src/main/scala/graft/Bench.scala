@@ -453,13 +453,20 @@ object Bench {
                 (k, p, wn, segmentFor(k))
             }
           }.sortBy { case (_, p, wn, _) => -(wn / p) }
-          // Re-measure the worst 8 flags in-run (flags are few and cheap
-          // by construction — they flagged against sub-second references).
-          val flags = firstPass.take(8).map { case (k, p, wn, seg) =>
+          // Re-measure EVERY flagged row in-run (flags are cheap by
+          // construction — they flagged against sub-second references; a
+          // run so chaotic it flags >24 rows is not quiet whatever the
+          // reruns say, and the cap bounds the added wall either way).
+          // Measured: with an 8-row cap the un-rerun tail stood on its
+          // first-pass number and auto-"confirmed" transient bursts the
+          // rerun would have refuted — the cap itself was poisoning the
+          // quiet judgment.
+          val rerunCap = 24
+          val flags = firstPass.take(rerunCap).map { case (k, p, wn, seg) =>
             val rerun = norm(timedForce(k, SparkEntry.queries(k)))
             System.err.println(f"BENCH drift rerun $k prev=$p%.3f first=$wn%.3f rerun=$rerun%.3f")
             DriftFlag(k, p, wn, rerun, seg)
-          } ++ firstPass.drop(8).map { case (k, p, wn, seg) =>
+          } ++ firstPass.drop(rerunCap).map { case (k, p, wn, seg) =>
             DriftFlag(k, p, wn, wn, seg) // beyond the rerun cap: first pass stands
           }
           (driftBlock(ref, hostFactor, catalogShift, comparable = true, checked, flags),
