@@ -1499,9 +1499,12 @@ object SparkEntry {
         Similarity.mmrTopK(emb(s, d), col("vec_id") < 5, k = 5,
           lambdaParam = 0.7, shortlist = 32)),
       "emb_quantize" -> ((s, d) => Similarity.quantize(emb(s, d))),
-      // distributed PCA to 8 dims (rows-only: DuckDB has no eigensolver;
-      // SimilaritySpec carries known-axes recovery, orthonormality,
-      // full-rank exact reconstruction and bit-identical-refit bars).
+      // distributed PCA to 8 dims — HASH-GREEN since r13: quantized-Long
+      // moments make the covariance partition-order-free, and the cyclic
+      // Jacobi eigensolver (pure IEEE-exact ops) replays rotation by
+      // rotation in DuckDB (Pca.pcaOracleSql), early exit included.
+      // SimilaritySpec keeps known-axes recovery, orthonormality,
+      // full-rank exact reconstruction and bit-identical-refit bars.
       // Catalog surface is EXPLODED to (id, dim, v) scalar cells: the
       // driver sorts every result frame before hashing, and an
       // array<double> column crashes its checker (r7: "unhashable type:
@@ -2342,6 +2345,10 @@ object SparkEntry {
       // JL projection: r=16 over the 64-lane embeddings (d is pinned by
       // the testdata schema; the builder embeds the r*d sign literals)
       "emb_jl" -> graft.ops.Pca.jlOracleSql(r = 16, d = 64),
+      // the eigensolver replays too (r13): quantized-Long moments +
+      // rotation-by-rotation Jacobi in a recursive CTE — the last
+      // trained-model row leaves rows-only
+      "emb_pca" -> graft.ops.Pca.pcaOracleSql(dim = 64, r = 8),
       "sim_kcenter" -> graft.ops.Similarity.kCenterOracleSql(k = 16),
       "sim_mmr" -> graft.ops.Similarity.mmrOracleSql(
         queryIdBelow = 5, k = 5, lambdaParam = 0.7, shortlist = 32),
