@@ -594,6 +594,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0L) == ((0L, 1.0)) && r(1L) == ((1L, 1.0))) // self-assignment
   }
 
+  test("quantized trainers are bit-identical across partition layouts") {
+    // the r13 oracle contract: kmeansFit / Pca.fit / Classifier.fit merge
+    // their one FP-order-dependent reduction as exact integers, so the
+    // trained model is a pure function of the DATA — repartitioning (the
+    // thing a 1000-executor deployment does constantly) must not move a
+    // single bit. A double-sum merge fails this test.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def km(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(df, Similarity.kmeansFit(df, k = 4, maxIters = 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(km(e) == km(e.repartition(7)))
+    def pca(df: org.apache.spark.sql.DataFrame) = {
+      val m = Pca.fit(df, r = 4)
+      (m.mean.toSeq, m.components.map(_.toSeq).toSeq, m.eigenvalues.toSeq)
+    }
+    assert(pca(e) == pca(e.repartition(7)))
+    val dd = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .withColumn("y", col("text").contains("spark").cast("int"))
+    def clf(df: org.apache.spark.sql.DataFrame) =
+      Classifier.fit(df, "y", iters = 4).toSeq
+    assert(clf(dd) == clf(dd.repartition(7)))
+  }
+
   test("kmeansFit recovers well-separated clusters, deterministically") {
     // 90 vectors around three orthogonal axes in 4 dims, deterministic
     // jitter on a non-axis lane; interleaved ids so init sees all clusters
