@@ -252,6 +252,11 @@ object SparkEntry {
       "join_asof_stream" -> base("join_asof"),
       "join_interval_stream" -> base("join_interval"),
       "events_wau_stream" -> base("events_wau"),
+      // r13 (late): the streamed funnel ranks, counter-rate slots and DES
+      // outputs are judged by their batch oracles verbatim
+      "events_funnel_stream" -> base("events_funnel"),
+      "data_rate_sum_stream" -> base("data_rate_sum"),
+      "stateful_des_stream" -> base("stateful_des"),
       // r13: four more continuous operators under the batch oracles.
       // Full sequences only — the per-shard short tail stays in streaming
       // state by contract (a stream has no end), so the batch replay is
@@ -1041,6 +1046,198 @@ object SparkEntry {
       } finally rmTree(base)
     }
 
+  /** The events_funnel row through [[graft.streaming.StreamRunner
+    * .streamingFunnel]]: non-null-user step events arrive in TWO
+    * micro-batches split at the median timestamp (time-ordered like a
+    * live feed — an id-parity split would put old events UNDER the
+    * watermark batch 1 advanced, and the stateful operator drops late
+    * rows; funnels straddling the median still carry buffered state
+    * across the boundary), a derived-sentinel user advances the
+    * watermark past every anchor + window and a second sentinel batch
+    * fires the event-time timeouts that finalize each user's reached
+    * rank. Per-step counts derive from the streamed ranks exactly like
+    * the batch kernel (explode(sequence(1, reached)) + the zero-step
+    * left join) and the BATCH events_funnel oracle judges them.
+    *
+    * Watermark contract: the delay is derived from the corpus span
+    * (span + funnel window + slack) so no user's funnel finalizes while
+    * its events are still arriving. The streaming operator's designed
+    * semantics RESTART a user's funnel after one finalizes (bounded
+    * state on an infinite stream — a signup after a finalized funnel
+    * anchors a new one); the batch kernel computes exactly ONE funnel
+    * per user over the whole corpus, so parity requires every user's
+    * single funnel instance to see its full event set before the
+    * sentinel finalizes it. A production deployment uses a short delay
+    * and gets per-user funnel restarts, which a one-shot batch replay
+    * cannot express. */
+  private def streamFunnel(s: SparkSession, d: String): DataFrame =
+    streamRow("funnel:" + d, s) { () =>
+      import graft.ops.EventOps
+      import org.apache.spark.sql.functions.{coalesce, col, count, explode, lit, sequence}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val steps = Seq("signup", "click", "purchase")
+      val windowMs = 604800000L
+      val base = java.nio.file.Files.createTempDirectory("graft_funnel_stream")
+      try {
+        val evts = EventOps.events(s, d)
+          .filter(col("user_id").isNotNull && col("event_type").isin(steps: _*))
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("tms").cast("long"), col("event_type"))
+          .as[(Long, Long, Long, String)].collect().toSeq
+        // sentinel user id derived from the data (max + 1), never a
+        // collidable literal — the r12 sessionize rule
+        val sentinelUser = evts.foldLeft(0L)((m, e) => math.max(m, e._2)) + 1L
+        val maxT = evts.foldLeft(0L)((m, e) => math.max(m, e._3))
+        val minT = evts.foldLeft(Long.MaxValue)((m, e) => math.min(m, e._3))
+        // delay > corpus span + window: no funnel finalizes mid-feed (the
+        // no-data micro-batch after each trigger advances the watermark,
+        // and an early finalization would let later signups re-anchor a
+        // SECOND per-user funnel the one-shot batch kernel never sees)
+        val delayMs = math.max(0L, maxT - minT) + windowMs + 7200000L
+        val input = MemoryStream[(Long, Long, String)]
+        val out = graft.streaming.StreamRunner.streamingFunnel(
+          input.toDF.toDF("user_id", "tms", "event_type"), steps, windowMs,
+          watermark = s"${delayMs / 1000L} seconds")
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          if (evts.nonEmpty) {
+            val midT = evts.map(_._3).sorted.apply(evts.length / 2)
+            input.addData(evts.filter(_._3 < midT).map(e => (e._2, e._3, e._4)))
+            query.processAllAvailable()
+            input.addData(evts.filter(_._3 >= midT).map(e => (e._2, e._3, e._4)))
+            query.processAllAvailable()
+          }
+          // two sentinels: the first advances the watermark (event time
+          // minus the derived delay) past every anchor + window, the
+          // next trigger fires the timeouts the first enabled
+          input.addData(Seq((sentinelUser, maxT + windowMs + delayMs + 3600000L, steps.head)))
+          query.processAllAvailable()
+          input.addData(Seq((sentinelUser, maxT + 2 * (windowMs + delayMs) + 7200000L, steps.head)))
+          query.processAllAvailable()
+        } finally query.stop()
+        val counts = s.read.parquet(s"$base/out")
+          .filter(col("user_id") =!= sentinelUser)
+          .select(explode(sequence(lit(1L), col("reached").cast("long"))).as("step"))
+          .groupBy("step")
+          .agg(count(lit(1)).as("n_users"))
+        // zero-reached steps included, same as the batch kernel's output
+        s.range(1, steps.length + 1).select(col("id").as("step"))
+          .join(counts, Seq("step"), "left")
+          .select(col("step"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The data_rate_sum row with the INGEST-NORMALIZE stage streamed:
+    * counter datapoints arrive time-ordered in TWO micro-batches split at
+    * the median timestamp (the online counter state — cumulative value,
+    * open slot partial, heartbeat clock — genuinely carries across the
+    * boundary), [[graft.streaming.StreamRunner.streamingIngestNormalize]]
+    * emits per-series rate slots, and the planner's `:sum` across series
+    * is replayed on the streamed slots with the exact output rounding
+    * ([[graft.planner.Planner.output]]'s RoundEps + HALF_UP). The BATCH
+    * data_rate_sum oracle (the full DuckDB rate-conversion replay) judges
+    * the result. */
+  private def streamRateSum(s: SparkSession, d: String): DataFrame =
+    streamRow("ratesum:" + d, s) { () =>
+      import org.apache.spark.sql.functions.{col, round, sum, lit}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_rate_stream")
+      try {
+        val dp = graft.sources.Datapoints.eventsCounters(s, d)
+          .select(col("tags"), col("ts"), col("value"))
+          .as[(Map[String, String], Long, Double)].collect().sortBy(_._2)
+        val midTs = if (dp.isEmpty) 0L else dp(dp.length / 2)._2
+        val input = MemoryStream[(Map[String, String], Long, Double)]
+        // eviction grace disabled: the replay feeds half the corpus per
+        // micro-batch, so the watermark leaps ~15 days per trigger and the
+        // 4*step live-GC grace would destroy counter baselines mid-gap —
+        // the batch kernel (and its oracle) computes rates across gaps
+        // from the retained baseline, so the parity row retains it too
+        val out = graft.streaming.StreamRunner.streamingIngestNormalize(
+          input.toDF.toDF("tags", "ts", "value"),
+          graft.asl.Query.Equal("name", "click"), ctx.step,
+          evictAfterMs = Some(Long.MaxValue / 4))
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          // time-ordered split: per series the online counter sees its
+          // samples in arrival order, exactly like a live ingest feed
+          input.addData(dp.filter(_._2 < midTs).toSeq)
+          query.processAllAvailable()
+          input.addData(dp.filter(_._2 >= midTs).toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .filter(col("t") >= ctx.start && col("t") < ctx.end)
+          .groupBy(col("t"))
+          .agg(round(sum(col("value")) + lit(graft.core.NanMath.RoundEps), 4).as("value"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
+  /** The stateful_des row with the DES state machine streamed: the
+    * normalized summed click series (the same per-slot sums the planner's
+    * `:sum` produces) arrives in THREE micro-batch chunks, [[graft
+    * .streaming.StreamRunner.streamingStatefulTicking]] carries the
+    * OnlineDes state across the chunk boundaries AND ticks the trailing
+    * grid slots once the sentinel-advanced watermark finalizes them (the
+    * batch dense grid emits the carried smoothed value through the window
+    * end, so the stream must too), and the BATCH stateful_des oracle — the
+    * recursive-CTE DES replay — judges the streamed slots. */
+  private def streamDes(s: SparkSession, d: String): DataFrame =
+    streamRow("des:" + d, s) { () =>
+      import org.apache.spark.sql.functions.{col, pmod, round, sum, lit}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamRunner.SlotValue
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_des_stream")
+      try {
+        val slots = graft.sources.Datapoints.events(s, d)
+          .filter(col("tags").getItem("name") === "click")
+          .groupBy((col("ts") - pmod(col("ts"), lit(ctx.step))).as("t"))
+          .agg(sum(col("value")).as("v"))
+          .select(col("t"), col("v"))
+          .as[(Long, Double)].collect().sortBy(_._1)
+        val input = MemoryStream[SlotValue]
+        val out = graft.streaming.StreamRunner.streamingStatefulTicking(
+          input.toDS(), ctx, () => new graft.core.OnlineDes(10, 0.1, 0.02))
+        val query = out.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try {
+          val chunks = slots.grouped(math.max(1, slots.length / 3 + 1)).toSeq
+          chunks.foreach { ch =>
+            input.addData(ch.map(x => SlotValue("a", x._1, x._2)).toSeq)
+            query.processAllAvailable()
+          }
+          // sentinel series: raise the watermark to the grid end so the
+          // main series ticks its trailing slots, then one more trigger
+          // to fire the enabled timeout
+          input.addData(Seq(SlotValue("zz_tick", ctx.end - ctx.step, 0.0)))
+          query.processAllAvailable()
+          input.addData(Seq(SlotValue("zz_tick", ctx.end, 0.0)))
+          query.processAllAvailable()
+        } finally query.stop()
+        s.read.parquet(s"$base/out")
+          .filter(col("key") === "a" && col("t") >= ctx.start && col("t") < ctx.end)
+          .select(col("t"),
+            round(col("value") + lit(graft.core.NanMath.RoundEps), 4).as("value"))
+          .localCheckpoint()
+      } finally rmTree(base)
+    }
+
   /** The pipeline_pack_ids row through [[graft.streaming.StreamRunner
     * .streamingPackTokenIds]]: the corpus arrives in TWO micro-batches
     * split at the median doc id (per shard the stream order equals the
@@ -1650,6 +1847,12 @@ object SparkEntry {
       "pipeline_vocab_drift_stream" -> ((s, d) => streamDrift(s, d)),
       "dedup_ingest_stream" -> ((s, d) => streamDedupIngest(s, d)),
       "sim_ann_ivf_ingest_stream" -> ((s, d) => streamAnnIngest(s, d)),
+      // r13 (late): three more — the funnel's timeout-finalized ranks,
+      // the ingest-normalize online counter state across a micro-batch
+      // boundary, and the DES state machine with trailing-grid ticking
+      "events_funnel_stream" -> ((s, d) => streamFunnel(s, d)),
+      "data_rate_sum_stream" -> ((s, d) => streamRateSum(s, d)),
+      "stateful_des_stream" -> ((s, d) => streamDes(s, d)),
       "events_funnel" -> ((s, d) =>
         EventOps.funnel(EventOps.events(s, d),
           Seq("signup", "click", "purchase"), windowMs = 604800000L)),

@@ -1457,4 +1457,25 @@ class StreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lshServed(lDir) === lshServed(lBatch))
   }
+
+  test("r13 catalog streaming-parity rows equal their batch twins on sf0.001") {
+    // the same equality the driver's gate checks at sf0.01 (both sides
+    // share one batch oracle), pinned here at the smaller scale: the
+    // funnel's timeout-finalized ranks, the online-counter rate slots
+    // carried across a micro-batch boundary, and the ticking DES state
+    // machine must reproduce the batch rows exactly (same 4-decimal
+    // RoundEps rounding on both sides)
+    val d = "/root/testdata/sf0.001"
+    for ((sName, bName) <- Seq(
+        "events_funnel_stream" -> "events_funnel",
+        "data_rate_sum_stream" -> "data_rate_sum",
+        "stateful_des_stream" -> "stateful_des")) {
+      val streamed = SparkEntry.queries(sName)(spark, d).collect().map(_.toString).sorted
+      val batch = SparkEntry.queries(bName)(spark, d).collect().map(_.toString).sorted
+      assert(streamed.length == batch.length,
+        s"$sName rows ${streamed.length} != $bName rows ${batch.length}")
+      assert(streamed.sameElements(batch),
+        s"$sName differs from $bName:\nstream=${streamed.take(30).mkString(";")}\nbatch =${batch.take(30).mkString(";")}")
+    }
+  }
 }
