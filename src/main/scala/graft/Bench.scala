@@ -200,6 +200,12 @@ object Bench {
     // here turned into BENCH FAIL on every store_jdbc_*/tags_*_jdbc row.
     java.util.Locale.setDefault(java.util.Locale.US)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // DRIVER CONTRACT: the core count comes from SPARK_GRAFT_CPUS (the
+    // driver also runs the bench at a LOWER core count to measure per-query
+    // scaling — a hard-coded master ruins that measurement). Shuffle
+    // parallelism follows the core count (scale-adaptive, not a constant
+    // tuned for one machine); AQE coalescing shrinks it further per query.
+    val cpus = math.max(1, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // Retry-until-quiet (judge r11 item #4): a contended host produces an
     // artifact whose regressions are machine noise, not plan changes —
     // re-run the whole catalog (max SPARK_GRAFT_BENCH_ATTEMPTS, default 3,
@@ -227,7 +233,7 @@ object Bench {
     while (attempt < maxAttempts && (run == null || reason.isDefined) &&
         (attempt == 0 || (System.nanoTime() - retryClockStart) / 1e9 < retryBudgetSecs)) {
       attempt += 1
-      run = runAttempt(sfDir)
+      run = runAttempt(sfDir, cpus)
       if (attempt == 1) retryClockStart = System.nanoTime()
       reason = quietReason(run)
       reason.foreach(r => System.err.println(s"BENCH attempt $attempt not quiet: $r"))
@@ -239,13 +245,17 @@ object Bench {
     println(line)
   }
 
-  private def runAttempt(sfDir: String): BenchRun = {
+  private def runAttempt(sfDir: String, cpus: Int): BenchRun = {
     val sentinelStart = sentinel()
     val sentinelMtStart = sentinelMt()
+    // NB the sentinels stay fixed-shape (1 thread / 32 threads) regardless
+    // of SPARK_GRAFT_CPUS: they probe HOST state (frequency, co-tenant
+    // load), not Spark parallelism, and must stay comparable to bench_ref
+    // runs taken at any core count.
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
