@@ -256,6 +256,18 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition coalescing's 1 MB floor folds every small post-shuffle
+      // frame into ONE task, serializing window/aggregate work on frames
+      // that are small-but-CPU-heavy (dense-grid windows, group-cardinality
+      // stats frames — shapes that exist at ANY corpus scale as
+      // intermediates). parallelismFirst (default on) already sizes
+      // partitions to total/parallelism when that exceeds the floor, so
+      // lowering the floor only restores parallelism where the 1 MB default
+      // overrode it; large shuffles are untouched. Measured (this host,
+      // sf0.1, warm): sketch_approx_distinct_cum 2.15 -> 1.5 s (its window
+      // stage 1 task/1.10 s -> 2 tasks/0.55 s), rel_pct_price 2.6 -> 2.2 s.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")

@@ -1664,7 +1664,11 @@ object SparkEntry {
       // recallAtK against hand-computed fractions.
       "sim_ann_recall" -> ((s, d) => {
         val q = emb(s, d).filter(col("vec_id") < 10)
+        // brute-force truth feeds BOTH method legs' recall joins —
+        // materialize it once (queries x k rows) instead of recomputing
+        // the broadcast corpus scan per leg (r13 optimization round)
         val exact = Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)
+          .localCheckpoint()
         Similarity.recallAtK(
             Similarity.lshTopKIndexed(s, lshIndexPath(s, d), q, 5), exact)
           .withColumn("method", lit("lsh_idx"))

@@ -68,10 +68,28 @@ object Quantiles {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
 
-    // 2. unit-bucket histogram (floor is monotonic, so bucket order = value
-    //    order); frame size = groups x distinct buckets, domain-bounded
+    // 2. bucket histogram (floor(v/w) is monotonic in v, so bucket order =
+    //    value order); frame size = groups x distinct buckets. The width is
+    //    ADAPTIVE: spans up to 16384 stay unit buckets (the original
+    //    discrete-domain shape), wider domains coarsen so the histogram —
+    //    and the cumulative walk over it, whose parallelism is capped at
+    //    |groups| — stays ~16k rows per group regardless of the value
+    //    domain (measured: rel_pct_price's walk stage was 0.6 s over 3 x
+    //    ~100k unit buckets; ~15k 7-unit buckets make it negligible).
+    //    Exactness is unchanged for ANY w > 0: markers still locate the
+    //    bucket holding each exact rank, and the in-bucket ranking selects
+    //    the exact order statistic within a (now w-unit) slice — the w
+    //    trade is walk size vs marker-slice size, sqrt-style two-level
+    //    selection. One extra tiny job (min/max over the checkpointed
+    //    value-count frame) picks w.
+    val span = {
+      val r = vc.agg(min(col("v")), max(col("v"))).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) 0.0 else r.getDouble(1) - r.getDouble(0)
+    }
+    val w = math.max(1.0, math.ceil(span / 16384.0))
+    def bucketOf(v: Column): Column = floor(v / lit(w)).cast("long")
     val bc = vc
-      .groupBy(g, floor(col("v")).cast("long").as("b"))
+      .groupBy(g, bucketOf(col("v")).as("b"))
       .agg(sum(col("c")).as("bc"))
     val wOrd = Window.partitionBy(g).orderBy(col("b"))
     val bcum = bc
@@ -100,7 +118,7 @@ object Quantiles {
     //    and an === here silently dropped its quantile row entirely
     val mv = vc.join(
       broadcast(markers),
-      (g <=> col("mg")) && floor(col("v")).cast("long") === col("mb"))
+      (g <=> col("mg")) && bucketOf(col("v")) === col("mb"))
       .select(g, col("q"), col("r"), col("k"), col("kin"), col("v"), col("c"))
     val wIn = Window.partitionBy(g, col("q"), col("k")).orderBy(col("v"))
     val sel = mv

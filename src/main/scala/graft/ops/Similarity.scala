@@ -302,6 +302,19 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .as[Vec]
 
+    // Normalize ONCE and persist for the whole fit: the seed pass and
+    // every Lloyd iteration read the same unit-vector frame, so the corpus
+    // is scanned (and cast + normalized) once instead of once per
+    // iteration — at corpus scale the E-step was paying a full parquet
+    // read + per-row normalize maxIters times for byte-identical inputs.
+    // Same FP path as before (normalize applied exactly once to each
+    // vector before the quantized E/M arithmetic), so the trained
+    // centroids — and the lockstep DuckDB training replay — are unchanged.
+    // MEMORY_AND_DISK: spills instead of recomputing; freed in the finally.
+    val unit = data
+      .map(v => Vec(v.id, normalize(v.vec)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // seed: the k DISTINCT unit vectors with the smallest first-occurrence
     // ids, found in ONE bounded distributed pass — group by the normalized
     // vector (map-side-combined min(id) at distinct-vector cardinality),
@@ -311,8 +324,7 @@ object Similarity {
     // a duplicate-heavy corpus with < k distinct vectors the old loop's
     // final window collected the whole table to the driver. Fewer than k
     // distinct vectors in the WHOLE corpus still legitimately shrink k.
-    var centroids: Array[Array[Double]] = data
-      .map(v => Vec(v.id, normalize(v.vec)))
+    var centroids: Array[Array[Double]] = unit
       .toDF("id", "vec")
       .groupBy(col("vec")).agg(min(col("id")).as("gid"))
       .orderBy(col("gid"))
@@ -326,7 +338,7 @@ object Similarity {
     var iter = 0
     while (iter < maxIters && shift > tol) {
       val bc = graft.core.BroadcastGate.gated(spark, centroids, "kMeans centroids")
-      val merged = data
+      val merged = unit
         .mapPartitions { it =>
           val cs = bc.value
           val kk = cs.length
@@ -334,7 +346,7 @@ object Similarity {
           val sums = Array.fill(kk)(new Array[Long](dim))
           val counts = new Array[Long](kk)
           it.foreach { v =>
-            val u = normalize(v.vec)
+            val u = v.vec // already unit-normalized (persisted frame)
             // E-step by squared Euclidean in lane order — the same FP
             // path as nearestCell and the oracle's sqDistSql (equivalent
             // to max cosine on unit vectors, bit-for-bit reproducible)
@@ -395,6 +407,7 @@ object Similarity {
     centroids.zipWithIndex
       .map { case (v, c) => (c.toLong, v, sizes(c)) }
       .toSeq.toDF("centroid_id", "centroid", "size")
+    } finally unit.unpersist(blocking = false)
   }
 
   /** Label every vector with its nearest [[kmeansFit]] centroid (max

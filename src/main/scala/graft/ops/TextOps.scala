@@ -749,7 +749,11 @@ object TextOps {
       n: Int = 20,
       textCol: String = "text"
   ): DataFrame = {
-    val windows = ngramRows(docs, n, textCol)
+    // materialize the window kernel once: the frame feeds BOTH the df
+    // aggregate and the join-back, which otherwise each re-read and
+    // re-shingle the corpus text (r13 optimization round; same pattern as
+    // ngramContainment's checkpointed gram frame)
+    val windows = ngramRows(docs, n, textCol).localCheckpoint()
     val shared = windows
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
@@ -1026,7 +1030,9 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wins = windowRowsAt(docs, n, textCol)
+    // one window-kernel pass: the frame feeds the keep-decision aggregate
+    // AND the join-back (r13 optimization round, as in sharedSubstrings)
+    val wins = windowRowsAt(docs, n, textCol).localCheckpoint()
     val dups = wins
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("c"),

@@ -3122,6 +3122,34 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("groupedExact is exact when the adaptive bucket width exceeds 1 (wide domain)") {
+    // span >> 16384 forces w > 1 (coarse buckets); interpolated order
+    // statistics must be identical to the sorted-array definition anyway
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      val g = if (i % 4 == 0) "A" else "B"
+      (g, math.floor(rnd.nextDouble() * 2.0e8) / 100.0) // values up to 2e6, span >> 16384
+    }
+    val df = rows.toDF("g", "v")
+    val got = ops.Quantiles
+      .groupedExact(df, "g", "v", Seq(0.1, 0.5, 0.9), Seq("p10", "p50", "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def ref(q: Double, vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val r = q * (s.length - 1)
+      val lo = s(math.floor(r).toInt)
+      val hi = s(math.ceil(r).toInt)
+      val x = lo + (r - math.floor(r)) * (hi - lo) + graft.core.NanMath.RoundEps
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2).toArray
+      assert(got(g)._1 == ref(0.1, vs), s"p10 group $g")
+      assert(got(g)._2 == ref(0.5, vs), s"p50 group $g")
+      assert(got(g)._3 == ref(0.9, vs), s"p90 group $g")
+    }
+  }
+
   test("groupedExact plan has no row-cardinality sort partitioned by the group key") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plan = ops.Quantiles
