@@ -41,8 +41,11 @@ object BenchOne {
       // materialization would under-report them
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
       df.write.mode("overwrite").format("noop").save()
-      println(f"TIMING $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val phases = df.queryExecution.tracker.phases
+        .map { case (k, s) => f"$k=${s.durationMs}ms" }.mkString(" ")
+      println(f"TIMING $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (build=$tBuild%.2f) $phases")
     }
     spark.stop()
   }

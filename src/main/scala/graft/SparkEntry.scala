@@ -3,7 +3,7 @@ package graft
 import graft.asl._
 import graft.core.{EvalContext, NanMath}
 import graft.planner.Planner
-import graft.sources.Datapoints
+import graft.sources.{Datapoints, Pq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
@@ -704,10 +704,10 @@ object SparkEntry {
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Pq.read(spark, s"$dir/documents.parquet")
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Pq.read(spark, s"$dir/embeddings.parquet")
 
   /** The composed FRONT DOOR (line filter -> quality -> dedup ->
     * decontaminate -> mixture -> pack) run once per sf dir: its audit and
@@ -2197,9 +2197,9 @@ object SparkEntry {
       // shuffle-key health checks over the busiest join/group key: measure
       // the skew BEFORE the 100 TB shuffle, at key cardinality
       "diag_key_skew" -> ((s, d) =>
-        Diag.keySkew(s.read.parquet(s"$d/events.parquet"), "user_id", k = 10)),
+        Diag.keySkew(Pq.read(s, s"$d/events.parquet"), "user_id", k = 10)),
       "diag_skew_stats" -> ((s, d) =>
-        Diag.skewStats(s.read.parquet(s"$d/events.parquet"), "user_id")),
+        Diag.skewStats(Pq.read(s, s"$d/events.parquet"), "user_id")),
       // batch-vs-reference drift monitor: PSI of the document-length
       // distribution between two corpus slices (fixed declared edges, a
       // null bin, floored fractions — sum(psi_term) is the headline)
@@ -2244,7 +2244,7 @@ object SparkEntry {
           graft.sources.TagIndex.seriesCatalog(Datapoints.events(s, d)))),
       // -- relational / analytical over the star schema --
       "rel_q1_pricing" -> ((s, d) =>
-        s.read.parquet(s"$d/lineitem.parquet")
+        Pq.read(s, s"$d/lineitem.parquet")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             round(sum(col("l_quantity")) + NanMath.RoundEps, 4).as("sum_qty"),
@@ -2255,10 +2255,10 @@ object SparkEntry {
       // per-order revenue agg, TakeOrdered top-10 — the canonical
       // star-join plan (no fact shuffle before the aggregate)
       "rel_q3_shipping" -> ((s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-        val ord = s.read.parquet(s"$d/orders.parquet")
+        val li = Pq.read(s, s"$d/lineitem.parquet")
+        val ord = Pq.read(s, s"$d/orders.parquet")
           .filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
-        val cust = s.read.parquet(s"$d/customer.parquet")
+        val cust = Pq.read(s, s"$d/customer.parquet")
           .filter(col("c_mktsegment") === "BUILDING")
         li.filter(col("l_shipdate") > lit("1998-01-01").cast("date"))
           .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
@@ -2270,10 +2270,10 @@ object SparkEntry {
           .limit(10)
       }),
       "rel_revenue_by_nation" -> ((s, d) => {
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-        val ord = s.read.parquet(s"$d/orders.parquet")
-        val cust = s.read.parquet(s"$d/customer.parquet")
-        val nat = s.read.parquet(s"$d/nation.parquet")
+        val li = Pq.read(s, s"$d/lineitem.parquet")
+        val ord = Pq.read(s, s"$d/orders.parquet")
+        val cust = Pq.read(s, s"$d/customer.parquet")
+        val nat = Pq.read(s, s"$d/nation.parquet")
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -2286,7 +2286,7 @@ object SparkEntry {
       // graft.ops.Quantiles for the domain-bounded order-statistics plan.
       "rel_pct_price" -> ((s, d) =>
         Quantiles.groupedExact(
-          s.read.parquet(s"$d/lineitem.parquet"),
+          Pq.read(s, s"$d/lineitem.parquet"),
           "l_returnflag", "l_extendedprice",
           Seq(0.5, 0.9), Seq("p50", "p90"))),
       // the sketched knob beside the exact plan: ONE exchange via native
@@ -2294,7 +2294,7 @@ object SparkEntry {
       // quantile_cont interpolation; QuantilesSpec bars the rank error)
       "rel_pct_price_approx" -> ((s, d) =>
         Quantiles.groupedApprox(
-          s.read.parquet(s"$d/lineitem.parquet"),
+          Pq.read(s, s"$d/lineitem.parquet"),
           "l_returnflag", "l_extendedprice",
           Seq(0.5, 0.9), Seq("p50", "p90"))),
       // per-source corpus report: one agg pass for the moments, the

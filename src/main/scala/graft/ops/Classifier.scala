@@ -198,7 +198,7 @@ object Classifier {
   /** Load weights persisted by [[save]]. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] = {
     import spark.implicits._
-    val (dim, w) = spark.read.parquet(path)
+    val (dim, w) = graft.sources.Pq.read(spark, path)
       .select(col("dim").cast("int"), col("weights"))
       .as[(Int, Array[Double])].head()
     require(w.length == dim + 1, s"corrupt model: ${w.length} weights for dim $dim")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.asl.{EventExpr, Query}
+import graft.sources.Pq
 import graft.planner.QueryCompiler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,7 +21,7 @@ object EventOps {
     * columns preserved, timestamps in epoch ms. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.Datapoints.configure(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
+    Pq.read(spark, s"$sfDir/events.parquet")
       .withColumn("tms", graft.sources.Datapoints.epochMs(col("ts")))
       .withColumn(
         "tags",

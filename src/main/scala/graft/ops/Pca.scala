@@ -210,7 +210,7 @@ object Pca {
       jacobiSweeps: Int = 50
   ): PcaModel = {
     import spark.implicits._
-    val all = spark.read.parquet(path)
+    val all = graft.sources.Pq.read(spark, path)
       .select(col("seq").cast("long"), col("n").cast("long"),
         col("sum"), col("outer"), col("scale").cast("double"))
       .as[(Long, Long, Array[Long], Array[Long], Double)]

@@ -1093,7 +1093,7 @@ object Similarity {
   private def readIvfCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/centroids")
+    graft.sources.Pq.read(spark, s"$path/centroids")
       .select(col("centroid_id").cast("long"), col("centroid"))
       .as[(Long, Array[Double])]
       .collect()
@@ -1132,7 +1132,7 @@ object Similarity {
     val probed = qs.flatMap(_._2).distinct.toSeq
     val bcQ = graft.core.BroadcastGate.gated(spark, qs, "ivfTopKIndexed queries")
 
-    val candidates = spark.read.parquet(s"$path/cells")
+    val candidates = graft.sources.Pq.read(spark, s"$path/cells")
       .filter(col("cell").isin(probed: _*))
       .select(col("cell").cast("int"), col("id"), col("vec"))
       .as[(Int, Long, Array[Double])]
@@ -1267,7 +1267,7 @@ object Similarity {
 
   private def readLshMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta").select("tables", "planes").head()
+    val r = graft.sources.Pq.read(spark, s"$path/meta").select("tables", "planes").head()
     (r.getInt(0), r.getInt(1))
   }
 
@@ -1295,7 +1295,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Option[ProbeTuning] =
     if (!graft.sources.Dirs.exists(spark, s"$path/tuning")) None
     else {
-      val r = spark.read.parquet(s"$path/tuning")
+      val r = graft.sources.Pq.read(spark, s"$path/tuning")
         .select("n_probe", "refine_factor", "recall", "n_rows").head()
       Some(ProbeTuning(r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
     }
@@ -1325,7 +1325,7 @@ object Similarity {
   ): Boolean = {
     if (!graft.sources.Dirs.exists(spark, s"$path/centroids")) false
     else {
-      val n = spark.read.parquet(s"$path/cells").count()
+      val n = graft.sources.Pq.read(spark, s"$path/cells").count()
       if (readProbeTuning(spark, path).exists(_.nRows == n)) false
       else {
         val sweep = optimalProbes(spark, path, emb, queryPred, k, recallBar,
@@ -1383,7 +1383,7 @@ object Similarity {
     graft.sources.Dirs.recover(spark, cells) // crashed-swap healing first
     if (graft.sources.Dirs.exists(spark, cells)) {
       // partition column `cell` inferred from the directory names
-      val df = spark.read.parquet(cells).dropDuplicates()
+      val df = graft.sources.Pq.read(spark, cells).dropDuplicates()
       val nCells = math.max(1L, df.select("cell").distinct().count()).toInt
       graft.sources.Dirs.swapInPlace(spark, cells) { tmp =>
         df.repartition(nCells, col("cell"))
@@ -1438,7 +1438,7 @@ object Similarity {
       .map(q => (q, signatures(q.vec, tables, planes)))
     val bc = graft.core.BroadcastGate.gated(spark, qs, "lshTopKIndexed queries")
     val maxHam = probeHamming
-    val candidates = spark.read.parquet(s"$path/rows")
+    val candidates = graft.sources.Pq.read(spark, s"$path/rows")
       .select(col("id"), col("vec"), col("sigs"))
       .as[(Long, Array[Double], Array[Int])]
       .mapPartitions { it =>
@@ -2568,7 +2568,7 @@ object Similarity {
   private def readPqModel(
       spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/pq")
+    val rows = graft.sources.Pq.read(spark, s"$path/pq")
       .select(col("subspace").cast("int"), col("codeword_id").cast("int"), col("codeword"))
       .as[(Int, Int, Array[Double])]
       .collect()
@@ -2624,7 +2624,7 @@ object Similarity {
     val probed = qs.flatMap(_._2.keys).distinct.toSeq
     val bcQ = graft.core.BroadcastGate.gated(spark, qs, "ivfPqTopK queries")
 
-    val candidates = spark.read.parquet(s"$path/cells")
+    val candidates = graft.sources.Pq.read(spark, s"$path/cells")
       .filter(col("cell").isin(probed: _*))
       .select(col("cell").cast("int"), col("id"), col("code"))
       .as[(Int, Long, Array[Byte])]

@@ -37,7 +37,7 @@ object Datapoints {
    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
     // The optional `hi` tag is a null VALUE in a plain CreateMap, not a
     // map_filter-pruned entry: QueryCompiler treats null-valued keys as
     // absent (getItem(k).isNotNull), and a bare CreateMap lets Catalyst's
@@ -66,7 +66,7 @@ object Datapoints {
   def eventsBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
     import graft.functions.PercentileBuckets
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
     val idx = PercentileBuckets.indexOfCol(floor(col("value")).cast("long"))
     ev.select(
       map(
@@ -88,7 +88,7 @@ object Datapoints {
   def eventsRegisters(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
     import graft.functions.Hll
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
     val usr = concat(lit("u"), lpad(col("user_id").cast("string"), 3, "0"))
     val h = md5(usr)
     // pre-aggregated per hourly slot (max rho), the shape a sketch client
@@ -118,7 +118,7 @@ object Datapoints {
    */
   def eventsDistStats(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
       .select(
         col("event_type"),
         (epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(3600000L))).as("t"),
@@ -154,7 +154,7 @@ object Datapoints {
   def eventsCounters(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
     import org.apache.spark.sql.expressions.Window
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
     val base = ev.select(
       col("event_type"),
       concat(lit("g"), pmod(col("user_id"), lit(5)).cast("string")).as("grp"),
@@ -184,7 +184,7 @@ object Datapoints {
    */
   def eventsGauge(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Pq.read(spark, s"$sfDir/events.parquet")
     ev.select(
         col("event_type"),
         (epochMs(col("ts")) - pmod(epochMs(col("ts")), lit(3600000L))).as("t"),
@@ -206,7 +206,7 @@ object Datapoints {
    */
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = Pq.read(spark, s"$sfDir/lineitem.parquet")
     li.select(
       map(
         lit("name"), lit("lineitem"),
