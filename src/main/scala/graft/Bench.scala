@@ -191,13 +191,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    // every number below lands in MACHINE-PARSED JSON via f-interpolators,
-    // which format with the JVM default locale — a comma-decimal locale
-    // would emit {"total":95,990} and silently disable the next round's
-    // drift gate (Jackson parse failure -> "unreadable"). Pin US, NOT
-    // ROOT: embedded Derby rejects database creation under Locale.ROOT
-    // ("Supplied locale description '' is invalid"), which a ROOT pin
-    // here turned into BENCH FAIL on every store_jdbc_*/tags_*_jdbc row.
+    // Locale pin moved into Sessions.builder (still needed BEFORE any
+    // f-interpolator below runs, so set it here too — main may format
+    // before the session exists).
     java.util.Locale.setDefault(java.util.Locale.US)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // DRIVER CONTRACT: the core count comes from SPARK_GRAFT_CPUS (the
@@ -205,7 +201,7 @@ object Bench {
     // scaling — a hard-coded master ruins that measurement). Shuffle
     // parallelism follows the core count (scale-adaptive, not a constant
     // tuned for one machine); AQE coalescing shrinks it further per query.
-    val cpus = math.max(1, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val cpus = Sessions.cpus()
     // Retry-until-quiet (judge r11 item #4): a contended host produces an
     // artifact whose regressions are machine noise, not plan changes —
     // re-run the whole catalog (max SPARK_GRAFT_BENCH_ATTEMPTS, default 3,
@@ -252,28 +248,11 @@ object Bench {
     // of SPARK_GRAFT_CPUS: they probe HOST state (frequency, co-tenant
     // load), not Spark parallelism, and must stay comparable to bench_ref
     // runs taken at any core count.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE partition coalescing's 1 MB floor folds every small post-shuffle
-      // frame into ONE task, serializing window/aggregate work on frames
-      // that are small-but-CPU-heavy (dense-grid windows, group-cardinality
-      // stats frames — shapes that exist at ANY corpus scale as
-      // intermediates). parallelismFirst (default on) already sizes
-      // partitions to total/parallelism when that exceeds the floor, so
-      // lowering the floor only restores parallelism where the 1 MB default
-      // overrode it; large shuffles are untouched. Measured (this host,
-      // sf0.1, warm): sketch_approx_distinct_cum 2.15 -> 1.5 s (its window
-      // stage 1 task/1.10 s -> 2 tasks/0.55 s), rel_pct_price 2.6 -> 2.2 s.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // session policy (parallelism, AQE small-frame floor, timezone,
+    // locale, warehouse) lives in Sessions.builder — one owner for every
+    // harness entry point
+    val spark = Sessions.builder("graft-bench", cpus)
       .config("spark.driver.memory", "8g")
-      // fresh warehouse per run (store/rollup queries write managed tables)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -409,6 +388,12 @@ object Bench {
         val root = om.readTree(f)
         val prevQ = root.get("queries")
         val ref = root.path("label").asText(refPath)
+        // CORE-COUNT AWARENESS: a reference taken at a different
+        // SPARK_GRAFT_CPUS is not comparable row-by-row (the r13 8-core
+        // driver run normalized against the 32-core reference and produced
+        // 47 bogus "confirmed" flags). References promoted before this
+        // field existed were all taken at 32 cores — that is the default.
+        val refCpus = root.path("cpus").asInt(32)
         // HOST-SPEED NORMALIZATION: the reference run carries its own
         // sentinel endpoints; dividing current times by (our spin / the
         // ref's spin) removes stable host drift (hypervisor steal,
@@ -437,11 +422,15 @@ object Bench {
           if (refMt > 0 && curMt > 0) curMt / refMt
           else if (refSent > 0) segMedian / refSent
           else 1.0
-        val comparable = rawFactor >= 0.75 && rawFactor <= 1.6
+        val comparable = rawFactor >= 0.75 && rawFactor <= 1.6 && refCpus == cpus
         val checked = results.count { case (k, _, _) => prevQ.has(k) }
         if (!comparable) {
-          System.err.println(f"BENCH drift: host factor $rawFactor%.2f outside " +
-            "[0.75,1.6] — hosts not comparable, no flags computed")
+          if (refCpus != cpus)
+            System.err.println(s"BENCH drift: reference taken at $refCpus cpus, " +
+              s"this run at $cpus — not comparable, no flags computed")
+          else
+            System.err.println(f"BENCH drift: host factor $rawFactor%.2f outside " +
+              "[0.75,1.6] — hosts not comparable, no flags computed")
           (driftBlock(ref, rawFactor, 1.0, comparable = false, checked, Nil), 0)
         } else {
           val hostFactor = rawFactor
@@ -511,8 +500,11 @@ object Bench {
       val allQ = results.map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }
         .mkString("{", ",", "}")
       val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", "last_full")
+      // "cpus" stamps the core count the record was taken at, so a future
+      // promoted reference is only drift-compared against runs at the same
+      // count (the gate above skips on mismatch)
       val fullLine =
-        f"""{"label":"$label","total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"drift":$driftJson,"sf":"$sfDir","queries":$allQ}"""
+        f"""{"label":"$label","cpus":$cpus,"total":$total%.3f,"cold_total":$coldTotal%.3f,"sentinel_start":$sentinelStart%.3f,"sentinel_end":$sentinelEnd%.3f,"sentinel_mt_start":$sentinelMtStart%.3f,"sentinel_mt_end":$sentinelMtEnd%.3f,"sentinel_segments":$segs,"drift":$driftJson,"sf":"$sfDir","queries":$allQ}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception => System.err.println(s"BENCH full-out write failed: $e") }

@@ -1,26 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Time a single catalog query (diagnostics): sbt "runMain graft.BenchOne <name> [sfDir] [explain]" */
+/** Time a single catalog query (diagnostics): sbt "runMain graft.BenchOne <name> [sfDir] [reps|explain]"
+  *
+  * Honors SPARK_GRAFT_CPUS like graft.Bench, so single-query
+  * investigations reproduce catalog rows measured at any core count, and
+  * GRAFT_CONF="k=v;k2=v2" for config A/Bs (both via Sessions). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val builder = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      // match graft.Bench's small-frame parallelism floor (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
-    // experiment hook: GRAFT_CONF="k=v;k2=v2" applies extra spark confs
-    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
+    val spark = Sessions.builder("graft-bench-one", Sessions.cpus()).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(

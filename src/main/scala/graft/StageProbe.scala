@@ -1,20 +1,11 @@
 package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/tmp/graft_stress"
     val q = if (args.length > 1) args(1) else "pipeline_pack"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      // match graft.Bench's small-frame parallelism floor (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
+    // session policy (cpus, AQE floor, GRAFT_CONF hook) shared via Sessions
+    val spark = Sessions.builder("graft-stage-probe", Sessions.cpus()).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val durations = new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
     val info = new java.util.concurrent.ConcurrentHashMap[Int, String]()

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,17 +9,11 @@ object Verify {
     // comma-separated query names to run instead of the full catalog
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // fresh warehouse per run: the store/rollup catalog queries write
-      // managed bucketed tables, and a stale location from a previous run
-      // fails saveAsTable (the in-memory catalog starts empty each run)
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse").toString)
+    // shared harness session policy (Sessions): SPARK_GRAFT_CPUS honored
+    // (default 4 here — the dump is I/O-bound and the driver's gate has
+    // always run it small), fresh warehouse per run (store/rollup queries
+    // write managed bucketed tables; a stale location fails saveAsTable)
+    val spark = Sessions.builder("graft-verify", Sessions.cpus(default = 4))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

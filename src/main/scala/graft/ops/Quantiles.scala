@@ -62,8 +62,12 @@ object Quantiles {
       // order statistics). Without this filter a null value forms a
       // floor(null)=null bucket that sorts first, inflates n, and the
       // marker join's === on the bucket key silently loses the whole
-      // group's output row when a quantile rank lands in it.
-      .filter(col("v").isNotNull)
+      // group's output row when a quantile rank lands in it. NaN is
+      // dropped for the same reason (quantile_cont ignores it) AND
+      // because Spark's max treats NaN as greatest: a single NaN would
+      // make span — and the adaptive width w below — NaN, turning every
+      // floor(v/NaN) bucket null and silently emptying EVERY group.
+      .filter(col("v").isNotNull && !isnan(col("v")))
       .groupBy(g, col("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -86,7 +90,12 @@ object Quantiles {
       val r = vc.agg(min(col("v")), max(col("v"))).head()
       if (r.isNullAt(0) || r.isNullAt(1)) 0.0 else r.getDouble(1) - r.getDouble(0)
     }
-    val w = math.max(1.0, math.ceil(span / 16384.0))
+    // non-finite span (an Infinity value survives the NaN filter) falls
+    // back to unit buckets — the pre-adaptive behavior — instead of
+    // poisoning every bucket key with a non-finite width
+    val w =
+      if (java.lang.Double.isFinite(span)) math.max(1.0, math.ceil(span / 16384.0))
+      else 1.0
     def bucketOf(v: Column): Column = floor(v / lit(w)).cast("long")
     val bc = vc
       .groupBy(g, bucketOf(col("v")).as("b"))

@@ -61,6 +61,9 @@ object Dirs {
     }
     fs.delete(bak, true)
     fs.delete(marker, false) // swap window closed
+    // the path's contents (and possibly schema) just changed in place:
+    // readers going through the Pq schema cache must re-infer
+    Pq.invalidate(livePath)
   }
 
   /** Public entry-point form of the crash recovery below: call before

@@ -27,4 +27,15 @@ object Pq {
     val sc = schemas.getOrElseUpdate(path, spark.read.parquet(path).schema)
     spark.read.schema(sc).parquet(path)
   }
+
+  /** Drop the cached schema for a rewritten path (and any cached child
+    * paths under it). [[Dirs.swapInPlace]] calls this after every in-place
+    * rewrite, so index artifacts read through [[read]] cannot see a stale
+    * schema after a same-JVM rebuild that changes the layout. */
+  def invalidate(path: String): Unit = {
+    val norm = path.stripSuffix("/")
+    schemas.keysIterator
+      .filter(k => k == norm || k.startsWith(norm + "/"))
+      .foreach(schemas.remove)
+  }
 }

@@ -3093,6 +3093,17 @@ class QuantilesSpec extends SparkSpec {
     val gotNv = ops.Quantiles.groupedExact(withNullVals, "g", "v", Seq(0.5), Seq("p50"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(gotNv == Map("a" -> 1.5, "b" -> 5.0), s"null values mishandled: $gotNv")
+
+    // NaN values are ignored the same way — and must not poison the
+    // adaptive bucket width: Spark's max treats NaN as greatest, so a
+    // single NaN made span (and w) NaN, nulled every floor(v/NaN) bucket
+    // key, and silently emptied EVERY group's output, not just its own
+    val withNaN = Seq(("a", Double.NaN), ("a", 1.0), ("a", 2.0),
+        ("b", 5.0), ("b", Double.NaN))
+      .toDF("g", "v")
+    val gotNaN = ops.Quantiles.groupedExact(withNaN, "g", "v", Seq(0.5), Seq("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotNaN == Map("a" -> 1.5, "b" -> 5.0), s"NaN values mishandled: $gotNaN")
   }
 
   test("groupedExact matches the quantile_cont definition (single-task reference)") {

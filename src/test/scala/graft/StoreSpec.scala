@@ -543,4 +543,22 @@ class StoreSpec extends SparkSpec {
     assert(rows === Set(1L, 2L, 3L, 4L, 5L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(live + "__pre_compact")))
   }
+
+  test("Pq schema cache: a swapInPlace rewrite with a changed schema is seen on the next read") {
+    // Pq.read caches the inferred schema per path; an in-place rebuild
+    // that changes the layout (column added/renamed) must invalidate it —
+    // a stale cached schema would silently read the new file wrong
+    import graft.sources.{Dirs, Pq}
+    import spark.implicits._
+    val live = java.nio.file.Files.createTempDirectory("pq_swap").toString + "/t"
+    Seq((1L, "a")).toDF("id", "s").write.parquet(live)
+    assert(Pq.read(spark, live).schema.fieldNames.toSeq === Seq("id", "s"))
+    // warm-cache read returns the same schema (the cache is in effect)
+    assert(Pq.read(spark, live).schema.fieldNames.toSeq === Seq("id", "s"))
+    Dirs.swapInPlace(spark, live) { tmp =>
+      Seq((2L, "b", 9.0)).toDF("id", "s", "extra").write.mode("overwrite").parquet(tmp)
+    }
+    assert(Pq.read(spark, live).schema.fieldNames.toSeq === Seq("id", "s", "extra"),
+      "post-swap read used a stale cached schema")
+  }
 }
