@@ -28,14 +28,9 @@ object ScaleProbe {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scaled = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val names = if (args.length > 2) args.drop(2).toSeq else DefaultNames
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-scale-probe")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    // Sessions honors SPARK_GRAFT_CPUS, so the same probe measures the
+    // core-scaling of data-bound rows (BASELINE's low-vs-high core table)
+    val spark = Sessions.builder("graft-scale-probe", Sessions.cpus())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -18,13 +18,19 @@ import org.apache.spark.sql.SparkSession
  *  - `spark.sql.shuffle.partitions = cores`: parallelism follows the
  *    allotted cores instead of a constant tuned for one machine; AQE
  *    coalescing shrinks small shuffles per query below that.
- *  - AQE `coalescePartitions.minPartitionSize` (default 64k, env
+ *  - AQE `coalescePartitions.minPartitionSize` (default 256k, env
  *    SPARK_GRAFT_MIN_PART_SIZE): the 1 MB default folds every small
  *    post-shuffle frame into ONE task, serializing window/aggregate work
  *    on small-but-CPU-heavy intermediates (group-cardinality frames that
- *    exist at any corpus scale). 64k only restores parallelism where the
- *    1 MB floor overrode it; large shuffles are untouched
- *    (`parallelismFirst` sizes them at total/parallelism).
+ *    exist at any corpus scale); large shuffles are untouched
+ *    (`parallelismFirst` sizes them at total/parallelism). Round-13 used
+ *    64k, which over-split the small window frames of
+ *    stateful_rolling_mean / query_starts_or_ends into dozens of tiny
+ *    tasks (rerun-confirmed ~2x regressions at both core counts); the
+ *    round-14 sweep (64k / 256k / 1m, 7 warm reps each) found 256k
+ *    strictly best on all four probe rows: the two window rows recover
+ *    fully (0.54 s / 0.40 s vs 2.0 / 1.8 at 64k) AND the sketch/quantile
+ *    wins are retained (sketch_approx_distinct_cum 1.4 s vs 2.2 at 1m).
  *  - UTC session timezone: the oracle compares epoch-ms arithmetic.
  *  - Locale.US pin: f-interpolators feed machine-parsed JSON (a
  *    comma-decimal locale breaks the driver's parse) — and NOT
@@ -51,7 +57,7 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "256k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

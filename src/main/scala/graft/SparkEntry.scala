@@ -1663,17 +1663,18 @@ object SparkEntry {
       // when turning the tables/probes/refine knobs. OpsSpec pins
       // recallAtK against hand-computed fractions.
       "sim_ann_recall" -> ((s, d) => {
-        val q = emb(s, d).filter(col("vec_id") < 10)
-        // brute-force truth feeds BOTH method legs' recall joins —
-        // materialize it once (queries x k rows) instead of recomputing
-        // the broadcast corpus scan per leg (r13 optimization round)
-        val exact = Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 10, 5)
+        // ONE collected query set shared by the truth pass and both method
+        // legs (r14: each leg used to re-scan + re-collect the predicate —
+        // the refine leg twice), and brute-force truth feeds BOTH legs'
+        // recall joins, materialized once (queries x k rows, r13)
+        val qs = Similarity.collectQueries(emb(s, d), col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopKVecs(emb(s, d), qs, 5)
           .localCheckpoint()
         Similarity.recallAtK(
-            Similarity.lshTopKIndexed(s, lshIndexPath(s, d), q, 5), exact)
+            Similarity.lshTopKIndexedVecs(s, lshIndexPath(s, d), qs, 5), exact)
           .withColumn("method", lit("lsh_idx"))
           .unionByName(Similarity.recallAtK(
-              Similarity.ivfPqTopKIndexed(s, ivfPqIndexPath(s, d), q, 5,
+              Similarity.ivfPqTopKIndexedVecs(s, ivfPqIndexPath(s, d), qs, 5,
                 refineFrom = Some(emb(s, d))), exact)
             .withColumn("method", lit("ivfpq_idx")))
       }),

@@ -734,8 +734,16 @@ object Dedup {
     // iteration and persist() leaks blocks across a long catalog session.
     // On a cluster where node loss is routine and restarts are expensive,
     // swap in df.checkpoint() (reliable, HDFS-backed) via one call site.
-    var edges = canon(pairs.select(
-      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+    // Materialize the NON-distinct canonical form first: the fast path
+    // below tolerates duplicate edges (union-find is idempotent), so the
+    // distinct's exchange+aggregate is deferred to the distributed path —
+    // one less shuffle inside this checkpoint job for the common case.
+    // (Pair operators emit unique pairs by construction, so the row count
+    // against maxLocalEdges is the same either way in practice.)
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .localCheckpoint()
 
     // Fixpoint test on (count, order-independent xor of row hashes): both
@@ -749,19 +757,26 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var cur = signature(edges)
-
-    // Small-edge fast path: the signature already counted the canonical
-    // edge set, and near-dup edge lists are orders of magnitude smaller
-    // than the corpus by construction (they are the OUTPUT of the banded
-    // LSH join, bounded by true duplicate volume) — so most real corpora
-    // land here at any input scale. Below the bound (1e5 edges ~ 1.6 MB)
-    // a driver union-find replaces O(log^2 n) distributed rounds, each a
-    // full Spark job, with one collect of the already-materialized frame.
-    // Past the bound the alternating-star path below runs unchanged, so a
-    // pathologically-duplicated corpus degrades to the distributed
-    // algorithm rather than a driver OOM.
-    if (cur._1 <= maxLocalEdges) {
+    // Small-edge fast path: near-dup edge lists are orders of magnitude
+    // smaller than the corpus by construction (they are the OUTPUT of the
+    // banded LSH join, bounded by true duplicate volume) — so most real
+    // corpora land here at any input scale. Below the bound (1e5 edges ~
+    // 1.6 MB) a driver union-find replaces O(log^2 n) distributed rounds,
+    // each a full Spark job, with ONE bounded job over the materialized
+    // frame: each partition yields at most bound+1 of its 16-byte edge
+    // rows (driver worst case = partitions x bound x 16 B, a few MB), so
+    // the gate and the collect that the r13 shape paid two jobs for are
+    // one job. A full result (no partition truncated) means the whole
+    // edge multiset is on the driver; past the bound the alternating-star
+    // path below runs unchanged, so a pathologically-duplicated corpus
+    // degrades to the distributed algorithm rather than a driver OOM.
+    val capInt = math.min(maxLocalEdges, Int.MaxValue.toLong - 1).toInt
+    val capped = {
+      import spark.implicits._
+      edges.select(col("u"), col("v")).as[(Long, Long)]
+        .mapPartitions(_.take(capInt + 1)).collect()
+    }
+    if (capped.length <= capInt) {
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -772,7 +787,7 @@ object Dedup {
         r
       }
       val nodes = scala.collection.mutable.TreeSet.empty[Long]
-      edges.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (a, b) =>
+      capped.foreach { case (a, b) =>
         nodes += a; nodes += b
         val (ra, rb) = (find(a), find(b))
         // min-root union: the root of every class IS the component min,
@@ -781,6 +796,11 @@ object Dedup {
       }
       return nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_id")
     }
+
+    // distributed path: restore the canonical DISTINCT edge set the
+    // alternating-star rounds and the signature fixpoint assume
+    edges = canon(edges).localCheckpoint()
+    var cur = signature(edges)
 
     var converged = false
     var iter = 0

@@ -128,11 +128,34 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    bruteForceTopKVecs(emb,
+      collectQueries(emb, queryPred, idCol, vecCol, "bruteForceTopK queryPred"),
+      k, idCol, vecCol)
+
+  /** Collect-and-gate a query predicate's vectors ONCE. Composite rows
+    * (recall evaluation, the probe auto-tuner) pass the resulting array to
+    * several kernel legs via the *Vecs variants, so the query side's
+    * filter scan + gated collect — two jobs per call — is paid once per
+    * row instead of once per leg. */
+  private[graft] def collectQueries(
+      emb: DataFrame,
+      queryPred: Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      what: String = "queries"): Array[Vec] =
+    boundedCollect(vecs(emb.filter(queryPred), idCol, vecCol), what)
+
+  /** [[bruteForceTopK]] over a pre-collected query set. */
+  private[graft] def bruteForceTopKVecs(
+      emb: DataFrame,
+      queries: Array[Vec],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val queries = boundedCollect(
-      vecs(emb.filter(queryPred), idCol, vecCol), "bruteForceTopK queryPred")
     val bc = graft.core.BroadcastGate.gated(spark, queries, "bruteForceTopK queries")
 
     val candidates = vecs(emb, idCol, vecCol).mapPartitions { it =>
@@ -1120,6 +1143,18 @@ object Similarity {
       nProbe: Int = UseTuned,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    ivfTopKIndexedVecs(spark, path,
+      boundedCollect(vecs(queries, idCol, vecCol), "ivfTopKIndexed queries"),
+      k, nProbe)
+
+  /** [[ivfTopKIndexed]] over a pre-collected query set. */
+  private[graft] def ivfTopKIndexedVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryVecs: Array[Vec],
+      k: Int,
+      nProbe: Int = UseTuned
   ): DataFrame = {
     import spark.implicits._
     val resolvedNp =
@@ -1127,8 +1162,7 @@ object Similarity {
       else nProbe
     val centroids = readIvfCentroids(spark, path)
     val np = math.min(resolvedNp, centroids.length)
-    val qs = boundedCollect(vecs(queries, idCol, vecCol), "ivfTopKIndexed queries")
-      .map(q => (q, probeCells(q.vec, centroids, np).toSet))
+    val qs = queryVecs.map(q => (q, probeCells(q.vec, centroids, np).toSet))
     val probed = qs.flatMap(_._2).distinct.toSeq
     val bcQ = graft.core.BroadcastGate.gated(spark, qs, "ivfTopKIndexed queries")
 
@@ -1431,11 +1465,22 @@ object Similarity {
       probeHamming: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    lshTopKIndexedVecs(spark, path,
+      boundedCollect(vecs(queries, idCol, vecCol), "lshTopKIndexed queries"),
+      k, probeHamming)
+
+  /** [[lshTopKIndexed]] over a pre-collected query set. */
+  private[graft] def lshTopKIndexedVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryVecs: Array[Vec],
+      k: Int,
+      probeHamming: Int = 1
   ): DataFrame = {
     import spark.implicits._
     val (tables, planes) = readLshMeta(spark, path)
-    val qs = boundedCollect(vecs(queries, idCol, vecCol), "lshTopKIndexed queries")
-      .map(q => (q, signatures(q.vec, tables, planes)))
+    val qs = queryVecs.map(q => (q, signatures(q.vec, tables, planes)))
     val bc = graft.core.BroadcastGate.gated(spark, qs, "lshTopKIndexed queries")
     val maxHam = probeHamming
     val candidates = graft.sources.Pq.read(spark, s"$path/rows")
@@ -2150,17 +2195,35 @@ object Similarity {
    * corpus or the vectors.
    */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val hits = exact.select(col("query_id"), col("nbr_id"))
-      .join(approx.select(col("query_id"), col("nbr_id"), lit(1).as("__hit")),
-        Seq("query_id", "nbr_id"), "left")
-      .groupBy(col("query_id"))
-      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("r"))
+    val hits = recallPerQuery(approx, exact)
     val perQuery = hits.select(col("query_id").cast("long"),
       round(col("r") + graft.core.NanMath.RoundEps, 4).as("recall"))
     perQuery.unionByName(
       hits.agg(round(avg(col("r")) + graft.core.NanMath.RoundEps, 4).as("recall"))
         .select(lit(-1L).as("query_id"), col("recall")))
   }
+
+  /** Unrounded per-query recall fractions — the shared core of
+    * [[recallAtK]], exposed separately so a caller that needs ONLY the
+    * mean (the probe auto-tuner reads one number per sweep leg) can
+    * aggregate this frame directly instead of executing the full
+    * per-query ∪ mean union and filtering one branch away — the pruned
+    * branch's join+aggregate still executed (half of every sweep leg's
+    * recall work). */
+  private def recallPerQuery(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("nbr_id"))
+      .join(approx.select(col("query_id"), col("nbr_id"), lit(1).as("__hit")),
+        Seq("query_id", "nbr_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("r"))
+
+  /** Mean recall@k of `approx` against `exact` — bit-identical to
+    * [[recallAtK]]'s query_id = -1 row (same unrounded fractions, same
+    * RoundEps + HALF_UP rounding), computed without the per-query branch. */
+  private[graft] def recallMean(approx: DataFrame, exact: DataFrame): Double =
+    recallPerQuery(approx, exact)
+      .agg(round(avg(col("r")) + graft.core.NanMath.RoundEps, 4).as("recall"))
+      .head().getDouble(0)
 
   /**
    * MEASURED probe auto-tuner for the persisted IVF / IVF-PQ indexes —
@@ -2214,23 +2277,25 @@ object Similarity {
     val hasIvf = graft.sources.Dirs.exists(spark, s"$path/centroids")
     require(hasPq || hasIvf,
       s"no IVF/IVF-PQ index at $path — LSH geometry is tuned by optimalBands")
-    // fail FAST on an empty query set: an unmatched predicate otherwise
-    // surfaces as an opaque NPE inside a parallel sweep leg (recallAtK's
-    // mean row averages over nothing and carries a null recall)
-    require(emb.filter(queryPred).limit(1).count() > 0,
-      "queryPred matches no vectors — nothing to tune against")
-    val exact = bruteForceTopK(emb, queryPred, k, idCol, vecCol).localCheckpoint()
-    val queries = emb.filter(queryPred)
+    // ONE query-side collect shared by the truth pass and EVERY sweep leg
+    // (each leg used to re-scan and re-collect the same predicate — 2 jobs
+    // per leg x |sweep| legs); its emptiness check also subsumes the
+    // fail-fast probe job an unmatched predicate needed (an empty set
+    // otherwise surfaces as an opaque NPE inside a parallel sweep leg)
+    val qs = collectQueries(emb, queryPred, idCol, vecCol, "optimalProbes queryPred")
+    require(qs.nonEmpty, "queryPred matches no vectors — nothing to tune against")
+    val exact = bruteForceTopKVecs(emb, qs, k, idCol, vecCol).localCheckpoint()
     val rfs = if (hasPq) refineFactors.distinct.sorted else Seq(1)
     val legs = for (np <- nProbes.distinct.sorted; rf <- rfs) yield (np, rf)
     import scala.collection.parallel.CollectionConverters._
     val sweep = legs.par.map { case (np, rf) =>
       val approx =
-        if (hasPq) ivfPqTopKIndexed(spark, path, queries, k, np,
+        if (hasPq) ivfPqTopKIndexedVecs(spark, path, qs, k, np,
           refineFrom = Some(emb), refineFactor = rf, idCol = idCol, vecCol = vecCol)
-        else ivfTopKIndexed(spark, path, queries, k, np, idCol, vecCol)
-      val recall = recallAtK(approx, exact)
-        .filter(col("query_id") === -1L).head().getDouble(1)
+        else ivfTopKIndexedVecs(spark, path, qs, k, np)
+      // mean-only recall: the full recallAtK union executed the per-query
+      // branch too, only for the -1 filter to drop it
+      val recall = recallMean(approx, exact)
       (np, rf, recall)
     }.seq
     val meeting = sweep.filter(_._3 >= recallBar)
@@ -2369,11 +2434,20 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    pqTopKEncodedVecs(codes, model,
+      boundedCollect(vecs(queries, idCol, vecCol), "pqTopKEncoded queries"), k)
+
+  /** [[pqTopKEncoded]] over a pre-collected query set. */
+  private[graft] def pqTopKEncodedVecs(
+      codes: DataFrame,
+      model: PqModel,
+      queryVecs: Array[Vec],
+      k: Int
   ): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val qs = boundedCollect(vecs(queries, idCol, vecCol), "pqTopKEncoded queries")
-      .map(q => (q.id, adcTable(q.vec, model)))
+    val qs = queryVecs.map(q => (q.id, adcTable(q.vec, model)))
     val bcQ = graft.core.BroadcastGate.gated(spark, qs, "pqTopKEncoded queries")
     val candidates = codes
       .select(col("id").cast("long"), col("code"))
@@ -2398,18 +2472,17 @@ object Similarity {
     * WHICH refineFactor*k candidates get exact-scored, not the final
     * order — recall converges to brute force as refineFactor grows while
     * the exact work stays at shortlist cardinality. */
-  private def refineShortlist(
+  private def refineShortlistVecs(
       shortlist: DataFrame, // (query_id, nbr_id) candidate pairs
       emb: DataFrame,
-      queries: DataFrame,
+      queryVecs: Array[Vec],
       k: Int,
       idCol: String,
       vecCol: String
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qVecs = boundedCollect(vecs(queries, idCol, vecCol), "refineShortlist queries")
-      .map(q => q.id -> q.vec).toMap
+    val qVecs = queryVecs.map(q => q.id -> q.vec).toMap
     val bcQ = graft.core.BroadcastGate.gated(spark, qVecs, "refineShortlist queries")
     val candidates = vecs(emb, idCol, vecCol)
       .join(broadcast(shortlist.select(col("query_id"), col("nbr_id"))),
@@ -2447,10 +2520,11 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val model = pqTrain(emb, m, codebookSize, sampleSize, iters, idCol, vecCol)
-    val queries = emb.filter(queryPred)
-    val adc = pqTopKEncoded(pqEncode(emb, model, idCol, vecCol), model,
-      queries, if (refineFactor > 0) refineFactor * k else k, idCol, vecCol)
-    if (refineFactor > 0) refineShortlist(adc, emb, queries, k, idCol, vecCol)
+    // one query-side collect shared by the ADC pass and the exact refine
+    val qs = collectQueries(emb, queryPred, idCol, vecCol, "pqTopK queryPred")
+    val adc = pqTopKEncodedVecs(pqEncode(emb, model, idCol, vecCol), model,
+      qs, if (refineFactor > 0) refineFactor * k else k)
+    if (refineFactor > 0) refineShortlistVecs(adc, emb, qs, k, idCol, vecCol)
     else adc
   }
 
@@ -2605,6 +2679,25 @@ object Similarity {
       refineFactor: Int = UseTuned,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    // ONE query-side collect for the whole call — the refine leg used to
+    // re-scan and re-collect the same predicate a second time
+    ivfPqTopKIndexedVecs(spark, path,
+      boundedCollect(vecs(queries, idCol, vecCol), "ivfPqTopKIndexed queries"),
+      k, nProbe, refineFrom, refineFactor, idCol, vecCol)
+
+  /** [[ivfPqTopKIndexed]] over a pre-collected query set (shared by the
+    * ADC pass and the exact refine). */
+  private[graft] def ivfPqTopKIndexedVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryVecs: Array[Vec],
+      k: Int,
+      nProbe: Int = UseTuned,
+      refineFrom: Option[DataFrame] = None,
+      refineFactor: Int = UseTuned,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
     import spark.implicits._
     val tuned = if (nProbe == UseTuned || refineFactor == UseTuned)
@@ -2615,8 +2708,7 @@ object Similarity {
     val centroids = readIvfCentroids(spark, path)
     val model = readPqModel(spark, path)
     val np = math.min(resolvedNp, centroids.length)
-    val qs = boundedCollect(vecs(queries, idCol, vecCol), "ivfPqTopKIndexed queries")
-      .map { q =>
+    val qs = queryVecs.map { q =>
       val probes = probeCells(q.vec, centroids, np)
       // exact dot(q, centroid) per probed cell; residual table shared across cells
       (q.id, probes.map(c => (c, dot(q.vec, centroids(c)))).toMap, adcTable(q.vec, model))
@@ -2640,7 +2732,8 @@ object Similarity {
       .toDF("query_id", "nbr_id", "score")
     refineFrom match {
       case Some(emb) if resolvedRf > 0 =>
-        refineShortlist(rankTopK(candidates, resolvedRf * k), emb, queries, k, idCol, vecCol)
+        refineShortlistVecs(rankTopK(candidates, resolvedRf * k), emb, queryVecs,
+          k, idCol, vecCol)
       case _ => rankTopK(candidates, k)
     }
   }

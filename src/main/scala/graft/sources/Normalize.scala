@@ -166,23 +166,30 @@ object Normalize {
     // non-counter (client-computed rate) heartbeat = step, the same shared
     // rule streaming uses — the two ingest paths must agree on expiry
     val rateHb = graft.core.IngestNorm.heartbeatFor(isCounter = false, step)
+    // The series-keyed exchange ships (k, ctr, ts, value) ONLY — the tags
+    // map (the widest column, and a per-row Catalyst->Scala map decode in
+    // the kernel) is re-attached at SERIES cardinality after the kernel
+    // (guide §2.3: shuffle keys and metadata, not payloads). The map is a
+    // pure function of the series id, so the dedup keeps one arbitrary
+    // (identical) copy per key and the join reproduces the old per-row
+    // tags exactly. The tags branch shares dp's lineage; its shuffle is
+    // series-cardinality after map-side partial aggregation, and identical
+    // dp exchanges are deduplicated by ReuseExchange where dp itself ends
+    // in one.
     val keyed = dp
       .select(
         Planner.seriesId(col("tags")).as("k"),
-        col("tags"),
         coalesce(col("tags").getItem(DsTypeTag) === "counter", lit(false)).as("ctr"),
         col("ts"), col("value"))
-      .as[(String, Map[String, String], Boolean, Long, Double)]
-    keyed
+      .as[(String, Boolean, Long, Double)]
+    val slots = keyed
       .groupByKey(_._1)
-      .flatMapSortedGroups(col("ts").asc, col("value").desc) { (_, it) =>
+      .flatMapSortedGroups(col("ts").asc, col("value").desc) { (k, it) =>
         var algo: graft.core.IngestNorm.OnlineIngest = null
-        var tags: Map[String, String] = null
         var lastTs = Long.MinValue
-        val out = List.newBuilder[(Map[String, String], Long, Double)]
-        it.foreach { case (_, tg, ctr, t, v) =>
+        val out = List.newBuilder[(String, Long, Double)]
+        it.foreach { case (_, ctr, t, v) =>
           if (algo == null) {
-            tags = tg
             algo =
               if (ctr) new graft.core.IngestNorm.OnlineCounter(step)
               else new graft.core.IngestNorm.OnlineWeightedNorm(step, rateHb)
@@ -190,11 +197,17 @@ object Normalize {
           if (t != lastTs) { // duplicate timestamps: first row of the run = max
             lastTs = t
             // online form stamps the interval END; the frame convention is START
-            algo.next(t, v).foreach { case (b, sv) => out += ((tags, b - step, sv)) }
+            algo.next(t, v).foreach { case (b, sv) => out += ((k, b - step, sv)) }
           }
         }
         out.result()
       }
-      .toDF("tags", "ts", "value")
+      .toDF("k", "ts", "value")
+    val tagsOf = dp
+      .select(Planner.seriesId(col("tags")).as("k"), col("tags"))
+      .dropDuplicates("k")
+    slots
+      .join(tagsOf, "k")
+      .select(col("tags"), col("ts"), col("value"))
   }
 }

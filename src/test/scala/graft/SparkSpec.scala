@@ -6,8 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM, one session). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[16] / shuffle.partitions=4: more executor threads drain the
+    // suites' many small sequential stages faster (the r13 full run took
+    // 24 min at local[4] and starved the driver's verify budget), while
+    // the UNCHANGED shuffle partition count keeps every plan-shape and
+    // partition-count assertion exactly as before.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[16]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
